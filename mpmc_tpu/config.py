@@ -1,0 +1,123 @@
+"""Simulation configuration: the rebuild of the reference's input-script
+option surface (SURVEY.md §2.9, src/io/input.c [C]).
+
+``RunConfig`` is a plain frozen dataclass holding *static* options — values
+that select code paths and therefore must be Python-level constants under
+jit (potential selection, ensemble, solver choice, capacities).  Continuous
+per-run numbers that the MC kernel consumes (temperature, pressure, move
+sizes, fugacities) live in ``Thermo``, a pytree, so they can change without
+recompilation (e.g. simulated annealing, parallel tempering swaps).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Static options (hashable; part of the jit closure)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    # --- job control (SURVEY §2.9 "Job/control")
+    job_name: str = "mpmc_tpu"
+    ensemble: str = "nvt"          # uvt | nvt | npt | nve | surf | replay | te
+    numsteps: int = 0
+    corrtime: int = 1000
+    seed: int = 0
+
+    # --- cutoffs / cell
+    cutoff: Optional[float] = None   # None -> half min perpendicular width
+    wrapall: bool = True
+
+    # --- repulsion-dispersion (SURVEY §2.9 "RD")
+    rd_potential: str = "lj"       # lj | sg | dreiding | b14_7 | disp_expansion | none
+    rd_lrc: bool = True
+    rd_only: bool = False
+    mixing_rule: str = "lb"        # lb | waldman_hagler
+    damp_dispersion: bool = True   # Tang–Toennies damping for disp_expansion
+
+    # --- electrostatics (SURVEY §2.9 "ES")
+    coulomb: str = "ewald"         # ewald | wolf | cutoff | none
+    ewald_alpha: Optional[float] = None   # None -> 3.5 / cutoff
+    ewald_kmax: int = 7
+    wolf_alpha: Optional[float] = None
+
+    # --- polarization (SURVEY §2.9 "Polarization")
+    polarization: bool = False
+    polar_solver: str = "cg"       # cg | jacobi | direct | palmo
+    polar_max_iter: int = 24
+    polar_precision: float = 0.0   # 0 -> fixed polar_max_iter iterations
+    polar_damp_type: str = "exponential"   # exponential | linear | none
+    polar_damp: float = 2.1304
+    polar_ewald: bool = False      # full-Ewald static field (else damped direct)
+    polar_gamma: float = 1.0       # over-relaxation (jacobi)
+
+    # --- quantum corrections (SURVEY §2.9 "Quantum")
+    feynman_hibbs: bool = False
+    feynman_hibbs_order: int = 2   # 2 | 4
+
+    # --- ensembles / moves (static structure; magnitudes live in Thermo)
+    cavity_autoreject_absolute: float = 0.0   # r_min; 0 disables
+    insert_species: Tuple[int, ...] = ()      # species eligible for GCMC
+
+    # --- precision / performance
+    dtype: str = "float32"         # float32 | float64
+    pair_chunk: int = 512          # row-block size for O(N^2) passes
+    use_pallas: bool = False
+    fused_kernels: bool = True
+
+    @property
+    def jdtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Thermodynamic / move-size inputs (pytree; can change without recompile)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Thermo:
+    """Continuous knobs consumed inside the jitted MC step.
+
+    fugacity: per-species fugacity in atm (uVT acceptance, SURVEY §3.3).
+    move probabilities follow the reference's semantics: a move type is
+    picked by comparing one uniform draw against cumulative probabilities
+    (insert/delete split the remainder of insert_probability in half).
+    """
+    temperature: jax.Array                   # K
+    pressure: jax.Array                      # atm (NPT)
+    fugacity: jax.Array                      # [n_species] atm
+    move_factor: jax.Array                   # A, displacement half-width
+    rot_factor: jax.Array                    # rad, max rotation angle
+    insert_probability: jax.Array            # P(insert or delete)
+    volume_probability: jax.Array            # P(volume move)
+    volume_change_factor: jax.Array          # max |d ln V|
+    spinflip_probability: jax.Array          # reserved (quantum rotation)
+
+    @classmethod
+    def make(cls, temperature=298.0, pressure=1.0, fugacity=(),
+             move_factor=1.0, rot_factor=1.0, insert_probability=0.0,
+             volume_probability=0.0, volume_change_factor=0.05,
+             spinflip_probability=0.0, n_species=None, dtype=jnp.float32):
+        fug = jnp.atleast_1d(jnp.asarray(fugacity, dtype))
+        if n_species is not None and fug.shape[0] < max(n_species, 1):
+            fug = jnp.concatenate(
+                [fug, jnp.zeros(max(n_species, 1) - fug.shape[0], dtype)])
+        s = lambda v: jnp.asarray(v, dtype)
+        return cls(
+            temperature=s(temperature), pressure=s(pressure), fugacity=fug,
+            move_factor=s(move_factor), rot_factor=s(rot_factor),
+            insert_probability=s(insert_probability),
+            volume_probability=s(volume_probability),
+            volume_change_factor=s(volume_change_factor),
+            spinflip_probability=s(spinflip_probability),
+        )
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,83 @@
+"""Lennard-Jones repulsion-dispersion: mixing rules, pair energy, analytic
+derivatives, Feynman-Hibbs quantum corrections, and the long-range tail.
+
+Rebuild of the reference's RD layer (SURVEY.md §2 "Lennard-Jones RD",
+src/energy/lj.c [M]): 12-6 LJ with Lorentz-Berthelot mixing (sigma
+arithmetic / eps geometric) or Waldman-Hagler mixing, analytic tail
+correction, and 2nd/4th-order Feynman-Hibbs corrections
+U_FH2 = (hbar^2 beta / 24 mu) (V'' + 2 V'/r),
+U_FH4 = (hbar^4 beta^2 / 1152 mu^2) (15 V'/r^3 + 4 V'''/r + V'''')
+with mu the reduced mass of the two interacting *molecules* (quantum
+translational correction for light sorbates like H2/He).
+
+All inputs/outputs in MPMC units (K, A, amu).  Pure elementwise functions
+over arbitrarily-shaped arrays — callers apply masks.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mpmc_tpu.constants import HBAR2_KB_AMU_A2
+
+
+def mix(eps_i, eps_j, sig_i, sig_j, rule="lb"):
+    """Combine per-atom LJ parameters into pair parameters."""
+    if rule == "lb":
+        return jnp.sqrt(eps_i * eps_j), 0.5 * (sig_i + sig_j)
+    if rule == "waldman_hagler":
+        s6i, s6j = sig_i**6, sig_j**6
+        denom = jnp.maximum(s6i + s6j, 1e-300)
+        sig = (0.5 * denom) ** (1.0 / 6.0)
+        eps = jnp.sqrt(eps_i * eps_j) * (2.0 * sig_i**3 * sig_j**3 / denom)
+        return eps, sig
+    raise ValueError(f"unknown mixing rule: {rule}")
+
+
+def energy(r2, eps, sig):
+    """U = 4 eps [ (sig/r)^12 - (sig/r)^6 ]  with r2 = r^2 (safe, pre-masked)."""
+    s2 = sig * sig / r2
+    s6 = s2 * s2 * s2
+    return 4.0 * eps * s6 * (s6 - 1.0)
+
+
+def derivatives(r, eps, sig):
+    """Analytic dV/dr .. d4V/dr4 of 12-6 LJ (for Feynman-Hibbs)."""
+    sr = sig / r
+    s6 = sr**6
+    s12 = s6 * s6
+    inv = 1.0 / r
+    v1 = 4.0 * eps * (-12.0 * s12 + 6.0 * s6) * inv
+    v2 = 4.0 * eps * (156.0 * s12 - 42.0 * s6) * inv * inv
+    v3 = 4.0 * eps * (-2184.0 * s12 + 336.0 * s6) * inv**3
+    v4 = 4.0 * eps * (32760.0 * s12 - 3024.0 * s6) * inv**4
+    return v1, v2, v3, v4
+
+
+def feynman_hibbs(r, eps, sig, red_mass, temperature, order=2):
+    """FH quantum correction to the LJ pair energy (SURVEY.md §2
+    "Lennard-Jones RD": hbar^2 beta/24mu * grad^2 V + 4th-order terms)."""
+    v1, v2, v3, v4 = derivatives(r, eps, sig)
+    m = jnp.maximum(red_mass, 1e-30)
+    c2 = HBAR2_KB_AMU_A2 / (24.0 * temperature * m)
+    u = c2 * (v2 + 2.0 * v1 / r)
+    if order >= 4:
+        c4 = (HBAR2_KB_AMU_A2 * HBAR2_KB_AMU_A2
+              / (1152.0 * temperature * temperature * m * m))
+        u = u + c4 * (15.0 * v1 / r**3 + 4.0 * v3 / r + v4)
+    return u
+
+
+def tail_coefficient(eps, sig, rc):
+    """Per-(ordered-)pair long-range tail coefficient T_ij such that
+    U_lrc = (1/2) sum_ij T_ij / V:
+
+      T_ij = (16 pi / 3) eps sig^3 [ (1/3)(sig/rc)^9 - (sig/rc)^3 ]
+
+    i.e. 4 pi Int_rc^inf u_lj(r) r^2 dr = T/ (4pi?) — standard analytic tail
+    for 12-6 LJ.  The caller sums over ordered pairs (including i==j images)
+    and divides by 2V.
+    """
+    src = sig / rc
+    s3 = src * src * src
+    s9 = s3 * s3 * s3
+    return (16.0 * jnp.pi / 3.0) * eps * sig**3 * (s9 / 3.0 - s3)

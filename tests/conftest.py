@@ -1,0 +1,25 @@
+"""Test configuration: CPU backend, 8 virtual devices, float64 parity mode.
+
+Parity tests (SURVEY.md §7 "Hard parts", f64 vs TPU) run on the CPU backend
+with x64 enabled; multi-device sharding tests use 8 virtual CPU devices via
+--xla_force_host_platform_device_count.  The TPU path is exercised by
+bench.py / __graft_entry__.py on real hardware.
+"""
+import os
+import sys
+
+# NOTE: this image's sitecustomize imports jax and registers the 'axon' TPU
+# platform before conftest runs, so env vars alone don't switch backends —
+# the runtime config.update below is what actually selects CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
