@@ -1,0 +1,244 @@
+"""Masked O(N^2) pair-interaction passes.
+
+Rebuild of the reference's pair machinery (SURVEY.md §2 "Pair builder",
+src/energy/pairs.c [C] + the RD/ES real-space loops): instead of a linked
+pair list with per-pair caches, we run *chunked row-block passes* over the
+padded atom array — each block computes a [B, N] tile of minimum-image
+displacements, applies masks (alive, triangular i<j, intra-molecular
+exclusion, cutoff), and reduces the enabled energy terms.  The same
+per-tile math is reused three ways:
+
+- ``pair_pass``      : full-system energy (scan over all row blocks);
+- ``mol_pair_pass``  : one molecule's rows vs everything (the delta-energy
+                       path — functional analog of the reference's
+                       ``recalculate_energy`` pair flags);
+- the Pallas kernel (ops/pallas) consumes the identical per-pair formulas.
+
+Terms fused in one pass (they share dr/r): repulsion–dispersion (LJ/SG/...,
+with optional Feynman-Hibbs), Ewald real-space erfc, intramolecular Ewald
+exclusion correction (-erf), and the position-independent LJ tail
+coefficient (summed here because it shares the masks).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erf, erfc
+
+from mpmc_tpu.constants import KE
+from mpmc_tpu.ops import lj as lj_ops
+from mpmc_tpu.ops import pbc as pbc_ops
+from mpmc_tpu.ops import potentials
+
+
+def derived_cutoff(box, cfg):
+    """Static cutoff if configured, else half min perpendicular width."""
+    if cfg.cutoff is not None:
+        return jnp.asarray(cfg.cutoff, box.dtype)
+    return pbc_ops.default_cutoff(box)
+
+
+def derived_alpha(cutoff, cfg):
+    """Damping/splitting parameter for the configured electrostatics.
+
+    Ewald: reference default ~3.5/cutoff (SURVEY.md §2 "Ewald
+    electrostatics" [M value]).  Wolf: a much softer default 2/cutoff —
+    heavy damping loses the long-range physics the Wolf shift is meant to
+    capture (``wolf_alpha`` overrides, SURVEY.md §2.9 "ES").
+    """
+    if cfg.coulomb == "wolf":
+        if cfg.wolf_alpha is not None:
+            return jnp.asarray(cfg.wolf_alpha, jnp.result_type(cutoff))
+        return 2.0 / cutoff
+    if cfg.ewald_alpha is not None:
+        return jnp.asarray(cfg.ewald_alpha, jnp.result_type(cutoff))
+    return 3.5 / cutoff
+
+
+@dataclasses.dataclass(frozen=True)
+class PairTerms:
+    """Partial sums from a pair pass (pytree)."""
+    rd: jax.Array
+    es_real: jax.Array
+    es_excl: jax.Array
+    lrc_coeff: jax.Array   # sum of tail coefficients; U_lrc = lrc_coeff / V
+
+    def __add__(self, o):
+        return PairTerms(self.rd + o.rd, self.es_real + o.es_real,
+                         self.es_excl + o.es_excl,
+                         self.lrc_coeff + o.lrc_coeff)
+
+
+jax.tree_util.register_dataclass(PairTerms)
+
+
+def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
+                 box, box_inv, rc, alpha, temperature, triangular):
+    """Energy contributions of one row block [B] against all columns [N].
+
+    Returns PairTerms of scalars.  ``triangular``: only count j > i (full
+    pass); otherwise count every (row, col) pair once (molecule pass, where
+    the caller guarantees rows and columns are disjoint molecule-wise).
+    """
+    B = pos_i.shape[0]
+    N = pos.shape[0]
+    dr = pbc_ops.min_image(pos_i[:, None, :] - pos[None, :, :], box, box_inv)
+    r2 = jnp.sum(dr * dr, axis=-1)                       # [B,N]
+
+    cols = jnp.arange(N)
+    pair_ok = row_valid[:, None] & alive[None, :]
+    if triangular:
+        pair_ok = pair_ok & (cols[None, :] > idx_i[:, None])
+    mol_i = params.mol_id[idx_i]
+    same_mol = mol_i[:, None] == params.mol_id[None, :]
+    inter = pair_ok & ~same_mol
+    intra = pair_ok & same_mol
+    within = r2 < rc * rc
+    act = inter & within                                  # RD + ES-real pairs
+
+    r2s = jnp.where(r2 > 1e-12, r2, 1.0)                  # guard the diagonal
+    r = jnp.sqrt(r2s)
+
+    qi = params.charge[idx_i]
+    qq = qi[:, None] * params.charge[None, :]
+
+    # --- repulsion–dispersion ------------------------------------------------
+    zero = jnp.zeros((), pos.dtype)
+    rd = zero
+    lrc_coeff = zero
+    if cfg.rd_potential == "lj" and not getattr(cfg, "es_only", False):
+        eps, sig = lj_ops.mix(params.eps[idx_i][:, None],
+                              params.eps[None, :],
+                              params.sig[idx_i][:, None],
+                              params.sig[None, :], cfg.mixing_rule)
+        u = lj_ops.energy(r2s, eps, sig)
+        if cfg.feynman_hibbs:
+            mm_i = params.mol_mass[mol_i]
+            mm_j = params.mol_mass[params.mol_id]
+            red = (mm_i[:, None] * mm_j[None, :]
+                   / jnp.maximum(mm_i[:, None] + mm_j[None, :], 1e-30))
+            u = u + lj_ops.feynman_hibbs(r, eps, sig, red, temperature,
+                                         cfg.feynman_hibbs_order)
+        rd = jnp.sum(jnp.where(act, u, 0.0))
+        if cfg.rd_lrc:
+            # tail: ordered pairs i!=j (inter) count once per direction in
+            # the full triangular pass -> handled by caller symmetrization.
+            tc = lj_ops.tail_coefficient(eps, sig, rc)
+            lrc_coeff = jnp.sum(jnp.where(inter, tc, 0.0))
+    elif cfg.rd_potential in ("sg", "dreiding", "b14_7", "disp_expansion"):
+        u = potentials.rd_pair_energy(r, r2s, idx_i, params, cfg)
+        rd = jnp.sum(jnp.where(act, u, 0.0))
+    elif cfg.rd_potential == "none":
+        pass
+    else:
+        raise ValueError(f"unknown rd_potential {cfg.rd_potential}")
+
+    # --- electrostatics (real space) ----------------------------------------
+    es_real = zero
+    es_excl = zero
+    if cfg.coulomb == "ewald":
+        es_real = KE * jnp.sum(jnp.where(act, qq * erfc(alpha * r) / r, 0.0))
+        # recip space includes intramolecular pairs: subtract erf part
+        # (SURVEY.md §2 "Ewald electrostatics": intramolecular exclusion
+        # correction via erf).  Applied at any separation (no cutoff).
+        es_excl = -KE * jnp.sum(
+            jnp.where(intra, qq * erf(alpha * r) / r, 0.0))
+    elif cfg.coulomb == "wolf":
+        # Wolf damped, shifted pair part; self/shift terms added by caller.
+        wr = erfc(alpha * r) / r - erfc(alpha * rc) / rc
+        es_real = KE * jnp.sum(jnp.where(act, qq * wr, 0.0))
+    elif cfg.coulomb == "cutoff":
+        es_real = KE * jnp.sum(jnp.where(act, qq / r, 0.0))
+    elif cfg.coulomb == "none":
+        pass
+    else:
+        raise ValueError(f"unknown coulomb mode {cfg.coulomb}")
+
+    return PairTerms(rd=rd, es_real=es_real, es_excl=es_excl,
+                     lrc_coeff=lrc_coeff)
+
+
+def pair_pass(pos, box, atom_alive, params, cfg, temperature):
+    """Full-system pair terms via a lax.scan over row blocks.
+
+    The triangular mask counts each (i<j) pair once; the LRC coefficient is
+    accumulated over *ordered inter pairs appearing once* (j>i), so the
+    caller multiplies by 2 and adds the self (i==i image) term to get the
+    full ordered-pair tail sum.
+    """
+    N = pos.shape[0]
+    B = min(cfg.pair_chunk, N)
+    nb = -(-N // B)
+    box_inv = jnp.linalg.inv(box)
+    rc = derived_cutoff(box, cfg)
+    alpha = derived_alpha(rc, cfg)
+
+    def body(acc, b):
+        i0 = b * B
+        idx = jnp.clip(i0 + jnp.arange(B), 0, N - 1)
+        valid = (i0 + jnp.arange(B) < N) & atom_alive[idx]
+        t = _block_terms(pos[idx], idx, valid, pos, atom_alive, params, cfg,
+                         box, box_inv, rc, alpha, temperature,
+                         triangular=True)
+        return acc + t, None
+
+    z = jnp.zeros((), pos.dtype)
+    init = PairTerms(z, z, z, z)
+    acc, _ = jax.lax.scan(body, init, jnp.arange(nb))
+    return acc
+
+
+def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol):
+    """Pair terms between molecule ``mol``'s atoms and all *other* molecules.
+
+    One-sided: each inter-molecular pair touching ``mol`` is counted exactly
+    once.  This is the O(A_max * N) delta-energy workhorse (SURVEY.md §7
+    step 3).  Intramolecular terms of ``mol`` itself are NOT included here
+    (they are rigid-invariant for displace/rotate; GCMC handles them via
+    ``intra_terms``).
+    """
+    box_inv = jnp.linalg.inv(box)
+    rc = derived_cutoff(box, cfg)
+    alpha = derived_alpha(rc, cfg)
+    idx = params.mol_atoms[mol]                     # [A]
+    na = params.mol_natoms[mol]
+    valid = jnp.arange(idx.shape[0]) < na
+    # exclude own molecule columns entirely (one-sided inter only)
+    col_alive = atom_alive & (params.mol_id != mol)
+    return _block_terms(pos[idx], idx, valid, pos, col_alive, params, cfg,
+                        box, box_inv, rc, alpha, temperature,
+                        triangular=False)
+
+
+def intra_terms(pos, box, params, cfg, mol):
+    """Intramolecular terms of one molecule: the Ewald exclusion correction
+    (-ke q_i q_j erf(alpha r)/r over its internal pairs).  Needed when a
+    molecule appears/disappears (GCMC insert/delete)."""
+    if cfg.coulomb != "ewald":
+        return jnp.zeros((), pos.dtype)
+    rc = derived_cutoff(box, cfg)
+    alpha = derived_alpha(rc, cfg)
+    idx = params.mol_atoms[mol]
+    na = params.mol_natoms[mol]
+    A = idx.shape[0]
+    valid = jnp.arange(A) < na
+    p = pos[idx]
+    dr = pbc_ops.min_image(p[:, None, :] - p[None, :, :], box)
+    r2 = jnp.sum(dr * dr, -1)
+    tri = (jnp.arange(A)[None, :] > jnp.arange(A)[:, None])
+    ok = tri & valid[:, None] & valid[None, :]
+    r = jnp.sqrt(jnp.where(r2 > 1e-12, r2, 1.0))
+    q = params.charge[idx]
+    qq = q[:, None] * q[None, :]
+    return -KE * jnp.sum(jnp.where(ok, qq * erf(alpha * r) / r, 0.0))
+
+
+def lrc_self_coefficient(atom_alive, params, cfg, rc):
+    """Self (i==i periodic images) tail term: sum_i T_ii over alive atoms."""
+    if cfg.rd_potential != "lj" or not cfg.rd_lrc:
+        return jnp.zeros((), params.eps.dtype)
+    tc = lj_ops.tail_coefficient(params.eps, params.sig, rc)
+    return jnp.sum(jnp.where(atom_alive, tc, 0.0))

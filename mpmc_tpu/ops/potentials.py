@@ -1,0 +1,123 @@
+"""Alternative repulsion-dispersion potentials.
+
+Rebuilds of the reference's RD variants (SURVEY.md §2): Silvera-Goldman
+(src/energy/sg.c [M]), Dreiding exp-6 (src/energy/dreiding.c [M]),
+AMOEBA-style buffered 14-7 (src/energy/lj_buffered_14_7.c [M]) and the
+Born-Mayer + damped C6/C8/C10 dispersion expansion
+(src/energy/disp_expansion.c [M], the PHAHST family).
+
+NOTE (SURVEY.md §0): the reference mount was empty, so the exact parameter
+column conventions below are *this framework's documented contract*:
+
+- ``sg``            : parameter-free H2-H2 potential (Silvera & Goldman
+                      1978 constants, converted Hartree/bohr -> K/A).
+- ``dreiding``      : eps column = well depth D0 [K], sig column = r0 [A];
+                      zeta = 13.772; D0 geometric / r0 arithmetic mixing.
+- ``b14_7``         : eps [K], sig = r0 [A]; Halgren delta=0.07 gamma=0.12
+                      with Halgren mixing rules.
+- ``disp_expansion``: eps column = Born-Mayer prefactor A [K], sig column =
+                      exponent B [1/A]; C6/C8/C10 columns in K*A^2n.
+                      Mixing: A geometric, B harmonic mean, C2n geometric.
+                      Tang-Toennies damping f_2n(Br) when cfg.damp_dispersion.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mpmc_tpu.constants import BOHR_A, HARTREE_K
+
+# Silvera–Goldman constants (atomic units; Silvera & Goldman, JCP 69, 4209
+# (1978)) — isotropic H2–H2 pair potential.
+_SG_ALPHA = 1.713
+_SG_BETA = 1.5671
+_SG_GAMMA = 0.00993
+_SG_C6 = 12.14
+_SG_C8 = 215.2
+_SG_C9 = 143.1
+_SG_C10 = 4813.9
+_SG_RC = 8.32   # bohr — damping onset (1.28 * r_min)
+
+
+def sg_energy(r_ang):
+    """Silvera-Goldman H2-H2 potential, r in Angstrom, returns Kelvin."""
+    r = r_ang / BOHR_A
+    rep = jnp.exp(_SG_ALPHA - _SG_BETA * r - _SG_GAMMA * r * r)
+    r2 = r * r
+    r6 = r2 * r2 * r2
+    disp = (_SG_C6 / r6 + _SG_C8 / (r6 * r2) + _SG_C10 / (r6 * r2 * r2)
+            - _SG_C9 / (r6 * r2 * r))
+    fc = jnp.where(r < _SG_RC,
+                   jnp.exp(-((_SG_RC / r - 1.0) ** 2)), 1.0)
+    return (rep - fc * disp) * HARTREE_K
+
+
+def dreiding_energy(r, d0, r0, zeta=13.772):
+    """Dreiding exponential-6: U = D0 [ (6/(z-6)) e^{z(1-p)} - (z/(z-6)) p^-6 ]."""
+    p = r / r0
+    a = 6.0 / (zeta - 6.0)
+    b = zeta / (zeta - 6.0)
+    return d0 * (a * jnp.exp(zeta * (1.0 - p)) - b * p ** (-6.0))
+
+
+def b14_7_energy(r, eps, r0, delta=0.07, gamma=0.12):
+    """Halgren buffered 14-7: U = eps ((1+d)/(p+d))^7 ((1+g)/(p^7+g) - 2)."""
+    p = r / r0
+    t = ((1.0 + delta) / (p + delta)) ** 7
+    return eps * t * ((1.0 + gamma) / (p ** 7 + gamma) - 2.0)
+
+
+def tt_damping(x, n):
+    """Tang-Toennies incomplete-gamma damping f_n(x) = 1 - e^-x sum_{k<=n} x^k/k!."""
+    s = jnp.ones_like(x)
+    term = jnp.ones_like(x)
+    for k in range(1, n + 1):
+        term = term * x / k
+        s = s + term
+    return 1.0 - jnp.exp(-x) * s
+
+
+def disp_expansion_energy(r, a_ij, b_ij, c6, c8, c10, damp=True):
+    """Born-Mayer repulsion + damped C6/C8/C10 dispersion."""
+    rep = a_ij * jnp.exp(-b_ij * r)
+    r2 = r * r
+    r6 = r2 * r2 * r2
+    x = b_ij * r
+    f6 = tt_damping(x, 6) if damp else 1.0
+    f8 = tt_damping(x, 8) if damp else 1.0
+    f10 = tt_damping(x, 10) if damp else 1.0
+    return rep - f6 * c6 / r6 - f8 * c8 / (r6 * r2) - f10 * c10 / (r6 * r2 * r2)
+
+
+def rd_pair_energy(r, r2s, idx_i, params, cfg):
+    """Dispatch the non-LJ RD potentials over a [B,N] tile.
+
+    ``idx_i``: row atom indices; column params broadcast from ``params``.
+    """
+    if cfg.rd_potential == "sg":
+        return sg_energy(r)
+    if cfg.rd_potential == "dreiding":
+        d0 = jnp.sqrt(params.eps[idx_i][:, None] * params.eps[None, :])
+        r0 = 0.5 * (params.sig[idx_i][:, None] + params.sig[None, :])
+        r0 = jnp.maximum(r0, 1e-6)
+        return dreiding_energy(r, d0, r0)
+    if cfg.rd_potential == "b14_7":
+        ei, ej = params.eps[idx_i][:, None], params.eps[None, :]
+        ri, rj = params.sig[idx_i][:, None], params.sig[None, :]
+        r0 = (ri**3 + rj**3) / jnp.maximum(ri**2 + rj**2, 1e-12)
+        se = (jnp.sqrt(ei) + jnp.sqrt(ej)) ** 2
+        eps = 4.0 * ei * ej / jnp.maximum(se, 1e-12)
+        return b14_7_energy(r, eps, jnp.maximum(r0, 1e-6))
+    if cfg.rd_potential == "disp_expansion":
+        ai, aj = params.eps[idx_i][:, None], params.eps[None, :]
+        bi, bj = params.sig[idx_i][:, None], params.sig[None, :]
+        a_ij = jnp.sqrt(jnp.maximum(ai * aj, 0.0))
+        b_ij = 2.0 * bi * bj / jnp.maximum(bi + bj, 1e-12)
+        c6 = jnp.sqrt(jnp.maximum(
+            params.c6[idx_i][:, None] * params.c6[None, :], 0.0))
+        c8 = jnp.sqrt(jnp.maximum(
+            params.c8[idx_i][:, None] * params.c8[None, :], 0.0))
+        c10 = jnp.sqrt(jnp.maximum(
+            params.c10[idx_i][:, None] * params.c10[None, :], 0.0))
+        return disp_expansion_energy(r, a_ij, b_ij, c6, c8, c10,
+                                     cfg.damp_dispersion)
+    raise ValueError(cfg.rd_potential)

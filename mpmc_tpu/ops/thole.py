@@ -1,0 +1,224 @@
+"""Thole-Applequist polarizable induced-dipole model.
+
+Rebuild of the reference's polarization stack (SURVEY.md §2 "Thole
+polarization driver" / "Thole static field" / "Thole dipole tensor" /
+"Thole iterative solvers", src/energy/polar.c, thole_field.c,
+thole_matrix.c, thole_iterative.c [C/M]):
+
+    mu_i = alpha_i ( E0_i + sum_{j != i} T_ij mu_j )
+    U    = -(ke/2) sum_i mu_i . E0_i        (at the SCF fixed point)
+
+- E0 is the *intermolecular* static field of the permanent charges, with
+  exponential Thole damping (default width polar_damp = 2.1304 [C]).
+- T is the damped dipole-dipole tensor over ALL polarizable site pairs
+  (including intramolecular — that screening is the point of Thole).
+- Solver: masked conjugate gradient on the SPD system
+  (diag(1/alpha) - T) mu = E0.  The reference's Gauss-Seidel / SOR /
+  ranked-GS orderings are inherently sequential — the wrong shape for a
+  TPU — but every variant converges to the same linear fixed point
+  (SURVEY.md §7 "SCF solver equivalence"), so CG preserves parity while
+  vectorizing.  A Jacobi mode with relaxation (polar_gamma) is provided as
+  the structural analog of the reference's iteration family.
+- "direct" solver builds the dense 3N'x3N' matrix and solves exactly
+  (the reference's polar_iterative off / thole_bmat path) — used for
+  small-system validation.
+
+Units: charges e, positions A, alpha A^3; fields are computed WITHOUT the
+Coulomb prefactor, dipoles come out in e*A, and ke enters once in the final
+energy (the reference folds sqrt(ke) into its charges instead).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mpmc_tpu.constants import KE
+from mpmc_tpu.ops import pbc as pbc_ops
+from mpmc_tpu.ops.pairs import derived_cutoff
+
+
+def _damping(r, lam, kind):
+    """(damp1, damp2): charge-dipole and dipole-dipole screening factors
+    for an exponential Thole charge distribution of width lam [1/A]."""
+    if kind == "none":
+        one = jnp.ones_like(r)
+        return one, one
+    if kind == "exponential":
+        x = lam * r
+        e = jnp.exp(-x)
+        p1 = 1.0 + x + 0.5 * x * x
+        d1 = 1.0 - e * p1
+        d2 = 1.0 - e * (p1 + x * x * x / 6.0)
+        return d1, d2
+    raise ValueError(f"polar_damp_type {kind} not supported")
+
+
+def static_field(pos, box, atom_alive, params, cfg, chunk=None):
+    """Damped intermolecular electric field E0 [N,3] of permanent charges
+    at every site (no ke factor; excludes same-molecule sources, applies
+    the pair cutoff — SURVEY.md §2 'Thole static field', direct variant)."""
+    N = pos.shape[0]
+    B = min(chunk or cfg.pair_chunk, N)
+    nb = -(-N // B)
+    box_inv = jnp.linalg.inv(box)
+    rc = derived_cutoff(box, cfg)
+
+    def body(_, b):
+        i0 = b * B
+        rows = i0 + jnp.arange(B)
+        idx = jnp.clip(rows, 0, N - 1)
+        rok = (rows < N) & atom_alive[idx]
+        dr = pbc_ops.min_image(pos[idx][:, None, :] - pos[None, :, :],
+                               box, box_inv)          # r_i - r_j (toward i)
+        r2 = jnp.sum(dr * dr, -1)
+        ok = (rok[:, None] & atom_alive[None, :]
+              & (params.mol_id[idx][:, None] != params.mol_id[None, :])
+              & (r2 < rc * rc))
+        r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+        r = jnp.sqrt(r2s)
+        d1, _ = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
+        coef = jnp.where(ok, params.charge[None, :] * d1 / (r2s * r), 0.0)
+        return None, jnp.einsum("bn,bnk->bk", coef, dr)
+
+    _, ys = jax.lax.scan(body, None, jnp.arange(nb))
+    return ys.reshape(nb * B, 3)[:N]
+
+
+def dipole_matvec(pos, box, atom_alive, params, cfg, mu, chunk=None):
+    """(T mu)_i: damped dipole-field of all other sites' dipoles at site i.
+
+    E_i = sum_j [ 3 d2 (r.mu_j) r / r^5 - d1 mu_j / r^3 ],  r = r_i - r_j.
+    Includes intramolecular pairs; applies the cutoff.
+    """
+    N = pos.shape[0]
+    B = min(chunk or cfg.pair_chunk, N)
+    nb = -(-N // B)
+    box_inv = jnp.linalg.inv(box)
+    rc = derived_cutoff(box, cfg)
+    pol_ok = atom_alive & (params.polar > 0)
+
+    def body(_, b):
+        i0 = b * B
+        rows = i0 + jnp.arange(B)
+        idx = jnp.clip(rows, 0, N - 1)
+        rok = (rows < N) & pol_ok[idx]
+        dr = pbc_ops.min_image(pos[idx][:, None, :] - pos[None, :, :],
+                               box, box_inv)
+        r2 = jnp.sum(dr * dr, -1)
+        diag = rows[:, None] == jnp.arange(N)[None, :]
+        ok = rok[:, None] & pol_ok[None, :] & ~diag & (r2 < rc * rc)
+        r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+        r = jnp.sqrt(r2s)
+        d1, d2 = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
+        inv_r3 = 1.0 / (r2s * r)
+        mdotr = jnp.einsum("nk,bnk->bn", mu, dr)
+        t1 = (3.0 * d2 * mdotr * inv_r3 / r2s)[..., None] * dr
+        t2 = (d1 * inv_r3)[..., None] * mu[None, :, :]
+        contrib = jnp.where(ok[..., None], t1 - t2, 0.0)
+        return None, jnp.sum(contrib, axis=1)
+
+    _, ys = jax.lax.scan(body, None, jnp.arange(nb))
+    return ys.reshape(nb * B, 3)[:N]
+
+
+def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None):
+    """Solve (diag(1/alpha) - T) mu = E0 by masked CG (or Jacobi/direct).
+
+    Returns (mu [N,3], n_iter).  Dead / non-polarizable sites are pinned to
+    zero.  Convergence: ||residual||_rms <= polar_precision (e*A units per
+    site), or polar_max_iter iterations.
+    """
+    pol_ok = atom_alive & (params.polar > 0)
+    mask = pol_ok[:, None]
+    inv_a = jnp.where(pol_ok, 1.0 / jnp.maximum(params.polar, 1e-30),
+                      0.0)[:, None]
+    b = jnp.where(mask, e0, 0.0)
+    nsites = jnp.maximum(jnp.sum(pol_ok), 1)
+    tol2 = (cfg.polar_precision ** 2) * nsites * 3
+
+    def amul(x):
+        x = jnp.where(mask, x, 0.0)
+        return jnp.where(mask,
+                         inv_a * x - dipole_matvec(
+                             pos, box, atom_alive, params, cfg, x),
+                         0.0)
+
+    if cfg.polar_solver == "direct":
+        return _solve_direct(pos, box, atom_alive, params, cfg, b, pol_ok)
+
+    if cfg.polar_solver == "jacobi":
+        # mu <- (1-g) mu + g alpha (E0 + T mu); reference's plain iteration
+        # with relaxation polar_gamma (SURVEY.md §2 'Thole iterative
+        # solvers': SOR/ESOR family).
+        g = cfg.polar_gamma
+        alpha_site = jnp.where(mask, params.polar[:, None], 0.0)
+
+        def jbody(i, mu):
+            t = dipole_matvec(pos, box, atom_alive, params, cfg, mu)
+            return jnp.where(mask, (1 - g) * mu + g * alpha_site * (b + t),
+                             0.0)
+
+        mu = mu0 if mu0 is not None else jnp.zeros_like(e0)
+        mu = jax.lax.fori_loop(0, cfg.polar_max_iter, jbody, mu)
+        return mu, jnp.asarray(cfg.polar_max_iter)
+
+    # --- conjugate gradient (default) --------------------------------------
+    x = jnp.where(mask, mu0, 0.0) if mu0 is not None else jnp.zeros_like(e0)
+    r = b - amul(x)
+    p = r
+    rs = jnp.sum(r * r)
+
+    def cond(carry):
+        x, r, p, rs, it = carry
+        return (it < cfg.polar_max_iter) & (rs > tol2)
+
+    def step(carry):
+        x, r, p, rs, it = carry
+        ap = amul(p)
+        denom = jnp.sum(p * ap)
+        alpha = rs / jnp.where(jnp.abs(denom) > 1e-300, denom, 1e-300)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.sum(r * r)
+        beta = rs_new / jnp.where(rs > 1e-300, rs, 1e-300)
+        p = r + beta * p
+        return x, r, p, rs_new, it + 1
+
+    x, r, p, rs, it = jax.lax.while_loop(
+        cond, step, (x, r, p, rs, jnp.zeros((), jnp.int32)))
+    return jnp.where(mask, x, 0.0), it
+
+
+def _solve_direct(pos, box, atom_alive, params, cfg, b, pol_ok):
+    """Dense exact solve — the reference's matrix-inversion path
+    (src/energy/thole_matrix.c thole_bmat [M]).  O((3N)^3); small systems."""
+    N = pos.shape[0]
+    box_inv = jnp.linalg.inv(box)
+    rc = derived_cutoff(box, cfg)
+    dr = pbc_ops.min_image(pos[:, None, :] - pos[None, :, :], box, box_inv)
+    r2 = jnp.sum(dr * dr, -1)
+    diag = jnp.eye(N, dtype=bool)
+    ok = pol_ok[:, None] & pol_ok[None, :] & ~diag & (r2 < rc * rc)
+    r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+    r = jnp.sqrt(r2s)
+    d1, d2 = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
+    inv_r3 = 1.0 / (r2s * r)
+    eye3 = jnp.eye(3, dtype=pos.dtype)
+    # T blocks [N,N,3,3]
+    t = (3.0 * d2[..., None, None] * dr[..., :, None] * dr[..., None, :]
+         * (inv_r3 / r2s)[..., None, None]
+         - d1[..., None, None] * inv_r3[..., None, None] * eye3)
+    t = jnp.where(ok[..., None, None], t, 0.0)
+    # A[(i a),(j b)] = delta_ij delta_ab / alpha_i - T[i,j,a,b]
+    inv_a = jnp.where(pol_ok, 1.0 / jnp.maximum(params.polar, 1e-30), 1.0)
+    a_mat = (jnp.kron(jnp.diag(inv_a), eye3)
+             - t.transpose(0, 2, 1, 3).reshape(3 * N, 3 * N))
+    mu = jnp.linalg.solve(a_mat, b.reshape(3 * N)).reshape(N, 3)
+    return jnp.where(pol_ok[:, None], mu, 0.0), jnp.asarray(0)
+
+
+def polar_energy(mu, e0):
+    """U_pol = -(ke/2) sum mu . E0   [K]."""
+    return -0.5 * KE * jnp.sum(mu * e0)

@@ -1,0 +1,149 @@
+"""LJ pair-energy parity: analytic dimer, brute-force periodic sums,
+analytic long-range tail (SURVEY.md §4 test strategy: analytic cases)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpmc_tpu.config import RunConfig, Thermo
+from mpmc_tpu.ops import energy as energy_mod
+from mpmc_tpu.ops import pairs as pairs_mod
+
+from helpers import free_atoms
+
+
+def lj(r, eps, sig):
+    return 4 * eps * ((sig / r) ** 12 - (sig / r) ** 6)
+
+
+def make_cfg(**kw):
+    kw.setdefault("coulomb", "none")
+    kw.setdefault("dtype", "float64")
+    return RunConfig(**kw)
+
+
+def thermo(n_species=1):
+    return Thermo.make(temperature=100.0, n_species=n_species,
+                       dtype=jnp.float64)
+
+
+def test_lj_dimer_analytic():
+    box = 100.0 * np.eye(3)
+    r = 3.9
+    params, state = free_atoms(box, [[0, 0, 0], [r, 0, 0]],
+                               eps=36.7, sig=2.96)
+    cfg = make_cfg(rd_lrc=False, cutoff=20.0)
+    e, _ = energy_mod.total_energy(state.pos, state.box, state.mol_alive,
+                                   params, cfg, thermo())
+    assert float(e.rd) == pytest.approx(lj(r, 36.7, 2.96), rel=1e-12)
+    assert float(e.total) == pytest.approx(lj(r, 36.7, 2.96), rel=1e-12)
+
+
+def test_lj_brute_force_periodic():
+    rng = np.random.default_rng(42)
+    L = 18.0
+    n = 40
+    coords = rng.uniform(0, L, (n, 3))
+    eps, sig = 120.0, 3.4
+    box = L * np.eye(3)
+    params, state = free_atoms(box, coords, eps=eps, sig=sig)
+    rc = 7.5
+    cfg = make_cfg(rd_lrc=False, cutoff=rc, pair_chunk=16)
+    e, _ = energy_mod.total_energy(state.pos, state.box, state.mol_alive,
+                                   params, cfg, thermo())
+    # brute force with min image
+    u = 0.0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = coords[i] - coords[j]
+            d -= L * np.round(d / L)
+            r = np.linalg.norm(d)
+            if r < rc:
+                u += lj(r, eps, sig)
+    assert float(e.rd) == pytest.approx(u, rel=1e-11)
+
+
+def test_lj_lrc_analytic_homogeneous():
+    # N identical atoms, every atom its own molecule:
+    # U_tail = (8 pi N^2 / 3V) eps sig^3 [ (1/3)(sig/rc)^9 - (sig/rc)^3 ]
+    rng = np.random.default_rng(1)
+    L, n, eps, sig, rc = 20.0, 25, 90.0, 3.1, 8.0
+    coords = rng.uniform(0, L, (n, 3))
+    box = L * np.eye(3)
+    params, state = free_atoms(box, coords, eps=eps, sig=sig)
+    cfg = make_cfg(rd_lrc=True, cutoff=rc)
+    e, _ = energy_mod.total_energy(state.pos, state.box, state.mol_alive,
+                                   params, cfg, thermo())
+    v = L ** 3
+    expect = (8 * np.pi * n * n / (3 * v)) * eps * sig ** 3 * (
+        (sig / rc) ** 9 / 3 - (sig / rc) ** 3)
+    assert float(e.lrc) == pytest.approx(expect, rel=1e-12)
+
+
+def test_pair_chunking_invariance():
+    rng = np.random.default_rng(7)
+    L = 15.0
+    coords = rng.uniform(0, L, (23, 3))
+    box = L * np.eye(3)
+    params, state = free_atoms(box, coords)
+    alive = state.atom_alive(params)
+    outs = []
+    for chunk in (4, 7, 23, 64):
+        cfg = make_cfg(cutoff=6.0, pair_chunk=chunk)
+        pt = pairs_mod.pair_pass(state.pos, state.box, alive, params, cfg,
+                                 jnp.asarray(100.0))
+        outs.append(float(pt.rd))
+    np.testing.assert_allclose(outs, outs[0], rtol=1e-13)
+
+
+def test_dead_molecules_do_not_contribute():
+    box = 50.0 * np.eye(3)
+    params, state = free_atoms(box, [[0, 0, 0], [4.0, 0, 0], [8.0, 0, 0]])
+    cfg = make_cfg(rd_lrc=False, cutoff=20.0)
+    # kill the middle molecule
+    state2 = state.replace(mol_alive=state.mol_alive.at[1].set(False))
+    e, _ = energy_mod.total_energy(state2.pos, state2.box, state2.mol_alive,
+                                   params, cfg, thermo())
+    expect = lj(8.0, 120.0, 3.4)
+    assert float(e.rd) == pytest.approx(expect, rel=1e-12)
+
+
+def test_feynman_hibbs_second_order_matches_numeric():
+    from mpmc_tpu.ops import lj as lj_ops
+    eps, sig, r, m, T = 34.2, 2.96, 3.3, 2.016, 77.0
+    # numeric derivatives of LJ
+    h = 1e-5
+    f = lambda x: 4 * eps * ((sig / x) ** 12 - (sig / x) ** 6)
+    v1 = (f(r + h) - f(r - h)) / (2 * h)
+    v2 = (f(r + h) - 2 * f(r) + f(r - h)) / h ** 2
+    mu_red = m * m / (m + m)
+    from mpmc_tpu.constants import HBAR2_KB_AMU_A2
+    expect = HBAR2_KB_AMU_A2 / (24 * T * mu_red) * (v2 + 2 * v1 / r)
+    got = float(lj_ops.feynman_hibbs(jnp.asarray(r), eps, sig, mu_red, T, 2))
+    assert got == pytest.approx(expect, rel=1e-5)
+
+
+def test_mol_pair_pass_matches_full_difference():
+    """Delta-energy contract: mol_pair_pass(mol) == (terms of full system)
+    - (terms of system without mol)."""
+    rng = np.random.default_rng(3)
+    L = 16.0
+    coords = rng.uniform(0, L, (12, 3))
+    box = L * np.eye(3)
+    params, state = free_atoms(box, coords)
+    cfg = make_cfg(cutoff=6.5, rd_lrc=True)
+    t = jnp.asarray(100.0)
+    alive = state.atom_alive(params)
+    mol = 5
+    full = pairs_mod.pair_pass(state.pos, state.box, alive, params, cfg, t)
+    alive_wo = alive & (params.mol_id != mol)
+    without = pairs_mod.pair_pass(state.pos, state.box, alive_wo, params,
+                                  cfg, t)
+    molp = pairs_mod.mol_pair_pass(state.pos, state.box, alive, params, cfg,
+                                   t, mol)
+    assert float(molp.rd) == pytest.approx(float(full.rd - without.rd),
+                                           rel=1e-11)
+    # lrc: full counts unordered pairs once; mol pass counts mol's ordered
+    # inter pairs once per direction/2? -> contract: coefficient diff equals
+    # the one-sided sum.
+    assert float(molp.lrc_coeff) == pytest.approx(
+        float(full.lrc_coeff - without.lrc_coeff), rel=1e-11)

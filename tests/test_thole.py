@@ -1,0 +1,155 @@
+"""Thole polarization parity: closed-form single-site induction, CG vs
+direct dense solve (SURVEY.md §7: "verify rebuilt CG against direct 3Nx3N
+solve on small dimers to 1e-10"), damping behavior."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpmc_tpu.config import RunConfig, Thermo
+from mpmc_tpu.constants import KE
+from mpmc_tpu.ops import energy as energy_mod
+from mpmc_tpu.ops import thole
+
+from helpers import atom_species, free_atoms
+from mpmc_tpu.state import Species, build_system
+
+
+def cfg_polar(**kw):
+    kw.setdefault("rd_potential", "none")
+    kw.setdefault("coulomb", "none")
+    kw.setdefault("polarization", True)
+    kw.setdefault("polar_damp_type", "none")
+    kw.setdefault("polar_max_iter", 200)
+    kw.setdefault("polar_precision", 1e-12)
+    kw.setdefault("dtype", "float64")
+    kw.setdefault("rd_lrc", False)
+    return RunConfig(**kw)
+
+
+def thermo(n=2):
+    return Thermo.make(temperature=300.0, n_species=n, dtype=jnp.float64)
+
+
+def build_charge_plus_polarizable(d=4.0, q=0.8, alpha=1.5, L=200.0):
+    chg = atom_species("Q", eps=0.0, sig=0.0, charge=q, polar=0.0)
+    pol = atom_species("P", eps=0.0, sig=0.0, charge=0.0, polar=alpha)
+    box = L * np.eye(3)
+    return build_system(
+        box, species=(chg, pol), capacity=(1, 1), initial_counts=(1, 1),
+        initial_pos={0: np.zeros((1, 1, 3)),
+                     1: np.array([[[d, 0.0, 0.0]]])},
+        dtype=jnp.float64)
+
+
+def test_single_site_induction_closed_form():
+    """One charge + one isolated polarizable site:
+    mu = alpha q / d^2,  U = -ke alpha q^2 / (2 d^4)."""
+    d, q, alpha = 4.0, 0.8, 1.5
+    params, state = build_charge_plus_polarizable(d, q, alpha)
+    cfg = cfg_polar(cutoff=50.0)
+    e, aux = energy_mod.total_energy(state.pos, state.box, state.mol_alive,
+                                     params, cfg, thermo())
+    expect = -0.5 * KE * alpha * q * q / d ** 4
+    assert float(e.polar) == pytest.approx(expect, rel=1e-10)
+    mu = np.asarray(aux["mu"])
+    # polarizable site is the second real atom
+    i = int(np.argmax(np.asarray(params.polar) > 0))
+    np.testing.assert_allclose(mu[i], [alpha * q / d ** 2, 0, 0], atol=1e-12)
+
+
+def test_cg_matches_direct_solver():
+    """Random cluster of charged + polarizable sites: CG and dense-direct
+    dipoles agree to 1e-10 (SURVEY.md §7)."""
+    rng = np.random.default_rng(11)
+    n = 8
+    coords = rng.uniform(0, 6.0, (n, 3)) + np.arange(n)[:, None] * 0.5
+    box = 100.0 * np.eye(3)
+    charges = rng.uniform(-0.5, 0.5, n)
+    charges -= charges.mean()
+    # build n single-atom species so each atom can have its own charge
+    species = tuple(
+        Species(name=f"s{i}", atom_names=(f"s{i}",), pos=np.zeros((1, 3)),
+                mass=np.ones(1), charge=np.array([charges[i]]),
+                polar=np.array([0.8]), eps=np.zeros(1), sig=np.zeros(1))
+        for i in range(n))
+    params, state = build_system(
+        box, species=species, capacity=(1,) * n, initial_counts=(1,) * n,
+        initial_pos={i: coords[i][None, None, :] for i in range(n)},
+        dtype=jnp.float64)
+    alive = state.atom_alive(params)
+    t = thermo()
+    for damp in ("none", "exponential"):
+        cfg = cfg_polar(cutoff=45.0, polar_damp_type=damp)
+        e0 = thole.static_field(state.pos, state.box, alive, params, cfg)
+        mu_cg, it = thole.solve_scf(state.pos, state.box, alive, params,
+                                    cfg, e0)
+        cfg_d = cfg_polar(cutoff=45.0, polar_damp_type=damp,
+                          polar_solver="direct")
+        mu_direct, _ = thole.solve_scf(state.pos, state.box, alive, params,
+                                       cfg_d, e0)
+        np.testing.assert_allclose(np.asarray(mu_cg), np.asarray(mu_direct),
+                                   atol=1e-10)
+        assert int(it) < 200
+
+
+def test_jacobi_matches_cg_when_converged():
+    params, state = build_charge_plus_polarizable(3.5, 0.6, 1.2)
+    alive = state.atom_alive(params)
+    cfg = cfg_polar(cutoff=50.0)
+    e0 = thole.static_field(state.pos, state.box, alive, params, cfg)
+    mu_cg, _ = thole.solve_scf(state.pos, state.box, alive, params, cfg, e0)
+    cfg_j = cfg_polar(cutoff=50.0, polar_solver="jacobi", polar_max_iter=60)
+    mu_j, _ = thole.solve_scf(state.pos, state.box, alive, params, cfg_j, e0)
+    np.testing.assert_allclose(np.asarray(mu_j), np.asarray(mu_cg),
+                               atol=1e-10)
+
+
+def test_exponential_damping_reduces_field_at_short_range():
+    d_short = 0.8
+    params, state = build_charge_plus_polarizable(d_short, 0.8, 1.0)
+    alive = state.atom_alive(params)
+    cfg_n = cfg_polar(cutoff=50.0, polar_damp_type="none")
+    cfg_e = cfg_polar(cutoff=50.0, polar_damp_type="exponential")
+    f_n = np.asarray(thole.static_field(state.pos, state.box, alive, params,
+                                        cfg_n))
+    f_e = np.asarray(thole.static_field(state.pos, state.box, alive, params,
+                                        cfg_e))
+    i = int(np.argmax(np.asarray(params.polar) > 0))
+    assert np.linalg.norm(f_e[i]) < np.linalg.norm(f_n[i])
+    # and at long range damping is irrelevant
+    params2, state2 = build_charge_plus_polarizable(8.0, 0.8, 1.0)
+    alive2 = state2.atom_alive(params2)
+    f_n2 = np.asarray(thole.static_field(state2.pos, state2.box, alive2,
+                                         params2, cfg_n))
+    f_e2 = np.asarray(thole.static_field(state2.pos, state2.box, alive2,
+                                         params2, cfg_e))
+    i2 = int(np.argmax(np.asarray(params2.polar) > 0))
+    np.testing.assert_allclose(f_e2[i2], f_n2[i2], rtol=1e-4)
+
+
+def test_two_polarizable_sites_mutual_induction():
+    """Two mutually-polarizing sites flanking a charge: energy must be lower
+    (more negative) than the independent-site sum (cooperative alignment
+    along the axis)."""
+    q, alpha, d = 0.7, 1.0, 3.0
+    chg = atom_species("Q", eps=0, sig=0, charge=q, polar=0.0)
+    pol = atom_species("P", eps=0, sig=0, charge=0.0, polar=alpha)
+    box = 150.0 * np.eye(3)
+    params, state = build_system(
+        box, species=(chg, pol), capacity=(1, 2), initial_counts=(1, 2),
+        initial_pos={0: np.zeros((1, 1, 3)),
+                     1: np.array([[[d, 0, 0]], [[-d, 0, 0]]])},
+        dtype=jnp.float64)
+    cfg = cfg_polar(cutoff=40.0)
+    e, aux = energy_mod.total_energy(state.pos, state.box, state.mol_alive,
+                                     params, cfg, thermo())
+    # closed form: by symmetry mu_(+d) = +mu x, mu_(-d) = -mu x; the partner
+    # dipole's field at each site opposes its own moment:
+    #   mu = alpha (q/d^2 - mu/(4 d^3))  ->  mu = (alpha q/d^2)/(1 + alpha/(4 d^3))
+    #   U = -(ke/2) * 2 * mu * (q/d^2) = -ke mu q / d^2
+    mu = (alpha * q / d ** 2) / (1.0 + alpha / (4 * d ** 3))
+    expect = -KE * mu * q / d ** 2
+    assert float(e.polar) == pytest.approx(expect, rel=1e-10)
+    single = -0.5 * KE * alpha * q * q / d ** 4
+    # mutual term weakens induction vs two independent sites
+    assert float(e.polar) > 2 * single
