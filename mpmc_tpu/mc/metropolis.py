@@ -1,0 +1,366 @@
+"""The Metropolis Monte Carlo engine: one jit-compiled step under lax.scan.
+
+Rebuild of the reference's MC main loop + acceptance machinery
+(SURVEY.md §2 "MC main loop" / "Moves / checkpoint" /
+"Boltzmann/acceptance", src/mc/mc.c + mc_moves.c [C]; call stack §3.1):
+
+- move selection by probability thresholds (displace | insert | delete |
+  volume), ensemble-gated statically;
+- delta energy via the O(A*N) molecule pair pass + cached Ewald structure
+  factor (the functional analog of the reference's per-pair
+  ``recalculate_energy`` caching, §1 "delta energy");
+- ensemble-specific acceptance rules (§3.3): NVT exp(-b dE); uVT insert
+  (fV/kT(N+1)) exp(-b dE), delete (N kT/fV) exp(-b dE); NPT
+  exp(-b dE - b P dV + (N+1) dlnV);
+- ``cavity_autoreject_absolute`` overlap short-circuit;
+- polarization SCF re-solved per trial (warm-started from the cached
+  dipoles) — the reference's per-step bottleneck, here a masked CG.
+
+Everything is fixed-shape: GCMC inserts claim dead species slots, deletes
+clear alive flags (SURVEY.md §7 "Core state").
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mpmc_tpu.config import RunConfig, Thermo
+from mpmc_tpu.constants import ATM2K_A3
+from mpmc_tpu.mc import moves
+from mpmc_tpu.ops import energy as energy_mod
+from mpmc_tpu.ops import ewald, pairs, thole
+from mpmc_tpu.state import EnergyBreakdown, Params, SimState
+
+# global move-type ids (stats indexing)
+DISPLACE, INSERT, DELETE, VOLUME = 0, 1, 2, 3
+N_MOVE_TYPES = 4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MCStats:
+    attempts: jax.Array   # [N_MOVE_TYPES] int32
+    accepts: jax.Array    # [N_MOVE_TYPES] int32
+    polar_iters: jax.Array  # total SCF iterations this chunk
+
+    @classmethod
+    def zero(cls):
+        z = jnp.zeros(N_MOVE_TYPES, jnp.int32)
+        return cls(z, z, jnp.zeros((), jnp.int32))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Candidate:
+    """A proposed state + the information needed for acceptance."""
+    pos: jax.Array
+    box: jax.Array
+    mol_alive: jax.Array
+    sk_re: Optional[jax.Array]
+    sk_im: Optional[jax.Array]
+    denergy: EnergyBreakdown       # all slots except polar
+    ln_bias: jax.Array             # ensemble proposal-bias log factor
+    hard_reject: jax.Array         # bool
+
+
+def _movable_mask(params: Params, mol_alive):
+    return mol_alive & ~params.mol_frozen & (params.mol_species >= 0)
+
+
+def _insertable_mask(params: Params, cfg: RunConfig):
+    m = jnp.zeros_like(params.mol_frozen)
+    for s in cfg.insert_species:
+        m = m | (params.mol_species == s)
+    return m
+
+
+def _overlap(pt, cfg, dtype):
+    if cfg.cavity_autoreject_absolute > 0.0:
+        thr = jnp.asarray(cfg.cavity_autoreject_absolute, dtype)
+        return pt.min_r2 < thr * thr
+    return jnp.zeros((), bool)
+
+
+def _recip_delta(state: SimState, cfg, d_re, d_im):
+    """New (sk, es_recip delta) after adding (d_re, d_im) to S(k)."""
+    new_re = state.sk_re + d_re
+    new_im = state.sk_im + d_im
+    rc = pairs.derived_cutoff(state.box, cfg)
+    alpha = pairs.derived_alpha(rc, cfg)
+    kv = ewald.kvectors(state.box, cfg.ewald_kmax)
+    e_new = ewald.recip_energy_from_sk(new_re, new_im, state.box, alpha, kv)
+    return new_re, new_im, e_new - state.energy.es_recip
+
+
+def _mol_structure_factor(pos, box, params, cfg, mol):
+    idx = params.mol_atoms[mol]
+    ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
+    kv = ewald.kvectors(box, cfg.ewald_kmax)
+    return ewald.mol_structure_factor(pos[idx], params.charge[idx], ok, kv)
+
+
+def _mol_self_energy(params, cfg, box, mol):
+    """Ewald self-energy of one molecule's charges (GCMC +/- delta)."""
+    if cfg.coulomb != "ewald":
+        return jnp.zeros((), params.charge.dtype)
+    rc = pairs.derived_cutoff(box, cfg)
+    alpha = pairs.derived_alpha(rc, cfg)
+    idx = params.mol_atoms[mol]
+    ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
+    q2 = jnp.where(ok, params.charge[idx] ** 2, 0.0)
+    from mpmc_tpu.constants import KE
+    return -KE * alpha / jnp.sqrt(jnp.pi) * jnp.sum(q2)
+
+
+def make_step_fn(params: Params, cfg: RunConfig):
+    """Build the jitted single-step function for this (params, cfg)."""
+    dtype = cfg.jdtype
+    zero = jnp.zeros((), dtype)
+    ez = EnergyBreakdown.zero(dtype)
+
+    def eb(rd=None, lrc=None, es_real=None, es_recip=None, es_self=None,
+           es_excl=None):
+        return EnergyBreakdown(
+            rd=zero if rd is None else rd,
+            lrc=zero if lrc is None else lrc,
+            es_real=zero if es_real is None else es_real,
+            es_recip=zero if es_recip is None else es_recip,
+            es_self=zero if es_self is None else es_self,
+            es_excl=zero if es_excl is None else es_excl,
+            polar=zero, vdw=zero)
+
+    # ------------------------------------------------------------------ moves
+    def b_displace(state: SimState, thermo: Thermo, key):
+        k_sel, k_mv = jax.random.split(key)
+        movable = _movable_mask(params, state.mol_alive)
+        mol, cnt = moves.pick_random_true(k_sel, movable)
+        alive = state.atom_alive(params)
+        old = pairs.mol_pair_pass(state.pos, state.box, alive, params, cfg,
+                                  thermo.temperature, mol)
+        new_pos = moves.displace_molecule(state.pos, params, mol, k_mv,
+                                          thermo.move_factor,
+                                          thermo.rot_factor)
+        new = pairs.mol_pair_pass(new_pos, state.box, alive, params, cfg,
+                                  thermo.temperature, mol)
+        if cfg.coulomb == "ewald":
+            o_re, o_im = _mol_structure_factor(state.pos, state.box, params,
+                                               cfg, mol)
+            n_re, n_im = _mol_structure_factor(new_pos, state.box, params,
+                                               cfg, mol)
+            sk_re, sk_im, d_recip = _recip_delta(state, cfg, n_re - o_re,
+                                                 n_im - o_im)
+        else:
+            sk_re, sk_im, d_recip = state.sk_re, state.sk_im, zero
+        d = eb(rd=new.rd - old.rd, es_real=new.es_real - old.es_real,
+               es_recip=d_recip)
+        reject = (cnt == 0) | _overlap(new, cfg, dtype)
+        return Candidate(new_pos, state.box, state.mol_alive, sk_re, sk_im,
+                         d, zero, reject)
+
+    def b_insert(state: SimState, thermo: Thermo, key):
+        k_sp, k_slot, k_place = jax.random.split(key, 3)
+        ns = len(cfg.insert_species)
+        j = jax.random.randint(k_sp, (), 0, ns)
+        si = jnp.asarray(cfg.insert_species)[j]
+        dead = ~state.mol_alive & (params.mol_species == si)
+        slot, free = moves.pick_random_true(k_slot, dead)
+        new_pos = moves.place_template(state.pos, params, slot, si, k_place,
+                                       state.box)
+        new_alive_mol = state.mol_alive.at[slot].set(True)
+        alive = state.atom_alive(params)          # old alive (cols)
+        inter = pairs.mol_pair_pass(new_pos, state.box, alive, params, cfg,
+                                    thermo.temperature, slot)
+        intra = pairs.intra_terms(new_pos, state.box, params, cfg, slot)
+        d_self = _mol_self_energy(params, cfg, state.box, slot)
+        volume = jnp.abs(jnp.linalg.det(state.box))
+        d_lrc = zero
+        if cfg.rd_potential == "lj" and cfg.rd_lrc:
+            own = pairs.mol_lrc_self_coefficient(
+                params, cfg, pairs.derived_cutoff(state.box, cfg), slot)
+            d_lrc = (inter.lrc_coeff + 0.5 * own) / volume
+        if cfg.coulomb == "ewald":
+            n_re, n_im = _mol_structure_factor(new_pos, state.box, params,
+                                               cfg, slot)
+            sk_re, sk_im, d_recip = _recip_delta(state, cfg, n_re, n_im)
+        else:
+            sk_re, sk_im, d_recip = state.sk_re, state.sk_im, zero
+        d = eb(rd=inter.rd, lrc=d_lrc, es_real=inter.es_real,
+               es_recip=d_recip, es_self=d_self, es_excl=intra)
+        n_s = jnp.sum(state.mol_alive & (params.mol_species == si))
+        f = thermo.fugacity[si] * ATM2K_A3          # K / A^3
+        ln_bias = jnp.log(jnp.maximum(f * volume, 1e-300)) \
+            - jnp.log(thermo.temperature * (n_s + 1.0))
+        reject = (free == 0) | _overlap(inter, cfg, dtype)
+        return Candidate(new_pos, state.box, new_alive_mol, sk_re, sk_im,
+                         d, ln_bias.astype(dtype), reject)
+
+    def b_delete(state: SimState, thermo: Thermo, key):
+        k_slot, _ = jax.random.split(key)
+        cand_mask = (_movable_mask(params, state.mol_alive)
+                     & _insertable_mask(params, cfg))
+        slot, cnt = moves.pick_random_true(k_slot, cand_mask)
+        si = params.mol_species[slot]
+        alive = state.atom_alive(params)
+        inter = pairs.mol_pair_pass(state.pos, state.box, alive, params, cfg,
+                                    thermo.temperature, slot)
+        intra = pairs.intra_terms(state.pos, state.box, params, cfg, slot)
+        d_self = _mol_self_energy(params, cfg, state.box, slot)
+        volume = jnp.abs(jnp.linalg.det(state.box))
+        d_lrc = zero
+        if cfg.rd_potential == "lj" and cfg.rd_lrc:
+            own = pairs.mol_lrc_self_coefficient(
+                params, cfg, pairs.derived_cutoff(state.box, cfg), slot)
+            d_lrc = (inter.lrc_coeff + 0.5 * own) / volume
+        if cfg.coulomb == "ewald":
+            o_re, o_im = _mol_structure_factor(state.pos, state.box, params,
+                                               cfg, slot)
+            sk_re, sk_im, d_recip = _recip_delta(state, cfg, -o_re, -o_im)
+        else:
+            sk_re, sk_im, d_recip = state.sk_re, state.sk_im, zero
+        d = eb(rd=-inter.rd, lrc=-d_lrc, es_real=-inter.es_real,
+               es_recip=d_recip, es_self=-d_self, es_excl=-intra)
+        new_alive_mol = state.mol_alive.at[slot].set(False)
+        n_s = jnp.sum(state.mol_alive & (params.mol_species == si))
+        f = thermo.fugacity[si] * ATM2K_A3
+        ln_bias = (jnp.log(jnp.maximum(n_s.astype(dtype), 1e-30)
+                           * thermo.temperature)
+                   - jnp.log(jnp.maximum(f * volume, 1e-300)))
+        reject = cnt == 0
+        return Candidate(state.pos, state.box, new_alive_mol, sk_re, sk_im,
+                         d, ln_bias.astype(dtype), reject)
+
+    def b_volume(state: SimState, thermo: Thermo, key):
+        k_v, _ = jax.random.split(key)
+        u = jax.random.uniform(k_v, dtype=dtype)
+        d_lnv = (2.0 * u - 1.0) * thermo.volume_change_factor
+        new_pos, new_box = moves.scale_volume(state.pos, state.box, params,
+                                              state.mol_alive, d_lnv)
+        cfg_np = dataclasses.replace(cfg, polarization=False)
+        e_new, aux = energy_mod.total_energy(
+            new_pos, new_box, state.mol_alive, params, cfg_np, thermo)
+        # polar slot excluded here; handled by the common SCF path
+        old_np = dataclasses.replace(state.energy, polar=zero)
+        d = e_new.sub(old_np)
+        v_old = jnp.abs(jnp.linalg.det(state.box))
+        v_new = jnp.abs(jnp.linalg.det(new_box))
+        n = jnp.sum(_movable_mask(params, state.mol_alive)).astype(dtype)
+        p_ka3 = thermo.pressure * ATM2K_A3
+        ln_bias = ((n + 1.0) * d_lnv
+                   - p_ka3 * (v_new - v_old) / thermo.temperature)
+        sk_re = aux.get("sk_re", state.sk_re)
+        sk_im = aux.get("sk_im", state.sk_im)
+        return Candidate(new_pos, new_box, state.mol_alive, sk_re, sk_im,
+                         d, ln_bias.astype(dtype), jnp.zeros((), bool))
+
+    # branch table per ensemble (static)
+    if cfg.ensemble == "uvt" and cfg.insert_species:
+        branches = [b_displace, b_insert, b_delete]
+        branch_ids = jnp.asarray([DISPLACE, INSERT, DELETE])
+
+        def pick_branch(key, thermo):
+            k1, k2 = jax.random.split(key)
+            u = jax.random.uniform(k1)
+            coin = jax.random.uniform(k2) < 0.5
+            return jnp.where(u < thermo.insert_probability,
+                             jnp.where(coin, 1, 2), 0)
+    elif cfg.ensemble == "npt":
+        branches = [b_displace, b_volume]
+        branch_ids = jnp.asarray([DISPLACE, VOLUME])
+
+        def pick_branch(key, thermo):
+            u = jax.random.uniform(key)
+            return jnp.where(u < thermo.volume_probability, 1, 0)
+    else:   # nvt / nve / single-molecule ensembles
+        branches = [b_displace]
+        branch_ids = jnp.asarray([DISPLACE])
+
+        def pick_branch(key, thermo):
+            return jnp.zeros((), jnp.int32)
+
+    # ------------------------------------------------------------------ step
+    def step(state: SimState, stats: MCStats, thermo: Thermo):
+        key_next, k_type, k_move, k_acc = jax.random.split(state.key, 4)
+        t = pick_branch(k_type, thermo)
+        cand = jax.lax.switch(t, branches, state, thermo, k_move)
+
+        # polarization: re-solve SCF on the candidate (common to all moves)
+        if cfg.polarization:
+            alive_c = cand.mol_alive[params.mol_id] & params.atom_ok
+            e0_new = thole.static_field(cand.pos, cand.box, alive_c, params,
+                                        cfg)
+            mu_new, iters = thole.solve_scf(cand.pos, cand.box, alive_c,
+                                            params, cfg, e0_new,
+                                            mu0=state.mu)
+            pol_new = thole.polar_energy(mu_new, e0_new)
+            d_polar = pol_new - state.energy.polar
+        else:
+            e0_new, mu_new = state.e0, state.mu
+            iters = jnp.zeros((), jnp.int32)
+            d_polar = zero
+
+        du = cand.denergy.total + d_polar
+        ln_acc = cand.ln_bias - du / thermo.temperature
+        u = jax.random.uniform(k_acc, dtype=dtype)
+        accept = (~cand.hard_reject) & (jnp.log(u) < ln_acc)
+
+        new_energy = state.energy.add(cand.denergy)
+        if cfg.polarization:
+            new_energy = dataclasses.replace(new_energy, polar=pol_new)
+        sel = lambda a, b: (a if a is None or b is None
+                            else jax.tree_util.tree_map(
+                                lambda x, y: jnp.where(accept, x, y), a, b))
+        new_state = SimState(
+            pos=sel(cand.pos, state.pos),
+            box=sel(cand.box, state.box),
+            mol_alive=sel(cand.mol_alive, state.mol_alive),
+            key=key_next,
+            mu=sel(mu_new, state.mu),
+            energy=new_energy.select(accept, state.energy),
+            step=state.step + 1,
+            sk_re=sel(cand.sk_re, state.sk_re),
+            sk_im=sel(cand.sk_im, state.sk_im),
+            e0=sel(e0_new, state.e0),
+        )
+        gid = branch_ids[t]
+        new_stats = MCStats(
+            attempts=stats.attempts.at[gid].add(1),
+            accepts=stats.accepts.at[gid].add(accept.astype(jnp.int32)),
+            polar_iters=stats.polar_iters + iters,
+        )
+        return new_state, new_stats
+
+    return step
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def run_chunk(state: SimState, params: Params, cfg: RunConfig,
+              thermo: Thermo, n_steps: int):
+    """Run ``n_steps`` Metropolis steps under lax.scan; returns
+    (state, MCStats accumulated over the chunk)."""
+    step = make_step_fn(params, cfg)
+
+    def body(carry, _):
+        st, stats = carry
+        st, stats = step(st, stats, thermo)
+        return (st, stats), None
+
+    (state, stats), _ = jax.lax.scan(
+        body, (state, MCStats.zero()), None, length=n_steps)
+    return state, stats
+
+
+def initialize(state: SimState, params: Params, cfg: RunConfig,
+               thermo: Thermo) -> SimState:
+    """Full-energy refresh: recompute every cached quantity from scratch
+    (run at start and every corrtime to wash out delta-accumulation error —
+    the functional analog of the reference's full re-sum)."""
+    e, aux = energy_mod.total_energy(state.pos, state.box, state.mol_alive,
+                                     params, cfg, thermo, mu0=state.mu)
+    return state.replace(
+        energy=e,
+        sk_re=aux.get("sk_re"), sk_im=aux.get("sk_im"),
+        mu=aux.get("mu", state.mu), e0=aux.get("e0"))

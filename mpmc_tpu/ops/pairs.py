@@ -60,16 +60,26 @@ def derived_alpha(cutoff, cfg):
 
 @dataclasses.dataclass(frozen=True)
 class PairTerms:
-    """Partial sums from a pair pass (pytree)."""
+    """Partial sums from a pair pass (pytree).  ``min_r2`` tracks the
+    closest active inter-molecular approach — the rebuild of the
+    reference's ``cavity_autoreject_absolute`` overlap check
+    (SURVEY.md §2 "Boltzmann/acceptance")."""
     rd: jax.Array
     es_real: jax.Array
     es_excl: jax.Array
     lrc_coeff: jax.Array   # sum of tail coefficients; U_lrc = lrc_coeff / V
+    min_r2: jax.Array
 
-    def __add__(self, o):
+    def combine(self, o):
         return PairTerms(self.rd + o.rd, self.es_real + o.es_real,
                          self.es_excl + o.es_excl,
-                         self.lrc_coeff + o.lrc_coeff)
+                         self.lrc_coeff + o.lrc_coeff,
+                         jnp.minimum(self.min_r2, o.min_r2))
+
+    @classmethod
+    def zero(cls, dtype):
+        z = jnp.zeros((), dtype)
+        return cls(z, z, z, z, jnp.asarray(jnp.inf, dtype))
 
 
 jax.tree_util.register_dataclass(PairTerms)
@@ -157,8 +167,9 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
     else:
         raise ValueError(f"unknown coulomb mode {cfg.coulomb}")
 
+    min_r2 = jnp.min(jnp.where(inter, r2, jnp.inf))
     return PairTerms(rd=rd, es_real=es_real, es_excl=es_excl,
-                     lrc_coeff=lrc_coeff)
+                     lrc_coeff=lrc_coeff, min_r2=min_r2)
 
 
 def pair_pass(pos, box, atom_alive, params, cfg, temperature):
@@ -183,11 +194,9 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature):
         t = _block_terms(pos[idx], idx, valid, pos, atom_alive, params, cfg,
                          box, box_inv, rc, alpha, temperature,
                          triangular=True)
-        return acc + t, None
+        return acc.combine(t), None
 
-    z = jnp.zeros((), pos.dtype)
-    init = PairTerms(z, z, z, z)
-    acc, _ = jax.lax.scan(body, init, jnp.arange(nb))
+    acc, _ = jax.lax.scan(body, PairTerms.zero(pos.dtype), jnp.arange(nb))
     return acc
 
 
@@ -242,3 +251,15 @@ def lrc_self_coefficient(atom_alive, params, cfg, rc):
         return jnp.zeros((), params.eps.dtype)
     tc = lj_ops.tail_coefficient(params.eps, params.sig, rc)
     return jnp.sum(jnp.where(atom_alive, tc, 0.0))
+
+
+def mol_lrc_self_coefficient(params, cfg, rc, mol):
+    """Sum of self tail coefficients T_ii over one molecule's atoms
+    (GCMC insert/delete LRC delta: dU_lrc = (molp.lrc_coeff +
+    0.5 * this) / V)."""
+    if cfg.rd_potential != "lj" or not cfg.rd_lrc:
+        return jnp.zeros((), params.eps.dtype)
+    idx = params.mol_atoms[mol]
+    ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
+    tc = lj_ops.tail_coefficient(params.eps[idx], params.sig[idx], rc)
+    return jnp.sum(jnp.where(ok, tc, 0.0))

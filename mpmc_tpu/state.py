@@ -97,6 +97,11 @@ class Params:
     mol_atoms: jax.Array    # [M, A] int32 atom indices (padded with first idx)
     mol_natoms: jax.Array   # [M] int32
     mol_mass: jax.Array     # [M] total mass
+    # rigid templates for GCMC insertion: [S, A, 3] COM-centered coords
+    # (the analog of the reference's insert_input template molecule,
+    # SURVEY.md §2 "PQR reader")
+    species_pos: jax.Array
+    species_natoms: jax.Array  # [S] int32
 
     @property
     def n_atoms_max(self):
@@ -125,6 +130,10 @@ class SimState:
     mu: jax.Array         # [N,3] induced dipoles (warm start for SCF)
     energy: "EnergyBreakdown"
     step: jax.Array       # int64 counter
+    # cached quantities for the delta-energy MC path (None when unused):
+    sk_re: Optional[jax.Array] = None   # [Nk] Ewald structure factor (re)
+    sk_im: Optional[jax.Array] = None   # [Nk] (im)
+    e0: Optional[jax.Array] = None      # [N,3] static field (polarization)
 
     def atom_alive(self, params: Params):
         return self.mol_alive[params.mol_id] & params.atom_ok
@@ -169,6 +178,17 @@ class EnergyBreakdown:
     def zero(cls, dtype=jnp.float32):
         z = jnp.zeros((), dtype)
         return cls(z, z, z, z, z, z, z, z)
+
+    def add(self, other):
+        return jax.tree_util.tree_map(jnp.add, self, other)
+
+    def sub(self, other):
+        return jax.tree_util.tree_map(jnp.subtract, self, other)
+
+    def select(self, pred, other):
+        """Field-wise ``pred ? self : other``."""
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(pred, a, b), self, other)
 
 
 # ---------------------------------------------------------------------------
@@ -310,6 +330,14 @@ def build_system(
         mol_atoms[m] = np.concatenate(
             [idx, np.full(A - len(idx), idx[0])])[:A]
 
+    # species templates, padded to [S, A, 3]
+    S = max(len(species), 1)
+    species_pos = np.zeros((S, A, 3), np.float64)
+    species_natoms = np.zeros(S, np.int32)
+    for si, sp in enumerate(species):
+        species_pos[si, :sp.natoms] = sp.pos
+        species_natoms[si] = sp.natoms
+
     f = lambda x: jnp.asarray(x, dtype)
     params = Params(
         charge=f(charge), mass=f(mass), polar=f(polar), eps=f(eps),
@@ -320,6 +348,8 @@ def build_system(
         mol_atoms=jnp.asarray(mol_atoms),
         mol_natoms=jnp.asarray(mol_natoms),
         mol_mass=f(mol_mass),
+        species_pos=f(species_pos),
+        species_natoms=jnp.asarray(species_natoms),
     )
     state = SimState(
         pos=f(pos), box=f(box), mol_alive=jnp.asarray(mol_alive),

@@ -1,0 +1,205 @@
+"""Metropolis engine validation.
+
+Strategy (SURVEY.md §4): statistical parity against exactly-solvable
+ensembles (ideal-gas GCMC occupancy = Poisson with mean fV/kT; ideal-gas
+NPT <V> = (N+1)kT/P) plus strict delta-energy bookkeeping — the cached
+per-term energies carried through the scan must match a from-scratch
+recompute at any point.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpmc_tpu.config import RunConfig, Thermo
+from mpmc_tpu.constants import ATM2K_A3
+from mpmc_tpu.mc import metropolis
+from mpmc_tpu.state import build_system
+
+from helpers import atom_species, free_atoms
+
+
+def run_blocks(state, params, cfg, thermo, n_blocks, block):
+    samples = []
+    stats_all = metropolis.MCStats.zero()
+    for _ in range(n_blocks):
+        state, stats = metropolis.run_chunk(state, params, cfg, thermo,
+                                            block)
+        samples.append(int(state.n_molecules(params)))
+        stats_all = jax.tree_util.tree_map(lambda a, b: a + b, stats_all,
+                                           stats)
+    return state, np.array(samples), stats_all
+
+
+def test_nvt_lj_energy_bookkeeping():
+    rng = np.random.default_rng(0)
+    L, n = 14.0, 20
+    coords = rng.uniform(0, L, (n, 3))
+    params, state = free_atoms(L * np.eye(3), coords, eps=120.0, sig=3.4)
+    cfg = RunConfig(ensemble="nvt", coulomb="none", dtype="float64",
+                    cutoff=6.0, pair_chunk=32)
+    thermo = Thermo.make(temperature=150.0, move_factor=0.8, rot_factor=0.5,
+                         n_species=1, dtype=jnp.float64)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    state, stats = metropolis.run_chunk(state, params, cfg, thermo, 400)
+    # cached energy vs recompute
+    fresh = metropolis.initialize(state, params, cfg, thermo)
+    assert float(state.energy.total) == pytest.approx(
+        float(fresh.energy.total), rel=1e-9, abs=1e-7)
+    acc = int(stats.accepts[0])
+    att = int(stats.attempts[0])
+    assert att == 400
+    assert 0 < acc < 400  # neither frozen nor trivial
+
+
+def test_nvt_ewald_energy_bookkeeping():
+    """Charged system: the cached structure factor + delta recip must agree
+    with a full recompute after hundreds of accepted moves."""
+    rng = np.random.default_rng(1)
+    L = 12.0
+    a = rng.uniform(0, L, (6, 3))
+    b = rng.uniform(0, L, (6, 3))
+    from helpers import two_species_lattice
+    params, state = two_species_lattice(L * np.eye(3), a, b, qa=0.4,
+                                        qb=-0.4, eps=60.0, sig=3.0)
+    cfg = RunConfig(ensemble="nvt", coulomb="ewald", dtype="float64",
+                    ewald_kmax=6, pair_chunk=16)
+    thermo = Thermo.make(temperature=300.0, move_factor=0.6, rot_factor=0.4,
+                         n_species=2, dtype=jnp.float64)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    state, stats = metropolis.run_chunk(state, params, cfg, thermo, 300)
+    fresh = metropolis.initialize(state, params, cfg, thermo)
+    for slot in ("rd", "es_real", "es_recip", "es_self", "es_excl", "lrc"):
+        assert float(getattr(state.energy, slot)) == pytest.approx(
+            float(getattr(fresh.energy, slot)), rel=1e-8, abs=1e-6), slot
+
+
+def gcmc_system(L=20.0, cap=80, n0=10):
+    sp = atom_species("He", eps=0.0, sig=0.0, charge=0.0, mass=4.0)
+    return build_system(L * np.eye(3), species=(sp,), capacity=(cap,),
+                        initial_counts=(n0,), dtype=jnp.float64, seed=3)
+
+
+def test_gcmc_ideal_gas_occupancy():
+    """Non-interacting GCMC: <N> = f V / kT exactly (Poisson)."""
+    L, T = 20.0, 300.0
+    target_n = 20.0
+    f_k_a3 = target_n * T / L ** 3          # K/A^3
+    f_atm = f_k_a3 / ATM2K_A3
+    params, state = gcmc_system(L)
+    cfg = RunConfig(ensemble="uvt", rd_potential="none", coulomb="none",
+                    rd_lrc=False, dtype="float64", insert_species=(0,))
+    thermo = Thermo.make(temperature=T, fugacity=(f_atm,),
+                         insert_probability=0.5, move_factor=1.0,
+                         rot_factor=0.1, n_species=1, dtype=jnp.float64)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    # equilibrate then sample
+    state, _ = metropolis.run_chunk(state, params, cfg, thermo, 2000)
+    state, samples, stats = run_blocks(state, params, cfg, thermo,
+                                       n_blocks=120, block=50)
+    mean_n = samples.mean()
+    # Poisson(20): sigma_mean over ~120 weakly-correlated samples ~ 0.6
+    assert mean_n == pytest.approx(target_n, abs=2.0)
+    assert int(stats.attempts[metropolis.INSERT]) > 500
+    assert int(stats.attempts[metropolis.DELETE]) > 500
+    # insert and delete acceptance must both be active
+    assert int(stats.accepts[metropolis.INSERT]) > 100
+    assert int(stats.accepts[metropolis.DELETE]) > 100
+
+
+def test_gcmc_lj_energy_bookkeeping():
+    """Interacting GCMC: per-term cached energies stay consistent through
+    insert/delete/displace sequences."""
+    L = 14.0
+    sp = atom_species("Ar", eps=120.0, sig=3.4, charge=0.0)
+    params, state = build_system(L * np.eye(3), species=(sp,),
+                                 capacity=(30,), initial_counts=(8,),
+                                 dtype=jnp.float64, seed=5)
+    cfg = RunConfig(ensemble="uvt", coulomb="none", dtype="float64",
+                    cutoff=6.0, insert_species=(0,), pair_chunk=32)
+    thermo = Thermo.make(temperature=150.0, fugacity=(30.0,),
+                         insert_probability=0.4, move_factor=0.7,
+                         rot_factor=0.3, n_species=1, dtype=jnp.float64)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    state, stats = metropolis.run_chunk(state, params, cfg, thermo, 500)
+    fresh = metropolis.initialize(state, params, cfg, thermo)
+    assert int(stats.accepts[metropolis.INSERT]) > 0
+    assert int(stats.accepts[metropolis.DELETE]) > 0
+    for slot in ("rd", "lrc"):
+        assert float(getattr(state.energy, slot)) == pytest.approx(
+            float(getattr(fresh.energy, slot)), rel=1e-8, abs=1e-6), slot
+
+
+def test_gcmc_ewald_bookkeeping():
+    """GCMC with charges: structure-factor and self/exclusion deltas through
+    insert/delete stay consistent with recompute."""
+    from mpmc_tpu.state import Species
+    L = 12.0
+    # neutral 2-site molecule so insert/delete exercise intra + self terms
+    sp = Species(name="hcl", atom_names=("H", "Cl"),
+                 pos=np.array([[0, 0, 0], [1.3, 0, 0]]),
+                 mass=np.array([1.0, 35.5]),
+                 charge=np.array([0.2, -0.2]),
+                 polar=np.zeros(2), eps=np.array([20.0, 120.0]),
+                 sig=np.array([2.5, 3.4]))
+    params, state = build_system(L * np.eye(3), species=(sp,),
+                                 capacity=(20,), initial_counts=(6,),
+                                 dtype=jnp.float64, seed=7)
+    cfg = RunConfig(ensemble="uvt", coulomb="ewald", dtype="float64",
+                    ewald_kmax=6, insert_species=(0,), pair_chunk=32)
+    thermo = Thermo.make(temperature=250.0, fugacity=(50.0,),
+                         insert_probability=0.4, move_factor=0.6,
+                         rot_factor=0.8, n_species=1, dtype=jnp.float64)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    state, stats = metropolis.run_chunk(state, params, cfg, thermo, 400)
+    fresh = metropolis.initialize(state, params, cfg, thermo)
+    assert int(stats.accepts[metropolis.INSERT]) > 0
+    for slot in ("rd", "es_real", "es_recip", "es_self", "es_excl", "lrc"):
+        assert float(getattr(state.energy, slot)) == pytest.approx(
+            float(getattr(fresh.energy, slot)), rel=1e-7, abs=1e-5), slot
+
+
+def test_npt_ideal_gas_volume():
+    """Ideal-gas NPT: <V> = (N+1) kT / P."""
+    T, n = 300.0, 15
+    p_atm = 80.0
+    p_k = p_atm * ATM2K_A3
+    expect_v = (n + 1) * T / p_k
+    L0 = expect_v ** (1 / 3)
+    rng = np.random.default_rng(9)
+    coords = rng.uniform(0, L0, (n, 3))
+    params, state = free_atoms(L0 * np.eye(3), coords, eps=0.0, sig=0.0)
+    cfg = RunConfig(ensemble="npt", rd_potential="none", coulomb="none",
+                    rd_lrc=False, dtype="float64")
+    thermo = Thermo.make(temperature=T, pressure=p_atm,
+                         volume_probability=0.5, volume_change_factor=0.2,
+                         move_factor=1.0, rot_factor=0.1, n_species=1,
+                         dtype=jnp.float64)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    state, _ = metropolis.run_chunk(state, params, cfg, thermo, 1500)
+    vols = []
+    for _ in range(150):
+        state, stats = metropolis.run_chunk(state, params, cfg, thermo, 20)
+        vols.append(float(jnp.abs(jnp.linalg.det(state.box))))
+    mean_v = np.mean(vols)
+    # relative std of V ~ 1/sqrt(N+1) ~ 25%; mean over 150 samples
+    assert mean_v == pytest.approx(expect_v, rel=0.15)
+
+
+def test_npt_lj_bookkeeping():
+    rng = np.random.default_rng(13)
+    L, n = 13.0, 15
+    coords = rng.uniform(0, L, (n, 3))
+    params, state = free_atoms(L * np.eye(3), coords, eps=100.0, sig=3.2)
+    cfg = RunConfig(ensemble="npt", coulomb="none", dtype="float64",
+                    pair_chunk=32)
+    thermo = Thermo.make(temperature=200.0, pressure=50.0,
+                         volume_probability=0.2, volume_change_factor=0.1,
+                         move_factor=0.7, rot_factor=0.3, n_species=1,
+                         dtype=jnp.float64)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    state, stats = metropolis.run_chunk(state, params, cfg, thermo, 300)
+    assert int(stats.attempts[metropolis.VOLUME]) > 20
+    fresh = metropolis.initialize(state, params, cfg, thermo)
+    assert float(state.energy.total) == pytest.approx(
+        float(fresh.energy.total), rel=1e-9, abs=1e-7)
