@@ -1,0 +1,271 @@
+"""Input-script parser: the reference's public API surface.
+
+Rebuild of src/io/input.c (SURVEY.md §2 "Input parser / config" [C], §2.9
+option table): plain-text ``option value...`` lines, ``!``/``#`` comments,
+parsed into a ``Job`` — the static RunConfig, the continuous Thermo knobs,
+file paths, and ensemble extras (annealing, tempering).  The §2.9 grammar
+is accepted verbatim so reference input decks carry over; options whose
+semantics don't apply on TPU (e.g. ``cuda``) are accepted and ignored with
+a warning.
+
+Solver-equivalence note: the reference's polar_gs / polar_gs_ranked /
+polar_sor / polar_esor / polar_palmo selections all converge to the same
+linear-system fixed point (SURVEY.md §7 "SCF solver equivalence"); here
+they all select the masked-CG solver, with polar_gamma retained for the
+Jacobi mode.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mpmc_tpu.config import RunConfig
+
+
+def _onoff(v: str) -> bool:
+    return v.lower() in ("on", "1", "true", "yes")
+
+
+@dataclasses.dataclass
+class Job:
+    cfg: RunConfig
+    # continuous knobs (Thermo is built once species count is known)
+    temperature: float = 298.0
+    pressure: float = 1.0
+    fugacities: Optional[List[float]] = None
+    fugacity_eos: Dict[str, bool] = dataclasses.field(default_factory=dict)
+    move_factor: float = 1.0
+    rot_factor: float = 1.0
+    insert_probability: float = 0.0
+    volume_probability: float = 0.0
+    volume_change_factor: float = 0.05
+    spinflip_probability: float = 0.0
+    # cell
+    basis: Optional[np.ndarray] = None
+    # files
+    pqr_input: Optional[str] = None
+    insert_input: Optional[str] = None
+    pqr_restart: Optional[str] = None
+    pqr_output: Optional[str] = None
+    traj_output: Optional[str] = None
+    energy_output: Optional[str] = None
+    dipole_output: Optional[str] = None
+    field_output: Optional[str] = None
+    histogram_output: Optional[str] = None
+    pop_histogram: bool = False
+    # sampling extras
+    simulated_annealing: bool = False
+    simulated_annealing_schedule: float = 1.0
+    simulated_annealing_target: float = 0.0
+    parallel_tempering: bool = False
+    max_temperature: float = 0.0
+    ptemp_freq: int = 20
+    free_volume: float = 0.0
+    # capacity extension (the reference's linked lists are unbounded; fixed
+    # slot pools need a cap — our documented extension)
+    max_molecules: int = 256
+    # diagnostics
+    unknown_options: List[str] = dataclasses.field(default_factory=list)
+    ignored_options: List[str] = dataclasses.field(default_factory=list)
+
+
+_IGNORED = {"cuda", "wrapall", "long_output", "preset_seeds",
+            "read_pqr_box", "scale_charge", "polar_self", "polar_rrms"}
+
+_ENSEMBLES = {"uvt", "nvt", "npt", "nve", "te", "total_energy", "surf",
+              "surf_fit", "surf_multi_fit", "replay"}
+
+
+def parse(text: str) -> Job:
+    """Parse an input script (string contents)."""
+    cfg_kw: Dict = {}
+    job = Job(cfg=RunConfig())
+    basis_rows: Dict[int, np.ndarray] = {}
+
+    for raw in text.splitlines():
+        line = raw.split("!")[0].split("#")[0].strip()
+        if not line:
+            continue
+        t = line.split()
+        key, vals = t[0].lower(), t[1:]
+        v0 = vals[0] if vals else ""
+
+        # --- job control
+        if key == "job_name":
+            cfg_kw["job_name"] = v0
+        elif key == "ensemble":
+            e = v0.lower()
+            if e not in _ENSEMBLES:
+                raise ValueError(f"unknown ensemble {v0!r}")
+            cfg_kw["ensemble"] = "te" if e == "total_energy" else e
+        elif key == "numsteps":
+            cfg_kw["numsteps"] = int(float(v0))
+        elif key == "corrtime":
+            cfg_kw["corrtime"] = int(float(v0))
+        elif key == "seed":
+            cfg_kw["seed"] = int(float(v0))
+        # --- cell
+        elif key in ("basis1", "basis2", "basis3"):
+            basis_rows[int(key[-1]) - 1] = np.array(
+                [float(x) for x in vals[:3]])
+        elif key == "abcbasis":
+            from mpmc_tpu.ops.pbc import cell_from_abc
+            a, b, c, al, be, ga = (float(x) for x in vals[:6])
+            job.basis = np.asarray(cell_from_abc(a, b, c, al, be, ga))
+        elif key == "cutoff":
+            cfg_kw["cutoff"] = float(v0)
+        # --- thermo
+        elif key == "temperature":
+            job.temperature = float(v0)
+        elif key == "pressure":
+            job.pressure = float(v0)
+        elif key == "free_volume":
+            job.free_volume = float(v0)
+        elif key in ("fugacities", "user_fugacities"):
+            job.fugacities = [float(x) for x in vals]
+        elif key in ("h2_fugacity", "co2_fugacity", "ch4_fugacity",
+                     "n2_fugacity"):
+            job.fugacity_eos[key.split("_")[0]] = _onoff(v0)
+        # --- moves
+        elif key == "move_factor":
+            job.move_factor = float(v0)
+        elif key == "rot_factor":
+            job.rot_factor = float(v0)
+        elif key == "insert_probability":
+            job.insert_probability = float(v0)
+        elif key == "volume_probability":
+            job.volume_probability = float(v0)
+        elif key == "volume_change_factor":
+            job.volume_change_factor = float(v0)
+        elif key == "spinflip_probability":
+            job.spinflip_probability = float(v0)
+        elif key == "cavity_autoreject_absolute":
+            cfg_kw["cavity_autoreject_absolute"] = float(v0)
+        elif key == "max_molecules":
+            job.max_molecules = int(float(v0))
+        elif key in ("precision", "dtype"):   # our extension: f32|f64
+            d = v0.lower()
+            cfg_kw["dtype"] = ("float64" if d in ("f64", "float64", "double")
+                               else "float32")
+        # --- RD
+        elif key == "rd_only":
+            if _onoff(v0):
+                cfg_kw["coulomb"] = "none"
+                cfg_kw["rd_only"] = True
+        elif key == "rd_lrc":
+            cfg_kw["rd_lrc"] = _onoff(v0)
+        elif key == "sg":
+            if _onoff(v0):
+                cfg_kw["rd_potential"] = "sg"
+        elif key == "dreiding":
+            if _onoff(v0):
+                cfg_kw["rd_potential"] = "dreiding"
+        elif key == "lj_buffered_14_7":
+            if _onoff(v0):
+                cfg_kw["rd_potential"] = "b14_7"
+        elif key == "disp_expansion":
+            if _onoff(v0):
+                cfg_kw["rd_potential"] = "disp_expansion"
+        elif key == "damp_dispersion":
+            cfg_kw["damp_dispersion"] = _onoff(v0)
+        elif key == "waldmanhagler":
+            if _onoff(v0):
+                cfg_kw["mixing_rule"] = "waldman_hagler"
+        # --- ES
+        elif key == "ewald_alpha":
+            cfg_kw["ewald_alpha"] = float(v0)
+        elif key == "ewald_kmax":
+            cfg_kw["ewald_kmax"] = int(float(v0))
+        elif key == "wolf":
+            if _onoff(v0):
+                cfg_kw["coulomb"] = "wolf"
+        elif key == "wolf_alpha":
+            cfg_kw["wolf_alpha"] = float(v0)
+        elif key == "coulomb":
+            if v0.lower() == "off":
+                cfg_kw["coulomb"] = "none"
+        # --- polarization
+        elif key == "polarization":
+            cfg_kw["polarization"] = _onoff(v0)
+        elif key == "polar_iterative":
+            if not _onoff(v0):
+                cfg_kw["polar_solver"] = "direct"
+        elif key in ("polar_gs", "polar_gs_ranked", "polar_sor",
+                     "polar_esor", "polar_palmo"):
+            if _onoff(v0):
+                cfg_kw["polar_solver"] = "cg"   # same fixed point (§7)
+        elif key == "polar_zodid":
+            if _onoff(v0):
+                cfg_kw["polar_solver"] = "jacobi"
+                cfg_kw["polar_max_iter"] = 1
+        elif key == "polar_max_iter":
+            cfg_kw["polar_max_iter"] = int(float(v0))
+        elif key == "polar_precision":
+            cfg_kw["polar_precision"] = float(v0)
+        elif key == "polar_damp":
+            cfg_kw["polar_damp"] = float(v0)
+        elif key == "polar_damp_type":
+            d = v0.lower()
+            cfg_kw["polar_damp_type"] = ("none" if d == "off" else d)
+        elif key == "polar_gamma":
+            cfg_kw["polar_gamma"] = float(v0)
+        elif key in ("polar_ewald", "polar_ewald_full", "polar_wolf",
+                     "polar_wolf_full"):
+            job.ignored_options.append(key)   # field variants: next rounds
+        # --- quantum
+        elif key == "feynman_hibbs":
+            cfg_kw["feynman_hibbs"] = _onoff(v0)
+        elif key == "feynman_hibbs_order":
+            cfg_kw["feynman_hibbs_order"] = int(float(v0))
+        # --- sampling extras
+        elif key == "simulated_annealing":
+            job.simulated_annealing = _onoff(v0)
+        elif key == "simulated_annealing_schedule":
+            job.simulated_annealing_schedule = float(v0)
+        elif key == "simulated_annealing_target":
+            job.simulated_annealing_target = float(v0)
+        elif key == "parallel_tempering":
+            job.parallel_tempering = _onoff(v0)
+        elif key == "max_temperature":
+            job.max_temperature = float(v0)
+        elif key == "ptemp_freq":
+            job.ptemp_freq = int(float(v0))
+        # --- I/O
+        elif key == "pqr_input":
+            job.pqr_input = v0
+        elif key == "insert_input":
+            job.insert_input = v0
+        elif key == "pqr_restart":
+            job.pqr_restart = v0
+        elif key == "pqr_output":
+            job.pqr_output = v0
+        elif key == "traj_output":
+            job.traj_output = v0
+        elif key in ("energy_output", "energy_output_csv"):
+            job.energy_output = v0
+        elif key == "dipole_output":
+            job.dipole_output = v0
+        elif key == "field_output":
+            job.field_output = v0
+        elif key in ("histogram_output", "pop_histogram_output"):
+            job.histogram_output = v0
+        elif key == "pop_histogram":
+            job.pop_histogram = _onoff(v0)
+        elif key in _IGNORED:
+            job.ignored_options.append(key)
+        else:
+            job.unknown_options.append(key)
+
+    if job.basis is None and basis_rows:
+        if set(basis_rows) != {0, 1, 2}:
+            raise ValueError("need all of basis1, basis2, basis3")
+        job.basis = np.stack([basis_rows[i] for i in range(3)])
+    job.cfg = RunConfig(**cfg_kw)
+    return job
+
+
+def parse_file(path: str) -> Job:
+    with open(path) as f:
+        return parse(f.read())

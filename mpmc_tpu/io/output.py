@@ -1,0 +1,133 @@
+"""Run output: stdout log, per-term energy CSV, trajectory/restart PQR,
+dipole/field files, and the final averages block.
+
+Rebuild of the reference's output writer (SURVEY.md §2 "Output writer",
+src/io/output.c [M]; §5 metrics table): same physical observables, plus a
+structured JSONL stream (one object per corrtime) for machine consumption
+— the SURVEY §5 "rebuild note".
+"""
+from __future__ import annotations
+
+import json
+import sys
+from typing import Dict, Optional, TextIO
+
+import numpy as np
+
+from mpmc_tpu.constants import DEBYE_PER_EA
+from mpmc_tpu.io import pqr as pqr_io
+from mpmc_tpu.utils.averages import Averages
+
+
+class RunWriter:
+    def __init__(self, job, species_names, log: Optional[TextIO] = None,
+                 jsonl_path: Optional[str] = None):
+        self.job = job
+        self.species_names = species_names
+        self.log = log or sys.stdout
+        self.energy_f = open(job.energy_output, "w") if job.energy_output \
+            else None
+        if self.energy_f:
+            self.energy_f.write(
+                "step,rd,lrc,es_real,es_recip,es_self,es_excl,polar,vdw,"
+                "total,n_molecules,volume\n")
+        self.jsonl_f = open(jsonl_path, "w") if jsonl_path else None
+        self._wrote_traj_header = False
+
+    def log_block(self, step: int, obs: Dict[str, float], stats=None):
+        e = obs
+        line = (f"step {step:>10d}  E {e['energy_total']:14.4f} K  "
+                f"rd {e['energy_rd']:12.4f}  es {e['energy_es']:12.4f}  "
+                f"polar {e['energy_polar']:10.4f}  "
+                f"N {e['N']:7.1f}  rho {e.get('density_g_cm3', 0.0):8.5f}")
+        if stats is not None:
+            att = np.maximum(np.asarray(stats.attempts), 1)
+            acc = np.asarray(stats.accepts) / att
+            line += (f"  acc d/i/d/v "
+                     f"{acc[0]:4.2f}/{acc[1]:4.2f}/{acc[2]:4.2f}/{acc[3]:4.2f}")
+        print(line, file=self.log, flush=True)
+        if self.energy_f:
+            self.energy_f.write(
+                f"{step},{e['energy_rd']},{e['energy_lrc']},"
+                f"{e['energy_es_real']},{e['energy_es_recip']},"
+                f"{e['energy_es_self']},{e['energy_es_excl']},"
+                f"{e['energy_polar']},{e['energy_vdw']},{e['energy_total']},"
+                f"{e['N']},{e['volume']}\n")
+            self.energy_f.flush()
+        if self.jsonl_f:
+            self.jsonl_f.write(json.dumps({"step": step, **obs}) + "\n")
+            self.jsonl_f.flush()
+
+    def write_restart(self, params, state):
+        if self.job.pqr_restart:
+            atoms = pqr_io.snapshot_atoms(params, state, self.species_names)
+            pqr_io.write(self.job.pqr_restart, atoms,
+                         remark=f"restart step {int(state.step)}")
+
+    def append_trajectory(self, params, state):
+        if self.job.traj_output:
+            atoms = pqr_io.snapshot_atoms(params, state, self.species_names)
+            mode = "w" if not self._wrote_traj_header else "a"
+            pqr_io.write(self.job.traj_output, atoms, mode=mode,
+                         remark=f"frame step {int(state.step)}")
+            self._wrote_traj_header = True
+
+    def write_dipoles(self, params, state):
+        """dipole_output / field_output: induced dipoles [Debye] and static
+        fields per polarizable site (SURVEY.md §2 "Output writer")."""
+        if not (self.job.dipole_output or self.job.field_output):
+            return
+        mu = np.asarray(state.mu)
+        alive = np.asarray(state.atom_alive(params))
+        pol = np.asarray(params.polar) > 0
+        sel = alive & pol
+        if self.job.dipole_output:
+            with open(self.job.dipole_output, "w") as f:
+                f.write("# site mu_x mu_y mu_z (Debye)\n")
+                for i in np.nonzero(sel)[0]:
+                    d = mu[i] * DEBYE_PER_EA
+                    f.write(f"{i} {d[0]:.6f} {d[1]:.6f} {d[2]:.6f}\n")
+        if self.job.field_output and state.e0 is not None:
+            e0 = np.asarray(state.e0)
+            with open(self.job.field_output, "w") as f:
+                f.write("# site e0_x e0_y e0_z (e/A^2)\n")
+                for i in np.nonzero(sel)[0]:
+                    f.write(f"{i} {e0[i][0]:.6f} {e0[i][1]:.6f} "
+                            f"{e0[i][2]:.6f}\n")
+
+    def final_averages(self, avgs: Averages, temperature: float,
+                       species_names=None):
+        p = self.log
+        print("\n=== averages ===", file=p)
+        for key in sorted(avgs.samples):
+            print(f"  {key:>20s} = {avgs.mean(key):14.6f} "
+                  f"+/- {avgs.sem(key):12.6f}", file=p)
+        qst = avgs.qst(temperature)
+        if np.isfinite(qst):
+            print(f"  {'Qst (kJ/mol)':>20s} = {qst:14.6f}", file=p)
+        cv = avgs.heat_capacity(temperature)
+        if np.isfinite(cv):
+            print(f"  {'Cv (kJ/mol/K)':>20s} = {cv:14.6f}", file=p)
+        if "volume" in avgs.samples and len(set(
+                avgs.samples["volume"])) > 1:
+            print(f"  {'kappa_T (1/atm)':>20s} = "
+                  f"{avgs.compressibility(temperature):14.6e}", file=p)
+        p.flush()
+
+    def close(self):
+        for f in (self.energy_f, self.jsonl_f):
+            if f:
+                f.close()
+
+
+def print_energy_report(e, file: Optional[TextIO] = None):
+    """Single-point (ensemble te) per-term breakdown — the parity workhorse
+    (SURVEY.md §2 "Single point")."""
+    p = file or sys.stdout
+    print("=== single-point energy (K) ===", file=p)
+    for slot in ("rd", "lrc", "es_real", "es_recip", "es_self", "es_excl",
+                 "polar", "vdw"):
+        print(f"  {slot:>10s} = {float(getattr(e, slot)):18.8f}", file=p)
+    print(f"  {'es_total':>10s} = {float(e.es):18.8f}", file=p)
+    print(f"  {'total':>10s} = {float(e.total):18.8f}", file=p)
+    p.flush()

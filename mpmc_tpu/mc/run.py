@@ -1,0 +1,264 @@
+"""High-level run driver: input files -> system -> MC loop -> outputs.
+
+Rebuild of the reference's setup + main-loop orchestration (SURVEY.md §3.1
+call stack: setup_system() -> mc(); src/io/input.c, src/mc/mc.c [C]).
+The corrtime structure is preserved: the inner loop is a jit-compiled
+lax.scan chunk of ``corrtime`` steps; at each boundary the driver refreshes
+cached energies (full recompute — washes out delta accumulation), samples
+observables, writes outputs, and applies simulated-annealing decay.
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpmc_tpu.config import RunConfig, Thermo
+from mpmc_tpu.io import input_script, output as output_io, pqr as pqr_io
+from mpmc_tpu.mc import fugacity as fug_mod
+from mpmc_tpu.mc import metropolis
+from mpmc_tpu.ops import energy as energy_mod
+from mpmc_tpu.state import Params, SimState, Species, build_system
+from mpmc_tpu.utils.averages import Averages, sorbed_mass_obs
+
+
+@dataclasses.dataclass
+class Setup:
+    params: Params
+    state: SimState
+    cfg: RunConfig
+    thermo: Thermo
+    species: Tuple[Species, ...]
+    species_names: List[str]
+    frozen_mass: float
+
+
+def _species_from_atoms(atoms) -> Species:
+    atoms = sorted(atoms, key=lambda a: a.serial)
+    return Species(
+        name=atoms[0].mol_name,
+        atom_names=tuple(a.name for a in atoms),
+        pos=np.stack([a.xyz for a in atoms]),
+        mass=np.array([a.mass for a in atoms]),
+        charge=np.array([a.charge for a in atoms]),
+        polar=np.array([a.polar for a in atoms]),
+        eps=np.array([a.eps for a in atoms]),
+        sig=np.array([a.sig for a in atoms]),
+        omega=np.array([a.omega for a in atoms]),
+        c6=np.array([a.c6 for a in atoms]),
+        c8=np.array([a.c8 for a in atoms]),
+        c10=np.array([a.c10 for a in atoms]))
+
+
+def setup(job: input_script.Job,
+          frame: Optional[pqr_io.PqrFrame] = None) -> Setup:
+    """Build (params, state, cfg, thermo) from a parsed Job."""
+    if job.basis is None:
+        raise ValueError("no cell: provide basis1/2/3 or abcbasis")
+    if frame is None:
+        if not job.pqr_input:
+            raise ValueError("pqr_input is required")
+        frame = pqr_io.read(job.pqr_input)
+
+    frozen = sorted(frame.frozen, key=lambda a: a.serial)
+    frozen_pos = np.stack([a.xyz for a in frozen]) if frozen else None
+    fp = None
+    if frozen:
+        fp = {k: np.array([getattr(a, k2) for a in frozen])
+              for k, k2 in [("charge", "charge"), ("mass", "mass"),
+                            ("polar", "polar"), ("eps", "eps"),
+                            ("sig", "sig"), ("omega", "omega"),
+                            ("c6", "c6"), ("c8", "c8"), ("c10", "c10")]}
+
+    # group movable molecules into species by mol_name
+    species: List[Species] = []
+    names: List[str] = []
+    instances: Dict[str, List[List]] = {}
+    for mol_id, atoms in sorted(frame.movable_molecules().items()):
+        nm = atoms[0].mol_name
+        if nm not in names:
+            names.append(nm)
+            species.append(_species_from_atoms(atoms))
+            instances[nm] = []
+        sp = species[names.index(nm)]
+        if len(atoms) != sp.natoms:
+            raise ValueError(
+                f"molecule {mol_id} ({nm}) has {len(atoms)} atoms; species "
+                f"template has {sp.natoms}")
+        instances[nm].append(
+            np.stack([a.xyz for a in sorted(atoms, key=lambda x: x.serial)]))
+
+    # insertion template (GCMC)
+    insert_names: List[str] = []
+    if job.insert_input:
+        tf = pqr_io.read(job.insert_input)
+        mols = tf.movable_molecules() or {0: tf.atoms}
+        for _, atoms in sorted(mols.items()):
+            nm = atoms[0].mol_name
+            if nm not in names:
+                names.append(nm)
+                species.append(_species_from_atoms(atoms))
+                instances[nm] = []
+            insert_names.append(nm)
+    elif job.cfg.ensemble == "uvt":
+        insert_names = list(names)    # clone existing sorbates
+
+    insert_species = tuple(names.index(n) for n in insert_names)
+    counts = [len(instances[n]) for n in names]
+    capacity = [c + (job.max_molecules if i in insert_species else 0)
+                for i, c in enumerate(counts)]
+    capacity = [max(c, 1) for c in capacity]
+    initial_pos = {i: np.stack(instances[n]) if instances[n] else None
+                   for i, n in enumerate(names)}
+    initial_pos = {i: v for i, v in initial_pos.items() if v is not None}
+
+    cfg = dataclasses.replace(job.cfg, insert_species=insert_species)
+    params, state = build_system(
+        job.basis, frozen_pos=frozen_pos, frozen_params=fp,
+        species=tuple(species), capacity=tuple(capacity),
+        initial_counts=tuple(counts), initial_pos=initial_pos,
+        dtype=cfg.jdtype, seed=cfg.seed)
+
+    # fugacities: explicit list > per-species EoS > ideal (f = P)
+    nsp = max(len(species), 1)
+    if job.fugacities is not None:
+        fug = list(job.fugacities) + [0.0] * (nsp - len(job.fugacities))
+    else:
+        fug = []
+        for n in names:
+            key = fug_mod.guess_species_key(n)
+            if job.fugacity_eos.get(key, False):
+                fug.append(fug_mod.fugacity(key, job.temperature,
+                                            job.pressure))
+            else:
+                fug.append(job.pressure)
+        fug = fug or [job.pressure]
+
+    thermo = Thermo.make(
+        temperature=job.temperature, pressure=job.pressure, fugacity=fug,
+        move_factor=job.move_factor, rot_factor=job.rot_factor,
+        insert_probability=job.insert_probability,
+        volume_probability=job.volume_probability,
+        volume_change_factor=job.volume_change_factor,
+        spinflip_probability=job.spinflip_probability,
+        n_species=nsp, dtype=cfg.jdtype)
+
+    frozen_mass = float(sum(a.mass for a in frozen))
+    return Setup(params, state, cfg, thermo, tuple(species), names,
+                 frozen_mass)
+
+
+def observables(su: Setup, state: SimState, stats=None) -> Dict[str, float]:
+    params = su.params
+    e = state.energy
+    obs = {
+        "energy_total": float(e.total), "energy_rd": float(e.rd),
+        "energy_lrc": float(e.lrc), "energy_es": float(e.es),
+        "energy_es_real": float(e.es_real),
+        "energy_es_recip": float(e.es_recip),
+        "energy_es_self": float(e.es_self),
+        "energy_es_excl": float(e.es_excl),
+        "energy_polar": float(e.polar), "energy_vdw": float(e.vdw),
+        "volume": float(jnp.abs(jnp.linalg.det(state.box))),
+        "N": float(state.n_molecules(params)),
+    }
+    obs["N2"] = obs["N"] ** 2
+    obs["UN"] = obs["energy_total"] * obs["N"]
+    total_sorb_amu = 0.0
+    for i, nm in enumerate(su.species_names):
+        n_i = float(state.n_molecules_of(params, i))
+        obs[f"N_{nm}"] = n_i
+        total_sorb_amu += n_i * su.species[i].total_mass
+    obs.update(sorbed_mass_obs(total_sorb_amu, obs["volume"],
+                               su.frozen_mass))
+    if stats is not None:
+        att = np.maximum(np.asarray(stats.attempts), 1)
+        acc = np.asarray(stats.accepts) / att
+        for i, nm in enumerate(("displace", "insert", "delete", "volume")):
+            obs[f"acc_{nm}"] = float(acc[i])
+    return obs
+
+
+def run_te(job: input_script.Job, log=None):
+    """ensemble te: one energy() call + per-term printout
+    (SURVEY.md §2 "Single point" — the parity workhorse)."""
+    su = setup(job)
+    e, _ = energy_mod.total_energy(
+        su.state.pos, su.state.box, su.state.mol_alive, su.params, su.cfg,
+        su.thermo)
+    output_io.print_energy_report(e, file=log)
+    return e
+
+
+def run_replay(job: input_script.Job, log=None):
+    """ensemble replay: recompute energies/averages over a trajectory
+    (SURVEY.md §2 "Replay")."""
+    frames = pqr_io.read_frames(job.pqr_input)
+    avgs = Averages()
+    su = None
+    for fr in frames:
+        su = setup(job, frame=fr)
+        state = metropolis.initialize(su.state, su.params, su.cfg, su.thermo)
+        avgs.add(observables(su, state))
+    writer = output_io.RunWriter(job, su.species_names if su else [],
+                                 log=log)
+    writer.final_averages(avgs, job.temperature)
+    writer.close()
+    return avgs
+
+
+def run_mc(job: input_script.Job, log=None, jsonl_path=None):
+    """The main MC loop (ensemble nvt/uvt/npt/nve)."""
+    su = setup(job)
+    cfg, params = su.cfg, su.params
+    thermo = su.thermo
+    writer = output_io.RunWriter(job, su.species_names, log=log,
+                                 jsonl_path=jsonl_path)
+    if job.unknown_options:
+        print(f"WARNING: unknown options ignored: {job.unknown_options}",
+              file=writer.log)
+    state = metropolis.initialize(su.state, params, cfg, thermo)
+    avgs = Averages()
+    corr = max(cfg.corrtime, 1)
+    n_blocks = max(cfg.numsteps // corr, 1)
+    t0 = time.time()
+    steps_done = 0
+    for block in range(n_blocks):
+        state, stats = metropolis.run_chunk(state, params, cfg, thermo, corr)
+        steps_done += corr
+        state = metropolis.initialize(state, params, cfg, thermo)  # refresh
+        obs = observables(su, state, stats)
+        avgs.add(obs)
+        writer.log_block(int(state.step), obs, stats)
+        writer.write_restart(params, state)
+        writer.append_trajectory(params, state)
+        writer.write_dipoles(params, state)
+        if job.simulated_annealing:
+            new_t = max(float(thermo.temperature)
+                        * job.simulated_annealing_schedule,
+                        job.simulated_annealing_target)
+            thermo = thermo.replace(
+                temperature=jnp.asarray(new_t, cfg.jdtype))
+    wall = time.time() - t0
+    writer.final_averages(avgs, float(thermo.temperature))
+    print(f"steps/sec: {steps_done / max(wall, 1e-9):.2f}  "
+          f"({steps_done} steps in {wall:.2f}s)", file=writer.log)
+    writer.close()
+    return Setup(params, state, cfg, thermo, su.species,
+                 su.species_names, su.frozen_mass), avgs
+
+
+def run(job: input_script.Job, **kw):
+    if job.cfg.ensemble in ("nvt", "uvt", "npt", "nve"):
+        return run_mc(job, **kw)
+    if job.cfg.ensemble == "te":
+        return run_te(job, **kw)
+    if job.cfg.ensemble == "replay":
+        return run_replay(job, **kw)
+    raise NotImplementedError(
+        f"ensemble {job.cfg.ensemble!r} not yet implemented")

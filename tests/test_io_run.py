@@ -1,0 +1,209 @@
+"""End-to-end: input script + PQR -> setup -> te / short MC runs -> outputs.
+Exercises the public API surface the way a reference user would
+(SURVEY.md §2.9 grammar, §2 "Single point" te parity path)."""
+import io
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpmc_tpu.io import input_script, pqr
+from mpmc_tpu.mc import run as run_mod
+from mpmc_tpu.mc.fugacity import fugacity, peng_robinson_fugacity, SPECIES
+
+
+ARGON_PQR = """\
+! two argon atoms plus a frozen wall atom (test fixture)
+ATOM 1 Ar AR 1 M 0.0 0.0 0.0 39.948 0.0 0.0 119.8 3.405
+ATOM 2 Ar AR 2 M 3.9 0.0 0.0 39.948 0.0 0.0 119.8 3.405
+END
+"""
+
+H2_3SITE_PQR = """\
+ATOM 1 H2G H2Q 1 M 5.0 5.0 5.0  0.0   -0.9658 0.0 36.7 2.958
+ATOM 2 H2E H2Q 1 M 5.371 5.0 5.0 1.008  0.4829 0.0 0.0 0.0
+ATOM 3 H2E H2Q 1 M 4.629 5.0 5.0 1.008  0.4829 0.0 0.0 0.0
+END
+"""
+
+
+def write(tmp, name, text):
+    p = os.path.join(tmp, name)
+    with open(p, "w") as f:
+        f.write(text)
+    return p
+
+
+def test_pqr_roundtrip(tmp_path):
+    p = write(str(tmp_path), "ar.pqr", ARGON_PQR)
+    fr = pqr.read(p)
+    assert len(fr.atoms) == 2
+    a = fr.atoms[0]
+    assert a.name == "Ar" and a.flag == "M" and a.eps == 119.8
+    out = os.path.join(str(tmp_path), "out.pqr")
+    pqr.write(out, fr.atoms, remark="t")
+    fr2 = pqr.read(out)
+    np.testing.assert_allclose(fr2.atoms[1].xyz, [3.9, 0, 0], atol=1e-5)
+    assert fr2.atoms[1].sig == pytest.approx(3.405)
+
+
+def test_parser_full_grammar():
+    job = input_script.parse("""
+job_name demo
+ensemble uvt
+numsteps 1000   ! inline comment
+corrtime 100
+temperature 77.0
+pressure 0.5
+h2_fugacity on
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+move_factor 1.5
+rot_factor 0.7
+insert_probability 0.4
+feynman_hibbs on
+feynman_hibbs_order 4
+polarization on
+polar_gs_ranked on
+polar_max_iter 40
+polar_damp 2.1304
+ewald_kmax 8
+rd_lrc on
+cuda on
+some_bogus_option 3
+precision float64
+""")
+    cfg = job.cfg
+    assert cfg.ensemble == "uvt" and cfg.numsteps == 1000
+    assert cfg.feynman_hibbs and cfg.feynman_hibbs_order == 4
+    assert cfg.polarization and cfg.polar_solver == "cg"
+    assert cfg.polar_max_iter == 40 and cfg.ewald_kmax == 8
+    assert cfg.dtype == "float64"
+    assert job.temperature == 77.0 and job.fugacity_eos["h2"]
+    assert job.move_factor == 1.5
+    np.testing.assert_allclose(job.basis, 20 * np.eye(3))
+    assert "cuda" in job.ignored_options
+    assert "some_bogus_option" in job.unknown_options
+
+
+def test_te_single_point_lj_dimer(tmp_path):
+    """te parity: two Ar at 3.9 A, rd_lrc off -> exactly the LJ dimer."""
+    p = write(str(tmp_path), "ar.pqr", ARGON_PQR)
+    job = input_script.parse(f"""
+ensemble te
+temperature 300
+basis1 100 0 0
+basis2 0 100 0
+basis3 0 0 100
+cutoff 20.0
+rd_lrc off
+coulomb off
+precision float64
+pqr_input {p}
+""")
+    buf = io.StringIO()
+    e = run_mod.run_te(job, log=buf)
+    expect = 4 * 119.8 * ((3.405 / 3.9) ** 12 - (3.405 / 3.9) ** 6)
+    assert float(e.rd) == pytest.approx(expect, rel=1e-12)
+    assert "total" in buf.getvalue()
+
+
+def test_te_multisite_with_ewald(tmp_path):
+    p = write(str(tmp_path), "h2.pqr", H2_3SITE_PQR)
+    job = input_script.parse(f"""
+ensemble te
+temperature 77
+basis1 10 0 0
+basis2 0 10 0
+basis3 0 0 10
+ewald_kmax 8
+precision float64
+pqr_input {p}
+""")
+    e = run_mod.run_te(job, log=io.StringIO())
+    # one neutral molecule alone: es is the (small) image interaction
+    assert abs(float(e.es)) < 50.0
+    assert float(e.es_self) < 0.0
+    assert np.isfinite(float(e.total))
+
+
+def test_short_uvt_run_with_outputs(tmp_path):
+    tmp = str(tmp_path)
+    p = write(tmp, "ar.pqr", ARGON_PQR)
+    traj = os.path.join(tmp, "traj.pqr")
+    restart = os.path.join(tmp, "restart.pqr")
+    ecsv = os.path.join(tmp, "energy.csv")
+    job = input_script.parse(f"""
+job_name short_uvt
+ensemble uvt
+numsteps 300
+corrtime 50
+temperature 150
+pressure 60.0
+basis1 15 0 0
+basis2 0 15 0
+basis3 0 0 15
+cutoff 6.0
+coulomb off
+move_factor 1.0
+insert_probability 0.4
+max_molecules 30
+precision float64
+pqr_input {p}
+traj_output {traj}
+pqr_restart {restart}
+energy_output {ecsv}
+""")
+    buf = io.StringIO()
+    su, avgs = run_mod.run_mc(job, log=buf)
+    assert avgs.count() == 6
+    assert os.path.exists(traj) and os.path.exists(restart)
+    assert os.path.exists(ecsv)
+    with open(ecsv) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 7  # header + 6 blocks
+    # restart is loadable
+    fr = pqr.read(restart)
+    assert len(fr.atoms) == int(avgs.samples["N"][-1])
+    out = buf.getvalue()
+    assert "averages" in out and "steps/sec" in out
+
+
+def test_replay(tmp_path):
+    tmp = str(tmp_path)
+    traj_text = ARGON_PQR + ARGON_PQR.replace("3.9", "4.5")
+    p = write(tmp, "traj.pqr", traj_text)
+    job = input_script.parse(f"""
+ensemble replay
+temperature 150
+basis1 50 0 0
+basis2 0 50 0
+basis3 0 0 50
+cutoff 20
+rd_lrc off
+coulomb off
+precision float64
+pqr_input {p}
+""")
+    avgs = run_mod.run_replay(job, log=io.StringIO())
+    assert avgs.count() == 2
+    e1 = 4 * 119.8 * ((3.405 / 3.9) ** 12 - (3.405 / 3.9) ** 6)
+    e2 = 4 * 119.8 * ((3.405 / 4.5) ** 12 - (3.405 / 4.5) ** 6)
+    assert avgs.mean("energy_total") == pytest.approx((e1 + e2) / 2,
+                                                      rel=1e-10)
+
+
+def test_fugacity_peng_robinson():
+    # ideal limit: low pressure -> f ~ P
+    assert fugacity("h2", 298.0, 0.01) == pytest.approx(0.01, rel=1e-3)
+    # CO2 at 300K/50atm is substantially non-ideal (phi ~ 0.8)
+    f = fugacity("co2", 300.0, 50.0)
+    assert 30.0 < f < 48.0
+    # H2 at 77K/100atm: phi ~ 0.8 (B2(77K) ~ -12 cm^3/mol gives
+    # ln phi ~ BP/RT ~ -0.19)
+    f = fugacity("h2", 77.0, 100.0)
+    assert 70.0 < f < 95.0
+    # unknown species falls back to ideal
+    assert fugacity("xe2", 300.0, 5.0) == 5.0
