@@ -1,0 +1,62 @@
+"""Headline benchmark: MC steps/sec on the north-star system
+(~10k-atom synthetic MOF framework + H2 GCMC with Ewald electrostatics,
+BASELINE.md / BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no benchmark numbers (BASELINE.json
+``published: {}``); ``vs_baseline`` is therefore computed against the
+documented single-core-C algorithmic estimate of 10 steps/s for an
+O(N^2)-resum Ewald GCMC at this scale (BASELINE.md) — the most
+conservative (fastest) end of the estimate band.
+"""
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_STEPS_PER_SEC = 10.0
+
+
+def main():
+    import numpy as np
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+
+    # ~9.3k framework atoms + up to 512 H2 (x3 sites) = ~10.8k atom slots
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=21, spacing=4.0, n_h2=256, capacity=512,
+        temperature=77.0, pressure=1.0)
+    state = metropolis.initialize(state, params, cfg, thermo)
+
+    chunk = 512
+    # warm-up: compile + one chunk.  NOTE: sync via an explicit host fetch,
+    # not block_until_ready — on the remote-tunnel TPU platform the latter
+    # can return before execution finishes, which silently turns the
+    # benchmark into a dispatch-latency meter.
+    state, stats = metropolis.run_chunk(state, params, cfg, thermo, chunk)
+    np.asarray(state.energy.total)
+
+    n_chunks = 4
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, stats = metropolis.run_chunk(state, params, cfg, thermo,
+                                            chunk)
+    np.asarray(state.energy.total)
+    wall = time.perf_counter() - t0
+
+    steps = n_chunks * chunk
+    sps = steps / wall
+    print(json.dumps({
+        "metric": "mc_steps_per_sec_10k_mof_h2_gcmc_ewald",
+        "value": round(sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Canonical model systems: ready-made (params, state, cfg, thermo) builders.
+
+These are the rebuild's stand-ins for the reference's curated example
+inputs (MOF + H2 sorption decks driven through the input script,
+SURVEY.md §6 north-star "10k-atom MOF+H2 GCMC").  They are used by
+bench.py, __graft_entry__.py and the test suite; production runs go
+through the input-script/PQR path in io/.
+
+The H2 model is the three-charge-site + single-LJ-site form of the
+BSS-family models MPMC ships for hydrogen sorption (center site carrying
+the negative charge and the LJ well, two proton sites at +/- the H-H
+half-bond; cf. Belof/Stern/Space JCTC 2008).  Parameter values here are
+representative, not a fit — the physics paths exercised (rigid rotations,
+Ewald charges, LJ mixing, GCMC insertion) are exactly the production ones.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from mpmc_tpu.config import RunConfig, Thermo
+from mpmc_tpu.state import Species, build_system
+
+
+def h2_bss3() -> Species:
+    """Rigid 3-site H2: charged quadrupole + one LJ center."""
+    d = 0.371  # A, half H-H bond
+    return Species(
+        name="H2",
+        atom_names=("H2G", "H2E", "H2E"),
+        pos=np.array([[0.0, 0.0, 0.0], [0.0, 0.0, d], [0.0, 0.0, -d]]),
+        mass=np.array([0.0, 1.008, 1.008]),
+        charge=np.array([-0.93634, 0.46817, 0.46817]),
+        polar=np.array([0.6938, 0.0, 0.0]),
+        eps=np.array([34.2, 0.0, 0.0]),
+        sig=np.array([2.96, 0.0, 0.0]),
+    )
+
+
+def lj_atom(name="AR", eps=119.8, sig=3.405, mass=39.948) -> Species:
+    """Monatomic LJ species (argon-like); config-#1 NVT fluid."""
+    return Species(
+        name=name, atom_names=(name,),
+        pos=np.zeros((1, 3)), mass=np.array([mass]),
+        charge=np.zeros(1), polar=np.zeros(1),
+        eps=np.array([eps]), sig=np.array([sig]))
+
+
+def _framework_lattice(n_side: int, spacing: float, polar: float = 0.0):
+    """Synthetic charge-alternating cubic framework (rock-salt pattern,
+    net charge zero for even n_side) with MOF-like LJ parameters."""
+    ijk = np.stack(np.meshgrid(*[np.arange(n_side)] * 3,
+                               indexing="ij"), -1).reshape(-1, 3)
+    pos = (ijk + 0.5) * spacing
+    sign = (-1.0) ** ijk.sum(axis=1)
+    F = len(pos)
+    fp = {
+        "charge": 0.30 * sign,
+        "mass": np.full(F, 60.0),
+        "polar": np.full(F, polar),
+        "eps": np.full(F, 25.0),
+        "sig": np.full(F, 3.0),
+    }
+    return pos, fp, n_side * spacing
+
+
+def lj_fluid(n: int = 256, density: float = 0.0212, temperature=120.0,
+             dtype="float32", seed=0):
+    """NVT LJ fluid (n atoms, number density in A^-3). Returns
+    (params, state, cfg, thermo)."""
+    box_len = (n / density) ** (1.0 / 3.0)
+    sp = lj_atom()
+    cfg = RunConfig(ensemble="nvt", rd_potential="lj", coulomb="none",
+                    dtype=dtype, seed=seed)
+    params, state = build_system(
+        np.eye(3) * box_len, species=(sp,), capacity=(n,),
+        initial_counts=(n,), dtype=cfg.jdtype, seed=seed)
+    thermo = Thermo.make(temperature=temperature, move_factor=0.5,
+                         rot_factor=0.0, n_species=1, dtype=cfg.jdtype)
+    return params, state, cfg, thermo
+
+
+def mof_h2_gcmc(n_side: int = 8, spacing: float = 4.0, n_h2: int = 64,
+                capacity: int = 256, temperature=77.0, pressure=1.0,
+                polarization=False, dtype="float32", seed=0,
+                ewald_kmax=7, corrtime=1000):
+    """Synthetic MOF + H2 GCMC system (the BASELINE north-star shape:
+    n_side=21 gives a ~9.3k-atom framework).  Returns
+    (params, state, cfg, thermo)."""
+    fpos, fp, box_len = _framework_lattice(
+        n_side, spacing, polar=0.35 if polarization else 0.0)
+    h2 = h2_bss3()
+    cfg = RunConfig(
+        ensemble="uvt", rd_potential="lj", coulomb="ewald",
+        ewald_kmax=ewald_kmax, polarization=polarization,
+        insert_species=(0,), cavity_autoreject_absolute=1.0,
+        corrtime=corrtime, dtype=dtype, seed=seed)
+    params, state = build_system(
+        np.eye(3) * box_len, frozen_pos=fpos, frozen_params=fp,
+        species=(h2,), capacity=(capacity,), initial_counts=(n_h2,),
+        dtype=cfg.jdtype, seed=seed)
+    thermo = Thermo.make(
+        temperature=temperature, pressure=pressure, fugacity=[pressure],
+        move_factor=1.0, rot_factor=np.pi, insert_probability=0.5,
+        n_species=1, dtype=cfg.jdtype)
+    return params, state, cfg, thermo

@@ -1,0 +1,190 @@
+"""Replica parallelism + parallel tempering over a TPU device mesh.
+
+Rebuild of the reference's entire distributed story (SURVEY.md §2 "MPI
+layer" / "Parallel tempering"; §5 "Distributed comm backend"):
+
+- reference: 1 MPI rank = 1 full system replica; here 1 mesh-axis slot =
+  1 replica, run under ``shard_map`` so each device advances its own
+  Markov chain with zero cross-device traffic between swap attempts;
+- reference: ``MPI_Sendrecv`` neighbor temperature swaps every
+  ``ptemp_freq`` steps with P = min(1, exp((bi-bj)(Ei-Ej))); here a
+  ``lax.ppermute`` exchange of (E, T) over ICI + a shared-key coin so both
+  partners take the same decision without a second round-trip;
+- reference: per-corrtime ``MPI_Reduce`` of observables to rank 0; here
+  ``psum``/mean over the replica axis (or host-side reads — replicated
+  arrays are globally addressable).
+
+Temperature (not configuration) is what swaps, exactly like the
+reference: each chain keeps its state and inherits the partner's T, which
+is legal because ``Thermo`` is a pytree input to the jitted step — no
+recompilation on swap.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mpmc_tpu.config import RunConfig, Thermo
+from mpmc_tpu.mc import metropolis
+from mpmc_tpu.state import Params, SimState
+
+AXIS = "replica"
+
+
+def geometric_ladder(t_min: float, t_max: float, n: int) -> np.ndarray:
+    """Geometric temperature ladder (reference: `parallel_tempering` +
+    `max_temperature`, SURVEY.md §2 "Parallel tempering")."""
+    if n == 1:
+        return np.array([t_min])
+    return t_min * (t_max / t_min) ** (np.arange(n) / (n - 1))
+
+
+def default_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def stack_states(state: SimState, n: int, seed: int = 0) -> SimState:
+    """Replicate one SimState n times with decorrelated PRNG keys."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape), state)
+    return dataclasses.replace(batched, key=keys)
+
+
+def stack_thermo(thermo: Thermo, temps, dtype) -> Thermo:
+    """Replicate Thermo across replicas with a per-replica T ladder."""
+    n = len(temps)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape), thermo)
+    return dataclasses.replace(
+        batched, temperature=jnp.asarray(np.asarray(temps), dtype))
+
+
+class PTRunner:
+    """Compiled parallel-tempering round: chunk of MC steps then one
+    neighbor swap attempt.  One replica per mesh slot."""
+
+    def __init__(self, params: Params, cfg: RunConfig, mesh: Mesh,
+                 steps_per_round: int):
+        self.params, self.cfg, self.mesh = params, cfg, mesh
+        self.steps = steps_per_round
+        self.R = mesh.shape[AXIS]
+        self._step = metropolis.make_step_fn(params, cfg)
+        self._compiled = {}
+
+    # ---------------------------------------------------------------- local
+    def _chunk(self, state, thermo):
+        def body(carry, _):
+            st, stats = carry
+            return self._step(st, stats, thermo), None
+        (st, stats), _ = jax.lax.scan(
+            body, (state, metropolis.MCStats.zero()), None,
+            length=self.steps)
+        return st, stats
+
+    def _swap(self, thermo, energy, shared_key, parity):
+        """Neighbor temperature swap; pairs are (p,p+1),(p+2,p+3),... for
+        parity p in {0,1}.  Returns (new_thermo, accepted?)."""
+        R = self.R
+        perm = []
+        for lo in range(parity, R - 1, 2):
+            perm += [(lo, lo + 1), (lo + 1, lo)]
+        if not perm:
+            return thermo, jnp.zeros((), bool)
+        i = jax.lax.axis_index(AXIS)
+        hi = parity + 2 * ((R - parity) // 2)
+        in_pair = (i >= parity) & (i < hi)
+        left = ((i - parity) % 2) == 0
+        partner = jnp.where(left, i + 1, i - 1)
+        t_other = jax.lax.ppermute(thermo.temperature, AXIS, perm)
+        e_other = jax.lax.ppermute(energy, AXIS, perm)
+        # shared coin: both partners fold the same pair id into the same
+        # round key -> identical u -> identical decision (the rebuild of
+        # the reference's single-rank-decides MPI_Sendrecv protocol).
+        pair_lo = jnp.minimum(i, partner)
+        u = jax.random.uniform(jax.random.fold_in(shared_key, pair_lo))
+        dtype = energy.dtype
+        ln_p = ((1.0 / thermo.temperature - 1.0 / t_other)
+                * (energy - e_other)).astype(dtype)
+        accept = in_pair & (jnp.log(u.astype(dtype)) < ln_p)
+        new_t = jnp.where(accept, t_other, thermo.temperature)
+        return dataclasses.replace(thermo, temperature=new_t), accept
+
+    # --------------------------------------------------------------- global
+    def _build(self, parity: int):
+        take0 = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
+        add0 = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
+
+        def local(state_b, thermo_b, shared_key):
+            state, thermo = take0(state_b), take0(thermo_b)
+            st, stats = self._chunk(state, thermo)
+            new_thermo, acc = self._swap(
+                thermo, st.energy.total, shared_key, parity)
+            # replica-mean observables over ICI (the MPI_Reduce analog)
+            mean_e = jax.lax.pmean(st.energy.total, AXIS)
+            mean_n = jax.lax.pmean(
+                st.n_molecules(self.params).astype(st.pos.dtype), AXIS)
+            return (add0(st), add0(new_thermo), add0(stats), acc[None],
+                    mean_e, mean_n)
+
+        spec_r, spec0 = P(AXIS), P()
+        # check_vma=False: the MC step's lax.switch mixes replica-varying
+        # data with replicated zero-constants per branch, which the static
+        # varying-axis analysis can't unify; correctness is unaffected.
+        f = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(spec_r, spec_r, spec0),
+            out_specs=(spec_r, spec_r, spec_r, spec_r, spec0, spec0),
+            check_vma=False)
+        return jax.jit(f)
+
+    def round(self, states, thermos, shared_key, parity: int):
+        """One PT round. states/thermos are replica-batched pytrees
+        (leading dim R); returns (states, thermos, stats, swap_accepts,
+        mean_energy, mean_N)."""
+        if parity not in self._compiled:
+            self._compiled[parity] = self._build(parity)
+        return self._compiled[parity](states, thermos, shared_key)
+
+
+def run_parallel_tempering(params, state, cfg, thermo, temps,
+                           n_rounds: int, steps_per_round: int,
+                           mesh: Mesh | None = None, seed: int = 0):
+    """Drive a full PT run: replicate, alternate even/odd swap rounds.
+
+    Returns (states, thermos, history) where history is a list of dicts
+    with per-round replica-mean observables and swap acceptance.
+    """
+    temps = np.asarray(temps, np.float64)
+    if mesh is None:
+        mesh = default_mesh(len(temps))
+    R = mesh.shape[AXIS]
+    if len(temps) != R:
+        raise ValueError(f"{len(temps)} temperatures for {R} mesh slots")
+
+    state = metropolis.initialize(state, params, cfg, thermo)
+    states = stack_states(state, R, seed=seed)
+    thermos = stack_thermo(thermo, temps, cfg.jdtype)
+    runner = PTRunner(params, cfg, mesh, steps_per_round)
+    master = jax.random.PRNGKey(seed + 7)
+    history = []
+    for r in range(n_rounds):
+        shared = jax.random.fold_in(master, r)
+        states, thermos, stats, acc, me, mn = runner.round(
+            states, thermos, shared, parity=r % 2)
+        history.append({
+            "round": r,
+            "mean_energy": float(me),
+            "mean_N": float(mn),
+            "swap_acceptance": float(jnp.mean(acc.astype(jnp.float32))),
+            "temperatures": np.asarray(thermos.temperature).tolist(),
+        })
+    return states, thermos, history

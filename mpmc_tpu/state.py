@@ -239,7 +239,11 @@ def build_system(
     N = _round_up(max(N_real, 1), pad_atoms_to)
     n_frozen_mols = 1 if F > 0 else 0
     M = n_frozen_mols + sum(capacity)
-    A = max([1] + [s.natoms for s in species] + ([F] if F > 0 else []))
+    # Width of the per-molecule atom-index table.  Deliberately capped at
+    # the largest *movable* species — the frozen framework molecule is never
+    # displaced/inserted/deleted, so its (possibly huge) atom list must not
+    # inflate the O(A*N) delta-energy tile (mol_pair_pass).
+    A = max([1] + [s.natoms for s in species])
 
     # --- per-atom arrays
     def zeros():
@@ -324,8 +328,8 @@ def build_system(
     mol_atoms = np.zeros((M, A), np.int32)
     for m in range(M):
         s0, na = int(mol_start[m]), int(mol_natoms[m])
-        idx = np.arange(s0, s0 + na)
-        if na == 0:
+        idx = np.arange(s0, s0 + na)[:A]   # frozen molecule truncates to A
+        if len(idx) == 0:
             idx = np.zeros(1, np.int64)
         mol_atoms[m] = np.concatenate(
             [idx, np.full(A - len(idx), idx[0])])[:A]

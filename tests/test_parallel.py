@@ -1,0 +1,69 @@
+"""Replica-parallel / parallel-tempering tests on the 8-device virtual
+CPU mesh (SURVEY.md §5 "Distributed comm backend" rebuild)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mpmc_tpu.mc import metropolis
+from mpmc_tpu.models import systems
+from mpmc_tpu.parallel import replica
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return replica.default_mesh(8)
+
+
+def test_geometric_ladder():
+    t = replica.geometric_ladder(100.0, 800.0, 4)
+    assert np.allclose(t, [100.0, 200.0, 400.0, 800.0])
+    assert replica.geometric_ladder(50.0, 500.0, 1) == [50.0]
+
+
+def test_pt_round_runs_and_preserves_ladder(mesh8):
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=8, ewald_kmax=3, dtype="float64")
+    temps = replica.geometric_ladder(77.0, 400.0, 8)
+    states, thermos, hist = replica.run_parallel_tempering(
+        params, state, cfg, thermo, temps, n_rounds=3, steps_per_round=5,
+        mesh=mesh8)
+    # the T multiset is invariant under swaps (temperature exchange only)
+    final_t = np.sort(np.asarray(thermos.temperature))
+    assert np.allclose(final_t, np.sort(temps), rtol=1e-12)
+    assert all(np.isfinite(h["mean_energy"]) for h in hist)
+    # every chain advanced steps_per_round * n_rounds steps
+    assert np.all(np.asarray(states.step) == 15)
+
+
+def test_pt_swap_decision_is_symmetric(mesh8):
+    """Partners must agree: after a swap round the temperature ladder is a
+    permutation pairing only (p,p+1) neighbors."""
+    params, state, cfg, thermo = systems.lj_fluid(n=8, dtype="float64")
+    temps = np.array([10.0, 20.0, 40.0, 80.0, 160.0, 320.0, 640.0, 1280.0])
+    runner = replica.PTRunner(params, cfg, mesh8, steps_per_round=1)
+    st = metropolis.initialize(state, params, cfg, thermo)
+    states = replica.stack_states(st, 8)
+    thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
+    key = jax.random.PRNGKey(3)
+    _, new_thermos, _, acc, _, _ = runner.round(states, thermos, key,
+                                                parity=0)
+    new_t = np.asarray(new_thermos.temperature)
+    acc = np.asarray(acc)
+    for lo in range(0, 8, 2):
+        if acc[lo]:
+            assert acc[lo + 1]
+            assert new_t[lo] == temps[lo + 1] and new_t[lo + 1] == temps[lo]
+        else:
+            assert new_t[lo] == temps[lo] and new_t[lo + 1] == temps[lo + 1]
+
+
+def test_replica_chains_decorrelated(mesh8):
+    params, state, cfg, thermo = systems.lj_fluid(n=16, dtype="float64")
+    st = metropolis.initialize(state, params, cfg, thermo)
+    states = replica.stack_states(st, 8)
+    keys = np.asarray(jax.random.key_data(states.key)) \
+        if hasattr(jax.random, "key_data") else np.asarray(states.key)
+    assert len(np.unique(keys, axis=0)) == 8
