@@ -240,8 +240,12 @@ def make_step_fn(params: Params, cfg: RunConfig):
         new_pos, new_box = moves.scale_volume(state.pos, state.box, params,
                                               state.mol_alive, d_lnv)
         cfg_np = dataclasses.replace(cfg, polarization=False)
-        e_new, aux = energy_mod.total_energy(
-            new_pos, new_box, state.mol_alive, params, cfg_np, thermo)
+        # split_frozen so the delta stays in active-part space (volume
+        # moves are only sensible without a frozen framework, where the
+        # frozen part is identically zero anyway)
+        e_new, _, aux = energy_mod.total_energy(
+            new_pos, new_box, state.mol_alive, params, cfg_np, thermo,
+            split_frozen=True)
         # polar slot excluded here; handled by the common SCF path
         old_np = dataclasses.replace(state.energy, polar=zero)
         d = e_new.sub(old_np)
@@ -324,6 +328,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
             sk_re=sel(cand.sk_re, state.sk_re),
             sk_im=sel(cand.sk_im, state.sk_im),
             e0=sel(e0_new, state.e0),
+            e_frozen=state.e_frozen,
         )
         gid = branch_ids[t]
         new_stats = MCStats(
@@ -353,14 +358,20 @@ def run_chunk(state: SimState, params: Params, cfg: RunConfig,
     return state, stats
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def initialize(state: SimState, params: Params, cfg: RunConfig,
                thermo: Thermo) -> SimState:
     """Full-energy refresh: recompute every cached quantity from scratch
     (run at start and every corrtime to wash out delta-accumulation error —
-    the functional analog of the reference's full re-sum)."""
-    e, aux = energy_mod.total_energy(state.pos, state.box, state.mol_alive,
-                                     params, cfg, thermo, mu0=state.mu)
+    the functional analog of the reference's full re-sum).
+
+    ``state.energy`` holds only the *active* (sorbate-involving) part; the
+    constant frozen-framework terms live in ``state.e_frozen`` so the huge
+    framework self/exclusion sums never enter the per-move accumulators."""
+    e, e_frozen, aux = energy_mod.total_energy(
+        state.pos, state.box, state.mol_alive, params, cfg, thermo,
+        mu0=state.mu, split_frozen=True)
     return state.replace(
-        energy=e,
+        energy=e, e_frozen=e_frozen,
         sk_re=aux.get("sk_re"), sk_im=aux.get("sk_im"),
         mu=aux.get("mu", state.mu), e0=aux.get("e0"))

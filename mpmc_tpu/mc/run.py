@@ -155,7 +155,7 @@ def setup(job: input_script.Job,
 
 def observables(su: Setup, state: SimState, stats=None) -> Dict[str, float]:
     params = su.params
-    e = state.energy
+    e = state.reported_energy()
     obs = {
         "energy_total": float(e.total), "energy_rd": float(e.rd),
         "energy_lrc": float(e.lrc), "energy_es": float(e.es),

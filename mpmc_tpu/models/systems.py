@@ -91,6 +91,17 @@ def mof_h2_gcmc(n_side: int = 8, spacing: float = 4.0, n_h2: int = 64,
     fpos, fp, box_len = _framework_lattice(
         n_side, spacing, polar=0.35 if polarization else 0.0)
     h2 = h2_bss3()
+    if n_h2 > n_side ** 3:
+        raise ValueError(f"n_h2={n_h2} exceeds {n_side ** 3} interstitial "
+                         "sites")
+    # initial H2 COMs on the framework's interstitial (body-center) sites —
+    # the generic grid in build_system would land exactly on framework
+    # atoms (r=0 overlaps whose ~1e7 K LJ terms poison f32 accumulation)
+    ijk = np.stack(np.meshgrid(*[np.arange(n_side)] * 3,
+                               indexing="ij"), -1).reshape(-1, 3)
+    rng = np.random.default_rng(seed)
+    sites = (ijk[rng.permutation(len(ijk))[:n_h2]] + 1.0) * spacing
+    initial_pos = {0: sites[:, None, :] + h2.pos[None, :, :]}
     cfg = RunConfig(
         ensemble="uvt", rd_potential="lj", coulomb="ewald",
         ewald_kmax=ewald_kmax, polarization=polarization,
@@ -99,7 +110,7 @@ def mof_h2_gcmc(n_side: int = 8, spacing: float = 4.0, n_h2: int = 64,
     params, state = build_system(
         np.eye(3) * box_len, frozen_pos=fpos, frozen_params=fp,
         species=(h2,), capacity=(capacity,), initial_counts=(n_h2,),
-        dtype=cfg.jdtype, seed=seed)
+        initial_pos=initial_pos, dtype=cfg.jdtype, seed=seed)
     thermo = Thermo.make(
         temperature=temperature, pressure=pressure, fugacity=[pressure],
         move_factor=1.0, rot_factor=np.pi, insert_probability=0.5,

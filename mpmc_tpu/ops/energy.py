@@ -15,40 +15,76 @@ from mpmc_tpu.ops import ewald, pairs, thole
 from mpmc_tpu.state import EnergyBreakdown
 
 
-def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None):
+def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
+                 split_frozen=False):
     """Full-system energy.
 
-    Returns (EnergyBreakdown, aux) where aux is a dict with the cached
-    quantities the MC loop carries: structure factor (sk_re, sk_im),
-    induced dipoles mu, static field e0, SCF iteration count.
+    Returns (EnergyBreakdown, aux) — or, with ``split_frozen``,
+    (active, frozen, aux): the frozen part holds every term internal to
+    the frozen framework (pairwise rd/es_real/es_excl/lrc plus its Ewald
+    self-energy), which is constant across MC moves.  Keeping it out of
+    the delta accumulators is the rebuild of the reference's
+    forever-cached frozen pairs (SURVEY.md §1 "delta energy") and what
+    makes f32 accumulation numerically safe: the framework self/exclusion
+    terms are orders of magnitude larger than any per-move delta.
+
+    aux carries the cached quantities the MC loop needs: structure factor
+    (sk_re, sk_im), induced dipoles mu, static field e0, SCF iterations.
+    (The Ewald reciprocal term has irreducible framework-sorbate cross
+    terms in |S(k)|^2, so it stays entirely in the active part.)
     """
     dtype = pos.dtype
     alive = mol_alive[params.mol_id] & params.atom_ok
+    atom_frozen = params.mol_frozen[params.mol_id]
     zero = jnp.zeros((), dtype)
     aux = {}
 
-    pt = pairs.pair_pass(pos, box, alive, params, cfg, thermo.temperature)
+    pt = pairs.pair_pass(pos, box, alive, params, cfg, thermo.temperature,
+                         split_frozen=split_frozen)
+    pt, pt_ff = pt if split_frozen else (pt, None)
 
     rc = pairs.derived_cutoff(box, cfg)
     volume = jnp.abs(jnp.linalg.det(box))
 
     # LJ long-range tail: U = (1/2V) * [ 2 * (i<j inter sum) + self images ]
     lrc = zero
+    lrc_ff = zero
     if cfg.rd_potential == "lj" and cfg.rd_lrc:
-        self_coeff = pairs.lrc_self_coefficient(alive, params, cfg, rc)
-        lrc = (pt.lrc_coeff + 0.5 * self_coeff) / volume
+        if split_frozen:
+            sc_act = pairs.lrc_self_coefficient(alive & ~atom_frozen,
+                                                params, cfg, rc)
+            sc_ff = pairs.lrc_self_coefficient(alive & atom_frozen,
+                                               params, cfg, rc)
+            lrc = (pt.lrc_coeff + 0.5 * sc_act) / volume
+            lrc_ff = (pt_ff.lrc_coeff + 0.5 * sc_ff) / volume
+        else:
+            sc = pairs.lrc_self_coefficient(alive, params, cfg, rc)
+            lrc = (pt.lrc_coeff + 0.5 * sc) / volume
 
     es_recip = zero
     es_self = zero
+    es_self_ff = zero
     if cfg.coulomb == "ewald":
         alpha = pairs.derived_alpha(rc, cfg)
         es_recip, (sk_re, sk_im) = ewald.recip_energy(
             pos, params.charge, alive, box, alpha, cfg.ewald_kmax)
-        es_self = ewald.self_energy(params.charge, alive, alpha)
+        if split_frozen:
+            es_self = ewald.self_energy(params.charge,
+                                        alive & ~atom_frozen, alpha)
+            es_self_ff = ewald.self_energy(params.charge,
+                                           alive & atom_frozen, alpha)
+        else:
+            es_self = ewald.self_energy(params.charge, alive, alpha)
         aux["sk_re"], aux["sk_im"] = sk_re, sk_im
     elif cfg.coulomb == "wolf":
         alpha = pairs.derived_alpha(rc, cfg)
-        es_self = ewald.wolf_self_energy(params.charge, alive, alpha, rc)
+        if split_frozen:
+            es_self = ewald.wolf_self_energy(
+                params.charge, alive & ~atom_frozen, alpha, rc)
+            es_self_ff = ewald.wolf_self_energy(
+                params.charge, alive & atom_frozen, alpha, rc)
+        else:
+            es_self = ewald.wolf_self_energy(params.charge, alive, alpha, rc)
 
     polar = zero
     if cfg.polarization:
@@ -60,4 +96,9 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None):
     e = EnergyBreakdown(
         rd=pt.rd, lrc=lrc, es_real=pt.es_real, es_recip=es_recip,
         es_self=es_self, es_excl=pt.es_excl, polar=polar, vdw=zero)
-    return e, aux
+    if not split_frozen:
+        return e, aux
+    e_frozen = EnergyBreakdown(
+        rd=pt_ff.rd, lrc=lrc_ff, es_real=pt_ff.es_real, es_recip=zero,
+        es_self=es_self_ff, es_excl=pt_ff.es_excl, polar=zero, vdw=zero)
+    return e, e_frozen, aux

@@ -86,12 +86,20 @@ jax.tree_util.register_dataclass(PairTerms)
 
 
 def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
-                 box, box_inv, rc, alpha, temperature, triangular):
+                 box, box_inv, rc, alpha, temperature, triangular,
+                 split_frozen=False):
     """Energy contributions of one row block [B] against all columns [N].
 
-    Returns PairTerms of scalars.  ``triangular``: only count j > i (full
-    pass); otherwise count every (row, col) pair once (molecule pass, where
-    the caller guarantees rows and columns are disjoint molecule-wise).
+    Returns PairTerms of scalars — or, with ``split_frozen``, a tuple
+    (active, frozen_frozen) where the second holds only pairs internal to
+    the frozen framework (the reference's forever-cached frozen pairs,
+    SURVEY.md §1 "delta energy").  Splitting keeps the huge constant
+    framework terms out of the MC delta accumulators, which is what makes
+    f32 accumulation viable (SURVEY.md §7 "Hard parts": f64 vs TPU).
+
+    ``triangular``: only count j > i (full pass); otherwise count every
+    (row, col) pair once (molecule pass, where the caller guarantees rows
+    and columns are disjoint molecule-wise).
     """
     B = pos_i.shape[0]
     N = pos.shape[0]
@@ -108,6 +116,11 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
     intra = pair_ok & same_mol
     within = r2 < rc * rc
     act = inter & within                                  # RD + ES-real pairs
+    if split_frozen:
+        atom_frozen = params.mol_frozen[params.mol_id]
+        ff = atom_frozen[idx_i][:, None] & atom_frozen[None, :]   # [B,N]
+    else:
+        ff = None
 
     r2s = jnp.where(r2 > 1e-12, r2, 1.0)                  # guard the diagonal
     r = jnp.sqrt(r2s)
@@ -117,68 +130,80 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
 
     # --- repulsion–dispersion ------------------------------------------------
     zero = jnp.zeros((), pos.dtype)
-    rd = zero
-    lrc_coeff = zero
+    rd_u = None          # [B,N] values, summed under the ``act`` mask
+    tc = None            # [B,N] tail coefficients, summed under ``inter``
     if cfg.rd_potential == "lj" and not getattr(cfg, "es_only", False):
         eps, sig = lj_ops.mix(params.eps[idx_i][:, None],
                               params.eps[None, :],
                               params.sig[idx_i][:, None],
                               params.sig[None, :], cfg.mixing_rule)
-        u = lj_ops.energy(r2s, eps, sig)
+        rd_u = lj_ops.energy(r2s, eps, sig)
         if cfg.feynman_hibbs:
             mm_i = params.mol_mass[mol_i]
             mm_j = params.mol_mass[params.mol_id]
             red = (mm_i[:, None] * mm_j[None, :]
                    / jnp.maximum(mm_i[:, None] + mm_j[None, :], 1e-30))
-            u = u + lj_ops.feynman_hibbs(r, eps, sig, red, temperature,
-                                         cfg.feynman_hibbs_order)
-        rd = jnp.sum(jnp.where(act, u, 0.0))
+            rd_u = rd_u + lj_ops.feynman_hibbs(r, eps, sig, red, temperature,
+                                               cfg.feynman_hibbs_order)
         if cfg.rd_lrc:
             # tail: ordered pairs i!=j (inter) count once per direction in
             # the full triangular pass -> handled by caller symmetrization.
             tc = lj_ops.tail_coefficient(eps, sig, rc)
-            lrc_coeff = jnp.sum(jnp.where(inter, tc, 0.0))
+            tc = jnp.broadcast_to(tc, r2.shape)
     elif cfg.rd_potential in ("sg", "dreiding", "b14_7", "disp_expansion"):
-        u = potentials.rd_pair_energy(r, r2s, idx_i, params, cfg)
-        rd = jnp.sum(jnp.where(act, u, 0.0))
+        rd_u = potentials.rd_pair_energy(r, r2s, idx_i, params, cfg)
     elif cfg.rd_potential == "none":
         pass
     else:
         raise ValueError(f"unknown rd_potential {cfg.rd_potential}")
 
     # --- electrostatics (real space) ----------------------------------------
-    es_real = zero
-    es_excl = zero
+    es_u = None          # [B,N] values under ``act``
+    ex_u = None          # [B,N] values under ``intra``
     if cfg.coulomb == "ewald":
-        es_real = KE * jnp.sum(jnp.where(act, qq * erfc(alpha * r) / r, 0.0))
+        es_u = KE * qq * erfc(alpha * r) / r
         # recip space includes intramolecular pairs: subtract erf part
         # (SURVEY.md §2 "Ewald electrostatics": intramolecular exclusion
         # correction via erf).  Applied at any separation (no cutoff).
-        es_excl = -KE * jnp.sum(
-            jnp.where(intra, qq * erf(alpha * r) / r, 0.0))
+        ex_u = -KE * qq * erf(alpha * r) / r
     elif cfg.coulomb == "wolf":
         # Wolf damped, shifted pair part; self/shift terms added by caller.
-        wr = erfc(alpha * r) / r - erfc(alpha * rc) / rc
-        es_real = KE * jnp.sum(jnp.where(act, qq * wr, 0.0))
+        es_u = KE * qq * (erfc(alpha * r) / r - erfc(alpha * rc) / rc)
     elif cfg.coulomb == "cutoff":
-        es_real = KE * jnp.sum(jnp.where(act, qq / r, 0.0))
+        es_u = KE * qq / r
     elif cfg.coulomb == "none":
         pass
     else:
         raise ValueError(f"unknown coulomb mode {cfg.coulomb}")
 
-    min_r2 = jnp.min(jnp.where(inter, r2, jnp.inf))
-    return PairTerms(rd=rd, es_real=es_real, es_excl=es_excl,
-                     lrc_coeff=lrc_coeff, min_r2=min_r2)
+    def reduce_terms(keep, min_mask):
+        def s(values, mask):
+            if values is None:
+                return zero
+            m = mask if keep is None else (mask & keep)
+            return jnp.sum(jnp.where(m, values, 0.0))
+        return PairTerms(
+            rd=s(rd_u, act), es_real=s(es_u, act), es_excl=s(ex_u, intra),
+            lrc_coeff=s(tc, inter),
+            min_r2=jnp.min(jnp.where(min_mask, r2, jnp.inf)))
+
+    if not split_frozen:
+        return reduce_terms(None, inter)
+    # active part keeps the overlap tracker (framework self-overlap is
+    # static geometry, not an MC rejection criterion)
+    return reduce_terms(~ff, inter & ~ff), reduce_terms(ff, ff & inter)
 
 
-def pair_pass(pos, box, atom_alive, params, cfg, temperature):
+def pair_pass(pos, box, atom_alive, params, cfg, temperature,
+              split_frozen=False):
     """Full-system pair terms via a lax.scan over row blocks.
 
     The triangular mask counts each (i<j) pair once; the LRC coefficient is
     accumulated over *ordered inter pairs appearing once* (j>i), so the
     caller multiplies by 2 and adds the self (i==i image) term to get the
     full ordered-pair tail sum.
+
+    With ``split_frozen`` returns (active, frozen_frozen) PairTerms.
     """
     N = pos.shape[0]
     B = min(cfg.pair_chunk, N)
@@ -193,10 +218,14 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature):
         valid = (i0 + jnp.arange(B) < N) & atom_alive[idx]
         t = _block_terms(pos[idx], idx, valid, pos, atom_alive, params, cfg,
                          box, box_inv, rc, alpha, temperature,
-                         triangular=True)
+                         triangular=True, split_frozen=split_frozen)
+        if split_frozen:
+            return (acc[0].combine(t[0]), acc[1].combine(t[1])), None
         return acc.combine(t), None
 
-    acc, _ = jax.lax.scan(body, PairTerms.zero(pos.dtype), jnp.arange(nb))
+    z = PairTerms.zero(pos.dtype)
+    init = (z, z) if split_frozen else z
+    acc, _ = jax.lax.scan(body, init, jnp.arange(nb))
     return acc
 
 

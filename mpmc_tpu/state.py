@@ -134,9 +134,19 @@ class SimState:
     sk_re: Optional[jax.Array] = None   # [Nk] Ewald structure factor (re)
     sk_im: Optional[jax.Array] = None   # [Nk] (im)
     e0: Optional[jax.Array] = None      # [N,3] static field (polarization)
+    # constant frozen-framework energy (kept OUT of the delta accumulators;
+    # the reference's forever-cached frozen pairs, SURVEY.md §1):
+    e_frozen: Optional["EnergyBreakdown"] = None
 
     def atom_alive(self, params: Params):
         return self.mol_alive[params.mol_id] & params.atom_ok
+
+    def reported_energy(self) -> "EnergyBreakdown":
+        """Full physical energy: MC-accumulated active part + constant
+        frozen-framework part."""
+        if self.e_frozen is None:
+            return self.energy
+        return self.energy.add(self.e_frozen)
 
     def n_molecules(self, params: Params):
         """Number of alive, non-frozen molecules (total)."""
