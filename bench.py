@@ -25,33 +25,40 @@ def main():
 
     from mpmc_tpu.mc import metropolis
     from mpmc_tpu.models import systems
+    from mpmc_tpu.parallel import multichain
 
-    # ~9.3k framework atoms + up to 512 H2 (x3 sites) = ~10.8k atom slots
+    # ~9.3k framework atoms + up to 512 H2 (x3 sites) = ~10.8k atom slots;
+    # 256 independent GCMC chains batched on the one chip (the TPU analog
+    # of the reference's replica-per-MPI-rank throughput model)
+    n_chains = 256
     params, state, cfg, thermo = systems.mof_h2_gcmc(
         n_side=21, spacing=4.0, n_h2=256, capacity=512,
         temperature=77.0, pressure=1.0)
     state = metropolis.initialize(state, params, cfg, thermo)
+    states = multichain.stack_states(state, n_chains)
+    states = multichain.initialize_batched(states, params, cfg, thermo)
 
-    chunk = 512
+    chunk = 128
     # warm-up: compile + one chunk.  NOTE: sync via an explicit host fetch,
     # not block_until_ready — on the remote-tunnel TPU platform the latter
     # can return before execution finishes, which silently turns the
     # benchmark into a dispatch-latency meter.
-    state, stats = metropolis.run_chunk(state, params, cfg, thermo, chunk)
-    np.asarray(state.energy.total)
+    states, stats = multichain.run_chunk_batched(states, params, cfg,
+                                                 thermo, chunk)
+    np.asarray(states.energy.rd)
 
     n_chunks = 4
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        state, stats = metropolis.run_chunk(state, params, cfg, thermo,
-                                            chunk)
-    np.asarray(state.energy.total)
+        states, stats = multichain.run_chunk_batched(states, params, cfg,
+                                                     thermo, chunk)
+    np.asarray(states.energy.rd)
     wall = time.perf_counter() - t0
 
-    steps = n_chunks * chunk
+    steps = n_chunks * chunk * n_chains
     sps = steps / wall
     print(json.dumps({
-        "metric": "mc_steps_per_sec_10k_mof_h2_gcmc_ewald",
+        "metric": "agg_mc_steps_per_sec_10k_mof_h2_gcmc_ewald_256chains",
         "value": round(sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 2),

@@ -116,6 +116,34 @@ def _mol_self_energy(params, cfg, box, mol):
     return -KE * alpha / jnp.sqrt(jnp.pi) * jnp.sum(q2)
 
 
+def make_branch_picker(cfg: RunConfig):
+    """(pick_branch(key, thermo) -> branch index, branch_ids) for the
+    ensemble's move table — move-type probabilities follow the reference
+    (SURVEY.md §2 "Moves / checkpoint": insert_probability split evenly
+    between insert and delete; volume_probability for NPT)."""
+    if cfg.ensemble == "uvt" and cfg.insert_species:
+        branch_ids = jnp.asarray([DISPLACE, INSERT, DELETE])
+
+        def pick_branch(key, thermo):
+            k1, k2 = jax.random.split(key)
+            u = jax.random.uniform(k1)
+            coin = jax.random.uniform(k2) < 0.5
+            return jnp.where(u < thermo.insert_probability,
+                             jnp.where(coin, 1, 2), 0)
+    elif cfg.ensemble == "npt":
+        branch_ids = jnp.asarray([DISPLACE, VOLUME])
+
+        def pick_branch(key, thermo):
+            u = jax.random.uniform(key)
+            return jnp.where(u < thermo.volume_probability, 1, 0)
+    else:   # nvt / nve / single-molecule ensembles
+        branch_ids = jnp.asarray([DISPLACE])
+
+        def pick_branch(key, thermo):
+            return jnp.zeros((), jnp.int32)
+    return pick_branch, branch_ids
+
+
 def make_step_fn(params: Params, cfg: RunConfig):
     """Build the jitted single-step function for this (params, cfg)."""
     dtype = cfg.jdtype
@@ -263,32 +291,26 @@ def make_step_fn(params: Params, cfg: RunConfig):
     # branch table per ensemble (static)
     if cfg.ensemble == "uvt" and cfg.insert_species:
         branches = [b_displace, b_insert, b_delete]
-        branch_ids = jnp.asarray([DISPLACE, INSERT, DELETE])
-
-        def pick_branch(key, thermo):
-            k1, k2 = jax.random.split(key)
-            u = jax.random.uniform(k1)
-            coin = jax.random.uniform(k2) < 0.5
-            return jnp.where(u < thermo.insert_probability,
-                             jnp.where(coin, 1, 2), 0)
     elif cfg.ensemble == "npt":
         branches = [b_displace, b_volume]
-        branch_ids = jnp.asarray([DISPLACE, VOLUME])
-
-        def pick_branch(key, thermo):
-            u = jax.random.uniform(key)
-            return jnp.where(u < thermo.volume_probability, 1, 0)
     else:   # nvt / nve / single-molecule ensembles
         branches = [b_displace]
-        branch_ids = jnp.asarray([DISPLACE])
-
-        def pick_branch(key, thermo):
-            return jnp.zeros((), jnp.int32)
+    pick_branch, branch_ids = make_branch_picker(cfg)
 
     # ------------------------------------------------------------------ step
-    def step(state: SimState, stats: MCStats, thermo: Thermo):
-        key_next, k_type, k_move, k_acc = jax.random.split(state.key, 4)
-        t = pick_branch(k_type, thermo)
+    def step(state: SimState, stats: MCStats, thermo: Thermo,
+             move_t=None):
+        """One Metropolis step.  ``move_t``: externally-chosen branch
+        index (scalar).  The batched-chain driver shares one move-type
+        draw across all vmapped chains so lax.switch keeps a scalar index
+        and executes a single branch (vmapping a batched switch would run
+        every branch for every chain)."""
+        if move_t is None:
+            key_next, k_type, k_move, k_acc = jax.random.split(state.key, 4)
+            t = pick_branch(k_type, thermo)
+        else:
+            key_next, k_move, k_acc = jax.random.split(state.key, 3)
+            t = move_t
         cand = jax.lax.switch(t, branches, state, thermo, k_move)
 
         # polarization: re-solve SCF on the candidate (common to all moves)
