@@ -14,4 +14,13 @@ shard_map replica parallelism.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU XLA lowers f32 matmuls to bf16 MXU passes by default — that is
+# ~3 decimal digits on *coordinates* when the minimum-image transform or
+# the Ewald phase k.r goes through a matmul, which corrupts every energy
+# at the 1e-3 level.  Physics code needs true f32 contractions everywhere;
+# the MXU's f32 (bf16x3) mode costs ~3x but is correct.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from mpmc_tpu import constants  # noqa: F401

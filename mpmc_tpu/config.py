@@ -68,7 +68,10 @@ class RunConfig:
     # --- precision / performance
     dtype: str = "float32"         # float32 | float64
     pair_chunk: int = 512          # row-block size for O(N^2) passes
-    use_pallas: bool = False
+    # use the fused Pallas tile kernel for full pair passes when the
+    # backend is TPU and the configuration is supported (f32, LJ/none RD,
+    # ewald/wolf/cutoff/none ES, no FH) — see ops/pallas/pair_kernel.py
+    use_pallas: bool = True
     fused_kernels: bool = True
 
     @property

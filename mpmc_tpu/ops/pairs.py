@@ -204,6 +204,10 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
     full ordered-pair tail sum.
 
     With ``split_frozen`` returns (active, frozen_frozen) PairTerms.
+
+    On a TPU backend with a supported configuration this dispatches to the
+    fused Pallas tile kernel (ops/pallas/pair_kernel.py); the jnp scan
+    below is the reference implementation and the f64 parity path.
     """
     N = pos.shape[0]
     B = min(cfg.pair_chunk, N)
@@ -211,6 +215,13 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
     box_inv = jnp.linalg.inv(box)
     rc = derived_cutoff(box, cfg)
     alpha = derived_alpha(rc, cfg)
+
+    if cfg.use_pallas:
+        from mpmc_tpu.ops.pallas import pair_kernel as _pk
+        if _pk.supported(cfg) and jax.default_backend() == "tpu":
+            act, ff = _pk.pair_pass_pallas(pos, box, atom_alive, params,
+                                           cfg, rc, alpha)
+            return (act, ff) if split_frozen else act.combine(ff)
 
     def body(acc, b):
         i0 = b * B

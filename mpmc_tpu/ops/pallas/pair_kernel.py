@@ -1,0 +1,244 @@
+"""Pallas TPU kernel: fused O(N^2) pair pass.
+
+The rebuild of the reference's hot pair loop (SURVEY.md §2 "Pair builder"
++ the RD/ES real-space loops, src/energy/pairs.c / lj.c / coulombic.c [C])
+as one tiled TPU kernel: each (TI x TJ) tile loads two position/parameter
+strips into VMEM, computes minimum-image displacements, LJ, Ewald
+real-space erfc, the intramolecular erf exclusion and the LJ tail
+coefficient in registers, and reduces them to scalar partials — no [B,N]
+intermediates ever round-trip through HBM (the jnp scan path materializes
+several per block).  Lower-triangular tiles are skipped via a cheap
+predicate on sequential grid steps.
+
+Semantics match ops/pairs.pair_pass(..., split_frozen=True) exactly:
+triangular i<j counting, alive/intra/cutoff masks, active vs
+frozen-frozen split, min_r2 overlap tracking.  The per-pair formulas are
+the same lj_ops functions the jnp path uses.
+
+f32 only (TPU-native); the f64 parity path stays on the jnp pass.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from mpmc_tpu.constants import KE
+from mpmc_tpu.ops import lj as lj_ops
+
+
+def _erfc(x):
+    """erfc for x >= 0 — Mosaic has no erf/erfc primitive.  Abramowitz &
+    Stegun 7.1.26: |abs error| <= 1.5e-7, i.e. at the f32 noise floor."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
+def _erf(x):
+    """erf for x >= 0.  The intramolecular exclusion term evaluates erf at
+    small alpha*r where 1 - _erfc(x) would inherit the A&S absolute error
+    as a large *relative* error; a Maclaurin series is f32-exact there."""
+    t = x * x
+    c = 1.1283791670955126   # 2/sqrt(pi)
+    series = c * x * (1.0 + t * (-1.0 / 3.0 + t * (0.1 + t * (
+        -1.0 / 42.0 + t * (1.0 / 216.0 + t * (-1.0 / 1320.0
+                                              + t * (1.0 / 9360.0)))))))
+    return jnp.where(x < 0.6, series, 1.0 - _erfc(x))
+
+TI = 256   # row tile
+TJ = 256   # col tile
+
+# output slot layout: [rd, es_real, es_excl, lrc, rd_ff, es_real_ff,
+#                      es_excl_ff, lrc_ff, min_r2]
+N_OUT = 16   # padded lane count
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(scal_ref, pi_ref, pj_ref, qi_ref, qj_ref, ei_ref, ej_ref,
+            si_ref, sj_ref, mi_ref, mj_ref, ai_ref, aj_ref, fi_ref, fj_ref,
+            box_ref, binv_ref, out_ref, *, cfg, n_real):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+
+    @pl.when((ti == 0) & (tj == 0))
+    def _():
+        for k in range(N_OUT):   # SMEM stores must be scalar
+            out_ref[0, k] = jnp.asarray(0.0, jnp.float32)
+        out_ref[0, 8] = jnp.asarray(jnp.inf, jnp.float32)
+
+    # skip tiles entirely below the diagonal (j block ends before i starts)
+    @pl.when((tj + 1) * TJ > ti * TI)
+    def _compute():
+        rc = scal_ref[0, 0]
+        alpha = scal_ref[0, 1]
+
+        # minimum-image dr for all (TI, TJ) pairs, component-wise
+        dx = [pi_ref[k, :][:, None] - pj_ref[k, :][None, :]
+              for k in range(3)]
+        fr = [sum(dx[b] * binv_ref[b, a] for b in range(3))
+              for a in range(3)]
+        fr = [f - jnp.round(f) for f in fr]
+        dr = [sum(fr[a] * box_ref[a, b] for a in range(3))
+              for b in range(3)]
+        r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
+
+        rows = ti * TI + jax.lax.broadcasted_iota(jnp.int32, (TI, TJ), 0)
+        cols = tj * TJ + jax.lax.broadcasted_iota(jnp.int32, (TI, TJ), 1)
+        alive = (ai_ref[0, :][:, None] > 0) & (aj_ref[0, :][None, :] > 0)
+        pair_ok = ((cols > rows) & (cols < n_real) & (rows < n_real)
+                   & alive)
+        same_mol = mi_ref[0, :][:, None] == mj_ref[0, :][None, :]
+        inter = pair_ok & ~same_mol
+        intra = pair_ok & same_mol
+        act = inter & (r2 < rc * rc)
+        ff = (fi_ref[0, :][:, None] > 0) & (fj_ref[0, :][None, :] > 0)
+
+        r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+        r = jnp.sqrt(r2s)
+
+        zero = jnp.zeros((), jnp.float32)
+        rd_u = None
+        tc = None
+        if cfg.rd_potential == "lj":
+            eps, sig = lj_ops.mix(ei_ref[0, :][:, None], ej_ref[0, :][None, :],
+                                  si_ref[0, :][:, None], sj_ref[0, :][None, :],
+                                  cfg.mixing_rule)
+            rd_u = lj_ops.energy(r2s, eps, sig)
+            if cfg.rd_lrc:
+                tc = lj_ops.tail_coefficient(eps, sig, rc)
+
+        es_u = None
+        ex_u = None
+        qq = qi_ref[0, :][:, None] * qj_ref[0, :][None, :]
+        if cfg.coulomb == "ewald":
+            es_u = qq * _erfc(alpha * r) / r
+            ex_u = -qq * _erf(alpha * r) / r
+        elif cfg.coulomb == "wolf":
+            es_u = qq * (_erfc(alpha * r) / r - _erfc(alpha * rc) / rc)
+        elif cfg.coulomb == "cutoff":
+            es_u = qq / r
+
+        def s(values, mask):
+            if values is None:
+                return zero, zero
+            return (jnp.sum(jnp.where(mask & ~ff, values, 0.0)),
+                    jnp.sum(jnp.where(mask & ff, values, 0.0)))
+
+        rd_a, rd_f = s(rd_u, act)
+        es_a, es_f = s(es_u, act)
+        ex_a, ex_f = s(ex_u, intra)
+        tc_a, tc_f = s(tc, inter)
+        mr2 = jnp.min(jnp.where(inter & ~ff, r2, jnp.inf))
+
+        out_ref[0, 0] += rd_a
+        out_ref[0, 1] += es_a
+        out_ref[0, 2] += ex_a
+        out_ref[0, 3] += tc_a
+        out_ref[0, 4] += rd_f
+        out_ref[0, 5] += es_f
+        out_ref[0, 6] += ex_f
+        out_ref[0, 7] += tc_f
+        out_ref[0, 8] = jnp.minimum(out_ref[0, 8], mr2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_real", "interpret"))
+def pair_terms_tiles(pos, charge, eps, sig, mol_id, alive, frozen, box,
+                     rc, alpha, cfg, n_real, interpret=False):
+    """Run the fused tile kernel; returns the 9 raw sums
+    [rd, es_real(no ke), es_excl(no ke), lrc, ...ff..., min_r2].
+
+    Inputs are the padded per-atom arrays; ``n_real`` (static) is the
+    padded size actually scanned.  Charges are unscaled — the ke
+    prefactor is applied by the caller.
+    """
+    f32 = jnp.float32
+    n_pad = _round_up(n_real, max(TI, TJ))
+
+    def pad1(x, dt=f32, fill=0):
+        x = jnp.asarray(x)
+        return jnp.pad(x.astype(dt), (0, n_pad - x.shape[0]),
+                       constant_values=fill).reshape(1, n_pad)
+
+    pos_t = jnp.pad(pos.astype(f32), ((0, n_pad - pos.shape[0]), (0, 0))).T
+    q = pad1(charge)
+    e = pad1(eps)
+    s = pad1(sig)
+    m = pad1(mol_id, jnp.int32, -1)
+    a = pad1(alive, jnp.int32)
+    fz = pad1(frozen, jnp.int32)
+    scal = jnp.stack([rc, alpha]).astype(f32).reshape(1, 2)
+    box32 = box.astype(f32)
+    binv = jnp.linalg.inv(box32)
+
+    grid = (n_pad // TI, n_pad // TJ)
+    row = lambda T: pl.BlockSpec((1, T), lambda i, j: (0, i),
+                                 memory_space=pltpu.VMEM)
+    col = lambda T: pl.BlockSpec((1, T), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, cfg=cfg, n_real=n_real),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, TI), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TJ), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            row(TI), col(TJ),                          # charge
+            row(TI), col(TJ),                          # eps
+            row(TI), col(TJ),                          # sig
+            row(TI), col(TJ),                          # mol_id
+            row(TI), col(TJ),                          # alive
+            row(TI), col(TJ),                          # frozen
+            pl.BlockSpec((3, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N_OUT), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, N_OUT), f32),
+        interpret=interpret,
+    )(scal, pos_t, pos_t, q, q, e, e, s, s, m, m, a, a, fz, fz,
+      box32, binv)
+    return out[0]
+
+
+def pair_pass_pallas(pos, box, atom_alive, params, cfg, rc, alpha,
+                     interpret=False):
+    """PairTerms-compatible wrapper: returns (active, frozen_frozen)
+    tuples of raw term dicts with the ke prefactor applied, matching
+    ops/pairs.pair_pass(split_frozen=True)."""
+    from mpmc_tpu.ops.pairs import PairTerms
+    frozen = params.mol_frozen[params.mol_id]
+    raw = pair_terms_tiles(
+        pos, params.charge, params.eps, params.sig, params.mol_id,
+        atom_alive, frozen, box, rc, alpha, cfg, pos.shape[0],
+        interpret=interpret)
+    dtype = pos.dtype
+    c = lambda x: x.astype(dtype)
+    ke = jnp.asarray(KE, dtype)
+    act = PairTerms(rd=c(raw[0]), es_real=ke * c(raw[1]),
+                    es_excl=ke * c(raw[2]), lrc_coeff=c(raw[3]),
+                    min_r2=c(raw[8]))
+    ff = PairTerms(rd=c(raw[4]), es_real=ke * c(raw[5]),
+                   es_excl=ke * c(raw[6]), lrc_coeff=c(raw[7]),
+                   min_r2=jnp.asarray(jnp.inf, dtype))
+    return act, ff
+
+
+def supported(cfg) -> bool:
+    """Static gate: which configurations the fused kernel covers."""
+    return (cfg.rd_potential in ("lj", "none")
+            and cfg.coulomb in ("ewald", "wolf", "cutoff", "none")
+            and not cfg.feynman_hibbs
+            and cfg.dtype == "float32")

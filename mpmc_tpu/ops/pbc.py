@@ -49,6 +49,18 @@ def default_cutoff(box):
     return 0.5 * min_perpendicular_width(box)
 
 
+def _apply33(v, m):
+    """v @ m for last-axis-3 arrays, unrolled into component arithmetic.
+
+    A tiny matmul would hit the MXU, which on TPU either runs in bf16
+    (default precision — corrupts coordinates) or pays the 3x bf16x3 cost
+    under the f32-precision setting; explicit multiplies stay on the VPU,
+    exact and fast."""
+    return jnp.stack(
+        [v[..., 0] * m[0, a] + v[..., 1] * m[1, a] + v[..., 2] * m[2, a]
+         for a in range(3)], axis=-1)
+
+
 def min_image(dr, box, box_inv=None):
     """Minimum-image displacement(s) for raw displacement(s) ``dr``.
 
@@ -57,9 +69,9 @@ def min_image(dr, box, box_inv=None):
     """
     if box_inv is None:
         box_inv = jnp.linalg.inv(box)
-    frac = dr @ box_inv
+    frac = _apply33(dr, box_inv)
     frac = frac - jnp.round(frac)
-    return frac @ box
+    return _apply33(frac, box)
 
 
 def wrap_positions(pos, box, box_inv=None):

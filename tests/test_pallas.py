@@ -1,0 +1,63 @@
+"""Fused Pallas pair kernel vs the jnp reference pass (interpret mode on
+CPU; the real-TPU path is exercised by bench.py / __graft_entry__.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpmc_tpu.models import systems
+from mpmc_tpu.ops import pairs
+from mpmc_tpu.ops.pallas import pair_kernel as pk
+
+
+def _compare(params, state, cfg, thermo, rtol):
+    alive = state.atom_alive(params)
+    rc = pairs.derived_cutoff(state.box, cfg)
+    alpha = pairs.derived_alpha(rc, cfg)
+    rj = pairs.pair_pass(state.pos.astype(jnp.float32),
+                         state.box.astype(jnp.float32), alive, params,
+                         cfg, thermo.temperature, split_frozen=True)
+    rp = pk.pair_pass_pallas(state.pos, state.box, alive, params, cfg,
+                             rc, alpha, interpret=True)
+    for side in (0, 1):
+        for name in ("rd", "es_real", "es_excl", "lrc_coeff", "min_r2"):
+            a = float(getattr(rj[side], name))
+            b = float(getattr(rp[side], name))
+            assert a == pytest.approx(b, rel=rtol, abs=1e-2), (
+                f"{name} side={side}: jnp={a} pallas={b}")
+
+
+def test_pair_kernel_matches_jnp_mof():
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=8, capacity=16, dtype="float32")
+    # f32 params for the jnp pass comparison
+    _compare(params, state, cfg, thermo, rtol=5e-4)
+
+
+def test_pair_kernel_matches_jnp_lj_fluid():
+    params, state, cfg, thermo = systems.lj_fluid(n=64, dtype="float32")
+    _compare(params, state, cfg, thermo, rtol=1e-5)
+
+
+def test_erfc_accuracy():
+    from scipy.special import erfc as s_erfc  # scipy ships with the image
+    x = np.linspace(0.0, 6.0, 500)
+    ours = np.asarray(pk._erfc(jnp.asarray(x, jnp.float64)))
+    assert np.max(np.abs(ours - s_erfc(x))) < 2e-7
+
+
+def test_erf_small_x_relative_accuracy():
+    from scipy.special import erf as s_erf
+    x = np.linspace(1e-4, 0.5, 200)
+    ours = np.asarray(pk._erf(jnp.asarray(x, jnp.float64)))
+    rel = np.abs(ours - s_erf(x)) / s_erf(x)
+    assert np.max(rel) < 1e-7
+
+
+def test_supported_gating():
+    _, _, cfg, _ = systems.mof_h2_gcmc(n_side=3, n_h2=2, capacity=4)
+    assert pk.supported(cfg)
+    import dataclasses
+    assert not pk.supported(dataclasses.replace(cfg, dtype="float64"))
+    assert not pk.supported(dataclasses.replace(cfg, feynman_hibbs=True))
+    assert not pk.supported(dataclasses.replace(cfg, rd_potential="sg"))
