@@ -64,6 +64,14 @@ class RunConfig:
     # --- ensembles / moves (static structure; magnitudes live in Thermo)
     cavity_autoreject_absolute: float = 0.0   # r_min; 0 disables
     insert_species: Tuple[int, ...] = ()      # species eligible for GCMC
+    # cavity-biased insertion (SURVEY §2 "Cavity bias"): propose GCMC
+    # insertions only into grid cells with no atom within cavity_radius;
+    # the acceptance picks up the open-cell volume fraction.  The grid is
+    # refreshed at every corrtime boundary (the reference also updates
+    # it periodically rather than per-step).
+    cavity_bias: bool = False
+    cavity_grid: int = 10
+    cavity_radius: float = 2.5
 
     # --- precision / performance
     dtype: str = "float32"         # float32 | float64

@@ -55,6 +55,9 @@ class Job:
     field_output: Optional[str] = None
     histogram_output: Optional[str] = None
     pop_histogram: bool = False
+    hist_resolution: float = 0.7
+    checkpoint_output: Optional[str] = None   # exact-resume extension
+    checkpoint_input: Optional[str] = None
     # sampling extras
     simulated_annealing: bool = False
     simulated_annealing_schedule: float = 1.0
@@ -62,7 +65,22 @@ class Job:
     parallel_tempering: bool = False
     max_temperature: float = 0.0
     ptemp_freq: int = 20
+    n_replicas: int = 0      # PT ladder size (0 -> one per device)
+    chains: int = 1          # vmapped chains per device (our extension)
     free_volume: float = 0.0
+    # surface scan / fitting (SURVEY §2.9 "Fitting" + surf options)
+    surf_min: float = 2.0
+    surf_max: float = 10.0
+    surf_inc: float = 0.25
+    surf_ang: float = 0.0
+    surf_decomp: bool = False
+    surf_preserve: bool = False
+    surf_output: Optional[str] = None
+    fit_inputs: List[str] = dataclasses.field(default_factory=list)
+    fit_schedule: float = 0.999
+    fit_start_temp: float = 0.0
+    fit_max_energy: float = 0.0
+    fit_boltzmann_weight: float = 0.0
     # capacity extension (the reference's linked lists are unbounded; fixed
     # slot pools need a cap — our documented extension)
     max_molecules: int = 256
@@ -143,6 +161,12 @@ def parse(text: str) -> Job:
             job.spinflip_probability = float(v0)
         elif key == "cavity_autoreject_absolute":
             cfg_kw["cavity_autoreject_absolute"] = float(v0)
+        elif key == "cavity_bias":
+            cfg_kw["cavity_bias"] = _onoff(v0)
+        elif key == "cavity_grid":
+            cfg_kw["cavity_grid"] = int(float(v0))
+        elif key == "cavity_radius":
+            cfg_kw["cavity_radius"] = float(v0)
         elif key == "max_molecules":
             job.max_molecules = int(float(v0))
         elif key in ("precision", "dtype"):   # our extension: f32|f64
@@ -232,6 +256,35 @@ def parse(text: str) -> Job:
             job.max_temperature = float(v0)
         elif key == "ptemp_freq":
             job.ptemp_freq = int(float(v0))
+        elif key == "n_replicas":
+            job.n_replicas = int(float(v0))
+        elif key == "chains":
+            job.chains = int(float(v0))
+        # --- surface scan / fitting
+        elif key == "surf_min":
+            job.surf_min = float(v0)
+        elif key == "surf_max":
+            job.surf_max = float(v0)
+        elif key == "surf_inc":
+            job.surf_inc = float(v0)
+        elif key == "surf_ang":
+            job.surf_ang = float(v0)
+        elif key == "surf_decomp":
+            job.surf_decomp = _onoff(v0)
+        elif key.startswith("surf_preserve"):
+            job.surf_preserve = _onoff(v0) if vals else True
+        elif key == "surf_output":
+            job.surf_output = v0
+        elif key == "fit_input":
+            job.fit_inputs.append(v0)
+        elif key == "fit_schedule":
+            job.fit_schedule = float(v0)
+        elif key == "fit_start_temp":
+            job.fit_start_temp = float(v0)
+        elif key == "fit_max_energy":
+            job.fit_max_energy = float(v0)
+        elif key == "fit_boltzmann_weight":
+            job.fit_boltzmann_weight = float(v0)
         # --- I/O
         elif key == "pqr_input":
             job.pqr_input = v0
@@ -253,6 +306,12 @@ def parse(text: str) -> Job:
             job.histogram_output = v0
         elif key == "pop_histogram":
             job.pop_histogram = _onoff(v0)
+        elif key == "hist_resolution":
+            job.hist_resolution = float(v0)
+        elif key == "checkpoint_output":   # our extension: exact resume
+            job.checkpoint_output = v0
+        elif key == "checkpoint_input":
+            job.checkpoint_input = v0
         elif key in _IGNORED:
             job.ignored_options.append(key)
         else:

@@ -190,14 +190,30 @@ def make_step_fn(params: Params, cfg: RunConfig):
                          d, zero, reject)
 
     def b_insert(state: SimState, thermo: Thermo, key):
-        k_sp, k_slot, k_place = jax.random.split(key, 3)
+        k_sp, k_slot, k_cell, k_place = jax.random.split(key, 4)
         ns = len(cfg.insert_species)
         j = jax.random.randint(k_sp, (), 0, ns)
         si = jnp.asarray(cfg.insert_species)[j]
         dead = ~state.mol_alive & (params.mol_species == si)
         slot, free = moves.pick_random_true(k_slot, dead)
+        cav_bias = zero
+        cav_reject = jnp.zeros((), bool)
+        com = None
+        if cfg.cavity_bias:
+            # propose only inside open cells; the nonuniform proposal
+            # density 1/(n_open * v_cell) vs 1/V multiplies acceptance by
+            # the open volume fraction f = n_open / G^3 (SURVEY.md §2
+            # "Boltzmann/acceptance": cavity-bias correction)
+            cell, n_open = moves.pick_random_true(k_cell,
+                                                  state.cavity_open)
+            com = moves.cell_com(k_cell, cell, cfg.cavity_grid, state.box,
+                                 dtype)
+            g3 = jnp.asarray(cfg.cavity_grid ** 3, dtype)
+            cav_bias = (jnp.log(jnp.maximum(n_open.astype(dtype), 1e-30))
+                        - jnp.log(g3))
+            cav_reject = n_open == 0
         new_pos = moves.place_template(state.pos, params, slot, si, k_place,
-                                       state.box)
+                                       state.box, com=com)
         new_alive_mol = state.mol_alive.at[slot].set(True)
         alive = state.atom_alive(params)          # old alive (cols)
         inter = pairs.mol_pair_pass(new_pos, state.box, alive, params, cfg,
@@ -221,8 +237,8 @@ def make_step_fn(params: Params, cfg: RunConfig):
         n_s = jnp.sum(state.mol_alive & (params.mol_species == si))
         f = thermo.fugacity[si] * ATM2K_A3          # K / A^3
         ln_bias = jnp.log(jnp.maximum(f * volume, 1e-300)) \
-            - jnp.log(thermo.temperature * (n_s + 1.0))
-        reject = (free == 0) | _overlap(inter, cfg, dtype)
+            - jnp.log(thermo.temperature * (n_s + 1.0)) + cav_bias
+        reject = (free == 0) | _overlap(inter, cfg, dtype) | cav_reject
         return Candidate(new_pos, state.box, new_alive_mol, sk_re, sk_im,
                          d, ln_bias.astype(dtype), reject)
 
@@ -257,6 +273,13 @@ def make_step_fn(params: Params, cfg: RunConfig):
         ln_bias = (jnp.log(jnp.maximum(n_s.astype(dtype), 1e-30)
                            * thermo.temperature)
                    - jnp.log(jnp.maximum(f * volume, 1e-300)))
+        if cfg.cavity_bias:
+            # reverse move is a cavity-biased insertion: divide by f_cav
+            n_open = jnp.sum(state.cavity_open.astype(jnp.int32))
+            g3 = jnp.asarray(cfg.cavity_grid ** 3, dtype)
+            ln_bias = ln_bias - (
+                jnp.log(jnp.maximum(n_open.astype(dtype), 1e-30))
+                - jnp.log(g3))
         reject = cnt == 0
         return Candidate(state.pos, state.box, new_alive_mol, sk_re, sk_im,
                          d, ln_bias.astype(dtype), reject)
@@ -351,6 +374,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
             sk_im=sel(cand.sk_im, state.sk_im),
             e0=sel(e0_new, state.e0),
             e_frozen=state.e_frozen,
+            cavity_open=state.cavity_open,
         )
         gid = branch_ids[t]
         new_stats = MCStats(
@@ -393,7 +417,13 @@ def initialize(state: SimState, params: Params, cfg: RunConfig,
     e, e_frozen, aux = energy_mod.total_energy(
         state.pos, state.box, state.mol_alive, params, cfg, thermo,
         mu0=state.mu, split_frozen=True)
+    cavity_open = state.cavity_open
+    if cfg.cavity_bias:
+        cavity_open = moves.cavity_open_grid(
+            state.pos, state.box, state.atom_alive(params),
+            cfg.cavity_grid, jnp.asarray(cfg.cavity_radius, cfg.jdtype))
     return state.replace(
         energy=e, e_frozen=e_frozen,
         sk_re=aux.get("sk_re"), sk_im=aux.get("sk_im"),
-        mu=aux.get("mu", state.mu), e0=aux.get("e0"))
+        mu=aux.get("mu", state.mu), e0=aux.get("e0"),
+        cavity_open=cavity_open)

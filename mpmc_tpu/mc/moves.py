@@ -57,12 +57,49 @@ def displace_molecule(pos, params: Params, mol, key, move_factor,
     return pos.at[idx].set(new.astype(pos.dtype))
 
 
-def place_template(pos, params: Params, mol, species, key, box):
+def cavity_open_grid(pos, box, atom_alive, g: int, radius):
+    """[g^3] bool: grid cells whose center has no alive atom within
+    ``radius`` (minimum image) — the reference's cavity grid
+    (SURVEY.md §2 "Cavity bias", src/mc/cavity.c [M])."""
+    from mpmc_tpu.ops import pbc as pbc_ops
+    ii = jnp.arange(g)
+    frac = (jnp.stack(jnp.meshgrid(ii, ii, ii, indexing="ij"),
+                      -1).reshape(-1, 3).astype(pos.dtype) + 0.5) / g
+    centers = pbc_ops._apply33(frac, box)                # [G,3]
+    box_inv = jnp.linalg.inv(box)
+    G = centers.shape[0]
+    B = min(G, 256)
+    nb = -(-G // B)
+
+    def body(_, b):
+        c = jax.lax.dynamic_slice_in_dim(centers, b * B, B)
+        dr = pbc_ops.min_image(c[:, None, :] - pos[None, :, :], box,
+                               box_inv)
+        r2 = jnp.sum(dr * dr, -1)
+        near = (r2 < radius * radius) & atom_alive[None, :]
+        return None, ~jnp.any(near, axis=1)
+
+    _, open_blocks = jax.lax.scan(body, None, jnp.arange(nb))
+    return open_blocks.reshape(nb * B)[:G]
+
+
+def cell_com(key, cell, g: int, box, dtype):
+    """Uniform random point inside grid cell ``cell`` (flat index)."""
+    from mpmc_tpu.ops import pbc as pbc_ops
+    ijk = jnp.stack([cell // (g * g), (cell // g) % g, cell % g])
+    u = jax.random.uniform(key, (3,), dtype)
+    frac = (ijk.astype(dtype) + u) / g
+    return pbc_ops._apply33(frac, box)
+
+
+def place_template(pos, params: Params, mol, species, key, box, com=None):
     """Write the species template into molecule slot ``mol`` at a random
-    COM and orientation (GCMC insertion, SURVEY.md §3.3)."""
+    COM and orientation (GCMC insertion, SURVEY.md §3.3).  ``com``
+    overrides the uniform-in-cell proposal (cavity-biased insertion)."""
     k_p, k_r = jax.random.split(key)
-    frac = jax.random.uniform(k_p, (3,), pos.dtype)
-    com = frac @ box
+    if com is None:
+        frac = jax.random.uniform(k_p, (3,), pos.dtype)
+        com = frac @ box
     q = quat.random_uniform(k_r)
     tmpl = params.species_pos[species]                   # [A,3], COM at 0
     new = com + quat.rotate(tmpl, q)

@@ -212,8 +212,78 @@ def run_replay(job: input_script.Job, log=None):
     return avgs
 
 
+def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
+    """Parallel-tempering MC: a geometric temperature ladder of replicas
+    batched on-device, neighbor temperature swaps every ``ptemp_freq``
+    steps (SURVEY.md §2 "Parallel tempering" — the reference's MPI-rank
+    ladder becomes a vmapped replica batch on one chip, or a mesh of
+    chips via parallel/replica.PTRunner).  Observables are reported for
+    replica 0 — the base-temperature chain."""
+    import numpy as _np
+
+    from mpmc_tpu.parallel import multichain, replica
+
+    su = setup(job)
+    cfg, params, thermo = su.cfg, su.params, su.thermo
+    R = job.n_replicas or max(len(jax.devices()), 4)
+    t_max = job.max_temperature or 2.0 * job.temperature
+    temps = replica.geometric_ladder(job.temperature, t_max, R)
+    writer = output_io.RunWriter(job, su.species_names, log=log,
+                                 jsonl_path=jsonl_path)
+    print(f"parallel tempering: {R} replicas, T = "
+          + " ".join(f"{t:.2f}" for t in temps), file=writer.log)
+
+    state = metropolis.initialize(su.state, params, cfg, thermo)
+    states = multichain.stack_states(state, R, seed=cfg.seed)
+    thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
+    rng = _np.random.default_rng(cfg.seed + 101)
+    avgs = Averages()
+    swap_acc, swap_att = 0, 0
+    corr = max(cfg.corrtime, 1)
+    ptf = max(min(job.ptemp_freq, corr), 1)
+    n_blocks = max(cfg.numsteps // corr, 1)
+    t0 = time.time()
+    parity = 0
+    for block in range(n_blocks):
+        for _ in range(max(corr // ptf, 1)):
+            states, stats = multichain.run_chunk_batched(
+                states, params, cfg, thermos, ptf, thermo_batched=True)
+            energies = np.asarray(states.energy.total)
+            temps, acc = replica.host_swap(temps, energies, parity, rng)
+            swap_acc += acc
+            swap_att += max((R - parity) // 2, 0)
+            parity ^= 1
+            thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
+            if cfg.feynman_hibbs:
+                # FH energies are T-dependent: refresh caches after a swap
+                states = multichain.initialize_batched(
+                    states, params, cfg, thermos, thermo_batched=True)
+        states = multichain.initialize_batched(states, params, cfg,
+                                               thermos, thermo_batched=True)
+        # report the base-temperature replica (wherever T0 currently lives)
+        k = int(np.argmin(temps))
+        st0 = jax.tree_util.tree_map(lambda x: x[k], states)
+        obs = observables(su, st0, None)
+        obs["swap_acceptance"] = swap_acc / max(swap_att, 1)
+        avgs.add(obs)
+        writer.log_block(int(st0.step), obs, None)
+        writer.write_restart(params, st0)
+        writer.append_trajectory(params, st0)
+    wall = time.time() - t0
+    steps_done = n_blocks * corr
+    writer.final_averages(avgs, float(np.min(temps)))
+    print(f"swap acceptance: {swap_acc}/{swap_att}", file=writer.log)
+    print(f"steps/sec: {steps_done * R / max(wall, 1e-9):.2f} aggregate "
+          f"({R} replicas x {steps_done} steps in {wall:.2f}s)",
+          file=writer.log)
+    writer.close()
+    return avgs
+
+
 def run_mc(job: input_script.Job, log=None, jsonl_path=None):
     """The main MC loop (ensemble nvt/uvt/npt/nve)."""
+    if job.parallel_tempering:
+        return run_mc_pt(job, log=log, jsonl_path=jsonl_path)
     su = setup(job)
     cfg, params = su.cfg, su.params
     thermo = su.thermo
@@ -224,6 +294,17 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
               file=writer.log)
     state = metropolis.initialize(su.state, params, cfg, thermo)
     avgs = Averages()
+    if job.checkpoint_input:
+        from mpmc_tpu.io import checkpoint as ckpt
+        state, avgs, _ = ckpt.load(job.checkpoint_input, state)
+        print(f"resumed exactly from {job.checkpoint_input} at step "
+              f"{int(np.asarray(state.step))}", file=writer.log)
+    hist = None
+    if job.pop_histogram or job.histogram_output:
+        from mpmc_tpu.state import all_molecule_coms
+        from mpmc_tpu.utils.histogram import PopulationHistogram
+        hist = PopulationHistogram(np.asarray(state.box),
+                                   job.hist_resolution)
     corr = max(cfg.corrtime, 1)
     n_blocks = max(cfg.numsteps // corr, 1)
     t0 = time.time()
@@ -238,6 +319,16 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         writer.write_restart(params, state)
         writer.append_trajectory(params, state)
         writer.write_dipoles(params, state)
+        if hist is not None:
+            from mpmc_tpu.state import all_molecule_coms
+            coms = np.asarray(all_molecule_coms(state.pos, params))
+            sel = (np.asarray(state.mol_alive)
+                   & ~np.asarray(params.mol_frozen)
+                   & (np.asarray(params.mol_species) >= 0))
+            hist.add(coms[sel])
+        if job.checkpoint_output:
+            from mpmc_tpu.io import checkpoint as ckpt
+            ckpt.save(job.checkpoint_output, state, avgs)
         if job.simulated_annealing:
             new_t = max(float(thermo.temperature)
                         * job.simulated_annealing_schedule,
@@ -245,6 +336,10 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             thermo = thermo.replace(
                 temperature=jnp.asarray(new_t, cfg.jdtype))
     wall = time.time() - t0
+    if hist is not None:
+        path = job.histogram_output or "histogram.dx"
+        hist.write_dx(path)
+        print(f"population histogram written to {path}", file=writer.log)
     writer.final_averages(avgs, float(thermo.temperature))
     print(f"steps/sec: {steps_done / max(wall, 1e-9):.2f}  "
           f"({steps_done} steps in {wall:.2f}s)", file=writer.log)
@@ -260,5 +355,13 @@ def run(job: input_script.Job, **kw):
         return run_te(job, **kw)
     if job.cfg.ensemble == "replay":
         return run_replay(job, **kw)
+    if job.cfg.ensemble == "surf":
+        from mpmc_tpu.mc import surface
+        kw.pop("jsonl_path", None)
+        return surface.run_surface(job, **kw)
+    if job.cfg.ensemble in ("surf_fit", "surf_multi_fit"):
+        from mpmc_tpu.mc import surface
+        kw.pop("jsonl_path", None)
+        return surface.run_surface_fit(job, **kw)
     raise NotImplementedError(
         f"ensemble {job.cfg.ensemble!r} not yet implemented")

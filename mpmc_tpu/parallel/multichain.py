@@ -35,9 +35,11 @@ def stack_states(state: SimState, n: int, seed: int = 0) -> SimState:
     return dataclasses.replace(batched, key=keys)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "thermo_batched"))
 def run_chunk_batched(states: SimState, params: Params, cfg: RunConfig,
-                      thermo: Thermo, n_steps: int):
+                      thermo: Thermo, n_steps: int,
+                      thermo_batched: bool = False):
     """Advance a batch of chains n_steps each; returns (states, stats)
     with a leading chain dimension on both.
 
@@ -45,10 +47,18 @@ def run_chunk_batched(states: SimState, params: Params, cfg: RunConfig,
     and shared by every chain, keeping the lax.switch index scalar so
     only one branch executes per step (see module docstring for why this
     is statistically sound).  Targets, displacements and acceptance coins
-    stay per-chain."""
+    stay per-chain.
+
+    ``thermo_batched``: Thermo also carries a leading chain dimension
+    (parallel tempering — per-replica temperatures).  Move-type
+    probabilities are taken from replica 0 (they are shared; only T
+    differs across a PT ladder)."""
     step = metropolis.make_step_fn(params, cfg)
     pick, _ = metropolis.make_branch_picker(cfg)
-    vstep = jax.vmap(step, in_axes=(0, 0, None, None))
+    t_axis = 0 if thermo_batched else None
+    vstep = jax.vmap(step, in_axes=(0, 0, t_axis, None))
+    pick_thermo = (jax.tree_util.tree_map(lambda x: x[0], thermo)
+                   if thermo_batched else thermo)
     n_chains = states.pos.shape[0]
     stats0 = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape),
@@ -61,7 +71,7 @@ def run_chunk_batched(states: SimState, params: Params, cfg: RunConfig,
 
     def body(carry, i):
         st, stats = carry
-        t = pick(jax.random.fold_in(chunk_key, i), thermo)
+        t = pick(jax.random.fold_in(chunk_key, i), pick_thermo)
         return vstep(st, stats, thermo, t), None
 
     (states, stats), _ = jax.lax.scan(
@@ -69,12 +79,16 @@ def run_chunk_batched(states: SimState, params: Params, cfg: RunConfig,
     return states, stats
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "thermo_batched"))
 def initialize_batched(states: SimState, params: Params, cfg: RunConfig,
-                       thermo: Thermo) -> SimState:
+                       thermo: Thermo,
+                       thermo_batched: bool = False) -> SimState:
     """Batched full-energy refresh.  Sequential over chains (lax.map):
     vmapping the O(N^2) pair pass would materialize a
     [chains, pair_chunk, N, 3] displacement tile — tens of GB at large
     chain counts — and the refresh runs only once per corrtime."""
     fn = metropolis.initialize.__wrapped__   # un-jitted body
+    if thermo_batched:
+        return jax.lax.map(lambda st: fn(st[0], params, cfg, st[1]),
+                           (states, thermo))
     return jax.lax.map(lambda s: fn(s, params, cfg, thermo), states)

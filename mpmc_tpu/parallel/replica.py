@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +67,24 @@ def stack_thermo(thermo: Thermo, temps, dtype) -> Thermo:
         lambda x: jnp.broadcast_to(x, (n,) + x.shape), thermo)
     return dataclasses.replace(
         batched, temperature=jnp.asarray(np.asarray(temps), dtype))
+
+
+def host_swap(temps, energies, parity: int, rng) -> Tuple[np.ndarray, int]:
+    """Host-side neighbor temperature swap for single-device PT (replicas
+    batched on one chip; the mesh version in PTRunner uses ppermute).
+    Pairs (p, p+1), (p+2, p+3), ...; acceptance
+    P = min(1, exp[(b_i - b_j)(E_i - E_j)]) — the reference's rule
+    (SURVEY.md §2 "Parallel tempering")."""
+    temps = np.array(temps, np.float64)
+    energies = np.asarray(energies, np.float64)
+    n_acc = 0
+    for lo in range(parity, len(temps) - 1, 2):
+        ln_p = ((1.0 / temps[lo] - 1.0 / temps[lo + 1])
+                * (energies[lo] - energies[lo + 1]))
+        if np.log(rng.random()) < ln_p:
+            temps[lo], temps[lo + 1] = temps[lo + 1], temps[lo]
+            n_acc += 1
+    return temps, n_acc
 
 
 class PTRunner:

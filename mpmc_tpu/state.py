@@ -137,6 +137,9 @@ class SimState:
     # constant frozen-framework energy (kept OUT of the delta accumulators;
     # the reference's forever-cached frozen pairs, SURVEY.md §1):
     e_frozen: Optional["EnergyBreakdown"] = None
+    # cavity-bias occupancy grid [G^3] (True = open), refreshed per
+    # corrtime (SURVEY.md §2 "Cavity bias"):
+    cavity_open: Optional[jax.Array] = None
 
     def atom_alive(self, params: Params):
         return self.mol_alive[params.mol_id] & params.atom_ok

@@ -203,3 +203,67 @@ def test_npt_lj_bookkeeping():
     fresh = metropolis.initialize(state, params, cfg, thermo)
     assert float(state.energy.total) == pytest.approx(
         float(fresh.energy.total), rel=1e-9, abs=1e-7)
+
+
+class TestCavityBias:
+    def test_open_grid_geometry(self):
+        import jax.numpy as jnp
+        from mpmc_tpu.mc import moves
+        box = jnp.eye(3) * 10.0
+        # one atom at the center of cell (0,0,0) of a 2x2x2 grid
+        pos = jnp.array([[2.5, 2.5, 2.5]])
+        alive = jnp.array([True])
+        open_ = np.asarray(moves.cavity_open_grid(pos, box, alive, 2,
+                                                  jnp.asarray(2.0)))
+        assert open_.sum() == 7 and not open_[0]
+        # radius 5.1 closes the 3 face neighbors (5.0 away); the 3 edge
+        # (7.07) and 1 corner (8.66) cells stay open
+        open2 = np.asarray(moves.cavity_open_grid(pos, box, alive, 2,
+                                                  jnp.asarray(5.1)))
+        assert open2.sum() == 4
+        open3 = np.asarray(moves.cavity_open_grid(pos, box, alive, 2,
+                                                  jnp.asarray(8.7)))
+        assert open3.sum() == 0
+
+    def test_gcmc_with_cavity_bias_runs(self):
+        import dataclasses
+        from mpmc_tpu.models import systems
+        params, state, cfg, thermo = systems.mof_h2_gcmc(
+            n_side=3, n_h2=4, capacity=12, ewald_kmax=3, dtype="float64")
+        cfg = dataclasses.replace(cfg, cavity_bias=True, cavity_grid=6,
+                                  cavity_radius=2.0)
+        state = metropolis.initialize(state, params, cfg, thermo)
+        assert state.cavity_open is not None
+        st, stats = metropolis.run_chunk(state, params, cfg, thermo, 300)
+        assert int(np.asarray(stats.attempts)[1]) > 0   # inserts attempted
+        # accumulated energies stay consistent with full recompute
+        st2 = metropolis.initialize(st, params, cfg, thermo)
+        assert float(st.energy.total) == pytest.approx(
+            float(st2.energy.total), abs=1e-6)
+
+    def test_cavity_bias_preserves_equilibrium_density(self):
+        """Ideal-gas GCMC (no interactions): <N> = fV/kT regardless of
+        cavity bias — the acceptance correction must exactly cancel the
+        proposal bias."""
+        import dataclasses
+        from mpmc_tpu.models import systems
+        params, state, cfg, thermo = systems.lj_fluid(n=4, density=0.002,
+                                                      dtype="float64")
+        cfg = dataclasses.replace(
+            cfg, ensemble="uvt", insert_species=(0,), rd_potential="none",
+            rd_lrc=False, cavity_bias=True, cavity_grid=4,
+            cavity_radius=0.0)   # radius 0: every cell open (pure plumbing)
+        thermo = thermo.replace(
+            insert_probability=jnp.asarray(0.6, cfg.jdtype),
+            fugacity=jnp.asarray([2.0], cfg.jdtype))
+        state = metropolis.initialize(state, params, cfg, thermo)
+        ns = []
+        for _ in range(30):
+            state, _ = metropolis.run_chunk(state, params, cfg, thermo, 200)
+            state = metropolis.initialize(state, params, cfg, thermo)
+            ns.append(float(state.n_molecules(params)))
+        from mpmc_tpu.constants import ATM2K_A3
+        expect = (2.0 * ATM2K_A3 * float(jnp.linalg.det(state.box))
+                  / float(thermo.temperature))
+        got = np.mean(ns[5:])
+        assert got == pytest.approx(expect, rel=0.25)

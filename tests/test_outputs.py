@@ -1,0 +1,105 @@
+"""Histogram/.dx output and exact checkpoint/resume."""
+import io
+import numpy as np
+
+from mpmc_tpu.io import checkpoint as ckpt
+from mpmc_tpu.io import input_script
+from mpmc_tpu.mc import metropolis
+from mpmc_tpu.mc import run as run_mod
+from mpmc_tpu.models import systems
+from mpmc_tpu.utils.histogram import PopulationHistogram, read_dx
+
+
+def test_histogram_binning_and_dx_roundtrip(tmp_path):
+    box = np.diag([10.0, 10.0, 10.0])
+    h = PopulationHistogram(box, resolution=2.5)    # 4x4x4 grid
+    assert tuple(h.dims) == (4, 4, 4)
+    h.add(np.array([[1.0, 1.0, 1.0], [9.0, 9.0, 9.0],
+                    [11.0, 1.0, 1.0]]))            # wraps to (1,1,1)
+    assert h.counts[0, 0, 0] == 2.0                # two points in bin 0
+    assert h.counts[3, 3, 3] == 1.0
+    p = tmp_path / "pop.dx"
+    h.write_dx(str(p), normalize=False)
+    grid = read_dx(str(p))
+    np.testing.assert_allclose(grid, h.counts)
+
+
+def test_mc_run_writes_histogram(tmp_path):
+    pqr = tmp_path / "ar.pqr"
+    pqr.write_text(
+        "ATOM 1 Ar AR 1 M 2.0 2.0 2.0 39.948 0.0 0.0 119.8 3.405\n"
+        "ATOM 2 Ar AR 2 M 7.0 7.0 7.0 39.948 0.0 0.0 119.8 3.405\nEND\n")
+    out = tmp_path / "pop.dx"
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 200
+corrtime 50
+temperature 120
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+precision float64
+pop_histogram on
+histogram_output {out}
+pqr_input {pqr}
+""")
+    run_mod.run(job, log=io.StringIO())
+    grid = read_dx(str(out))
+    assert grid.sum() > 0        # 2 sorbates x 4 frames, normalized
+
+
+def test_checkpoint_exact_resume(tmp_path):
+    params, state, cfg, thermo = systems.lj_fluid(n=24, dtype="float64")
+    state = metropolis.initialize(state, params, cfg, thermo)
+    # advance 100 steps, checkpoint, advance 100 more
+    st1, _ = metropolis.run_chunk(state, params, cfg, thermo, 100)
+    path = str(tmp_path / "ck.npz")
+    ckpt.save(path, st1, extra={"note": "mid-run"})
+    st2, _ = metropolis.run_chunk(st1, params, cfg, thermo, 100)
+
+    # reload and advance the same 100 steps: bit-identical trajectory
+    st1b, avgs, extra = ckpt.load(path, st1)
+    assert extra["note"] == "mid-run"
+    st2b, _ = metropolis.run_chunk(st1b, params, cfg, thermo, 100)
+    np.testing.assert_array_equal(np.asarray(st2.pos), np.asarray(st2b.pos))
+    np.testing.assert_array_equal(np.asarray(st2.key), np.asarray(st2b.key))
+    assert float(st2.energy.total) == float(st2b.energy.total)
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    params, state, cfg, thermo = systems.lj_fluid(n=24, dtype="float64")
+    state = metropolis.initialize(state, params, cfg, thermo)
+    path = str(tmp_path / "ck.npz")
+    ckpt.save(path, state)
+    _, other, cfg2, thermo2 = systems.lj_fluid(n=32, dtype="float64")
+    p2, o2 = systems.lj_fluid(n=32, dtype="float64")[:2]
+    o2 = metropolis.initialize(o2, p2, cfg2, thermo2)
+    import pytest
+    with pytest.raises(ValueError):
+        ckpt.load(path, o2)
+
+
+def test_mc_run_checkpoint_resume_cli(tmp_path):
+    pqr = tmp_path / "ar.pqr"
+    pqr.write_text(
+        "ATOM 1 Ar AR 1 M 2.0 2.0 2.0 39.948 0.0 0.0 119.8 3.405\n"
+        "ATOM 2 Ar AR 2 M 7.0 7.0 7.0 39.948 0.0 0.0 119.8 3.405\nEND\n")
+    ck = tmp_path / "run.ck.npz"
+    base = f"""
+ensemble nvt
+numsteps 200
+corrtime 100
+temperature 120
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+precision float64
+pqr_input {pqr}
+"""
+    job = input_script.parse(base + f"checkpoint_output {ck}\n")
+    run_mod.run(job, log=io.StringIO())
+    assert ck.exists()
+    log = io.StringIO()
+    job2 = input_script.parse(base + f"checkpoint_input {ck}\n")
+    run_mod.run(job2, log=log)
+    assert "resumed exactly from" in log.getvalue()

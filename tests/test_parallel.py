@@ -91,3 +91,37 @@ def test_multichain_matches_physics():
     # shared move-type schedule: per-chain attempt vectors are identical
     att = np.asarray(stats.attempts)
     assert np.all(att == att[0])
+
+
+def test_parallel_tempering_cli_path(tmp_path):
+    """PT through the input-script surface (single-device batched path)."""
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "ar.pqr"
+    pqr.write_text(
+        "ATOM 1 Ar AR 1 M 0.0 0.0 0.0 39.948 0.0 0.0 119.8 3.405\n"
+        "ATOM 2 Ar AR 2 M 3.9 0.0 0.0 39.948 0.0 0.0 119.8 3.405\n"
+        "END\n")
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 400
+corrtime 100
+temperature 100
+basis1 15 0 0
+basis2 0 15 0
+basis3 0 0 15
+precision float64
+parallel_tempering on
+max_temperature 800
+n_replicas 4
+ptemp_freq 25
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    avgs = run_mod.run(job, log=log)
+    text = log.getvalue()
+    assert "parallel tempering: 4 replicas" in text
+    assert "swap acceptance:" in text
+    assert avgs.mean("energy_total") != 0.0
+    assert 0.0 <= avgs.mean("swap_acceptance") <= 1.0

@@ -1,0 +1,89 @@
+"""Surface scan + FF fit drivers vs analytic LJ dimer physics."""
+import io
+import numpy as np
+import pytest
+
+from mpmc_tpu.io import input_script
+from mpmc_tpu.mc import run as run_mod
+from mpmc_tpu.mc import surface
+
+AR_PQR = """ATOM 1 Ar AR 1 M 0.0 0.0 0.0 39.948 0.0 0.0 119.8 3.405
+ATOM 2 Ar AR 2 M 4.0 0.0 0.0 39.948 0.0 0.0 119.8 3.405
+END
+"""
+
+BASE = """ensemble surf
+temperature 100
+basis1 40 0 0
+basis2 0 40 0
+basis3 0 0 40
+rd_lrc off
+precision float64
+surf_min 3.0
+surf_max 6.0
+surf_inc 0.5
+"""
+
+
+def lj(r, eps=119.8, sig=3.405):
+    s6 = (sig / r) ** 6
+    return 4 * eps * s6 * (s6 - 1)
+
+
+@pytest.fixture
+def ar_pqr(tmp_path):
+    p = tmp_path / "ar2.pqr"
+    p.write_text(AR_PQR)
+    return str(p)
+
+
+def test_surface_scan_matches_analytic_lj(ar_pqr):
+    job = input_script.parse(BASE + f"pqr_input {ar_pqr}\n")
+    res = surface.run_surface(job, log=io.StringIO())
+    for row in res:
+        assert row["min"] == pytest.approx(lj(row["r"]), rel=1e-9)
+        assert row["mean"] == pytest.approx(lj(row["r"]), rel=1e-9)
+
+
+def test_surface_scan_orientation_sweep_monatomic_invariant(ar_pqr):
+    job = input_script.parse(BASE + f"surf_ang 90\npqr_input {ar_pqr}\n")
+    res = surface.run_surface(job, log=io.StringIO())
+    for row in res:
+        # rotating a monatomic molecule changes nothing
+        assert row["min"] == pytest.approx(row["mean"], rel=1e-12)
+        assert row["min"] == pytest.approx(lj(row["r"]), rel=1e-9)
+
+
+def test_surface_output_file(tmp_path, ar_pqr):
+    out = tmp_path / "pes.dat"
+    job = input_script.parse(
+        BASE + f"surf_decomp on\nsurf_output {out}\npqr_input {ar_pqr}\n")
+    surface.run_surface(job, log=io.StringIO())
+    lines = [l for l in out.read_text().splitlines()
+             if l and not l.startswith("#")]
+    assert len(lines) == 7           # 3.0 .. 6.0 step 0.5
+    assert len(lines[0].split()) == 7   # r, min, mean + 4 decomp columns
+
+
+def test_surface_fit_recovers_parameters(tmp_path, ar_pqr):
+    # synthetic ab-initio curve from a *different* LJ parameter set
+    eps_t, sig_t = 150.0, 3.2
+    rs = np.arange(3.0, 6.01, 0.25)
+    curve = tmp_path / "abinit.dat"
+    curve.write_text("\n".join(
+        f"{r:.4f} {lj(r, eps_t, sig_t):.8f}" for r in rs))
+    job = input_script.parse(
+        BASE.replace("ensemble surf", "ensemble surf_fit")
+        + f"pqr_input {ar_pqr}\nfit_input {curve}\n"
+        "numsteps 4000\nfit_schedule 0.999\nfit_boltzmann_weight 500\n")
+    result, chi2 = surface.run_surface_fit(job, log=io.StringIO())
+    assert len(result) == 1
+    fit = result["type0"]
+    assert fit["eps"] == pytest.approx(eps_t, rel=0.05)
+    assert fit["sig"] == pytest.approx(sig_t, rel=0.02)
+
+
+def test_run_dispatch_surface(ar_pqr):
+    job = input_script.parse(BASE + f"pqr_input {ar_pqr}\n")
+    res = run_mod.run(job, log=io.StringIO())
+    assert len(res) == 7
