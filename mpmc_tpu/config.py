@@ -57,6 +57,9 @@ class RunConfig:
     polar_ewald: bool = False      # full-Ewald static field (else damped direct)
     polar_gamma: float = 1.0       # over-relaxation (jacobi)
 
+    # --- coupled-dipole many-body vdW (SURVEY §2.9 "vdW": cdvdw family)
+    cdvdw: bool = False
+
     # --- quantum corrections (SURVEY §2.9 "Quantum")
     feynman_hibbs: bool = False
     feynman_hibbs_order: int = 2   # 2 | 4

@@ -56,6 +56,7 @@ class Job:
     histogram_output: Optional[str] = None
     pop_histogram: bool = False
     hist_resolution: float = 0.7
+    polarizability_tensor: bool = False
     checkpoint_output: Optional[str] = None   # exact-resume extension
     checkpoint_input: Optional[str] = None
     # sampling extras
@@ -210,6 +211,11 @@ def parse(text: str) -> Job:
         elif key == "coulomb":
             if v0.lower() == "off":
                 cfg_kw["coulomb"] = "none"
+        elif key == "gwp":
+            if _onoff(v0):
+                cfg_kw["coulomb"] = "gwp"
+        elif key == "polarizability_tensor":
+            job.polarizability_tensor = _onoff(v0) if vals else True
         # --- polarization
         elif key == "polarization":
             cfg_kw["polarization"] = _onoff(v0)
@@ -238,6 +244,12 @@ def parse(text: str) -> Job:
         elif key in ("polar_ewald", "polar_ewald_full", "polar_wolf",
                      "polar_wolf_full"):
             job.ignored_options.append(key)   # field variants: next rounds
+        # --- coupled-dipole vdW
+        elif key == "cdvdw":
+            cfg_kw["cdvdw"] = _onoff(v0)
+        elif key in ("cdvdw_9th_repulsion", "cdvdw_exp_repulsion",
+                     "cdvdw_sig_repulsion"):
+            job.ignored_options.append(key)   # repulsion variants: later
         # --- quantum
         elif key == "feynman_hibbs":
             cfg_kw["feynman_hibbs"] = _onoff(v0)

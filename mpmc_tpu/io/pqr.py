@@ -8,7 +8,7 @@ Since the reference mount was empty (SURVEY.md §0), the column layout below
 is this framework's documented contract, covering the same per-atom fields
 the reference stores [C fields, M column order]:
 
-    ATOM serial atom_name mol_name mol_id flag x y z mass charge polar eps sig [omega c6 c8 c10]
+    ATOM serial atom_name mol_name mol_id flag x y z mass charge polar eps sig [omega c6 c8 c10 gwp_alpha]
 
 - ``flag``: F = frozen (framework), M = movable (adsorbate), S = spectre.
 - ``mol_id``: integer; atoms sharing a mol_id form one rigid molecule.
@@ -41,6 +41,7 @@ class PqrAtom:
     c6: float = 0.0
     c8: float = 0.0
     c10: float = 0.0
+    gwp_alpha: float = 0.0   # Gaussian-wave-packet width (quantum nuclei)
 
 
 @dataclasses.dataclass
@@ -71,15 +72,16 @@ def parse_atom_line(line: str) -> Optional[PqrAtom]:
             f"PQR atom line needs >=14 fields "
             f"(ATOM serial name mol_name mol_id flag x y z mass charge "
             f"polar eps sig), got {len(t)}: {line.rstrip()!r}")
-    extra = [float(x) for x in t[14:18]]
-    extra += [0.0] * (4 - len(extra))
+    extra = [float(x) for x in t[14:19]]
+    extra += [0.0] * (5 - len(extra))
     return PqrAtom(
         serial=int(t[1]), name=t[2], mol_name=t[3], mol_id=int(t[4]),
         flag=t[5].upper(),
         xyz=np.array([float(t[6]), float(t[7]), float(t[8])]),
         mass=float(t[9]), charge=float(t[10]), polar=float(t[11]),
         eps=float(t[12]), sig=float(t[13]),
-        omega=extra[0], c6=extra[1], c8=extra[2], c10=extra[3])
+        omega=extra[0], c6=extra[1], c8=extra[2], c10=extra[3],
+        gwp_alpha=extra[4])
 
 
 def read_frames(path: str) -> List[PqrFrame]:

@@ -290,15 +290,15 @@ def make_step_fn(params: Params, cfg: RunConfig):
         d_lnv = (2.0 * u - 1.0) * thermo.volume_change_factor
         new_pos, new_box = moves.scale_volume(state.pos, state.box, params,
                                               state.mol_alive, d_lnv)
-        cfg_np = dataclasses.replace(cfg, polarization=False)
+        cfg_np = dataclasses.replace(cfg, polarization=False, cdvdw=False)
         # split_frozen so the delta stays in active-part space (volume
         # moves are only sensible without a frozen framework, where the
         # frozen part is identically zero anyway)
         e_new, _, aux = energy_mod.total_energy(
             new_pos, new_box, state.mol_alive, params, cfg_np, thermo,
             split_frozen=True)
-        # polar slot excluded here; handled by the common SCF path
-        old_np = dataclasses.replace(state.energy, polar=zero)
+        # polar/vdw slots excluded here; handled by the common paths
+        old_np = dataclasses.replace(state.energy, polar=zero, vdw=zero)
         d = e_new.sub(old_np)
         v_old = jnp.abs(jnp.linalg.det(state.box))
         v_new = jnp.abs(jnp.linalg.det(new_box))
@@ -351,7 +351,20 @@ def make_step_fn(params: Params, cfg: RunConfig):
             iters = jnp.zeros((), jnp.int32)
             d_polar = zero
 
-        du = cand.denergy.total + d_polar
+        # coupled-dipole vdW: a many-body term with no cheap delta — the
+        # 3P x 3P eigensolve reruns per candidate, exactly like the
+        # reference recomputes vdw() in every energy() call (SURVEY §3.2)
+        if cfg.cdvdw:
+            from mpmc_tpu.ops import vdw as vdw_mod
+            alive_v = cand.mol_alive[params.mol_id] & params.atom_ok
+            vdw_new = vdw_mod.vdw_energy(cand.pos, cand.box, alive_v,
+                                         params, cfg)
+            d_vdw = vdw_new - state.energy.vdw
+        else:
+            vdw_new = state.energy.vdw
+            d_vdw = zero
+
+        du = cand.denergy.total + d_polar + d_vdw
         ln_acc = cand.ln_bias - du / thermo.temperature
         u = jax.random.uniform(k_acc, dtype=dtype)
         accept = (~cand.hard_reject) & (jnp.log(u) < ln_acc)
@@ -359,6 +372,8 @@ def make_step_fn(params: Params, cfg: RunConfig):
         new_energy = state.energy.add(cand.denergy)
         if cfg.polarization:
             new_energy = dataclasses.replace(new_energy, polar=pol_new)
+        if cfg.cdvdw:
+            new_energy = dataclasses.replace(new_energy, vdw=vdw_new)
         sel = lambda a, b: (a if a is None or b is None
                             else jax.tree_util.tree_map(
                                 lambda x, y: jnp.where(accept, x, y), a, b))

@@ -52,7 +52,8 @@ def _species_from_atoms(atoms) -> Species:
         omega=np.array([a.omega for a in atoms]),
         c6=np.array([a.c6 for a in atoms]),
         c8=np.array([a.c8 for a in atoms]),
-        c10=np.array([a.c10 for a in atoms]))
+        c10=np.array([a.c10 for a in atoms]),
+        gwp_alpha=np.array([a.gwp_alpha for a in atoms]))
 
 
 def setup(job: input_script.Job,
@@ -73,7 +74,8 @@ def setup(job: input_script.Job,
               for k, k2 in [("charge", "charge"), ("mass", "mass"),
                             ("polar", "polar"), ("eps", "eps"),
                             ("sig", "sig"), ("omega", "omega"),
-                            ("c6", "c6"), ("c8", "c8"), ("c10", "c10")]}
+                            ("c6", "c6"), ("c8", "c8"), ("c10", "c10"),
+                            ("gwp_alpha", "gwp_alpha")]}
 
     # group movable molecules into species by mol_name
     species: List[Species] = []
@@ -192,6 +194,15 @@ def run_te(job: input_script.Job, log=None):
         su.state.pos, su.state.box, su.state.mol_alive, su.params, su.cfg,
         su.thermo)
     output_io.print_energy_report(e, file=log)
+    if job.polarizability_tensor:
+        from mpmc_tpu.ops import thole
+        alpha = np.asarray(thole.polarizability_tensor(
+            su.state.pos, su.state.box,
+            su.state.atom_alive(su.params), su.params, su.cfg))
+        p = log or sys.stdout
+        print("=== polarizability tensor (A^3) ===", file=p)
+        for row in alpha:
+            print("  " + "  ".join(f"{v:12.6f}" for v in row), file=p)
     return e
 
 

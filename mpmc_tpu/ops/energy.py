@@ -93,9 +93,14 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
         polar = thole.polar_energy(mu, e0)
         aux["mu"], aux["e0"], aux["polar_iters"] = mu, e0, n_iter
 
+    vdw = zero
+    if cfg.cdvdw:
+        from mpmc_tpu.ops import vdw as vdw_mod
+        vdw = vdw_mod.vdw_energy(pos, box, alive, params, cfg)
+
     e = EnergyBreakdown(
         rd=pt.rd, lrc=lrc, es_real=pt.es_real, es_recip=es_recip,
-        es_self=es_self, es_excl=pt.es_excl, polar=polar, vdw=zero)
+        es_self=es_self, es_excl=pt.es_excl, polar=polar, vdw=vdw)
     if not split_frozen:
         return e, aux
     e_frozen = EnergyBreakdown(

@@ -171,6 +171,17 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
         es_u = KE * qq * (erfc(alpha * r) / r - erfc(alpha * rc) / rc)
     elif cfg.coulomb == "cutoff":
         es_u = KE * qq / r
+    elif cfg.coulomb == "gwp":
+        # Gaussian-wave-packet smeared charges (SURVEY.md §2 "GWP
+        # coulomb", src/energy/coulombic_gwp.c [M]): two normalized
+        # Gaussians of widths s_i interact as erf(r/sqrt(2(s_i^2+s_j^2)))/r
+        # (point charges where both widths are 0).
+        s2 = (params.gwp_alpha[idx_i][:, None] ** 2
+              + params.gwp_alpha[None, :] ** 2)
+        smear = jnp.where(s2 > 1e-12,
+                          erf(r / jnp.sqrt(2.0 * jnp.maximum(s2, 1e-12))),
+                          1.0)
+        es_u = KE * qq * smear / r
     elif cfg.coulomb == "none":
         pass
     else:

@@ -191,26 +191,36 @@ def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None):
     return jnp.where(mask, x, 0.0), it
 
 
-def _solve_direct(pos, box, atom_alive, params, cfg, b, pol_ok):
-    """Dense exact solve — the reference's matrix-inversion path
-    (src/energy/thole_matrix.c thole_bmat [M]).  O((3N)^3); small systems."""
+def dipole_tensor(pos, box, site_ok, cfg):
+    """Damped dipole-dipole interaction tensor T [N,N,3,3] over the given
+    sites (pair cutoff + Thole damping; zero blocks where either site is
+    masked or on the diagonal).  Shared by the direct polarization solve
+    and the coupled-dipole vdW eigenproblem (the reference shares its
+    A-matrix machinery the same way, SURVEY.md §2 "Coupled-dipole vdW")."""
     N = pos.shape[0]
     box_inv = jnp.linalg.inv(box)
     rc = derived_cutoff(box, cfg)
     dr = pbc_ops.min_image(pos[:, None, :] - pos[None, :, :], box, box_inv)
     r2 = jnp.sum(dr * dr, -1)
     diag = jnp.eye(N, dtype=bool)
-    ok = pol_ok[:, None] & pol_ok[None, :] & ~diag & (r2 < rc * rc)
+    ok = site_ok[:, None] & site_ok[None, :] & ~diag & (r2 < rc * rc)
     r2s = jnp.where(r2 > 1e-12, r2, 1.0)
     r = jnp.sqrt(r2s)
     d1, d2 = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
     inv_r3 = 1.0 / (r2s * r)
     eye3 = jnp.eye(3, dtype=pos.dtype)
-    # T blocks [N,N,3,3]
     t = (3.0 * d2[..., None, None] * dr[..., :, None] * dr[..., None, :]
          * (inv_r3 / r2s)[..., None, None]
          - d1[..., None, None] * inv_r3[..., None, None] * eye3)
-    t = jnp.where(ok[..., None, None], t, 0.0)
+    return jnp.where(ok[..., None, None], t, 0.0)
+
+
+def _solve_direct(pos, box, atom_alive, params, cfg, b, pol_ok):
+    """Dense exact solve — the reference's matrix-inversion path
+    (src/energy/thole_matrix.c thole_bmat [M]).  O((3N)^3); small systems."""
+    N = pos.shape[0]
+    eye3 = jnp.eye(3, dtype=pos.dtype)
+    t = dipole_tensor(pos, box, pol_ok, cfg)
     # A[(i a),(j b)] = delta_ij delta_ab / alpha_i - T[i,j,a,b]
     inv_a = jnp.where(pol_ok, 1.0 / jnp.maximum(params.polar, 1e-30), 1.0)
     a_mat = (jnp.kron(jnp.diag(inv_a), eye3)
@@ -222,3 +232,18 @@ def _solve_direct(pos, box, atom_alive, params, cfg, b, pol_ok):
 def polar_energy(mu, e0):
     """U_pol = -(ke/2) sum mu . E0   [K]."""
     return -0.5 * KE * jnp.sum(mu * e0)
+
+
+def polarizability_tensor(pos, box, atom_alive, params, cfg):
+    """System polarizability tensor alpha[a,b] [A^3]: apply a unit uniform
+    field along each axis, solve the coupled-dipole SCF, and sum the
+    induced dipoles — the reference's ``polarizability_tensor`` output
+    (SURVEY.md §2 "Thole direct inversion" / §2.9 "Polarization")."""
+    pol_ok = atom_alive & (params.polar > 0)
+    cols = []
+    for b in range(3):
+        e0 = jnp.zeros((pos.shape[0], 3), pos.dtype).at[:, b].set(1.0)
+        e0 = jnp.where(pol_ok[:, None], e0, 0.0)
+        mu, _ = solve_scf(pos, box, atom_alive, params, cfg, e0)
+        cols.append(jnp.sum(jnp.where(pol_ok[:, None], mu, 0.0), axis=0))
+    return jnp.stack(cols, axis=1)

@@ -48,10 +48,11 @@ class Species:
     c6: np.ndarray = None      # (A,) dispersion coefficients (PHAHST)
     c8: np.ndarray = None
     c10: np.ndarray = None
+    gwp_alpha: np.ndarray = None  # (A,) Gaussian charge width [A]
 
     def __post_init__(self):
         a = len(self.atom_names)
-        for f in ("omega", "c6", "c8", "c10"):
+        for f in ("omega", "c6", "c8", "c10", "gwp_alpha"):
             if getattr(self, f) is None:
                 object.__setattr__(self, f, np.zeros(a))
         # re-center template on its center of mass
@@ -89,6 +90,7 @@ class Params:
     c6: jax.Array
     c8: jax.Array
     c10: jax.Array
+    gwp_alpha: jax.Array
     # topology
     mol_id: jax.Array      # [N] int32: owning molecule slot (pad rows -> M-1 sentinel ok)
     atom_ok: jax.Array     # [N] bool: structural mask (real atom row)
@@ -102,6 +104,9 @@ class Params:
     # SURVEY.md §2 "PQR reader")
     species_pos: jax.Array
     species_natoms: jax.Array  # [S] int32
+    # static site list for coupled-dipole vdW (alpha>0 and omega>0) —
+    # fixes the 3P x 3P eigenproblem shape under jit (ops/vdw.py)
+    vdw_sites: Optional[jax.Array] = None
 
     @property
     def n_atoms_max(self):
@@ -263,7 +268,8 @@ def build_system(
         return np.zeros(N, np.float64)
 
     charge, mass, polar, eps, sig = zeros(), zeros(), zeros(), zeros(), zeros()
-    omega, c6, c8, c10 = zeros(), zeros(), zeros(), zeros()
+    omega, c6, c8, c10, gwp_alpha = (zeros(), zeros(), zeros(), zeros(),
+                                     zeros())
     mol_id = np.full(N, max(M - 1, 0), np.int32)
     atom_ok = np.zeros(N, bool)
     pos = np.zeros((N, 3), np.float64)
@@ -279,6 +285,7 @@ def build_system(
         c6[:F] = fget("c6")
         c8[:F] = fget("c8")
         c10[:F] = fget("c10")
+        gwp_alpha[:F] = fget("gwp_alpha")
         mol_id[:F] = 0
         atom_ok[:F] = True
 
@@ -317,6 +324,7 @@ def build_system(
             c6[sl] = sp.c6
             c8[sl] = sp.c8
             c10[sl] = sp.c10
+            gwp_alpha[sl] = sp.gwp_alpha
             mol_id[sl] = mslot
             atom_ok[sl] = True
             mol_species[mslot] = si
@@ -359,6 +367,7 @@ def build_system(
     params = Params(
         charge=f(charge), mass=f(mass), polar=f(polar), eps=f(eps),
         sig=f(sig), omega=f(omega), c6=f(c6), c8=f(c8), c10=f(c10),
+        gwp_alpha=f(gwp_alpha),
         mol_id=jnp.asarray(mol_id), atom_ok=jnp.asarray(atom_ok),
         mol_species=jnp.asarray(mol_species),
         mol_frozen=jnp.asarray(mol_frozen),
@@ -367,6 +376,8 @@ def build_system(
         mol_mass=f(mol_mass),
         species_pos=f(species_pos),
         species_natoms=jnp.asarray(species_natoms),
+        vdw_sites=jnp.asarray(
+            np.nonzero((polar > 0) & (omega > 0))[0].astype(np.int32)),
     )
     state = SimState(
         pos=f(pos), box=f(box), mol_alive=jnp.asarray(mol_alive),

@@ -147,3 +147,65 @@ def test_mol_pair_pass_matches_full_difference():
     # the one-sided sum.
     assert float(molp.lrc_coeff) == pytest.approx(
         float(full.lrc_coeff - without.lrc_coeff), rel=1e-11)
+
+
+class TestGwpCoulomb:
+    def test_gwp_vs_analytic_and_point_limit(self):
+        import dataclasses
+        import jax.numpy as jnp
+        from scipy.special import erf as s_erf
+        from mpmc_tpu.config import RunConfig, Thermo
+        from mpmc_tpu.constants import KE
+        from mpmc_tpu.ops import energy as energy_mod
+        from mpmc_tpu.state import Species, build_system
+        w = 0.4
+        sp = Species(name="G", atom_names=("G",), pos=np.zeros((1, 3)),
+                     mass=np.array([1.0]), charge=np.array([0.5]),
+                     polar=np.zeros(1), eps=np.zeros(1), sig=np.zeros(1),
+                     gwp_alpha=np.array([w]))
+        cfg = RunConfig(ensemble="nvt", rd_potential="none", coulomb="gwp",
+                        rd_lrc=False, dtype="float64")
+        r = 3.0
+        params, state = build_system(
+            np.eye(3) * 30.0, species=(sp,), capacity=(2,),
+            initial_counts=(2,),
+            initial_pos={0: np.array([[[0., 0., 0.]], [[0., 0., r]]])},
+            dtype=cfg.jdtype)
+        thermo = Thermo.make(n_species=1, dtype=cfg.jdtype)
+        e, _ = energy_mod.total_energy(state.pos, state.box,
+                                       state.mol_alive, params, cfg,
+                                       thermo)
+        want = KE * 0.25 * s_erf(r / np.sqrt(2 * (w * w + w * w))) / r
+        assert float(e.es_real) == pytest.approx(want, rel=1e-10)
+        # zero width -> point-charge 1/r
+        params0 = dataclasses.replace(
+            params, gwp_alpha=jnp.zeros_like(params.gwp_alpha))
+        e0, _ = energy_mod.total_energy(state.pos, state.box,
+                                        state.mol_alive, params0, cfg,
+                                        thermo)
+        assert float(e0.es_real) == pytest.approx(KE * 0.25 / r, rel=1e-12)
+
+
+def test_polarizability_tensor_two_site():
+    """Two polarizable sites on the z axis: alpha_zz = 2a/(1-2a t),
+    alpha_xx = 2a/(1+a t) with t = 2/r^3 resp. 1/r^3 (undamped)."""
+    from mpmc_tpu.config import RunConfig
+    from mpmc_tpu.ops import thole
+    from mpmc_tpu.state import Species, build_system
+    a, r = 1.0, 4.0
+    sp = Species(name="P", atom_names=("P",), pos=np.zeros((1, 3)),
+                 mass=np.array([1.0]), charge=np.zeros(1),
+                 polar=np.array([a]), eps=np.zeros(1), sig=np.zeros(1))
+    cfg = RunConfig(ensemble="nvt", rd_potential="none", coulomb="none",
+                    rd_lrc=False, polarization=True, polar_solver="direct",
+                    polar_damp_type="none", dtype="float64")
+    params, state = build_system(
+        np.eye(3) * 40.0, species=(sp,), capacity=(2,), initial_counts=(2,),
+        initial_pos={0: np.array([[[0., 0., 0.]], [[0., 0., r]]])},
+        dtype=cfg.jdtype)
+    alpha = np.asarray(thole.polarizability_tensor(
+        state.pos, state.box, state.atom_alive(params), params, cfg))
+    tz, tx = 2.0 / r**3, 1.0 / r**3
+    assert alpha[2, 2] == pytest.approx(2 * a / (1 - a * tz), rel=1e-9)
+    assert alpha[0, 0] == pytest.approx(2 * a / (1 + a * tx), rel=1e-9)
+    assert abs(alpha[0, 1]) < 1e-12
