@@ -59,6 +59,9 @@ class Job:
     polarizability_tensor: bool = False
     checkpoint_output: Optional[str] = None   # exact-resume extension
     checkpoint_input: Optional[str] = None
+    # quantum rotation (SURVEY §2.9 "Quantum")
+    quantum_rotation: bool = False
+    quantum_rotation_level_max: int = 4
     # sampling extras
     simulated_annealing: bool = False
     simulated_annealing_schedule: float = 1.0
@@ -251,6 +254,11 @@ def parse(text: str) -> Job:
                      "cdvdw_sig_repulsion"):
             job.ignored_options.append(key)   # repulsion variants: later
         # --- quantum
+        elif key == "quantum_rotation":
+            job.quantum_rotation = _onoff(v0)
+        elif key in ("quantum_rotation_level_max", "quantum_rotation_l_max",
+                     "quantum_rotation_sum_max"):
+            job.quantum_rotation_level_max = int(float(v0))
         elif key == "feynman_hibbs":
             cfg_kw["feynman_hibbs"] = _onoff(v0)
         elif key == "feynman_hibbs_order":

@@ -316,6 +316,15 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         from mpmc_tpu.utils.histogram import PopulationHistogram
         hist = PopulationHistogram(np.asarray(state.box),
                                    job.hist_resolution)
+    # quantum rotation: per-molecule hindered-rotor spectra + ortho/para
+    # spinflip sweeps at each corrtime (SURVEY.md §2 "Quantum rotation")
+    qr_rng = None
+    spins = None
+    if job.quantum_rotation:
+        from mpmc_tpu.ops import qrot
+        qr_rng = np.random.default_rng(cfg.seed + 977)
+        # normal-H2 initial mixture: 3:1 ortho:para
+        spins = (qr_rng.random(params.n_mols_max) < 0.75).astype(int)
     corr = max(cfg.corrtime, 1)
     n_blocks = max(cfg.numsteps // corr, 1)
     t0 = time.time()
@@ -325,6 +334,24 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         steps_done += corr
         state = metropolis.initialize(state, params, cfg, thermo)  # refresh
         obs = observables(su, state, stats)
+        if spins is not None:
+            from mpmc_tpu.ops import qrot
+            alive_m = (np.asarray(state.mol_alive)
+                       & ~np.asarray(params.mol_frozen)
+                       & (np.asarray(params.mol_species) >= 0))
+            slots = [m for m in np.nonzero(alive_m)[0]
+                     if su.species[int(np.asarray(
+                         params.mol_species)[m])].natoms >= 2]
+            if slots:
+                sl_spins = spins[slots]
+                sl_spins, n_flips, e_rot = qrot.spinflip_sweep(
+                    state.pos, state.box, state.atom_alive(params), params,
+                    cfg, thermo, list(su.species), slots, sl_spins, qr_rng,
+                    lmax=job.quantum_rotation_level_max)
+                spins[slots] = sl_spins
+                obs["ortho_fraction"] = float(np.mean(sl_spins))
+                obs["energy_qrot"] = float(e_rot)
+                obs["spinflips"] = float(n_flips)
         avgs.add(obs)
         writer.log_block(int(state.step), obs, stats)
         writer.write_restart(params, state)

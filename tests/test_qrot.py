@@ -1,0 +1,132 @@
+"""Quantum rotation: free-rotor analytics and hindered-rotor physics."""
+import numpy as np
+import pytest
+
+from mpmc_tpu.config import RunConfig, Thermo
+from mpmc_tpu.constants import HBAR2_KB_AMU_A2
+from mpmc_tpu.models import systems
+from mpmc_tpu.ops import qrot
+from mpmc_tpu.state import build_system
+
+
+def h2_system(box_len=30.0, with_frozen=False):
+    sp = systems.h2_bss3()
+    fpos = fp = None
+    coulomb = "none"
+    if with_frozen:
+        # a charged site: the H2 charge sites (off-COM) make V(Omega)
+        # anisotropic
+        fpos = np.array([[5.0, 5.0, 5.0]])
+        fp = {"charge": np.array([0.8]), "mass": np.array([40.0]),
+              "eps": np.array([60.0]), "sig": np.array([3.2]),
+              "polar": np.array([0.0])}
+        coulomb = "cutoff"
+    cfg = RunConfig(ensemble="nvt", rd_potential="lj", coulomb=coulomb,
+                    rd_lrc=False, dtype="float64")
+    params, state = build_system(
+        np.eye(3) * box_len, frozen_pos=fpos, frozen_params=fp,
+        species=(sp,), capacity=(1,), initial_counts=(1,),
+        initial_pos={0: (sp.pos + np.full(3, box_len / 2))[None]},
+        dtype=cfg.jdtype)
+    return sp, params, state, cfg
+
+
+def test_rotational_constant_h2():
+    sp = systems.h2_bss3()
+    b = qrot.rotational_constant(sp)
+    inertia = 2 * 1.008 * 0.371 ** 2
+    assert b == pytest.approx(HBAR2_KB_AMU_A2 / (2 * inertia), rel=1e-12)
+    assert 80.0 < b < 95.0     # physical H2 ballpark
+
+
+def test_free_rotor_spectrum():
+    """Isolated H2: eigenvalues B l(l+1) with degeneracy 2l+1."""
+    sp, params, state, cfg = h2_system()
+    evals, l_of = qrot.rotational_levels(
+        state.pos, state.box, state.atom_alive(params), params, cfg,
+        300.0, mol=0, species=sp, lmax=3)
+    b = qrot.rotational_constant(sp)
+    want = np.concatenate([[b * l * (l + 1)] * (2 * l + 1)
+                           for l in range(4)])
+    np.testing.assert_allclose(np.sort(evals), np.sort(want),
+                               rtol=1e-8, atol=1e-8)
+    for l in range(4):
+        assert np.sum(l_of == l) == 2 * l + 1
+
+
+def test_hindered_rotor_splits_levels():
+    sp, params, state, cfg = h2_system(box_len=30.0, with_frozen=True)
+    # move H2 near the frozen LJ site to hinder rotation
+    state = state.replace(pos=state.pos.at[1:4].add(
+        np.array([6.6, 5.0, 5.0]) - np.asarray(state.pos)[1]))
+    evals, l_of = qrot.rotational_levels(
+        state.pos, state.box, state.atom_alive(params), params, cfg,
+        300.0, mol=1, species=sp, lmax=3)
+    # anisotropic environment splits the (formerly 3-fold) first excited
+    # manifold and shifts levels off the free-rotor B l(l+1) ladder
+    b = qrot.rotational_constant(sp)
+    e = np.sort(evals) - np.sort(evals)[0]
+    first_manifold = e[1:4]
+    assert first_manifold.max() - first_manifold.min() > 1e-2
+    free = np.sort(np.concatenate(
+        [[b * l * (l + 1)] * (2 * l + 1) for l in range(4)]))
+    assert np.max(np.abs(e - free)) > 1.0
+
+
+def test_symmetry_free_energies_and_spinflip():
+    sp, params, state, cfg = h2_system()
+    evals, l_of = qrot.rotational_levels(
+        state.pos, state.box, state.atom_alive(params), params, cfg,
+        40.0, mol=0, species=sp, lmax=3)
+    f_para, f_ortho = qrot.symmetry_free_energies(evals, l_of, 40.0)
+    b = qrot.rotational_constant(sp)
+    # low T: F_para ~ 0 (l=0), F_ortho ~ 2B - T ln 9 (l=1, 9 ortho states
+    # counting m and the threefold nuclear degeneracy is NOT included —
+    # spatial only: 3 states)
+    assert f_para == pytest.approx(0.0, abs=1e-2)
+    assert f_ortho == pytest.approx(2 * b - 40.0 * np.log(3.0), rel=1e-3)
+
+    thermo = Thermo.make(temperature=40.0, n_species=1, dtype=cfg.jdtype)
+    rng = np.random.default_rng(0)
+    spins = np.array([1])   # start ortho
+    flips = 0
+    for _ in range(20):
+        spins, nf, e_rot = qrot.spinflip_sweep(
+            state.pos, state.box, state.atom_alive(params), params, cfg,
+            thermo, [sp], [0], spins, rng, lmax=3)
+        flips += nf
+    # ortho -> para is strongly downhill at 40 K: should have flipped and
+    # stayed para
+    assert spins[0] == 0 and flips >= 1
+
+
+def test_quantum_rotation_cli_run(tmp_path):
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    d = 0.371
+    pqr = tmp_path / "h2.pqr"
+    pqr.write_text(
+        "ATOM 1 H2G H2 1 M 10.0 10.0 10.0 0.0 -0.93634 0.0 34.2 2.96\n"
+        f"ATOM 2 H2E H2 1 M 10.0 10.0 {10 + d} 1.008 0.46817 0.0 0.0 0.0\n"
+        f"ATOM 3 H2E H2 1 M 10.0 10.0 {10 - d} 1.008 0.46817 0.0 0.0 0.0\n"
+        "END\n")
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 100
+corrtime 50
+temperature 40
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+coulomb off
+rd_lrc off
+precision float64
+quantum_rotation on
+quantum_rotation_level_max 3
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    _, avgs = run_mod.run(job, log=log)
+    assert "ortho_fraction" in avgs.samples
+    assert "energy_qrot" in avgs.samples
