@@ -1,0 +1,196 @@
+"""ctypes bindings for the native I/O runtime (native/mpmc_io.cpp).
+
+The reference's runtime is C throughout (SURVEY.md §2); here the
+latency-critical host I/O — PQR trajectory parsing/writing and OpenDX
+grids — is C++ behind a plain C ABI, auto-built with the repo Makefile on
+first use.  Everything degrades gracefully to the pure-Python
+implementations when no compiler/toolchain is available; tests
+cross-validate the two.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_NAME_LEN = 8
+_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO = os.path.join(_DIR, "libmpmc_io.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(["make", "-C", _DIR], capture_output=True,
+                           timeout=120)
+        return r.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The shared library, building it on first use; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) and os.path.exists(
+            os.path.join(_DIR, "mpmc_io.cpp")):
+        _build()
+    if not os.path.exists(_SO):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.pqr_open.restype = ctypes.c_void_p
+    lib.pqr_open.argtypes = [ctypes.c_char_p]
+    lib.pqr_error.restype = ctypes.c_char_p
+    lib.pqr_error.argtypes = [ctypes.c_void_p]
+    lib.pqr_n_frames.restype = ctypes.c_long
+    lib.pqr_n_frames.argtypes = [ctypes.c_void_p]
+    lib.pqr_frame_natoms.restype = ctypes.c_long
+    lib.pqr_frame_natoms.argtypes = [ctypes.c_void_p, ctypes.c_long]
+    lib.pqr_frame_data.restype = ctypes.c_long
+    lib.pqr_frame_data.argtypes = [
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.pqr_close.argtypes = [ctypes.c_void_p]
+    lib.pqr_write_frame.restype = ctypes.c_long
+    lib.pqr_write_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.dx_write.restype = ctypes.c_long
+    lib.dx_write.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _fixed_names(names: List[str]) -> bytes:
+    out = bytearray(_NAME_LEN * len(names))
+    for i, n in enumerate(names):
+        b = n.encode()[:_NAME_LEN - 1]
+        out[i * _NAME_LEN:i * _NAME_LEN + len(b)] = b
+    return bytes(out)
+
+
+def read_frames(path: str):
+    """List of PqrFrame via the native parser (None if unavailable)."""
+    lib = load()
+    if lib is None:
+        return None
+    from mpmc_tpu.io.pqr import PqrAtom, PqrFrame
+    h = lib.pqr_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        err = lib.pqr_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        frames = []
+        for i in range(lib.pqr_n_frames(h)):
+            n = lib.pqr_frame_natoms(h, i)
+            num = np.empty((n, 13), np.float64)
+            ids = np.empty((n, 2), np.int64)
+            flags = ctypes.create_string_buffer(max(n, 1))
+            names = ctypes.create_string_buffer(max(_NAME_LEN * n, 1))
+            mnames = ctypes.create_string_buffer(max(_NAME_LEN * n, 1))
+            lib.pqr_frame_data(
+                h, i, num.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                flags, names, mnames)
+            atoms = []
+            for k in range(n):
+                nm = names.raw[k * _NAME_LEN:(k + 1) * _NAME_LEN]
+                mn = mnames.raw[k * _NAME_LEN:(k + 1) * _NAME_LEN]
+                atoms.append(PqrAtom(
+                    serial=int(ids[k, 0]),
+                    name=nm.split(b"\0")[0].decode(),
+                    mol_name=mn.split(b"\0")[0].decode(),
+                    mol_id=int(ids[k, 1]),
+                    flag=chr(flags.raw[k]),
+                    xyz=num[k, :3].copy(),
+                    mass=num[k, 3], charge=num[k, 4], polar=num[k, 5],
+                    eps=num[k, 6], sig=num[k, 7], omega=num[k, 8],
+                    c6=num[k, 9], c8=num[k, 10], c10=num[k, 11],
+                    gwp_alpha=num[k, 12]))
+            frames.append(PqrFrame(atoms))
+        return frames
+    finally:
+        lib.pqr_close(h)
+
+
+def write_frame(path: str, atoms, mode: str = "w", remark: str = "",
+                extended: bool = False) -> bool:
+    """Write one PQR frame natively; False if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return False
+    n = len(atoms)
+    num = np.empty((n, 13), np.float64)
+    ids = np.empty((n, 2), np.int64)
+    flags = bytearray(n)
+    for k, a in enumerate(atoms):
+        num[k, :3] = a.xyz
+        num[k, 3:] = (a.mass, a.charge, a.polar, a.eps, a.sig, a.omega,
+                      a.c6, a.c8, a.c10, a.gwp_alpha)
+        ids[k] = (a.serial, a.mol_id)
+        flags[k] = ord(a.flag[0]) if a.flag else ord("M")
+    r = lib.pqr_write_frame(
+        path.encode(), mode.encode(), remark.encode(), n,
+        num.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        bytes(flags), _fixed_names([a.name for a in atoms]),
+        _fixed_names([a.mol_name for a in atoms]), int(extended))
+    return r == n
+
+
+def write_frame_arrays(path: str, num: np.ndarray, ids: np.ndarray,
+                       flags: bytes, names: bytes, mol_names: bytes,
+                       mode: str = "w", remark: str = "",
+                       extended: bool = False) -> bool:
+    """Zero-object write path: packed arrays straight to the C writer.
+    num [n,13] f64 (xyz, mass, charge, polar, eps, sig, omega, c6, c8,
+    c10, gwp); ids [n,2] i64 (serial, mol_id); flags [n] bytes;
+    names/mol_names [n*8] fixed-width bytes."""
+    lib = load()
+    if lib is None:
+        return False
+    n = num.shape[0]
+    num = np.ascontiguousarray(num, np.float64)
+    ids = np.ascontiguousarray(ids, np.int64)
+    r = lib.pqr_write_frame(
+        path.encode(), mode.encode(), remark.encode(), n,
+        num.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        flags, names, mol_names, int(extended))
+    return r == n
+
+
+def dx_write(path: str, box: np.ndarray, dims, data: np.ndarray) -> bool:
+    lib = load()
+    if lib is None:
+        return False
+    nx, ny, nz = (int(d) for d in dims)
+    deltas = np.ascontiguousarray(
+        np.asarray(box, np.float64) / np.asarray([[nx], [ny], [nz]],
+                                                 np.float64))
+    flat = np.ascontiguousarray(data, np.float64).reshape(-1)
+    r = lib.dx_write(path.encode(), nx, ny, nz,
+                     deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                     flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return r == nx * ny * nz

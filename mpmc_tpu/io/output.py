@@ -60,16 +60,16 @@ class RunWriter:
 
     def write_restart(self, params, state):
         if self.job.pqr_restart:
-            atoms = pqr_io.snapshot_atoms(params, state, self.species_names)
-            pqr_io.write(self.job.pqr_restart, atoms,
-                         remark=f"restart step {int(state.step)}")
+            pqr_io.write_state(self.job.pqr_restart, params, state,
+                               self.species_names,
+                               remark=f"restart step {int(state.step)}")
 
     def append_trajectory(self, params, state):
         if self.job.traj_output:
-            atoms = pqr_io.snapshot_atoms(params, state, self.species_names)
             mode = "w" if not self._wrote_traj_header else "a"
-            pqr_io.write(self.job.traj_output, atoms, mode=mode,
-                         remark=f"frame step {int(state.step)}")
+            pqr_io.write_state(self.job.traj_output, params, state,
+                               self.species_names, mode=mode,
+                               remark=f"frame step {int(state.step)}")
             self._wrote_traj_header = True
 
     def write_dipoles(self, params, state):

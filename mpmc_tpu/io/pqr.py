@@ -84,7 +84,17 @@ def parse_atom_line(line: str) -> Optional[PqrAtom]:
         gwp_alpha=extra[4])
 
 
-def read_frames(path: str) -> List[PqrFrame]:
+def read_frames(path: str, use_native: bool = False) -> List[PqrFrame]:
+    # NOTE: the native parser wins on raw line parsing but loses the gain
+    # rebuilding per-atom Python objects, so the object API defaults to
+    # the Python path; the hot production writes go through write_state's
+    # zero-object arrays->C path instead.
+    if use_native:
+        from mpmc_tpu.io import native
+        if native.available():
+            frames = native.read_frames(path)
+            if frames is not None:
+                return frames
     frames: List[PqrFrame] = []
     atoms: List[PqrAtom] = []
     with open(path) as f:
@@ -128,13 +138,62 @@ def format_atom(a: PqrAtom, extended: bool = False) -> str:
 
 
 def write(path: str, atoms: List[PqrAtom], mode: str = "w",
-          remark: str = "", extended: bool = False):
+          remark: str = "", extended: bool = False, use_native: bool = True):
+    if use_native:
+        from mpmc_tpu.io import native
+        if native.write_frame(path, atoms, mode=mode, remark=remark,
+                              extended=extended):
+            return
     with open(path, mode) as f:
         if remark:
             f.write(f"REMARK {remark}\n")
         for a in atoms:
             f.write(format_atom(a, extended) + "\n")
         f.write("END\n")
+
+
+def write_state(path: str, params, state, species_names=None,
+                mode: str = "w", remark: str = "",
+                extended: bool = False) -> None:
+    """Write the current (alive) system state as one PQR frame.
+
+    Fully vectorized arrays -> native C writer when available (the
+    per-corrtime restart/trajectory hot path: zero per-atom Python
+    objects); falls back to snapshot_atoms + the Python writer."""
+    import numpy as onp
+
+    from mpmc_tpu.io import native
+    if not native.available():
+        write(path, snapshot_atoms(params, state, species_names),
+              mode=mode, remark=remark, extended=extended,
+              use_native=False)
+        return
+    alive = onp.nonzero(onp.asarray(state.atom_alive(params)))[0]
+    n = len(alive)
+    num = onp.empty((n, 13), onp.float64)
+    num[:, 0:3] = onp.asarray(state.pos)[alive]
+    for c, arr in enumerate((params.mass, params.charge, params.polar,
+                             params.eps, params.sig, params.omega,
+                             params.c6, params.c8, params.c10,
+                             params.gwp_alpha)):
+        num[:, 3 + c] = onp.asarray(arr)[alive]
+    mol_id = onp.asarray(params.mol_id)[alive]
+    ids = onp.stack([onp.arange(1, n + 1, dtype=onp.int64),
+                     mol_id.astype(onp.int64)], axis=1)
+    frozen = onp.asarray(params.mol_frozen)[mol_id]
+    spec = onp.asarray(params.mol_species)[mol_id]
+    flags = onp.where(frozen, b"F"[0], b"M"[0]).astype(onp.uint8).tobytes()
+    name_table = onp.array(
+        [(species_names[s] if species_names and 0 <= s < len(species_names)
+          else f"A{s}") for s in range(max(spec.max() + 1, 1))], dtype="S7")
+    names_arr = onp.where(frozen, onp.asarray(b"FRM", dtype="S7"),
+                          name_table[onp.maximum(spec, 0)])
+    mol_names_arr = onp.where(frozen, onp.asarray(b"FRZ", dtype="S7"),
+                              name_table[onp.maximum(spec, 0)])
+    native.write_frame_arrays(
+        path, num, ids, flags, names_arr.astype("S8").tobytes(),
+        mol_names_arr.astype("S8").tobytes(),
+        mode=mode, remark=remark, extended=extended)
 
 
 def snapshot_atoms(params, state, species_names=None) -> List[PqrAtom]:

@@ -39,8 +39,15 @@ class PopulationHistogram:
         np.add.at(self.counts, (idx[:, 0], idx[:, 1], idx[:, 2]), 1.0)
         self.n_frames += 1
 
-    def write_dx(self, path: str, normalize: bool = True):
+    def write_dx(self, path: str, normalize: bool = True,
+                 use_native: bool = True):
         """Write the accumulated grid in OpenDX scalar-field format."""
+        if use_native:
+            from mpmc_tpu.io import native
+            data = (self.counts / max(self.n_frames, 1) if normalize
+                    else self.counts)
+            if native.dx_write(path, self.box, self.dims, data):
+                return
         nx, ny, nz = (int(d) for d in self.dims)
         d0 = self.box[0] / nx
         d1 = self.box[1] / ny
