@@ -62,6 +62,9 @@ class Job:
     # quantum rotation (SURVEY §2.9 "Quantum")
     quantum_rotation: bool = False
     quantum_rotation_level_max: int = 4
+    # adaptive move sizes: rescale move_factor/rot_factor each corrtime
+    # toward ~50% displace acceptance (SURVEY §2 "MC main loop" [M])
+    adapt_moves: bool = False
     # sampling extras
     simulated_annealing: bool = False
     simulated_annealing_schedule: float = 1.0
@@ -163,6 +166,8 @@ def parse(text: str) -> Job:
             job.volume_change_factor = float(v0)
         elif key == "spinflip_probability":
             job.spinflip_probability = float(v0)
+        elif key in ("adapt_moves", "adaptive_moves"):
+            job.adapt_moves = _onoff(v0)
         elif key == "cavity_autoreject_absolute":
             cfg_kw["cavity_autoreject_absolute"] = float(v0)
         elif key == "cavity_bias":
@@ -244,9 +249,10 @@ def parse(text: str) -> Job:
             cfg_kw["polar_damp_type"] = ("none" if d == "off" else d)
         elif key == "polar_gamma":
             cfg_kw["polar_gamma"] = float(v0)
-        elif key in ("polar_ewald", "polar_ewald_full", "polar_wolf",
-                     "polar_wolf_full"):
-            job.ignored_options.append(key)   # field variants: next rounds
+        elif key in ("polar_ewald", "polar_ewald_full"):
+            cfg_kw["polar_ewald"] = _onoff(v0) if vals else True
+        elif key in ("polar_wolf", "polar_wolf_full", "polar_wolf_alpha"):
+            job.ignored_options.append(key)   # wolf field variant: later
         # --- coupled-dipole vdW
         elif key == "cdvdw":
             cfg_kw["cdvdw"] = _onoff(v0)

@@ -243,9 +243,16 @@ def make_step_fn(params: Params, cfg: RunConfig):
                          d, ln_bias.astype(dtype), reject)
 
     def b_delete(state: SimState, thermo: Thermo, key):
-        k_slot, _ = jax.random.split(key)
+        k_sp, k_slot = jax.random.split(key)
+        # species-first pick, mirroring b_insert: the (fV)/(N_s kT)
+        # acceptance assumes the reverse move selects uniformly among
+        # molecules OF THE SAME SPECIES — drawing from the pooled set
+        # would break detailed balance for multi-sorbate GCMC
+        ns = len(cfg.insert_species)
+        j = jax.random.randint(k_sp, (), 0, ns)
+        si_pick = jnp.asarray(cfg.insert_species)[j]
         cand_mask = (_movable_mask(params, state.mol_alive)
-                     & _insertable_mask(params, cfg))
+                     & (params.mol_species == si_pick))
         slot, cnt = moves.pick_random_true(k_slot, cand_mask)
         si = params.mol_species[slot]
         alive = state.atom_alive(params)

@@ -23,6 +23,7 @@ from mpmc_tpu.io import input_script, output as output_io, pqr as pqr_io
 from mpmc_tpu.mc import fugacity as fug_mod
 from mpmc_tpu.mc import metropolis
 from mpmc_tpu.ops import energy as energy_mod
+from mpmc_tpu.ops import pairs as pairs_mod
 from mpmc_tpu.state import Params, SimState, Species, build_system
 from mpmc_tpu.utils.averages import Averages, sorbed_mass_obs
 
@@ -367,6 +368,20 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         if job.checkpoint_output:
             from mpmc_tpu.io import checkpoint as ckpt
             ckpt.save(job.checkpoint_output, state, avgs)
+        if job.adapt_moves:
+            # nudge displacement/rotation sizes toward ~50% acceptance
+            # (reference's move_factor/rot_factor adaptation, SURVEY §2
+            # "MC main loop" [M]); sqrt damping keeps it stable
+            acc = obs.get("acc_displace", 0.5)
+            scale = float(np.clip(np.sqrt(max(acc, 1e-3) / 0.5), 0.5, 2.0))
+            rc_now = float(pairs_mod.derived_cutoff(state.box, cfg))
+            new_mf = float(np.clip(float(thermo.move_factor) * scale,
+                                   1e-3, rc_now))
+            new_rf = float(np.clip(float(thermo.rot_factor) * scale,
+                                   1e-3, np.pi))
+            thermo = thermo.replace(
+                move_factor=jnp.asarray(new_mf, cfg.jdtype),
+                rot_factor=jnp.asarray(new_rf, cfg.jdtype))
         if job.simulated_annealing:
             new_t = max(float(thermo.temperature)
                         * job.simulated_annealing_schedule,

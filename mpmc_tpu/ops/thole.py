@@ -34,6 +34,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from jax.scipy.special import erf, erfc
+
 from mpmc_tpu.constants import KE
 from mpmc_tpu.ops import pbc as pbc_ops
 from mpmc_tpu.ops.pairs import derived_cutoff
@@ -56,6 +58,17 @@ def _damping(r, lam, kind):
 
 
 def static_field(pos, box, atom_alive, params, cfg, chunk=None):
+    """Static field dispatcher: full-Ewald periodic field when
+    cfg.polar_ewald (SURVEY.md §2 'Thole static field': polar_ewald
+    variant), else the damped direct-cutoff field."""
+    if cfg.polar_ewald:
+        return static_field_ewald(pos, box, atom_alive, params, cfg,
+                                  chunk=chunk)
+    return static_field_direct(pos, box, atom_alive, params, cfg,
+                               chunk=chunk)
+
+
+def static_field_direct(pos, box, atom_alive, params, cfg, chunk=None):
     """Damped intermolecular electric field E0 [N,3] of permanent charges
     at every site (no ke factor; excludes same-molecule sources, applies
     the pair cutoff — SURVEY.md §2 'Thole static field', direct variant)."""
@@ -84,6 +97,87 @@ def static_field(pos, box, atom_alive, params, cfg, chunk=None):
 
     _, ys = jax.lax.scan(body, None, jnp.arange(nb))
     return ys.reshape(nb * B, 3)[:N]
+
+
+def static_field_ewald(pos, box, atom_alive, params, cfg, chunk=None):
+    """Full-Ewald periodic static field (SURVEY.md §2 'Thole static
+    field': ``polar_ewald`` / ewald_estatic [M names]).
+
+    Decomposition (all without the ke prefactor):
+      E_i = E_recip_i                    (k-space field of ALL charges)
+          + E_real_i                     (erfc-screened short range, inter)
+          - E_intra_i                    (erf-complement: cancels the
+                                          same-molecule part of k-space)
+          + E_damp_i                     (Thole near-field correction:
+                                          damped minus bare 1/r^2 kernel,
+                                          inter pairs within cutoff)
+    Tinfoil (conducting) boundary convention, as standard for Ewald: in a
+    large box this equals the direct damped field plus the uniform surface
+    term +4 pi P/(3V); in a periodic cell it adds the image contributions
+    the direct variant truncates.
+    """
+    from mpmc_tpu.ops import ewald
+    N = pos.shape[0]
+    B = min(chunk or cfg.pair_chunk, N)
+    nb = -(-N // B)
+    box_inv = jnp.linalg.inv(box)
+    rc = derived_cutoff(box, cfg)
+    from mpmc_tpu.ops.pairs import derived_alpha
+    alpha = derived_alpha(rc, cfg)
+    q = jnp.where(atom_alive, params.charge, 0.0)
+
+    # --- reciprocal-space field --------------------------------------------
+    kv = ewald.kvectors(box, cfg.ewald_kmax)            # [K,3]
+    sk_re, sk_im = ewald.structure_factor(pos, params.charge, atom_alive,
+                                          kv)
+    k2 = jnp.sum(kv * kv, axis=-1)
+    volume = jnp.abs(jnp.linalg.det(box))
+    # x2: half-space integer table holds one of each +/-k pair
+    w = (4.0 * jnp.pi / volume) * 2.0 * jnp.exp(
+        -k2 / (4.0 * alpha * alpha)) / k2               # [K]
+    phase = pos @ kv.T                                   # [N,K]
+    trig = (jnp.sin(phase) * sk_re[None, :]
+            - jnp.cos(phase) * sk_im[None, :])           # [N,K]
+    e_recip = (w[None, :] * trig) @ kv                   # [N,3]
+
+    # --- real-space pieces (chunked pass) -----------------------------------
+    two_a_pi = 2.0 * alpha / jnp.sqrt(jnp.pi)
+
+    def body(_, b):
+        i0 = b * B
+        rows = i0 + jnp.arange(B)
+        idx = jnp.clip(rows, 0, N - 1)
+        rok = (rows < N) & atom_alive[idx]
+        dr = pbc_ops.min_image(pos[idx][:, None, :] - pos[None, :, :],
+                               box, box_inv)
+        r2 = jnp.sum(dr * dr, -1)
+        same = params.mol_id[idx][:, None] == params.mol_id[None, :]
+        diag = rows[:, None] == jnp.arange(N)[None, :]
+        base_ok = rok[:, None] & atom_alive[None, :] & ~diag
+        r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+        r = jnp.sqrt(r2s)
+        inv_r2 = 1.0 / r2s
+        gauss = jnp.exp(-alpha * alpha * r2s)
+        # erfc-screened kernel (inter, within cutoff)
+        k_real = (erfc(alpha * r) / r + two_a_pi * gauss) * inv_r2
+        m_real = base_ok & ~same & (r2 < rc * rc)
+        # erf-complement kernel (intra, all separations): cancels the
+        # same-molecule content of the k-space sum
+        k_intra = (erf(alpha * r) / r - two_a_pi * gauss) * inv_r2
+        m_intra = base_ok & same
+        # Thole near-field: damped minus bare bare-coulomb kernel
+        d1, _ = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
+        k_damp = (d1 - 1.0) / (r2s * r)
+        m_damp = m_real
+        coef = (jnp.where(m_real, k_real, 0.0)
+                - jnp.where(m_intra, k_intra, 0.0)
+                + jnp.where(m_damp, k_damp, 0.0)) * q[None, :]
+        return None, jnp.einsum("bn,bnk->bk", coef, dr)
+
+    _, ys = jax.lax.scan(body, None, jnp.arange(nb))
+    e_real = ys.reshape(nb * B, 3)[:N]
+    e = e_recip + e_real
+    return jnp.where(atom_alive[:, None], e, 0.0)
 
 
 def dipole_matvec(pos, box, atom_alive, params, cfg, mu, chunk=None):

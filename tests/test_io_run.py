@@ -207,3 +207,34 @@ def test_fugacity_peng_robinson():
     assert 70.0 < f < 95.0
     # unknown species falls back to ideal
     assert fugacity("xe2", 300.0, 5.0) == 5.0
+
+
+def test_adaptive_move_sizes(tmp_path):
+    """adapt_moves drives displacement size toward ~50% acceptance."""
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "ar.pqr"
+    lines = []
+    k = 0
+    for i in range(3):
+        for j in range(3):
+            k += 1
+            lines.append(f"ATOM {k} Ar AR {k} M {2+3.5*i} {2+3.5*j} 5.0 "
+                         "39.948 0.0 0.0 119.8 3.405")
+    pqr.write_text("\n".join(lines) + "\nEND\n")
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 600
+corrtime 100
+temperature 100
+basis1 11 0 0
+basis2 0 11 0
+basis3 0 0 11
+move_factor 5.0     ! absurdly large -> low acceptance -> must shrink
+precision float64
+adapt_moves on
+pqr_input {pqr}
+""")
+    su, avgs = run_mod.run(job, log=io.StringIO())
+    assert float(su.thermo.move_factor) < 5.0

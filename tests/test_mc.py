@@ -267,3 +267,39 @@ class TestCavityBias:
                   / float(thermo.temperature))
         got = np.mean(ns[5:])
         assert got == pytest.approx(expect, rel=0.25)
+
+
+def test_multisorbate_ideal_gas_partial_loadings():
+    """Two non-interacting species with different fugacities: each obeys
+    <N_s> = f_s V / kT independently (multi-sorbate GCMC, SURVEY §2
+    'Moves / checkpoint': multi-sorbate uniform species pick)."""
+    import dataclasses
+    from mpmc_tpu.config import RunConfig, Thermo
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.state import build_system
+    spa = systems.lj_atom("AA", eps=0.0, sig=0.0, mass=10.0)
+    spb = systems.lj_atom("BB", eps=0.0, sig=0.0, mass=20.0)
+    cfg = RunConfig(ensemble="uvt", rd_potential="none", coulomb="none",
+                    rd_lrc=False, insert_species=(0, 1), dtype="float64")
+    params, state = build_system(
+        np.eye(3) * 14.0, species=(spa, spb), capacity=(64, 64),
+        initial_counts=(2, 2), dtype=cfg.jdtype)
+    t = 120.0
+    f = np.array([30.0, 90.0])
+    thermo = Thermo.make(temperature=t, fugacity=list(f),
+                         insert_probability=0.7, n_species=2,
+                         dtype=cfg.jdtype)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    na, nb = [], []
+    for _ in range(40):
+        state, _ = metropolis.run_chunk(state, params, cfg, thermo, 300)
+        na.append(float(state.n_molecules_of(params, 0)))
+        nb.append(float(state.n_molecules_of(params, 1)))
+    v = 14.0 ** 3
+    expect = f * ATM2K_A3 * v / t
+    got = np.array([np.mean(na[10:]), np.mean(nb[10:])])
+    assert got[0] == pytest.approx(expect[0], rel=0.20)
+    assert got[1] == pytest.approx(expect[1], rel=0.15)
+    # the two loadings must differ roughly by the fugacity ratio
+    assert got[1] / got[0] == pytest.approx(3.0, rel=0.25)

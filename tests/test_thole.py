@@ -153,3 +153,73 @@ def test_two_polarizable_sites_mutual_induction():
     single = -0.5 * KE * alpha * q * q / d ** 4
     # mutual term weakens induction vs two independent sites
     assert float(e.polar) > 2 * single
+
+
+class TestEwaldField:
+    def _water_like(self, box_len, dtype="float64"):
+        import numpy as onp
+        from mpmc_tpu.config import RunConfig
+        from mpmc_tpu.state import Species, build_system
+        sp = Species(
+            name="W", atom_names=("O", "H", "H"),
+            pos=onp.array([[0.0, 0.0, 0.0], [0.76, 0.59, 0.0],
+                           [-0.76, 0.59, 0.0]]),
+            mass=onp.array([16.0, 1.0, 1.0]),
+            charge=onp.array([-0.8, 0.4, 0.4]),
+            polar=onp.array([1.2, 0.3, 0.3]),
+            eps=onp.zeros(3), sig=onp.zeros(3))
+        cfg = RunConfig(ensemble="nvt", rd_potential="none",
+                        coulomb="ewald", ewald_kmax=8, rd_lrc=False,
+                        polarization=True, polar_ewald=True,
+                        polar_max_iter=64, dtype=dtype)
+        rng = onp.random.default_rng(4)
+        coms = rng.uniform(box_len * 0.3, box_len * 0.7, size=(4, 3))
+        params, state = build_system(
+            onp.eye(3) * box_len, species=(sp,), capacity=(4,),
+            initial_counts=(4,),
+            initial_pos={0: coms[:, None, :] + sp.pos[None]},
+            dtype=cfg.jdtype)
+        return params, state, cfg
+
+    def test_ewald_field_matches_direct_in_big_box(self):
+        """Isolated cluster in a huge box: the tinfoil-boundary Ewald
+        field reduces to the direct damped field plus the uniform surface
+        dipole term +4 pi P / (3V)."""
+        params, state, cfg = self._water_like(60.0)
+        alive = state.atom_alive(params)
+        e_ew = np.asarray(thole.static_field_ewald(
+            state.pos, state.box, alive, params, cfg))
+        e_dir = np.asarray(thole.static_field_direct(
+            state.pos, state.box, alive, params, cfg))
+        am = np.asarray(alive)
+        q = np.asarray(params.charge) * am
+        p_tot = (q[:, None] * np.asarray(state.pos)).sum(0)
+        corr = 4.0 * np.pi * p_tot / (3.0 * 60.0 ** 3)
+        scale = float(np.max(np.abs(e_dir)))
+        np.testing.assert_allclose(e_ew[am], (e_dir + corr)[am],
+                                   atol=0.02 * scale)
+
+    def test_ewald_field_sees_periodic_images(self):
+        """Small periodic box: image fields make ewald differ from direct."""
+        params, state, cfg = self._water_like(9.0)
+        alive = state.atom_alive(params)
+        e_ew = thole.static_field_ewald(state.pos, state.box, alive,
+                                        params, cfg)
+        e_dir = thole.static_field_direct(state.pos, state.box, alive,
+                                          params, cfg)
+        assert float(jnp.max(jnp.abs(e_ew - e_dir))) > 1e-4
+
+    def test_scf_runs_with_ewald_field(self):
+        from mpmc_tpu.config import Thermo
+        from mpmc_tpu.mc import metropolis
+        params, state, cfg = self._water_like(12.0)
+        thermo = Thermo.make(temperature=200.0, n_species=1,
+                             dtype=cfg.jdtype)
+        state = metropolis.initialize(state, params, cfg, thermo)
+        assert np.isfinite(float(state.energy.polar))
+        assert float(state.energy.polar) < 0.0   # induction is attractive
+        st, _ = metropolis.run_chunk(state, params, cfg, thermo, 50)
+        st2 = metropolis.initialize(st, params, cfg, thermo)
+        # finite SCF iteration count -> slight warm-start path dependence
+        assert float(st.energy.total) == pytest.approx(
+            float(st2.energy.total), abs=1e-4)
