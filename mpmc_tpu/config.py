@@ -50,8 +50,11 @@ class RunConfig:
     # --- polarization (SURVEY §2.9 "Polarization")
     polarization: bool = False
     polar_solver: str = "cg"       # cg | jacobi | direct | palmo
-    polar_max_iter: int = 24
-    polar_precision: float = 0.0   # 0 -> fixed polar_max_iter iterations
+    polar_max_iter: int = 64
+    # convergence threshold (RMS field residual per component); warm-started
+    # CG typically converges in 2-4 iterations per MC move at 1e-6.
+    # 0 -> fixed polar_max_iter iterations.
+    polar_precision: float = 1e-6
     polar_damp_type: str = "exponential"   # exponential | linear | none
     polar_damp: float = 2.1304
     polar_ewald: bool = False      # full-Ewald static field (else damped direct)

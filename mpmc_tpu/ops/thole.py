@@ -68,10 +68,24 @@ def static_field(pos, box, atom_alive, params, cfg, chunk=None):
                                chunk=chunk)
 
 
+def _use_pallas(cfg):
+    if not cfg.use_pallas:
+        return False
+    from mpmc_tpu.ops.pallas import thole_kernel as _tk
+    return _tk.supported(cfg) and jax.default_backend() == "tpu"
+
+
 def static_field_direct(pos, box, atom_alive, params, cfg, chunk=None):
     """Damped intermolecular electric field E0 [N,3] of permanent charges
     at every site (no ke factor; excludes same-molecule sources, applies
     the pair cutoff — SURVEY.md §2 'Thole static field', direct variant)."""
+    if _use_pallas(cfg):
+        from mpmc_tpu.ops.pallas import thole_kernel as _tk
+        rc = derived_cutoff(box, cfg)
+        return _tk.charge_field(pos, box, atom_alive, params.charge,
+                                params.mol_id, rc,
+                                jnp.asarray(cfg.polar_damp, pos.dtype),
+                                cfg.polar_damp_type).astype(pos.dtype)
     N = pos.shape[0]
     B = min(chunk or cfg.pair_chunk, N)
     nb = -(-N // B)
@@ -186,6 +200,15 @@ def dipole_matvec(pos, box, atom_alive, params, cfg, mu, chunk=None):
     E_i = sum_j [ 3 d2 (r.mu_j) r / r^5 - d1 mu_j / r^3 ],  r = r_i - r_j.
     Includes intramolecular pairs; applies the cutoff.
     """
+    if _use_pallas(cfg):
+        from mpmc_tpu.ops.pallas import thole_kernel as _tk
+        pol_ok = atom_alive & (params.polar > 0)
+        rc = derived_cutoff(box, cfg)
+        return _tk.dipole_field(pos, box, pol_ok,
+                                jnp.where(pol_ok[:, None], mu, 0.0),
+                                params.mol_id, rc,
+                                jnp.asarray(cfg.polar_damp, pos.dtype),
+                                cfg.polar_damp_type).astype(pos.dtype)
     N = pos.shape[0]
     B = min(chunk or cfg.pair_chunk, N)
     nb = -(-N // B)

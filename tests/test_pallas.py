@@ -61,3 +61,46 @@ def test_supported_gating():
     assert not pk.supported(dataclasses.replace(cfg, dtype="float64"))
     assert not pk.supported(dataclasses.replace(cfg, feynman_hibbs=True))
     assert not pk.supported(dataclasses.replace(cfg, rd_potential="sg"))
+
+
+class TestTholeKernels:
+    def _system(self):
+        params, state, cfg, thermo = systems.mof_h2_gcmc(
+            n_side=4, n_h2=8, capacity=16, polarization=True,
+            dtype="float32")
+        return params, state, cfg
+
+    def test_charge_field_matches_jnp(self):
+        from mpmc_tpu.ops import thole
+        from mpmc_tpu.ops.pallas import thole_kernel as tk
+        params, state, cfg = self._system()
+        alive = state.atom_alive(params)
+        rc = pairs.derived_cutoff(state.box, cfg)
+        e_jnp = thole.static_field_direct(state.pos, state.box, alive,
+                                          params, cfg)
+        e_pal = tk.charge_field(
+            state.pos, state.box, alive, params.charge, params.mol_id,
+            rc, jnp.asarray(cfg.polar_damp, jnp.float32),
+            cfg.polar_damp_type, interpret=True)
+        np.testing.assert_allclose(np.asarray(e_pal), np.asarray(e_jnp),
+                                   rtol=2e-4, atol=2e-6)
+
+    def test_dipole_field_matches_jnp(self):
+        from mpmc_tpu.ops import thole
+        from mpmc_tpu.ops.pallas import thole_kernel as tk
+        params, state, cfg = self._system()
+        alive = state.atom_alive(params)
+        pol_ok = alive & (params.polar > 0)
+        rc = pairs.derived_cutoff(state.box, cfg)
+        key = jax.random.PRNGKey(0)
+        mu = jnp.where(pol_ok[:, None],
+                       jax.random.normal(key, state.pos.shape,
+                                         jnp.float32) * 0.05, 0.0)
+        e_jnp = thole.dipole_matvec(state.pos, state.box, alive, params,
+                                    cfg, mu)
+        e_pal = tk.dipole_field(
+            state.pos, state.box, pol_ok, mu, params.mol_id, rc,
+            jnp.asarray(cfg.polar_damp, jnp.float32),
+            cfg.polar_damp_type, interpret=True)
+        np.testing.assert_allclose(np.asarray(e_pal), np.asarray(e_jnp),
+                                   rtol=2e-4, atol=2e-6)
