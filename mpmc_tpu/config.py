@@ -58,6 +58,8 @@ class RunConfig:
     polar_damp_type: str = "exponential"   # exponential | linear | none
     polar_damp: float = 2.1304
     polar_ewald: bool = False      # full-Ewald static field (else damped direct)
+    polar_wolf: bool = False       # Wolf damped-shifted static field
+    polar_wolf_alpha: Optional[float] = None
     polar_gamma: float = 1.0       # over-relaxation (jacobi)
 
     # --- coupled-dipole many-body vdW (SURVEY §2.9 "vdW": cdvdw family)

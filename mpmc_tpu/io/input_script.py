@@ -75,6 +75,10 @@ class Job:
     n_replicas: int = 0      # PT ladder size (0 -> one per device)
     chains: int = 1          # vmapped chains per device (our extension)
     free_volume: float = 0.0
+    # replay extras (SURVEY §2 "Replay": calc_pressure via
+    # volume-perturbation virial estimate [M])
+    calc_pressure: bool = False
+    calc_pressure_dv: float = 1e-3
     # surface scan / fitting (SURVEY §2.9 "Fitting" + surf options)
     surf_min: float = 2.0
     surf_max: float = 10.0
@@ -97,7 +101,13 @@ class Job:
 
 
 _IGNORED = {"cuda", "wrapall", "long_output", "preset_seeds",
-            "read_pqr_box", "scale_charge", "polar_self", "polar_rrms"}
+            "read_pqr_box", "scale_charge", "polar_self", "polar_rrms",
+            # SPECTRE massive-polarizability free charges (SURVEY §2 [M])
+            # and Feynman-Kleinert [L]: not rebuilt this round
+            "spectre", "spectre_max_charge", "spectre_max_target",
+            "feynman_kleinert", "quantum_vibration", "rd_crystal",
+            "rd_crystal_order", "extrapolate_disp_coeffs",
+            "parallel_restarts", "frozen_output"}
 
 _ENSEMBLES = {"uvt", "nvt", "npt", "nve", "te", "total_energy", "surf",
               "surf_fit", "surf_multi_fit", "replay"}
@@ -251,8 +261,10 @@ def parse(text: str) -> Job:
             cfg_kw["polar_gamma"] = float(v0)
         elif key in ("polar_ewald", "polar_ewald_full"):
             cfg_kw["polar_ewald"] = _onoff(v0) if vals else True
-        elif key in ("polar_wolf", "polar_wolf_full", "polar_wolf_alpha"):
-            job.ignored_options.append(key)   # wolf field variant: later
+        elif key in ("polar_wolf", "polar_wolf_full"):
+            cfg_kw["polar_wolf"] = _onoff(v0) if vals else True
+        elif key == "polar_wolf_alpha":
+            cfg_kw["polar_wolf_alpha"] = float(v0)
         # --- coupled-dipole vdW
         elif key == "cdvdw":
             cfg_kw["cdvdw"] = _onoff(v0)
@@ -301,6 +313,10 @@ def parse(text: str) -> Job:
             job.surf_preserve = _onoff(v0) if vals else True
         elif key == "surf_output":
             job.surf_output = v0
+        elif key == "calc_pressure":
+            job.calc_pressure = _onoff(v0)
+        elif key == "calc_pressure_dv":
+            job.calc_pressure_dv = float(v0)
         elif key == "fit_input":
             job.fit_inputs.append(v0)
         elif key == "fit_schedule":

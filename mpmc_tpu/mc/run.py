@@ -208,15 +208,35 @@ def run_te(job: input_script.Job, log=None):
 
 
 def run_replay(job: input_script.Job, log=None):
-    """ensemble replay: recompute energies/averages over a trajectory
-    (SURVEY.md §2 "Replay")."""
+    """ensemble replay: recompute energies/averages over a trajectory;
+    optional instantaneous pressure via the volume-perturbation virial
+    estimate, P = (N kT - dU/dlnV)/V (SURVEY.md §2 "Replay":
+    calc_pressure [M])."""
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.mc import moves as moves_mod
+
     frames = pqr_io.read_frames(job.pqr_input)
     avgs = Averages()
     su = None
     for fr in frames:
         su = setup(job, frame=fr)
         state = metropolis.initialize(su.state, su.params, su.cfg, su.thermo)
-        avgs.add(observables(su, state))
+        obs = observables(su, state)
+        if job.calc_pressure:
+            dlnv = job.calc_pressure_dv
+            es = []
+            for sgn in (+1.0, -1.0):
+                p2, b2 = moves_mod.scale_volume(
+                    state.pos, state.box, su.params, state.mol_alive,
+                    jnp.asarray(sgn * dlnv, su.cfg.jdtype))
+                e2, _ = energy_mod.total_energy(
+                    p2, b2, state.mol_alive, su.params, su.cfg, su.thermo)
+                es.append(float(e2.total))
+            du_dlnv = (es[0] - es[1]) / (2.0 * dlnv)
+            v = obs["volume"]
+            p_k_a3 = (obs["N"] * job.temperature - du_dlnv) / v
+            obs["pressure_atm"] = p_k_a3 / ATM2K_A3
+        avgs.add(obs)
     writer = output_io.RunWriter(job, su.species_names if su else [],
                                  log=log)
     writer.final_averages(avgs, job.temperature)

@@ -58,14 +58,68 @@ def _damping(r, lam, kind):
 
 
 def static_field(pos, box, atom_alive, params, cfg, chunk=None):
-    """Static field dispatcher: full-Ewald periodic field when
-    cfg.polar_ewald (SURVEY.md §2 'Thole static field': polar_ewald
-    variant), else the damped direct-cutoff field."""
+    """Static field dispatcher (SURVEY.md §2 'Thole static field'):
+    full-Ewald periodic field (polar_ewald), Wolf-damped field
+    (polar_wolf), or the damped direct-cutoff field."""
     if cfg.polar_ewald:
         return static_field_ewald(pos, box, atom_alive, params, cfg,
                                   chunk=chunk)
+    if cfg.polar_wolf:
+        return static_field_wolf(pos, box, atom_alive, params, cfg,
+                                 chunk=chunk)
     return static_field_direct(pos, box, atom_alive, params, cfg,
                                chunk=chunk)
+
+
+def static_field_wolf(pos, box, atom_alive, params, cfg, chunk=None):
+    """Wolf-damped static field (SURVEY.md §2 'Thole static field':
+    polar_wolf / polar_wolf_full [M]): the erfc-screened field kernel,
+    shifted so it vanishes at the cutoff (the field analog of the Wolf
+    damped-shifted potential), plus the Thole near-field correction.
+
+        E_i = sum_j q_j [ K(r) - K(rc) ] r_hat,
+        K(r) = erfc(a r)/r^2 + (2a/sqrt(pi)) e^{-a^2 r^2}/r
+
+    over intermolecular pairs within the cutoff; ``polar_wolf_alpha``
+    (cfg.polar_wolf_alpha, default the ES wolf/ewald alpha) sets a."""
+    N = pos.shape[0]
+    B = min(chunk or cfg.pair_chunk, N)
+    nb = -(-N // B)
+    box_inv = jnp.linalg.inv(box)
+    rc = derived_cutoff(box, cfg)
+    from mpmc_tpu.ops.pairs import derived_alpha
+    if cfg.polar_wolf_alpha is not None:
+        alpha = jnp.asarray(cfg.polar_wolf_alpha, pos.dtype)
+    else:
+        alpha = derived_alpha(rc, cfg)
+    two_a_pi = 2.0 * alpha / jnp.sqrt(jnp.pi)
+    k_rc = (erfc(alpha * rc) / rc + two_a_pi
+            * jnp.exp(-alpha * alpha * rc * rc)) / rc
+
+    def body(_, b):
+        i0 = b * B
+        rows = i0 + jnp.arange(B)
+        idx = jnp.clip(rows, 0, N - 1)
+        rok = (rows < N) & atom_alive[idx]
+        dr = pbc_ops.min_image(pos[idx][:, None, :] - pos[None, :, :],
+                               box, box_inv)
+        r2 = jnp.sum(dr * dr, -1)
+        ok = (rok[:, None] & atom_alive[None, :]
+              & (params.mol_id[idx][:, None] != params.mol_id[None, :])
+              & (r2 < rc * rc))
+        r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+        r = jnp.sqrt(r2s)
+        k_r = (erfc(alpha * r) / r
+               + two_a_pi * jnp.exp(-alpha * alpha * r2s)) / r
+        d1, _ = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
+        # damped-bare near field correction keeps Thole screening intact
+        k_damp = (d1 - 1.0) / (r2s * r)
+        coef = jnp.where(ok, params.charge[None, :]
+                         * ((k_r - k_rc) / r + k_damp), 0.0)
+        return None, jnp.einsum("bn,bnk->bk", coef, dr)
+
+    _, ys = jax.lax.scan(body, None, jnp.arange(nb))
+    return ys.reshape(nb * B, 3)[:N]
 
 
 def _use_pallas(cfg):

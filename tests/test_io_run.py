@@ -238,3 +238,73 @@ pqr_input {pqr}
 """)
     su, avgs = run_mod.run(job, log=io.StringIO())
     assert float(su.thermo.move_factor) < 5.0
+
+
+def test_replay_calc_pressure_ideal_gas(tmp_path):
+    """Replay of non-interacting frames: virial P = N kT / V exactly."""
+    import io
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    rng = np.random.default_rng(0)
+    L, n = 12.0, 15
+    lines = []
+    for f in range(3):
+        lines.append(f"REMARK frame {f}")
+        for i in range(n):
+            x, y, z = rng.uniform(0, L, 3)
+            lines.append(f"ATOM {i+1} He HE {i+1} M {x:.4f} {y:.4f} "
+                         f"{z:.4f} 4.0 0.0 0.0 0.0 0.0")
+        lines.append("END")
+    traj = tmp_path / "traj.pqr"
+    traj.write_text("\n".join(lines) + "\n")
+    job = input_script.parse(f"""
+ensemble replay
+temperature 200
+basis1 {L} 0 0
+basis2 0 {L} 0
+basis3 0 0 {L}
+rd_lrc off
+coulomb off
+calc_pressure on
+precision float64
+pqr_input {traj}
+""")
+    avgs = run_mod.run(job, log=io.StringIO())
+    expect = n * 200.0 / L ** 3 / ATM2K_A3
+    assert avgs.mean("pressure_atm") == pytest.approx(expect, rel=1e-9)
+
+
+def test_replay_calc_pressure_lj_virial(tmp_path):
+    """Interacting frames: dU/dlnV central difference must match the
+    analytic LJ virial sum for a 2-atom frame."""
+    import io
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    L, r = 30.0, 4.0
+    traj = tmp_path / "t.pqr"
+    traj.write_text(
+        f"ATOM 1 Ar AR 1 M 10.0 10.0 10.0 39.948 0.0 0.0 119.8 3.405\n"
+        f"ATOM 2 Ar AR 2 M {10+r} 10.0 10.0 39.948 0.0 0.0 119.8 3.405\n"
+        "END\n")
+    job = input_script.parse(f"""
+ensemble replay
+temperature 100
+basis1 {L} 0 0
+basis2 0 {L} 0
+basis3 0 0 {L}
+rd_lrc off
+coulomb off
+calc_pressure on
+precision float64
+pqr_input {traj}
+""")
+    avgs = run_mod.run(job, log=io.StringIO())
+    # analytic: dU/dlnV = (r/3) dU/dr for pair distance scaling r ~ V^{1/3}
+    eps, sig = 119.8, 3.405
+    s6 = (sig / r) ** 6
+    du_dr = 4 * eps * (-12 * s6 * s6 + 6 * s6) / r
+    du_dlnv = r / 3.0 * du_dr
+    expect = (2 * 100.0 - du_dlnv) / L ** 3 / ATM2K_A3
+    assert avgs.mean("pressure_atm") == pytest.approx(expect, rel=1e-4)

@@ -223,3 +223,55 @@ class TestEwaldField:
         # finite SCF iteration count -> slight warm-start path dependence
         assert float(st.energy.total) == pytest.approx(
             float(st2.energy.total), abs=1e-4)
+
+
+def test_wolf_field_limits():
+    """alpha -> 0 and large rc: the Wolf field reduces to the direct
+    damped field (shift vanishes, erfc -> 1)."""
+    import dataclasses
+    from mpmc_tpu.config import RunConfig
+    from mpmc_tpu.state import Species, build_system
+    import numpy as onp
+    sp = Species(
+        name="W", atom_names=("A", "B"),
+        pos=onp.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]),
+        mass=onp.ones(2), charge=onp.array([0.5, -0.5]),
+        polar=onp.array([0.8, 0.8]), eps=onp.zeros(2), sig=onp.zeros(2))
+    cfg = RunConfig(ensemble="nvt", rd_potential="none", coulomb="wolf",
+                    rd_lrc=False, polarization=True, polar_wolf=True,
+                    polar_wolf_alpha=1e-6, dtype="float64")
+    rng = onp.random.default_rng(2)
+    coms = rng.uniform(25.0, 35.0, size=(3, 3))
+    params, state = build_system(
+        onp.eye(3) * 60.0, species=(sp,), capacity=(3,),
+        initial_counts=(3,), initial_pos={0: coms[:, None] + sp.pos[None]},
+        dtype=cfg.jdtype)
+    alive = state.atom_alive(params)
+    e_wolf = np.asarray(thole.static_field_wolf(
+        state.pos, state.box, alive, params, cfg))
+    e_dir = np.asarray(thole.static_field_direct(
+        state.pos, state.box, alive, params, cfg))
+    # alpha -> 0: wolf = direct MINUS the shift field sum_j q_j rhat/rc^2
+    pos = np.asarray(state.pos)
+    q = np.asarray(params.charge)
+    mol = np.asarray(params.mol_id)
+    am = np.asarray(alive)
+    rc = 30.0
+    shift = np.zeros_like(pos)
+    for i in range(len(pos)):
+        if not am[i]:
+            continue
+        for j in range(len(pos)):
+            if not am[j] or mol[i] == mol[j]:
+                continue
+            d = pos[i] - pos[j]
+            r = np.linalg.norm(d)
+            if r < rc:
+                shift[i] += q[j] * d / (r * rc * rc)
+    scale = float(np.max(np.abs(e_dir)))
+    np.testing.assert_allclose(e_wolf, e_dir - shift, atol=1e-6 * scale)
+    # and with a physical alpha it differs (screening is real)
+    cfg2 = dataclasses.replace(cfg, polar_wolf_alpha=0.2)
+    e_w2 = thole.static_field_wolf(state.pos, state.box, alive, params,
+                                   cfg2)
+    assert float(jnp.max(jnp.abs(e_w2 - e_dir))) > 1e-6
