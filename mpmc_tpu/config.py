@@ -88,6 +88,9 @@ class RunConfig:
     # backend is TPU and the configuration is supported (f32, LJ/none RD,
     # ewald/wolf/cutoff/none ES, no FH) — see ops/pallas/pair_kernel.py
     use_pallas: bool = True
+    # fused per-move delta kernel: opt-in (wins for one big chain, loses
+    # under vmapped multi-chain batching — see ops/pairs.mol_pair_pass)
+    pallas_delta: bool = False
     fused_kernels: bool = True
 
     @property

@@ -312,10 +312,60 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     return avgs
 
 
+def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
+    """Many independent chains batched on-device (``chains N``): the
+    replica-throughput production mode — observables are averaged across
+    chains each corrtime (cross-chain averaging is the reference's MPI
+    observable reduce, SURVEY.md §2 "MPI layer"); restart/trajectory
+    follow chain 0."""
+    from mpmc_tpu.parallel import multichain
+
+    su = setup(job)
+    cfg, params, thermo = su.cfg, su.params, su.thermo
+    writer = output_io.RunWriter(job, su.species_names, log=log,
+                                 jsonl_path=jsonl_path)
+    C = job.chains
+    print(f"batched chains: {C}", file=writer.log)
+    state = metropolis.initialize(su.state, params, cfg, thermo)
+    states = multichain.stack_states(state, C, seed=cfg.seed)
+    avgs = Averages()
+    corr = max(cfg.corrtime, 1)
+    n_blocks = max(cfg.numsteps // corr, 1)
+    t0 = time.time()
+    for block in range(n_blocks):
+        states, stats = multichain.run_chunk_batched(states, params, cfg,
+                                                     thermo, corr)
+        states = multichain.initialize_batched(states, params, cfg, thermo)
+        # per-chain observables -> cross-chain mean (+ _sem spread)
+        per_chain = [observables(
+            su, jax.tree_util.tree_map(lambda x: x[c], states), None)
+            for c in range(C)]
+        obs = {k: float(np.mean([o[k] for o in per_chain]))
+               for k in per_chain[0]}
+        obs["N_sem_chains"] = float(np.std([o["N"] for o in per_chain])
+                                    / np.sqrt(max(C, 1)))
+        avgs.add(obs)
+        st0 = jax.tree_util.tree_map(lambda x: x[0], states)
+        writer.log_block(int(st0.step), obs, None)
+        writer.write_restart(params, st0)
+        writer.append_trajectory(params, st0)
+    wall = time.time() - t0
+    steps_done = n_blocks * corr
+    writer.final_averages(avgs, float(thermo.temperature))
+    print(f"steps/sec: {steps_done * C / max(wall, 1e-9):.2f} aggregate "
+          f"({C} chains x {steps_done} steps in {wall:.2f}s)",
+          file=writer.log)
+    writer.close()
+    return Setup(params, st0, cfg, thermo, su.species, su.species_names,
+                 su.frozen_mass), avgs
+
+
 def run_mc(job: input_script.Job, log=None, jsonl_path=None):
     """The main MC loop (ensemble nvt/uvt/npt/nve)."""
     if job.parallel_tempering:
         return run_mc_pt(job, log=log, jsonl_path=jsonl_path)
+    if job.chains > 1:
+        return run_mc_chains(job, log=log, jsonl_path=jsonl_path)
     su = setup(job)
     cfg, params = su.cfg, su.params
     thermo = su.thermo

@@ -263,6 +263,19 @@ def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol):
     box_inv = jnp.linalg.inv(box)
     rc = derived_cutoff(box, cfg)
     alpha = derived_alpha(rc, cfg)
+
+    # Opt-in only: the fused delta kernel reduces HBM traffic for a
+    # single large chain, but under vmapped multi-chain batching the
+    # sequential pallas grid is ~3x slower than the batched VPU ops the
+    # jnp path compiles to — the chain dimension is the better vector
+    # axis there (measured on v5e-class hardware at N~11k, C=256).
+    if cfg.pallas_delta and cfg.use_pallas:
+        from mpmc_tpu.ops.pallas import pair_kernel as _pk
+        if (_pk.supported(cfg) and jax.default_backend() == "tpu"
+                and params.max_atoms_per_mol <= _pk.A_PAD):
+            return _pk.mol_pair_pass_pallas(pos, box, atom_alive, params,
+                                            cfg, mol, rc, alpha)
+
     idx = params.mol_atoms[mol]                     # [A]
     na = params.mol_natoms[mol]
     valid = jnp.arange(idx.shape[0]) < na

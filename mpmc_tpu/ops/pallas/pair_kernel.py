@@ -242,3 +242,156 @@ def supported(cfg) -> bool:
             and cfg.coulomb in ("ewald", "wolf", "cutoff", "none")
             and not cfg.feynman_hibbs
             and cfg.dtype == "float32")
+
+
+# ---------------------------------------------------------------------------
+# Delta-pass kernel: one molecule's rows vs all columns — the per-move
+# workhorse (ops/pairs.mol_pair_pass).  The jnp path materializes ~8
+# [A, N] intermediates per call in HBM; this kernel keeps everything in
+# VMEM per (A_pad x TJ) tile.  vmap-able over chains (batched grid).
+# ---------------------------------------------------------------------------
+
+A_PAD = 8   # molecule rows padded to the f32 sublane count
+
+
+def _mol_kernel(scal_ref, rowd_ref, pj_ref, qj_ref, ej_ref, sj_ref,
+                aj_ref, box_ref, binv_ref, out_ref, *, cfg, n_real):
+    tj = pl.program_id(0)
+
+    @pl.when(tj == 0)
+    def _():
+        for k in range(N_OUT):
+            out_ref[0, k] = jnp.asarray(0.0, jnp.float32)
+        out_ref[0, 8] = jnp.asarray(jnp.inf, jnp.float32)
+
+    rc = scal_ref[0, 0]
+    alpha = scal_ref[0, 1]
+
+    # row data packed as (7*A_PAD, 128): fields x,y,z,q,eps,sig,valid
+    # replicated across lanes; take lane slice [:, :1] -> column vectors
+    fld = lambda k: rowd_ref[k * A_PAD:(k + 1) * A_PAD, 0:1]   # [A_PAD,1]
+    dx = [fld(k) - pj_ref[k, :][None, :] for k in range(3)]
+    fr = [sum(dx[b] * binv_ref[b, a] for b in range(3)) for a in range(3)]
+    fr = [f - jnp.round(f) for f in fr]
+    dr = [sum(fr[a] * box_ref[a, b] for a in range(3)) for b in range(3)]
+    r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
+
+    cols = tj * TJ + jax.lax.broadcasted_iota(jnp.int32, (A_PAD, TJ), 1)
+    ok = ((fld(6) > 0) & (aj_ref[0, :][None, :] > 0) & (cols < n_real))
+    act = ok & (r2 < rc * rc)
+
+    r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+    r = jnp.sqrt(r2s)
+    zero = jnp.zeros((), jnp.float32)
+
+    rd = zero
+    tc_s = zero
+    if cfg.rd_potential == "lj":
+        eps, sig = lj_ops.mix(fld(4), ej_ref[0, :][None, :],
+                              fld(5), sj_ref[0, :][None, :],
+                              cfg.mixing_rule)
+        rd = jnp.sum(jnp.where(act, lj_ops.energy(r2s, eps, sig), 0.0))
+        if cfg.rd_lrc:
+            tc_s = jnp.sum(jnp.where(
+                ok, lj_ops.tail_coefficient(eps, sig, rc), 0.0))
+
+    es = zero
+    qq = fld(3) * qj_ref[0, :][None, :]
+    if cfg.coulomb == "ewald":
+        es = jnp.sum(jnp.where(act, qq * _erfc(alpha * r) / r, 0.0))
+    elif cfg.coulomb == "wolf":
+        es = jnp.sum(jnp.where(
+            act, qq * (_erfc(alpha * r) / r - _erfc(alpha * rc) / rc),
+            0.0))
+    elif cfg.coulomb == "cutoff":
+        es = jnp.sum(jnp.where(act, qq / r, 0.0))
+
+    out_ref[0, 0] += rd
+    out_ref[0, 1] += es
+    out_ref[0, 3] += tc_s
+    out_ref[0, 8] = jnp.minimum(out_ref[0, 8],
+                                jnp.min(jnp.where(ok, r2, jnp.inf)))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_real", "interpret"))
+def mol_pair_tiles(pos_rows, q_rows, eps_rows, sig_rows, valid_rows,
+                   pos, charge, eps, sig, col_alive, box,
+                   rc, alpha, cfg, n_real, interpret=False):
+    """One molecule's rows (padded to A_PAD) against every column.
+    Returns raw sums [rd, es(no ke), _, lrc, ..., min_r2].
+
+    ``col_alive`` must already exclude the molecule's own columns."""
+    f32 = jnp.float32
+    n_pad = _round_up(n_real, TJ)
+    A = pos_rows.shape[0]
+    if A > A_PAD:
+        raise ValueError(f"molecule has {A} atoms > A_PAD={A_PAD}; "
+                         "raise pair_kernel.A_PAD")
+
+    def padr(x):
+        x = jnp.asarray(x).astype(f32)
+        return jnp.pad(x, (0, A_PAD - A))
+
+    def padc(x, dt=f32, fill=0):
+        x = jnp.asarray(x)
+        return jnp.pad(x.astype(dt), (0, n_pad - x.shape[0]),
+                       constant_values=fill).reshape(1, n_pad)
+
+    # packed row fields -> (7*A_PAD, 128), value broadcast across lanes
+    rowf = jnp.concatenate([
+        padr(pos_rows[:, 0]), padr(pos_rows[:, 1]), padr(pos_rows[:, 2]),
+        padr(q_rows), padr(eps_rows), padr(sig_rows),
+        padr(valid_rows.astype(f32))])                     # [7*A_PAD]
+    rowd = jnp.broadcast_to(rowf[:, None], (7 * A_PAD, 128))
+    pos_t = jnp.pad(pos.astype(f32), ((0, n_pad - pos.shape[0]),
+                                      (0, 0))).T
+    scal = jnp.stack([rc, alpha]).astype(f32).reshape(1, 2)
+    box32 = box.astype(f32)
+    binv = jnp.linalg.inv(box32)
+
+    cols1 = lambda: pl.BlockSpec((1, TJ), lambda j: (0, j),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mol_kernel, cfg=cfg, n_real=n_real),
+        grid=(n_pad // TJ,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((7 * A_PAD, 128), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TJ), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            cols1(), cols1(), cols1(), cols1(),
+            pl.BlockSpec((3, 3), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 3), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N_OUT), lambda j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, N_OUT), f32),
+        interpret=interpret,
+    )(scal, rowd, pos_t, padc(charge), padc(eps), padc(sig),
+      padc(col_alive, jnp.int32), box32, binv)
+    return out[0]
+
+
+def mol_pair_pass_pallas(pos, box, atom_alive, params, cfg, mol, rc,
+                         alpha, interpret=False):
+    """PairTerms-compatible delta pass for one molecule (ke applied)."""
+    from mpmc_tpu.ops.pairs import PairTerms
+    idx = params.mol_atoms[mol]
+    na = params.mol_natoms[mol]
+    valid = jnp.arange(idx.shape[0]) < na
+    col_alive = atom_alive & (params.mol_id != mol)
+    raw = mol_pair_tiles(
+        pos[idx], params.charge[idx], params.eps[idx], params.sig[idx],
+        valid, pos, params.charge, params.eps, params.sig, col_alive,
+        box, rc, alpha, cfg, pos.shape[0], interpret=interpret)
+    dtype = pos.dtype
+    ke = jnp.asarray(KE, dtype)
+    z = jnp.zeros((), dtype)
+    return PairTerms(rd=raw[0].astype(dtype),
+                     es_real=ke * raw[1].astype(dtype),
+                     es_excl=z, lrc_coeff=raw[3].astype(dtype),
+                     min_r2=raw[8].astype(dtype))

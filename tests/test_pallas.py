@@ -104,3 +104,22 @@ class TestTholeKernels:
             cfg.polar_damp_type, interpret=True)
         np.testing.assert_allclose(np.asarray(e_pal), np.asarray(e_jnp),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_mol_pair_kernel_matches_jnp():
+    """Delta-pass kernel vs the jnp mol_pair_pass for several molecules."""
+    from mpmc_tpu.ops.pallas import pair_kernel as pk
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=8, capacity=16, dtype="float32")
+    alive = state.atom_alive(params)
+    rc = pairs.derived_cutoff(state.box, cfg)
+    alpha = pairs.derived_alpha(rc, cfg)
+    for mol in (1, 3, 7):
+        rj = pairs.mol_pair_pass(state.pos, state.box, alive, params, cfg,
+                                 thermo.temperature, jnp.asarray(mol))
+        rp = pk.mol_pair_pass_pallas(state.pos, state.box, alive, params,
+                                     cfg, jnp.asarray(mol), rc, alpha,
+                                     interpret=True)
+        for name in ("rd", "es_real", "lrc_coeff", "min_r2"):
+            a, b = float(getattr(rj, name)), float(getattr(rp, name))
+            assert a == pytest.approx(b, rel=5e-4, abs=1e-2), (mol, name)

@@ -125,3 +125,33 @@ pqr_input {pqr}
     assert "swap acceptance:" in text
     assert avgs.mean("energy_total") != 0.0
     assert 0.0 <= avgs.mean("swap_acceptance") <= 1.0
+
+
+def test_chains_option_cli(tmp_path):
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "ar.pqr"
+    pqr.write_text(
+        "ATOM 1 Ar AR 1 M 3.0 3.0 3.0 39.948 0.0 0.0 119.8 3.405\n"
+        "ATOM 2 Ar AR 2 M 9.0 9.0 9.0 39.948 0.0 0.0 119.8 3.405\nEND\n")
+    job = input_script.parse(f"""
+ensemble uvt
+numsteps 300
+corrtime 100
+temperature 150
+pressure 40
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+insert_probability 0.5
+chains 6
+precision float64
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    su, avgs = run_mod.run(job, log=log)
+    assert "batched chains: 6" in log.getvalue()
+    assert "aggregate" in log.getvalue()
+    assert avgs.mean("N") > 0
+    assert "N_sem_chains" in avgs.samples
