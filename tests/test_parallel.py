@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from mpmc_tpu.mc import metropolis
 from mpmc_tpu.models import systems
+from mpmc_tpu.ops import pairs as pairs_mod
 from mpmc_tpu.parallel import replica
 
 
@@ -155,3 +156,37 @@ pqr_input {pqr}
     assert "aggregate" in log.getvalue()
     assert avgs.mean("N") > 0
     assert "N_sem_chains" in avgs.samples
+
+
+class TestSpatialSharding:
+    def test_pair_pass_sharded_matches_single(self, mesh8):
+        from mpmc_tpu.parallel import spatial
+        params, state, cfg, thermo = systems.mof_h2_gcmc(
+            n_side=4, n_h2=8, capacity=16, dtype="float64")
+        alive = state.atom_alive(params)
+        mesh = spatial.default_mesh(8)
+        mesh = jax.sharding.Mesh(np.asarray(mesh.devices), (spatial.AXIS,))
+        t1 = pairs_mod.pair_pass(state.pos, state.box, alive, params, cfg,
+                                 thermo.temperature)
+        t2 = spatial.pair_pass_sharded(state.pos, state.box, alive, params,
+                                       cfg, thermo.temperature, mesh)
+        for f in ("rd", "es_real", "es_excl", "lrc_coeff", "min_r2"):
+            assert float(getattr(t1, f)) == pytest.approx(
+                float(getattr(t2, f)), rel=1e-10), f
+
+    def test_recip_sharded_matches_single(self, mesh8):
+        from mpmc_tpu.ops import ewald
+        from mpmc_tpu.parallel import spatial
+        params, state, cfg, thermo = systems.mof_h2_gcmc(
+            n_side=4, n_h2=8, capacity=16, dtype="float64")
+        alive = state.atom_alive(params)
+        mesh = jax.sharding.Mesh(
+            np.asarray(jax.devices()[:8]), (spatial.AXIS,))
+        rc = pairs_mod.derived_cutoff(state.box, cfg)
+        alpha = pairs_mod.derived_alpha(rc, cfg)
+        e1, _ = ewald.recip_energy(state.pos, params.charge, alive,
+                                   state.box, alpha, cfg.ewald_kmax)
+        e2 = spatial.recip_energy_sharded(state.pos, params.charge, alive,
+                                          state.box, alpha, cfg.ewald_kmax,
+                                          mesh)
+        assert float(e1) == pytest.approx(float(e2), rel=1e-12)
