@@ -77,6 +77,8 @@ class RunWriter:
         fields per polarizable site (SURVEY.md §2 "Output writer")."""
         if not (self.job.dipole_output or self.job.field_output):
             return
+        if state.mu is None:
+            return
         mu = np.asarray(state.mu)
         alive = np.asarray(state.atom_alive(params))
         pol = np.asarray(params.polar) > 0

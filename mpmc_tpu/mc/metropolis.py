@@ -439,6 +439,9 @@ def initialize(state: SimState, params: Params, cfg: RunConfig,
     e, e_frozen, aux = energy_mod.total_energy(
         state.pos, state.box, state.mol_alive, params, cfg, thermo,
         mu0=state.mu, split_frozen=True)
+    # without polarization there are no dipoles to carry: dropping mu
+    # from the state removes a dead [N,3] select/copy from every MC step
+    mu_out = aux.get("mu", state.mu) if cfg.polarization else None
     cavity_open = state.cavity_open
     if cfg.cavity_bias:
         cavity_open = moves.cavity_open_grid(
@@ -447,5 +450,5 @@ def initialize(state: SimState, params: Params, cfg: RunConfig,
     return state.replace(
         energy=e, e_frozen=e_frozen,
         sk_re=aux.get("sk_re"), sk_im=aux.get("sk_im"),
-        mu=aux.get("mu", state.mu), e0=aux.get("e0"),
+        mu=mu_out, e0=aux.get("e0"),
         cavity_open=cavity_open)
