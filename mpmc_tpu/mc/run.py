@@ -463,6 +463,9 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         path = job.histogram_output or "histogram.dx"
         hist.write_dx(path)
         print(f"population histogram written to {path}", file=writer.log)
+    if job.pqr_output:
+        pqr_io.write_state(job.pqr_output, params, state, su.species_names,
+                           remark=f"final step {int(np.asarray(state.step))}")
     writer.final_averages(avgs, float(thermo.temperature))
     print(f"steps/sec: {steps_done / max(wall, 1e-9):.2f}  "
           f"({steps_done} steps in {wall:.2f}s)", file=writer.log)

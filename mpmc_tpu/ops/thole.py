@@ -42,8 +42,14 @@ from mpmc_tpu.ops.pairs import derived_cutoff
 
 
 def _damping(r, lam, kind):
-    """(damp1, damp2): charge-dipole and dipole-dipole screening factors
-    for an exponential Thole charge distribution of width lam [1/A]."""
+    """(damp1, damp2): charge-dipole and dipole-dipole screening factors.
+
+    - exponential: Thole's model 3 (exponential charge cloud), width lam
+      in 1/A — the reference default, polar_damp 2.1304 [C];
+    - linear: Thole's model 1 (linear / cone charge density, Thole 1981),
+      screening lambda3 = 4u^3 - 3u^4, lambda5 = u^4 for u = r/lam < 1
+      (here lam acts as the screening radius in A) — the reference's
+      ``polar_damp_type linear`` [M]."""
     if kind == "none":
         one = jnp.ones_like(r)
         return one, one
@@ -54,6 +60,10 @@ def _damping(r, lam, kind):
         d1 = 1.0 - e * p1
         d2 = 1.0 - e * (p1 + x * x * x / 6.0)
         return d1, d2
+    if kind == "linear":
+        u = jnp.minimum(r / lam, 1.0)
+        u3 = u * u * u
+        return 4.0 * u3 - 3.0 * u3 * u, u3 * u
     raise ValueError(f"polar_damp_type {kind} not supported")
 
 

@@ -308,3 +308,28 @@ pqr_input {traj}
     du_dlnv = r / 3.0 * du_dr
     expect = (2 * 100.0 - du_dlnv) / L ** 3 / ATM2K_A3
     assert avgs.mean("pressure_atm") == pytest.approx(expect, rel=1e-4)
+
+
+def test_pqr_output_written_at_end(tmp_path):
+    import io
+    from mpmc_tpu.io import input_script, pqr
+    from mpmc_tpu.mc import run as run_mod
+    p = tmp_path / "ar.pqr"
+    p.write_text(
+        "ATOM 1 Ar AR 1 M 3.0 3.0 3.0 39.948 0.0 0.0 119.8 3.405\nEND\n")
+    out = tmp_path / "final.pqr"
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 100
+corrtime 100
+temperature 150
+basis1 10 0 0
+basis2 0 10 0
+basis3 0 0 10
+precision float64
+pqr_input {p}
+pqr_output {out}
+""")
+    run_mod.run(job, log=io.StringIO())
+    assert out.exists()
+    assert len(pqr.read(str(out)).atoms) == 1

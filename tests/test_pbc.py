@@ -77,3 +77,47 @@ def test_cell_from_abc_volume():
     vref = a * b * c * np.sqrt(
         1 - ca**2 - cb**2 - cg**2 + 2 * ca * cb * cg)
     assert float(pbc.cell_volume(box)) == pytest.approx(vref, rel=1e-10)
+
+
+def test_triclinic_energy_invariance():
+    """A dimer's LJ energy must be identical in a cubic cell and in a
+    sheared triclinic cell large enough that images don't contribute."""
+    import jax.numpy as jnp
+    from mpmc_tpu.config import RunConfig, Thermo
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.ops import energy as energy_mod
+    from mpmc_tpu.state import build_system
+    sp = systems.lj_atom()
+    cfg = RunConfig(ensemble="nvt", coulomb="none", rd_lrc=False,
+                    dtype="float64", cutoff=8.0)
+    thermo = Thermo.make(n_species=1, dtype=cfg.jdtype)
+    pos0 = np.array([[[10.0, 10.0, 10.0]], [[13.7, 10.0, 10.0]]])
+    cubic = np.eye(3) * 30.0
+    tric = np.array([[30.0, 0.0, 0.0],
+                     [9.0, 28.0, 0.0],
+                     [6.0, 5.0, 27.0]])
+    es = []
+    for box in (cubic, tric):
+        params, state = build_system(box, species=(sp,), capacity=(2,),
+                                     initial_counts=(2,),
+                                     initial_pos={0: pos0},
+                                     dtype=cfg.jdtype)
+        e, _ = energy_mod.total_energy(state.pos, state.box,
+                                       state.mol_alive, params, cfg,
+                                       thermo)
+        es.append(float(e.total))
+    assert es[0] == pytest.approx(es[1], rel=1e-12)
+
+
+def test_abcbasis_grammar_roundtrip():
+    from mpmc_tpu.io import input_script
+    job = input_script.parse(
+        "abcbasis 10 12 14 90 90 90\nensemble te\n")
+    np.testing.assert_allclose(job.basis, np.diag([10.0, 12.0, 14.0]),
+                               atol=1e-12)
+    job2 = input_script.parse(
+        "abcbasis 10 10 10 60 60 60\nensemble te\n")
+    # cell volume of a rhombohedral 60-degree cell: a^3 sqrt(1-3c^2+2c^3)
+    c = np.cos(np.deg2rad(60.0))
+    v = 1000.0 * np.sqrt(1 - 3 * c * c + 2 * c ** 3)
+    assert abs(np.linalg.det(job2.basis)) == pytest.approx(v, rel=1e-10)

@@ -275,3 +275,20 @@ def test_wolf_field_limits():
     e_w2 = thole.static_field_wolf(state.pos, state.box, alive, params,
                                    cfg2)
     assert float(jnp.max(jnp.abs(e_w2 - e_dir))) > 1e-6
+
+
+def test_linear_damping_limits():
+    """Thole linear damping: ->1 beyond the screening radius, ->0 at
+    contact, monotone in between."""
+    r = jnp.linspace(0.01, 5.0, 200)
+    d1, d2 = thole._damping(r, 2.0, "linear")
+    d1, d2 = np.asarray(d1), np.asarray(d2)
+    assert np.all(d1[r >= 2.0] == 1.0) and np.all(d2[r >= 2.0] == 1.0)
+    assert d1[0] < 1e-4 and d2[0] < 1e-6
+    assert np.all(np.diff(d1) >= -1e-12) and np.all(np.diff(d2) >= -1e-12)
+    # SCF runs with linear damping selected from the input grammar
+    from mpmc_tpu.io import input_script
+    job = input_script.parse("polar_damp_type linear\npolar_damp 2.0\n"
+                             "polarization on\nbasis1 10 0 0\n"
+                             "basis2 0 10 0\nbasis3 0 0 10\n")
+    assert job.cfg.polar_damp_type == "linear"
