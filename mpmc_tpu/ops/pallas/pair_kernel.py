@@ -251,7 +251,9 @@ def supported(cfg) -> bool:
 # VMEM per (A_pad x TJ) tile.  vmap-able over chains (batched grid).
 # ---------------------------------------------------------------------------
 
-A_PAD = 8   # molecule rows padded to the f32 sublane count
+A_PAD = 8    # molecule rows padded to the f32 sublane count
+MOL_TJ = 2048   # column tile for the delta kernel (rows are only A_PAD
+                # sublanes, so fat tiles amortize grid-iteration overhead)
 
 
 def _mol_kernel(scal_ref, rowd_ref, pj_ref, qj_ref, ej_ref, sj_ref,
@@ -276,7 +278,8 @@ def _mol_kernel(scal_ref, rowd_ref, pj_ref, qj_ref, ej_ref, sj_ref,
     dr = [sum(fr[a] * box_ref[a, b] for a in range(3)) for b in range(3)]
     r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
 
-    cols = tj * TJ + jax.lax.broadcasted_iota(jnp.int32, (A_PAD, TJ), 1)
+    cols = tj * MOL_TJ + jax.lax.broadcasted_iota(jnp.int32,
+                                                  (A_PAD, MOL_TJ), 1)
     ok = ((fld(6) > 0) & (aj_ref[0, :][None, :] > 0) & (cols < n_real))
     act = ok & (r2 < rc * rc)
 
@@ -322,7 +325,7 @@ def mol_pair_tiles(pos_rows, q_rows, eps_rows, sig_rows, valid_rows,
 
     ``col_alive`` must already exclude the molecule's own columns."""
     f32 = jnp.float32
-    n_pad = _round_up(n_real, TJ)
+    n_pad = _round_up(n_real, MOL_TJ)
     A = pos_rows.shape[0]
     if A > A_PAD:
         raise ValueError(f"molecule has {A} atoms > A_PAD={A_PAD}; "
@@ -349,17 +352,17 @@ def mol_pair_tiles(pos_rows, q_rows, eps_rows, sig_rows, valid_rows,
     box32 = box.astype(f32)
     binv = jnp.linalg.inv(box32)
 
-    cols1 = lambda: pl.BlockSpec((1, TJ), lambda j: (0, j),
+    cols1 = lambda: pl.BlockSpec((1, MOL_TJ), lambda j: (0, j),
                                  memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_mol_kernel, cfg=cfg, n_real=n_real),
-        grid=(n_pad // TJ,),
+        grid=(n_pad // MOL_TJ,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((7 * A_PAD, 128), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TJ), lambda j: (0, j),
+            pl.BlockSpec((3, MOL_TJ), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
             cols1(), cols1(), cols1(), cols1(),
             pl.BlockSpec((3, 3), lambda j: (0, 0),
