@@ -107,6 +107,14 @@ class RunWriter:
         qst = avgs.qst(temperature)
         if np.isfinite(qst):
             print(f"  {'Qst (kJ/mol)':>20s} = {qst:14.6f}", file=p)
+        if len(self.species_names) > 1:
+            # multi-sorbate per-species isosteric heats (the reference's
+            # sorbateInfo_t stats, SURVEY.md §2 "Averages / observables")
+            for nm in self.species_names:
+                q_s = avgs.qst(temperature, n_key=f"N_{nm}")
+                if np.isfinite(q_s):
+                    print(f"  {f'Qst_{nm} (kJ/mol)':>20s} = {q_s:14.6f}",
+                          file=p)
         cv = avgs.heat_capacity(temperature)
         if np.isfinite(cv):
             print(f"  {'Cv (kJ/mol/K)':>20s} = {cv:14.6f}", file=p)

@@ -333,3 +333,32 @@ pqr_output {out}
     run_mod.run(job, log=io.StringIO())
     assert out.exists()
     assert len(pqr.read(str(out)).atoms) == 1
+
+
+def test_per_species_qst_reported(tmp_path):
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "mix.pqr"
+    pqr.write_text(
+        "ATOM 1 AA AA 1 M 3.0 3.0 3.0 10.0 0.0 0.0 30.0 3.0\n"
+        "ATOM 2 BB BB 2 M 9.0 9.0 9.0 20.0 0.0 0.0 60.0 3.2\nEND\n")
+    job = input_script.parse(f"""
+ensemble uvt
+numsteps 600
+corrtime 100
+temperature 120
+fugacities 30 60
+basis1 14 0 0
+basis2 0 14 0
+basis3 0 0 14
+insert_probability 0.6
+rd_lrc off
+precision float64
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    run_mod.run(job, log=log)
+    text = log.getvalue()
+    assert "Qst_AA (kJ/mol)" in text
+    assert "Qst_BB (kJ/mol)" in text
