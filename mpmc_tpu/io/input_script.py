@@ -49,6 +49,8 @@ class Job:
     insert_input: Optional[str] = None
     pqr_restart: Optional[str] = None
     pqr_output: Optional[str] = None
+    frozen_output: Optional[str] = None   # framework-only PQR, written once
+    read_pqr_box: bool = False   # take the cell from the PQR CRYST1 record
     traj_output: Optional[str] = None
     energy_output: Optional[str] = None
     dipole_output: Optional[str] = None
@@ -101,13 +103,14 @@ class Job:
 
 
 _IGNORED = {"cuda", "wrapall", "long_output", "preset_seeds",
-            "read_pqr_box", "scale_charge", "polar_self", "polar_rrms",
+            "scale_charge", "polar_self", "polar_rrms",
             # SPECTRE massive-polarizability free charges (SURVEY §2 [M])
             # and Feynman-Kleinert [L]: not rebuilt this round
             "spectre", "spectre_max_charge", "spectre_max_target",
             "feynman_kleinert", "quantum_vibration", "rd_crystal",
             "rd_crystal_order", "extrapolate_disp_coeffs",
-            "parallel_restarts", "frozen_output"}
+            "parallel_restarts", "adiabatic_probability",
+            "gwp_probability"}
 
 _ENSEMBLES = {"uvt", "nvt", "npt", "nve", "te", "total_energy", "surf",
               "surf_fit", "surf_multi_fit", "replay"}
@@ -336,6 +339,10 @@ def parse(text: str) -> Job:
             job.pqr_restart = v0
         elif key == "pqr_output":
             job.pqr_output = v0
+        elif key == "frozen_output":
+            job.frozen_output = v0
+        elif key == "read_pqr_box":
+            job.read_pqr_box = _onoff(v0) if vals else True
         elif key == "traj_output":
             job.traj_output = v0
         elif key in ("energy_output", "energy_output_csv"):

@@ -47,6 +47,7 @@ class PqrAtom:
 @dataclasses.dataclass
 class PqrFrame:
     atoms: List[PqrAtom]
+    box: Optional[np.ndarray] = None   # from a CRYST1 record, if present
 
     @property
     def frozen(self):
@@ -97,21 +98,29 @@ def read_frames(path: str, use_native: bool = False) -> List[PqrFrame]:
                 return frames
     frames: List[PqrFrame] = []
     atoms: List[PqrAtom] = []
+    box = None
     with open(path) as f:
         for line in f:
             s = line.strip()
-            if not s or s.startswith(("#", "!", "REMARK", "CRYST")):
+            if s.startswith("CRYST"):
+                t = s.split()
+                if len(t) >= 7:
+                    from mpmc_tpu.ops.pbc import cell_from_abc
+                    box = np.asarray(cell_from_abc(
+                        *[float(x) for x in t[1:7]]))
+                continue
+            if not s or s.startswith(("#", "!", "REMARK")):
                 continue
             if s.startswith(("END", "ENDMDL")):
                 if atoms:
-                    frames.append(PqrFrame(atoms))
-                    atoms = []
+                    frames.append(PqrFrame(atoms, box=box))
+                    atoms, box = [], None
                 continue
             a = parse_atom_line(line)
             if a is not None:
                 atoms.append(a)
     if atoms:
-        frames.append(PqrFrame(atoms))
+        frames.append(PqrFrame(atoms, box=box))
     return frames
 
 
@@ -137,9 +146,20 @@ def format_atom(a: PqrAtom, extended: bool = False) -> str:
                       c8=a.c8, c10=a.c10)
 
 
+def cryst_record(box) -> str:
+    from mpmc_tpu.ops.pbc import abc_from_cell
+    a, b, c, al, be, ga = abc_from_cell(box)
+    return (f"CRYST1 {a:9.4f} {b:9.4f} {c:9.4f} "
+            f"{al:7.2f} {be:7.2f} {ga:7.2f}")
+
+
 def write(path: str, atoms: List[PqrAtom], mode: str = "w",
-          remark: str = "", extended: bool = False, use_native: bool = True):
-    if use_native:
+          remark: str = "", extended: bool = False, use_native: bool = True,
+          box=None):
+    header = ""
+    if box is not None:
+        header = cryst_record(box) + "\n"
+    if use_native and box is None:
         from mpmc_tpu.io import native
         if native.write_frame(path, atoms, mode=mode, remark=remark,
                               extended=extended):
@@ -147,6 +167,7 @@ def write(path: str, atoms: List[PqrAtom], mode: str = "w",
     with open(path, mode) as f:
         if remark:
             f.write(f"REMARK {remark}\n")
+        f.write(header)
         for a in atoms:
             f.write(format_atom(a, extended) + "\n")
         f.write("END\n")
@@ -166,8 +187,15 @@ def write_state(path: str, params, state, species_names=None,
     if not native.available():
         write(path, snapshot_atoms(params, state, species_names),
               mode=mode, remark=remark, extended=extended,
-              use_native=False)
+              use_native=False, box=onp.asarray(state.box))
         return
+    # CRYST1 cell record first (host append), then the native atom writer
+    with open(path, mode) as fh:
+        if remark:
+            fh.write(f"REMARK {remark}\n")
+        fh.write(cryst_record(onp.asarray(state.box)) + "\n")
+    mode = "a"
+    remark = ""
     alive = onp.nonzero(onp.asarray(state.atom_alive(params)))[0]
     n = len(alive)
     num = onp.empty((n, 13), onp.float64)

@@ -60,12 +60,17 @@ def _species_from_atoms(atoms) -> Species:
 def setup(job: input_script.Job,
           frame: Optional[pqr_io.PqrFrame] = None) -> Setup:
     """Build (params, state, cfg, thermo) from a parsed Job."""
-    if job.basis is None:
-        raise ValueError("no cell: provide basis1/2/3 or abcbasis")
     if frame is None:
         if not job.pqr_input:
             raise ValueError("pqr_input is required")
         frame = pqr_io.read(job.pqr_input)
+    basis = job.basis
+    if job.read_pqr_box and frame.box is not None:
+        basis = frame.box   # reference's read_pqr_box (SURVEY §2.9 "Cell")
+    if basis is None:
+        raise ValueError("no cell: provide basis1/2/3, abcbasis, or "
+                         "read_pqr_box with a CRYST1 record")
+    job = dataclasses.replace(job, basis=basis)
 
     frozen = sorted(frame.frozen, key=lambda a: a.serial)
     frozen_pos = np.stack([a.xyz for a in frozen]) if frozen else None
@@ -172,6 +177,16 @@ def observables(su: Setup, state: SimState, stats=None) -> Dict[str, float]:
     }
     obs["N2"] = obs["N"] ** 2
     obs["UN"] = obs["energy_total"] * obs["N"]
+    if state.mu is not None:
+        # RMS induced dipole per polarizable site [Debye] — the
+        # reference's polar_rrms diagnostic (SURVEY §2.9 "Polarization")
+        from mpmc_tpu.constants import DEBYE_PER_EA
+        pol = (np.asarray(params.polar) > 0) & np.asarray(
+            state.atom_alive(params))
+        if pol.any():
+            mu2 = np.asarray(jnp.sum(state.mu * state.mu, axis=1))[pol]
+            obs["polar_rrms_debye"] = float(
+                np.sqrt(mu2.mean()) * DEBYE_PER_EA)
     total_sorb_amu = 0.0
     for i, nm in enumerate(su.species_names):
         n_i = float(state.n_molecules_of(params, i))
@@ -375,6 +390,11 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         print(f"WARNING: unknown options ignored: {job.unknown_options}",
               file=writer.log)
     state = metropolis.initialize(su.state, params, cfg, thermo)
+    if job.frozen_output:
+        # framework-only PQR, written once (SURVEY §2.9 "I/O")
+        frame = pqr_io.read(job.pqr_input)
+        pqr_io.write(job.frozen_output, frame.frozen,
+                     remark="frozen framework")
     avgs = Averages()
     if job.checkpoint_input:
         from mpmc_tpu.io import checkpoint as ckpt

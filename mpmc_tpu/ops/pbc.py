@@ -96,6 +96,21 @@ def wrap_molecules(pos, box, com, box_inv=None):
     return pos - shift
 
 
+def abc_from_cell(box):
+    """(a, b, c, alpha, beta, gamma[deg]) from a row-vector basis —
+    the CRYST1 record contents (host-side numpy)."""
+    import numpy as onp
+    box = onp.asarray(box, onp.float64)
+    a, b, c = (onp.linalg.norm(box[i]) for i in range(3))
+    cosa = box[1] @ box[2] / (b * c)
+    cosb = box[0] @ box[2] / (a * c)
+    cosg = box[0] @ box[1] / (a * b)
+    return (float(a), float(b), float(c),
+            float(onp.degrees(onp.arccos(onp.clip(cosa, -1, 1)))),
+            float(onp.degrees(onp.arccos(onp.clip(cosb, -1, 1)))),
+            float(onp.degrees(onp.arccos(onp.clip(cosg, -1, 1)))))
+
+
 def cell_from_abc(a, b, c, alpha_deg, beta_deg, gamma_deg):
     """Build a row-vector cell basis from lengths + angles (degrees).
 

@@ -71,3 +71,53 @@ pqr_input {traj}
     ideal = rho * T / ATM2K_A3
     # the B2 correction must be resolved: closer to 'expect' than 'ideal'
     assert got == pytest.approx(expect, abs=max(3 * sem, 0.02 * expect))
+
+
+@pytest.mark.slow
+def test_npt_pressure_self_consistency(tmp_path):
+    """NPT-sampled configurations, replayed with the virial estimator,
+    must reproduce the imposed pressure (volume moves <-> virial
+    consistency; O(1/N) ensemble corrections allowed)."""
+    T, P, n = 160.0, 40.0, 32
+    rng = np.random.default_rng(1)
+    L0 = 22.0
+    pts = rng.uniform(1.0, L0 - 1.0, (n, 3))
+    pqr = tmp_path / "gas.pqr"
+    pqr.write_text("\n".join(
+        f"ATOM {i+1} Ar AR {i+1} M {p[0]:.4f} {p[1]:.4f} {p[2]:.4f} "
+        "39.948 0.0 0.0 119.8 3.405" for i, p in enumerate(pts)) + "\nEND\n")
+    traj = tmp_path / "traj.pqr"
+    job = input_script.parse(f"""
+ensemble npt
+numsteps 80000
+corrtime 500
+temperature {T}
+pressure {P}
+volume_probability 0.06
+volume_change_factor 0.08
+move_factor 2.0
+basis1 {L0} 0 0
+basis2 0 {L0} 0
+basis3 0 0 {L0}
+rd_lrc off
+coulomb off
+cutoff 8.0
+precision float64
+pqr_input {pqr}
+traj_output {traj}
+""")
+    run_mod.run(job, log=io.StringIO())
+    job2 = input_script.parse(f"""
+ensemble replay
+calc_pressure on
+temperature {T}
+read_pqr_box on      ! NPT frames carry their own CRYST1 cell
+rd_lrc off
+coulomb off
+cutoff 8.0
+precision float64
+pqr_input {traj}
+""")
+    avgs = run_mod.run(job2, log=io.StringIO())
+    got = np.mean(avgs.samples["pressure_atm"][40:])
+    assert got == pytest.approx(P, rel=0.15)
