@@ -68,6 +68,9 @@ class RunConfig:
     # --- quantum corrections (SURVEY §2.9 "Quantum")
     feynman_hibbs: bool = False
     feynman_hibbs_order: int = 2   # 2 | 4
+    # quantum rotation: enables the spinflip move (ortho<->para via cached
+    # hindered-rotor free energies, refreshed per corrtime)
+    quantum_rotation: bool = False
 
     # --- ensembles / moves (static structure; magnitudes live in Thermo)
     cavity_autoreject_absolute: float = 0.0   # r_min; 0 disables

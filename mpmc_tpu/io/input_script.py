@@ -62,7 +62,6 @@ class Job:
     checkpoint_output: Optional[str] = None   # exact-resume extension
     checkpoint_input: Optional[str] = None
     # quantum rotation (SURVEY §2.9 "Quantum")
-    quantum_rotation: bool = False
     quantum_rotation_level_max: int = 4
     # adaptive move sizes: rescale move_factor/rot_factor each corrtime
     # toward ~50% displace acceptance (SURVEY §2 "MC main loop" [M])
@@ -276,7 +275,7 @@ def parse(text: str) -> Job:
             job.ignored_options.append(key)   # repulsion variants: later
         # --- quantum
         elif key == "quantum_rotation":
-            job.quantum_rotation = _onoff(v0)
+            cfg_kw["quantum_rotation"] = _onoff(v0)
         elif key in ("quantum_rotation_level_max", "quantum_rotation_l_max",
                      "quantum_rotation_sum_max"):
             job.quantum_rotation_level_max = int(float(v0))

@@ -36,8 +36,8 @@ from mpmc_tpu.ops import ewald, pairs, thole
 from mpmc_tpu.state import EnergyBreakdown, Params, SimState
 
 # global move-type ids (stats indexing)
-DISPLACE, INSERT, DELETE, VOLUME = 0, 1, 2, 3
-N_MOVE_TYPES = 4
+DISPLACE, INSERT, DELETE, VOLUME, SPINFLIP = 0, 1, 2, 3, 4
+N_MOVE_TYPES = 5
 
 
 @jax.tree_util.register_dataclass
@@ -65,6 +65,9 @@ class Candidate:
     denergy: EnergyBreakdown       # all slots except polar
     ln_bias: jax.Array             # ensemble proposal-bias log factor
     hard_reject: jax.Array         # bool
+    spin_mol: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(-1, jnp.int32))
+    # >=0: molecule whose nuclear-spin species flips on accept
 
 
 def _movable_mask(params: Params, mol_alive):
@@ -120,28 +123,43 @@ def make_branch_picker(cfg: RunConfig):
     """(pick_branch(key, thermo) -> branch index, branch_ids) for the
     ensemble's move table — move-type probabilities follow the reference
     (SURVEY.md §2 "Moves / checkpoint": insert_probability split evenly
-    between insert and delete; volume_probability for NPT)."""
+    between insert and delete; volume_probability for NPT;
+    spinflip_probability carves out the spinflip move when
+    quantum_rotation is on)."""
     if cfg.ensemble == "uvt" and cfg.insert_species:
-        branch_ids = jnp.asarray([DISPLACE, INSERT, DELETE])
+        ids = [DISPLACE, INSERT, DELETE]
 
-        def pick_branch(key, thermo):
+        def pick_base(key, thermo):
             k1, k2 = jax.random.split(key)
             u = jax.random.uniform(k1)
             coin = jax.random.uniform(k2) < 0.5
             return jnp.where(u < thermo.insert_probability,
                              jnp.where(coin, 1, 2), 0)
     elif cfg.ensemble == "npt":
-        branch_ids = jnp.asarray([DISPLACE, VOLUME])
+        ids = [DISPLACE, VOLUME]
 
-        def pick_branch(key, thermo):
+        def pick_base(key, thermo):
             u = jax.random.uniform(key)
             return jnp.where(u < thermo.volume_probability, 1, 0)
     else:   # nvt / nve / single-molecule ensembles
-        branch_ids = jnp.asarray([DISPLACE])
+        ids = [DISPLACE]
 
-        def pick_branch(key, thermo):
+        def pick_base(key, thermo):
             return jnp.zeros((), jnp.int32)
-    return pick_branch, branch_ids
+
+    if not cfg.quantum_rotation:
+        return pick_base, jnp.asarray(ids)
+
+    n_base = len(ids)
+    ids = ids + [SPINFLIP]
+
+    def pick_branch(key, thermo):
+        ks, kb = jax.random.split(key)
+        u = jax.random.uniform(ks)
+        return jnp.where(u < thermo.spinflip_probability,
+                         jnp.asarray(n_base, jnp.int32),
+                         pick_base(kb, thermo))
+    return pick_branch, jnp.asarray(ids)
 
 
 def make_step_fn(params: Params, cfg: RunConfig):
@@ -318,6 +336,22 @@ def make_step_fn(params: Params, cfg: RunConfig):
         return Candidate(new_pos, new_box, state.mol_alive, sk_re, sk_im,
                          d, ln_bias.astype(dtype), jnp.zeros((), bool))
 
+    def b_spinflip(state: SimState, thermo: Thermo, key):
+        """Ortho<->para flip of one rotor using the cached hindered-rotor
+        free energies (SURVEY.md §2 "Moves / checkpoint": spinflip via the
+        quantum-rotation eigenspectrum).  No positions change; acceptance
+        exp(-(F_new - F_old)/T)."""
+        k_sel, _ = jax.random.split(key)
+        eligible = (_movable_mask(params, state.mol_alive)
+                    & (params.mol_natoms >= 2))
+        mol, cnt = moves.pick_random_true(k_sel, eligible)
+        s_cur = state.spin[mol]
+        d_f = (state.rot_f[mol, 1 - s_cur] - state.rot_f[mol, s_cur])
+        ln_bias = (-d_f / thermo.temperature).astype(dtype)
+        return Candidate(state.pos, state.box, state.mol_alive,
+                         state.sk_re, state.sk_im, ez, ln_bias,
+                         cnt == 0, spin_mol=mol.astype(jnp.int32))
+
     # branch table per ensemble (static)
     if cfg.ensemble == "uvt" and cfg.insert_species:
         branches = [b_displace, b_insert, b_delete]
@@ -325,6 +359,8 @@ def make_step_fn(params: Params, cfg: RunConfig):
         branches = [b_displace, b_volume]
     else:   # nvt / nve / single-molecule ensembles
         branches = [b_displace]
+    if cfg.quantum_rotation:
+        branches = branches + [b_spinflip]
     pick_branch, branch_ids = make_branch_picker(cfg)
 
     # ------------------------------------------------------------------ step
@@ -397,6 +433,12 @@ def make_step_fn(params: Params, cfg: RunConfig):
             e0=sel(e0_new, state.e0),
             e_frozen=state.e_frozen,
             cavity_open=state.cavity_open,
+            spin=(state.spin if state.spin is None else jnp.where(
+                accept & (cand.spin_mol >= 0),
+                state.spin.at[jnp.maximum(cand.spin_mol, 0)].set(
+                    1 - state.spin[jnp.maximum(cand.spin_mol, 0)]),
+                state.spin)),
+            rot_f=state.rot_f,
         )
         gid = branch_ids[t]
         new_stats = MCStats(

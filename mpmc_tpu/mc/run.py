@@ -187,6 +187,17 @@ def observables(su: Setup, state: SimState, stats=None) -> Dict[str, float]:
             mu2 = np.asarray(jnp.sum(state.mu * state.mu, axis=1))[pol]
             obs["polar_rrms_debye"] = float(
                 np.sqrt(mu2.mean()) * DEBYE_PER_EA)
+    if state.spin is not None and state.rot_f is not None:
+        alive_m = (np.asarray(state.mol_alive)
+                   & ~np.asarray(params.mol_frozen)
+                   & (np.asarray(params.mol_species) >= 0)
+                   & (np.asarray(params.mol_natoms) >= 2))
+        if alive_m.any():
+            sp = np.asarray(state.spin)[alive_m]
+            ft = np.asarray(state.rot_f)[alive_m]
+            obs["ortho_fraction"] = float(sp.mean())
+            obs["energy_qrot"] = float(
+                ft[np.arange(len(sp)), sp].mean())
     total_sorb_amu = 0.0
     for i, nm in enumerate(su.species_names):
         n_i = float(state.n_molecules_of(params, i))
@@ -197,7 +208,8 @@ def observables(su: Setup, state: SimState, stats=None) -> Dict[str, float]:
     if stats is not None:
         att = np.maximum(np.asarray(stats.attempts), 1)
         acc = np.asarray(stats.accepts) / att
-        for i, nm in enumerate(("displace", "insert", "delete", "volume")):
+        for i, nm in enumerate(("displace", "insert", "delete", "volume",
+                                "spinflip")):
             obs[f"acc_{nm}"] = float(acc[i])
     return obs
 
@@ -407,15 +419,20 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         from mpmc_tpu.utils.histogram import PopulationHistogram
         hist = PopulationHistogram(np.asarray(state.box),
                                    job.hist_resolution)
-    # quantum rotation: per-molecule hindered-rotor spectra + ortho/para
-    # spinflip sweeps at each corrtime (SURVEY.md §2 "Quantum rotation")
-    qr_rng = None
-    spins = None
-    if job.quantum_rotation:
+    # quantum rotation: spinflip is a per-step MC move driven by cached
+    # hindered-rotor free energies, refreshed at every corrtime
+    # (SURVEY.md §2 "Quantum rotation" / "Moves / checkpoint")
+    if cfg.quantum_rotation:
         from mpmc_tpu.ops import qrot
         qr_rng = np.random.default_rng(cfg.seed + 977)
         # normal-H2 initial mixture: 3:1 ortho:para
-        spins = (qr_rng.random(params.n_mols_max) < 0.75).astype(int)
+        spins0 = (qr_rng.random(params.n_mols_max) < 0.75).astype(np.int32)
+        table = qrot.free_energy_table(
+            state.pos, state.box, state.atom_alive(params),
+            state.mol_alive, params, cfg, thermo, list(su.species),
+            lmax=job.quantum_rotation_level_max)
+        state = state.replace(spin=jnp.asarray(spins0),
+                              rot_f=jnp.asarray(table, cfg.jdtype))
     corr = max(cfg.corrtime, 1)
     n_blocks = max(cfg.numsteps // corr, 1)
     t0 = time.time()
@@ -424,25 +441,14 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         state, stats = metropolis.run_chunk(state, params, cfg, thermo, corr)
         steps_done += corr
         state = metropolis.initialize(state, params, cfg, thermo)  # refresh
-        obs = observables(su, state, stats)
-        if spins is not None:
+        if cfg.quantum_rotation:
             from mpmc_tpu.ops import qrot
-            alive_m = (np.asarray(state.mol_alive)
-                       & ~np.asarray(params.mol_frozen)
-                       & (np.asarray(params.mol_species) >= 0))
-            slots = [m for m in np.nonzero(alive_m)[0]
-                     if su.species[int(np.asarray(
-                         params.mol_species)[m])].natoms >= 2]
-            if slots:
-                sl_spins = spins[slots]
-                sl_spins, n_flips, e_rot = qrot.spinflip_sweep(
-                    state.pos, state.box, state.atom_alive(params), params,
-                    cfg, thermo, list(su.species), slots, sl_spins, qr_rng,
-                    lmax=job.quantum_rotation_level_max)
-                spins[slots] = sl_spins
-                obs["ortho_fraction"] = float(np.mean(sl_spins))
-                obs["energy_qrot"] = float(e_rot)
-                obs["spinflips"] = float(n_flips)
+            table = qrot.free_energy_table(
+                state.pos, state.box, state.atom_alive(params),
+                state.mol_alive, params, cfg, thermo, list(su.species),
+                lmax=job.quantum_rotation_level_max)
+            state = state.replace(rot_f=jnp.asarray(table, cfg.jdtype))
+        obs = observables(su, state, stats)
         avgs.add(obs)
         writer.log_block(int(state.step), obs, stats)
         writer.write_restart(params, state)

@@ -148,6 +148,33 @@ def symmetry_free_energies(evals, l_of, temperature) -> Tuple[float, float]:
     return f(0), f(1)
 
 
+def free_energy_table(pos, box, atom_alive, mol_alive, params, cfg,
+                      thermo, species_list, lmax: int = 4) -> np.ndarray:
+    """[M,2] table of (F_para, F_ortho) [K] for every alive movable
+    linear rotor (zeros elsewhere) — the per-corrtime cache behind the
+    per-step spinflip move (SURVEY.md §2 "Moves / checkpoint")."""
+    M = int(params.n_mols_max)
+    table = np.zeros((M, 2), np.float64)
+    alive_m = np.asarray(mol_alive)
+    spec = np.asarray(params.mol_species)
+    frozen = np.asarray(params.mol_frozen)
+    natoms = np.asarray(params.mol_natoms)
+    t = float(thermo.temperature)
+    for m in range(M):
+        sidx = int(spec[m])
+        if not alive_m[m] or frozen[m] or sidx < 0 or natoms[m] < 2:
+            continue
+        sp = species_list[sidx]
+        try:
+            evals, l_of = rotational_levels(
+                pos, box, atom_alive, params, cfg, thermo.temperature, m,
+                sp, lmax=lmax)
+        except ValueError:
+            continue   # zero moment of inertia: not a rotor
+        table[m] = symmetry_free_energies(evals, l_of, t)
+    return table
+
+
 def spinflip_sweep(pos, box, atom_alive, params, cfg, thermo, species_list,
                    mol_slots: List[int], spins: np.ndarray, rng,
                    lmax: int = 4) -> Tuple[np.ndarray, int, float]:

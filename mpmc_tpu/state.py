@@ -145,6 +145,11 @@ class SimState:
     # cavity-bias occupancy grid [G^3] (True = open), refreshed per
     # corrtime (SURVEY.md §2 "Cavity bias"):
     cavity_open: Optional[jax.Array] = None
+    # quantum rotation (spinflip move): per-molecule nuclear-spin species
+    # [M] (0=para, 1=ortho) and cached rotational free energies [M,2]
+    # (F_para, F_ortho), refreshed per corrtime (SURVEY.md §2 "Moves"):
+    spin: Optional[jax.Array] = None
+    rot_f: Optional[jax.Array] = None
 
     def atom_alive(self, params: Params):
         return self.mol_alive[params.mol_id] & params.atom_ok

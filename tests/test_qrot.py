@@ -113,8 +113,8 @@ def test_quantum_rotation_cli_run(tmp_path):
         "END\n")
     job = input_script.parse(f"""
 ensemble nvt
-numsteps 100
-corrtime 50
+numsteps 2000
+corrtime 250
 temperature 40
 basis1 20 0 0
 basis2 0 20 0
@@ -124,9 +124,14 @@ rd_lrc off
 precision float64
 quantum_rotation on
 quantum_rotation_level_max 3
+spinflip_probability 0.3
 pqr_input {pqr}
 """)
     log = io.StringIO()
     _, avgs = run_mod.run(job, log=log)
     assert "ortho_fraction" in avgs.samples
     assert "energy_qrot" in avgs.samples
+    # at 40 K para is strongly favoured (dF ~ 2B - T ln3 ~ +130 K):
+    # the per-step spinflip move must relax toward para
+    assert np.mean(avgs.samples["ortho_fraction"][2:]) < 0.4
+    assert avgs.mean("acc_spinflip") >= 0.0
