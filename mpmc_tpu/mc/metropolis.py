@@ -190,6 +190,9 @@ def make_step_fn(params: Params, cfg: RunConfig):
         new_pos = moves.displace_molecule(state.pos, params, mol, k_mv,
                                           thermo.move_factor,
                                           thermo.rot_factor)
+        # NOTE: sharing the old `pos` columns for the new-row pass
+        # (row_pos=...) measured ~10% SLOWER at C=256 — it broke XLA's
+        # fusion of the scatter with the pass; keep the two-array form.
         new = pairs.mol_pair_pass(new_pos, state.box, alive, params, cfg,
                                   thermo.temperature, mol)
         if cfg.coulomb == "ewald":

@@ -40,21 +40,27 @@ def pick_random_true(key, mask):
     return pick_nth_true(mask, n), cnt
 
 
-def displace_molecule(pos, params: Params, mol, key, move_factor,
-                      rot_factor):
-    """Translate + rotate one molecule; returns the full new pos array.
+def displace_rows(pos, params: Params, mol, key, move_factor, rot_factor):
+    """(idx, new_rows): trial coordinates for one molecule's atoms after
+    a translate+rotate move (rows only — callers scatter on acceptance).
 
     Padded ``mol_atoms`` rows duplicate the molecule's first atom index;
     every duplicate computes the identical new coordinate, so the scatter
-    is deterministic.
-    """
+    is deterministic."""
     k_t, k_r = jax.random.split(key)
     idx = params.mol_atoms[mol]
     com = molecule_com(pos, params, mol)
     disp = (jax.random.uniform(k_t, (3,), pos.dtype) * 2.0 - 1.0) * move_factor
     q = quat.random_small(k_r, rot_factor)
     new = com + disp + quat.rotate(pos[idx] - com, q)
-    return pos.at[idx].set(new.astype(pos.dtype))
+    return idx, new.astype(pos.dtype)
+
+
+def displace_molecule(pos, params: Params, mol, key, move_factor,
+                      rot_factor):
+    """Translate + rotate one molecule; returns the full new pos array."""
+    idx, new = displace_rows(pos, params, mol, key, move_factor, rot_factor)
+    return pos.at[idx].set(new)
 
 
 def cavity_open_grid(pos, box, atom_alive, g: int, radius):

@@ -251,7 +251,8 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
     return acc
 
 
-def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol):
+def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol,
+                  row_pos=None):
     """Pair terms between molecule ``mol``'s atoms and all *other* molecules.
 
     One-sided: each inter-molecular pair touching ``mol`` is counted exactly
@@ -281,7 +282,12 @@ def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol):
     valid = jnp.arange(idx.shape[0]) < na
     # exclude own molecule columns entirely (one-sided inter only)
     col_alive = atom_alive & (params.mol_id != mol)
-    return _block_terms(pos[idx], idx, valid, pos, col_alive, params, cfg,
+    # row_pos: trial coordinates for the molecule's own rows.  The columns
+    # always come from ``pos`` — for a displace trial the moved molecule's
+    # columns are masked out anyway, so sharing the untouched array lets
+    # XLA CSE every column gather between the old- and new-position passes.
+    rows = pos[idx] if row_pos is None else row_pos
+    return _block_terms(rows, idx, valid, pos, col_alive, params, cfg,
                         box, box_inv, rc, alpha, temperature,
                         triangular=False)
 
