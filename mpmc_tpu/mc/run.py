@@ -242,11 +242,49 @@ def run_replay(job: input_script.Job, log=None):
     from mpmc_tpu.constants import ATM2K_A3
     from mpmc_tpu.mc import moves as moves_mod
 
+    def topo_sig(fr):
+        return (len(fr.frozen),
+                tuple((a[0].mol_name, len(a)) for a in
+                      (ats for _, ats in sorted(
+                          fr.movable_molecules().items()))))
+
+    def refresh_positions(su, fr):
+        """Fast path: same topology as the previous frame — write the new
+        coordinates (and cell) into the existing padded state instead of
+        rebuilding the whole system (big trajectories are setup-bound
+        otherwise)."""
+        pos = np.asarray(su.state.pos).copy()
+        frozen = sorted(fr.frozen, key=lambda a: a.serial)
+        for i, a in enumerate(frozen):
+            pos[i] = a.xyz
+        spec = np.asarray(su.params.mol_species)
+        slot_cursor = {i: 0 for i in range(len(su.species_names))}
+        slots_of = {i: np.nonzero(spec == i)[0]
+                    for i in range(len(su.species_names))}
+        mol_atoms = np.asarray(su.params.mol_atoms)
+        for _, atoms in sorted(fr.movable_molecules().items()):
+            si = su.species_names.index(atoms[0].mol_name)
+            slot = slots_of[si][slot_cursor[si]]
+            slot_cursor[si] += 1
+            idx = mol_atoms[slot]
+            for k, a in enumerate(sorted(atoms, key=lambda x: x.serial)):
+                pos[idx[k]] = a.xyz
+        state = su.state.replace(pos=jnp.asarray(pos, su.cfg.jdtype))
+        if job.read_pqr_box and fr.box is not None:
+            state = state.replace(box=jnp.asarray(fr.box, su.cfg.jdtype))
+        return dataclasses.replace(su, state=state)
+
     frames = pqr_io.read_frames(job.pqr_input)
     avgs = Averages()
     su = None
+    sig_prev = None
     for fr in frames:
-        su = setup(job, frame=fr)
+        sig = topo_sig(fr)
+        if su is not None and sig == sig_prev:
+            su = refresh_positions(su, fr)
+        else:
+            su = setup(job, frame=fr)
+        sig_prev = sig
         state = metropolis.initialize(su.state, su.params, su.cfg, su.thermo)
         obs = observables(su, state)
         if job.calc_pressure:

@@ -362,3 +362,106 @@ pqr_input {pqr}
     text = log.getvalue()
     assert "Qst_AA (kJ/mol)" in text
     assert "Qst_BB (kJ/mol)" in text
+
+
+def test_replay_fast_path_matches_full_setup(tmp_path):
+    """Same-topology frames take the position-refresh fast path; energies
+    must equal frame-by-frame full setup."""
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    rng = np.random.default_rng(5)
+    frames_xyz = [rng.uniform(1, 11, (4, 3)) for _ in range(3)]
+    lines = []
+    for xyz in frames_xyz:
+        for i, p in enumerate(xyz):
+            lines.append(f"ATOM {i+1} Ar AR {i+1} M {p[0]:.5f} {p[1]:.5f} "
+                         f"{p[2]:.5f} 39.948 0.0 0.0 119.8 3.405")
+        lines.append("END")
+    traj = tmp_path / "t.pqr"
+    traj.write_text("\n".join(lines) + "\n")
+    base = """
+temperature 150
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+rd_lrc off
+coulomb off
+precision float64
+"""
+    job = input_script.parse(f"ensemble replay\n{base}pqr_input {traj}\n")
+    avgs = run_mod.run(job, log=io.StringIO())
+    # ground truth: per-frame te via independent single-frame files
+    want = []
+    for k, xyz in enumerate(frames_xyz):
+        single = tmp_path / f"f{k}.pqr"
+        single.write_text("\n".join(
+            f"ATOM {i+1} Ar AR {i+1} M {p[0]:.5f} {p[1]:.5f} {p[2]:.5f} "
+            "39.948 0.0 0.0 119.8 3.405" for i, p in enumerate(xyz))
+            + "\nEND\n")
+        j2 = input_script.parse(f"ensemble te\n{base}pqr_input {single}\n")
+        e = run_mod.run(j2, log=io.StringIO())
+        want.append(float(e.total))
+    np.testing.assert_allclose(avgs.samples["energy_total"], want,
+                               rtol=1e-12)
+
+
+def test_gcmc_insert_input_template(tmp_path):
+    """GCMC with a separate insert_input template: an initially-empty box
+    fills with the template species."""
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    host = tmp_path / "host.pqr"
+    # one frozen site only — no movable molecules in the main input
+    host.write_text(
+        "ATOM 1 X FRZ 1 F 6.0 6.0 6.0 40.0 0.0 0.0 0.0 0.0\nEND\n")
+    tmpl = tmp_path / "he.pqr"
+    tmpl.write_text(
+        "ATOM 1 He HE 1 M 0.0 0.0 0.0 4.0 0.0 0.0 10.22 2.56\nEND\n")
+    job = input_script.parse(f"""
+ensemble uvt
+numsteps 2000
+corrtime 500
+temperature 150
+pressure 50
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+insert_probability 0.6
+rd_lrc off
+precision float64
+pqr_input {host}
+insert_input {tmpl}
+""")
+    log = io.StringIO()
+    su, avgs = run_mod.run(job, log=log)
+    assert avgs.samples["N_HE"][-1] >= 1    # box filled from the template
+    assert avgs.mean("N") > 0.5
+
+
+def test_simulated_annealing_decays_temperature(tmp_path):
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "ar.pqr"
+    pqr.write_text(
+        "ATOM 1 Ar AR 1 M 3.0 3.0 3.0 39.948 0.0 0.0 119.8 3.405\nEND\n")
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 500
+corrtime 100
+temperature 300
+simulated_annealing on
+simulated_annealing_schedule 0.5
+simulated_annealing_target 10
+basis1 10 0 0
+basis2 0 10 0
+basis3 0 0 10
+precision float64
+pqr_input {pqr}
+""")
+    su, _ = run_mod.run(job, log=io.StringIO())
+    # 5 blocks of x0.5 decay from 300, floored at 10
+    assert float(su.thermo.temperature) == pytest.approx(
+        max(300 * 0.5 ** 5, 10.0), rel=1e-12)
