@@ -38,6 +38,43 @@ def h2_bss3() -> Species:
     )
 
 
+def co2_3site() -> Species:
+    """Rigid 3-site CO2 (EPM2-style: Harris & Yung 1995 parameters)."""
+    d = 1.149
+    return Species(
+        name="CO2",
+        atom_names=("C", "O", "O"),
+        pos=np.array([[0.0, 0.0, 0.0], [0.0, 0.0, d], [0.0, 0.0, -d]]),
+        mass=np.array([12.011, 15.999, 15.999]),
+        charge=np.array([0.6512, -0.3256, -0.3256]),
+        polar=np.zeros(3),
+        eps=np.array([28.129, 80.507, 80.507]),
+        sig=np.array([2.757, 3.033, 3.033]))
+
+
+def n2_3site() -> Species:
+    """Rigid N2 with a COM charge site (TraPPE-style: Potoff &
+    Siepmann 2001)."""
+    d = 0.55
+    return Species(
+        name="N2",
+        atom_names=("NCOM", "N", "N"),
+        pos=np.array([[0.0, 0.0, 0.0], [0.0, 0.0, d], [0.0, 0.0, -d]]),
+        mass=np.array([0.0, 14.007, 14.007]),
+        charge=np.array([0.964, -0.482, -0.482]),
+        polar=np.zeros(3),
+        eps=np.array([0.0, 36.0, 36.0]),
+        sig=np.array([0.0, 3.31, 3.31]))
+
+
+def ch4_united_atom() -> Species:
+    """United-atom CH4 (TraPPE-UA: Martin & Siepmann 1998)."""
+    return Species(
+        name="CH4", atom_names=("CH4",), pos=np.zeros((1, 3)),
+        mass=np.array([16.043]), charge=np.zeros(1), polar=np.zeros(1),
+        eps=np.array([148.0]), sig=np.array([3.73]))
+
+
 def lj_atom(name="AR", eps=119.8, sig=3.405, mass=39.948) -> Species:
     """Monatomic LJ species (argon-like); config-#1 NVT fluid."""
     return Species(

@@ -465,3 +465,17 @@ pqr_input {pqr}
     # 5 blocks of x0.5 decay from 300, floored at 10
     assert float(su.thermo.temperature) == pytest.approx(
         max(300 * 0.5 ** 5, 10.0), rel=1e-12)
+
+
+def test_standard_sorbate_models():
+    """Library sorbate models: neutral, COM-centered, physical masses."""
+    from mpmc_tpu.models import systems
+    for build, mass in ((systems.co2_3site, 44.009),
+                        (systems.n2_3site, 28.014),
+                        (systems.ch4_united_atom, 16.043),
+                        (systems.h2_bss3, 2.016)):
+        sp = build()
+        assert abs(np.sum(sp.charge)) < 1e-9          # neutral
+        assert sp.total_mass == pytest.approx(mass, abs=0.01)
+        com = (sp.mass[:, None] * sp.pos).sum(0) / sp.total_mass
+        np.testing.assert_allclose(com, 0.0, atol=1e-12)
