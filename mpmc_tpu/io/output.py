@@ -98,9 +98,24 @@ class RunWriter:
                             f"{e0[i][2]:.6f}\n")
 
     def final_averages(self, avgs: Averages, temperature: float,
-                       species_names=None):
+                       species_names=None, fugacities=None):
         p = self.log
         print("\n=== averages ===", file=p)
+        # binary-mixture adsorption selectivity S_ij = (x_i/x_j)/(y_i/y_j)
+        # with gas-phase composition from the fugacity ratio — the
+        # separation observable MPMC users compute from sorbateInfo stats
+        if fugacities is not None and len(self.species_names) > 1:
+            f = np.asarray(fugacities, np.float64)
+            for i in range(len(self.species_names)):
+                for j in range(i + 1, len(self.species_names)):
+                    ni = avgs.mean(f"N_{self.species_names[i]}")
+                    nj = avgs.mean(f"N_{self.species_names[j]}")
+                    if (np.isfinite(ni) and np.isfinite(nj) and nj > 0
+                            and f[i] > 0 and f[j] > 0):
+                        s_ij = (ni / nj) / (f[i] / f[j])
+                        nm = (f"S_{self.species_names[i]}/"
+                              f"{self.species_names[j]}")
+                        print(f"  {nm:>20s} = {s_ij:14.6f}", file=p)
         for key in sorted(avgs.samples):
             print(f"  {key:>20s} = {avgs.mean(key):14.6f} "
                   f"+/- {avgs.sem(key):12.6f}", file=p)

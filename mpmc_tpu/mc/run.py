@@ -416,7 +416,8 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
         writer.append_trajectory(params, st0)
     wall = time.time() - t0
     steps_done = n_blocks * corr
-    writer.final_averages(avgs, float(thermo.temperature))
+    writer.final_averages(avgs, float(thermo.temperature),
+                          fugacities=np.asarray(thermo.fugacity))
     print(f"steps/sec: {steps_done * C / max(wall, 1e-9):.2f} aggregate "
           f"({C} chains x {steps_done} steps in {wall:.2f}s)",
           file=writer.log)
@@ -530,7 +531,8 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
     if job.pqr_output:
         pqr_io.write_state(job.pqr_output, params, state, su.species_names,
                            remark=f"final step {int(np.asarray(state.step))}")
-    writer.final_averages(avgs, float(thermo.temperature))
+    writer.final_averages(avgs, float(thermo.temperature),
+                          fugacities=np.asarray(thermo.fugacity))
     print(f"steps/sec: {steps_done / max(wall, 1e-9):.2f}  "
           f"({steps_done} steps in {wall:.2f}s)", file=writer.log)
     writer.close()

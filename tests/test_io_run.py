@@ -479,3 +479,36 @@ def test_standard_sorbate_models():
         assert sp.total_mass == pytest.approx(mass, abs=0.01)
         com = (sp.mass[:, None] * sp.pos).sum(0) / sp.total_mass
         np.testing.assert_allclose(com, 0.0, atol=1e-12)
+
+
+def test_binary_selectivity_reported(tmp_path):
+    """Ideal binary GCMC: S_AB = (N_A/N_B)/(f_A/f_B) -> 1 for identical
+    non-interacting species; the report must contain the line."""
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "mix.pqr"
+    pqr.write_text(
+        "ATOM 1 AA AA 1 M 3.0 3.0 3.0 10.0 0.0 0.0 0.0 0.0\n"
+        "ATOM 2 BB BB 2 M 9.0 9.0 9.0 10.0 0.0 0.0 0.0 0.0\nEND\n")
+    job = input_script.parse(f"""
+ensemble uvt
+numsteps 4000
+corrtime 500
+temperature 120
+fugacities 40 80
+basis1 14 0 0
+basis2 0 14 0
+basis3 0 0 14
+insert_probability 0.7
+rd_lrc off
+precision float64
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    run_mod.run(job, log=log)
+    text = log.getvalue()
+    line = [l for l in text.splitlines() if "S_AA/BB" in l]
+    assert line, text
+    s_ab = float(line[0].split("=")[1])
+    assert s_ab == pytest.approx(1.0, abs=0.45)   # ideal: exactly 1
