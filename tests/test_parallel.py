@@ -190,3 +190,38 @@ class TestSpatialSharding:
                                           state.box, alpha, cfg.ewald_kmax,
                                           mesh)
         assert float(e1) == pytest.approx(float(e2), rel=1e-12)
+
+
+def test_chains_npt_cli(tmp_path):
+    """Batched chains with NPT volume moves (full-pass candidate under
+    vmap) stay correct: <V> tracks the ideal-gas (N+1)kT/P."""
+    import io
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "id.pqr"
+    pqr.write_text("\n".join(
+        f"ATOM {i+1} He HE {i+1} M {2+3*i} 5.0 5.0 4.0 0.0 0.0 0.0 0.0"
+        for i in range(3)) + "\nEND\n")
+    t, p_atm = 200.0, 60.0
+    job = input_script.parse(f"""
+ensemble npt
+numsteps 4000
+corrtime 500
+temperature {t}
+pressure {p_atm}
+volume_probability 0.3
+volume_change_factor 0.3
+basis1 10 0 0
+basis2 0 10 0
+basis3 0 0 10
+rd_lrc off
+chains 6
+pair_chunk 32
+precision float64
+pqr_input {pqr}
+""")
+    su, avgs = run_mod.run(job, log=io.StringIO())
+    expect = 4 * t / (p_atm * ATM2K_A3)     # (N+1)kT/P ideal gas
+    got = np.mean(avgs.samples["volume"][2:])
+    assert got == pytest.approx(expect, rel=0.25)
