@@ -447,20 +447,11 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         pqr_io.write(job.frozen_output, frame.frozen,
                      remark="frozen framework")
     avgs = Averages()
-    if job.checkpoint_input:
-        from mpmc_tpu.io import checkpoint as ckpt
-        state, avgs, _ = ckpt.load(job.checkpoint_input, state)
-        print(f"resumed exactly from {job.checkpoint_input} at step "
-              f"{int(np.asarray(state.step))}", file=writer.log)
-    hist = None
-    if job.pop_histogram or job.histogram_output:
-        from mpmc_tpu.state import all_molecule_coms
-        from mpmc_tpu.utils.histogram import PopulationHistogram
-        hist = PopulationHistogram(np.asarray(state.box),
-                                   job.hist_resolution)
     # quantum rotation: spinflip is a per-step MC move driven by cached
     # hindered-rotor free energies, refreshed at every corrtime
-    # (SURVEY.md §2 "Quantum rotation" / "Moves / checkpoint")
+    # (SURVEY.md §2 "Quantum rotation" / "Moves / checkpoint").
+    # Must run BEFORE a checkpoint load so the resume template has the
+    # spin/rot_f leaves a quantum-rotation checkpoint carries.
     if cfg.quantum_rotation:
         from mpmc_tpu.ops import qrot
         qr_rng = np.random.default_rng(cfg.seed + 977)
@@ -472,6 +463,17 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             lmax=job.quantum_rotation_level_max)
         state = state.replace(spin=jnp.asarray(spins0),
                               rot_f=jnp.asarray(table, cfg.jdtype))
+    if job.checkpoint_input:
+        from mpmc_tpu.io import checkpoint as ckpt
+        state, avgs, _ = ckpt.load(job.checkpoint_input, state)
+        print(f"resumed exactly from {job.checkpoint_input} at step "
+              f"{int(np.asarray(state.step))}", file=writer.log)
+    hist = None
+    if job.pop_histogram or job.histogram_output:
+        from mpmc_tpu.state import all_molecule_coms
+        from mpmc_tpu.utils.histogram import PopulationHistogram
+        hist = PopulationHistogram(np.asarray(state.box),
+                                   job.hist_resolution)
     corr = max(cfg.corrtime, 1)
     n_blocks = max(cfg.numsteps // corr, 1)
     t0 = time.time()

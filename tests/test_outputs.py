@@ -103,3 +103,40 @@ pqr_input {pqr}
     job2 = input_script.parse(base + f"checkpoint_input {ck}\n")
     run_mod.run(job2, log=log)
     assert "resumed exactly from" in log.getvalue()
+
+
+def test_checkpoint_resume_with_quantum_rotation(tmp_path):
+    """A checkpoint from a quantum-rotation run (extra spin/rot_f leaves)
+    must resume cleanly."""
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    d = 0.371
+    pqr = tmp_path / "h2.pqr"
+    pqr.write_text(
+        "ATOM 1 H2G H2 1 M 10.0 10.0 10.0 0.0 -0.93634 0.0 34.2 2.96\n"
+        f"ATOM 2 H2E H2 1 M 10.0 10.0 {10+d} 1.008 0.46817 0.0 0.0 0.0\n"
+        f"ATOM 3 H2E H2 1 M 10.0 10.0 {10-d} 1.008 0.46817 0.0 0.0 0.0\n"
+        "END\n")
+    ck = tmp_path / "qr.ck.npz"
+    base = f"""
+ensemble nvt
+numsteps 300
+corrtime 100
+temperature 40
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+coulomb off
+rd_lrc off
+precision float64
+quantum_rotation on
+spinflip_probability 0.2
+pqr_input {pqr}
+"""
+    run_mod.run(input_script.parse(base + f"checkpoint_output {ck}\n"),
+                log=io.StringIO())
+    log = io.StringIO()
+    run_mod.run(input_script.parse(base + f"checkpoint_input {ck}\n"),
+                log=log)
+    assert "resumed exactly from" in log.getvalue()
