@@ -434,6 +434,12 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         return run_mc_chains(job, log=log, jsonl_path=jsonl_path)
     su = setup(job)
     cfg, params = su.cfg, su.params
+    # single-chain on TPU: the fused per-move delta kernel is a ~10% win
+    # (it loses only under vmapped multi-chain batching — see
+    # ops/pairs.mol_pair_pass)
+    if (cfg.use_pallas and not cfg.pallas_delta
+            and jax.default_backend() == "tpu"):
+        cfg = dataclasses.replace(cfg, pallas_delta=True)
     thermo = su.thermo
     writer = output_io.RunWriter(job, su.species_names, log=log,
                                  jsonl_path=jsonl_path)
