@@ -1,0 +1,47 @@
+"""The shipped example decks must keep running (reduced step counts)."""
+import io
+import os
+
+import numpy as np
+import pytest
+
+from mpmc_tpu.io import input_script
+from mpmc_tpu.mc import run as run_mod
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples")
+
+
+def _shrunk(path, tmp_path, steps=600, corr=200):
+    text = open(path).read()
+    out = []
+    for line in text.splitlines():
+        t = line.split()
+        if t and t[0] == "numsteps":
+            line = f"numsteps {steps}"
+        elif t and t[0] == "corrtime":
+            line = f"corrtime {corr}"
+        elif t and t[0] in ("pqr_input",):
+            line = f"pqr_input {os.path.join(EXAMPLES, os.path.basename(t[1]))}"
+        elif t and t[0] in ("pqr_restart", "traj_output",
+                            "histogram_output", "checkpoint_output"):
+            line = f"{t[0]} {tmp_path / os.path.basename(t[1])}"
+        out.append(line)
+    out.append("precision float64")
+    return input_script.parse("\n".join(out))
+
+
+def test_h2_sorption_deck(tmp_path):
+    job = _shrunk(os.path.join(EXAMPLES, "h2_sorption.inp"), tmp_path)
+    su, avgs = run_mod.run(job, log=io.StringIO())
+    assert np.isfinite(avgs.mean("energy_total"))
+    assert (tmp_path / "restart.pqr").exists()
+    assert (tmp_path / "h2_density.dx").exists()
+
+
+def test_co2_n2_separation_deck(tmp_path):
+    job = _shrunk(os.path.join(EXAMPLES, "co2_n2_separation.inp"),
+                  tmp_path, steps=1000, corr=250)
+    log = io.StringIO()
+    run_mod.run(job, log=log)
+    assert "N_CO2" in log.getvalue()
