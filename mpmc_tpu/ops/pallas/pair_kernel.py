@@ -62,8 +62,9 @@ def _round_up(x, m):
 
 
 def _kernel(scal_ref, pi_ref, pj_ref, qi_ref, qj_ref, ei_ref, ej_ref,
-            si_ref, sj_ref, mi_ref, mj_ref, ai_ref, aj_ref, fi_ref, fj_ref,
-            box_ref, binv_ref, out_ref, *, cfg, n_real):
+            si_ref, sj_ref, c6i_ref, c6j_ref, c8i_ref, c8j_ref,
+            c10i_ref, c10j_ref, mi_ref, mj_ref, ai_ref, aj_ref,
+            fi_ref, fj_ref, box_ref, binv_ref, out_ref, *, cfg, n_real):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
@@ -113,6 +114,15 @@ def _kernel(scal_ref, pi_ref, pj_ref, qi_ref, qj_ref, ei_ref, ej_ref,
             rd_u = lj_ops.energy(r2s, eps, sig)
             if cfg.rd_lrc:
                 tc = lj_ops.tail_coefficient(eps, sig, rc)
+        elif cfg.rd_potential in ("sg", "dreiding", "b14_7",
+                                  "disp_expansion"):
+            from mpmc_tpu.ops import potentials
+            rd_u = potentials.rd_pair_energy_generic(
+                r, ei_ref[0, :][:, None], ej_ref[0, :][None, :],
+                si_ref[0, :][:, None], sj_ref[0, :][None, :],
+                c6i_ref[0, :][:, None], c6j_ref[0, :][None, :],
+                c8i_ref[0, :][:, None], c8j_ref[0, :][None, :],
+                c10i_ref[0, :][:, None], c10j_ref[0, :][None, :], cfg)
 
         es_u = None
         ex_u = None
@@ -150,8 +160,9 @@ def _kernel(scal_ref, pi_ref, pj_ref, qi_ref, qj_ref, ei_ref, ej_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_real", "interpret"))
-def pair_terms_tiles(pos, charge, eps, sig, mol_id, alive, frozen, box,
-                     rc, alpha, cfg, n_real, interpret=False):
+def pair_terms_tiles(pos, charge, eps, sig, c6, c8, c10, mol_id, alive,
+                     frozen, box, rc, alpha, cfg, n_real,
+                     interpret=False):
     """Run the fused tile kernel; returns the 9 raw sums
     [rd, es_real(no ke), es_excl(no ke), lrc, ...ff..., min_r2].
 
@@ -171,6 +182,7 @@ def pair_terms_tiles(pos, charge, eps, sig, mol_id, alive, frozen, box,
     q = pad1(charge)
     e = pad1(eps)
     s = pad1(sig)
+    c6p, c8p, c10p = pad1(c6), pad1(c8), pad1(c10)
     m = pad1(mol_id, jnp.int32, -1)
     a = pad1(alive, jnp.int32)
     fz = pad1(frozen, jnp.int32)
@@ -196,6 +208,9 @@ def pair_terms_tiles(pos, charge, eps, sig, mol_id, alive, frozen, box,
             row(TI), col(TJ),                          # charge
             row(TI), col(TJ),                          # eps
             row(TI), col(TJ),                          # sig
+            row(TI), col(TJ),                          # c6
+            row(TI), col(TJ),                          # c8
+            row(TI), col(TJ),                          # c10
             row(TI), col(TJ),                          # mol_id
             row(TI), col(TJ),                          # alive
             row(TI), col(TJ),                          # frozen
@@ -208,8 +223,8 @@ def pair_terms_tiles(pos, charge, eps, sig, mol_id, alive, frozen, box,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, N_OUT), f32),
         interpret=interpret,
-    )(scal, pos_t, pos_t, q, q, e, e, s, s, m, m, a, a, fz, fz,
-      box32, binv)
+    )(scal, pos_t, pos_t, q, q, e, e, s, s, c6p, c6p, c8p, c8p,
+      c10p, c10p, m, m, a, a, fz, fz, box32, binv)
     return out[0]
 
 
@@ -221,9 +236,9 @@ def pair_pass_pallas(pos, box, atom_alive, params, cfg, rc, alpha,
     from mpmc_tpu.ops.pairs import PairTerms
     frozen = params.mol_frozen[params.mol_id]
     raw = pair_terms_tiles(
-        pos, params.charge, params.eps, params.sig, params.mol_id,
-        atom_alive, frozen, box, rc, alpha, cfg, pos.shape[0],
-        interpret=interpret)
+        pos, params.charge, params.eps, params.sig, params.c6, params.c8,
+        params.c10, params.mol_id, atom_alive, frozen, box, rc, alpha,
+        cfg, pos.shape[0], interpret=interpret)
     dtype = pos.dtype
     c = lambda x: x.astype(dtype)
     ke = jnp.asarray(KE, dtype)
@@ -238,7 +253,8 @@ def pair_pass_pallas(pos, box, atom_alive, params, cfg, rc, alpha,
 
 def supported(cfg) -> bool:
     """Static gate: which configurations the fused kernel covers."""
-    return (cfg.rd_potential in ("lj", "none")
+    return (cfg.rd_potential in ("lj", "none", "sg", "dreiding", "b14_7",
+                                 "disp_expansion")
             and cfg.coulomb in ("ewald", "wolf", "cutoff", "none")
             and not cfg.feynman_hibbs
             and cfg.dtype == "float32")
@@ -257,7 +273,8 @@ MOL_TJ = 2048   # column tile for the delta kernel (rows are only A_PAD
 
 
 def _mol_kernel(scal_ref, rowd_ref, pj_ref, qj_ref, ej_ref, sj_ref,
-                aj_ref, box_ref, binv_ref, out_ref, *, cfg, n_real):
+                c6j_ref, c8j_ref, c10j_ref, aj_ref, box_ref, binv_ref,
+                out_ref, *, cfg, n_real):
     tj = pl.program_id(0)
 
     @pl.when(tj == 0)
@@ -269,8 +286,8 @@ def _mol_kernel(scal_ref, rowd_ref, pj_ref, qj_ref, ej_ref, sj_ref,
     rc = scal_ref[0, 0]
     alpha = scal_ref[0, 1]
 
-    # row data packed as (7*A_PAD, 128): fields x,y,z,q,eps,sig,valid
-    # replicated across lanes; take lane slice [:, :1] -> column vectors
+    # row data packed as (10*A_PAD, 128): fields x,y,z,q,eps,sig,valid,
+    # c6,c8,c10 replicated across lanes; lane slice [:, :1] -> columns
     fld = lambda k: rowd_ref[k * A_PAD:(k + 1) * A_PAD, 0:1]   # [A_PAD,1]
     dx = [fld(k) - pj_ref[k, :][None, :] for k in range(3)]
     fr = [sum(dx[b] * binv_ref[b, a] for b in range(3)) for a in range(3)]
@@ -297,6 +314,14 @@ def _mol_kernel(scal_ref, rowd_ref, pj_ref, qj_ref, ej_ref, sj_ref,
         if cfg.rd_lrc:
             tc_s = jnp.sum(jnp.where(
                 ok, lj_ops.tail_coefficient(eps, sig, rc), 0.0))
+    elif cfg.rd_potential in ("sg", "dreiding", "b14_7", "disp_expansion"):
+        from mpmc_tpu.ops import potentials
+        u = potentials.rd_pair_energy_generic(
+            r, fld(4), ej_ref[0, :][None, :], fld(5),
+            sj_ref[0, :][None, :], fld(7), c6j_ref[0, :][None, :],
+            fld(8), c8j_ref[0, :][None, :], fld(9),
+            c10j_ref[0, :][None, :], cfg)
+        rd = jnp.sum(jnp.where(act, u, 0.0))
 
     es = zero
     qq = fld(3) * qj_ref[0, :][None, :]
@@ -317,9 +342,10 @@ def _mol_kernel(scal_ref, rowd_ref, pj_ref, qj_ref, ej_ref, sj_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_real", "interpret"))
-def mol_pair_tiles(pos_rows, q_rows, eps_rows, sig_rows, valid_rows,
-                   pos, charge, eps, sig, col_alive, box,
-                   rc, alpha, cfg, n_real, interpret=False):
+def mol_pair_tiles(pos_rows, q_rows, eps_rows, sig_rows, c6_rows,
+                   c8_rows, c10_rows, valid_rows, pos, charge, eps, sig,
+                   c6, c8, c10, col_alive, box, rc, alpha, cfg, n_real,
+                   interpret=False):
     """One molecule's rows (padded to A_PAD) against every column.
     Returns raw sums [rd, es(no ke), _, lrc, ..., min_r2].
 
@@ -340,12 +366,13 @@ def mol_pair_tiles(pos_rows, q_rows, eps_rows, sig_rows, valid_rows,
         return jnp.pad(x.astype(dt), (0, n_pad - x.shape[0]),
                        constant_values=fill).reshape(1, n_pad)
 
-    # packed row fields -> (7*A_PAD, 128), value broadcast across lanes
+    # packed row fields -> (10*A_PAD, 128), value broadcast across lanes
     rowf = jnp.concatenate([
         padr(pos_rows[:, 0]), padr(pos_rows[:, 1]), padr(pos_rows[:, 2]),
         padr(q_rows), padr(eps_rows), padr(sig_rows),
-        padr(valid_rows.astype(f32))])                     # [7*A_PAD]
-    rowd = jnp.broadcast_to(rowf[:, None], (7 * A_PAD, 128))
+        padr(valid_rows.astype(f32)), padr(c6_rows), padr(c8_rows),
+        padr(c10_rows)])                                   # [10*A_PAD]
+    rowd = jnp.broadcast_to(rowf[:, None], (10 * A_PAD, 128))
     pos_t = jnp.pad(pos.astype(f32), ((0, n_pad - pos.shape[0]),
                                       (0, 0))).T
     scal = jnp.stack([rc, alpha]).astype(f32).reshape(1, 2)
@@ -360,11 +387,12 @@ def mol_pair_tiles(pos_rows, q_rows, eps_rows, sig_rows, valid_rows,
         in_specs=[
             pl.BlockSpec((1, 2), lambda j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((7 * A_PAD, 128), lambda j: (0, 0),
+            pl.BlockSpec((10 * A_PAD, 128), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, MOL_TJ), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
-            cols1(), cols1(), cols1(), cols1(),
+            cols1(), cols1(), cols1(), cols1(), cols1(), cols1(),
+            cols1(),
             pl.BlockSpec((3, 3), lambda j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((3, 3), lambda j: (0, 0),
@@ -374,8 +402,8 @@ def mol_pair_tiles(pos_rows, q_rows, eps_rows, sig_rows, valid_rows,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, N_OUT), f32),
         interpret=interpret,
-    )(scal, rowd, pos_t, padc(charge), padc(eps), padc(sig),
-      padc(col_alive, jnp.int32), box32, binv)
+    )(scal, rowd, pos_t, padc(charge), padc(eps), padc(sig), padc(c6),
+      padc(c8), padc(c10), padc(col_alive, jnp.int32), box32, binv)
     return out[0]
 
 
@@ -389,8 +417,10 @@ def mol_pair_pass_pallas(pos, box, atom_alive, params, cfg, mol, rc,
     col_alive = atom_alive & (params.mol_id != mol)
     raw = mol_pair_tiles(
         pos[idx], params.charge[idx], params.eps[idx], params.sig[idx],
-        valid, pos, params.charge, params.eps, params.sig, col_alive,
-        box, rc, alpha, cfg, pos.shape[0], interpret=interpret)
+        params.c6[idx], params.c8[idx], params.c10[idx], valid, pos,
+        params.charge, params.eps, params.sig, params.c6, params.c8,
+        params.c10, col_alive, box, rc, alpha, cfg, pos.shape[0],
+        interpret=interpret)
     dtype = pos.dtype
     ke = jnp.asarray(KE, dtype)
     z = jnp.zeros((), dtype)

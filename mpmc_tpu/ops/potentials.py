@@ -88,36 +88,42 @@ def disp_expansion_energy(r, a_ij, b_ij, c6, c8, c10, damp=True):
     return rep - f6 * c6 / r6 - f8 * c8 / (r6 * r2) - f10 * c10 / (r6 * r2 * r2)
 
 
+def rd_pair_energy_generic(r, ei, ej, si, sj, c6i, c6j, c8i, c8j,
+                           c10i, c10j, cfg):
+    """Non-LJ RD pair energies from broadcastable per-side parameter
+    arrays — gather-free so the jnp tile pass and the Pallas kernels share
+    the identical formulas (mixing rules documented in the module
+    docstring)."""
+    if cfg.rd_potential == "sg":
+        return sg_energy(r)
+    if cfg.rd_potential == "dreiding":
+        d0 = jnp.sqrt(ei * ej)
+        r0 = jnp.maximum(0.5 * (si + sj), 1e-6)
+        return dreiding_energy(r, d0, r0)
+    if cfg.rd_potential == "b14_7":
+        r0 = (si**3 + sj**3) / jnp.maximum(si**2 + sj**2, 1e-12)
+        se = (jnp.sqrt(ei) + jnp.sqrt(ej)) ** 2
+        eps = 4.0 * ei * ej / jnp.maximum(se, 1e-12)
+        return b14_7_energy(r, eps, jnp.maximum(r0, 1e-6))
+    if cfg.rd_potential == "disp_expansion":
+        a_ij = jnp.sqrt(jnp.maximum(ei * ej, 0.0))
+        b_ij = 2.0 * si * sj / jnp.maximum(si + sj, 1e-12)
+        c6 = jnp.sqrt(jnp.maximum(c6i * c6j, 0.0))
+        c8 = jnp.sqrt(jnp.maximum(c8i * c8j, 0.0))
+        c10 = jnp.sqrt(jnp.maximum(c10i * c10j, 0.0))
+        return disp_expansion_energy(r, a_ij, b_ij, c6, c8, c10,
+                                     cfg.damp_dispersion)
+    raise ValueError(cfg.rd_potential)
+
+
 def rd_pair_energy(r, r2s, idx_i, params, cfg):
     """Dispatch the non-LJ RD potentials over a [B,N] tile.
 
     ``idx_i``: row atom indices; column params broadcast from ``params``.
     """
-    if cfg.rd_potential == "sg":
-        return sg_energy(r)
-    if cfg.rd_potential == "dreiding":
-        d0 = jnp.sqrt(params.eps[idx_i][:, None] * params.eps[None, :])
-        r0 = 0.5 * (params.sig[idx_i][:, None] + params.sig[None, :])
-        r0 = jnp.maximum(r0, 1e-6)
-        return dreiding_energy(r, d0, r0)
-    if cfg.rd_potential == "b14_7":
-        ei, ej = params.eps[idx_i][:, None], params.eps[None, :]
-        ri, rj = params.sig[idx_i][:, None], params.sig[None, :]
-        r0 = (ri**3 + rj**3) / jnp.maximum(ri**2 + rj**2, 1e-12)
-        se = (jnp.sqrt(ei) + jnp.sqrt(ej)) ** 2
-        eps = 4.0 * ei * ej / jnp.maximum(se, 1e-12)
-        return b14_7_energy(r, eps, jnp.maximum(r0, 1e-6))
-    if cfg.rd_potential == "disp_expansion":
-        ai, aj = params.eps[idx_i][:, None], params.eps[None, :]
-        bi, bj = params.sig[idx_i][:, None], params.sig[None, :]
-        a_ij = jnp.sqrt(jnp.maximum(ai * aj, 0.0))
-        b_ij = 2.0 * bi * bj / jnp.maximum(bi + bj, 1e-12)
-        c6 = jnp.sqrt(jnp.maximum(
-            params.c6[idx_i][:, None] * params.c6[None, :], 0.0))
-        c8 = jnp.sqrt(jnp.maximum(
-            params.c8[idx_i][:, None] * params.c8[None, :], 0.0))
-        c10 = jnp.sqrt(jnp.maximum(
-            params.c10[idx_i][:, None] * params.c10[None, :], 0.0))
-        return disp_expansion_energy(r, a_ij, b_ij, c6, c8, c10,
-                                     cfg.damp_dispersion)
-    raise ValueError(cfg.rd_potential)
+    col = lambda x: x[None, :]
+    row = lambda x: x[idx_i][:, None]
+    return rd_pair_energy_generic(
+        r, row(params.eps), col(params.eps), row(params.sig),
+        col(params.sig), row(params.c6), col(params.c6), row(params.c8),
+        col(params.c8), row(params.c10), col(params.c10), cfg)

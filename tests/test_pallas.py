@@ -39,6 +39,45 @@ def test_pair_kernel_matches_jnp_lj_fluid():
     _compare(params, state, cfg, thermo, rtol=1e-5)
 
 
+@pytest.mark.parametrize("rd", ["sg", "dreiding", "b14_7",
+                                "disp_expansion"])
+def test_pair_kernel_matches_jnp_rd_variants(rd):
+    import dataclasses
+    import numpy as onp
+    from mpmc_tpu.config import RunConfig, Thermo
+    from mpmc_tpu.state import Species, build_system
+    sp = Species(
+        name="X", atom_names=("X",), pos=onp.zeros((1, 3)),
+        mass=onp.array([20.0]), charge=onp.array([0.1]),
+        polar=onp.zeros(1),
+        eps=onp.array([1.0e5 if rd == "disp_expansion" else 80.0]),
+        sig=onp.array([1.9 if rd == "disp_expansion" else 3.2]),
+        c6=onp.array([900.0]), c8=onp.array([3000.0]),
+        c10=onp.array([9000.0]))
+    cfg = RunConfig(ensemble="nvt", rd_potential=rd, coulomb="cutoff",
+                    rd_lrc=False, dtype="float32")
+    rng = onp.random.default_rng(8)
+    coms = rng.uniform(1.0, 15.0, (12, 3))
+    params, state = build_system(
+        onp.eye(3) * 16.0, species=(sp,), capacity=(12,),
+        initial_counts=(12,), initial_pos={0: coms[:, None]},
+        dtype=cfg.jdtype)
+    thermo = Thermo.make(temperature=200.0, n_species=1, dtype=cfg.jdtype)
+    _compare(params, state, cfg, thermo, rtol=1e-3)
+    # delta kernel too
+    alive = state.atom_alive(params)
+    rc = pairs.derived_cutoff(state.box, cfg)
+    alpha = pairs.derived_alpha(rc, cfg)
+    rj = pairs.mol_pair_pass(state.pos, state.box, alive, params, cfg,
+                             thermo.temperature, jnp.asarray(2))
+    rp = pk.mol_pair_pass_pallas(state.pos, state.box, alive, params,
+                                 cfg, jnp.asarray(2), rc, alpha,
+                                 interpret=True)
+    assert float(rj.rd) == pytest.approx(float(rp.rd), rel=2e-4, abs=1e-3)
+    assert float(rj.es_real) == pytest.approx(float(rp.es_real),
+                                              rel=2e-4, abs=1e-4)
+
+
 def test_erfc_accuracy():
     from scipy.special import erfc as s_erfc  # scipy ships with the image
     x = np.linspace(0.0, 6.0, 500)
@@ -60,7 +99,8 @@ def test_supported_gating():
     import dataclasses
     assert not pk.supported(dataclasses.replace(cfg, dtype="float64"))
     assert not pk.supported(dataclasses.replace(cfg, feynman_hibbs=True))
-    assert not pk.supported(dataclasses.replace(cfg, rd_potential="sg"))
+    assert pk.supported(dataclasses.replace(cfg, rd_potential="sg"))
+    assert pk.supported(dataclasses.replace(cfg, rd_potential="disp_expansion"))
 
 
 class TestTholeKernels:
