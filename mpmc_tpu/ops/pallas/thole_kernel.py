@@ -34,9 +34,15 @@ def _round_up(x, m):
 
 
 def _damping(r, lam, kind):
+    # mirrors ops/thole._damping (exponential = Thole model 3,
+    # linear = Thole model 1)
     if kind == "none":
         one = jnp.ones_like(r)
         return one, one
+    if kind == "linear":
+        u = jnp.minimum(r / lam, 1.0)
+        u3 = u * u * u
+        return 4.0 * u3 - 3.0 * u3 * u, u3 * u
     x = lam * r
     e = jnp.exp(-x)
     p1 = 1.0 + x + 0.5 * x * x
@@ -167,4 +173,4 @@ def dipole_field(pos, box, site_ok, mu, mol_id, rc, lam, damp_kind,
 
 def supported(cfg) -> bool:
     return (cfg.dtype == "float32"
-            and cfg.polar_damp_type in ("exponential", "none"))
+            and cfg.polar_damp_type in ("exponential", "linear", "none"))

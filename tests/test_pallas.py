@@ -163,3 +163,23 @@ def test_mol_pair_kernel_matches_jnp():
         for name in ("rd", "es_real", "lrc_coeff", "min_r2"):
             a, b = float(getattr(rj, name)), float(getattr(rp, name))
             assert a == pytest.approx(b, rel=5e-4, abs=1e-2), (mol, name)
+
+
+def test_thole_kernels_linear_damping():
+    import dataclasses
+    from mpmc_tpu.ops import thole
+    from mpmc_tpu.ops.pallas import thole_kernel as tk
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=8, capacity=16, polarization=True, dtype="float32")
+    cfg = dataclasses.replace(cfg, polar_damp_type="linear",
+                              polar_damp=2.0)
+    alive = state.atom_alive(params)
+    rc = pairs.derived_cutoff(state.box, cfg)
+    e_jnp = thole.static_field_direct(state.pos, state.box, alive, params,
+                                      cfg)
+    e_pal = tk.charge_field(
+        state.pos, state.box, alive, params.charge, params.mol_id, rc,
+        jnp.asarray(cfg.polar_damp, jnp.float32), cfg.polar_damp_type,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(e_pal), np.asarray(e_jnp),
+                               rtol=2e-4, atol=2e-6)
