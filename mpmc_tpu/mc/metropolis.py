@@ -243,7 +243,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
         d_self = _mol_self_energy(params, cfg, state.box, slot)
         volume = jnp.abs(jnp.linalg.det(state.box))
         d_lrc = zero
-        if cfg.rd_potential == "lj" and cfg.rd_lrc:
+        if cfg.rd_potential in ("lj", "disp_expansion") and cfg.rd_lrc:
             own = pairs.mol_lrc_self_coefficient(
                 params, cfg, pairs.derived_cutoff(state.box, cfg), slot)
             d_lrc = (inter.lrc_coeff + 0.5 * own) / volume
@@ -283,7 +283,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
         d_self = _mol_self_energy(params, cfg, state.box, slot)
         volume = jnp.abs(jnp.linalg.det(state.box))
         d_lrc = zero
-        if cfg.rd_potential == "lj" and cfg.rd_lrc:
+        if cfg.rd_potential in ("lj", "disp_expansion") and cfg.rd_lrc:
             own = pairs.mol_lrc_self_coefficient(
                 params, cfg, pairs.derived_cutoff(state.box, cfg), slot)
             d_lrc = (inter.lrc_coeff + 0.5 * own) / volume

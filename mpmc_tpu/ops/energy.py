@@ -49,7 +49,7 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
     # LJ long-range tail: U = (1/2V) * [ 2 * (i<j inter sum) + self images ]
     lrc = zero
     lrc_ff = zero
-    if cfg.rd_potential == "lj" and cfg.rd_lrc:
+    if cfg.rd_potential in ("lj", "disp_expansion") and cfg.rd_lrc:
         if split_frozen:
             sc_act = pairs.lrc_self_coefficient(alive & ~atom_frozen,
                                                 params, cfg, rc)

@@ -152,6 +152,14 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
             tc = jnp.broadcast_to(tc, r2.shape)
     elif cfg.rd_potential in ("sg", "dreiding", "b14_7", "disp_expansion"):
         rd_u = potentials.rd_pair_energy(r, r2s, idx_i, params, cfg)
+        if cfg.rd_potential == "disp_expansion" and cfg.rd_lrc:
+            c6 = jnp.sqrt(jnp.maximum(
+                params.c6[idx_i][:, None] * params.c6[None, :], 0.0))
+            c8 = jnp.sqrt(jnp.maximum(
+                params.c8[idx_i][:, None] * params.c8[None, :], 0.0))
+            c10 = jnp.sqrt(jnp.maximum(
+                params.c10[idx_i][:, None] * params.c10[None, :], 0.0))
+            tc = potentials.disp_tail_coefficient(c6, c8, c10, rc)
     elif cfg.rd_potential == "none":
         pass
     else:
@@ -317,9 +325,15 @@ def intra_terms(pos, box, params, cfg, mol):
 
 def lrc_self_coefficient(atom_alive, params, cfg, rc):
     """Self (i==i periodic images) tail term: sum_i T_ii over alive atoms."""
-    if cfg.rd_potential != "lj" or not cfg.rd_lrc:
+    if not cfg.rd_lrc:
         return jnp.zeros((), params.eps.dtype)
-    tc = lj_ops.tail_coefficient(params.eps, params.sig, rc)
+    if cfg.rd_potential == "lj":
+        tc = lj_ops.tail_coefficient(params.eps, params.sig, rc)
+    elif cfg.rd_potential == "disp_expansion":
+        tc = potentials.disp_tail_coefficient(params.c6, params.c8,
+                                              params.c10, rc)
+    else:
+        return jnp.zeros((), params.eps.dtype)
     return jnp.sum(jnp.where(atom_alive, tc, 0.0))
 
 
@@ -327,9 +341,15 @@ def mol_lrc_self_coefficient(params, cfg, rc, mol):
     """Sum of self tail coefficients T_ii over one molecule's atoms
     (GCMC insert/delete LRC delta: dU_lrc = (molp.lrc_coeff +
     0.5 * this) / V)."""
-    if cfg.rd_potential != "lj" or not cfg.rd_lrc:
+    if not cfg.rd_lrc:
         return jnp.zeros((), params.eps.dtype)
     idx = params.mol_atoms[mol]
     ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
-    tc = lj_ops.tail_coefficient(params.eps[idx], params.sig[idx], rc)
+    if cfg.rd_potential == "lj":
+        tc = lj_ops.tail_coefficient(params.eps[idx], params.sig[idx], rc)
+    elif cfg.rd_potential == "disp_expansion":
+        tc = potentials.disp_tail_coefficient(
+            params.c6[idx], params.c8[idx], params.c10[idx], rc)
+    else:
+        return jnp.zeros((), params.eps.dtype)
     return jnp.sum(jnp.where(ok, tc, 0.0))

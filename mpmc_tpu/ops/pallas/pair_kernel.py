@@ -123,6 +123,15 @@ def _kernel(scal_ref, pi_ref, pj_ref, qi_ref, qj_ref, ei_ref, ej_ref,
                 c6i_ref[0, :][:, None], c6j_ref[0, :][None, :],
                 c8i_ref[0, :][:, None], c8j_ref[0, :][None, :],
                 c10i_ref[0, :][:, None], c10j_ref[0, :][None, :], cfg)
+            if cfg.rd_potential == "disp_expansion" and cfg.rd_lrc:
+                c6m = jnp.sqrt(jnp.maximum(
+                    c6i_ref[0, :][:, None] * c6j_ref[0, :][None, :], 0.0))
+                c8m = jnp.sqrt(jnp.maximum(
+                    c8i_ref[0, :][:, None] * c8j_ref[0, :][None, :], 0.0))
+                c10m = jnp.sqrt(jnp.maximum(
+                    c10i_ref[0, :][:, None] * c10j_ref[0, :][None, :],
+                    0.0))
+                tc = potentials.disp_tail_coefficient(c6m, c8m, c10m, rc)
 
         es_u = None
         ex_u = None
@@ -322,6 +331,16 @@ def _mol_kernel(scal_ref, rowd_ref, pj_ref, qj_ref, ej_ref, sj_ref,
             fld(8), c8j_ref[0, :][None, :], fld(9),
             c10j_ref[0, :][None, :], cfg)
         rd = jnp.sum(jnp.where(act, u, 0.0))
+        if cfg.rd_potential == "disp_expansion" and cfg.rd_lrc:
+            c6m = jnp.sqrt(jnp.maximum(
+                fld(7) * c6j_ref[0, :][None, :], 0.0))
+            c8m = jnp.sqrt(jnp.maximum(
+                fld(8) * c8j_ref[0, :][None, :], 0.0))
+            c10m = jnp.sqrt(jnp.maximum(
+                fld(9) * c10j_ref[0, :][None, :], 0.0))
+            tc_s = jnp.sum(jnp.where(
+                ok, potentials.disp_tail_coefficient(c6m, c8m, c10m, rc),
+                0.0))
 
     es = zero
     qq = fld(3) * qj_ref[0, :][None, :]

@@ -88,6 +88,23 @@ def disp_expansion_energy(r, a_ij, b_ij, c6, c8, c10, damp=True):
     return rep - f6 * c6 / r6 - f8 * c8 / (r6 * r2) - f10 * c10 / (r6 * r2 * r2)
 
 
+def disp_tail_coefficient(c6, c8, c10, rc):
+    """Per-(ordered-)pair long-range tail coefficient for the damped
+    dispersion expansion (Born-Mayer repulsion decays exponentially and
+    Tang-Toennies damping -> 1 beyond any sane cutoff):
+
+        T_ij = 4 pi Int_rc^inf -(C6/r^6 + C8/r^8 + C10/r^10) r^2 dr
+             = -4 pi [ C6/(3 rc^3) + C8/(5 rc^5) + C10/(7 rc^7) ]
+
+    Same ordered-pair convention as lj.tail_coefficient
+    (U_lrc = (1/2V)[2 sum_{i<j} T_ij + sum_i T_ii])."""
+    rc3 = rc * rc * rc
+    rc5 = rc3 * rc * rc
+    rc7 = rc5 * rc * rc
+    return -4.0 * jnp.pi * (c6 / (3.0 * rc3) + c8 / (5.0 * rc5)
+                            + c10 / (7.0 * rc7))
+
+
 def rd_pair_energy_generic(r, ei, ej, si, sj, c6i, c6j, c8i, c8j,
                            c10i, c10j, cfg):
     """Non-LJ RD pair energies from broadcastable per-side parameter

@@ -209,3 +209,54 @@ def test_polarizability_tensor_two_site():
     assert alpha[2, 2] == pytest.approx(2 * a / (1 - a * tz), rel=1e-9)
     assert alpha[0, 0] == pytest.approx(2 * a / (1 + a * tx), rel=1e-9)
     assert abs(alpha[0, 1]) < 1e-12
+
+
+def test_disp_expansion_lrc_matches_direct_integral():
+    """PHAHST tail: total energy with rd_lrc on must equal the cutoff sum
+    plus the analytic C6/C8/C10 tail for a 2-atom system."""
+    import dataclasses
+    import jax.numpy as jnp
+    from mpmc_tpu.config import RunConfig, Thermo
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.ops import energy as energy_mod
+    from mpmc_tpu.state import Species, build_system
+    c6, c8, c10 = 900.0, 3000.0, 9000.0
+    sp = Species(name="X", atom_names=("X",), pos=np.zeros((1, 3)),
+                 mass=np.array([20.0]), charge=np.zeros(1),
+                 polar=np.zeros(1), eps=np.array([1e5]),
+                 sig=np.array([1.9]), c6=np.array([c6]),
+                 c8=np.array([c8]), c10=np.array([c10]))
+    L, rc = 30.0, 7.0
+    cfg = RunConfig(ensemble="nvt", rd_potential="disp_expansion",
+                    coulomb="none", rd_lrc=True, cutoff=rc,
+                    dtype="float64")
+    params, state = build_system(
+        np.eye(3) * L, species=(sp,), capacity=(2,), initial_counts=(2,),
+        initial_pos={0: np.array([[[5., 5., 5.]], [[9., 5., 5.]]])},
+        dtype=cfg.jdtype)
+    thermo = Thermo.make(temperature=100.0, n_species=1, dtype=cfg.jdtype)
+    e, _ = energy_mod.total_energy(state.pos, state.box, state.mol_alive,
+                                   params, cfg, thermo)
+    # analytic: (1/2V)[2*T_pair + 2*T_self], T same for identical atoms
+    t = -4 * np.pi * (c6 / (3 * rc**3) + c8 / (5 * rc**5)
+                      + c10 / (7 * rc**7))
+    want = (2 * t + 2 * t * 0.5 * 2) / (2 * L**3) * 2
+    want = (1.0 / L**3) * 2 * t     # (1/2V)(2*T_12 + T_11 + T_22)
+    assert float(e.lrc) == pytest.approx(want, rel=1e-12)
+    # and GCMC bookkeeping stays consistent with the new tail
+    from mpmc_tpu.mc import metropolis
+    cfg2 = dataclasses.replace(cfg, ensemble="uvt", insert_species=(0,),
+                               cutoff=rc)
+    params2, state2 = build_system(
+        np.eye(3) * L, species=(sp,), capacity=(12,), initial_counts=(2,),
+        initial_pos={0: np.array([[[5., 5., 5.]], [[9., 5., 5.]]])},
+        dtype=cfg2.jdtype)
+    thermo2 = Thermo.make(temperature=150.0, fugacity=(80.0,),
+                          insert_probability=0.5, n_species=1,
+                          dtype=cfg2.jdtype)
+    st = metropolis.initialize(state2, params2, cfg2, thermo2)
+    st, stats = metropolis.run_chunk(st, params2, cfg2, thermo2, 400)
+    st2 = metropolis.initialize(st, params2, cfg2, thermo2)
+    assert float(st.energy.lrc) == pytest.approx(float(st2.energy.lrc),
+                                                 rel=1e-10, abs=1e-12)
+    assert int(np.asarray(stats.accepts)[1]) > 0
