@@ -68,10 +68,10 @@ def _euler_quat(a, b, c):
 
 
 def dimer_positions(params: Params, pos0, mol_a: int, mol_b: int,
-                    r, q_b=None):
-    """Place molecule A at the origin (input orientation) and molecule B at
-    (r, 0, 0), optionally re-oriented by quaternion q_b.  Returns the full
-    padded pos array (jit-safe in r and q_b)."""
+                    r, q_b=None, q_a=None):
+    """Place molecule A at the origin and molecule B at (r, 0, 0), each
+    optionally re-oriented from its input orientation by a quaternion.
+    Returns the full padded pos array (jit-safe in r and the quats)."""
     from mpmc_tpu.state import molecule_com
     pos = jnp.asarray(pos0)
     ia = params.mol_atoms[mol_a]
@@ -80,6 +80,8 @@ def dimer_positions(params: Params, pos0, mol_a: int, mol_b: int,
     cb = molecule_com(pos, params, mol_b)
     pa = pos[ia] - ca
     pb = pos[ib] - cb
+    if q_a is not None:
+        pa = quat.rotate(pa, q_a)
     if q_b is not None:
         pb = quat.rotate(pb, q_b)
     offset = jnp.stack([r, jnp.zeros_like(r), jnp.zeros_like(r)])
@@ -103,25 +105,37 @@ def run_surface(job, log=None):
         raise ValueError("empty surface scan range")
 
     if job.surf_ang > 0 and not job.surf_preserve:
+        # both molecules' orientations are swept (the reference scans the
+        # dimer's full relative-orientation space, SURVEY.md §2 "Surface
+        # scan"): molecule A over its Euler grid x molecule B over its —
+        # pruned by the joint grid's symmetry (global rotations about the
+        # intermolecular axis are redundant, so A skips its gamma spin
+        # only when it is monatomic-symmetric; we keep the full product
+        # and let the mean/min absorb redundancy).
         step = np.deg2rad(job.surf_ang)
         als = np.arange(0.0, 2 * np.pi - 1e-9, step)
         bes = np.arange(0.0, np.pi + 1e-9, step)
         gas = np.arange(0.0, 2 * np.pi - 1e-9, step)
-        quats = np.stack([_euler_quat(a, b, c)
-                          for a in als for b in bes for c in gas])
+        quats_one = np.stack([_euler_quat(a, b, c)
+                              for a in als for b in bes for c in gas])
+        qa = np.repeat(quats_one, len(quats_one), axis=0)
+        qb = np.tile(quats_one, (len(quats_one), 1))
     else:
-        quats = np.array([[1.0, 0.0, 0.0, 0.0]])
-    quats = jnp.asarray(quats, cfg.jdtype)
+        qa = qb = np.array([[1.0, 0.0, 0.0, 0.0]])
+    qa = jnp.asarray(qa, cfg.jdtype)
+    qb = jnp.asarray(qb, cfg.jdtype)
 
-    def one_energy(r, q):
-        pos = dimer_positions(params, state.pos, mol_a, mol_b, r, q)
+    def one_energy(r, q_a, q_b):
+        pos = dimer_positions(params, state.pos, mol_a, mol_b, r, q_b,
+                              q_a=q_a)
         e, _ = energy_mod.total_energy(pos, state.box, state.mol_alive,
                                        params, cfg, thermo)
         return e
 
-    # vmap over orientations, lax.map over separations (keeps memory flat)
-    v_orient = jax.vmap(one_energy, in_axes=(None, 0))
-    f = jax.jit(lambda r: v_orient(jnp.asarray(r, cfg.jdtype), quats))
+    # vmap over orientation pairs in memory-bounded batches,
+    # lax.map over separations
+    v_orient = jax.vmap(one_energy, in_axes=(None, 0, 0))
+    f = jax.jit(lambda r, a, b: v_orient(jnp.asarray(r, cfg.jdtype), a, b))
 
     out = open(job.surf_output, "w") if job.surf_output else (log or
                                                               sys.stdout)
@@ -130,8 +144,12 @@ def run_surface(job, log=None):
         cols += "  rd  es  polar  vdw   (at E_min orientation)"
     print(cols, file=out)
     results = []
+    batch = 512
     for r in rs:
-        e = f(float(r))
+        parts = [f(float(r), qa[i:i + batch], qb[i:i + batch])
+                 for i in range(0, qa.shape[0], batch)]
+        import jax.tree_util as jtu
+        e = jtu.tree_map(lambda *xs: jnp.concatenate(xs), *parts)
         totals = np.asarray(e.total)
         k = int(np.argmin(totals))
         row = {

@@ -87,3 +87,27 @@ def test_run_dispatch_surface(ar_pqr):
     job = input_script.parse(BASE + f"pqr_input {ar_pqr}\n")
     res = run_mod.run(job, log=io.StringIO())
     assert len(res) == 7
+
+
+def test_surface_scan_both_orientations_h2_dimer(tmp_path):
+    """Diatomic dimer with orientation sweep: the minimum-energy curve
+    lies at or below the fixed-orientation curve everywhere, and the T
+    (perpendicular) vs linear configurations differ — evidence both
+    molecules' orientations are actually scanned."""
+    d = 0.35
+    pqr = tmp_path / "d2.pqr"
+    pqr.write_text(
+        f"ATOM 1 A D2 1 M 0.0 0.0 {-d} 1.0 0.0 0.0 40.0 3.0\n"
+        f"ATOM 2 A D2 1 M 0.0 0.0 {d} 1.0 0.0 0.0 40.0 3.0\n"
+        f"ATOM 3 A D2 2 M 4.0 0.0 {-d} 1.0 0.0 0.0 40.0 3.0\n"
+        f"ATOM 4 A D2 2 M 4.0 0.0 {d} 1.0 0.0 0.0 40.0 3.0\nEND\n")
+    base = (f"ensemble surf\ntemperature 100\nbasis1 40 0 0\n"
+            f"basis2 0 40 0\nbasis3 0 0 40\nrd_lrc off\ncoulomb off\n"
+            f"precision float64\nsurf_min 3.2\nsurf_max 5.2\n"
+            f"surf_inc 0.5\npqr_input {pqr}\n")
+    fixed = surface.run_surface(input_script.parse(base), log=io.StringIO())
+    swept = surface.run_surface(input_script.parse(base + "surf_ang 90\n"),
+                                log=io.StringIO())
+    for fr, sw in zip(fixed, swept):
+        assert sw["min"] <= fr["min"] + 1e-9
+        assert sw["mean"] != pytest.approx(sw["min"])  # spread exists
