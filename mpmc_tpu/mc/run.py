@@ -409,11 +409,33 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
                for k in per_chain[0]}
         obs["N_sem_chains"] = float(np.std([o["N"] for o in per_chain])
                                     / np.sqrt(max(C, 1)))
+        att = np.maximum(np.asarray(stats.attempts).sum(0), 1)
+        acc = np.asarray(stats.accepts).sum(0) / att
+        for i, nm in enumerate(("displace", "insert", "delete", "volume",
+                                "spinflip")):
+            obs[f"acc_{nm}"] = float(acc[i])
         avgs.add(obs)
         st0 = jax.tree_util.tree_map(lambda x: x[0], states)
         writer.log_block(int(st0.step), obs, None)
         writer.write_restart(params, st0)
         writer.append_trajectory(params, st0)
+        if job.adapt_moves:
+            scale = float(np.clip(
+                np.sqrt(max(obs["acc_displace"], 1e-3) / 0.5), 0.5, 2.0))
+            rc_now = float(pairs_mod.derived_cutoff(st0.box, cfg))
+            thermo = thermo.replace(
+                move_factor=jnp.asarray(
+                    np.clip(float(thermo.move_factor) * scale, 1e-3,
+                            rc_now), cfg.jdtype),
+                rot_factor=jnp.asarray(
+                    np.clip(float(thermo.rot_factor) * scale, 1e-3,
+                            np.pi), cfg.jdtype))
+        if job.simulated_annealing:
+            new_t = max(float(thermo.temperature)
+                        * job.simulated_annealing_schedule,
+                        job.simulated_annealing_target)
+            thermo = thermo.replace(
+                temperature=jnp.asarray(new_t, cfg.jdtype))
     wall = time.time() - t0
     steps_done = n_blocks * corr
     writer.final_averages(avgs, float(thermo.temperature),

@@ -225,3 +225,32 @@ pqr_input {pqr}
     expect = 4 * t / (p_atm * ATM2K_A3)     # (N+1)kT/P ideal gas
     got = np.mean(avgs.samples["volume"][2:])
     assert got == pytest.approx(expect, rel=0.25)
+
+
+def test_chains_annealing_and_adapt(tmp_path):
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "ar.pqr"
+    pqr.write_text(
+        "ATOM 1 Ar AR 1 M 3.0 3.0 3.0 39.948 0.0 0.0 119.8 3.405\nEND\n")
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 400
+corrtime 100
+temperature 300
+simulated_annealing on
+simulated_annealing_schedule 0.5
+adapt_moves on
+move_factor 4.9
+chains 4
+basis1 10 0 0
+basis2 0 10 0
+basis3 0 0 10
+precision float64
+pqr_input {pqr}
+""")
+    su, avgs = run_mod.run(job, log=io.StringIO())
+    assert float(su.thermo.temperature) == pytest.approx(300 * 0.5 ** 4)
+    assert float(su.thermo.move_factor) != pytest.approx(4.9)
+    assert "acc_displace" in avgs.samples
