@@ -303,3 +303,23 @@ def test_multisorbate_ideal_gas_partial_loadings():
     assert got[1] == pytest.approx(expect[1], rel=0.15)
     # the two loadings must differ roughly by the fugacity ratio
     assert got[1] / got[0] == pytest.approx(3.0, rel=0.25)
+
+
+def test_seeded_runs_are_deterministic():
+    """SURVEY §4: fixed-seed runs give bit-identical trajectories; a
+    different seed diverges."""
+    from mpmc_tpu.models import systems
+
+    def run(seed):
+        params, state, cfg, thermo = systems.lj_fluid(n=20, dtype="float64",
+                                                      seed=seed)
+        state = metropolis.initialize(state, params, cfg, thermo)
+        st, _ = metropolis.run_chunk(state, params, cfg, thermo, 300)
+        return np.asarray(st.pos), float(st.energy.total)
+
+    p1, e1 = run(3)
+    p2, e2 = run(3)
+    p3, e3 = run(4)
+    np.testing.assert_array_equal(p1, p2)
+    assert e1 == e2
+    assert not np.array_equal(p1, p3)
