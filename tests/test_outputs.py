@@ -140,3 +140,69 @@ pqr_input {pqr}
     run_mod.run(input_script.parse(base + f"checkpoint_input {ck}\n"),
                 log=log)
     assert "resumed exactly from" in log.getvalue()
+
+
+def test_dipole_and_field_outputs(tmp_path):
+    """Polar run writes induced dipoles (Debye) and static fields per
+    polarizable site."""
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "pol.pqr"
+    pqr.write_text(
+        "ATOM 1 A PA 1 M 4.0 5.0 5.0 10.0 0.4 0.8 60.0 3.0\n"
+        "ATOM 2 B PB 2 M 8.0 5.0 5.0 10.0 -0.4 0.8 60.0 3.0\nEND\n")
+    dip = tmp_path / "dip.dat"
+    fld = tmp_path / "fld.dat"
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 200
+corrtime 100
+temperature 150
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+polarization on
+coulomb cutoff
+rd_lrc off
+precision float64
+dipole_output {dip}
+field_output {fld}
+pqr_input {pqr}
+""")
+    run_mod.run(job, log=io.StringIO())
+    d_rows = [l for l in dip.read_text().splitlines()
+              if l and not l.startswith("#")]
+    f_rows = [l for l in fld.read_text().splitlines()
+              if l and not l.startswith("#")]
+    assert len(d_rows) == 2 and len(f_rows) == 2
+    mu = np.array([[float(x) for x in r.split()[1:]] for r in d_rows])
+    assert np.all(np.isfinite(mu)) and np.any(mu != 0.0)
+
+
+def test_energy_output_csv_columns(tmp_path):
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "ar.pqr"
+    pqr.write_text(
+        "ATOM 1 Ar AR 1 M 3.0 3.0 3.0 39.948 0.0 0.0 119.8 3.405\nEND\n")
+    csvf = tmp_path / "e.csv"
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 200
+corrtime 100
+temperature 150
+basis1 10 0 0
+basis2 0 10 0
+basis3 0 0 10
+precision float64
+energy_output {csvf}
+pqr_input {pqr}
+""")
+    run_mod.run(job, log=io.StringIO())
+    lines = csvf.read_text().splitlines()
+    header = lines[0].split(",")
+    assert header[:4] == ["step", "rd", "lrc", "es_real"]
+    assert len(lines) == 3                      # header + 2 corrtimes
+    assert all(len(l.split(",")) == len(header) for l in lines[1:])
