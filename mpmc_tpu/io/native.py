@@ -57,6 +57,9 @@ def load() -> Optional[ctypes.CDLL]:
     lib.pqr_n_frames.argtypes = [ctypes.c_void_p]
     lib.pqr_frame_natoms.restype = ctypes.c_long
     lib.pqr_frame_natoms.argtypes = [ctypes.c_void_p, ctypes.c_long]
+    lib.pqr_frame_cell.restype = ctypes.c_long
+    lib.pqr_frame_cell.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                   ctypes.POINTER(ctypes.c_double)]
     lib.pqr_frame_data.restype = ctypes.c_long
     lib.pqr_frame_data.argtypes = [
         ctypes.c_void_p, ctypes.c_long,
@@ -88,12 +91,14 @@ def _fixed_names(names: List[str]) -> bytes:
     return bytes(out)
 
 
-def read_frames(path: str):
-    """List of PqrFrame via the native parser (None if unavailable)."""
+def read_frames_arrays(path: str):
+    """Raw per-frame arrays from the native parser (None if no library):
+    list of dicts {num [n,13], ids [n,2] (serial, mol_id), flags bytes,
+    names bytes, mol_names bytes, box (3,3) or None}.  This is the
+    zero-object path large-trajectory consumers (replay) use."""
     lib = load()
     if lib is None:
         return None
-    from mpmc_tpu.io.pqr import PqrAtom, PqrFrame
     h = lib.pqr_open(path.encode())
     if not h:
         raise FileNotFoundError(path)
@@ -102,6 +107,7 @@ def read_frames(path: str):
         if err:
             raise ValueError(f"{path}: {err.decode()}")
         frames = []
+        cell = (ctypes.c_double * 6)()
         for i in range(lib.pqr_n_frames(h)):
             n = lib.pqr_frame_natoms(h, i)
             num = np.empty((n, 13), np.float64)
@@ -113,25 +119,48 @@ def read_frames(path: str):
                 h, i, num.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                 ids.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
                 flags, names, mnames)
-            atoms = []
-            for k in range(n):
-                nm = names.raw[k * _NAME_LEN:(k + 1) * _NAME_LEN]
-                mn = mnames.raw[k * _NAME_LEN:(k + 1) * _NAME_LEN]
-                atoms.append(PqrAtom(
-                    serial=int(ids[k, 0]),
-                    name=nm.split(b"\0")[0].decode(),
-                    mol_name=mn.split(b"\0")[0].decode(),
-                    mol_id=int(ids[k, 1]),
-                    flag=chr(flags.raw[k]),
-                    xyz=num[k, :3].copy(),
-                    mass=num[k, 3], charge=num[k, 4], polar=num[k, 5],
-                    eps=num[k, 6], sig=num[k, 7], omega=num[k, 8],
-                    c6=num[k, 9], c8=num[k, 10], c10=num[k, 11],
-                    gwp_alpha=num[k, 12]))
-            frames.append(PqrFrame(atoms))
+            box = None
+            if lib.pqr_frame_cell(h, i, cell):
+                from mpmc_tpu.ops.pbc import cell_from_abc
+                box = np.asarray(cell_from_abc(*list(cell)))
+            frames.append({
+                "num": num, "ids": ids, "flags": flags.raw[:n],
+                "names": names.raw[:_NAME_LEN * n],
+                "mol_names": mnames.raw[:_NAME_LEN * n], "box": box})
         return frames
     finally:
         lib.pqr_close(h)
+
+
+def frame_from_arrays(arr):
+    """Convert one raw-array frame into a PqrFrame (object API)."""
+    from mpmc_tpu.io.pqr import PqrAtom, PqrFrame
+    num, ids = arr["num"], arr["ids"]
+    names, mnames, flags = arr["names"], arr["mol_names"], arr["flags"]
+    atoms = []
+    for k in range(num.shape[0]):
+        nm = names[k * _NAME_LEN:(k + 1) * _NAME_LEN]
+        mn = mnames[k * _NAME_LEN:(k + 1) * _NAME_LEN]
+        atoms.append(PqrAtom(
+            serial=int(ids[k, 0]),
+            name=nm.split(b"\0")[0].decode(),
+            mol_name=mn.split(b"\0")[0].decode(),
+            mol_id=int(ids[k, 1]),
+            flag=chr(flags[k]),
+            xyz=num[k, :3].copy(),
+            mass=num[k, 3], charge=num[k, 4], polar=num[k, 5],
+            eps=num[k, 6], sig=num[k, 7], omega=num[k, 8],
+            c6=num[k, 9], c8=num[k, 10], c10=num[k, 11],
+            gwp_alpha=num[k, 12]))
+    return PqrFrame(atoms, box=arr["box"])
+
+
+def read_frames(path: str):
+    """List of PqrFrame via the native parser (None if unavailable)."""
+    frames = read_frames_arrays(path)
+    if frames is None:
+        return None
+    return [frame_from_arrays(a) for a in frames]
 
 
 def write_frame(path: str, atoms, mode: str = "w", remark: str = "",

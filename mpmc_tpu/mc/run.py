@@ -234,13 +234,33 @@ def run_te(job: input_script.Job, log=None):
     return e
 
 
+def _frame_pressure(su, state, job) -> float:
+    """Instantaneous pressure [atm] via the volume-perturbation virial,
+    P = (N kT - dU/dlnV)/V (SURVEY.md §2 "Replay": calc_pressure [M])."""
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.mc import moves as moves_mod
+    dlnv = job.calc_pressure_dv
+    es = []
+    for sgn in (+1.0, -1.0):
+        p2, b2 = moves_mod.scale_volume(
+            state.pos, state.box, su.params, state.mol_alive,
+            jnp.asarray(sgn * dlnv, su.cfg.jdtype))
+        e2, _ = energy_mod.total_energy(
+            p2, b2, state.mol_alive, su.params, su.cfg, su.thermo)
+        es.append(float(e2.total))
+    du_dlnv = (es[0] - es[1]) / (2.0 * dlnv)
+    v = float(jnp.abs(jnp.linalg.det(state.box)))
+    n = float(state.n_molecules(su.params))
+    return (n * job.temperature - du_dlnv) / v / ATM2K_A3
+
+
 def run_replay(job: input_script.Job, log=None):
     """ensemble replay: recompute energies/averages over a trajectory;
     optional instantaneous pressure via the volume-perturbation virial
-    estimate, P = (N kT - dU/dlnV)/V (SURVEY.md §2 "Replay":
-    calc_pressure [M])."""
-    from mpmc_tpu.constants import ATM2K_A3
-    from mpmc_tpu.mc import moves as moves_mod
+    estimate (SURVEY.md §2 "Replay").  With the native codec available
+    the trajectory is parsed to packed arrays and same-layout frames
+    write positions directly into the padded state — no per-atom Python
+    objects on the hot path."""
 
     def topo_sig(fr):
         return (len(fr.frozen),
@@ -274,8 +294,78 @@ def run_replay(job: input_script.Job, log=None):
             state = state.replace(box=jnp.asarray(fr.box, su.cfg.jdtype))
         return dataclasses.replace(su, state=state)
 
-    frames = pqr_io.read_frames(job.pqr_input)
+    def dest_map(su, serials, mol_ids, flags, mol_name_of):
+        """File-row -> padded-slot index map (built once per topology):
+        frozen rows sorted by serial occupy the padded prefix; movable
+        molecules in ascending mol_id claim species slots in order."""
+        n = len(serials)
+        dest = np.empty(n, np.int64)
+        frozen_rows = np.nonzero(flags)[0]
+        dest[frozen_rows[np.argsort(serials[frozen_rows],
+                                    kind="stable")]] = np.arange(
+            len(frozen_rows))
+        spec = np.asarray(su.params.mol_species)
+        mol_atoms = np.asarray(su.params.mol_atoms)
+        slots_of = {i: list(np.nonzero(spec == i)[0])
+                    for i in range(len(su.species_names))}
+        cursor = {i: 0 for i in slots_of}
+        mov = np.nonzero(~flags)[0]
+        for mid in np.unique(mol_ids[mov]):
+            rows = mov[mol_ids[mov] == mid]
+            rows = rows[np.argsort(serials[rows], kind="stable")]
+            si = su.species_names.index(mol_name_of(rows[0]))
+            slot = slots_of[si][cursor[si]]
+            cursor[si] += 1
+            dest[rows] = mol_atoms[slot][:len(rows)]
+        return dest
+
+    from mpmc_tpu.io import native as native_io
+    frames_arr = native_io.read_frames_arrays(job.pqr_input) \
+        if native_io.available() else None
     avgs = Averages()
+    su = None
+
+    if frames_arr is not None:
+        # zero-object fast path: the C parser hands packed arrays; frames
+        # whose layout (flags, mol_ids, names) matches the previous one
+        # write positions straight into the padded state
+        prev_key = None
+        dest = None
+        nl = native_io._NAME_LEN
+        for arr in frames_arr:
+            key = (arr["flags"], arr["ids"][:, 1].tobytes(),
+                   arr["mol_names"])
+            if su is None or key != prev_key:
+                su = setup(job, frame=native_io.frame_from_arrays(arr))
+                flags_np = np.frombuffer(arr["flags"],
+                                         np.uint8) == ord("F")
+                dest = dest_map(
+                    su, arr["ids"][:, 0], arr["ids"][:, 1], flags_np,
+                    lambda row: arr["mol_names"][
+                        row * nl:(row + 1) * nl].split(b"\0")[0].decode())
+                st = su.state
+            else:
+                pos = np.asarray(su.state.pos).copy()
+                pos[dest] = arr["num"][:, :3]
+                st = su.state.replace(pos=jnp.asarray(pos, su.cfg.jdtype))
+                if job.read_pqr_box and arr["box"] is not None:
+                    st = st.replace(box=jnp.asarray(arr["box"],
+                                                    su.cfg.jdtype))
+                su = dataclasses.replace(su, state=st)
+            prev_key = key
+            state = metropolis.initialize(su.state, su.params, su.cfg,
+                                          su.thermo)
+            obs = observables(su, state)
+            if job.calc_pressure:
+                obs["pressure_atm"] = _frame_pressure(su, state, job)
+            avgs.add(obs)
+        writer = output_io.RunWriter(job, su.species_names if su else [],
+                                     log=log)
+        writer.final_averages(avgs, job.temperature)
+        writer.close()
+        return avgs
+
+    frames = pqr_io.read_frames(job.pqr_input)
     su = None
     sig_prev = None
     for fr in frames:
@@ -288,19 +378,7 @@ def run_replay(job: input_script.Job, log=None):
         state = metropolis.initialize(su.state, su.params, su.cfg, su.thermo)
         obs = observables(su, state)
         if job.calc_pressure:
-            dlnv = job.calc_pressure_dv
-            es = []
-            for sgn in (+1.0, -1.0):
-                p2, b2 = moves_mod.scale_volume(
-                    state.pos, state.box, su.params, state.mol_alive,
-                    jnp.asarray(sgn * dlnv, su.cfg.jdtype))
-                e2, _ = energy_mod.total_energy(
-                    p2, b2, state.mol_alive, su.params, su.cfg, su.thermo)
-                es.append(float(e2.total))
-            du_dlnv = (es[0] - es[1]) / (2.0 * dlnv)
-            v = obs["volume"]
-            p_k_a3 = (obs["N"] * job.temperature - du_dlnv) / v
-            obs["pressure_atm"] = p_k_a3 / ATM2K_A3
+            obs["pressure_atm"] = _frame_pressure(su, state, job)
         avgs.add(obs)
     writer = output_io.RunWriter(job, su.species_names if su else [],
                                  log=log)

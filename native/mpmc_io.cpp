@@ -36,8 +36,14 @@ struct Atom {
     double omega, c6, c8, c10, gwp_alpha;
 };
 
+struct Frame {
+    std::vector<Atom> atoms;
+    bool has_box = false;
+    double box[6] = {0, 0, 0, 0, 0, 0};   // a b c alpha beta gamma
+};
+
 struct File {
-    std::vector<std::vector<Atom>> frames;
+    std::vector<Frame> frames;
     std::string error;
 };
 
@@ -68,7 +74,7 @@ void* pqr_open(const char* path) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return nullptr;
     auto* file = new File();
-    std::vector<Atom> atoms;
+    Frame frame;
     char line[1024];
     char* tok[24];
     long lineno = 0;
@@ -78,12 +84,20 @@ void* pqr_open(const char* path) {
         char* s = line;
         while (*s == ' ' || *s == '\t') ++s;
         if (*s == '\0' || *s == '\n' || *s == '#' || *s == '!') continue;
-        if (!std::strncmp(s, "REMARK", 6) || !std::strncmp(s, "CRYST", 5))
+        if (!std::strncmp(s, "REMARK", 6)) continue;
+        if (!std::strncmp(s, "CRYST", 5)) {
+            int n = tokenize(line, tok, 24);
+            if (n >= 7) {
+                for (int k = 0; k < 6; ++k)
+                    frame.box[k] = std::strtod(tok[k + 1], nullptr);
+                frame.has_box = true;
+            }
             continue;
+        }
         if (!std::strncmp(s, "END", 3)) {   // END or ENDMDL
-            if (!atoms.empty()) {
-                file->frames.push_back(std::move(atoms));
-                atoms.clear();
+            if (!frame.atoms.empty()) {
+                file->frames.push_back(std::move(frame));
+                frame = Frame();
             }
             continue;
         }
@@ -120,10 +134,10 @@ void* pqr_open(const char* path) {
         a.c8 = n > 16 ? std::strtod(tok[16], nullptr) : 0.0;
         a.c10 = n > 17 ? std::strtod(tok[17], nullptr) : 0.0;
         a.gwp_alpha = n > 18 ? std::strtod(tok[18], nullptr) : 0.0;
-        atoms.push_back(a);
+        frame.atoms.push_back(a);
     }
     std::fclose(f);
-    if (!atoms.empty()) file->frames.push_back(std::move(atoms));
+    if (!frame.atoms.empty()) file->frames.push_back(std::move(frame));
     return file;
 }
 
@@ -139,7 +153,17 @@ long pqr_n_frames(void* h) {
 long pqr_frame_natoms(void* h, long i) {
     auto* file = static_cast<File*>(h);
     if (i < 0 || i >= static_cast<long>(file->frames.size())) return -1;
-    return static_cast<long>(file->frames[i].size());
+    return static_cast<long>(file->frames[i].atoms.size());
+}
+
+// 1 if the frame carried a CRYST record (out = a b c alpha beta gamma).
+long pqr_frame_cell(void* h, long i, double* out) {
+    auto* file = static_cast<File*>(h);
+    if (i < 0 || i >= static_cast<long>(file->frames.size())) return 0;
+    const Frame& fr = file->frames[i];
+    if (!fr.has_box) return 0;
+    for (int k = 0; k < 6; ++k) out[k] = fr.box[k];
+    return 1;
 }
 
 // Fill caller-allocated buffers: numeric [n,13] doubles (xyz interleaved
@@ -148,7 +172,7 @@ long pqr_frame_data(void* h, long i, double* num, long* ids, char* flags,
                     char* names, char* mol_names) {
     auto* file = static_cast<File*>(h);
     if (i < 0 || i >= static_cast<long>(file->frames.size())) return -1;
-    const auto& fr = file->frames[i];
+    const auto& fr = file->frames[i].atoms;
     for (size_t k = 0; k < fr.size(); ++k) {
         const Atom& a = fr[k];
         double* r = num + 13 * k;

@@ -512,3 +512,36 @@ pqr_input {pqr}
     assert line, text
     s_ab = float(line[0].split("=")[1])
     assert s_ab == pytest.approx(1.0, abs=0.45)   # ideal: exactly 1
+
+
+def test_replay_python_fallback_matches_native(tmp_path, monkeypatch):
+    """The object-path replay (no native library) gives identical energies
+    to the native array path."""
+    import io
+    from mpmc_tpu.io import input_script, native
+    from mpmc_tpu.mc import run as run_mod
+    rng = np.random.default_rng(9)
+    lines = []
+    for _ in range(3):
+        for i, p in enumerate(rng.uniform(1, 11, (5, 3))):
+            lines.append(f"ATOM {i+1} Ar AR {i+1} M {p[0]:.5f} {p[1]:.5f} "
+                         f"{p[2]:.5f} 39.948 0.0 0.0 119.8 3.405")
+        lines.append("END")
+    traj = tmp_path / "t.pqr"
+    traj.write_text("\n".join(lines) + "\n")
+    script = f"""
+ensemble replay
+temperature 150
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+rd_lrc off
+coulomb off
+precision float64
+pqr_input {traj}
+"""
+    a1 = run_mod.run(input_script.parse(script), log=io.StringIO())
+    monkeypatch.setattr(native, "available", lambda: False)
+    a2 = run_mod.run(input_script.parse(script), log=io.StringIO())
+    np.testing.assert_allclose(a1.samples["energy_total"],
+                               a2.samples["energy_total"], rtol=1e-12)
