@@ -161,3 +161,32 @@ def test_wolf_approximates_ewald_nacl():
         state.pos, state.box, state.mol_alive, params,
         cfg_es(coulomb="wolf"), thermo())
     assert float(e_wolf.es) == pytest.approx(float(e_ref.es), rel=2e-2)
+
+
+def test_total_es_invariant_under_ewald_parameters():
+    """The physical electrostatic energy must be independent of the
+    splitting parameter alpha and (converged) kmax — a stringent
+    cross-check of real/recip/self/exclusion consistency."""
+    import dataclasses
+    from mpmc_tpu.config import Thermo
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.ops import energy as energy_mod
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=8, capacity=16, dtype="float64")
+    cfg = dataclasses.replace(cfg, rd_potential="none", rd_lrc=False,
+                              use_pallas=False)
+    # alpha*rc >= 3.5 keeps the real-space sum converged; kmax=14 keeps
+    # the reciprocal sum converged for every alpha here.  The individual
+    # terms shift by ~1e5 K across these parameters and must cancel.
+    ref = None
+    rc = 8.0
+    for alpha in (0.4375, 0.50, 0.55):
+        c = dataclasses.replace(cfg, cutoff=rc, ewald_alpha=float(alpha),
+                                ewald_kmax=14)
+        e, _ = energy_mod.total_energy(state.pos, state.box,
+                                       state.mol_alive, params, c, thermo)
+        es = float(e.es)
+        if ref is None:
+            ref = es
+        else:
+            assert es == pytest.approx(ref, abs=0.5), alpha
