@@ -40,6 +40,13 @@ class RunConfig:
     rd_only: bool = False
     mixing_rule: str = "lb"        # lb | waldman_hagler
     damp_dispersion: bool = True   # Tang–Toennies damping for disp_expansion
+    # periodic-image RD lattice sum (SURVEY §2 "Lennard-Jones RD":
+    # rd_crystal [M]): sum the RD potential over all cell images within
+    # rd_crystal_order shells instead of the cutoff minimum-image sum —
+    # converged lattice energies for small crystal cells where a cutoff
+    # cannot fit.  Implies rd_lrc off (the image shells ARE the tail).
+    rd_crystal: bool = False
+    rd_crystal_order: int = 2
 
     # --- electrostatics (SURVEY §2.9 "ES")
     coulomb: str = "ewald"         # ewald | wolf | cutoff | none

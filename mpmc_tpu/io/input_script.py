@@ -106,8 +106,8 @@ _IGNORED = {"cuda", "wrapall", "long_output", "preset_seeds",
             # SPECTRE massive-polarizability free charges (SURVEY §2 [M])
             # and Feynman-Kleinert [L]: not rebuilt this round
             "spectre", "spectre_max_charge", "spectre_max_target",
-            "feynman_kleinert", "quantum_vibration", "rd_crystal",
-            "rd_crystal_order", "extrapolate_disp_coeffs",
+            "feynman_kleinert", "quantum_vibration",
+            "extrapolate_disp_coeffs",
             "parallel_restarts", "adiabatic_probability",
             "gwp_probability"}
 
@@ -201,6 +201,12 @@ def parse(text: str) -> Job:
                 cfg_kw["rd_only"] = True
         elif key == "rd_lrc":
             cfg_kw["rd_lrc"] = _onoff(v0)
+        elif key == "rd_crystal":
+            if _onoff(v0):
+                cfg_kw["rd_crystal"] = True
+                cfg_kw["rd_lrc"] = False   # the image shells are the tail
+        elif key == "rd_crystal_order":
+            cfg_kw["rd_crystal_order"] = int(float(v0))
         elif key == "sg":
             if _onoff(v0):
                 cfg_kw["rd_potential"] = "sg"

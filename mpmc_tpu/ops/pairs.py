@@ -85,6 +85,48 @@ class PairTerms:
 jax.tree_util.register_dataclass(PairTerms)
 
 
+def rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc=None):
+    """Per-pair RD energies for a [B, N] tile of rows ``idx_i`` against all
+    columns (no masks applied).  Returns (rd_u, tail_coeff) — either may be
+    None when disabled.  Shared by the cutoff pair pass and the
+    periodic-image crystal sum (ops/crystal.py)."""
+    rd_u = None
+    tc = None
+    if cfg.rd_potential == "lj" and not getattr(cfg, "es_only", False):
+        eps, sig = lj_ops.mix(params.eps[idx_i][:, None],
+                              params.eps[None, :],
+                              params.sig[idx_i][:, None],
+                              params.sig[None, :], cfg.mixing_rule)
+        rd_u = lj_ops.energy(r2s, eps, sig)
+        if cfg.feynman_hibbs:
+            mol_i = params.mol_id[idx_i]
+            mm_i = params.mol_mass[mol_i]
+            mm_j = params.mol_mass[params.mol_id]
+            red = (mm_i[:, None] * mm_j[None, :]
+                   / jnp.maximum(mm_i[:, None] + mm_j[None, :], 1e-30))
+            rd_u = rd_u + lj_ops.feynman_hibbs(r, eps, sig, red, temperature,
+                                               cfg.feynman_hibbs_order)
+        if cfg.rd_lrc and rc is not None:
+            tc = lj_ops.tail_coefficient(eps, sig, rc)
+            tc = jnp.broadcast_to(tc, r2s.shape)
+    elif cfg.rd_potential in ("sg", "dreiding", "b14_7", "disp_expansion"):
+        rd_u = potentials.rd_pair_energy(r, r2s, idx_i, params, cfg)
+        if (cfg.rd_potential == "disp_expansion" and cfg.rd_lrc
+                and rc is not None):
+            c6 = jnp.sqrt(jnp.maximum(
+                params.c6[idx_i][:, None] * params.c6[None, :], 0.0))
+            c8 = jnp.sqrt(jnp.maximum(
+                params.c8[idx_i][:, None] * params.c8[None, :], 0.0))
+            c10 = jnp.sqrt(jnp.maximum(
+                params.c10[idx_i][:, None] * params.c10[None, :], 0.0))
+            tc = potentials.disp_tail_coefficient(c6, c8, c10, rc)
+    elif cfg.rd_potential == "none":
+        pass
+    else:
+        raise ValueError(f"unknown rd_potential {cfg.rd_potential}")
+    return rd_u, tc
+
+
 def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
                  box, box_inv, rc, alpha, temperature, triangular,
                  split_frozen=False):
@@ -129,41 +171,10 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
     qq = qi[:, None] * params.charge[None, :]
 
     # --- repulsion–dispersion ------------------------------------------------
+    # (tail: ordered pairs i!=j (inter) count once per direction in the
+    # full triangular pass -> handled by caller symmetrization.)
     zero = jnp.zeros((), pos.dtype)
-    rd_u = None          # [B,N] values, summed under the ``act`` mask
-    tc = None            # [B,N] tail coefficients, summed under ``inter``
-    if cfg.rd_potential == "lj" and not getattr(cfg, "es_only", False):
-        eps, sig = lj_ops.mix(params.eps[idx_i][:, None],
-                              params.eps[None, :],
-                              params.sig[idx_i][:, None],
-                              params.sig[None, :], cfg.mixing_rule)
-        rd_u = lj_ops.energy(r2s, eps, sig)
-        if cfg.feynman_hibbs:
-            mm_i = params.mol_mass[mol_i]
-            mm_j = params.mol_mass[params.mol_id]
-            red = (mm_i[:, None] * mm_j[None, :]
-                   / jnp.maximum(mm_i[:, None] + mm_j[None, :], 1e-30))
-            rd_u = rd_u + lj_ops.feynman_hibbs(r, eps, sig, red, temperature,
-                                               cfg.feynman_hibbs_order)
-        if cfg.rd_lrc:
-            # tail: ordered pairs i!=j (inter) count once per direction in
-            # the full triangular pass -> handled by caller symmetrization.
-            tc = lj_ops.tail_coefficient(eps, sig, rc)
-            tc = jnp.broadcast_to(tc, r2.shape)
-    elif cfg.rd_potential in ("sg", "dreiding", "b14_7", "disp_expansion"):
-        rd_u = potentials.rd_pair_energy(r, r2s, idx_i, params, cfg)
-        if cfg.rd_potential == "disp_expansion" and cfg.rd_lrc:
-            c6 = jnp.sqrt(jnp.maximum(
-                params.c6[idx_i][:, None] * params.c6[None, :], 0.0))
-            c8 = jnp.sqrt(jnp.maximum(
-                params.c8[idx_i][:, None] * params.c8[None, :], 0.0))
-            c10 = jnp.sqrt(jnp.maximum(
-                params.c10[idx_i][:, None] * params.c10[None, :], 0.0))
-            tc = potentials.disp_tail_coefficient(c6, c8, c10, rc)
-    elif cfg.rd_potential == "none":
-        pass
-    else:
-        raise ValueError(f"unknown rd_potential {cfg.rd_potential}")
+    rd_u, tc = rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc)
 
     # --- electrostatics (real space) ----------------------------------------
     es_u = None          # [B,N] values under ``act``
@@ -228,6 +239,25 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
     fused Pallas tile kernel (ops/pallas/pair_kernel.py); the jnp scan
     below is the reference implementation and the f64 parity path.
     """
+    if cfg.rd_crystal:
+        # RD comes from the periodic-image lattice sum (ops/crystal.py);
+        # ES/min_r2 bookkeeping stays on the cutoff pass.
+        if cfg.rd_lrc:
+            raise ValueError("rd_crystal implies rd_lrc off "
+                             "(the image shells are the tail)")
+        from mpmc_tpu.ops import crystal
+        cfg_es = dataclasses.replace(cfg, rd_potential="none",
+                                     rd_crystal=False)
+        base = pair_pass(pos, box, atom_alive, params, cfg_es, temperature,
+                         split_frozen=split_frozen)
+        cry = crystal.rd_crystal_full(pos, box, atom_alive, params, cfg,
+                                      temperature, split_frozen=split_frozen)
+        if split_frozen:
+            act, ffp = base
+            return (dataclasses.replace(act, rd=act.rd + cry[0]),
+                    dataclasses.replace(ffp, rd=ffp.rd + cry[1]))
+        return dataclasses.replace(base, rd=base.rd + cry)
+
     N = pos.shape[0]
     B = min(cfg.pair_chunk, N)
     nb = -(-N // B)
@@ -269,6 +299,16 @@ def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol,
     (they are rigid-invariant for displace/rotate; GCMC handles them via
     ``intra_terms``).
     """
+    if cfg.rd_crystal:
+        from mpmc_tpu.ops import crystal
+        cfg_es = dataclasses.replace(cfg, rd_potential="none",
+                                     rd_crystal=False)
+        base = mol_pair_pass(pos, box, atom_alive, params, cfg_es,
+                             temperature, mol, row_pos=row_pos)
+        cry = crystal.mol_rd_crystal(pos, box, atom_alive, params, cfg,
+                                     temperature, mol)
+        return dataclasses.replace(base, rd=base.rd + cry)
+
     box_inv = jnp.linalg.inv(box)
     rc = derived_cutoff(box, cfg)
     alpha = derived_alpha(rc, cfg)
