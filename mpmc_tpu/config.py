@@ -92,6 +92,13 @@ class RunConfig:
     cavity_radius: float = 2.5
 
     # --- precision / performance
+    # framework cell lists (ops/celllist.py, our documented extension —
+    # the reference is pure O(N^2), SURVEY §1): cull the per-move delta
+    # pass to the cells within cutoff+reach of the moved molecule.
+    # Requires an explicit ``cutoff`` << L/2, a frozen framework, and a
+    # fixed box; exact (no skin).  Takes effect once the runner attaches
+    # an index (celllist.attach).
+    cell_list: bool = False
     dtype: str = "float32"         # float32 | float64
     pair_chunk: int = 512          # row-block size for O(N^2) passes
     # use the fused Pallas tile kernel for full pair passes when the

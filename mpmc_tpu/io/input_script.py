@@ -190,6 +190,8 @@ def parse(text: str) -> Job:
             cfg_kw["cavity_radius"] = float(v0)
         elif key == "max_molecules":
             job.max_molecules = int(float(v0))
+        elif key == "cell_list":   # our extension: framework cell lists
+            cfg_kw["cell_list"] = _onoff(v0)
         elif key in ("precision", "dtype"):   # our extension: f32|f64
             d = v0.lower()
             cfg_kw["dtype"] = ("float64" if d in ("f64", "float64", "double")

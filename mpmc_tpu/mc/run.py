@@ -131,6 +131,9 @@ def setup(job: input_script.Job,
         species=tuple(species), capacity=tuple(capacity),
         initial_counts=tuple(counts), initial_pos=initial_pos,
         dtype=cfg.jdtype, seed=cfg.seed)
+    if cfg.cell_list:
+        from mpmc_tpu.ops import celllist
+        params = celllist.attach(params, state.pos, state.box, cfg)
 
     # fugacities: explicit list > per-species EoS > ideal (f = P)
     nsp = max(len(species), 1)

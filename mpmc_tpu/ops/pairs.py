@@ -309,6 +309,12 @@ def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol,
                                      temperature, mol)
         return dataclasses.replace(base, rd=base.rd + cry)
 
+    if cfg.cell_list and params.cell_index is not None:
+        from mpmc_tpu.ops import celllist
+        return celllist.mol_pair_pass_culled(
+            pos, box, atom_alive, params, cfg, temperature, mol,
+            params.cell_index, row_pos=row_pos)
+
     box_inv = jnp.linalg.inv(box)
     rc = derived_cutoff(box, cfg)
     alpha = derived_alpha(rc, cfg)

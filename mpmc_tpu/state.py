@@ -107,6 +107,9 @@ class Params:
     # static site list for coupled-dipole vdW (alpha>0 and omega>0) —
     # fixes the 3P x 3P eigenproblem shape under jit (ops/vdw.py)
     vdw_sites: Optional[jax.Array] = None
+    # framework spatial index for the culled delta pass (ops/celllist.py);
+    # attached by celllist.attach when cfg.cell_list is on
+    cell_index: Optional["object"] = None
 
     @property
     def n_atoms_max(self):
