@@ -71,6 +71,17 @@ class RunConfig:
 
     # --- coupled-dipole many-body vdW (SURVEY §2.9 "vdW": cdvdw family)
     cdvdw: bool = False
+    # pair repulsion paired with cdvdw (SURVEY §2 "Coupled-dipole vdW":
+    # cdvdw_sig_repulsion / cdvdw_9th_repulsion / cdvdw_exp_repulsion [M]).
+    # With many-body dispersion active, the LJ r^-6 attraction would
+    # double-count dispersion, so the RD term becomes repulsion-only:
+    #   sig: C6_ij sig_ij^6 / r^12     9th: C6_ij sig_ij^3 / r^9
+    #   exp: Born-Mayer A_ij exp(-B_ij r) (disp_expansion column
+    #        convention: eps = A [K], sig = B [1/A])
+    # where C6_ij = (3/2) hbar w_i w_j/(w_i+w_j) a_i a_j is the London
+    # coefficient of the same Drude parameters the cdvdw eigensolve uses —
+    # see ops/potentials.py::cdvdw_repulsion_energy for the derivation.
+    cdvdw_repulsion: str = "none"  # none | sig | 9th | exp
 
     # --- quantum corrections (SURVEY §2.9 "Quantum")
     feynman_hibbs: bool = False

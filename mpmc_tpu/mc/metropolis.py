@@ -56,8 +56,19 @@ class MCStats:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Candidate:
-    """A proposed state + the information needed for acceptance."""
-    pos: jax.Array
+    """A proposed state + the information needed for acceptance.
+
+    Two position encodings (statically chosen per (cfg.ensemble,
+    polarization, cdvdw) in make_step_fn):
+
+    - full mode: ``pos`` holds the complete candidate array (volume moves
+      rescale everything; polarization/cdvdw need full trial positions);
+    - row mode: ``pos`` is None and only ``(mol, rows)`` carry the moved
+      molecule's trial coordinates — acceptance then scatters A rows
+      instead of selecting the whole [N,3] array, which removes the
+      O(N) per-step HBM traffic that dominates large-N batched chains.
+    """
+    pos: Optional[jax.Array]
     box: jax.Array
     mol_alive: jax.Array
     sk_re: Optional[jax.Array]
@@ -68,6 +79,9 @@ class Candidate:
     spin_mol: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(-1, jnp.int32))
     # >=0: molecule whose nuclear-spin species flips on accept
+    mol: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0, jnp.int32))
+    rows: Optional[jax.Array] = None   # [A,3] trial rows (row mode)
 
 
 def _movable_mask(params: Params, mol_alive):
@@ -104,6 +118,14 @@ def _mol_structure_factor(pos, box, params, cfg, mol):
     ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
     kv = ewald.kvectors(box, cfg.ewald_kmax)
     return ewald.mol_structure_factor(pos[idx], params.charge[idx], ok, kv)
+
+
+def _mol_sf_rows(rows, box, params, cfg, mol):
+    """Structure factor of one molecule from explicit trial rows."""
+    idx = params.mol_atoms[mol]
+    ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
+    kv = ewald.kvectors(box, cfg.ewald_kmax)
+    return ewald.mol_structure_factor(rows, params.charge[idx], ok, kv)
 
 
 def _mol_self_energy(params, cfg, box, mol):
@@ -167,6 +189,12 @@ def make_step_fn(params: Params, cfg: RunConfig):
     dtype = cfg.jdtype
     zero = jnp.zeros((), dtype)
     ez = EnergyBreakdown.zero(dtype)
+    # row mode (see Candidate): acceptance scatters only the moved
+    # molecule's rows.  Volume moves rescale every position and the
+    # polarization/cdvdw terms evaluate full trial geometries, so those
+    # configurations keep the full-array candidate.
+    row_level = (cfg.ensemble != "npt" and not cfg.polarization
+                 and not cfg.cdvdw)
 
     def eb(rd=None, lrc=None, es_real=None, es_recip=None, es_self=None,
            es_excl=None):
@@ -187,19 +215,22 @@ def make_step_fn(params: Params, cfg: RunConfig):
         alive = state.atom_alive(params)
         old = pairs.mol_pair_pass(state.pos, state.box, alive, params, cfg,
                                   thermo.temperature, mol)
-        new_pos = moves.displace_molecule(state.pos, params, mol, k_mv,
-                                          thermo.move_factor,
-                                          thermo.rot_factor)
-        # NOTE: sharing the old `pos` columns for the new-row pass
-        # (row_pos=...) measured ~10% SLOWER at C=256 — it broke XLA's
-        # fusion of the scatter with the pass; keep the two-array form.
-        new = pairs.mol_pair_pass(new_pos, state.box, alive, params, cfg,
-                                  thermo.temperature, mol)
+        idx_rows, new_rows = moves.displace_rows(state.pos, params, mol,
+                                                 k_mv, thermo.move_factor,
+                                                 thermo.rot_factor)
+        if row_level:
+            new_pos = None
+            new = pairs.mol_pair_pass(state.pos, state.box, alive, params,
+                                      cfg, thermo.temperature, mol,
+                                      row_pos=new_rows)
+        else:
+            new_pos = state.pos.at[idx_rows].set(new_rows)
+            new = pairs.mol_pair_pass(new_pos, state.box, alive, params,
+                                      cfg, thermo.temperature, mol)
         if cfg.coulomb == "ewald":
             o_re, o_im = _mol_structure_factor(state.pos, state.box, params,
                                                cfg, mol)
-            n_re, n_im = _mol_structure_factor(new_pos, state.box, params,
-                                               cfg, mol)
+            n_re, n_im = _mol_sf_rows(new_rows, state.box, params, cfg, mol)
             sk_re, sk_im, d_recip = _recip_delta(state, cfg, n_re - o_re,
                                                  n_im - o_im)
         else:
@@ -208,7 +239,8 @@ def make_step_fn(params: Params, cfg: RunConfig):
                es_recip=d_recip)
         reject = (cnt == 0) | _overlap(new, cfg, dtype)
         return Candidate(new_pos, state.box, state.mol_alive, sk_re, sk_im,
-                         d, zero, reject)
+                         d, zero, reject, mol=mol.astype(jnp.int32),
+                         rows=new_rows if row_level else None)
 
     def b_insert(state: SimState, thermo: Thermo, key):
         k_sp, k_slot, k_cell, k_place = jax.random.split(key, 4)
@@ -233,13 +265,23 @@ def make_step_fn(params: Params, cfg: RunConfig):
             cav_bias = (jnp.log(jnp.maximum(n_open.astype(dtype), 1e-30))
                         - jnp.log(g3))
             cav_reject = n_open == 0
-        new_pos = moves.place_template(state.pos, params, slot, si, k_place,
-                                       state.box, com=com)
+        rows = moves.place_rows(params, slot, si, k_place, state.box,
+                                com=com, dtype=dtype)
+        if row_level:
+            new_pos = None
+            inter = pairs.mol_pair_pass(state.pos, state.box,
+                                        state.atom_alive(params), params,
+                                        cfg, thermo.temperature, slot,
+                                        row_pos=rows)
+            intra = pairs.intra_terms(state.pos, state.box, params, cfg,
+                                      slot, row_pos=rows)
+        else:
+            new_pos = state.pos.at[params.mol_atoms[slot]].set(rows)
+            alive = state.atom_alive(params)      # old alive (cols)
+            inter = pairs.mol_pair_pass(new_pos, state.box, alive, params,
+                                        cfg, thermo.temperature, slot)
+            intra = pairs.intra_terms(new_pos, state.box, params, cfg, slot)
         new_alive_mol = state.mol_alive.at[slot].set(True)
-        alive = state.atom_alive(params)          # old alive (cols)
-        inter = pairs.mol_pair_pass(new_pos, state.box, alive, params, cfg,
-                                    thermo.temperature, slot)
-        intra = pairs.intra_terms(new_pos, state.box, params, cfg, slot)
         d_self = _mol_self_energy(params, cfg, state.box, slot)
         volume = jnp.abs(jnp.linalg.det(state.box))
         d_lrc = zero
@@ -248,8 +290,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
                 params, cfg, pairs.derived_cutoff(state.box, cfg), slot)
             d_lrc = (inter.lrc_coeff + 0.5 * own) / volume
         if cfg.coulomb == "ewald":
-            n_re, n_im = _mol_structure_factor(new_pos, state.box, params,
-                                               cfg, slot)
+            n_re, n_im = _mol_sf_rows(rows, state.box, params, cfg, slot)
             sk_re, sk_im, d_recip = _recip_delta(state, cfg, n_re, n_im)
         else:
             sk_re, sk_im, d_recip = state.sk_re, state.sk_im, zero
@@ -261,7 +302,9 @@ def make_step_fn(params: Params, cfg: RunConfig):
             - jnp.log(thermo.temperature * (n_s + 1.0)) + cav_bias
         reject = (free == 0) | _overlap(inter, cfg, dtype) | cav_reject
         return Candidate(new_pos, state.box, new_alive_mol, sk_re, sk_im,
-                         d, ln_bias.astype(dtype), reject)
+                         d, ln_bias.astype(dtype), reject,
+                         mol=slot.astype(jnp.int32),
+                         rows=rows if row_level else None)
 
     def b_delete(state: SimState, thermo: Thermo, key):
         k_sp, k_slot = jax.random.split(key)
@@ -309,8 +352,12 @@ def make_step_fn(params: Params, cfg: RunConfig):
                 jnp.log(jnp.maximum(n_open.astype(dtype), 1e-30))
                 - jnp.log(g3))
         reject = cnt == 0
-        return Candidate(state.pos, state.box, new_alive_mol, sk_re, sk_im,
-                         d, ln_bias.astype(dtype), reject)
+        return Candidate(None if row_level else state.pos, state.box,
+                         new_alive_mol, sk_re, sk_im,
+                         d, ln_bias.astype(dtype), reject,
+                         mol=slot.astype(jnp.int32),
+                         rows=(state.pos[params.mol_atoms[slot]]
+                               if row_level else None))
 
     def b_volume(state: SimState, thermo: Thermo, key):
         k_v, _ = jax.random.split(key)
@@ -351,9 +398,12 @@ def make_step_fn(params: Params, cfg: RunConfig):
         s_cur = state.spin[mol]
         d_f = (state.rot_f[mol, 1 - s_cur] - state.rot_f[mol, s_cur])
         ln_bias = (-d_f / thermo.temperature).astype(dtype)
-        return Candidate(state.pos, state.box, state.mol_alive,
-                         state.sk_re, state.sk_im, ez, ln_bias,
-                         cnt == 0, spin_mol=mol.astype(jnp.int32))
+        return Candidate(None if row_level else state.pos, state.box,
+                         state.mol_alive, state.sk_re, state.sk_im, ez,
+                         ln_bias, cnt == 0, spin_mol=mol.astype(jnp.int32),
+                         mol=mol.astype(jnp.int32),
+                         rows=(state.pos[params.mol_atoms[mol]]
+                               if row_level else None))
 
     # branch table per ensemble (static)
     if cfg.ensemble == "uvt" and cfg.insert_species:
@@ -423,9 +473,18 @@ def make_step_fn(params: Params, cfg: RunConfig):
         sel = lambda a, b: (a if a is None or b is None
                             else jax.tree_util.tree_map(
                                 lambda x, y: jnp.where(accept, x, y), a, b))
+        if row_level:
+            # scatter only the moved molecule's rows — O(A), not O(N)
+            ridx = params.mol_atoms[cand.mol]
+            new_pos = state.pos.at[ridx].set(
+                jnp.where(accept, cand.rows, state.pos[ridx]))
+            new_box = state.box
+        else:
+            new_pos = sel(cand.pos, state.pos)
+            new_box = sel(cand.box, state.box)
         new_state = SimState(
-            pos=sel(cand.pos, state.pos),
-            box=sel(cand.box, state.box),
+            pos=new_pos,
+            box=new_box,
             mol_alive=sel(cand.mol_alive, state.mol_alive),
             key=key_next,
             mu=sel(mu_new, state.mu),

@@ -98,25 +98,31 @@ def cell_com(key, cell, g: int, box, dtype):
     return pbc_ops._apply33(frac, box)
 
 
-def place_template(pos, params: Params, mol, species, key, box, com=None):
-    """Write the species template into molecule slot ``mol`` at a random
-    COM and orientation (GCMC insertion, SURVEY.md §3.3).  ``com``
-    overrides the uniform-in-cell proposal (cavity-biased insertion)."""
+def place_rows(params: Params, mol, species, key, box, com=None,
+               dtype=jnp.float32):
+    """[A,3] trial rows: the species template at a random COM and
+    orientation (GCMC insertion, SURVEY.md §3.3).  ``com`` overrides the
+    uniform-in-cell proposal (cavity-biased insertion).  Rows beyond the
+    species' atom count duplicate the first row so acceptance scatters
+    stay deterministic (padded ``mol_atoms`` entries repeat index 0)."""
     k_p, k_r = jax.random.split(key)
     if com is None:
-        frac = jax.random.uniform(k_p, (3,), pos.dtype)
+        frac = jax.random.uniform(k_p, (3,), dtype)
         com = frac @ box
     q = quat.random_uniform(k_r)
     tmpl = params.species_pos[species]                   # [A,3], COM at 0
     new = com + quat.rotate(tmpl, q)
-    idx = params.mol_atoms[mol]
-    # rows beyond the species' atom count are padded duplicates of the
-    # first atom index -> overwrite them with the first template row so the
-    # scatter stays deterministic.
-    a = jnp.arange(idx.shape[0])
+    a = jnp.arange(params.mol_atoms.shape[1])
     ok = a < params.mol_natoms[mol]
-    new = jnp.where(ok[:, None], new, new[0])
-    return pos.at[idx].set(new.astype(pos.dtype))
+    return jnp.where(ok[:, None], new, new[0]).astype(dtype)
+
+
+def place_template(pos, params: Params, mol, species, key, box, com=None):
+    """Write the species template into molecule slot ``mol`` (full-array
+    form of place_rows)."""
+    new = place_rows(params, mol, species, key, box, com=com,
+                     dtype=pos.dtype)
+    return pos.at[params.mol_atoms[mol]].set(new)
 
 
 def scale_volume(pos, box, params: Params, mol_alive, d_lnv):

@@ -119,11 +119,13 @@ def rd_crystal_full(pos, box, atom_alive, params, cfg, temperature,
     return (u, u_ff) if split_frozen else u + u_ff
 
 
-def mol_rd_crystal(pos, box, atom_alive, params, cfg, temperature, mol):
+def mol_rd_crystal(pos, box, atom_alive, params, cfg, temperature, mol,
+                   row_pos=None):
     """Crystal RD terms touching molecule ``mol``: one-sided rows-vs-other
     columns over ALL image shifts, plus the molecule's interaction with
     its own periodic images (1/2 sum_{i,j in mol} sum_{n!=0}).  The delta
-    analog of ops/pairs.mol_pair_pass for the crystal sum."""
+    analog of ops/pairs.mol_pair_pass for the crystal sum.  ``row_pos``:
+    trial rows for the molecule itself."""
     box_inv = jnp.linalg.inv(box)
     shifts = jnp.asarray(image_shifts(cfg.rd_crystal_order), pos.dtype)
     idx = params.mol_atoms[mol]
@@ -132,7 +134,7 @@ def mol_rd_crystal(pos, box, atom_alive, params, cfg, temperature, mol):
     row_valid = jnp.arange(A) < na
     col_alive = atom_alive & (params.mol_id != mol)
 
-    rows = pos[idx]
+    rows = pos[idx] if row_pos is None else row_pos
     dr0 = pbc_ops.min_image(rows[:, None, :] - pos[None, :, :],
                             box, box_inv)
     inter_mask = row_valid[:, None] & col_alive[None, :]

@@ -92,7 +92,22 @@ def rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc=None):
     periodic-image crystal sum (ops/crystal.py)."""
     rd_u = None
     tc = None
-    if cfg.rd_potential == "lj" and not getattr(cfg, "es_only", False):
+    if cfg.cdvdw_repulsion != "none":
+        # repulsion-only RD paired with the many-body dispersion
+        # eigensolve (ops/vdw.py); replaces the LJ form wholesale —
+        # see potentials.cdvdw_repulsion_energy for provenance.
+        re_ = lambda x: x[idx_i][:, None]
+        ce_ = lambda x: x[None, :]
+        args = (re_(params.eps), ce_(params.eps), re_(params.sig),
+                ce_(params.sig), re_(params.polar), ce_(params.polar),
+                re_(params.omega), ce_(params.omega))
+        rd_u = potentials.cdvdw_repulsion_energy(r, *args, cfg)
+        if cfg.rd_lrc and rc is not None:
+            tc = potentials.cdvdw_repulsion_tail_coefficient(
+                args[2], args[3], args[4], args[5], args[6], args[7],
+                rc, cfg)
+            tc = jnp.broadcast_to(tc, r2s.shape)
+    elif cfg.rd_potential == "lj" and not getattr(cfg, "es_only", False):
         eps, sig = lj_ops.mix(params.eps[idx_i][:, None],
                               params.eps[None, :],
                               params.sig[idx_i][:, None],
@@ -247,7 +262,8 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
                              "(the image shells are the tail)")
         from mpmc_tpu.ops import crystal
         cfg_es = dataclasses.replace(cfg, rd_potential="none",
-                                     rd_crystal=False)
+                                     rd_crystal=False,
+                                     cdvdw_repulsion="none")
         base = pair_pass(pos, box, atom_alive, params, cfg_es, temperature,
                          split_frozen=split_frozen)
         cry = crystal.rd_crystal_full(pos, box, atom_alive, params, cfg,
@@ -302,11 +318,12 @@ def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol,
     if cfg.rd_crystal:
         from mpmc_tpu.ops import crystal
         cfg_es = dataclasses.replace(cfg, rd_potential="none",
-                                     rd_crystal=False)
+                                     rd_crystal=False,
+                                     cdvdw_repulsion="none")
         base = mol_pair_pass(pos, box, atom_alive, params, cfg_es,
                              temperature, mol, row_pos=row_pos)
         cry = crystal.mol_rd_crystal(pos, box, atom_alive, params, cfg,
-                                     temperature, mol)
+                                     temperature, mol, row_pos=row_pos)
         return dataclasses.replace(base, rd=base.rd + cry)
 
     if cfg.cell_list and params.cell_index is not None:
@@ -329,7 +346,8 @@ def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol,
         if (_pk.supported(cfg) and jax.default_backend() == "tpu"
                 and params.max_atoms_per_mol <= _pk.A_PAD):
             return _pk.mol_pair_pass_pallas(pos, box, atom_alive, params,
-                                            cfg, mol, rc, alpha)
+                                            cfg, mol, rc, alpha,
+                                            row_pos=row_pos)
 
     idx = params.mol_atoms[mol]                     # [A]
     na = params.mol_natoms[mol]
@@ -346,10 +364,11 @@ def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol,
                         triangular=False)
 
 
-def intra_terms(pos, box, params, cfg, mol):
+def intra_terms(pos, box, params, cfg, mol, row_pos=None):
     """Intramolecular terms of one molecule: the Ewald exclusion correction
     (-ke q_i q_j erf(alpha r)/r over its internal pairs).  Needed when a
-    molecule appears/disappears (GCMC insert/delete)."""
+    molecule appears/disappears (GCMC insert/delete).  ``row_pos``: trial
+    rows (skips gathering from ``pos``)."""
     if cfg.coulomb != "ewald":
         return jnp.zeros((), pos.dtype)
     rc = derived_cutoff(box, cfg)
@@ -358,7 +377,7 @@ def intra_terms(pos, box, params, cfg, mol):
     na = params.mol_natoms[mol]
     A = idx.shape[0]
     valid = jnp.arange(A) < na
-    p = pos[idx]
+    p = pos[idx] if row_pos is None else row_pos
     dr = pbc_ops.min_image(p[:, None, :] - p[None, :, :], box)
     r2 = jnp.sum(dr * dr, -1)
     tri = (jnp.arange(A)[None, :] > jnp.arange(A)[:, None])
@@ -391,7 +410,11 @@ def mol_lrc_self_coefficient(params, cfg, rc, mol):
         return jnp.zeros((), params.eps.dtype)
     idx = params.mol_atoms[mol]
     ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
-    if cfg.rd_potential == "lj":
+    if cfg.cdvdw_repulsion != "none":
+        s, a, w = params.sig[idx], params.polar[idx], params.omega[idx]
+        tc = potentials.cdvdw_repulsion_tail_coefficient(
+            s, s, a, a, w, w, rc, cfg)
+    elif cfg.rd_potential == "lj":
         tc = lj_ops.tail_coefficient(params.eps[idx], params.sig[idx], rc)
     elif cfg.rd_potential == "disp_expansion":
         tc = potentials.disp_tail_coefficient(

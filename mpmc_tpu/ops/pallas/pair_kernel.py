@@ -266,6 +266,7 @@ def supported(cfg) -> bool:
                                  "disp_expansion")
             and cfg.coulomb in ("ewald", "wolf", "cutoff", "none")
             and not cfg.feynman_hibbs
+            and cfg.cdvdw_repulsion == "none"
             and cfg.dtype == "float32")
 
 
@@ -427,7 +428,7 @@ def mol_pair_tiles(pos_rows, q_rows, eps_rows, sig_rows, c6_rows,
 
 
 def mol_pair_pass_pallas(pos, box, atom_alive, params, cfg, mol, rc,
-                         alpha, interpret=False):
+                         alpha, interpret=False, row_pos=None):
     """PairTerms-compatible delta pass for one molecule (ke applied)."""
     from mpmc_tpu.ops.pairs import PairTerms
     idx = params.mol_atoms[mol]
@@ -435,7 +436,8 @@ def mol_pair_pass_pallas(pos, box, atom_alive, params, cfg, mol, rc,
     valid = jnp.arange(idx.shape[0]) < na
     col_alive = atom_alive & (params.mol_id != mol)
     raw = mol_pair_tiles(
-        pos[idx], params.charge[idx], params.eps[idx], params.sig[idx],
+        pos[idx] if row_pos is None else row_pos,
+        params.charge[idx], params.eps[idx], params.sig[idx],
         params.c6[idx], params.c8[idx], params.c10[idx], valid, pos,
         params.charge, params.eps, params.sig, params.c6, params.c8,
         params.c10, col_alive, box, rc, alpha, cfg, pos.shape[0],
