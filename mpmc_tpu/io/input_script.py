@@ -280,7 +280,8 @@ def parse(text: str) -> Job:
             cfg_kw["cdvdw"] = _onoff(v0)
         elif key in ("cdvdw_9th_repulsion", "cdvdw_exp_repulsion",
                      "cdvdw_sig_repulsion"):
-            job.ignored_options.append(key)   # repulsion variants: later
+            if not vals or _onoff(v0):
+                cfg_kw["cdvdw_repulsion"] = key.split("_")[1]
         # --- quantum
         elif key == "quantum_rotation":
             cfg_kw["quantum_rotation"] = _onoff(v0)

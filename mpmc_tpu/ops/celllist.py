@@ -93,6 +93,8 @@ def build_cell_index(params, pos, box, cfg,
         raise ValueError("cell_list requires a fixed box (not npt)")
     if cfg.cutoff is None:
         return None
+    if cfg.cdvdw_repulsion != "none":
+        return None   # the culled tile pass has no Drude-repulsion branch
     mol_frozen = np.asarray(params.mol_frozen)
     if not mol_frozen.any():
         return None

@@ -105,6 +105,68 @@ def disp_tail_coefficient(c6, c8, c10, rc):
                             + c10 / (7.0 * rc7))
 
 
+def london_c6(alpha_i, alpha_j, omega_i, omega_j):
+    """Mixed London dispersion coefficient of two Drude oscillators
+    [K A^6]:  C6_ij = (3/2) hbar (w_i w_j / (w_i + w_j)) a_i a_j,
+    with w in atomic units (the PQR omega column, as consumed by
+    ops/vdw.py) and a in A^3.  Exact for two coupled isotropic Drude
+    oscillators; reduces to (3/4) hbar w a^2 for identical sites — the
+    r->inf limit of the cdvdw eigensolve (ops/vdw.py docstring)."""
+    wsum = jnp.maximum(omega_i + omega_j, 1e-30)
+    return (1.5 * HARTREE_K * omega_i * omega_j / wsum
+            * alpha_i * alpha_j)
+
+
+def cdvdw_repulsion_energy(r, ei, ej, si, sj, ai, aj, wi, wj, cfg):
+    """Pair repulsion used alongside coupled-dipole vdW (SURVEY.md §2
+    "Coupled-dipole vdW": cdvdw_sig_repulsion / 9th / exp variants,
+    src/energy/lj.c + vdw.c [M]).
+
+    PROVENANCE (SURVEY §0: mount empty — documented contract): the
+    many-body eigensolve supplies ALL dispersion, so the 12-6 attraction
+    must be dropped; the remaining repulsion is parameterized
+    consistently with the Drude dispersion it pairs with:
+
+    - ``sig``: U = C6_ij sig_ij^6 / r^12 — the LJ repulsive wall whose
+      amplitude 4 eps sig^6 is identified with the London C6 of the SAME
+      alpha/omega Drude parameters (4 eps sig^12 = C6 sig^6), so the pair
+      curve U_rep - C6/r^6 is an ordinary LJ well with its depth fixed by
+      the polarizability — no independent eps parameter.
+    - ``9th``: U = C6_ij sig_ij^3 / r^9 — softer r^-9 wall matching the
+      sig variant at contact (r = sig_ij).
+    - ``exp``: Born-Mayer U = A_ij exp(-B_ij r) with the disp_expansion
+      column convention (eps column = A [K] geometric-mixed, sig column =
+      B [1/A] harmonic-mixed) — the PHAST-style exponential wall.
+
+    Sites without Drude parameters (alpha or omega = 0) contribute no
+    sig/9th repulsion, mirroring their absence from the cdvdw
+    eigensolve."""
+    if cfg.cdvdw_repulsion == "exp":
+        a_ij = jnp.sqrt(jnp.maximum(ei * ej, 0.0))
+        b_ij = 2.0 * si * sj / jnp.maximum(si + sj, 1e-12)
+        return a_ij * jnp.exp(-b_ij * r)
+    c6 = london_c6(ai, aj, wi, wj)
+    sig = 0.5 * (si + sj)                     # Lorentz arithmetic
+    if cfg.cdvdw_repulsion == "sig":
+        return c6 * sig ** 6 / r ** 12
+    if cfg.cdvdw_repulsion == "9th":
+        return c6 * sig ** 3 / r ** 9
+    raise ValueError(cfg.cdvdw_repulsion)
+
+
+def cdvdw_repulsion_tail_coefficient(si, sj, ai, aj, wi, wj, rc, cfg):
+    """Ordered-pair long-range tail for the sig/9th repulsion walls
+    (T_ij = 4 pi Int_rc^inf U r^2 dr; exp decays below any tail):
+    sig: 4 pi C6 sig^6/(9 rc^9);  9th: 4 pi C6 sig^3/(6 rc^6)."""
+    c6 = london_c6(ai, aj, wi, wj)
+    sig = 0.5 * (si + sj)
+    if cfg.cdvdw_repulsion == "sig":
+        return 4.0 * jnp.pi * c6 * sig ** 6 / (9.0 * rc ** 9)
+    if cfg.cdvdw_repulsion == "9th":
+        return 4.0 * jnp.pi * c6 * sig ** 3 / (6.0 * rc ** 6)
+    return jnp.zeros_like(rc) * (si + sj)     # exp: negligible
+
+
 def rd_pair_energy_generic(r, ei, ej, si, sj, c6i, c6j, c8i, c8j,
                            c10i, c10j, cfg):
     """Non-LJ RD pair energies from broadcastable per-side parameter
