@@ -86,6 +86,11 @@ class RunConfig:
     # --- quantum corrections (SURVEY §2.9 "Quantum")
     feynman_hibbs: bool = False
     feynman_hibbs_order: int = 2   # 2 | 4
+    # Feynman-Kleinert variational effective potential (SURVEY §2.9 [L]):
+    # self-consistent Gaussian-smeared pair LJ with harmonic trial; the
+    # high-T limit is exactly feynman_hibbs order 2.  Mutually exclusive
+    # with feynman_hibbs.  See ops/lj.py::feynman_kleinert_from_derivs.
+    feynman_kleinert: bool = False
     # quantum rotation: enables the spinflip move (ortho<->para via cached
     # hindered-rotor free energies, refreshed per corrtime)
     quantum_rotation: bool = False

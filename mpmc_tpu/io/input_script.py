@@ -103,10 +103,10 @@ class Job:
 
 _IGNORED = {"cuda", "wrapall", "long_output", "preset_seeds",
             "scale_charge", "polar_self", "polar_rrms",
-            # SPECTRE massive-polarizability free charges (SURVEY §2 [M])
-            # and Feynman-Kleinert [L]: not rebuilt this round
+            # SPECTRE massive-polarizability free charges (SURVEY §2 [M]):
+            # not rebuilt this round
             "spectre", "spectre_max_charge", "spectre_max_target",
-            "feynman_kleinert", "quantum_vibration",
+            "quantum_vibration",
             "extrapolate_disp_coeffs",
             "parallel_restarts", "adiabatic_probability",
             "gwp_probability"}
@@ -292,6 +292,8 @@ def parse(text: str) -> Job:
             cfg_kw["feynman_hibbs"] = _onoff(v0)
         elif key == "feynman_hibbs_order":
             cfg_kw["feynman_hibbs_order"] = int(float(v0))
+        elif key == "feynman_kleinert":
+            cfg_kw["feynman_kleinert"] = _onoff(v0) if vals else True
         # --- sampling extras
         elif key == "simulated_annealing":
             job.simulated_annealing = _onoff(v0)

@@ -252,12 +252,15 @@ def _tile_terms(rows_pos, row_valid, r_eps, r_sig, r_q, r_c6, r_c8, r_c10,
         eps, sig = lj_ops.mix(re(r_eps), ce(c_eps), re(r_sig), ce(c_sig),
                               cfg.mixing_rule)
         rd_u = lj_ops.energy(r2s, eps, sig)
-        if cfg.feynman_hibbs:
+        if cfg.feynman_hibbs or cfg.feynman_kleinert:
             red = (re(r_mm) * ce(c_mm)
                    / jnp.maximum(re(r_mm) + ce(c_mm), 1e-30))
-            rd_u = rd_u + lj_ops.feynman_hibbs(r, eps, sig, red,
-                                               temperature,
-                                               cfg.feynman_hibbs_order)
+            if cfg.feynman_kleinert:
+                rd_u = rd_u + lj_ops.feynman_kleinert(r, eps, sig, red,
+                                                      temperature)
+            else:
+                rd_u = rd_u + lj_ops.feynman_hibbs(
+                    r, eps, sig, red, temperature, cfg.feynman_hibbs_order)
         if want_tail:
             tc = lj_ops.tail_coefficient(eps, sig, rc)
     elif cfg.rd_potential in ("sg", "dreiding", "b14_7", "disp_expansion"):

@@ -67,6 +67,79 @@ def feynman_hibbs(r, eps, sig, red_mass, temperature, order=2):
     return u
 
 
+def _ln_sinhc(x):
+    """ln(sinh x / x), stable for x in [0, inf)."""
+    small = x * x / 6.0 - x ** 4 / 180.0
+    mid = jnp.log(jnp.sinh(jnp.minimum(x, 40.0))
+                  / jnp.maximum(x, 1e-30))
+    large = x - jnp.log(2.0 * jnp.maximum(x, 1e-30))
+    return jnp.where(x < 1e-3, small, jnp.where(x < 40.0, mid, large))
+
+
+def _xcothx(x):
+    """x coth x, stable for x in [0, inf)."""
+    return jnp.where(x < 1e-3, 1.0 + x * x / 3.0,
+                     x / jnp.tanh(jnp.maximum(x, 1e-30)))
+
+
+def feynman_kleinert_from_derivs(r, v1, v2, v3, v4, red_mass, temperature,
+                                 n_iter=8):
+    """Feynman-Kleinert variational effective-potential correction W - V
+    for a radial pair potential given its derivatives at r.
+
+    Rebuild of the reference's ``feynman_kleinert`` option (SURVEY.md
+    §2.9 "Quantum" [L]; mount empty — implemented from the primary
+    source: Feynman & Kleinert, Phys. Rev. A 34, 5080 (1986)).  The
+    relative coordinate of the pair (reduced mass mu) is given an
+    isotropic 3D harmonic trial:
+
+        W(r) = 3 T ln[sinh x / x] + V_a2(r) - (3/2) mu W2 a2,
+        x = hbar Omega / (2 kB T),
+        a2(Omega) = (T / (mu W2)) [x coth x - 1]     (per component),
+        W2 = Omega^2 = (1/3mu) lap V_a2(r)           (self-consistent),
+
+    with the Gaussian-smeared potential taken to quartic order in the
+    smearing width (same truncation family as Feynman-Hibbs, whose
+    2nd-order form is exactly the high-T limit of W - V):
+
+        V_a2 = V + (a2/2) lap V + (a4/8) lap^2 V,
+        lap V = V'' + 2 V'/r,   lap^2 V = V'''' + 4 V'''/r.
+
+    Where the smeared curvature is negative (anharmonic well bottom) the
+    trial frequency is clamped to ~0, which degrades gracefully to the
+    fixed Feynman-Hibbs width a2 = hbar^2/(12 mu kB T).  Exact for a
+    harmonic pair potential (tested), where it yields the full quantum
+    oscillator free-energy shift 3 T ln[sinh x / x]."""
+    m = jnp.maximum(red_mass, 1e-30)
+    d2 = v2 + 2.0 * v1 / r                  # lap V      [K / A^2]
+    d4 = v4 + 4.0 * v3 / r                  # lap^2 V    [K / A^4]
+    t = temperature
+    # x^2 = (hbar Omega / 2 kB T)^2 = HBAR2_KB_AMU_A2 * y / (4 T^2)
+    # with y = Omega^2 in K / (amu A^2)
+    c_x2 = HBAR2_KB_AMU_A2 / (4.0 * t * t)
+    y_min = 1e-12
+    a2 = jnp.zeros_like(r)
+    y = jnp.maximum(d2 / (3.0 * m), y_min)
+    for _ in range(n_iter):
+        x = jnp.sqrt(c_x2 * y)
+        # a2 = (T/(mu y)) [x coth x - 1]; y->0 limit = hbar^2/(12 mu T)
+        a2 = jnp.where(
+            y > y_min,
+            t / (m * y) * (_xcothx(x) - 1.0),
+            HBAR2_KB_AMU_A2 / (12.0 * m * t))
+        y = jnp.maximum((d2 + 0.5 * a2 * d4) / (3.0 * m), y_min)
+    x = jnp.sqrt(c_x2 * y)
+    dva = 0.5 * a2 * d2 + 0.125 * a2 * a2 * d4       # V_a2 - V
+    return 3.0 * t * _ln_sinhc(x) + dva - 1.5 * m * y * a2
+
+
+def feynman_kleinert(r, eps, sig, red_mass, temperature):
+    """FK effective-potential correction W - V for the 12-6 LJ pair."""
+    v1, v2, v3, v4 = derivatives(r, eps, sig)
+    return feynman_kleinert_from_derivs(r, v1, v2, v3, v4, red_mass,
+                                        temperature)
+
+
 def tail_coefficient(eps, sig, rc):
     """Per-(ordered-)pair long-range tail coefficient T_ij such that
     U_lrc = (1/2) sum_ij T_ij / V:

@@ -113,14 +113,18 @@ def rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc=None):
                               params.sig[idx_i][:, None],
                               params.sig[None, :], cfg.mixing_rule)
         rd_u = lj_ops.energy(r2s, eps, sig)
-        if cfg.feynman_hibbs:
+        if cfg.feynman_hibbs or cfg.feynman_kleinert:
             mol_i = params.mol_id[idx_i]
             mm_i = params.mol_mass[mol_i]
             mm_j = params.mol_mass[params.mol_id]
             red = (mm_i[:, None] * mm_j[None, :]
                    / jnp.maximum(mm_i[:, None] + mm_j[None, :], 1e-30))
-            rd_u = rd_u + lj_ops.feynman_hibbs(r, eps, sig, red, temperature,
-                                               cfg.feynman_hibbs_order)
+            if cfg.feynman_kleinert:
+                rd_u = rd_u + lj_ops.feynman_kleinert(r, eps, sig, red,
+                                                      temperature)
+            else:
+                rd_u = rd_u + lj_ops.feynman_hibbs(
+                    r, eps, sig, red, temperature, cfg.feynman_hibbs_order)
         if cfg.rd_lrc and rc is not None:
             tc = lj_ops.tail_coefficient(eps, sig, rc)
             tc = jnp.broadcast_to(tc, r2s.shape)

@@ -266,6 +266,7 @@ def supported(cfg) -> bool:
                                  "disp_expansion")
             and cfg.coulomb in ("ewald", "wolf", "cutoff", "none")
             and not cfg.feynman_hibbs
+            and not cfg.feynman_kleinert
             and cfg.cdvdw_repulsion == "none"
             and cfg.dtype == "float32")
 

@@ -122,6 +122,80 @@ def test_feynman_hibbs_second_order_matches_numeric():
     assert got == pytest.approx(expect, rel=1e-5)
 
 
+class TestFeynmanKleinert:
+    """FK variational effective potential (SURVEY §2.9 "Quantum" [L];
+    Feynman & Kleinert PRA 34, 5080 (1986))."""
+
+    def test_harmonic_pair_is_exact(self):
+        """For V = (1/2) k r^2 the FK smearing is exact and W - V is the
+        full quantum-oscillator free-energy shift 3T ln[sinh x / x]."""
+        from mpmc_tpu.constants import HBAR2_KB_AMU_A2
+        from mpmc_tpu.ops import lj as lj_ops
+        k, mu, T = 800.0, 1.0, 40.0            # K/A^2, amu, K
+        for r in (0.5, 2.0, 5.0):
+            rj = jnp.float64(r)
+            got = float(lj_ops.feynman_kleinert_from_derivs(
+                rj, k * rj, jnp.float64(k), jnp.float64(0.0),
+                jnp.float64(0.0), mu, T))
+            x = np.sqrt(HBAR2_KB_AMU_A2 * (k / mu)) / (2 * T)
+            want = 3 * T * np.log(np.sinh(x) / x)
+            assert got == pytest.approx(want, rel=1e-10), r
+
+    def test_high_temperature_limit_is_fh2(self):
+        """T -> inf: W - V -> hbar^2 beta / 24 mu * lap V (FH order 2)."""
+        from mpmc_tpu.ops import lj as lj_ops
+        eps, sig, mu = 34.2, 2.96, 1.008
+        for r in (2.7, 2.9, 4.0):
+            T = 5000.0
+            fk = float(lj_ops.feynman_kleinert(jnp.float64(r), eps, sig,
+                                               mu, T))
+            fh = float(lj_ops.feynman_hibbs(jnp.float64(r), eps, sig, mu,
+                                            T, 2))
+            assert fk == pytest.approx(fh, rel=2e-2), r
+
+    def test_stronger_than_fh_at_low_temperature(self):
+        """At low T in the repulsive region the resummed FK correction
+        stays finite and positive while remaining same-signed as FH."""
+        from mpmc_tpu.ops import lj as lj_ops
+        eps, sig, mu, T, r = 34.2, 2.96, 1.008, 10.0, 2.8
+        fk = float(lj_ops.feynman_kleinert(jnp.float64(r), eps, sig, mu, T))
+        assert np.isfinite(fk) and fk > 0.0
+
+    def test_mc_bookkeeping_with_fk(self):
+        from mpmc_tpu.config import Thermo
+        from mpmc_tpu.mc import metropolis
+        from mpmc_tpu.state import build_system
+        from tests.helpers import atom_species
+        rng = np.random.default_rng(11)
+        L = 14.0
+        # non-overlapping start (2x2x2 sublattice + jitter): a sub-A
+        # overlap makes the FK wall ~1e7 K and the resulting f64
+        # cancellation noise would swamp the 1e-9 bookkeeping check
+        g = np.stack(np.meshgrid(*[np.arange(2)] * 3,
+                                 indexing="ij"), -1).reshape(-1, 3)
+        coords = g * (L / 2) + 2.0 + rng.uniform(-0.5, 0.5, (8, 3))
+        sp = atom_species(name="H2", mass=2.016)
+        params, state = build_system(
+            L * np.eye(3), species=(sp,), capacity=(8,),
+            initial_counts=(8,), initial_pos={0: coords[:, None, :]},
+            dtype=jnp.float64)
+        cfg = make_cfg(cutoff=6.0, rd_lrc=False, feynman_kleinert=True)
+        thermo_ = Thermo.make(temperature=30.0, move_factor=0.4,
+                              rot_factor=0.0, n_species=1, dtype=cfg.jdtype)
+        st = metropolis.initialize(state, params, cfg, thermo_)
+        st, _ = metropolis.run_chunk(st, params, cfg, thermo_, 120)
+        st2 = metropolis.initialize(st, params, cfg, thermo_)
+        assert float(st.energy.total) == pytest.approx(
+            float(st2.energy.total), abs=1e-9)
+
+    def test_input_script_option(self):
+        from mpmc_tpu.io import input_script
+        job = input_script.parse(
+            "ensemble nvt\nbasis1 20 0 0\nbasis2 0 20 0\nbasis3 0 0 20\n"
+            "feynman_kleinert on\n")
+        assert job.cfg.feynman_kleinert
+
+
 def test_mol_pair_pass_matches_full_difference():
     """Delta-energy contract: mol_pair_pass(mol) == (terms of full system)
     - (terms of system without mol)."""
