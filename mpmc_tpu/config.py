@@ -94,6 +94,11 @@ class RunConfig:
     # quantum rotation: enables the spinflip move (ortho<->para via cached
     # hindered-rotor free energies, refreshed per corrtime)
     quantum_rotation: bool = False
+    # quantum vibration: per-corrtime stretch eigenspectra of diatomic
+    # sorbates in the crystal field (ops/qvib.py); diagnostic observable
+    # (adsorption-induced fundamental shift), like the reference's
+    # spectra printouts (SURVEY §2.9 [L])
+    quantum_vibration: bool = False
 
     # --- ensembles / moves (static structure; magnitudes live in Thermo)
     cavity_autoreject_absolute: float = 0.0   # r_min; 0 disables

@@ -63,6 +63,9 @@ class Job:
     checkpoint_input: Optional[str] = None
     # quantum rotation (SURVEY §2.9 "Quantum")
     quantum_rotation_level_max: int = 4
+    # quantum vibration: stretch fundamental [cm^-1] for sorbate species
+    # (extension option; see ops/qvib.py)
+    vib_omega: float = 0.0
     # adaptive move sizes: rescale move_factor/rot_factor each corrtime
     # toward ~50% displace acceptance (SURVEY §2 "MC main loop" [M])
     adapt_moves: bool = False
@@ -106,7 +109,6 @@ _IGNORED = {"cuda", "wrapall", "long_output", "preset_seeds",
             # SPECTRE massive-polarizability free charges (SURVEY §2 [M]):
             # not rebuilt this round
             "spectre", "spectre_max_charge", "spectre_max_target",
-            "quantum_vibration",
             "extrapolate_disp_coeffs",
             "parallel_restarts", "adiabatic_probability",
             "gwp_probability"}
@@ -294,6 +296,12 @@ def parse(text: str) -> Job:
             cfg_kw["feynman_hibbs_order"] = int(float(v0))
         elif key == "feynman_kleinert":
             cfg_kw["feynman_kleinert"] = _onoff(v0) if vals else True
+        elif key == "quantum_vibration":
+            cfg_kw["quantum_vibration"] = _onoff(v0) if vals else True
+        elif key == "vib_omega":
+            # extension: stretch fundamental [cm^-1] applied to sorbate
+            # species (the reference's PQR has no column for it)
+            job.vib_omega = float(v0)
         # --- sampling extras
         elif key == "simulated_annealing":
             job.simulated_annealing = _onoff(v0)

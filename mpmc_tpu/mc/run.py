@@ -116,6 +116,14 @@ def setup(job: input_script.Job,
     elif job.cfg.ensemble == "uvt":
         insert_names = list(names)    # clone existing sorbates
 
+    if job.vib_omega > 0.0:
+        # quantum_vibration: the stretch fundamental applies to the
+        # sorbate species (the reference's PQR carries no column for
+        # it, so it arrives via the vib_omega option); non-linear
+        # species are skipped downstream by qvib.vibration_table
+        species = [dataclasses.replace(sp, vib_omega=job.vib_omega)
+                   for sp in species]
+
     insert_species = tuple(names.index(n) for n in insert_names)
     counts = [len(instances[n]) for n in names]
     capacity = [c + (job.max_molecules if i in insert_species else 0)
@@ -599,6 +607,20 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
                 lmax=job.quantum_rotation_level_max)
             state = state.replace(rot_f=jnp.asarray(table, cfg.jdtype))
         obs = observables(su, state, stats)
+        if cfg.quantum_vibration:
+            from mpmc_tpu.ops import qvib
+            vt = qvib.vibration_table(
+                state.pos, state.box, state.atom_alive(params),
+                state.mol_alive, params, cfg, thermo, list(su.species))
+            ok = ~np.isnan(vt[:, 0])
+            if ok.any():
+                hw = {i: float(sp.vib_omega) * qvib.CM1_K
+                      for i, sp in enumerate(su.species)}
+                sidx = np.asarray(params.mol_species)[ok]
+                free = np.array([hw.get(int(s), 0.0) for s in sidx])
+                obs["qvib_zpe"] = float(vt[ok, 0].mean())
+                obs["qvib_fundamental_shift"] = float(
+                    ((vt[ok, 1] - vt[ok, 0]) - free).mean())
         avgs.add(obs)
         writer.log_block(int(state.step), obs, stats)
         writer.write_restart(params, state)

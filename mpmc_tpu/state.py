@@ -49,6 +49,9 @@ class Species:
     c8: np.ndarray = None
     c10: np.ndarray = None
     gwp_alpha: np.ndarray = None  # (A,) Gaussian charge width [A]
+    # spectroscopic stretch fundamental [cm^-1] for quantum_vibration
+    # (diatomics; 0 = not configured) — see ops/qvib.py
+    vib_omega: float = 0.0
 
     def __post_init__(self):
         a = len(self.atom_names)

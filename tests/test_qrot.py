@@ -135,3 +135,92 @@ pqr_input {pqr}
     # the per-step spinflip move must relax toward para
     assert np.mean(avgs.samples["ortho_fraction"][2:]) < 0.4
     assert avgs.mean("acc_spinflip") >= 0.0
+
+
+class TestQuantumVibration:
+    """Stretch eigenspectra (SURVEY §2.9 quantum_vibration [L];
+    documented contract in ops/qvib.py)."""
+
+    def test_free_molecule_harmonic_ladder(self):
+        import dataclasses
+        from mpmc_tpu.ops import qvib
+        sp, params, state, cfg = h2_system()
+        sp = dataclasses.replace(sp, vib_omega=4401.21)
+        levels, hw = qvib.vibrational_levels(
+            state.pos, state.box, state.atom_alive(params), params, cfg,
+            300.0, mol=0, species=sp)
+        assert hw == pytest.approx(4401.21 * qvib.CM1_K, rel=1e-12)
+        # isolated molecule: bare oscillator ladder E_n = hw (n + 1/2)
+        for n in range(3):
+            assert levels[n] == pytest.approx(hw * (n + 0.5), rel=2e-3), n
+        assert levels[1] - levels[0] == pytest.approx(hw, rel=2e-3)
+
+    def test_geometry_three_site_h2(self):
+        from mpmc_tpu.ops import qvib
+        sp = systems.h2_bss3()
+        s, b0, mu = qvib.stretch_geometry(sp)
+        assert b0 == pytest.approx(0.742, rel=1e-12)
+        assert mu == pytest.approx(1.008 / 2, rel=1e-12)
+
+    def test_confinement_blueshifts_fundamental(self):
+        """A repulsive LJ site beyond each end of the bond stiffens the
+        stretch: (E1-E0) > hbar w."""
+        import dataclasses
+        from mpmc_tpu.ops import qvib
+        sp, params, state, cfg = h2_system(box_len=30.0)
+        sp = dataclasses.replace(sp, vib_omega=4401.21)
+        # free reference
+        free, hw = qvib.vibrational_levels(
+            state.pos, state.box, state.atom_alive(params), params, cfg,
+            300.0, mol=0, species=sp)
+        # walls: frozen LJ atoms on the molecular axis (z), close enough
+        # that the repulsive wall rises over the stretch grid
+        fpos = np.array([[15.0, 15.0, 17.4], [15.0, 15.0, 12.6]])
+        fp = {"charge": np.zeros(2), "mass": np.full(2, 40.0),
+              "eps": np.full(2, 60.0), "sig": np.full(2, 3.2),
+              "polar": np.zeros(2)}
+        params2, state2 = build_system(
+            np.eye(3) * 30.0, frozen_pos=fpos, frozen_params=fp,
+            species=(sp,), capacity=(1,), initial_counts=(1,),
+            initial_pos={0: (sp.pos + np.full(3, 15.0))[None]},
+            dtype=cfg.jdtype)
+        conf, _ = qvib.vibrational_levels(
+            state2.pos, state2.box, state2.atom_alive(params2), params2,
+            cfg, 300.0, mol=0, species=sp)
+        assert np.all(np.isfinite(conf))
+        assert (conf[1] - conf[0]) > (free[1] - free[0])
+
+    def test_cli_reports_qvib_observables(self, tmp_path):
+        import io
+        from mpmc_tpu.io import input_script
+        from mpmc_tpu.mc import run as run_mod
+        d = 0.371
+        pqr = tmp_path / "h2.pqr"
+        pqr.write_text(
+            "ATOM 1 H2G H2 1 M 10.0 10.0 10.0 0.0 0.0 0.0 34.2 2.96\n"
+            f"ATOM 2 H2E H2 1 M 10.0 10.0 {10 + d} 1.008 0.0 0.0 0.0 0.0\n"
+            f"ATOM 3 H2E H2 1 M 10.0 10.0 {10 - d} 1.008 0.0 0.0 0.0 0.0\n"
+            "END\n")
+        job = input_script.parse(f"""
+ensemble nvt
+numsteps 400
+corrtime 200
+temperature 40
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+coulomb off
+rd_lrc off
+precision float64
+quantum_vibration on
+vib_omega 4401.21
+pqr_input {pqr}
+""")
+        log = io.StringIO()
+        _, avgs = run_mod.run(job, log=log)
+        assert "qvib_zpe" in avgs.samples
+        assert "qvib_fundamental_shift" in avgs.samples
+        from mpmc_tpu.ops import qvib
+        hw = 4401.21 * qvib.CM1_K
+        assert avgs.mean("qvib_zpe") == pytest.approx(hw / 2, rel=5e-3)
+        assert abs(avgs.mean("qvib_fundamental_shift")) < 0.05 * hw
