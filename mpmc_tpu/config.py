@@ -100,6 +100,13 @@ class RunConfig:
     # spectra printouts (SURVEY §2.9 [L])
     quantum_vibration: bool = False
 
+    # --- SPECTRE massive-polarizability free charges (SURVEY §2 [M];
+    # PQR 'S'-flagged sites; per-corrtime charge renormalization —
+    # see mc/spectre.py for the documented contract)
+    spectre: bool = False
+    spectre_max_charge: float = 1.0
+    spectre_max_target: float = 0.0   # 0 -> no total-charge rescale
+
     # --- ensembles / moves (static structure; magnitudes live in Thermo)
     cavity_autoreject_absolute: float = 0.0   # r_min; 0 disables
     insert_species: Tuple[int, ...] = ()      # species eligible for GCMC

@@ -106,9 +106,6 @@ class Job:
 
 _IGNORED = {"cuda", "wrapall", "long_output", "preset_seeds",
             "scale_charge", "polar_self", "polar_rrms",
-            # SPECTRE massive-polarizability free charges (SURVEY §2 [M]):
-            # not rebuilt this round
-            "spectre", "spectre_max_charge", "spectre_max_target",
             "extrapolate_disp_coeffs",
             "parallel_restarts", "adiabatic_probability",
             "gwp_probability"}
@@ -298,6 +295,12 @@ def parse(text: str) -> Job:
             cfg_kw["feynman_kleinert"] = _onoff(v0) if vals else True
         elif key == "quantum_vibration":
             cfg_kw["quantum_vibration"] = _onoff(v0) if vals else True
+        elif key == "spectre":
+            cfg_kw["spectre"] = _onoff(v0) if vals else True
+        elif key == "spectre_max_charge":
+            cfg_kw["spectre_max_charge"] = float(v0)
+        elif key == "spectre_max_target":
+            cfg_kw["spectre_max_target"] = float(v0)
         elif key == "vib_omega":
             # extension: stretch fundamental [cm^-1] applied to sorbate
             # species (the reference's PQR has no column for it)

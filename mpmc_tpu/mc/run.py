@@ -37,6 +37,8 @@ class Setup:
     species: Tuple[Species, ...]
     species_names: List[str]
     frozen_mass: float
+    # species indices whose PQR atoms were 'S'-flagged (mc/spectre.py)
+    spectre_species: Tuple[int, ...] = ()
 
 
 def _species_from_atoms(atoms) -> Species:
@@ -168,8 +170,15 @@ def setup(job: input_script.Job,
         n_species=nsp, dtype=cfg.jdtype)
 
     frozen_mass = float(sum(a.mass for a in frozen))
+    # species whose source atoms carry the PQR 'S' flag (SPECTRE sites)
+    spectre_flags: Dict[str, bool] = {}
+    for mol_id, atoms in sorted(frame.movable_molecules().items()):
+        spectre_flags.setdefault(atoms[0].mol_name,
+                                 atoms[0].flag.upper().startswith("S"))
+    spectre_species = tuple(i for i, n in enumerate(names)
+                            if spectre_flags.get(n, False))
     return Setup(params, state, cfg, thermo, tuple(species), names,
-                 frozen_mass)
+                 frozen_mass, spectre_species)
 
 
 def observables(su: Setup, state: SimState, stats=None) -> Dict[str, float]:
@@ -595,9 +604,22 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
     n_blocks = max(cfg.numsteps // corr, 1)
     t0 = time.time()
     steps_done = 0
+    spectre_idx = None
+    if cfg.spectre:
+        from mpmc_tpu.mc import spectre as spectre_mod
+        spectre_idx = spectre_mod.spectre_atom_indices(
+            params, su.spectre_species)
+        print(f"spectre: {len(spectre_idx)} free-charge sites",
+              file=writer.log)
     for block in range(n_blocks):
         state, stats = metropolis.run_chunk(state, params, cfg, thermo, corr)
         steps_done += corr
+        if spectre_idx is not None and len(spectre_idx):
+            # renormalize free charges, then let the full refresh below
+            # rebuild every charge-dependent cache (mc/spectre.py)
+            from mpmc_tpu.mc import spectre as spectre_mod
+            params = spectre_mod.apply(params, spectre_idx, cfg)
+            su = dataclasses.replace(su, params=params)
         state = metropolis.initialize(state, params, cfg, thermo)  # refresh
         if cfg.quantum_rotation:
             from mpmc_tpu.ops import qrot
@@ -607,6 +629,10 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
                 lmax=job.quantum_rotation_level_max)
             state = state.replace(rot_f=jnp.asarray(table, cfg.jdtype))
         obs = observables(su, state, stats)
+        if spectre_idx is not None and len(spectre_idx):
+            qs = np.asarray(params.charge)[spectre_idx]
+            obs["spectre_total_charge"] = float(np.sum(np.abs(qs)))
+            obs["spectre_max_abs_charge"] = float(np.max(np.abs(qs)))
         if cfg.quantum_vibration:
             from mpmc_tpu.ops import qvib
             vt = qvib.vibration_table(
