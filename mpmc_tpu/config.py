@@ -47,6 +47,10 @@ class RunConfig:
     # cannot fit.  Implies rd_lrc off (the image shells ARE the tail).
     rd_crystal: bool = False
     rd_crystal_order: int = 2
+    # fill missing per-atom C10 from the Tang-Toennies recursion
+    # C10 = (49/40) C8^2 / C6 (SURVEY §2.9 "RD":
+    # extrapolate_disp_coeffs [L]) at system build
+    extrapolate_disp_coeffs: bool = False
 
     # --- electrostatics (SURVEY §2.9 "ES")
     coulomb: str = "ewald"         # ewald | wolf | cutoff | none

@@ -66,6 +66,10 @@ class Job:
     # quantum vibration: stretch fundamental [cm^-1] for sorbate species
     # (extension option; see ops/qvib.py)
     vib_omega: float = 0.0
+    # more decimals in the per-corrtime log (SURVEY §2.9 "I/O" [M])
+    long_output: bool = False
+    # multiply every charge by this factor at setup (SURVEY §2.9 "ES" [M])
+    scale_charge: float = 1.0
     # adaptive move sizes: rescale move_factor/rot_factor each corrtime
     # toward ~50% displace acceptance (SURVEY §2 "MC main loop" [M])
     adapt_moves: bool = False
@@ -104,9 +108,7 @@ class Job:
     ignored_options: List[str] = dataclasses.field(default_factory=list)
 
 
-_IGNORED = {"cuda", "wrapall", "long_output", "preset_seeds",
-            "scale_charge", "polar_self", "polar_rrms",
-            "extrapolate_disp_coeffs",
+_IGNORED = {"cuda", "polar_self", "polar_rrms",
             "parallel_restarts", "adiabatic_probability",
             "gwp_probability"}
 
@@ -295,6 +297,19 @@ def parse(text: str) -> Job:
             cfg_kw["feynman_kleinert"] = _onoff(v0) if vals else True
         elif key == "quantum_vibration":
             cfg_kw["quantum_vibration"] = _onoff(v0) if vals else True
+        elif key == "wrapall":
+            cfg_kw["wrapall"] = _onoff(v0) if vals else True
+        elif key == "preset_seeds":
+            # reference: per-MPI-rank seed list; single-program rebuild
+            # takes the first value (replicas derive per-chain streams)
+            cfg_kw["seed"] = int(float(v0))
+        elif key == "long_output":
+            job.long_output = _onoff(v0) if vals else True
+        elif key == "scale_charge":
+            job.scale_charge = float(v0)
+        elif key == "extrapolate_disp_coeffs":
+            cfg_kw["extrapolate_disp_coeffs"] = (_onoff(v0) if vals
+                                                 else True)
         elif key == "spectre":
             cfg_kw["spectre"] = _onoff(v0) if vals else True
         elif key == "spectre_max_charge":

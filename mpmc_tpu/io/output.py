@@ -36,10 +36,19 @@ class RunWriter:
 
     def log_block(self, step: int, obs: Dict[str, float], stats=None):
         e = obs
-        line = (f"step {step:>10d}  E {e['energy_total']:14.4f} K  "
-                f"rd {e['energy_rd']:12.4f}  es {e['energy_es']:12.4f}  "
-                f"polar {e['energy_polar']:10.4f}  "
-                f"N {e['N']:7.1f}  rho {e.get('density_g_cm3', 0.0):8.5f}")
+        if getattr(self.job, "long_output", False):
+            # reference's long_output: more decimals (SURVEY §2.9 "I/O")
+            line = (f"step {step:>10d}  E {e['energy_total']:20.10f} K  "
+                    f"rd {e['energy_rd']:18.10f}  "
+                    f"es {e['energy_es']:18.10f}  "
+                    f"polar {e['energy_polar']:16.10f}  "
+                    f"N {e['N']:7.1f}  "
+                    f"rho {e.get('density_g_cm3', 0.0):12.9f}")
+        else:
+            line = (f"step {step:>10d}  E {e['energy_total']:14.4f} K  "
+                    f"rd {e['energy_rd']:12.4f}  es {e['energy_es']:12.4f}  "
+                    f"polar {e['energy_polar']:10.4f}  "
+                    f"N {e['N']:7.1f}  rho {e.get('density_g_cm3', 0.0):8.5f}")
         if stats is not None:
             att = np.maximum(np.asarray(stats.attempts), 1)
             acc = np.asarray(stats.accepts) / att
@@ -62,14 +71,16 @@ class RunWriter:
         if self.job.pqr_restart:
             pqr_io.write_state(self.job.pqr_restart, params, state,
                                self.species_names,
-                               remark=f"restart step {int(state.step)}")
+                               remark=f"restart step {int(state.step)}",
+                               wrap=self.job.cfg.wrapall)
 
     def append_trajectory(self, params, state):
         if self.job.traj_output:
             mode = "w" if not self._wrote_traj_header else "a"
             pqr_io.write_state(self.job.traj_output, params, state,
                                self.species_names, mode=mode,
-                               remark=f"frame step {int(state.step)}")
+                               remark=f"frame step {int(state.step)}",
+                               wrap=self.job.cfg.wrapall)
             self._wrote_traj_header = True
 
     def write_dipoles(self, params, state):

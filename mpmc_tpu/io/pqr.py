@@ -173,17 +173,37 @@ def write(path: str, atoms: List[PqrAtom], mode: str = "w",
         f.write("END\n")
 
 
+def wrapped_positions(params, state):
+    """Positions with every movable molecule's COM translated into the
+    unit cell (molecule-wise, so bonds never straddle an image) — the
+    reference's ``wrapall`` output behavior (SURVEY.md §2.9 "Cell")."""
+    import numpy as onp
+
+    from mpmc_tpu.state import all_molecule_coms
+    pos = onp.array(onp.asarray(state.pos), onp.float64, copy=True)
+    box = onp.asarray(state.box, onp.float64)
+    coms = onp.asarray(all_molecule_coms(state.pos, params))
+    frac = coms @ onp.linalg.inv(box)
+    shift = onp.floor(frac) @ box                          # [M,3]
+    movable = ~onp.asarray(params.mol_frozen)
+    shift[~movable] = 0.0
+    return pos - shift[onp.asarray(params.mol_id)]
+
+
 def write_state(path: str, params, state, species_names=None,
                 mode: str = "w", remark: str = "",
-                extended: bool = False) -> None:
+                extended: bool = False, wrap: bool = False) -> None:
     """Write the current (alive) system state as one PQR frame.
 
     Fully vectorized arrays -> native C writer when available (the
     per-corrtime restart/trajectory hot path: zero per-atom Python
-    objects); falls back to snapshot_atoms + the Python writer."""
+    objects); falls back to snapshot_atoms + the Python writer.
+    ``wrap``: write molecule-wise wrapped coordinates (wrapall)."""
     import numpy as onp
 
     from mpmc_tpu.io import native
+    if wrap:
+        state = state.replace(pos=wrapped_positions(params, state))
     if not native.available():
         write(path, snapshot_atoms(params, state, species_names),
               mode=mode, remark=remark, extended=extended,

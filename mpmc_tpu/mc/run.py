@@ -141,6 +141,19 @@ def setup(job: input_script.Job,
         species=tuple(species), capacity=tuple(capacity),
         initial_counts=tuple(counts), initial_pos=initial_pos,
         dtype=cfg.jdtype, seed=cfg.seed)
+    if job.scale_charge != 1.0:
+        params = dataclasses.replace(
+            params, charge=params.charge * job.scale_charge)
+    if cfg.extrapolate_disp_coeffs:
+        # Tang-Toennies recursion C10 = (49/40) C8^2/C6 for atoms with
+        # C6/C8 but no C10 (SURVEY §2.9 "RD" [L])
+        c6 = np.asarray(params.c6)
+        c8 = np.asarray(params.c8)
+        c10 = np.array(params.c10, np.float64, copy=True)
+        m = (c10 == 0) & (c6 > 0) & (c8 > 0)
+        c10[m] = 49.0 / 40.0 * c8[m] ** 2 / c6[m]
+        params = dataclasses.replace(
+            params, c10=jnp.asarray(c10, cfg.jdtype))
     if cfg.cell_list:
         from mpmc_tpu.ops import celllist
         params = celllist.attach(params, state.pos, state.box, cfg)

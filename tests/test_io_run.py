@@ -545,3 +545,119 @@ pqr_input {traj}
     a2 = run_mod.run(input_script.parse(script), log=io.StringIO())
     np.testing.assert_allclose(a1.samples["energy_total"],
                                a2.samples["energy_total"], rtol=1e-12)
+
+
+def test_scale_charge_scales_es_energy(tmp_path):
+    """scale_charge x multiplies every charge: ES terms scale by x^2."""
+    p = write(str(tmp_path), "h2.pqr", H2_3SITE_PQR)
+    base = f"""
+ensemble te
+temperature 300
+basis1 40 0 0
+basis2 0 40 0
+basis3 0 0 40
+cutoff 15.0
+rd_lrc off
+precision float64
+pqr_input {p}
+"""
+    e1 = run_mod.run_te(input_script.parse(base), log=io.StringIO())
+    e2 = run_mod.run_te(input_script.parse(base + "scale_charge 2.0\n"),
+                        log=io.StringIO())
+    # single molecule: only self/exclusion terms are nonzero; both ~ q^2
+    assert float(e2.es_self) == pytest.approx(4 * float(e1.es_self),
+                                              rel=1e-12)
+    assert float(e2.es_excl) == pytest.approx(4 * float(e1.es_excl),
+                                              rel=1e-12)
+    assert float(e2.rd) == pytest.approx(float(e1.rd), rel=1e-12)
+
+
+def test_extrapolate_disp_coeffs_fills_c10(tmp_path):
+    """C10 = (49/40) C8^2 / C6 for atoms with C6/C8 but no C10."""
+    pqr_text = (
+        "ATOM 1 X XX 1 M 5.0 5.0 5.0 10.0 0.0 0.0 40000.0 3.2 "
+        "0.0 100.0 900.0 0.0 0.0\n"
+        "ATOM 2 X XX 2 M 9.0 5.0 5.0 10.0 0.0 0.0 40000.0 3.2 "
+        "0.0 100.0 900.0 0.0 0.0\n"
+        "END\n")
+    p = write(str(tmp_path), "de.pqr", pqr_text)
+    base = f"""
+ensemble te
+temperature 300
+basis1 40 0 0
+basis2 0 40 0
+basis3 0 0 40
+cutoff 15.0
+coulomb off
+disp_expansion on
+rd_lrc off
+precision float64
+pqr_input {p}
+"""
+    e1 = run_mod.run_te(input_script.parse(base), log=io.StringIO())
+    e2 = run_mod.run_te(
+        input_script.parse(base + "extrapolate_disp_coeffs on\n"),
+        log=io.StringIO())
+    # the added C10 term deepens the dispersion at r=4:
+    c10 = 49.0 / 40.0 * 900.0 ** 2 / 100.0
+    from mpmc_tpu.ops.potentials import tt_damping
+    import jax.numpy as jnp
+    x = 3.2 * 4.0
+    extra = -float(tt_damping(jnp.float64(x), 10)) * c10 / 4.0 ** 10
+    assert float(e2.rd) - float(e1.rd) == pytest.approx(extra, rel=1e-9)
+
+
+def test_wrapall_wraps_trajectory_coords(tmp_path):
+    """A molecule walked outside the cell is written wrapped in-cell."""
+    import numpy as np
+    from mpmc_tpu.io import pqr as pqr_io
+    from mpmc_tpu.mc import run as rn
+    p = write(str(tmp_path), "ar.pqr", ARGON_PQR)
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 0
+temperature 300
+basis1 100 0 0
+basis2 0 100 0
+basis3 0 0 100
+cutoff 20
+coulomb off
+precision float64
+pqr_input {p}
+""")
+    su = rn.setup(job)
+    st = su.state.replace(pos=su.state.pos + 130.0)   # out of cell
+    out = tmp_path / "w.pqr"
+    pqr_io.write_state(str(out), su.params, st, su.species_names,
+                       wrap=True)
+    fr = pqr_io.read(str(out))
+    xyz = np.stack([a.xyz for a in fr.atoms])
+    assert np.all(xyz >= 0.0) and np.all(xyz < 100.0)
+    # and without wrap the raw coordinates survive
+    pqr_io.write_state(str(out), su.params, st, su.species_names,
+                       wrap=False)
+    fr = pqr_io.read(str(out))
+    assert np.stack([a.xyz for a in fr.atoms]).max() > 100.0
+
+
+def test_long_output_more_decimals(tmp_path):
+    p = write(str(tmp_path), "ar.pqr", ARGON_PQR)
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 100
+corrtime 100
+temperature 300
+basis1 100 0 0
+basis2 0 100 0
+basis3 0 0 100
+cutoff 20
+coulomb off
+precision float64
+long_output on
+pqr_input {p}
+""")
+    assert job.long_output
+    buf = io.StringIO()
+    run_mod.run(job, log=buf)
+    import re
+    assert re.search(r"E\s+-?\d+\.\d{10} K", buf.getvalue())
