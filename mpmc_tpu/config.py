@@ -140,6 +140,14 @@ class RunConfig:
     # fused per-move delta kernel: opt-in (wins for one big chain, loses
     # under vmapped multi-chain batching — see ops/pairs.mol_pair_pass)
     pallas_delta: bool = False
+    # molecule-pair energy cache (ops/pairs.pair_matrix + SimState
+    # cache_*): displace = one pass, delete = zero passes.  Opt-in:
+    # measured on a v5e-class chip it wins for small chain counts but
+    # the vmapped [C,M,M] row/col scatters regress large-C batched
+    # throughput (~6x at C=256), and the axon compile service handles
+    # the extra gather/scatter patterns erratically.  Eligibility:
+    # metropolis.cache_eligible.
+    mol_cache: bool = False
     fused_kernels: bool = True
 
     @property

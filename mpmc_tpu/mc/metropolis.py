@@ -82,6 +82,26 @@ class Candidate:
     mol: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(0, jnp.int32))
     rows: Optional[jax.Array] = None   # [A,3] trial rows (row mode)
+    # cache mode: the moved molecule's fresh per-column-molecule partial
+    # sums [M] (rd, es_real, lrc) — scattered into the cache_* matrices'
+    # row+column ``mol`` on accept
+    col_rd: Optional[jax.Array] = None
+    col_es: Optional[jax.Array] = None
+    col_lrc: Optional[jax.Array] = None
+
+
+def cache_eligible(cfg: RunConfig) -> bool:
+    """Static gate for the molecule-pair energy cache: fixed box (no
+    NPT volume rescales), pairwise-only terms (no polarization / cdvdw
+    many-body re-solves), and the dense jnp delta path (the culled and
+    fused-kernel paths don't emit per-molecule partials)."""
+    return (cfg.mol_cache
+            and cfg.ensemble in ("nvt", "uvt", "nve")
+            and not cfg.polarization
+            and not cfg.cdvdw
+            and not cfg.rd_crystal
+            and not cfg.cell_list
+            and not cfg.pallas_delta)
 
 
 def _movable_mask(params: Params, mol_alive):
@@ -95,11 +115,15 @@ def _insertable_mask(params: Params, cfg: RunConfig):
     return m
 
 
-def _overlap(pt, cfg, dtype):
+def _overlap_r2(min_r2, cfg, dtype):
     if cfg.cavity_autoreject_absolute > 0.0:
         thr = jnp.asarray(cfg.cavity_autoreject_absolute, dtype)
-        return pt.min_r2 < thr * thr
+        return min_r2 < thr * thr
     return jnp.zeros((), bool)
+
+
+def _overlap(pt, cfg, dtype):
+    return _overlap_r2(pt.min_r2, cfg, dtype)
 
 
 def _recip_delta(state: SimState, cfg, d_re, d_im):
@@ -195,6 +219,11 @@ def make_step_fn(params: Params, cfg: RunConfig):
     # configurations keep the full-array candidate.
     row_level = (cfg.ensemble != "npt" and not cfg.polarization
                  and not cfg.cdvdw)
+    # cache mode: molecule-pair energy cache (ops/pairs.pair_matrix) —
+    # displace reads its old interactions from the cache (one pass),
+    # delete reads everything from it (zero passes)
+    cache_mode = cache_eligible(cfg)
+    zcol = jnp.zeros((params.n_mols_max,), dtype)
 
     def eb(rd=None, lrc=None, es_real=None, es_recip=None, es_self=None,
            es_excl=None):
@@ -213,20 +242,36 @@ def make_step_fn(params: Params, cfg: RunConfig):
         movable = _movable_mask(params, state.mol_alive)
         mol, cnt = moves.pick_random_true(k_sel, movable)
         alive = state.atom_alive(params)
-        old = pairs.mol_pair_pass(state.pos, state.box, alive, params, cfg,
-                                  thermo.temperature, mol)
         idx_rows, new_rows = moves.displace_rows(state.pos, params, mol,
                                                  k_mv, thermo.move_factor,
                                                  thermo.rot_factor)
-        if row_level:
+        col_rd = col_es = col_lrc = None
+        if cache_mode:
+            # one pass: the old interactions come from the cache row
+            newp = pairs.mol_pair_partials(state.pos, state.box, alive,
+                                           params, cfg, thermo.temperature,
+                                           mol, row_pos=new_rows)
             new_pos = None
-            new = pairs.mol_pair_pass(state.pos, state.box, alive, params,
-                                      cfg, thermo.temperature, mol,
-                                      row_pos=new_rows)
+            d_rd = jnp.sum(newp.rd) - jnp.sum(state.cache_rd[mol])
+            d_es = jnp.sum(newp.es_real) - jnp.sum(state.cache_es[mol])
+            new_min_r2 = newp.min_r2
+            col_rd, col_es = newp.rd, newp.es_real
+            col_lrc = state.cache_lrc[mol]   # tails are r-independent
         else:
-            new_pos = state.pos.at[idx_rows].set(new_rows)
-            new = pairs.mol_pair_pass(new_pos, state.box, alive, params,
+            old = pairs.mol_pair_pass(state.pos, state.box, alive, params,
                                       cfg, thermo.temperature, mol)
+            if row_level:
+                new_pos = None
+                new = pairs.mol_pair_pass(state.pos, state.box, alive,
+                                          params, cfg, thermo.temperature,
+                                          mol, row_pos=new_rows)
+            else:
+                new_pos = state.pos.at[idx_rows].set(new_rows)
+                new = pairs.mol_pair_pass(new_pos, state.box, alive, params,
+                                          cfg, thermo.temperature, mol)
+            d_rd = new.rd - old.rd
+            d_es = new.es_real - old.es_real
+            new_min_r2 = new.min_r2
         if cfg.coulomb == "ewald":
             o_re, o_im = _mol_structure_factor(state.pos, state.box, params,
                                                cfg, mol)
@@ -235,12 +280,12 @@ def make_step_fn(params: Params, cfg: RunConfig):
                                                  n_im - o_im)
         else:
             sk_re, sk_im, d_recip = state.sk_re, state.sk_im, zero
-        d = eb(rd=new.rd - old.rd, es_real=new.es_real - old.es_real,
-               es_recip=d_recip)
-        reject = (cnt == 0) | _overlap(new, cfg, dtype)
+        d = eb(rd=d_rd, es_real=d_es, es_recip=d_recip)
+        reject = (cnt == 0) | _overlap_r2(new_min_r2, cfg, dtype)
         return Candidate(new_pos, state.box, state.mol_alive, sk_re, sk_im,
                          d, zero, reject, mol=mol.astype(jnp.int32),
-                         rows=new_rows if row_level else None)
+                         rows=new_rows if row_level else None,
+                         col_rd=col_rd, col_es=col_es, col_lrc=col_lrc)
 
     def b_insert(state: SimState, thermo: Thermo, key):
         k_sp, k_slot, k_cell, k_place = jax.random.split(key, 4)
@@ -267,7 +312,19 @@ def make_step_fn(params: Params, cfg: RunConfig):
             cav_reject = n_open == 0
         rows = moves.place_rows(params, slot, si, k_place, state.box,
                                 com=com, dtype=dtype)
-        if row_level:
+        col_rd = col_es = col_lrc = None
+        if cache_mode:
+            new_pos = None
+            p = pairs.mol_pair_partials(state.pos, state.box,
+                                        state.atom_alive(params), params,
+                                        cfg, thermo.temperature, slot,
+                                        row_pos=rows)
+            inter_rd, inter_es = jnp.sum(p.rd), jnp.sum(p.es_real)
+            inter_lrc, inter_min_r2 = jnp.sum(p.lrc), p.min_r2
+            col_rd, col_es, col_lrc = p.rd, p.es_real, p.lrc
+            intra = pairs.intra_terms(state.pos, state.box, params, cfg,
+                                      slot, row_pos=rows)
+        elif row_level:
             new_pos = None
             inter = pairs.mol_pair_pass(state.pos, state.box,
                                         state.atom_alive(params), params,
@@ -281,6 +338,9 @@ def make_step_fn(params: Params, cfg: RunConfig):
             inter = pairs.mol_pair_pass(new_pos, state.box, alive, params,
                                         cfg, thermo.temperature, slot)
             intra = pairs.intra_terms(new_pos, state.box, params, cfg, slot)
+        if not cache_mode:
+            inter_rd, inter_es = inter.rd, inter.es_real
+            inter_lrc, inter_min_r2 = inter.lrc_coeff, inter.min_r2
         new_alive_mol = state.mol_alive.at[slot].set(True)
         d_self = _mol_self_energy(params, cfg, state.box, slot)
         volume = jnp.abs(jnp.linalg.det(state.box))
@@ -288,23 +348,25 @@ def make_step_fn(params: Params, cfg: RunConfig):
         if cfg.rd_potential in ("lj", "disp_expansion") and cfg.rd_lrc:
             own = pairs.mol_lrc_self_coefficient(
                 params, cfg, pairs.derived_cutoff(state.box, cfg), slot)
-            d_lrc = (inter.lrc_coeff + 0.5 * own) / volume
+            d_lrc = (inter_lrc + 0.5 * own) / volume
         if cfg.coulomb == "ewald":
             n_re, n_im = _mol_sf_rows(rows, state.box, params, cfg, slot)
             sk_re, sk_im, d_recip = _recip_delta(state, cfg, n_re, n_im)
         else:
             sk_re, sk_im, d_recip = state.sk_re, state.sk_im, zero
-        d = eb(rd=inter.rd, lrc=d_lrc, es_real=inter.es_real,
+        d = eb(rd=inter_rd, lrc=d_lrc, es_real=inter_es,
                es_recip=d_recip, es_self=d_self, es_excl=intra)
         n_s = jnp.sum(state.mol_alive & (params.mol_species == si))
         f = thermo.fugacity[si] * ATM2K_A3          # K / A^3
         ln_bias = jnp.log(jnp.maximum(f * volume, 1e-300)) \
             - jnp.log(thermo.temperature * (n_s + 1.0)) + cav_bias
-        reject = (free == 0) | _overlap(inter, cfg, dtype) | cav_reject
+        reject = ((free == 0) | _overlap_r2(inter_min_r2, cfg, dtype)
+                  | cav_reject)
         return Candidate(new_pos, state.box, new_alive_mol, sk_re, sk_im,
                          d, ln_bias.astype(dtype), reject,
                          mol=slot.astype(jnp.int32),
-                         rows=rows if row_level else None)
+                         rows=rows if row_level else None,
+                         col_rd=col_rd, col_es=col_es, col_lrc=col_lrc)
 
     def b_delete(state: SimState, thermo: Thermo, key):
         k_sp, k_slot = jax.random.split(key)
@@ -319,9 +381,19 @@ def make_step_fn(params: Params, cfg: RunConfig):
                      & (params.mol_species == si_pick))
         slot, cnt = moves.pick_random_true(k_slot, cand_mask)
         si = params.mol_species[slot]
-        alive = state.atom_alive(params)
-        inter = pairs.mol_pair_pass(state.pos, state.box, alive, params, cfg,
-                                    thermo.temperature, slot)
+        col_rd = col_es = col_lrc = None
+        if cache_mode:
+            # zero passes: the molecule's interactions ARE its cache row
+            inter_rd = jnp.sum(state.cache_rd[slot])
+            inter_es = jnp.sum(state.cache_es[slot])
+            inter_lrc = jnp.sum(state.cache_lrc[slot])
+            col_rd = col_es = col_lrc = zcol
+        else:
+            alive = state.atom_alive(params)
+            inter = pairs.mol_pair_pass(state.pos, state.box, alive, params,
+                                        cfg, thermo.temperature, slot)
+            inter_rd, inter_es = inter.rd, inter.es_real
+            inter_lrc = inter.lrc_coeff
         intra = pairs.intra_terms(state.pos, state.box, params, cfg, slot)
         d_self = _mol_self_energy(params, cfg, state.box, slot)
         volume = jnp.abs(jnp.linalg.det(state.box))
@@ -329,14 +401,14 @@ def make_step_fn(params: Params, cfg: RunConfig):
         if cfg.rd_potential in ("lj", "disp_expansion") and cfg.rd_lrc:
             own = pairs.mol_lrc_self_coefficient(
                 params, cfg, pairs.derived_cutoff(state.box, cfg), slot)
-            d_lrc = (inter.lrc_coeff + 0.5 * own) / volume
+            d_lrc = (inter_lrc + 0.5 * own) / volume
         if cfg.coulomb == "ewald":
             o_re, o_im = _mol_structure_factor(state.pos, state.box, params,
                                                cfg, slot)
             sk_re, sk_im, d_recip = _recip_delta(state, cfg, -o_re, -o_im)
         else:
             sk_re, sk_im, d_recip = state.sk_re, state.sk_im, zero
-        d = eb(rd=-inter.rd, lrc=-d_lrc, es_real=-inter.es_real,
+        d = eb(rd=-inter_rd, lrc=-d_lrc, es_real=-inter_es,
                es_recip=d_recip, es_self=-d_self, es_excl=-intra)
         new_alive_mol = state.mol_alive.at[slot].set(False)
         n_s = jnp.sum(state.mol_alive & (params.mol_species == si))
@@ -357,7 +429,8 @@ def make_step_fn(params: Params, cfg: RunConfig):
                          d, ln_bias.astype(dtype), reject,
                          mol=slot.astype(jnp.int32),
                          rows=(state.pos[params.mol_atoms[slot]]
-                               if row_level else None))
+                               if row_level else None),
+                         col_rd=col_rd, col_es=col_es, col_lrc=col_lrc)
 
     def b_volume(state: SimState, thermo: Thermo, key):
         k_v, _ = jax.random.split(key)
@@ -403,7 +476,13 @@ def make_step_fn(params: Params, cfg: RunConfig):
                          ln_bias, cnt == 0, spin_mol=mol.astype(jnp.int32),
                          mol=mol.astype(jnp.int32),
                          rows=(state.pos[params.mol_atoms[mol]]
-                               if row_level else None))
+                               if row_level else None),
+                         col_rd=(state.cache_rd[mol] if cache_mode
+                                 else None),
+                         col_es=(state.cache_es[mol] if cache_mode
+                                 else None),
+                         col_lrc=(state.cache_lrc[mol] if cache_mode
+                                  else None))
 
     # branch table per ensemble (static)
     if cfg.ensemble == "uvt" and cfg.insert_species:
@@ -482,6 +561,21 @@ def make_step_fn(params: Params, cfg: RunConfig):
         else:
             new_pos = sel(cand.pos, state.pos)
             new_box = sel(cand.box, state.box)
+        if cache_mode:
+            # symmetric row+column scatter of the fresh partials — O(M)
+            m = cand.mol
+
+            def upd(cache, col):
+                row = jnp.where(accept, col, cache[m])
+                return cache.at[m, :].set(row).at[:, m].set(row)
+
+            new_cache_rd = upd(state.cache_rd, cand.col_rd)
+            new_cache_es = upd(state.cache_es, cand.col_es)
+            new_cache_lrc = upd(state.cache_lrc, cand.col_lrc)
+        else:
+            new_cache_rd = state.cache_rd
+            new_cache_es = state.cache_es
+            new_cache_lrc = state.cache_lrc
         new_state = SimState(
             pos=new_pos,
             box=new_box,
@@ -501,6 +595,9 @@ def make_step_fn(params: Params, cfg: RunConfig):
                     1 - state.spin[jnp.maximum(cand.spin_mol, 0)]),
                 state.spin)),
             rot_f=state.rot_f,
+            cache_rd=new_cache_rd,
+            cache_es=new_cache_es,
+            cache_lrc=new_cache_lrc,
         )
         gid = branch_ids[t]
         new_stats = MCStats(
@@ -551,8 +648,22 @@ def initialize(state: SimState, params: Params, cfg: RunConfig,
         cavity_open = moves.cavity_open_grid(
             state.pos, state.box, state.atom_alive(params),
             cfg.cavity_grid, jnp.asarray(cfg.cavity_radius, cfg.jdtype))
+    # molecule-pair cache: build once (entries stay exact under the
+    # accept-time scatters, so later refreshes keep it) — except when
+    # pair values depend on temperature (FH/FK), which annealing or PT
+    # may have changed since the entries were written
+    c_rd, c_es, c_lrc = state.cache_rd, state.cache_es, state.cache_lrc
+    if cache_eligible(cfg):
+        t_dep = cfg.feynman_hibbs or cfg.feynman_kleinert
+        if c_rd is None or t_dep:
+            c_rd, c_es, c_lrc = pairs.pair_matrix(
+                state.pos, state.box, state.atom_alive(params), params,
+                cfg, thermo.temperature)
+    else:
+        c_rd = c_es = c_lrc = None
     return state.replace(
         energy=e, e_frozen=e_frozen,
         sk_re=aux.get("sk_re"), sk_im=aux.get("sk_im"),
         mu=mu_out, e0=aux.get("e0"),
-        cavity_open=cavity_open)
+        cavity_open=cavity_open,
+        cache_rd=c_rd, cache_es=c_es, cache_lrc=c_lrc)

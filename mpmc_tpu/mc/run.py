@@ -569,8 +569,10 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
     cfg, params = su.cfg, su.params
     # single-chain on TPU: the fused per-move delta kernel is a ~10% win
     # (it loses only under vmapped multi-chain batching — see
-    # ops/pairs.mol_pair_pass)
+    # ops/pairs.mol_pair_pass).  The molecule-pair cache beats it when
+    # eligible (halves the pass count), so it takes precedence.
     if (cfg.use_pallas and not cfg.pallas_delta
+            and not metropolis.cache_eligible(cfg)
             and jax.default_backend() == "tpu"):
         cfg = dataclasses.replace(cfg, pallas_delta=True)
     thermo = su.thermo

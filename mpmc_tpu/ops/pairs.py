@@ -146,6 +146,57 @@ def rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc=None):
     return rd_u, tc
 
 
+def _tile_values(r2, idx_i, params, cfg, rc, alpha, temperature):
+    """Per-pair energy values for a [B, N] tile of rows ``idx_i`` against
+    all columns — no masks applied.  Returns (rd_u, es_u, ex_u, tc):
+
+    - rd_u: repulsion-dispersion values (None if disabled);
+    - es_u: real-space electrostatics under the cutoff;
+    - ex_u: Ewald intramolecular exclusion correction (-erf term);
+    - tc:   distance-independent long-range tail coefficients.
+    """
+    r2s = jnp.where(r2 > 1e-12, r2, 1.0)                  # guard the diagonal
+    r = jnp.sqrt(r2s)
+    qi = params.charge[idx_i]
+    qq = qi[:, None] * params.charge[None, :]
+
+    # --- repulsion–dispersion ------------------------------------------------
+    # (tail: ordered pairs i!=j (inter) count once per direction in the
+    # full triangular pass -> handled by caller symmetrization.)
+    rd_u, tc = rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc)
+
+    # --- electrostatics (real space) ----------------------------------------
+    es_u = None
+    ex_u = None
+    if cfg.coulomb == "ewald":
+        es_u = KE * qq * erfc(alpha * r) / r
+        # recip space includes intramolecular pairs: subtract erf part
+        # (SURVEY.md §2 "Ewald electrostatics": intramolecular exclusion
+        # correction via erf).  Applied at any separation (no cutoff).
+        ex_u = -KE * qq * erf(alpha * r) / r
+    elif cfg.coulomb == "wolf":
+        # Wolf damped, shifted pair part; self/shift terms added by caller.
+        es_u = KE * qq * (erfc(alpha * r) / r - erfc(alpha * rc) / rc)
+    elif cfg.coulomb == "cutoff":
+        es_u = KE * qq / r
+    elif cfg.coulomb == "gwp":
+        # Gaussian-wave-packet smeared charges (SURVEY.md §2 "GWP
+        # coulomb", src/energy/coulombic_gwp.c [M]): two normalized
+        # Gaussians of widths s_i interact as erf(r/sqrt(2(s_i^2+s_j^2)))/r
+        # (point charges where both widths are 0).
+        s2 = (params.gwp_alpha[idx_i][:, None] ** 2
+              + params.gwp_alpha[None, :] ** 2)
+        smear = jnp.where(s2 > 1e-12,
+                          erf(r / jnp.sqrt(2.0 * jnp.maximum(s2, 1e-12))),
+                          1.0)
+        es_u = KE * qq * smear / r
+    elif cfg.coulomb == "none":
+        pass
+    else:
+        raise ValueError(f"unknown coulomb mode {cfg.coulomb}")
+    return rd_u, es_u, ex_u, tc
+
+
 def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
                  box, box_inv, rc, alpha, temperature, triangular,
                  split_frozen=False):
@@ -183,47 +234,9 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
     else:
         ff = None
 
-    r2s = jnp.where(r2 > 1e-12, r2, 1.0)                  # guard the diagonal
-    r = jnp.sqrt(r2s)
-
-    qi = params.charge[idx_i]
-    qq = qi[:, None] * params.charge[None, :]
-
-    # --- repulsion–dispersion ------------------------------------------------
-    # (tail: ordered pairs i!=j (inter) count once per direction in the
-    # full triangular pass -> handled by caller symmetrization.)
     zero = jnp.zeros((), pos.dtype)
-    rd_u, tc = rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc)
-
-    # --- electrostatics (real space) ----------------------------------------
-    es_u = None          # [B,N] values under ``act``
-    ex_u = None          # [B,N] values under ``intra``
-    if cfg.coulomb == "ewald":
-        es_u = KE * qq * erfc(alpha * r) / r
-        # recip space includes intramolecular pairs: subtract erf part
-        # (SURVEY.md §2 "Ewald electrostatics": intramolecular exclusion
-        # correction via erf).  Applied at any separation (no cutoff).
-        ex_u = -KE * qq * erf(alpha * r) / r
-    elif cfg.coulomb == "wolf":
-        # Wolf damped, shifted pair part; self/shift terms added by caller.
-        es_u = KE * qq * (erfc(alpha * r) / r - erfc(alpha * rc) / rc)
-    elif cfg.coulomb == "cutoff":
-        es_u = KE * qq / r
-    elif cfg.coulomb == "gwp":
-        # Gaussian-wave-packet smeared charges (SURVEY.md §2 "GWP
-        # coulomb", src/energy/coulombic_gwp.c [M]): two normalized
-        # Gaussians of widths s_i interact as erf(r/sqrt(2(s_i^2+s_j^2)))/r
-        # (point charges where both widths are 0).
-        s2 = (params.gwp_alpha[idx_i][:, None] ** 2
-              + params.gwp_alpha[None, :] ** 2)
-        smear = jnp.where(s2 > 1e-12,
-                          erf(r / jnp.sqrt(2.0 * jnp.maximum(s2, 1e-12))),
-                          1.0)
-        es_u = KE * qq * smear / r
-    elif cfg.coulomb == "none":
-        pass
-    else:
-        raise ValueError(f"unknown coulomb mode {cfg.coulomb}")
+    rd_u, es_u, ex_u, tc = _tile_values(r2, idx_i, params, cfg, rc, alpha,
+                                        temperature)
 
     def reduce_terms(keep, min_mask):
         def s(values, mask):
@@ -404,6 +417,102 @@ def lrc_self_coefficient(atom_alive, params, cfg, rc):
     else:
         return jnp.zeros((), params.eps.dtype)
     return jnp.sum(jnp.where(atom_alive, tc, 0.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class MolPartials:
+    """Per-column-molecule partial sums of one molecule's pair pass —
+    the unit of the molecule-pair energy cache (SURVEY.md §1 "delta
+    energy": the reference's per-pair caching, lifted to molecule
+    granularity so displace needs one pass and delete none)."""
+    rd: jax.Array        # [M] sum of RD pair energies vs each molecule
+    es_real: jax.Array   # [M]
+    lrc: jax.Array       # [M] distance-independent tail coefficients
+    min_r2: jax.Array    # scalar: closest approach (overlap check)
+
+
+jax.tree_util.register_dataclass(MolPartials)
+
+
+def mol_pair_partials(pos, box, atom_alive, params, cfg, temperature, mol,
+                      row_pos=None) -> MolPartials:
+    """Like mol_pair_pass, but reduced per *column molecule* instead of
+    to scalars.  ``sum(p.rd)`` equals ``mol_pair_pass(...).rd`` etc."""
+    box_inv = jnp.linalg.inv(box)
+    rc = derived_cutoff(box, cfg)
+    alpha = derived_alpha(rc, cfg)
+    idx = params.mol_atoms[mol]
+    na = params.mol_natoms[mol]
+    valid = jnp.arange(idx.shape[0]) < na
+    col_alive = atom_alive & (params.mol_id != mol)
+    rows = pos[idx] if row_pos is None else row_pos
+
+    dr = pbc_ops.min_image(rows[:, None, :] - pos[None, :, :], box, box_inv)
+    r2 = jnp.sum(dr * dr, -1)                            # [A,N]
+    inter = valid[:, None] & col_alive[None, :]
+    act = inter & (r2 < rc * rc)
+    rd_u, es_u, _, tc = _tile_values(r2, idx, params, cfg, rc, alpha,
+                                     temperature)
+
+    M = params.n_mols_max
+
+    def seg(values, mask):
+        if values is None:
+            return jnp.zeros((M,), pos.dtype)
+        v = jnp.sum(jnp.where(mask, values, 0.0), axis=0)   # [N]
+        return per_molecule_sums(v, params)
+
+    return MolPartials(
+        rd=seg(rd_u, act), es_real=seg(es_u, act), lrc=seg(tc, inter),
+        min_r2=jnp.min(jnp.where(inter, r2, jnp.inf)))
+
+
+def per_molecule_sums(v, params):
+    """[N] -> [M]: sum of v over each molecule's (contiguous) atom range
+    via one cumulative sum — the TPU-friendly segmented reduction.
+    segment_sum's scatter lowering, and 1-D gathers generally, compile
+    catastrophically on the TPU backend (minutes); the 2-D row-gather
+    form below compiles in well under a second."""
+    cs = jnp.concatenate([jnp.zeros((1,), v.dtype), jnp.cumsum(v)])
+    cs2 = cs.reshape(-1, 1)
+    start = params.mol_start
+    hi = cs2[start + params.mol_natoms][:, 0]
+    lo = cs2[start][:, 0]
+    return hi - lo
+
+
+def pair_matrix(pos, box, atom_alive, params, cfg, temperature):
+    """[M, M] symmetric molecule-pair energy matrices (rd, es_real,
+    lrc_coeff): entry (m, o) is the total pair term between molecules m
+    and o (each atom pair counted once; diagonal zero).
+
+    Built once per run (metropolis.initialize) as a scan of row passes
+    over the *movable* molecule slots (each O(A N)); the frozen
+    framework's row (slot 0 — never a delta target itself, but read as
+    a column of every sorbate row) is filled by symmetry.  Kept exactly
+    current afterwards by the accept-time row/column scatters — entries
+    are always whole pass outputs, never sums of increments, so the
+    cache cannot drift.
+    """
+    M = params.n_mols_max
+
+    def body(_, m):
+        p = mol_pair_partials(pos, box, atom_alive, params, cfg,
+                              temperature, m)
+        # frozen rows are invalid (mol_atoms truncates the framework to
+        # A entries) and dead slots must stay zero — mask both; frozen
+        # rows are restored from their columns below
+        ok = atom_alive[params.mol_start[m]] & ~params.mol_frozen[m]
+        row = jnp.where(ok, 1.0, 0.0).astype(pos.dtype)
+        return None, (row * p.rd, row * p.es_real, row * p.lrc)
+
+    _, (r_rd, r_es, r_lrc) = jax.lax.scan(body, None, jnp.arange(M))
+    frozen_row = params.mol_frozen[:, None]
+
+    def assemble(c):
+        return jnp.where(frozen_row, c.T, c)
+
+    return assemble(r_rd), assemble(r_es), assemble(r_lrc)
 
 
 def mol_lrc_self_coefficient(params, cfg, rc, mol):

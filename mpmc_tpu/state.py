@@ -101,6 +101,9 @@ class Params:
     mol_frozen: jax.Array   # [M] bool
     mol_atoms: jax.Array    # [M, A] int32 atom indices (padded with first idx)
     mol_natoms: jax.Array   # [M] int32
+    mol_start: jax.Array    # [M] int32: first atom row (molecules are
+    #                         contiguous ranges — basis of the cumsum
+    #                         per-molecule reductions in ops/pairs.py)
     mol_mass: jax.Array     # [M] total mass
     # rigid templates for GCMC insertion: [S, A, 3] COM-centered coords
     # (the analog of the reference's insert_input template molecule,
@@ -156,6 +159,14 @@ class SimState:
     # (F_para, F_ortho), refreshed per corrtime (SURVEY.md §2 "Moves"):
     spin: Optional[jax.Array] = None
     rot_f: Optional[jax.Array] = None
+    # molecule-pair energy cache [M,M] (ops/pairs.pair_matrix): the
+    # reference's per-pair energy caching at molecule granularity —
+    # displace reads its old interactions from cache_* rows (one pass
+    # instead of two), delete needs no pass at all.  None when the
+    # configuration is ineligible (metropolis.cache_eligible).
+    cache_rd: Optional[jax.Array] = None
+    cache_es: Optional[jax.Array] = None
+    cache_lrc: Optional[jax.Array] = None
 
     def atom_alive(self, params: Params):
         return self.mol_alive[params.mol_id] & params.atom_ok
@@ -384,6 +395,7 @@ def build_system(
         mol_frozen=jnp.asarray(mol_frozen),
         mol_atoms=jnp.asarray(mol_atoms),
         mol_natoms=jnp.asarray(mol_natoms),
+        mol_start=jnp.asarray(mol_start),
         mol_mass=f(mol_mass),
         species_pos=f(species_pos),
         species_natoms=jnp.asarray(species_natoms),
