@@ -152,6 +152,18 @@ def _mol_sf_rows(rows, box, params, cfg, mol):
     return ewald.mol_structure_factor(rows, params.charge[idx], ok, kv)
 
 
+def _mol_sf_delta(pos, new_rows, box, params, cfg, mol):
+    """S(k) change of moving one molecule, in one fused evaluation:
+    the trial rows enter with +q and the current rows with -q."""
+    idx = params.mol_atoms[mol]
+    ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
+    kv = ewald.kvectors(box, cfg.ewald_kmax)
+    rows = jnp.concatenate([new_rows, pos[idx]])
+    q = params.charge[idx]
+    return ewald.mol_structure_factor(
+        rows, jnp.concatenate([q, -q]), jnp.concatenate([ok, ok]), kv)
+
+
 def _mol_self_energy(params, cfg, box, mol):
     """Ewald self-energy of one molecule's charges (GCMC +/- delta)."""
     if cfg.coulomb != "ewald":
@@ -257,27 +269,29 @@ def make_step_fn(params: Params, cfg: RunConfig):
             new_min_r2 = newp.min_r2
             col_rd, col_es = newp.rd, newp.es_real
             col_lrc = state.cache_lrc[mol]   # tails are r-independent
+        elif row_level:
+            new_pos = None
+            old = pairs.mol_pair_pass(state.pos, state.box, alive, params,
+                                      cfg, thermo.temperature, mol)
+            new = pairs.mol_pair_pass(state.pos, state.box, alive,
+                                      params, cfg, thermo.temperature,
+                                      mol, row_pos=new_rows)
+            d_rd = new.rd - old.rd
+            d_es = new.es_real - old.es_real
+            new_min_r2 = new.min_r2
         else:
             old = pairs.mol_pair_pass(state.pos, state.box, alive, params,
                                       cfg, thermo.temperature, mol)
-            if row_level:
-                new_pos = None
-                new = pairs.mol_pair_pass(state.pos, state.box, alive,
-                                          params, cfg, thermo.temperature,
-                                          mol, row_pos=new_rows)
-            else:
-                new_pos = state.pos.at[idx_rows].set(new_rows)
-                new = pairs.mol_pair_pass(new_pos, state.box, alive, params,
-                                          cfg, thermo.temperature, mol)
+            new_pos = state.pos.at[idx_rows].set(new_rows)
+            new = pairs.mol_pair_pass(new_pos, state.box, alive, params,
+                                      cfg, thermo.temperature, mol)
             d_rd = new.rd - old.rd
             d_es = new.es_real - old.es_real
             new_min_r2 = new.min_r2
         if cfg.coulomb == "ewald":
-            o_re, o_im = _mol_structure_factor(state.pos, state.box, params,
-                                               cfg, mol)
-            n_re, n_im = _mol_sf_rows(new_rows, state.box, params, cfg, mol)
-            sk_re, sk_im, d_recip = _recip_delta(state, cfg, n_re - o_re,
-                                                 n_im - o_im)
+            d_re, d_im = _mol_sf_delta(state.pos, new_rows, state.box,
+                                       params, cfg, mol)
+            sk_re, sk_im, d_recip = _recip_delta(state, cfg, d_re, d_im)
         else:
             sk_re, sk_im, d_recip = state.sk_re, state.sk_im, zero
         d = eb(rd=d_rd, es_real=d_es, es_recip=d_recip)
