@@ -1,0 +1,180 @@
+"""Isotherm campaigns: restart-aware pressure sweeps with
+uncertainty-targeted stopping.
+
+The production workflow MPMC users script by hand — one job per
+pressure, eyeballing convergence, re-queueing crashed points
+(SURVEY.md §5 "Failure detection": recovery = manual restart) —
+becomes one restartable driver:
+
+- each pressure point runs C vmapped GCMC chains on one chip;
+- the point stops when the cross-chain standard error of <N> falls
+  under ``target_rel_sem`` (chains are independent, so the chain-spread
+  SEM is an honest, autocorrelation-free uncertainty) or at
+  ``max_steps``;
+- successive points warm-start from the previous pressure's final
+  chain states (sorption ladders equilibrate far faster than fresh
+  starts);
+- after every point the campaign writes a checkpoint (batched-state
+  pytree + a JSON manifest of completed rows), so a killed campaign
+  resumes at the first incomplete pressure.
+
+Pressure enters through ``Thermo`` (a pytree), so the whole sweep runs
+on one compiled step function — no recompilation between points.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class PointResult:
+    pressure_atm: float
+    fugacity_atm: float
+    n_mean: float
+    n_sem: float
+    wt_pct: float
+    qst_kj_mol: float
+    steps: int
+
+    def row(self):
+        return dataclasses.asdict(self)
+
+
+def _chain_obs(su, states, chains):
+    """Per-chain observables dicts."""
+    from mpmc_tpu.mc import run as run_mod
+    out = []
+    for c in range(chains):
+        st = jax.tree_util.tree_map(lambda x: x[c], states)
+        out.append(run_mod.observables(su, st))
+    return out
+
+
+def run_point(su, states, thermo, chains, corrtime, min_steps, max_steps,
+              target_rel_sem, equil_blocks, log=None) -> tuple:
+    """Run one pressure point to its uncertainty target.  Returns
+    (states, stats_dict)."""
+    from mpmc_tpu.parallel import multichain
+    from mpmc_tpu.utils.averages import Averages
+
+    avgs = Averages()
+    chain_n: List[List[float]] = [[] for _ in range(chains)]
+    corr = max(corrtime, 1)
+    steps = 0
+    block = 0
+    while True:
+        states, _ = multichain.run_chunk_batched(
+            states, su.params, su.cfg, thermo, corr)
+        states = multichain.initialize_batched(
+            states, su.params, su.cfg, thermo)
+        steps += corr
+        block += 1
+        if block <= equil_blocks:
+            continue
+        per_chain = _chain_obs(su, states, chains)
+        for c, o in enumerate(per_chain):
+            chain_n[c].append(o["N"])
+            avgs.add(o)
+        means = np.array([np.mean(v) for v in chain_n])
+        n_mean = float(means.mean())
+        n_sem = float(means.std(ddof=1) / np.sqrt(chains)) \
+            if chains > 1 else float("inf")
+        done_unc = (chains > 1 and n_mean > 0
+                    and n_sem / n_mean <= target_rel_sem
+                    and steps >= min_steps)
+        if log is not None:
+            print(f"  block {block}: <N>={n_mean:.3f} sem={n_sem:.4f} "
+                  f"({steps} steps)", file=log, flush=True)
+        if done_unc or steps >= max_steps:
+            return states, {
+                "n_mean": n_mean, "n_sem": n_sem, "steps": steps,
+                "wt_pct": avgs.mean("wt_pct"),
+                "qst_kj_mol": avgs.qst(float(thermo.temperature)),
+            }
+
+
+def run_isotherm(job, pressures, chains=16, target_rel_sem=0.02,
+                 min_steps=2000, max_steps=50000, equil_blocks=2,
+                 checkpoint_dir: Optional[str] = None, log=None,
+                 warm_start=True) -> List[PointResult]:
+    """Sweep ``pressures`` (atm) and return one PointResult per point.
+
+    With ``checkpoint_dir``, completed points are recorded in
+    ``manifest.json`` and the batched chain states in ``states.npz``;
+    rerunning the same campaign resumes after the last completed
+    pressure.
+    """
+    from mpmc_tpu.io import checkpoint as ckpt
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.mc import run as run_mod
+    from mpmc_tpu.parallel import multichain
+
+    su = run_mod.setup(job)
+    state = metropolis.initialize(su.state, su.params, su.cfg, su.thermo)
+    states = multichain.stack_states(state, chains, seed=su.cfg.seed)
+
+    results: List[PointResult] = []
+    done_pressures: List[float] = []
+    manifest_path = states_path = None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        manifest_path = os.path.join(checkpoint_dir, "manifest.json")
+        states_path = os.path.join(checkpoint_dir, "states.npz")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                saved = json.load(f)
+            results = [PointResult(**r) for r in saved["rows"]]
+            done_pressures = [r.pressure_atm for r in results]
+            if os.path.exists(states_path) and done_pressures:
+                states = ckpt.load(states_path, like=states)[0]
+                if log is not None:
+                    print(f"resuming: {len(results)} points done",
+                          file=log, flush=True)
+
+    for p_atm in pressures:
+        if any(abs(p_atm - d) < 1e-12 for d in done_pressures):
+            continue
+        jb = dataclasses.replace(job, pressure=p_atm)
+        fug = run_mod.compute_fugacities(jb, su.species_names,
+                                         len(su.species))
+        import jax.numpy as jnp
+        thermo = su.thermo.replace(
+            pressure=jnp.asarray(p_atm, su.cfg.jdtype),
+            fugacity=jnp.asarray(np.resize(
+                np.asarray(fug, np.float64),
+                np.asarray(su.thermo.fugacity).shape), su.cfg.jdtype))
+        if log is not None:
+            print(f"pressure {p_atm} atm (fugacity {fug[0]:.5g} atm)",
+                  file=log, flush=True)
+        if not warm_start:
+            states = multichain.stack_states(state, chains,
+                                             seed=su.cfg.seed)
+        states, stats = run_point(
+            su, states, thermo, chains, su.cfg.corrtime, min_steps,
+            max_steps, target_rel_sem, equil_blocks, log=log)
+        results.append(PointResult(
+            pressure_atm=p_atm, fugacity_atm=float(fug[0]),
+            n_mean=stats["n_mean"], n_sem=stats["n_sem"],
+            wt_pct=stats["wt_pct"], qst_kj_mol=stats["qst_kj_mol"],
+            steps=stats["steps"]))
+        done_pressures.append(p_atm)
+        if checkpoint_dir:
+            ckpt.save(states_path, states)
+            with open(manifest_path, "w") as f:
+                json.dump({"rows": [r.row() for r in results]}, f,
+                          indent=1)
+    return results
+
+
+def write_csv(results: List[PointResult], path: str) -> None:
+    import csv
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(results[0].row()))
+        w.writeheader()
+        w.writerows(r.row() for r in results)

@@ -59,6 +59,24 @@ def _species_from_atoms(atoms) -> Species:
         gwp_alpha=np.array([a.gwp_alpha for a in atoms]))
 
 
+def compute_fugacities(job: input_script.Job, names, nsp=None):
+    """Per-species fugacities [atm] for the job's (T, P): explicit
+    ``fugacities`` list > per-species EoS fits > ideal f = P
+    (SURVEY.md §2 "Fugacity EoS")."""
+    nsp = nsp if nsp is not None else max(len(names), 1)
+    if job.fugacities is not None:
+        return list(job.fugacities) + [0.0] * (nsp - len(job.fugacities))
+    fug = []
+    for n in names:
+        key = fug_mod.guess_species_key(n)
+        if job.fugacity_eos.get(key, False):
+            fug.append(fug_mod.fugacity(key, job.temperature,
+                                        job.pressure))
+        else:
+            fug.append(job.pressure)
+    return fug or [job.pressure]
+
+
 def setup(job: input_script.Job,
           frame: Optional[pqr_io.PqrFrame] = None) -> Setup:
     """Build (params, state, cfg, thermo) from a parsed Job."""
@@ -160,18 +178,7 @@ def setup(job: input_script.Job,
 
     # fugacities: explicit list > per-species EoS > ideal (f = P)
     nsp = max(len(species), 1)
-    if job.fugacities is not None:
-        fug = list(job.fugacities) + [0.0] * (nsp - len(job.fugacities))
-    else:
-        fug = []
-        for n in names:
-            key = fug_mod.guess_species_key(n)
-            if job.fugacity_eos.get(key, False):
-                fug.append(fug_mod.fugacity(key, job.temperature,
-                                            job.pressure))
-            else:
-                fug.append(job.pressure)
-        fug = fug or [job.pressure]
+    fug = compute_fugacities(job, names, nsp)
 
     thermo = Thermo.make(
         temperature=job.temperature, pressure=job.pressure, fugacity=fug,

@@ -1,0 +1,97 @@
+"""Isotherm campaign driver (mpmc_tpu/campaign.py): warm-started
+pressure sweeps, uncertainty-targeted stopping, restart manifests."""
+import io
+
+import numpy as np
+import pytest
+
+from mpmc_tpu import campaign
+from mpmc_tpu.constants import ATM2K_A3
+from mpmc_tpu.io import input_script
+
+IDEAL_PQR = """\
+ATOM 1 He HE 1 M 5.0 5.0 5.0 4.0026 0.0 0.0 0.0 0.0
+END
+"""
+
+
+def _job(tmp_path, **opts):
+    p = tmp_path / "he.pqr"
+    p.write_text(IDEAL_PQR)
+    extra = "".join(f"{k} {v}\n" for k, v in opts.items())
+    return input_script.parse(f"""
+ensemble uvt
+numsteps 4000
+corrtime 200
+temperature 100
+pressure 1.0
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+cutoff 8.0
+coulomb off
+rd_lrc off
+insert_probability 0.6
+max_molecules 64
+pqr_input {p}
+{extra}
+""")
+
+
+def test_ideal_gas_isotherm_is_linear(tmp_path):
+    job = _job(tmp_path)
+    log = io.StringIO()
+    rows = campaign.run_isotherm(
+        job, pressures=[0.5, 1.0, 2.0], chains=8, target_rel_sem=0.05,
+        min_steps=2000, max_steps=12000, equil_blocks=2, log=log)
+    assert len(rows) == 3
+    v = 20.0 ** 3
+    for r in rows:
+        expect = r.fugacity_atm * ATM2K_A3 * v / 100.0
+        # ideal gas: <N> = f V / k T, within a few chain-SEMs
+        assert r.n_mean == pytest.approx(expect,
+                                         abs=max(4 * r.n_sem, 0.5)), r
+    assert rows[0].n_mean < rows[1].n_mean < rows[2].n_mean
+
+
+def test_uncertainty_target_controls_length(tmp_path):
+    job = _job(tmp_path)
+    rows_loose = campaign.run_isotherm(
+        job, pressures=[1.0], chains=8, target_rel_sem=0.5,
+        min_steps=400, max_steps=20000, equil_blocks=1)
+    rows_tight = campaign.run_isotherm(
+        job, pressures=[1.0], chains=8, target_rel_sem=1e-6,
+        min_steps=400, max_steps=3000, equil_blocks=1)
+    assert rows_loose[0].steps < rows_tight[0].steps
+    assert rows_tight[0].steps == 3000          # hit the cap
+
+
+def test_campaign_restart_skips_completed(tmp_path):
+    job = _job(tmp_path)
+    ck = str(tmp_path / "ckpt")
+    rows1 = campaign.run_isotherm(
+        job, pressures=[0.5, 1.0], chains=4, target_rel_sem=0.5,
+        min_steps=400, max_steps=2000, equil_blocks=1,
+        checkpoint_dir=ck)
+    assert len(rows1) == 2
+    # rerun with an extra pressure: the two finished points come back
+    # verbatim from the manifest; only the new one runs
+    log = io.StringIO()
+    rows2 = campaign.run_isotherm(
+        job, pressures=[0.5, 1.0, 2.0], chains=4, target_rel_sem=0.5,
+        min_steps=400, max_steps=2000, equil_blocks=1,
+        checkpoint_dir=ck, log=log)
+    assert len(rows2) == 3
+    for a, b in zip(rows2[:2], rows1):
+        for k, v in a.row().items():
+            np.testing.assert_array_equal(v, b.row()[k], err_msg=k)
+    assert "resuming: 2 points done" in log.getvalue()
+    assert rows2[2].pressure_atm == 2.0
+
+
+def test_write_csv(tmp_path):
+    r = campaign.PointResult(1.0, 1.0, 5.0, 0.1, 0.5, 4.0, 1000)
+    out = tmp_path / "iso.csv"
+    campaign.write_csv([r], str(out))
+    text = out.read_text()
+    assert "pressure_atm" in text and "qst_kj_mol" in text
