@@ -57,6 +57,12 @@ class RunConfig:
     ewald_alpha: Optional[float] = None   # None -> 3.5 / cutoff
     ewald_kmax: int = 7
     wolf_alpha: Optional[float] = None
+    # MXU structure factor (extension): separable per-axis phase tables
+    # contracted as dense matmuls over the full k-cube — 3 sin/cos per
+    # atom instead of one per (atom, k) (ops/ewald.py::
+    # structure_factor_mxu).  Same k-sphere, identical energies; wins
+    # for large ewald_kmax where the full S(k) is trig-bound.
+    ewald_mxu: bool = False
 
     # --- polarization (SURVEY §2.9 "Polarization")
     polarization: bool = False

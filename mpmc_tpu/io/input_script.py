@@ -297,6 +297,9 @@ def parse(text: str) -> Job:
             cfg_kw["feynman_kleinert"] = _onoff(v0) if vals else True
         elif key == "quantum_vibration":
             cfg_kw["quantum_vibration"] = _onoff(v0) if vals else True
+        elif key == "ewald_mxu":
+            # extension: separable MXU structure factor (ops/ewald.py)
+            cfg_kw["ewald_mxu"] = _onoff(v0) if vals else True
         elif key == "wrapall":
             cfg_kw["wrapall"] = _onoff(v0) if vals else True
         elif key == "preset_seeds":

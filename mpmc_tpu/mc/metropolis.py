@@ -132,15 +132,16 @@ def _recip_delta(state: SimState, cfg, d_re, d_im):
     new_im = state.sk_im + d_im
     rc = pairs.derived_cutoff(state.box, cfg)
     alpha = pairs.derived_alpha(rc, cfg)
-    kv = ewald.kvectors(state.box, cfg.ewald_kmax)
-    e_new = ewald.recip_energy_from_sk(new_re, new_im, state.box, alpha, kv)
+    kv, pw = ewald.ktable(state.box, cfg)
+    e_new = ewald.recip_energy_from_sk(new_re, new_im, state.box, alpha,
+                                       kv, pw)
     return new_re, new_im, e_new - state.energy.es_recip
 
 
 def _mol_structure_factor(pos, box, params, cfg, mol):
     idx = params.mol_atoms[mol]
     ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
-    kv = ewald.kvectors(box, cfg.ewald_kmax)
+    kv, _ = ewald.ktable(box, cfg)
     return ewald.mol_structure_factor(pos[idx], params.charge[idx], ok, kv)
 
 
@@ -148,7 +149,7 @@ def _mol_sf_rows(rows, box, params, cfg, mol):
     """Structure factor of one molecule from explicit trial rows."""
     idx = params.mol_atoms[mol]
     ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
-    kv = ewald.kvectors(box, cfg.ewald_kmax)
+    kv, _ = ewald.ktable(box, cfg)
     return ewald.mol_structure_factor(rows, params.charge[idx], ok, kv)
 
 
@@ -157,7 +158,7 @@ def _mol_sf_delta(pos, new_rows, box, params, cfg, mol):
     the trial rows enter with +q and the current rows with -q."""
     idx = params.mol_atoms[mol]
     ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
-    kv = ewald.kvectors(box, cfg.ewald_kmax)
+    kv, _ = ewald.ktable(box, cfg)
     rows = jnp.concatenate([new_rows, pos[idx]])
     q = params.charge[idx]
     return ewald.mol_structure_factor(

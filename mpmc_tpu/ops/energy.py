@@ -67,7 +67,7 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
     if cfg.coulomb == "ewald":
         alpha = pairs.derived_alpha(rc, cfg)
         es_recip, (sk_re, sk_im) = ewald.recip_energy(
-            pos, params.charge, alive, box, alpha, cfg.ewald_kmax)
+            pos, params.charge, alive, box, alpha, cfg)
         if split_frozen:
             es_self = ewald.self_energy(params.charge,
                                         alive & ~atom_frozen, alpha)

@@ -190,3 +190,67 @@ def test_total_es_invariant_under_ewald_parameters():
             ref = es
         else:
             assert es == pytest.approx(ref, abs=0.5), alpha
+
+
+class TestMxuStructureFactor:
+    """Separable MXU S(k) (ops/ewald.py::structure_factor_mxu):
+    identical physics to the half-space path on the same k-sphere."""
+
+    def _random_system(self, seed=0, n=40, triclinic=True):
+        rng = np.random.default_rng(seed)
+        if triclinic:
+            box = jnp.asarray([[14.0, 0.0, 0.0], [2.5, 13.0, 0.0],
+                               [-1.5, 3.0, 12.0]], jnp.float64)
+        else:
+            box = jnp.eye(3, dtype=jnp.float64) * 13.0
+        pos = jnp.asarray(rng.uniform(0, 10, (n, 3)), jnp.float64)
+        q = rng.uniform(-1, 1, n)
+        q = jnp.asarray(q - q.mean(), jnp.float64)
+        alive = jnp.asarray(rng.random(n) < 0.9)
+        return box, pos, q, alive
+
+    def test_sf_matches_direct_on_rect_table(self):
+        box, pos, q, alive = self._random_system()
+        kmax = 5
+        import dataclasses
+        cfg = cfg_es(ewald_mxu=True, ewald_kmax=kmax)
+        kv, _ = ewald.ktable(box, cfg)
+        d_re, d_im = ewald.structure_factor(pos, q, alive, kv)
+        m_re, m_im = ewald.structure_factor_mxu(pos, q, alive, box, kmax)
+        np.testing.assert_allclose(np.asarray(m_re), np.asarray(d_re),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(m_im), np.asarray(d_im),
+                                   atol=1e-9)
+
+    def test_recip_energy_matches_half_space(self):
+        for seed in (0, 3):
+            box, pos, q, alive = self._random_system(seed)
+            alpha = 0.35
+            e_half, _ = ewald.recip_energy(pos, q, alive, box, alpha,
+                                           cfg_es(ewald_kmax=6))
+            e_mxu, _ = ewald.recip_energy(
+                pos, q, alive, box, alpha,
+                cfg_es(ewald_mxu=True, ewald_kmax=6))
+            assert float(e_mxu) == pytest.approx(float(e_half), rel=1e-12)
+
+    def test_gcmc_bookkeeping_with_mxu(self):
+        import dataclasses
+        from mpmc_tpu.mc import metropolis
+        from mpmc_tpu.models import systems
+        params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+            n_side=3, n_h2=6, capacity=12, ewald_kmax=4)
+        cfg = dataclasses.replace(cfg, dtype="float64", ewald_mxu=True,
+                                  use_pallas=False)
+        import jax
+        to64 = lambda x: (x.astype(jnp.float64)
+                          if hasattr(x, "dtype") and x.dtype == jnp.float32
+                          else x)
+        state = jax.tree_util.tree_map(to64, state)
+        params = jax.tree_util.tree_map(to64, params)
+        state = metropolis.initialize(state, params, cfg, thermo_)
+        assert state.sk_re.shape[0] == (2 * 4 + 1) ** 3
+        st, stats = metropolis.run_chunk(state, params, cfg, thermo_, 200)
+        st2 = metropolis.initialize(st, params, cfg, thermo_)
+        assert float(st.energy.total) == pytest.approx(
+            float(st2.energy.total), abs=1e-8)
+        assert int(np.asarray(stats.accepts).sum()) > 0
