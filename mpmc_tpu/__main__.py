@@ -21,10 +21,22 @@ def main(argv=None):
                     help="force the CPU backend (parity/float64 runs)")
     ap.add_argument("--jsonl", default=None,
                     help="write per-corrtime observables as JSONL")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host run: bootstrap jax.distributed so "
+                    "all hosts' chips form one replica mesh (the "
+                    "reference's multi-node MPI job)")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (--distributed)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        from mpmc_tpu.parallel import multihost
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
 
     from mpmc_tpu.io import input_script
     from mpmc_tpu.mc import run as run_mod

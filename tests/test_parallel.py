@@ -254,3 +254,32 @@ pqr_input {pqr}
     assert float(su.thermo.temperature) == pytest.approx(300 * 0.5 ** 4)
     assert float(su.thermo.move_factor) != pytest.approx(4.9)
     assert "acc_displace" in avgs.samples
+
+
+def test_multihost_entry_single_process(mesh8):
+    """The multi-host PT entry point (parallel/multihost.py) on its
+    single-process degenerate path: global mesh over the 8 virtual
+    devices, distributed replica arrays, PTRunner rounds."""
+    from mpmc_tpu.parallel import multihost
+    import io
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=8, ewald_kmax=3, corrtime=4)
+    temps = replica.geometric_ladder(77.0, 200.0, 8)
+    log = io.StringIO()
+    states, thermos, history = multihost.run_parallel_tempering(
+        params, state, cfg, thermo, temps, n_rounds=3,
+        steps_per_round=4, log=log)
+    assert len(history) == 3
+    assert np.isfinite(history[-1]["mean_energy"])
+    # the temperature multiset is conserved by swaps
+    final_t = np.sort(np.asarray(thermos.temperature))
+    np.testing.assert_allclose(final_t, np.sort(temps), rtol=1e-6)
+    assert "PT round 0" in log.getvalue()
+    # replica arrays actually live sharded over the mesh
+    assert len(states.pos.sharding.device_set) == 8
+
+
+def test_multihost_replica_count_guard():
+    from mpmc_tpu.parallel import multihost
+    with pytest.raises(ValueError):
+        multihost.global_replica_mesh(10 ** 6)
