@@ -68,6 +68,8 @@ class Job:
     vib_omega: float = 0.0
     # more decimals in the per-corrtime log (SURVEY §2.9 "I/O" [M])
     long_output: bool = False
+    # per-replica restart files <pqr_restart>-rK (SURVEY §2 [L])
+    parallel_restarts: bool = False
     # multiply every charge by this factor at setup (SURVEY §2.9 "ES" [M])
     scale_charge: float = 1.0
     # adaptive move sizes: rescale move_factor/rot_factor each corrtime
@@ -109,8 +111,7 @@ class Job:
 
 
 _IGNORED = {"cuda", "polar_self", "polar_rrms",
-            "parallel_restarts", "adiabatic_probability",
-            "gwp_probability"}
+            "adiabatic_probability", "gwp_probability"}
 
 _ENSEMBLES = {"uvt", "nvt", "npt", "nve", "te", "total_energy", "surf",
               "surf_fit", "surf_multi_fit", "replay"}
@@ -297,6 +298,10 @@ def parse(text: str) -> Job:
             cfg_kw["feynman_kleinert"] = _onoff(v0) if vals else True
         elif key == "quantum_vibration":
             cfg_kw["quantum_vibration"] = _onoff(v0) if vals else True
+        elif key == "parallel_restarts":
+            # per-replica restart files (the reference's per-MPI-rank
+            # staggered restarts, SURVEY §2 "MPI layer" [L])
+            job.parallel_restarts = _onoff(v0) if vals else True
         elif key == "ewald_mxu":
             # extension: separable MXU structure factor (ops/ewald.py)
             cfg_kw["ewald_mxu"] = _onoff(v0) if vals else True

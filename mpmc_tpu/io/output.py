@@ -74,6 +74,21 @@ class RunWriter:
                                remark=f"restart step {int(state.step)}",
                                wrap=self.job.cfg.wrapall)
 
+    def write_parallel_restarts(self, params, states, n: int):
+        """One restart PQR per replica/chain: <pqr_restart>-rK (the
+        reference's per-MPI-rank parallel_restarts, SURVEY §2)."""
+        if not (self.job.pqr_restart and self.job.parallel_restarts):
+            return
+        import jax as _jax
+        base = self.job.pqr_restart
+        for k in range(n):
+            st = _jax.tree_util.tree_map(lambda x: x[k], states)
+            pqr_io.write_state(f"{base}-r{k}", params, st,
+                               self.species_names,
+                               remark=f"restart replica {k} step "
+                                      f"{int(st.step)}",
+                               wrap=self.job.cfg.wrapall)
+
     def append_trajectory(self, params, state):
         if self.job.traj_output:
             mode = "w" if not self._wrote_traj_header else "a"

@@ -483,6 +483,7 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         avgs.add(obs)
         writer.log_block(int(st0.step), obs, None)
         writer.write_restart(params, st0)
+        writer.write_parallel_restarts(params, states, R)
         writer.append_trajectory(params, st0)
     wall = time.time() - t0
     steps_done = n_blocks * corr
@@ -536,6 +537,7 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
         st0 = jax.tree_util.tree_map(lambda x: x[0], states)
         writer.log_block(int(st0.step), obs, None)
         writer.write_restart(params, st0)
+        writer.write_parallel_restarts(params, states, C)
         writer.append_trajectory(params, st0)
         if job.adapt_moves:
             scale = float(np.clip(

@@ -206,3 +206,41 @@ pqr_input {pqr}
     assert header[:4] == ["step", "rd", "lrc", "es_real"]
     assert len(lines) == 3                      # header + 2 corrtimes
     assert all(len(l.split(",")) == len(header) for l in lines[1:])
+
+
+def test_parallel_restarts_written(tmp_path):
+    """parallel_restarts: one restart PQR per replica (reference's
+    per-MPI-rank staggered restarts, SURVEY §2 "MPI layer")."""
+    import glob
+    import io as _io
+    from mpmc_tpu.io import input_script, pqr as pqr_io
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "ar.pqr"
+    pqr.write_text(
+        "ATOM 1 Ar AR 1 M 5.0 5.0 5.0 39.948 0.0 0.0 119.8 3.405\n"
+        "ATOM 2 Ar AR 2 M 9.0 5.0 5.0 39.948 0.0 0.0 119.8 3.405\n"
+        "END\n")
+    rst = tmp_path / "restart.pqr"
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 100
+corrtime 50
+temperature 300
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+cutoff 8
+coulomb off
+rd_lrc off
+chains 3
+parallel_restarts on
+pqr_restart {rst}
+pqr_input {pqr}
+""")
+    assert job.parallel_restarts
+    run_mod.run(job, log=_io.StringIO())
+    files = sorted(glob.glob(str(rst) + "-r*"))
+    assert [f.rsplit("-", 1)[1] for f in files] == ["r0", "r1", "r2"]
+    for f in files:
+        fr = pqr_io.read(f)
+        assert len(fr.atoms) == 2
