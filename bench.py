@@ -28,9 +28,11 @@ def main():
     from mpmc_tpu.parallel import multichain
 
     # ~9.3k framework atoms + up to 512 H2 (x3 sites) = ~10.8k atom slots;
-    # 256 independent GCMC chains batched on the one chip (the TPU analog
-    # of the reference's replica-per-MPI-rank throughput model)
-    n_chains = 256
+    # independent GCMC chains batched on the one chip (the TPU analog of
+    # the reference's replica-per-MPI-rank throughput model).  C=128 is
+    # the measured aggregate-throughput optimum on a v5e-class chip
+    # (96-128 plateau ~126k agg steps/s; 2026-08-17 scan in CLAUDE.md)
+    n_chains = 128
     params, state, cfg, thermo = systems.mof_h2_gcmc(
         n_side=21, spacing=4.0, n_h2=256, capacity=512,
         temperature=77.0, pressure=1.0)
@@ -58,7 +60,7 @@ def main():
     steps = n_chunks * chunk * n_chains
     sps = steps / wall
     print(json.dumps({
-        "metric": "agg_mc_steps_per_sec_10k_mof_h2_gcmc_ewald_256chains",
+        "metric": "agg_mc_steps_per_sec_10k_mof_h2_gcmc_ewald_batched_chains",
         "value": round(sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 2),
