@@ -184,12 +184,16 @@ class Thermo:
     volume_probability: jax.Array            # P(volume move)
     volume_change_factor: jax.Array          # max |d ln V|
     spinflip_probability: jax.Array          # reserved (quantum rotation)
+    # NVE: fixed total (kinetic + potential) energy [K] for Ray's
+    # microcanonical acceptance (the ``total_energy`` option)
+    nve_energy: jax.Array = None
 
     @classmethod
     def make(cls, temperature=298.0, pressure=1.0, fugacity=(),
              move_factor=1.0, rot_factor=1.0, insert_probability=0.0,
              volume_probability=0.0, volume_change_factor=0.05,
-             spinflip_probability=0.0, n_species=None, dtype=jnp.float32):
+             spinflip_probability=0.0, nve_energy=0.0, n_species=None,
+             dtype=jnp.float32):
         fug = jnp.atleast_1d(jnp.asarray(fugacity, dtype))
         if n_species is not None and fug.shape[0] < max(n_species, 1):
             fug = jnp.concatenate(
@@ -202,6 +206,7 @@ class Thermo:
             volume_probability=s(volume_probability),
             volume_change_factor=s(volume_change_factor),
             spinflip_probability=s(spinflip_probability),
+            nve_energy=s(nve_energy),
         )
 
     def replace(self, **kw):

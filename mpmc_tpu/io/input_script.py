@@ -70,6 +70,8 @@ class Job:
     long_output: bool = False
     # per-replica restart files <pqr_restart>-rK (SURVEY §2 [L])
     parallel_restarts: bool = False
+    # NVE MC: fixed total energy [K] (Ray's microcanonical acceptance)
+    total_energy: float = 0.0
     # multiply every charge by this factor at setup (SURVEY §2.9 "ES" [M])
     scale_charge: float = 1.0
     # adaptive move sizes: rescale move_factor/rot_factor each corrtime
@@ -162,6 +164,9 @@ def parse(text: str) -> Job:
             job.pressure = float(v0)
         elif key == "free_volume":
             job.free_volume = float(v0)
+        elif key == "total_energy":
+            # NVE target energy [K] (ensemble nve; mc/metropolis.py)
+            job.total_energy = float(v0)
         elif key in ("fugacities", "user_fugacities"):
             job.fugacities = [float(x) for x in vals]
         elif key in ("h2_fugacity", "co2_fugacity", "ch4_fugacity",

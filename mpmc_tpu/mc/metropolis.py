@@ -555,7 +555,30 @@ def make_step_fn(params: Params, cfg: RunConfig):
             d_vdw = zero
 
         du = cand.denergy.total + d_polar + d_vdw
-        ln_acc = cand.ln_bias - du / thermo.temperature
+        if cfg.ensemble == "nve":
+            # Ray's microcanonical MC (SURVEY §2 "MC main loop": NVE
+            # [L]; Ray, PRA 44, 4061 (1991)): the kinetic reservoir
+            # K = E_total - U weights configurations as K^(F/2 - 1),
+            # F = total kinetic DOF of the movable molecules, so
+            #   P_acc = min[1, (K_new/K_old)^(F/2-1)],  K_new > 0.
+            # E_total comes from the ``total_energy`` option in the same
+            # convention as the reported energy (active + frozen).
+            u_off = (state.e_frozen.total if state.e_frozen is not None
+                     else zero)
+            u_old = state.energy.total + u_off
+            k_old = thermo.nve_energy - u_old
+            k_new = k_old - du
+            f_dof = jnp.sum(jnp.where(
+                _movable_mask(params, state.mol_alive),
+                params.mol_dof, 0.0))
+            g = 0.5 * f_dof - 1.0
+            ln_acc = jnp.where(
+                (k_new > 0) & (k_old > 0),
+                g * (jnp.log(jnp.maximum(k_new, 1e-300))
+                     - jnp.log(jnp.maximum(k_old, 1e-300))),
+                -jnp.inf)
+        else:
+            ln_acc = cand.ln_bias - du / thermo.temperature
         u = jax.random.uniform(k_acc, dtype=dtype)
         accept = (~cand.hard_reject) & (jnp.log(u) < ln_acc)
 

@@ -182,6 +182,7 @@ def setup(job: input_script.Job,
 
     thermo = Thermo.make(
         temperature=job.temperature, pressure=job.pressure, fugacity=fug,
+        nve_energy=job.total_energy,
         move_factor=job.move_factor, rot_factor=job.rot_factor,
         insert_probability=job.insert_probability,
         volume_probability=job.volume_probability,
@@ -217,6 +218,15 @@ def observables(su: Setup, state: SimState, stats=None) -> Dict[str, float]:
     }
     obs["N2"] = obs["N"] ** 2
     obs["UN"] = obs["energy_total"] * obs["N"]
+    if su.cfg.ensemble == "nve":
+        # kinetic temperature of the demon reservoir: T = 2(E - U)/F
+        f_dof = float(np.sum(np.where(
+            np.asarray(state.mol_alive)
+            & ~np.asarray(params.mol_frozen)
+            & (np.asarray(params.mol_species) >= 0),
+            np.asarray(params.mol_dof), 0.0)))
+        k = float(su.thermo.nve_energy) - obs["energy_total"]
+        obs["T_kinetic"] = 2.0 * k / max(f_dof, 1.0)
     if state.mu is not None:
         # RMS induced dipole per polarizable site [Debye] — the
         # reference's polar_rrms diagnostic (SURVEY §2.9 "Polarization")

@@ -104,6 +104,9 @@ class Params:
     mol_start: jax.Array    # [M] int32: first atom row (molecules are
     #                         contiguous ranges — basis of the cumsum
     #                         per-molecule reductions in ops/pairs.py)
+    mol_dof: jax.Array      # [M] kinetic degrees of freedom (3 point /
+    #                         5 linear / 6 nonlinear; 0 frozen) — Ray's
+    #                         NVE MC exponent (mc/metropolis.py)
     mol_mass: jax.Array     # [M] total mass
     # rigid templates for GCMC insertion: [S, A, 3] COM-centered coords
     # (the analog of the reference's insert_input template molecule,
@@ -316,6 +319,7 @@ def build_system(
     mol_frozen = np.zeros(M, bool)
     mol_natoms = np.zeros(M, np.int32)
     mol_start = np.zeros(M, np.int32)
+    mol_dof = np.zeros(M, np.float64)
     mol_mass = np.zeros(M, np.float64)
     mol_alive = np.zeros(M, bool)
     if F > 0:
@@ -353,6 +357,7 @@ def build_system(
             mol_natoms[mslot] = a
             mol_start[mslot] = cursor
             mol_mass[mslot] = sp.total_mass
+            mol_dof[mslot] = _species_dof(sp)
             if j < counts[si]:
                 mol_alive[mslot] = True
                 if initial_pos is not None and si in initial_pos:
@@ -396,6 +401,7 @@ def build_system(
         mol_atoms=jnp.asarray(mol_atoms),
         mol_natoms=jnp.asarray(mol_natoms),
         mol_start=jnp.asarray(mol_start),
+        mol_dof=f(mol_dof),
         mol_mass=f(mol_mass),
         species_pos=f(species_pos),
         species_natoms=jnp.asarray(species_natoms),
@@ -410,6 +416,25 @@ def build_system(
         step=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
     )
     return params, state
+
+
+def _species_dof(sp) -> float:
+    """Kinetic degrees of freedom of a rigid species: 3 (point mass),
+    5 (linear rotor), 6 (nonlinear) — the F entering Ray's NVE MC
+    acceptance exponent F/2 - 1 (mc/metropolis.py)."""
+    m = np.asarray(sp.mass, np.float64)
+    p = np.asarray(sp.pos, np.float64)[m > 0]
+    if len(p) <= 1:
+        return 3.0
+    d = p - p[0]
+    # colinear if all mass points lie on one axis
+    n = d[np.argmax(np.sum(d * d, 1))]
+    nn = np.linalg.norm(n)
+    if nn < 1e-9:
+        return 3.0
+    n = n / nn
+    perp = d - np.outer(d @ n, n)
+    return 5.0 if np.max(np.abs(perp)) < 1e-8 else 6.0
 
 
 def molecule_com(pos, params: Params, mol: int | jax.Array):

@@ -323,3 +323,113 @@ def test_seeded_runs_are_deterministic():
     np.testing.assert_array_equal(p1, p2)
     assert e1 == e2
     assert not np.array_equal(p1, p3)
+
+
+class TestNVE:
+    """Ray's microcanonical MC (ensemble nve + total_energy; SURVEY §2
+    "MC main loop" NVE [L]; Ray PRA 44, 4061)."""
+
+    def _gas(self, n=24, L=18.0, eps=120.0):
+        from tests.helpers import free_atoms
+        rng = np.random.default_rng(5)
+        g = int(np.ceil(n ** (1 / 3)))
+        pts = np.stack(np.meshgrid(*[np.arange(g)] * 3,
+                                   indexing="ij"), -1).reshape(-1, 3)
+        coords = (pts[:n] + 0.5) * (L / g) \
+            + rng.uniform(-0.4, 0.4, (n, 3))
+        return free_atoms(L * np.eye(3), coords, eps=eps, sig=3.0)
+
+    def _cfg(self, **kw):
+        kw.setdefault("ensemble", "nve")
+        kw.setdefault("coulomb", "none")
+        kw.setdefault("dtype", "float64")
+        kw.setdefault("rd_lrc", False)
+        kw.setdefault("cutoff", 7.0)
+        return RunConfig(**kw)
+
+    def test_ideal_gas_always_accepts_and_fixed_t_kin(self):
+        params, state = self._gas(eps=0.0)
+        cfg = self._cfg()
+        e_tot = 5000.0
+        thermo = Thermo.make(temperature=1.0, move_factor=0.5,
+                             rot_factor=0.0, nve_energy=e_tot,
+                             n_species=1, dtype=cfg.jdtype)
+        state = metropolis.initialize(state, params, cfg, thermo)
+        st, stats = metropolis.run_chunk(state, params, cfg, thermo, 300)
+        acc = np.asarray(stats.accepts)[0] / np.asarray(stats.attempts)[0]
+        assert acc == pytest.approx(1.0)      # dU = 0 -> K unchanged
+        # T_kin = 2E/F with F = 3 per point particle
+        f_dof = 3.0 * 24
+        assert 2 * e_tot / f_dof == pytest.approx(138.888, rel=1e-3)
+
+    def test_bookkeeping_closure(self):
+        params, state = self._gas()
+        cfg = self._cfg()
+        thermo = Thermo.make(temperature=1.0, move_factor=0.4,
+                             rot_factor=0.0, nve_energy=4000.0,
+                             n_species=1, dtype=cfg.jdtype)
+        state = metropolis.initialize(state, params, cfg, thermo)
+        st, stats = metropolis.run_chunk(state, params, cfg, thermo, 300)
+        st2 = metropolis.initialize(st, params, cfg, thermo)
+        assert float(st.energy.total) == pytest.approx(
+            float(st2.energy.total), abs=1e-9)
+        a = np.asarray(stats.accepts)[0]
+        assert 0 < a < 300                    # finite-K rejections happen
+
+    def test_nvt_nve_ensemble_equivalence(self):
+        """<T_kin> in NVE at E = <U>_NVT + F T/2 matches the NVT T."""
+        params, state = self._gas()
+        t_ref = 150.0
+        cfg_nvt = self._cfg(ensemble="nvt")
+        th_nvt = Thermo.make(temperature=t_ref, move_factor=0.5,
+                             rot_factor=0.0, n_species=1,
+                             dtype=cfg_nvt.jdtype)
+        st = metropolis.initialize(state, params, cfg_nvt, th_nvt)
+        us = []
+        for _ in range(12):
+            st, _ = metropolis.run_chunk(st, params, cfg_nvt, th_nvt, 200)
+            us.append(float(st.energy.total))
+        u_mean = np.mean(us[4:])
+        f_dof = 3.0 * 24
+        e_tot = u_mean + 0.5 * f_dof * t_ref
+        cfg = self._cfg()
+        th = Thermo.make(temperature=1.0, move_factor=0.5,
+                         rot_factor=0.0, nve_energy=e_tot, n_species=1,
+                         dtype=cfg.jdtype)
+        stv = metropolis.initialize(st, params, cfg, th)
+        t_kins = []
+        for _ in range(12):
+            stv, _ = metropolis.run_chunk(stv, params, cfg, th, 200)
+            k = e_tot - float(stv.energy.total)
+            t_kins.append(2.0 * k / f_dof)
+        assert np.mean(t_kins[4:]) == pytest.approx(t_ref, rel=0.15)
+
+    def test_cli_nve_reports_t_kinetic(self, tmp_path):
+        import io as _io
+        from mpmc_tpu.io import input_script
+        from mpmc_tpu.mc import run as run_mod
+        pqr = tmp_path / "ar.pqr"
+        pqr.write_text(
+            "ATOM 1 Ar AR 1 M 5.0 5.0 5.0 39.948 0.0 0.0 119.8 3.405\n"
+            "ATOM 2 Ar AR 2 M 9.0 5.0 5.0 39.948 0.0 0.0 119.8 3.405\n"
+            "END\n")
+        job = input_script.parse(f"""
+ensemble nve
+numsteps 200
+corrtime 100
+temperature 100
+total_energy 900
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+cutoff 8
+coulomb off
+rd_lrc off
+precision float64
+pqr_input {pqr}
+""")
+        assert job.total_energy == 900.0
+        log = _io.StringIO()
+        _, avgs = run_mod.run(job, log=log)
+        assert "T_kinetic" in avgs.samples
+        assert np.all(np.isfinite(avgs.samples["T_kinetic"]))
