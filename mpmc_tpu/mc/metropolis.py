@@ -88,6 +88,10 @@ class Candidate:
     col_rd: Optional[jax.Array] = None
     col_es: Optional[jax.Array] = None
     col_lrc: Optional[jax.Array] = None
+    # polar delta-field mode: the trial static field (O(A N) update of
+    # the cached e0 — ops/thole.field_delta); None when the config
+    # rebuilds the field in full
+    e0: Optional[jax.Array] = None
 
 
 def cache_eligible(cfg: RunConfig) -> bool:
@@ -237,6 +241,9 @@ def make_step_fn(params: Params, cfg: RunConfig):
     # delete reads everything from it (zero passes)
     cache_mode = cache_eligible(cfg)
     zcol = jnp.zeros((params.n_mols_max,), dtype)
+    # polar delta field: update the cached e0 in O(A N) per move instead
+    # of rebuilding the O(N^2) direct field per trial
+    pol_delta = cfg.polarization and thole.field_delta_supported(cfg)
 
     def eb(rd=None, lrc=None, es_real=None, es_recip=None, es_self=None,
            es_excl=None):
@@ -297,10 +304,14 @@ def make_step_fn(params: Params, cfg: RunConfig):
             sk_re, sk_im, d_recip = state.sk_re, state.sk_im, zero
         d = eb(rd=d_rd, es_real=d_es, es_recip=d_recip)
         reject = (cnt == 0) | _overlap_r2(new_min_r2, cfg, dtype)
+        e0_d = (thole.field_delta(state.pos, state.box, alive, params,
+                                  cfg, mol, state.e0, new_rows=new_rows)
+                if pol_delta else None)
         return Candidate(new_pos, state.box, state.mol_alive, sk_re, sk_im,
                          d, zero, reject, mol=mol.astype(jnp.int32),
                          rows=new_rows if row_level else None,
-                         col_rd=col_rd, col_es=col_es, col_lrc=col_lrc)
+                         col_rd=col_rd, col_es=col_es, col_lrc=col_lrc,
+                         e0=e0_d)
 
     def b_insert(state: SimState, thermo: Thermo, key):
         k_sp, k_slot, k_cell, k_place = jax.random.split(key, 4)
@@ -377,11 +388,17 @@ def make_step_fn(params: Params, cfg: RunConfig):
             - jnp.log(thermo.temperature * (n_s + 1.0)) + cav_bias
         reject = ((free == 0) | _overlap_r2(inter_min_r2, cfg, dtype)
                   | cav_reject)
+        e0_d = (thole.field_delta(state.pos, state.box,
+                                  state.atom_alive(params), params, cfg,
+                                  slot, state.e0, new_rows=rows,
+                                  insert=True)
+                if pol_delta else None)
         return Candidate(new_pos, state.box, new_alive_mol, sk_re, sk_im,
                          d, ln_bias.astype(dtype), reject,
                          mol=slot.astype(jnp.int32),
                          rows=rows if row_level else None,
-                         col_rd=col_rd, col_es=col_es, col_lrc=col_lrc)
+                         col_rd=col_rd, col_es=col_es, col_lrc=col_lrc,
+                         e0=e0_d)
 
     def b_delete(state: SimState, thermo: Thermo, key):
         k_sp, k_slot = jax.random.split(key)
@@ -439,13 +456,18 @@ def make_step_fn(params: Params, cfg: RunConfig):
                 jnp.log(jnp.maximum(n_open.astype(dtype), 1e-30))
                 - jnp.log(g3))
         reject = cnt == 0
+        e0_d = (thole.field_delta(state.pos, state.box,
+                                  state.atom_alive(params), params, cfg,
+                                  slot, state.e0, delete=True)
+                if pol_delta else None)
         return Candidate(None if row_level else state.pos, state.box,
                          new_alive_mol, sk_re, sk_im,
                          d, ln_bias.astype(dtype), reject,
                          mol=slot.astype(jnp.int32),
                          rows=(state.pos[params.mol_atoms[slot]]
                                if row_level else None),
-                         col_rd=col_rd, col_es=col_es, col_lrc=col_lrc)
+                         col_rd=col_rd, col_es=col_es, col_lrc=col_lrc,
+                         e0=e0_d)
 
     def b_volume(state: SimState, thermo: Thermo, key):
         k_v, _ = jax.random.split(key)
@@ -471,8 +493,14 @@ def make_step_fn(params: Params, cfg: RunConfig):
                    - p_ka3 * (v_new - v_old) / thermo.temperature)
         sk_re = aux.get("sk_re", state.sk_re)
         sk_im = aux.get("sk_im", state.sk_im)
+        e0_d = (thole.static_field(
+                    new_pos, new_box,
+                    state.mol_alive[params.mol_id] & params.atom_ok,
+                    params, cfg)
+                if pol_delta else None)
         return Candidate(new_pos, new_box, state.mol_alive, sk_re, sk_im,
-                         d, ln_bias.astype(dtype), jnp.zeros((), bool))
+                         d, ln_bias.astype(dtype), jnp.zeros((), bool),
+                         e0=e0_d)
 
     def b_spinflip(state: SimState, thermo: Thermo, key):
         """Ortho<->para flip of one rotor using the cached hindered-rotor
@@ -497,7 +525,8 @@ def make_step_fn(params: Params, cfg: RunConfig):
                          col_es=(state.cache_es[mol] if cache_mode
                                  else None),
                          col_lrc=(state.cache_lrc[mol] if cache_mode
-                                  else None))
+                                  else None),
+                         e0=state.e0 if pol_delta else None)
 
     # branch table per ensemble (static)
     if cfg.ensemble == "uvt" and cfg.insert_species:
@@ -529,8 +558,11 @@ def make_step_fn(params: Params, cfg: RunConfig):
         # polarization: re-solve SCF on the candidate (common to all moves)
         if cfg.polarization:
             alive_c = cand.mol_alive[params.mol_id] & params.atom_ok
-            e0_new = thole.static_field(cand.pos, cand.box, alive_c, params,
-                                        cfg)
+            if pol_delta:
+                e0_new = cand.e0
+            else:
+                e0_new = thole.static_field(cand.pos, cand.box, alive_c,
+                                            params, cfg)
             mu_new, iters = thole.solve_scf(cand.pos, cand.box, alive_c,
                                             params, cfg, e0_new,
                                             mu0=state.mu)

@@ -177,6 +177,74 @@ def static_field_direct(pos, box, atom_alive, params, cfg, chunk=None):
     return ys.reshape(nb * B, 3)[:N]
 
 
+def field_delta_supported(cfg) -> bool:
+    """Static gate for the per-move delta field: the direct damped
+    field is pairwise additive in source charges; the Ewald/Wolf
+    variants carry k-space / shifted terms and keep the full rebuild."""
+    return (cfg.polarization and not cfg.polar_ewald
+            and not cfg.polar_wolf)
+
+
+def field_delta(pos, box, atom_alive, params, cfg, mol, e0,
+                new_rows=None, insert=False, delete=False):
+    """O(A N) update of the cached static field when molecule ``mol``
+    moves/appears/disappears (the per-move analog of
+    static_field_direct — the reference rebuilds the whole field each
+    energy() call; SURVEY §3.2).
+
+    Two tiles: (a) the molecule's charges as *sources* (+q at the trial
+    rows, -q at the current rows) against every other site, added onto
+    ``e0``; (b) every other charge as a source against the molecule's
+    trial rows, which overwrite its slice.  Exactly matches a full
+    static_field_direct rebuild (f64 test) and inherits the same
+    per-corrtime refresh that bounds f32 drift on the energies."""
+    box_inv = jnp.linalg.inv(box)
+    rc = derived_cutoff(box, cfg)
+    idx = params.mol_atoms[mol]
+    A = idx.shape[0]
+    valid = jnp.arange(A) < params.mol_natoms[mol]
+    q = params.charge
+    old_rows = pos[idx]
+    if delete:
+        src_pos, src_q, src_ok = old_rows, -q[idx], valid
+    elif insert:
+        src_pos, src_q, src_ok = new_rows, q[idx], valid
+    else:
+        src_pos = jnp.concatenate([new_rows, old_rows])
+        src_q = jnp.concatenate([q[idx], -q[idx]])
+        src_ok = jnp.concatenate([valid, valid])
+
+    other = atom_alive & (params.mol_id != mol)
+    # (a) moved sources -> every other site (dr points toward target)
+    dr = pbc_ops.min_image(pos[None, :, :] - src_pos[:, None, :],
+                           box, box_inv)                  # [S,N,3]
+    r2 = jnp.sum(dr * dr, -1)
+    ok = src_ok[:, None] & other[None, :] & (r2 < rc * rc)
+    r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+    r = jnp.sqrt(r2s)
+    d1, _ = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
+    coef = jnp.where(ok, src_q[:, None] * d1 / (r2s * r), 0.0)
+    e0_new = e0 + jnp.einsum("sn,snk->nk", coef, dr)
+
+    # (b) the field at the molecule's own (trial) rows
+    if delete:
+        rows_field = jnp.zeros((A, 3), pos.dtype)
+    else:
+        drr = pbc_ops.min_image(new_rows[:, None, :] - pos[None, :, :],
+                                box, box_inv)             # [A,N,3]
+        r2b = jnp.sum(drr * drr, -1)
+        okb = valid[:, None] & other[None, :] & (r2b < rc * rc)
+        r2bs = jnp.where(r2b > 1e-12, r2b, 1.0)
+        rb = jnp.sqrt(r2bs)
+        d1b, _ = _damping(rb, cfg.polar_damp, cfg.polar_damp_type)
+        cb = jnp.where(okb, q[None, :] * d1b / (r2bs * rb), 0.0)
+        rows_field = jnp.einsum("an,ank->ak", cb, drr)
+    # padded idx entries duplicate the first atom index: make their
+    # values identical so the scatter stays deterministic
+    rows_field = jnp.where(valid[:, None], rows_field, rows_field[0])
+    return e0_new.at[idx].set(rows_field.astype(pos.dtype))
+
+
 def static_field_ewald(pos, box, atom_alive, params, cfg, chunk=None):
     """Full-Ewald periodic static field (SURVEY.md §2 'Thole static
     field': ``polar_ewald`` / ewald_estatic [M names]).

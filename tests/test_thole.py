@@ -292,3 +292,32 @@ def test_linear_damping_limits():
                              "polarization on\nbasis1 10 0 0\n"
                              "basis2 0 10 0\nbasis3 0 0 10\n")
     assert job.cfg.polar_damp_type == "linear"
+
+
+def test_field_delta_matches_full_rebuild_over_gcmc_chunk():
+    """The O(A N) per-move static-field update (thole.field_delta) must
+    leave the cached e0 exactly equal to a full rebuild after a GCMC
+    chunk with accepted displaces, inserts and deletes."""
+    import dataclasses
+    import jax
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=12, polarization=True)
+    cfg = dataclasses.replace(cfg, dtype="float64", use_pallas=False)
+    to64 = lambda x: (x.astype(jnp.float64)
+                      if hasattr(x, "dtype") and x.dtype == jnp.float32
+                      else x)
+    state = jax.tree_util.tree_map(to64, state)
+    params = jax.tree_util.tree_map(to64, params)
+    assert thole.field_delta_supported(cfg)
+    state = metropolis.initialize(state, params, cfg, thermo_)
+    st, stats = metropolis.run_chunk(state, params, cfg, thermo_, 250)
+    acc = np.asarray(stats.accepts)
+    assert acc[0] > 0 and acc[1] + acc[2] > 0
+    e0_full = thole.static_field(st.pos, st.box, st.atom_alive(params),
+                                 params, cfg)
+    assert float(jnp.max(jnp.abs(st.e0 - e0_full))) < 1e-12
+    st2 = metropolis.initialize(st, params, cfg, thermo_)
+    assert float(st.energy.total) == pytest.approx(
+        float(st2.energy.total), abs=1e-9)
