@@ -520,6 +520,9 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
                                  jsonl_path=jsonl_path)
     C = job.chains
     print(f"batched chains: {C}", file=writer.log)
+    if cfg.spectre:
+        print("WARNING: spectre charge renormalization runs only in the "
+              "single-chain driver (chains 1)", file=writer.log)
     state = metropolis.initialize(su.state, params, cfg, thermo)
     states = multichain.stack_states(state, C, seed=cfg.seed)
     avgs = Averages()

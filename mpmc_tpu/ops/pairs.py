@@ -107,7 +107,7 @@ def rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc=None):
                 args[2], args[3], args[4], args[5], args[6], args[7],
                 rc, cfg)
             tc = jnp.broadcast_to(tc, r2s.shape)
-    elif cfg.rd_potential == "lj" and not getattr(cfg, "es_only", False):
+    elif cfg.rd_potential == "lj":
         eps, sig = lj_ops.mix(params.eps[idx_i][:, None],
                               params.eps[None, :],
                               params.sig[idx_i][:, None],
