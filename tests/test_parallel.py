@@ -283,3 +283,34 @@ def test_multihost_replica_count_guard():
     from mpmc_tpu.parallel import multihost
     with pytest.raises(ValueError):
         multihost.global_replica_mesh(10 ** 6)
+
+
+def test_batched_chains_with_polar_delta_field():
+    """Vmapped chains with polarization: the per-move delta static
+    field must stay exact per chain (vs full rebuild) and energies
+    must close against a recompute."""
+    import dataclasses
+    import jax.numpy as jnp
+    from mpmc_tpu.ops import thole
+    from mpmc_tpu.parallel import multichain
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=8, polarization=True)
+    cfg = dataclasses.replace(cfg, dtype="float64", use_pallas=False)
+    to64 = lambda x: (x.astype(jnp.float64)
+                      if hasattr(x, "dtype") and x.dtype == jnp.float32
+                      else x)
+    state = jax.tree_util.tree_map(to64, state)
+    params = jax.tree_util.tree_map(to64, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    states = multichain.stack_states(state, 3)
+    sts, stats = multichain.run_chunk_batched(states, params, cfg,
+                                              thermo, 60)
+    assert int(np.asarray(stats.accepts).sum()) > 0
+    for c in range(3):
+        st = jax.tree_util.tree_map(lambda x: x[c], sts)
+        e0_full = thole.static_field(st.pos, st.box,
+                                     st.atom_alive(params), params, cfg)
+        assert float(jnp.max(jnp.abs(st.e0 - e0_full))) < 1e-12, c
+        st2 = metropolis.initialize(st, params, cfg, thermo)
+        assert float(st.energy.total) == pytest.approx(
+            float(st2.energy.total), abs=1e-9), c
