@@ -23,3 +23,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# The XLA CPU compiler can segfault late in a long single-process run
+# (observed compiling the ~180th test's scan after hundreds of cached
+# executables; the same test passes in isolation).  Bound accumulated
+# compiler/executable state by dropping JAX caches between test modules
+# — within-module sharing (the expensive case) is preserved.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
