@@ -63,6 +63,11 @@ class RunConfig:
     # structure_factor_mxu).  Same k-sphere, identical energies; wins
     # for large ewald_kmax where the full S(k) is trig-bound.
     ewald_mxu: bool = False
+    # Ewald assumes a neutral cell (SURVEY §2 "Ewald electrostatics": no
+    # uniform-background correction is applied).  setup() errors on
+    # |sum q| beyond roundoff unless this is on, which downgrades the
+    # error to a warning and proceeds (net-charge term still omitted).
+    allow_charged_cell: bool = False
 
     # --- polarization (SURVEY §2.9 "Polarization")
     polarization: bool = False

@@ -11,6 +11,25 @@ standard, accurate to a few percent over sorption-relevant conditions, and
 clearly documented here as the contract.  Explicit ``fugacities``/
 ``user_fugacities`` bypass the EoS entirely, exactly like the reference.
 
+Accuracy upgrade (round 2, VERDICT item 6): raw PR misrepresents the
+second virial coefficient of quantum gases — for H2 at 77 K it gives
+B_PR = -23.8 cm^3/mol against the measured ~-11.7, a ~2% fugacity error
+already at 10 atm.  ``fugacity`` therefore rescales PR's attraction
+parameter so the EoS's own low-density limit reproduces the measured
+second virial coefficient:
+
+    a_eff(T) = (b - B_lit(T)) * R * T      =>   b - a_eff/(RT) = B_lit
+
+with B_lit(T) interpolated from the compiled measurements below
+(Dymond & Smith-style compilation values).  This is exact in the
+truncated-virial regime (where measured B IS the fugacity), internally
+consistent at every pressure, and keeps the PR repulsive structure at
+high density (H2 77 K 100 atm: phi = 0.938 vs raw PR 0.80 and the
+B+C virial estimate 0.90-0.93).  Documented error band: <=0.1% where
+|B P/RT| < 0.02 (H2 77 K below ~10 atm, CO2 298 K below ~4 atm); a few
+percent at 100 atm where the third virial / PR shape dominates.
+Outside a species' tabulated T range: pure PR.
+
 Host-side (numpy) — runs once per (T, P) change, never inside jit.
 """
 from __future__ import annotations
@@ -39,6 +58,56 @@ SPECIES = {
 }
 
 
+# Second virial coefficients B(T) [cm^3/mol] — compilation values
+# (Dymond & Smith / NIST-style tables; normal-H2).  Linear interpolation
+# in T; outside the range the correction is skipped (pure PR).
+VIRIAL_B = {
+    "h2": [(30.0, -82.0), (40.0, -52.7), (50.0, -35.5), (60.0, -24.0),
+           (70.0, -16.0), (80.0, -9.8), (90.0, -5.1), (100.0, -1.9),
+           (110.0, 0.7), (150.0, 7.1), (200.0, 11.3), (300.0, 14.8),
+           (400.0, 15.8)],
+    "n2": [(75.0, -277.8), (80.0, -242.9), (100.0, -160.0),
+           (125.0, -104.0), (150.0, -71.5), (200.0, -35.2),
+           (250.0, -16.2), (300.0, -4.2), (400.0, 9.0), (500.0, 16.9)],
+    "co2": [(220.0, -244.0), (250.0, -181.0), (273.15, -149.7),
+            (298.15, -124.5), (323.0, -102.5), (373.0, -72.2),
+            (423.0, -50.0), (500.0, -29.8)],
+    "ch4": [(150.0, -182.0), (200.0, -105.0), (250.0, -66.4),
+            (273.15, -53.4), (298.15, -42.8), (350.0, -27.0),
+            (400.0, -15.3), (500.0, -0.5)],
+    "ar": [(100.0, -183.5), (150.0, -86.2), (200.0, -47.4),
+           (250.0, -27.9), (273.15, -21.1), (298.15, -15.8),
+           (400.0, -1.0), (500.0, 7.0)],
+    "he": [(20.0, -3.3), (50.0, 7.4), (77.0, 10.5), (100.0, 11.4),
+           (200.0, 12.2), (300.0, 11.9), (400.0, 11.4)],
+}
+
+
+def second_virial(species_key: str, temperature: float):
+    """Literature B(T) [L/mol] by linear interpolation, or None when the
+    species/temperature is outside the compiled table."""
+    tab = VIRIAL_B.get(species_key.lower())
+    if tab is None or not (tab[0][0] <= temperature <= tab[-1][0]):
+        return None
+    for (t0, b0), (t1, b1) in zip(tab, tab[1:]):
+        if temperature <= t1:
+            w = (temperature - t0) / (t1 - t0)
+            return (b0 + w * (b1 - b0)) * 1e-3   # cm^3 -> L
+    return None
+
+
+def pr_second_virial(temperature: float, crit: CriticalConstants) -> float:
+    """Peng-Robinson's own B(T) = b - a(T)/(R T) [L/mol] — the exact
+    low-density limit of the EoS, used to splice in the measured B."""
+    tc, pc, w = crit.tc, crit.pc, crit.omega
+    r = R_L_ATM_MOL_K
+    kappa = 0.37464 + 1.54226 * w - 0.26992 * w * w
+    alpha = (1.0 + kappa * (1.0 - math.sqrt(temperature / tc))) ** 2
+    a = 0.45724 * r * r * tc * tc / pc * alpha
+    b = 0.07780 * r * tc / pc
+    return b - a / (r * temperature)
+
+
 def _cubic_roots(a2, a1, a0):
     """Real roots of z^3 + a2 z^2 + a1 z + a0 = 0 (Cardano)."""
     q = (3 * a1 - a2 * a2) / 9.0
@@ -59,8 +128,12 @@ def _cubic_roots(a2, a1, a0):
 
 
 def peng_robinson_fugacity(temperature: float, pressure: float,
-                           crit: CriticalConstants) -> float:
-    """Fugacity [atm] of a pure gas at (T [K], P [atm]) via Peng-Robinson."""
+                           crit: CriticalConstants,
+                           a_override: float = None) -> float:
+    """Fugacity [atm] of a pure gas at (T [K], P [atm]) via Peng-Robinson.
+    ``a_override`` replaces the alpha-function attraction parameter
+    a(T) [L^2 atm/mol^2] — used to splice the measured second virial
+    coefficient into the EoS (module docstring)."""
     if pressure <= 0:
         return 0.0
     tc, pc, w = crit.tc, crit.pc, crit.omega
@@ -69,6 +142,8 @@ def peng_robinson_fugacity(temperature: float, pressure: float,
     alpha = (1.0 + kappa * (1.0 - math.sqrt(tr))) ** 2
     r = R_L_ATM_MOL_K
     a = 0.45724 * r * r * tc * tc / pc * alpha
+    if a_override is not None:
+        a = a_override
     b = 0.07780 * r * tc / pc
     big_a = a * pressure / (r * r * temperature * temperature)
     big_b = b * pressure / (r * temperature)
@@ -85,11 +160,24 @@ def peng_robinson_fugacity(temperature: float, pressure: float,
 
 
 def fugacity(species_key: str, temperature: float, pressure: float) -> float:
-    """Fugacity [atm] for a named species ('h2','co2','ch4','n2',...)."""
+    """Fugacity [atm] for a named species ('h2','co2','ch4','n2',...):
+    Peng-Robinson with its second virial coefficient spliced to the
+    measured B(T) (module docstring) where tabulated."""
     key = species_key.lower()
     if key not in SPECIES:
         return pressure   # ideal-gas fallback: f = P
-    return peng_robinson_fugacity(temperature, pressure, SPECIES[key])
+    crit = SPECIES[key]
+    b_lit = second_virial(key, temperature)
+    if b_lit is None:
+        return peng_robinson_fugacity(temperature, pressure, crit)
+    # rescale the attraction parameter so the EoS's own low-density
+    # limit B = b - a/(RT) reproduces the measured B(T): consistent at
+    # every pressure, exact in the truncated-virial regime
+    r = R_L_ATM_MOL_K
+    b_co = 0.07780 * r * crit.tc / crit.pc
+    a_eff = (b_co - b_lit) * r * temperature
+    return peng_robinson_fugacity(temperature, pressure, crit,
+                                  a_override=a_eff)
 
 
 def guess_species_key(name: str) -> str:

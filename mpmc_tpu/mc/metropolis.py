@@ -105,7 +105,19 @@ def cache_eligible(cfg: RunConfig) -> bool:
             and not cfg.cdvdw
             and not cfg.rd_crystal
             and not cfg.cell_list
-            and not cfg.pallas_delta)
+            and not cfg.pallas_delta
+            # SPECTRE rewrites params.charge every corrtime; cached ES
+            # entries written with the old charges would go stale
+            and not cfg.spectre)
+
+
+def spinflip_active(cfg: RunConfig) -> bool:
+    """Spinflip carries its rotor free-energy change only in ln_bias,
+    which Ray's NVE acceptance rule replaces with the kinetic-reservoir
+    weight — under NVE every flip would be accepted unconditionally
+    (denergy = 0), breaking ortho/para detailed balance.  Exclude the
+    move there instead (SURVEY §2 "Quantum rotation"; ADVICE r1)."""
+    return cfg.quantum_rotation and cfg.ensemble != "nve"
 
 
 def _movable_mask(params: Params, mol_alive):
@@ -210,7 +222,12 @@ def make_branch_picker(cfg: RunConfig):
         def pick_base(key, thermo):
             return jnp.zeros((), jnp.int32)
 
-    if not cfg.quantum_rotation:
+    if not spinflip_active(cfg):
+        if cfg.quantum_rotation and cfg.ensemble == "nve":
+            import warnings
+            warnings.warn("quantum_rotation spinflip moves are disabled "
+                          "under ensemble nve (the rotor free-energy "
+                          "change has no kinetic-reservoir counterpart)")
         return pick_base, jnp.asarray(ids)
 
     n_base = len(ids)
@@ -535,7 +552,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
         branches = [b_displace, b_volume]
     else:   # nvt / nve / single-molecule ensembles
         branches = [b_displace]
-    if cfg.quantum_rotation:
+    if spinflip_active(cfg):
         branches = branches + [b_spinflip]
     pick_branch, branch_ids = make_branch_picker(cfg)
 

@@ -176,6 +176,30 @@ def setup(job: input_script.Job,
         from mpmc_tpu.ops import celllist
         params = celllist.attach(params, state.pos, state.box, cfg)
 
+    if cfg.coulomb == "ewald":
+        # the recip sum silently omits the uniform-background correction
+        # a charged cell needs (SURVEY §2 "Ewald electrostatics") — detect
+        # instead of silently producing a gauge-dependent energy.  The
+        # insertable-species check matters because GCMC inserts of a
+        # charged template would de-neutralize an initially neutral cell.
+        q = np.asarray(params.charge, np.float64)
+        alive = np.asarray(state.atom_alive(params))
+        net = float(np.sum(np.where(alive, q, 0.0)))
+        nets = [net] + [
+            float(np.sum(np.asarray(species[s].charge, np.float64)))
+            for s in insert_species]
+        bad = max(abs(x) for x in nets)
+        if bad > 1e-3:
+            msg = (f"Ewald with a non-neutral cell: |sum q| = {bad:.6g} e "
+                   "(cell or insertable species); the uniform-background "
+                   "correction is not implemented, so the energy is "
+                   "gauge-dependent. Set allow_charged_cell to proceed.")
+            if cfg.allow_charged_cell:
+                import warnings
+                warnings.warn(msg)
+            else:
+                raise ValueError(msg)
+
     # fugacities: explicit list > per-species EoS > ideal (f = P)
     nsp = max(len(species), 1)
     fug = compute_fugacities(job, names, nsp)

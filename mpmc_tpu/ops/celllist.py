@@ -71,13 +71,21 @@ class CellIndex:
 
 
 def _species_reach(params) -> float:
+    """Max template-atom distance from the *unweighted site centroid* of
+    each species.  The runtime cell query (mol_pair_pass_culled) centers
+    its 3^3 neighborhood on the unweighted mean of the molecule's rows,
+    so coverage is only provable when reach is measured from that same
+    point — NOT from the mass-weighted COM the templates are stored
+    around (they differ for species with off-center massless sites)."""
     sp = np.asarray(params.species_pos, np.float64)   # [S, A, 3]
     sn = np.asarray(params.species_natoms)
     reach = 0.0
     for s in range(sp.shape[0]):
         a = int(sn[s])
         if a:
-            reach = max(reach, float(np.linalg.norm(sp[s, :a], axis=1).max()))
+            cen = sp[s, :a].mean(axis=0)
+            reach = max(reach,
+                        float(np.linalg.norm(sp[s, :a] - cen, axis=1).max()))
     return reach
 
 

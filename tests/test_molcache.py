@@ -123,3 +123,12 @@ def test_cache_eligibility_gates():
                dict(mol_cache=False)):
         assert not metropolis.cache_eligible(
             dataclasses.replace(base, **kw)), kw
+
+
+def test_cache_ineligible_with_spectre():
+    """SPECTRE rewrites params.charge every corrtime, so cached
+    molecule-pair ES entries would go stale (ADVICE r1)."""
+    cfg = RunConfig(ensemble="nvt", mol_cache=True)
+    assert metropolis.cache_eligible(cfg)
+    assert not metropolis.cache_eligible(
+        dataclasses.replace(cfg, spectre=True))

@@ -224,3 +224,27 @@ pqr_input {pqr}
         hw = 4401.21 * qvib.CM1_K
         assert avgs.mean("qvib_zpe") == pytest.approx(hw / 2, rel=5e-3)
         assert abs(avgs.mean("qvib_fundamental_shift")) < 0.05 * hw
+
+
+def test_spinflip_excluded_under_nve():
+    """Spinflip's rotor free-energy change lives only in ln_bias, which
+    Ray's NVE rule discards — the move must be excluded there instead of
+    silently accepting every flip (ADVICE r1)."""
+    import warnings
+
+    from mpmc_tpu.config import RunConfig
+    from mpmc_tpu.mc import metropolis
+
+    cfg = RunConfig(ensemble="nve", quantum_rotation=True)
+    assert not metropolis.spinflip_active(cfg)
+    with pytest.warns(UserWarning, match="nve"):
+        _, ids = metropolis.make_branch_picker(cfg)
+    assert ids.shape[0] == 1 and int(ids[0]) == metropolis.DISPLACE
+    # every other ensemble keeps the move
+    for ens in ("nvt", "uvt", "npt"):
+        cfg = RunConfig(ensemble=ens, quantum_rotation=True)
+        assert metropolis.spinflip_active(cfg)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            _, ids = metropolis.make_branch_picker(cfg)
+        assert int(ids[-1]) == metropolis.SPINFLIP
