@@ -92,6 +92,9 @@ class Candidate:
     # the cached e0 — ops/thole.field_delta); None when the config
     # rebuilds the field in full
     e0: Optional[jax.Array] = None
+    # analytic initial CG residual for the candidate polar solve
+    # (ops/thole.residual_delta) — skips the warm start's full matvec
+    r0: Optional[jax.Array] = None
 
 
 def cache_eligible(cfg: RunConfig) -> bool:
@@ -261,6 +264,12 @@ def make_step_fn(params: Params, cfg: RunConfig):
     # polar delta field: update the cached e0 in O(A N) per move instead
     # of rebuilding the O(N^2) direct field per trial
     pol_delta = cfg.polarization and thole.field_delta_supported(cfg)
+    # analytic initial residual: also skip the candidate solve's warm-up
+    # matvec (npt excluded — the volume branch rescales every position,
+    # so no O(A N) residual update exists and the branch pytrees must
+    # agree under lax.switch)
+    pol_resid = (pol_delta and thole.residual_supported(cfg)
+                 and cfg.ensemble != "npt")
 
     def eb(rd=None, lrc=None, es_real=None, es_recip=None, es_self=None,
            es_excl=None):
@@ -324,11 +333,15 @@ def make_step_fn(params: Params, cfg: RunConfig):
         e0_d = (thole.field_delta(state.pos, state.box, alive, params,
                                   cfg, mol, state.e0, new_rows=new_rows)
                 if pol_delta else None)
+        r0_d = (thole.residual_delta(state.pos, state.box, alive, params,
+                                     cfg, mol, state.mu, state.r_pol,
+                                     state.e0, e0_d, new_rows=new_rows)
+                if pol_resid else None)
         return Candidate(new_pos, state.box, state.mol_alive, sk_re, sk_im,
                          d, zero, reject, mol=mol.astype(jnp.int32),
                          rows=new_rows if row_level else None,
                          col_rd=col_rd, col_es=col_es, col_lrc=col_lrc,
-                         e0=e0_d)
+                         e0=e0_d, r0=r0_d)
 
     def b_insert(state: SimState, thermo: Thermo, key):
         k_sp, k_slot, k_cell, k_place = jax.random.split(key, 4)
@@ -410,12 +423,18 @@ def make_step_fn(params: Params, cfg: RunConfig):
                                   slot, state.e0, new_rows=rows,
                                   insert=True)
                 if pol_delta else None)
+        r0_d = (thole.residual_delta(state.pos, state.box,
+                                     state.atom_alive(params), params,
+                                     cfg, slot, state.mu, state.r_pol,
+                                     state.e0, e0_d, new_rows=rows,
+                                     insert=True)
+                if pol_resid else None)
         return Candidate(new_pos, state.box, new_alive_mol, sk_re, sk_im,
                          d, ln_bias.astype(dtype), reject,
                          mol=slot.astype(jnp.int32),
                          rows=rows if row_level else None,
                          col_rd=col_rd, col_es=col_es, col_lrc=col_lrc,
-                         e0=e0_d)
+                         e0=e0_d, r0=r0_d)
 
     def b_delete(state: SimState, thermo: Thermo, key):
         k_sp, k_slot = jax.random.split(key)
@@ -477,6 +496,11 @@ def make_step_fn(params: Params, cfg: RunConfig):
                                   state.atom_alive(params), params, cfg,
                                   slot, state.e0, delete=True)
                 if pol_delta else None)
+        r0_d = (thole.residual_delta(state.pos, state.box,
+                                     state.atom_alive(params), params,
+                                     cfg, slot, state.mu, state.r_pol,
+                                     state.e0, e0_d, delete=True)
+                if pol_resid else None)
         return Candidate(None if row_level else state.pos, state.box,
                          new_alive_mol, sk_re, sk_im,
                          d, ln_bias.astype(dtype), reject,
@@ -484,7 +508,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
                          rows=(state.pos[params.mol_atoms[slot]]
                                if row_level else None),
                          col_rd=col_rd, col_es=col_es, col_lrc=col_lrc,
-                         e0=e0_d)
+                         e0=e0_d, r0=r0_d)
 
     def b_volume(state: SimState, thermo: Thermo, key):
         k_v, _ = jax.random.split(key)
@@ -543,7 +567,8 @@ def make_step_fn(params: Params, cfg: RunConfig):
                                  else None),
                          col_lrc=(state.cache_lrc[mol] if cache_mode
                                   else None),
-                         e0=state.e0 if pol_delta else None)
+                         e0=state.e0 if pol_delta else None,
+                         r0=state.r_pol if pol_resid else None)
 
     # branch table per ensemble (static)
     if cfg.ensemble == "uvt" and cfg.insert_species:
@@ -580,13 +605,14 @@ def make_step_fn(params: Params, cfg: RunConfig):
             else:
                 e0_new = thole.static_field(cand.pos, cand.box, alive_c,
                                             params, cfg)
-            mu_new, iters = thole.solve_scf(cand.pos, cand.box, alive_c,
-                                            params, cfg, e0_new,
-                                            mu0=state.mu)
+            mu_new, iters, r_new = thole.solve_scf(
+                cand.pos, cand.box, alive_c, params, cfg, e0_new,
+                mu0=state.mu, r0=cand.r0 if pol_resid else None)
             pol_new = thole.polar_energy(mu_new, e0_new)
             d_polar = pol_new - state.energy.polar
         else:
             e0_new, mu_new = state.e0, state.mu
+            r_new = state.r_pol
             iters = jnp.zeros((), jnp.int32)
             d_polar = zero
 
@@ -674,6 +700,8 @@ def make_step_fn(params: Params, cfg: RunConfig):
             sk_re=sel(cand.sk_re, state.sk_re),
             sk_im=sel(cand.sk_im, state.sk_im),
             e0=sel(e0_new, state.e0),
+            r_pol=(sel(r_new, state.r_pol) if pol_resid
+                   else state.r_pol),
             e_frozen=state.e_frozen,
             cavity_open=state.cavity_open,
             spin=(state.spin if state.spin is None else jnp.where(
@@ -751,6 +779,6 @@ def initialize(state: SimState, params: Params, cfg: RunConfig,
     return state.replace(
         energy=e, e_frozen=e_frozen,
         sk_re=aux.get("sk_re"), sk_im=aux.get("sk_im"),
-        mu=mu_out, e0=aux.get("e0"),
+        mu=mu_out, e0=aux.get("e0"), r_pol=aux.get("r_pol"),
         cavity_open=cavity_open,
         cache_rd=c_rd, cache_es=c_es, cache_lrc=c_lrc)

@@ -89,9 +89,21 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
     polar = zero
     if cfg.polarization:
         e0 = thole.static_field(pos, box, alive, params, cfg)
-        mu, n_iter = thole.solve_scf(pos, box, alive, params, cfg, e0, mu0)
+        mu, n_iter, r_pol = thole.solve_scf(pos, box, alive, params, cfg,
+                                            e0, mu0)
         polar = thole.polar_energy(mu, e0)
         aux["mu"], aux["e0"], aux["polar_iters"] = mu, e0, n_iter
+        if thole.residual_supported(cfg):
+            # re-ground the carried residual exactly (CG's recurrence
+            # residual drifts from the true one within a solve); one
+            # matvec per corrtime refresh, amortized to noise
+            pol_ok = alive & (params.polar > 0)
+            mask = pol_ok[:, None]
+            inv_a = jnp.where(pol_ok,
+                              1.0 / jnp.maximum(params.polar, 1e-30),
+                              0.0)[:, None]
+            t_mu = thole.dipole_matvec(pos, box, alive, params, cfg, mu)
+            aux["r_pol"] = jnp.where(mask, e0 - (inv_a * mu - t_mu), 0.0)
 
     vdw = zero
     if cfg.cdvdw:

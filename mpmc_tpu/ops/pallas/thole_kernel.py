@@ -25,8 +25,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TI = 256
-TJ = 256
+# Tile shape: measured on a v5e-class chip (2026-08-17 scan, N=10.8k):
+# 256x256 -> 6.4 ms, 128x512 -> 4.6, 128x1024 -> 4.2 ms per dipole
+# matvec (rsqrt form).  Short output strips with wide source tiles win:
+# the [8, TI] accumulator stays cheap while the j-loop amortizes.
+# TJ > 1024 stalled the axon compile service (CLAUDE.md landmine).
+TI = 128
+TJ = 1024
 
 
 def _round_up(x, m):
@@ -78,9 +83,13 @@ def _kernel(scal_ref, pi_ref, pj_ref, srcj_ref, oki_ref, okj_ref,
         ok = ok & (mi_ref[0, :][:, None] != mj_ref[0, :][None, :])
 
     r2s = jnp.where(r2 > 1e-12, r2, 1.0)
-    r = jnp.sqrt(r2s)
+    # rsqrt-derived reciprocals: the VPU's divide and sqrt are multi-pass;
+    # one rsqrt plus multiplies keeps the pair loop ALU-bound
+    inv_r = jax.lax.rsqrt(r2s)
+    inv_r2 = inv_r * inv_r
+    inv_r3 = inv_r2 * inv_r
+    r = r2s * inv_r
     d1, d2 = _damping(r, lam, damp_kind)
-    inv_r3 = 1.0 / (r2s * r)
 
     if mode == "charge":
         coef = jnp.where(ok, srcj_ref[0, :][None, :] * d1 * inv_r3, 0.0)
@@ -90,7 +99,7 @@ def _kernel(scal_ref, pi_ref, pj_ref, srcj_ref, oki_ref, okj_ref,
     else:
         mu = [srcj_ref[k, :][None, :] for k in range(3)]
         mdotr = mu[0] * dr[0] + mu[1] * dr[1] + mu[2] * dr[2]
-        c1 = jnp.where(ok, 3.0 * d2 * mdotr * inv_r3 / r2s, 0.0)
+        c1 = jnp.where(ok, 3.0 * d2 * mdotr * inv_r3 * inv_r2, 0.0)
         c2 = jnp.where(ok, d1 * inv_r3, 0.0)
         ex = jnp.sum(c1 * dr[0] - c2 * mu[0], axis=1)
         ey = jnp.sum(c1 * dr[1] - c2 * mu[1], axis=1)

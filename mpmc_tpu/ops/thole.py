@@ -245,6 +245,108 @@ def field_delta(pos, box, atom_alive, params, cfg, mol, e0,
     return e0_new.at[idx].set(rows_field.astype(pos.dtype))
 
 
+def residual_supported(cfg) -> bool:
+    """Static gate for the O(A N) analytic initial CG residual: needs the
+    delta static field (direct damping) and the CG solver (the residual
+    is threaded through the CG recurrence and carried in SimState)."""
+    return field_delta_supported(cfg) and cfg.polar_solver == "cg"
+
+
+def residual_delta(pos, box, atom_alive, params, cfg, mol, mu, r_old,
+                   e0_old, e0_new, new_rows=None, insert=False,
+                   delete=False):
+    """O(A N) initial CG residual for the candidate system,
+
+        r0' = b' - A' mu,
+
+    given the previous solve's final residual r_old = b - A mu.  One move
+    changes A = diag(1/alpha) - T only in the moved molecule's rows and
+    columns, and b only through the already-computed static-field delta,
+    so (VERDICT r1 item 1c)
+
+        r0' = r_old + (b' - b) + (T' - T) mu
+
+    needs two O(A N) dipole-field tiles instead of the full O(N^2)
+    matvec the warm-started CG would otherwise spend on ``b - A x0``:
+    (a) the moved dipoles as sources (+mu at the trial rows, -mu at the
+    current rows) against every other polarizable site, and (b) a full
+    recompute of the moved rows' own residual entries (their T row and
+    diagonal change wholesale).  Exact in exact arithmetic; the
+    per-corrtime ``initialize`` refresh re-grounds f32 drift exactly as
+    it does for e0 and S(k).  ``atom_alive`` is the PRE-move mask."""
+    dtype = pos.dtype
+    box_inv = jnp.linalg.inv(box)
+    rc = derived_cutoff(box, cfg)
+    idx = params.mol_atoms[mol]
+    A = idx.shape[0]
+    valid = jnp.arange(A) < params.mol_natoms[mol]
+    pol_site = params.polar > 0
+    old_rows = pos[idx]
+    mu_rows = mu[idx]
+
+    other_pol = (atom_alive & (params.mol_id != mol)
+                 & pol_site)[..., None]
+
+    # (b' - b) for unmoved sites
+    r = r_old + jnp.where(other_pol, e0_new - e0_old, 0.0)
+
+    def dip_field(tgt_pos, src_pos, src_mu, ok):
+        """Damped dipole field of (src_pos, src_mu) at tgt_pos (mask ok
+        [S,T] applied) — mirrors dipole_matvec's kernel exactly."""
+        dr = pbc_ops.min_image(tgt_pos[None, :, :] - src_pos[:, None, :],
+                               box, box_inv)           # [S,T,3] toward tgt
+        r2 = jnp.sum(dr * dr, -1)
+        okm = ok & (r2 < rc * rc) & (r2 > 1e-12)
+        r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+        rr = jnp.sqrt(r2s)
+        d1, d2 = _damping(rr, cfg.polar_damp, cfg.polar_damp_type)
+        inv_r3 = 1.0 / (r2s * rr)
+        mdotr = jnp.einsum("sk,stk->st", src_mu, dr)
+        c1 = jnp.where(okm, 3.0 * d2 * mdotr * inv_r3 / r2s, 0.0)
+        c2 = jnp.where(okm, d1 * inv_r3, 0.0)
+        return (jnp.einsum("st,stk->tk", c1, dr)
+                - jnp.einsum("st,sk->tk", c2, src_mu))
+
+    # (a) moved dipoles as sources against every other polarizable site.
+    # Inserted molecules carry mu = 0, so their tensor columns are inert.
+    if delete:
+        src_pos, src_mu, src_ok = old_rows, -mu_rows, valid
+    elif insert:
+        src_pos = None
+    else:
+        src_pos = jnp.concatenate([new_rows, old_rows])
+        src_mu = jnp.concatenate([mu_rows, -mu_rows])
+        src_ok = jnp.concatenate([valid, valid])
+    if src_pos is not None:
+        ok_a = src_ok[:, None] & other_pol[None, :, 0]
+        r = r + dip_field(pos, src_pos, src_mu, ok_a)
+
+    # (b) the moved rows' own residual entries, recomputed in full:
+    #     r_row = E0'_row - mu_row / alpha_row + (T' mu)_row
+    if delete:
+        rows_r = jnp.zeros((A, 3), dtype)
+    else:
+        tgt = new_rows
+        src2_pos = jnp.concatenate([pos, tgt])
+        src2_mu = jnp.concatenate([jnp.where(other_pol, mu, 0.0), mu_rows])
+        src2_ok = jnp.concatenate(
+            [other_pol[:, 0], valid & (pol_site[idx])])
+        # intra block: exclude self-pairs (source a == target a)
+        self_m = jnp.concatenate(
+            [jnp.zeros((pos.shape[0], A), bool), jnp.eye(A, dtype=bool)])
+        ok_b = src2_ok[:, None] & valid[None, :] & ~self_m
+        e_rows = dip_field(tgt, src2_pos, src2_mu, ok_b)
+        inv_a = jnp.where(pol_site[idx],
+                          1.0 / jnp.maximum(params.polar[idx], 1e-30),
+                          0.0)
+        rows_r = e0_new[idx] - inv_a[:, None] * mu_rows + e_rows
+        rows_r = jnp.where((valid & pol_site[idx])[:, None], rows_r, 0.0)
+    # padded idx entries duplicate the first atom index: make their
+    # values identical so the scatter stays deterministic
+    rows_r = jnp.where(valid[:, None], rows_r, rows_r[0])
+    return r.at[idx].set(rows_r.astype(dtype))
+
+
 def static_field_ewald(pos, box, atom_alive, params, cfg, chunk=None):
     """Full-Ewald periodic static field (SURVEY.md §2 'Thole static
     field': ``polar_ewald`` / ewald_estatic [M names]).
@@ -372,12 +474,17 @@ def dipole_matvec(pos, box, atom_alive, params, cfg, mu, chunk=None):
     return ys.reshape(nb * B, 3)[:N]
 
 
-def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None):
+def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None, r0=None):
     """Solve (diag(1/alpha) - T) mu = E0 by masked CG (or Jacobi/direct).
 
-    Returns (mu [N,3], n_iter).  Dead / non-polarizable sites are pinned to
-    zero.  Convergence: ||residual||_rms <= polar_precision (e*A units per
-    site), or polar_max_iter iterations.
+    Returns (mu [N,3], n_iter, r [N,3] or None).  Dead / non-polarizable
+    sites are pinned to zero.  Convergence: ||residual||_rms <=
+    polar_precision (e*A units per site), or polar_max_iter iterations.
+
+    ``r0``: precomputed initial residual b - A mu0 (see residual_delta) —
+    skips the warm start's full matvec.  ``r`` is CG's final recurrence
+    residual (None for the jacobi/direct solvers), fed back as the next
+    move's r_old.
     """
     pol_ok = atom_alive & (params.polar > 0)
     mask = pol_ok[:, None]
@@ -395,7 +502,9 @@ def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None):
                          0.0)
 
     if cfg.polar_solver == "direct":
-        return _solve_direct(pos, box, atom_alive, params, cfg, b, pol_ok)
+        mu_d, it_d = _solve_direct(pos, box, atom_alive, params, cfg, b,
+                                   pol_ok)
+        return mu_d, it_d, None
 
     if cfg.polar_solver == "jacobi":
         # mu <- (1-g) mu + g alpha (E0 + T mu); reference's plain iteration
@@ -411,11 +520,11 @@ def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None):
 
         mu = mu0 if mu0 is not None else jnp.zeros_like(e0)
         mu = jax.lax.fori_loop(0, cfg.polar_max_iter, jbody, mu)
-        return mu, jnp.asarray(cfg.polar_max_iter)
+        return mu, jnp.asarray(cfg.polar_max_iter), None
 
     # --- conjugate gradient (default) --------------------------------------
     x = jnp.where(mask, mu0, 0.0) if mu0 is not None else jnp.zeros_like(e0)
-    r = b - amul(x)
+    r = jnp.where(mask, r0, 0.0) if r0 is not None else b - amul(x)
     p = r
     rs = jnp.sum(r * r)
 
@@ -437,7 +546,7 @@ def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None):
 
     x, r, p, rs, it = jax.lax.while_loop(
         cond, step, (x, r, p, rs, jnp.zeros((), jnp.int32)))
-    return jnp.where(mask, x, 0.0), it
+    return jnp.where(mask, x, 0.0), it, jnp.where(mask, r, 0.0)
 
 
 def dipole_tensor(pos, box, site_ok, cfg):
@@ -493,6 +602,6 @@ def polarizability_tensor(pos, box, atom_alive, params, cfg):
     for b in range(3):
         e0 = jnp.zeros((pos.shape[0], 3), pos.dtype).at[:, b].set(1.0)
         e0 = jnp.where(pol_ok[:, None], e0, 0.0)
-        mu, _ = solve_scf(pos, box, atom_alive, params, cfg, e0)
+        mu, _, _ = solve_scf(pos, box, atom_alive, params, cfg, e0)
         cols.append(jnp.sum(jnp.where(pol_ok[:, None], mu, 0.0), axis=0))
     return jnp.stack(cols, axis=1)

@@ -151,6 +151,11 @@ class SimState:
     sk_re: Optional[jax.Array] = None   # [Nk] Ewald structure factor (re)
     sk_im: Optional[jax.Array] = None   # [Nk] (im)
     e0: Optional[jax.Array] = None      # [N,3] static field (polarization)
+    # final CG residual of the last polar solve (b - A mu): seeds the
+    # next move's analytic initial residual (ops/thole.residual_delta),
+    # saving the warm start's full matvec.  None unless
+    # thole.residual_supported(cfg).
+    r_pol: Optional[jax.Array] = None
     # constant frozen-framework energy (kept OUT of the delta accumulators;
     # the reference's forever-cached frozen pairs, SURVEY.md §1):
     e_frozen: Optional["EnergyBreakdown"] = None

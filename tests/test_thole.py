@@ -81,12 +81,12 @@ def test_cg_matches_direct_solver():
     for damp in ("none", "exponential"):
         cfg = cfg_polar(cutoff=45.0, polar_damp_type=damp)
         e0 = thole.static_field(state.pos, state.box, alive, params, cfg)
-        mu_cg, it = thole.solve_scf(state.pos, state.box, alive, params,
-                                    cfg, e0)
+        mu_cg, it, _ = thole.solve_scf(state.pos, state.box, alive,
+                                       params, cfg, e0)
         cfg_d = cfg_polar(cutoff=45.0, polar_damp_type=damp,
                           polar_solver="direct")
-        mu_direct, _ = thole.solve_scf(state.pos, state.box, alive, params,
-                                       cfg_d, e0)
+        mu_direct, _, _ = thole.solve_scf(state.pos, state.box, alive,
+                                          params, cfg_d, e0)
         np.testing.assert_allclose(np.asarray(mu_cg), np.asarray(mu_direct),
                                    atol=1e-10)
         assert int(it) < 200
@@ -97,9 +97,11 @@ def test_jacobi_matches_cg_when_converged():
     alive = state.atom_alive(params)
     cfg = cfg_polar(cutoff=50.0)
     e0 = thole.static_field(state.pos, state.box, alive, params, cfg)
-    mu_cg, _ = thole.solve_scf(state.pos, state.box, alive, params, cfg, e0)
+    mu_cg, _, _ = thole.solve_scf(state.pos, state.box, alive, params,
+                                  cfg, e0)
     cfg_j = cfg_polar(cutoff=50.0, polar_solver="jacobi", polar_max_iter=60)
-    mu_j, _ = thole.solve_scf(state.pos, state.box, alive, params, cfg_j, e0)
+    mu_j, _, _ = thole.solve_scf(state.pos, state.box, alive, params,
+                                 cfg_j, e0)
     np.testing.assert_allclose(np.asarray(mu_j), np.asarray(mu_cg),
                                atol=1e-10)
 
@@ -321,3 +323,98 @@ def test_field_delta_matches_full_rebuild_over_gcmc_chunk():
     st2 = metropolis.initialize(st, params, cfg, thermo_)
     assert float(st.energy.total) == pytest.approx(
         float(st2.energy.total), abs=1e-9)
+
+
+def test_residual_delta_exact_per_move_type():
+    """The O(A N) analytic initial CG residual (thole.residual_delta)
+    must equal the full b - A mu for displace, insert and delete
+    candidates to machine precision (it replaces the warm start's full
+    matvec — VERDICT r1 item 1c)."""
+    import jax
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+        n_side=4, n_h2=6, capacity=12, polarization=True, dtype="float64")
+    assert thole.residual_supported(cfg)
+    state = metropolis.initialize(state, params, cfg, thermo_)
+    alive = state.atom_alive(params)
+
+    def full_residual(pos, alive_m, mu, e0):
+        pol_ok = alive_m & (params.polar > 0)
+        mask = pol_ok[:, None]
+        inv_a = jnp.where(pol_ok,
+                          1.0 / jnp.maximum(params.polar, 1e-30),
+                          0.0)[:, None]
+        t_mu = thole.dipole_matvec(pos, state.box, alive_m, params, cfg,
+                                   mu)
+        return jnp.where(mask, jnp.where(mask, e0, 0.0)
+                         - (inv_a * mu - t_mu), 0.0)
+
+    # the carried state residual is the true one (initialize re-grounds)
+    r_true = full_residual(state.pos, alive, state.mu, state.e0)
+    assert float(jnp.max(jnp.abs(state.r_pol - r_true))) < 1e-14
+
+    mf = np.asarray(params.mol_frozen)
+    ma = np.asarray(state.mol_alive)
+    mol = int(np.where(~mf & ma)[0][2])
+    idx = params.mol_atoms[mol]
+
+    new_rows = state.pos[idx] + jnp.asarray([0.4, -0.2, 0.15])
+    e0_n = thole.field_delta(state.pos, state.box, alive, params, cfg,
+                             mol, state.e0, new_rows=new_rows)
+    r0 = thole.residual_delta(state.pos, state.box, alive, params, cfg,
+                              mol, state.mu, state.r_pol, state.e0, e0_n,
+                              new_rows=new_rows)
+    ref = full_residual(state.pos.at[idx].set(new_rows), alive,
+                        state.mu, e0_n)
+    assert float(jnp.max(jnp.abs(r0 - ref))) < 1e-14
+
+    e0_d = thole.field_delta(state.pos, state.box, alive, params, cfg,
+                             mol, state.e0, delete=True)
+    r0_d = thole.residual_delta(state.pos, state.box, alive, params, cfg,
+                                mol, state.mu, state.r_pol, state.e0,
+                                e0_d, delete=True)
+    alive_d = (state.mol_alive.at[mol].set(False)[params.mol_id]
+               & params.atom_ok)
+    ref_d = full_residual(state.pos, alive_d, state.mu, e0_d)
+    assert float(jnp.max(jnp.abs(r0_d - ref_d))) < 1e-14
+
+    slot = int(np.where(~ma & ~mf)[0][0])
+    sidx = params.mol_atoms[slot]
+    tmpl = jnp.asarray(np.asarray(
+        params.species_pos[int(params.mol_species[slot])]))
+    rows = tmpl[:sidx.shape[0]] + jnp.asarray([7.3, 9.1, 3.3])
+    e0_i = thole.field_delta(state.pos, state.box, alive, params, cfg,
+                             slot, state.e0, new_rows=rows, insert=True)
+    r0_i = thole.residual_delta(state.pos, state.box, alive, params, cfg,
+                                slot, state.mu, state.r_pol, state.e0,
+                                e0_i, new_rows=rows, insert=True)
+    alive_i = (state.mol_alive.at[slot].set(True)[params.mol_id]
+               & params.atom_ok)
+    ref_i = full_residual(state.pos.at[sidx].set(rows), alive_i,
+                          state.mu, e0_i)
+    assert float(jnp.max(jnp.abs(r0_i - ref_i))) < 1e-14
+
+
+def test_residual_mode_bookkeeping_over_gcmc_chunk():
+    """A polar GCMC chunk running the analytic-residual CG path must
+    keep energies consistent with a from-scratch initialize, and the
+    carried r_pol must stay a valid residual (drift bounded by solver
+    tolerance) through accepted displaces/inserts/deletes."""
+    import jax
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=12, polarization=True, dtype="float64")
+    import dataclasses
+    cfg = dataclasses.replace(cfg, use_pallas=False)
+    assert thole.residual_supported(cfg)
+    state = metropolis.initialize(state, params, cfg, thermo_)
+    st, stats = metropolis.run_chunk(state, params, cfg, thermo_, 250)
+    acc = np.asarray(stats.accepts)
+    assert acc[0] > 0 and acc[1] + acc[2] > 0
+    st2 = metropolis.initialize(st, params, cfg, thermo_)
+    assert float(st.energy.total) == pytest.approx(
+        float(st2.energy.total), abs=1e-9)
+    assert float(st.energy.polar) == pytest.approx(
+        float(st2.energy.polar), abs=1e-9)

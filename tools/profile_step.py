@@ -87,7 +87,7 @@ def main(argv=None):
         print(f"SCF matvec          : {timed(mv, e0)*1e3:9.2f} ms")
         scf = jax.jit(lambda e, m0: thole.solve_scf(
             state.pos, state.box, alive, params, cfg, e, m0))
-        mu, _ = scf(e0, jnp.zeros_like(e0))
+        mu, _, _ = scf(e0, jnp.zeros_like(e0))
         print(f"SCF solve (warm)    : {timed(scf, e0, mu)*1e3:9.2f} ms")
 
     # end-to-end single chain
