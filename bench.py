@@ -1,70 +1,201 @@
-"""Headline benchmark: MC steps/sec on the north-star system
-(~10k-atom synthetic MOF framework + H2 GCMC with Ewald electrostatics,
-BASELINE.md / BASELINE.json).
+"""Benchmarks: MC steps/sec on the five BASELINE.json configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The headline (north-star) metric — aggregate GCMC steps/s on the
+~10.8k-atom MOF+H2 + Ewald system with batched chains — is printed as
+the FINAL JSON line (the driver's one-JSON-line contract parses the tail
+of stdout).  The four secondary configs print one JSON line each first,
+so every perf axis is tracked per round (VERDICT r1 item 4):
+
+    1. lj_nvt          NVT Lennard-Jones-only fluid, ~10k atoms
+    2. nvt_ewald       NVT, charged framework + point-charge sorbate
+    3. gcmc (headline) GCMC H2-in-MOF, LJ + Ewald, batched chains
+    4. polar_gcmc      polarizable GCMC (Thole SCF), single chain
+    5. pt_round        8-replica parallel tempering with neighbor swaps
 
 The reference publishes no benchmark numbers (BASELINE.json
-``published: {}``); ``vs_baseline`` is therefore computed against the
-documented single-core-C algorithmic estimate of 10 steps/s for an
-O(N^2)-resum Ewald GCMC at this scale (BASELINE.md) — the most
-conservative (fastest) end of the estimate band.
+``published: {}``); ``vs_baseline`` is computed against the documented
+single-core-C algorithmic estimates in BASELINE.md (the most
+conservative, fastest end of each band).  All five results are also
+written to ``BENCH_FULL.json``.
+
+Sync discipline (CLAUDE.md): host fetches via np.asarray, never
+block_until_ready; warm up with the SAME static args that are timed.
 """
 import json
+import os
 import sys
 import time
-import os
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_STEPS_PER_SEC = 10.0
+# single-core-C estimates per config (BASELINE.md: O(N^2) resum per step;
+# conservative fast end of each band)
+BASELINES = {
+    "lj_nvt": 100.0,       # LJ-only: cheapest per-pair kernel
+    "nvt_ewald": 10.0,     # + erfc/exclusion/recip bookkeeping
+    "gcmc": 10.0,
+    "polar_gcmc": 1.0,     # + Thole SCF iterations dominate
+    "pt_round": 10.0,      # per-replica cost = gcmc-like NVT Ewald
+}
 
 
-def main():
+def _time_batched(state, params, cfg, thermo, n_chains, chunk, n_chunks=3):
+    import numpy as np
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.parallel import multichain
+
+    state = metropolis.initialize(state, params, cfg, thermo)
+    states = multichain.stack_states(state, n_chains)
+    states = multichain.initialize_batched(states, params, cfg, thermo)
+    states, _ = multichain.run_chunk_batched(states, params, cfg, thermo,
+                                             chunk)
+    np.asarray(states.energy.rd)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        states, _ = multichain.run_chunk_batched(states, params, cfg,
+                                                 thermo, chunk)
+    np.asarray(states.energy.rd)
+    wall = time.perf_counter() - t0
+    return n_chunks * chunk * n_chains / wall
+
+
+def bench_gcmc():
+    """Headline: ~9.3k-atom framework + up to 512 H2 (x3 sites), C=128
+    independent GCMC chains batched on one chip (measured optimum,
+    CLAUDE.md perf snapshot)."""
+    from mpmc_tpu.models import systems
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=21, spacing=4.0, n_h2=256, capacity=512,
+        temperature=77.0, pressure=1.0)
+    sps = _time_batched(state, params, cfg, thermo, n_chains=128,
+                        chunk=128, n_chunks=4)
+    return {
+        "metric":
+            "agg_mc_steps_per_sec_10k_mof_h2_gcmc_ewald_batched_chains",
+        "value": round(sps, 2), "unit": "steps/s",
+        "vs_baseline": round(sps / BASELINES["gcmc"], 2),
+    }
+
+
+def bench_lj_nvt():
+    """BASELINE config 1: neutral LJ fluid, ~10k atoms, NVT."""
+    from mpmc_tpu.models import systems
+
+    params, state, cfg, thermo = systems.lj_fluid(n=10000)
+    sps = _time_batched(state, params, cfg, thermo, n_chains=128,
+                        chunk=64)
+    return {"metric": "agg_mc_steps_per_sec_10k_lj_nvt",
+            "value": round(sps, 2), "unit": "steps/s",
+            "vs_baseline": round(sps / BASELINES["lj_nvt"], 2)}
+
+
+def bench_nvt_ewald():
+    """BASELINE config 2: charged rigid framework + point-charge
+    sorbates, NVT (displace/rotate only)."""
+    import dataclasses
+
+    from mpmc_tpu.models import systems
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=21, spacing=4.0, n_h2=256, capacity=512)
+    cfg = dataclasses.replace(cfg, ensemble="nvt")
+    sps = _time_batched(state, params, cfg, thermo, n_chains=128,
+                        chunk=64)
+    return {"metric": "agg_mc_steps_per_sec_10k_mof_h2_nvt_ewald",
+            "value": round(sps, 2), "unit": "steps/s",
+            "vs_baseline": round(sps / BASELINES["nvt_ewald"], 2)}
+
+
+def bench_polar_gcmc():
+    """BASELINE config 4: polarizable GCMC (Thole dipole SCF).  Single
+    chain — the SCF matvec saturates the chip at C=1 (CLAUDE.md)."""
     import numpy as np
 
     from mpmc_tpu.mc import metropolis
     from mpmc_tpu.models import systems
-    from mpmc_tpu.parallel import multichain
 
-    # ~9.3k framework atoms + up to 512 H2 (x3 sites) = ~10.8k atom slots;
-    # independent GCMC chains batched on the one chip (the TPU analog of
-    # the reference's replica-per-MPI-rank throughput model).  C=128 is
-    # the measured aggregate-throughput optimum on a v5e-class chip
-    # (96-128 plateau ~126k agg steps/s; 2026-08-17 scan in CLAUDE.md)
-    n_chains = 128
     params, state, cfg, thermo = systems.mof_h2_gcmc(
         n_side=21, spacing=4.0, n_h2=256, capacity=512,
-        temperature=77.0, pressure=1.0)
+        polarization=True)
     state = metropolis.initialize(state, params, cfg, thermo)
-    states = multichain.stack_states(state, n_chains)
-    states = multichain.initialize_batched(states, params, cfg, thermo)
-
-    chunk = 128
-    # warm-up: compile + one chunk.  NOTE: sync via an explicit host fetch,
-    # not block_until_ready — on the remote-tunnel TPU platform the latter
-    # can return before execution finishes, which silently turns the
-    # benchmark into a dispatch-latency meter.
-    states, stats = multichain.run_chunk_batched(states, params, cfg,
-                                                 thermo, chunk)
-    np.asarray(states.energy.rd)
-
-    n_chunks = 4
+    chunk = 64
+    state, _ = metropolis.run_chunk(state, params, cfg, thermo, chunk)
+    np.asarray(state.energy.rd)
     t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        states, stats = multichain.run_chunk_batched(states, params, cfg,
-                                                     thermo, chunk)
-    np.asarray(states.energy.rd)
-    wall = time.perf_counter() - t0
+    for _ in range(3):
+        state, _ = metropolis.run_chunk(state, params, cfg, thermo, chunk)
+    np.asarray(state.energy.rd)
+    sps = 3 * chunk / (time.perf_counter() - t0)
+    return {"metric": "mc_steps_per_sec_10k_mof_h2_polar_gcmc_thole_scf",
+            "value": round(sps, 2), "unit": "steps/s",
+            "vs_baseline": round(sps / BASELINES["polar_gcmc"], 2)}
 
-    steps = n_chunks * chunk * n_chains
-    sps = steps / wall
-    print(json.dumps({
-        "metric": "agg_mc_steps_per_sec_10k_mof_h2_gcmc_ewald_batched_chains",
-        "value": round(sps, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 2),
-    }))
+
+def bench_pt_round():
+    """BASELINE config 5: 8-replica parallel tempering.  On one chip the
+    replicas batch (vmap) with host-side neighbor temperature swaps —
+    the mesh/ppermute path is exercised by dryrun_multichip instead."""
+    import dataclasses
+
+    import numpy as np
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.parallel import multichain, replica
+
+    R, chunk, rounds = 8, 64, 3
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=21, spacing=4.0, n_h2=256, capacity=512)
+    cfg = dataclasses.replace(cfg, ensemble="nvt")
+    temps = replica.geometric_ladder(77.0, 250.0, R)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    states = multichain.stack_states(state, R)
+    thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
+    rng = np.random.default_rng(11)
+
+    def pt_round(states, thermos, parity):
+        states, _ = multichain.run_chunk_batched(states, params, cfg,
+                                                 thermos, chunk)
+        e = np.asarray(states.energy.rd)        # sync + swap input
+        temps_new, _ = replica.host_swap(
+            np.asarray(thermos.temperature), e, parity, rng)
+        thermos = dataclasses.replace(
+            thermos, temperature=__import__("jax").numpy.asarray(
+                temps_new, cfg.jdtype))
+        return states, thermos
+
+    states, thermos = pt_round(states, thermos, 0)      # warm
+    t0 = time.perf_counter()
+    for r in range(rounds):
+        states, thermos = pt_round(states, thermos, r % 2)
+    wall = time.perf_counter() - t0
+    sps = rounds * chunk * R / wall
+    return {"metric": "agg_mc_steps_per_sec_pt_8_replicas_incl_swaps",
+            "value": round(sps, 2), "unit": "steps/s",
+            "vs_baseline": round(sps / BASELINES["pt_round"], 2)}
+
+
+def main():
+    results = []
+    headline = bench_gcmc()          # first: measure on a quiet chip
+    for fn in (bench_lj_nvt, bench_nvt_ewald, bench_polar_gcmc,
+               bench_pt_round):
+        try:
+            row = fn()
+        except Exception:
+            row = {"metric": fn.__name__, "error":
+                   traceback.format_exc(limit=1).splitlines()[-1]}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    results.append(headline)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    # the driver's one-line contract: headline LAST on stdout
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

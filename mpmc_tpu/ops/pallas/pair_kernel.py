@@ -102,16 +102,27 @@ def _kernel(scal_ref, pi_ref, pj_ref, qi_ref, qj_ref, ei_ref, ej_ref,
         ff = (fi_ref[0, :][:, None] > 0) & (fj_ref[0, :][None, :] > 0)
 
         r2s = jnp.where(r2 > 1e-12, r2, 1.0)
-        r = jnp.sqrt(r2s)
+        inv_r = jax.lax.rsqrt(r2s)   # one rsqrt; VPU div/sqrt are slow
+        r = r2s * inv_r
 
         zero = jnp.zeros((), jnp.float32)
         rd_u = None
         tc = None
         if cfg.rd_potential == "lj":
-            eps, sig = lj_ops.mix(ei_ref[0, :][:, None], ej_ref[0, :][None, :],
-                                  si_ref[0, :][:, None], sj_ref[0, :][None, :],
-                                  cfg.mixing_rule)
-            rd_u = lj_ops.energy(r2s, eps, sig)
+            if cfg.mixing_rule == "lb":
+                # factor the geometric mean: sqrt per strip element, not
+                # per pair (sqrt(ei ej) = sqrt(ei) sqrt(ej), eps >= 0)
+                eps = (jnp.sqrt(ei_ref[0, :])[:, None]
+                       * jnp.sqrt(ej_ref[0, :])[None, :])
+                sig = 0.5 * (si_ref[0, :][:, None] + sj_ref[0, :][None, :])
+            else:
+                eps, sig = lj_ops.mix(
+                    ei_ref[0, :][:, None], ej_ref[0, :][None, :],
+                    si_ref[0, :][:, None], sj_ref[0, :][None, :],
+                    cfg.mixing_rule)
+            s2 = (sig * sig) * (inv_r * inv_r)
+            s6 = s2 * s2 * s2
+            rd_u = 4.0 * eps * s6 * (s6 - 1.0)
             if cfg.rd_lrc:
                 tc = lj_ops.tail_coefficient(eps, sig, rc)
         elif cfg.rd_potential in ("sg", "dreiding", "b14_7",
@@ -137,12 +148,12 @@ def _kernel(scal_ref, pi_ref, pj_ref, qi_ref, qj_ref, ei_ref, ej_ref,
         ex_u = None
         qq = qi_ref[0, :][:, None] * qj_ref[0, :][None, :]
         if cfg.coulomb == "ewald":
-            es_u = qq * _erfc(alpha * r) / r
-            ex_u = -qq * _erf(alpha * r) / r
+            es_u = qq * _erfc(alpha * r) * inv_r
+            ex_u = -qq * _erf(alpha * r) * inv_r
         elif cfg.coulomb == "wolf":
-            es_u = qq * (_erfc(alpha * r) / r - _erfc(alpha * rc) / rc)
+            es_u = qq * (_erfc(alpha * r) * inv_r - _erfc(alpha * rc) / rc)
         elif cfg.coulomb == "cutoff":
-            es_u = qq / r
+            es_u = qq * inv_r
 
         def s(values, mask):
             if values is None:
@@ -312,16 +323,23 @@ def _mol_kernel(scal_ref, rowd_ref, pj_ref, qj_ref, ej_ref, sj_ref,
     act = ok & (r2 < rc * rc)
 
     r2s = jnp.where(r2 > 1e-12, r2, 1.0)
-    r = jnp.sqrt(r2s)
+    inv_r = jax.lax.rsqrt(r2s)
+    r = r2s * inv_r
     zero = jnp.zeros((), jnp.float32)
 
     rd = zero
     tc_s = zero
     if cfg.rd_potential == "lj":
-        eps, sig = lj_ops.mix(fld(4), ej_ref[0, :][None, :],
-                              fld(5), sj_ref[0, :][None, :],
-                              cfg.mixing_rule)
-        rd = jnp.sum(jnp.where(act, lj_ops.energy(r2s, eps, sig), 0.0))
+        if cfg.mixing_rule == "lb":
+            eps = jnp.sqrt(fld(4)) * jnp.sqrt(ej_ref[0, :][None, :])
+            sig = 0.5 * (fld(5) + sj_ref[0, :][None, :])
+        else:
+            eps, sig = lj_ops.mix(fld(4), ej_ref[0, :][None, :],
+                                  fld(5), sj_ref[0, :][None, :],
+                                  cfg.mixing_rule)
+        s2 = (sig * sig) * (inv_r * inv_r)
+        s6 = s2 * s2 * s2
+        rd = jnp.sum(jnp.where(act, 4.0 * eps * s6 * (s6 - 1.0), 0.0))
         if cfg.rd_lrc:
             tc_s = jnp.sum(jnp.where(
                 ok, lj_ops.tail_coefficient(eps, sig, rc), 0.0))
@@ -347,13 +365,13 @@ def _mol_kernel(scal_ref, rowd_ref, pj_ref, qj_ref, ej_ref, sj_ref,
     es = zero
     qq = fld(3) * qj_ref[0, :][None, :]
     if cfg.coulomb == "ewald":
-        es = jnp.sum(jnp.where(act, qq * _erfc(alpha * r) / r, 0.0))
+        es = jnp.sum(jnp.where(act, qq * _erfc(alpha * r) * inv_r, 0.0))
     elif cfg.coulomb == "wolf":
         es = jnp.sum(jnp.where(
-            act, qq * (_erfc(alpha * r) / r - _erfc(alpha * rc) / rc),
+            act, qq * (_erfc(alpha * r) * inv_r - _erfc(alpha * rc) / rc),
             0.0))
     elif cfg.coulomb == "cutoff":
-        es = jnp.sum(jnp.where(act, qq / r, 0.0))
+        es = jnp.sum(jnp.where(act, qq * inv_r, 0.0))
 
     out_ref[0, 0] += rd
     out_ref[0, 1] += es
