@@ -59,18 +59,40 @@ def global_replica_mesh(n_replicas: Optional[int] = None):
 
 
 def distribute(tree, mesh):
-    """Shard a host-local replica-stacked pytree (leading dim R, same
-    values on every host — build it deterministically) over the mesh's
-    replica axis as global arrays."""
+    """Shard a FULL replica-stacked pytree (leading dim R, identical on
+    every host — build it deterministically) over the mesh's replica
+    axis as global arrays.
+
+    ``host_local_array_to_global_array`` expects each process to hand
+    over only ITS slice of the global array; passing the full stack from
+    every host would silently double the replica axis (each device then
+    runs the wrong ladder rung — caught by test_multihost.py).  The
+    local slice is the set of replica rows owned by this process's
+    devices in the mesh's device order."""
+    import jax.tree_util as jtu
     from jax.experimental import multihost_utils
     from jax.sharding import PartitionSpec as P
+    spec = P(mesh.axis_names[0])
     if jax.process_count() == 1:
         from jax.sharding import NamedSharding
-        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sh), tree)
+        sh = NamedSharding(mesh, spec)
+        return jtu.tree_map(lambda x: jax.device_put(x, sh), tree)
+    devs = list(mesh.devices.ravel())
+    mine = [i for i, d in enumerate(devs)
+            if d.process_index == jax.process_index()]
+    lo, hi = min(mine), max(mine) + 1
+    if mine != list(range(lo, hi)):
+        raise ValueError("this process's mesh slots are not contiguous; "
+                         "reorder the mesh device array")
+    n = len(devs)
+
+    def slice_rows(x):
+        r = x.shape[0]
+        per = r // n       # rows per device (replica axis evenly split)
+        return x[lo * per:hi * per]
+
     return multihost_utils.host_local_array_to_global_array(
-        tree, mesh, P(mesh.axis_names[0]))
+        jtu.tree_map(slice_rows, tree), mesh, spec)
 
 
 def run_parallel_tempering(params, state, cfg, thermo, temps,
@@ -99,15 +121,17 @@ def run_parallel_tempering(params, state, cfg, thermo, temps,
     is_root = jax.process_index() == 0
     for r in range(n_rounds):
         shared = jax.random.fold_in(master, r)
-        states, thermos, stats, acc, me, mn = runner.round(
+        states, thermos, stats, acc, me, mn, accf = runner.round(
             states, thermos, shared, parity=r % 2)
         if is_root:
+            # me/mn/accf are pmean-replicated scalars — addressable on
+            # every process; the replica-sharded acc/states are NOT
+            # (jax.distributed), so only reduced quantities are logged
             row = {
                 "round": r,
                 "mean_energy": float(me),
                 "mean_N": float(mn),
-                "swap_acceptance": float(
-                    np.mean(np.asarray(acc, np.float32))),
+                "swap_acceptance": float(accf),
             }
             history.append(row)
             if log is not None:

@@ -147,12 +147,16 @@ class PTRunner:
             st, stats = self._chunk(state, thermo)
             new_thermo, acc = self._swap(
                 thermo, st.energy.total, shared_key, parity)
-            # replica-mean observables over ICI (the MPI_Reduce analog)
+            # replica-mean observables over ICI (the MPI_Reduce analog).
+            # acc_frac is reduced in-mesh so multi-host callers never
+            # have to fetch the replica-sharded acc (non-addressable
+            # shards under jax.distributed)
             mean_e = jax.lax.pmean(st.energy.total, AXIS)
             mean_n = jax.lax.pmean(
                 st.n_molecules(self.params).astype(st.pos.dtype), AXIS)
+            acc_frac = jax.lax.pmean(acc.astype(st.pos.dtype), AXIS)
             return (add0(st), add0(new_thermo), add0(stats), acc[None],
-                    mean_e, mean_n)
+                    mean_e, mean_n, acc_frac)
 
         spec_r, spec0 = P(AXIS), P()
         # check_vma=False: the MC step's lax.switch mixes replica-varying
@@ -161,14 +165,15 @@ class PTRunner:
         f = jax.shard_map(
             local, mesh=self.mesh,
             in_specs=(spec_r, spec_r, spec0),
-            out_specs=(spec_r, spec_r, spec_r, spec_r, spec0, spec0),
+            out_specs=(spec_r, spec_r, spec_r, spec_r, spec0, spec0,
+                       spec0),
             check_vma=False)
         return jax.jit(f)
 
     def round(self, states, thermos, shared_key, parity: int):
         """One PT round. states/thermos are replica-batched pytrees
         (leading dim R); returns (states, thermos, stats, swap_accepts,
-        mean_energy, mean_N)."""
+        mean_energy, mean_N, swap_accept_fraction)."""
         if parity not in self._compiled:
             self._compiled[parity] = self._build(parity)
         return self._compiled[parity](states, thermos, shared_key)
@@ -197,13 +202,13 @@ def run_parallel_tempering(params, state, cfg, thermo, temps,
     history = []
     for r in range(n_rounds):
         shared = jax.random.fold_in(master, r)
-        states, thermos, stats, acc, me, mn = runner.round(
+        states, thermos, stats, acc, me, mn, accf = runner.round(
             states, thermos, shared, parity=r % 2)
         history.append({
             "round": r,
             "mean_energy": float(me),
             "mean_N": float(mn),
-            "swap_acceptance": float(jnp.mean(acc.astype(jnp.float32))),
+            "swap_acceptance": float(accf),
             "temperatures": np.asarray(thermos.temperature).tolist(),
         })
     return states, thermos, history

@@ -49,8 +49,8 @@ def test_pt_swap_decision_is_symmetric(mesh8):
     states = replica.stack_states(st, 8)
     thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
     key = jax.random.PRNGKey(3)
-    _, new_thermos, _, acc, _, _ = runner.round(states, thermos, key,
-                                                parity=0)
+    _, new_thermos, _, acc, _, _, accf = runner.round(states, thermos,
+                                                      key, parity=0)
     new_t = np.asarray(new_thermos.temperature)
     acc = np.asarray(acc)
     for lo in range(0, 8, 2):
