@@ -33,7 +33,8 @@ from mpmc_tpu.constants import ATM2K_A3
 from mpmc_tpu.mc import moves
 from mpmc_tpu.ops import energy as energy_mod
 from mpmc_tpu.ops import ewald, pairs, thole
-from mpmc_tpu.state import EnergyBreakdown, Params, SimState
+from mpmc_tpu.state import (EnergyBreakdown, Params, SimState, mol_rows,
+                            mol_rows_update)
 
 # global move-type ids (stats indexing)
 DISPLACE, INSERT, DELETE, VOLUME, SPINFLIP = 0, 1, 2, 3, 4
@@ -158,28 +159,32 @@ def _recip_delta(state: SimState, cfg, d_re, d_im):
 
 
 def _mol_structure_factor(pos, box, params, cfg, mol):
-    idx = params.mol_atoms[mol]
-    ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
+    ok = (jnp.arange(params.max_atoms_per_mol)
+          < params.mol_natoms[mol])
     kv, _ = ewald.ktable(box, cfg)
-    return ewald.mol_structure_factor(pos[idx], params.charge[idx], ok, kv)
+    return ewald.mol_structure_factor(mol_rows(pos, params, mol),
+                                      mol_rows(params.charge, params, mol),
+                                      ok, kv)
 
 
 def _mol_sf_rows(rows, box, params, cfg, mol):
     """Structure factor of one molecule from explicit trial rows."""
-    idx = params.mol_atoms[mol]
-    ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
+    ok = (jnp.arange(params.max_atoms_per_mol)
+          < params.mol_natoms[mol])
     kv, _ = ewald.ktable(box, cfg)
-    return ewald.mol_structure_factor(rows, params.charge[idx], ok, kv)
+    return ewald.mol_structure_factor(rows,
+                                      mol_rows(params.charge, params, mol),
+                                      ok, kv)
 
 
 def _mol_sf_delta(pos, new_rows, box, params, cfg, mol):
     """S(k) change of moving one molecule, in one fused evaluation:
     the trial rows enter with +q and the current rows with -q."""
-    idx = params.mol_atoms[mol]
-    ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
+    ok = (jnp.arange(params.max_atoms_per_mol)
+          < params.mol_natoms[mol])
     kv, _ = ewald.ktable(box, cfg)
-    rows = jnp.concatenate([new_rows, pos[idx]])
-    q = params.charge[idx]
+    rows = jnp.concatenate([new_rows, mol_rows(pos, params, mol)])
+    q = mol_rows(params.charge, params, mol)
     return ewald.mol_structure_factor(
         rows, jnp.concatenate([q, -q]), jnp.concatenate([ok, ok]), kv)
 
@@ -190,9 +195,9 @@ def _mol_self_energy(params, cfg, box, mol):
         return jnp.zeros((), params.charge.dtype)
     rc = pairs.derived_cutoff(box, cfg)
     alpha = pairs.derived_alpha(rc, cfg)
-    idx = params.mol_atoms[mol]
-    ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
-    q2 = jnp.where(ok, params.charge[idx] ** 2, 0.0)
+    ok = (jnp.arange(params.max_atoms_per_mol)
+          < params.mol_natoms[mol])
+    q2 = jnp.where(ok, mol_rows(params.charge, params, mol) ** 2, 0.0)
     from mpmc_tpu.constants import KE
     return -KE * alpha / jnp.sqrt(jnp.pi) * jnp.sum(q2)
 
@@ -316,7 +321,11 @@ def make_step_fn(params: Params, cfg: RunConfig):
         else:
             old = pairs.mol_pair_pass(state.pos, state.box, alive, params,
                                       cfg, thermo.temperature, mol)
-            new_pos = state.pos.at[idx_rows].set(new_rows)
+            curr = mol_rows(state.pos, params, mol)
+            v = (jnp.arange(curr.shape[0])
+                 < params.mol_natoms[mol])[:, None]
+            new_pos = mol_rows_update(state.pos, params, mol,
+                                      jnp.where(v, new_rows, curr))
             new = pairs.mol_pair_pass(new_pos, state.box, alive, params,
                                       cfg, thermo.temperature, mol)
             d_rd = new.rd - old.rd
@@ -389,7 +398,11 @@ def make_step_fn(params: Params, cfg: RunConfig):
             intra = pairs.intra_terms(state.pos, state.box, params, cfg,
                                       slot, row_pos=rows)
         else:
-            new_pos = state.pos.at[params.mol_atoms[slot]].set(rows)
+            curr = mol_rows(state.pos, params, slot)
+            v = (jnp.arange(curr.shape[0])
+                 < params.mol_natoms[slot])[:, None]
+            new_pos = mol_rows_update(state.pos, params, slot,
+                                      jnp.where(v, rows, curr))
             alive = state.atom_alive(params)      # old alive (cols)
             inter = pairs.mol_pair_pass(new_pos, state.box, alive, params,
                                         cfg, thermo.temperature, slot)
@@ -505,7 +518,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
                          new_alive_mol, sk_re, sk_im,
                          d, ln_bias.astype(dtype), reject,
                          mol=slot.astype(jnp.int32),
-                         rows=(state.pos[params.mol_atoms[slot]]
+                         rows=(mol_rows(state.pos, params, slot)
                                if row_level else None),
                          col_rd=col_rd, col_es=col_es, col_lrc=col_lrc,
                          e0=e0_d, r0=r0_d)
@@ -559,7 +572,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
                          state.mol_alive, state.sk_re, state.sk_im, ez,
                          ln_bias, cnt == 0, spin_mol=mol.astype(jnp.int32),
                          mol=mol.astype(jnp.int32),
-                         rows=(state.pos[params.mol_atoms[mol]]
+                         rows=(mol_rows(state.pos, params, mol)
                                if row_level else None),
                          col_rd=(state.cache_rd[mol] if cache_mode
                                  else None),
@@ -666,10 +679,15 @@ def make_step_fn(params: Params, cfg: RunConfig):
                             else jax.tree_util.tree_map(
                                 lambda x, y: jnp.where(accept, x, y), a, b))
         if row_level:
-            # scatter only the moved molecule's rows — O(A), not O(N)
-            ridx = params.mol_atoms[cand.mol]
-            new_pos = state.pos.at[ridx].set(
-                jnp.where(accept, cand.rows, state.pos[ridx]))
+            # write only the moved molecule's rows — O(A), not O(N);
+            # slice read-modify-write (slots are contiguous) instead of
+            # a batched scatter, which this backend lowers poorly
+            cur = mol_rows(state.pos, params, cand.mol)
+            v = (jnp.arange(cur.shape[0])
+                 < params.mol_natoms[cand.mol])[:, None]
+            new_pos = mol_rows_update(
+                state.pos, params, cand.mol,
+                jnp.where(accept & v, cand.rows, cur))
             new_box = state.box
         else:
             new_pos = sel(cand.pos, state.pos)

@@ -47,12 +47,19 @@ def displace_rows(pos, params: Params, mol, key, move_factor, rot_factor):
     Padded ``mol_atoms`` rows duplicate the molecule's first atom index;
     every duplicate computes the identical new coordinate, so the scatter
     is deterministic."""
+    from mpmc_tpu.state import mol_rows
     k_t, k_r = jax.random.split(key)
     idx = params.mol_atoms[mol]
-    com = molecule_com(pos, params, mol)
+    rows = mol_rows(pos, params, mol)         # slice, not gather
+    valid = jnp.arange(rows.shape[0]) < params.mol_natoms[mol]
+    w = jnp.where(valid, mol_rows(params.mass, params, mol), 0.0)[:, None]
+    com = jnp.sum(rows * w, 0) / jnp.maximum(jnp.sum(w), 1e-30)
     disp = (jax.random.uniform(k_t, (3,), pos.dtype) * 2.0 - 1.0) * move_factor
     q = quat.random_small(k_r, rot_factor)
-    new = com + disp + quat.rotate(pos[idx] - com, q)
+    new = com + disp + quat.rotate(rows - com, q)
+    # padded rows duplicate the first row's value (sliced padding holds
+    # the NEXT molecule's atoms — the duplicate-pad contract stands)
+    new = jnp.where(valid[:, None], new, new[0])
     return idx, new.astype(pos.dtype)
 
 

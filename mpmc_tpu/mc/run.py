@@ -176,7 +176,10 @@ def setup(job: input_script.Job,
         from mpmc_tpu.ops import celllist
         params = celllist.attach(params, state.pos, state.box, cfg)
 
-    if cfg.coulomb == "ewald":
+    if cfg.coulomb == "ewald" and not cfg.spectre:
+        # (SPECTRE exempt: its mobile free charges are individually
+        # non-neutral by construction and the per-corrtime
+        # renormalization governs the total — mc/spectre.py)
         # the recip sum silently omits the uniform-background correction
         # a charged cell needs (SURVEY §2 "Ewald electrostatics") — detect
         # instead of silently producing a gauge-dependent energy.  The

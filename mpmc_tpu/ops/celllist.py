@@ -316,16 +316,17 @@ def mol_pair_pass_culled(pos, box, atom_alive, params, cfg, temperature,
     F = index.n_frozen
     G = index.grid
 
-    idx = params.mol_atoms[mol]
+    from mpmc_tpu.state import mol_rows as _mr
     na = params.mol_natoms[mol]
-    A = idx.shape[0]
+    A = params.max_atoms_per_mol
     row_valid = jnp.arange(A) < na
-    rows_pos = pos[idx] if row_pos is None else row_pos
+    rows_pos = _mr(pos, params, mol) if row_pos is None else row_pos
     w = row_valid.astype(dtype)
-    com = jnp.sum(rows_pos * w[:, None], 0) / jnp.maximum(jnp.sum(w), 1.0)
+    com = (jnp.sum(jnp.where(row_valid[:, None], rows_pos, 0.0), 0)
+           / jnp.maximum(jnp.sum(w), 1.0))
 
-    ga = lambda arr: arr[idx]
-    r_mm = params.mol_mass[params.mol_id[idx]]
+    ga = lambda arr: _mr(arr, params, mol)
+    r_mm = jnp.broadcast_to(params.mol_mass[mol], (A,))
 
     # --- framework block: K cell blocks around the COM ----------------------
     f = pbc_ops._apply33(com, box_inv) % 1.0
@@ -362,7 +363,7 @@ def mol_pair_pass_culled(pos, box, atom_alive, params, cfg, temperature,
     lrc_coeff = sb_tc
     if want_tail:
         lrc_coeff = lrc_coeff + jnp.sum(
-            jnp.where(row_valid, index.lrc_fw[idx], 0.0))
+            jnp.where(row_valid, _mr(index.lrc_fw, params, mol), 0.0))
     return PairTerms(rd=fw_rd + sb_rd, es_real=fw_es + sb_es,
                      es_excl=jnp.zeros((), dtype), lrc_coeff=lrc_coeff,
                      min_r2=jnp.minimum(fw_min, sb_min))

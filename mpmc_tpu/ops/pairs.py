@@ -85,22 +85,49 @@ class PairTerms:
 jax.tree_util.register_dataclass(PairTerms)
 
 
-def rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc=None):
+def mol_row_params(params, mol):
+    """Per-row parameter vectors of one molecule via contiguous-slot
+    slices (state.mol_rows) — the gather-free row side of the per-move
+    delta tile (batched row gathers are slow and a compile hazard on
+    this backend, CLAUDE.md)."""
+    from mpmc_tpu.state import mol_rows as _mr
+    a = params.max_atoms_per_mol
+    return {
+        "charge": _mr(params.charge, params, mol),
+        "eps": _mr(params.eps, params, mol),
+        "sig": _mr(params.sig, params, mol),
+        "c6": _mr(params.c6, params, mol),
+        "c8": _mr(params.c8, params, mol),
+        "c10": _mr(params.c10, params, mol),
+        "gwp_alpha": _mr(params.gwp_alpha, params, mol),
+        "polar": _mr(params.polar, params, mol),
+        "omega": _mr(params.omega, params, mol),
+        "mol_mass": jnp.broadcast_to(params.mol_mass[mol], (a,)),
+    }
+
+
+def rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc=None,
+                   row=None):
     """Per-pair RD energies for a [B, N] tile of rows ``idx_i`` against all
     columns (no masks applied).  Returns (rd_u, tail_coeff) — either may be
     None when disabled.  Shared by the cutoff pair pass and the
-    periodic-image crystal sum (ops/crystal.py)."""
+    periodic-image crystal sum (ops/crystal.py).
+
+    ``row``: precomputed per-row parameter dict (mol_row_params) — the
+    molecule delta pass supplies it so no ``x[idx_i]`` gathers lower."""
+    rg = ((lambda name: row[name]) if row is not None
+          else (lambda name: getattr(params, name)[idx_i]))
     rd_u = None
     tc = None
     if cfg.cdvdw_repulsion != "none":
         # repulsion-only RD paired with the many-body dispersion
         # eigensolve (ops/vdw.py); replaces the LJ form wholesale —
         # see potentials.cdvdw_repulsion_energy for provenance.
-        re_ = lambda x: x[idx_i][:, None]
+        re_ = lambda name: rg(name)[:, None]
         ce_ = lambda x: x[None, :]
-        args = (re_(params.eps), ce_(params.eps), re_(params.sig),
-                ce_(params.sig), re_(params.polar), ce_(params.polar),
-                re_(params.omega), ce_(params.omega))
+        args = (re_("eps"), ce_(params.eps), re_("sig"),
+                ce_(params.sig), re_("polar"), ce_(params.polar),
+                re_("omega"), ce_(params.omega))
         rd_u = potentials.cdvdw_repulsion_energy(r, *args, cfg)
         if cfg.rd_lrc and rc is not None:
             tc = potentials.cdvdw_repulsion_tail_coefficient(
@@ -108,14 +135,14 @@ def rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc=None):
                 rc, cfg)
             tc = jnp.broadcast_to(tc, r2s.shape)
     elif cfg.rd_potential == "lj":
-        eps, sig = lj_ops.mix(params.eps[idx_i][:, None],
+        eps, sig = lj_ops.mix(rg("eps")[:, None],
                               params.eps[None, :],
-                              params.sig[idx_i][:, None],
+                              rg("sig")[:, None],
                               params.sig[None, :], cfg.mixing_rule)
         rd_u = lj_ops.energy(r2s, eps, sig)
         if cfg.feynman_hibbs or cfg.feynman_kleinert:
-            mol_i = params.mol_id[idx_i]
-            mm_i = params.mol_mass[mol_i]
+            mm_i = (row["mol_mass"] if row is not None
+                    else params.mol_mass[params.mol_id[idx_i]])
             mm_j = params.mol_mass[params.mol_id]
             red = (mm_i[:, None] * mm_j[None, :]
                    / jnp.maximum(mm_i[:, None] + mm_j[None, :], 1e-30))
@@ -129,15 +156,20 @@ def rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc=None):
             tc = lj_ops.tail_coefficient(eps, sig, rc)
             tc = jnp.broadcast_to(tc, r2s.shape)
     elif cfg.rd_potential in ("sg", "dreiding", "b14_7", "disp_expansion"):
-        rd_u = potentials.rd_pair_energy(r, r2s, idx_i, params, cfg)
+        col = lambda x: x[None, :]
+        rd_u = potentials.rd_pair_energy_generic(
+            r, rg("eps")[:, None], col(params.eps), rg("sig")[:, None],
+            col(params.sig), rg("c6")[:, None], col(params.c6),
+            rg("c8")[:, None], col(params.c8), rg("c10")[:, None],
+            col(params.c10), cfg)
         if (cfg.rd_potential == "disp_expansion" and cfg.rd_lrc
                 and rc is not None):
             c6 = jnp.sqrt(jnp.maximum(
-                params.c6[idx_i][:, None] * params.c6[None, :], 0.0))
+                rg("c6")[:, None] * params.c6[None, :], 0.0))
             c8 = jnp.sqrt(jnp.maximum(
-                params.c8[idx_i][:, None] * params.c8[None, :], 0.0))
+                rg("c8")[:, None] * params.c8[None, :], 0.0))
             c10 = jnp.sqrt(jnp.maximum(
-                params.c10[idx_i][:, None] * params.c10[None, :], 0.0))
+                rg("c10")[:, None] * params.c10[None, :], 0.0))
             tc = potentials.disp_tail_coefficient(c6, c8, c10, rc)
     elif cfg.rd_potential == "none":
         pass
@@ -146,7 +178,8 @@ def rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc=None):
     return rd_u, tc
 
 
-def _tile_values(r2, idx_i, params, cfg, rc, alpha, temperature):
+def _tile_values(r2, idx_i, params, cfg, rc, alpha, temperature,
+                 row=None):
     """Per-pair energy values for a [B, N] tile of rows ``idx_i`` against
     all columns — no masks applied.  Returns (rd_u, es_u, ex_u, tc):
 
@@ -154,16 +187,22 @@ def _tile_values(r2, idx_i, params, cfg, rc, alpha, temperature):
     - es_u: real-space electrostatics under the cutoff;
     - ex_u: Ewald intramolecular exclusion correction (-erf term);
     - tc:   distance-independent long-range tail coefficients.
+
+    ``row``: mol_row_params dict — gather-free row parameters for the
+    molecule delta pass.
     """
+    rg = ((lambda name: row[name]) if row is not None
+          else (lambda name: getattr(params, name)[idx_i]))
     r2s = jnp.where(r2 > 1e-12, r2, 1.0)                  # guard the diagonal
     r = jnp.sqrt(r2s)
-    qi = params.charge[idx_i]
+    qi = rg("charge")
     qq = qi[:, None] * params.charge[None, :]
 
     # --- repulsion–dispersion ------------------------------------------------
     # (tail: ordered pairs i!=j (inter) count once per direction in the
     # full triangular pass -> handled by caller symmetrization.)
-    rd_u, tc = rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc)
+    rd_u, tc = rd_tile_energy(r, r2s, idx_i, params, cfg, temperature, rc,
+                              row=row)
 
     # --- electrostatics (real space) ----------------------------------------
     es_u = None
@@ -184,7 +223,7 @@ def _tile_values(r2, idx_i, params, cfg, rc, alpha, temperature):
         # coulomb", src/energy/coulombic_gwp.c [M]): two normalized
         # Gaussians of widths s_i interact as erf(r/sqrt(2(s_i^2+s_j^2)))/r
         # (point charges where both widths are 0).
-        s2 = (params.gwp_alpha[idx_i][:, None] ** 2
+        s2 = (rg("gwp_alpha")[:, None] ** 2
               + params.gwp_alpha[None, :] ** 2)
         smear = jnp.where(s2 > 1e-12,
                           erf(r / jnp.sqrt(2.0 * jnp.maximum(s2, 1e-12))),
@@ -199,7 +238,7 @@ def _tile_values(r2, idx_i, params, cfg, rc, alpha, temperature):
 
 def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
                  box, box_inv, rc, alpha, temperature, triangular,
-                 split_frozen=False):
+                 split_frozen=False, row=None, mol_of_rows=None):
     """Energy contributions of one row block [B] against all columns [N].
 
     Returns PairTerms of scalars — or, with ``split_frozen``, a tuple
@@ -222,8 +261,13 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
     pair_ok = row_valid[:, None] & alive[None, :]
     if triangular:
         pair_ok = pair_ok & (cols[None, :] > idx_i[:, None])
-    mol_i = params.mol_id[idx_i]
-    same_mol = mol_i[:, None] == params.mol_id[None, :]
+    if mol_of_rows is not None:
+        # molecule pass: every row belongs to `mol_of_rows` — no gather
+        same_mol = jnp.broadcast_to(
+            params.mol_id[None, :] == mol_of_rows, pair_ok.shape)
+    else:
+        mol_i = params.mol_id[idx_i]
+        same_mol = mol_i[:, None] == params.mol_id[None, :]
     inter = pair_ok & ~same_mol
     intra = pair_ok & same_mol
     within = r2 < rc * rc
@@ -236,7 +280,7 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
 
     zero = jnp.zeros((), pos.dtype)
     rd_u, es_u, ex_u, tc = _tile_values(r2, idx_i, params, cfg, rc, alpha,
-                                        temperature)
+                                        temperature, row=row)
 
     def reduce_terms(keep, min_mask):
         def s(values, mask):
@@ -366,19 +410,20 @@ def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol,
                                             cfg, mol, rc, alpha,
                                             row_pos=row_pos)
 
-    idx = params.mol_atoms[mol]                     # [A]
+    from mpmc_tpu.state import mol_rows as _mr
     na = params.mol_natoms[mol]
-    valid = jnp.arange(idx.shape[0]) < na
+    valid = jnp.arange(params.max_atoms_per_mol) < na
     # exclude own molecule columns entirely (one-sided inter only)
     col_alive = atom_alive & (params.mol_id != mol)
     # row_pos: trial coordinates for the molecule's own rows.  The columns
     # always come from ``pos`` — for a displace trial the moved molecule's
     # columns are masked out anyway, so sharing the untouched array lets
     # XLA CSE every column gather between the old- and new-position passes.
-    rows = pos[idx] if row_pos is None else row_pos
-    return _block_terms(rows, idx, valid, pos, col_alive, params, cfg,
+    rows = _mr(pos, params, mol) if row_pos is None else row_pos
+    return _block_terms(rows, None, valid, pos, col_alive, params, cfg,
                         box, box_inv, rc, alpha, temperature,
-                        triangular=False)
+                        triangular=False, row=mol_row_params(params, mol),
+                        mol_of_rows=mol)
 
 
 def intra_terms(pos, box, params, cfg, mol, row_pos=None):
@@ -388,19 +433,19 @@ def intra_terms(pos, box, params, cfg, mol, row_pos=None):
     rows (skips gathering from ``pos``)."""
     if cfg.coulomb != "ewald":
         return jnp.zeros((), pos.dtype)
+    from mpmc_tpu.state import mol_rows as _mr
     rc = derived_cutoff(box, cfg)
     alpha = derived_alpha(rc, cfg)
-    idx = params.mol_atoms[mol]
     na = params.mol_natoms[mol]
-    A = idx.shape[0]
+    A = params.max_atoms_per_mol
     valid = jnp.arange(A) < na
-    p = pos[idx] if row_pos is None else row_pos
+    p = _mr(pos, params, mol) if row_pos is None else row_pos
     dr = pbc_ops.min_image(p[:, None, :] - p[None, :, :], box)
     r2 = jnp.sum(dr * dr, -1)
     tri = (jnp.arange(A)[None, :] > jnp.arange(A)[:, None])
     ok = tri & valid[:, None] & valid[None, :]
     r = jnp.sqrt(jnp.where(r2 > 1e-12, r2, 1.0))
-    q = params.charge[idx]
+    q = _mr(params.charge, params, mol)
     qq = q[:, None] * q[None, :]
     return -KE * jnp.sum(jnp.where(ok, qq * erf(alpha * r) / r, 0.0))
 
@@ -438,21 +483,22 @@ def mol_pair_partials(pos, box, atom_alive, params, cfg, temperature, mol,
                       row_pos=None) -> MolPartials:
     """Like mol_pair_pass, but reduced per *column molecule* instead of
     to scalars.  ``sum(p.rd)`` equals ``mol_pair_pass(...).rd`` etc."""
+    from mpmc_tpu.state import mol_rows as _mr
     box_inv = jnp.linalg.inv(box)
     rc = derived_cutoff(box, cfg)
     alpha = derived_alpha(rc, cfg)
-    idx = params.mol_atoms[mol]
     na = params.mol_natoms[mol]
-    valid = jnp.arange(idx.shape[0]) < na
+    valid = jnp.arange(params.max_atoms_per_mol) < na
     col_alive = atom_alive & (params.mol_id != mol)
-    rows = pos[idx] if row_pos is None else row_pos
+    rows = _mr(pos, params, mol) if row_pos is None else row_pos
 
     dr = pbc_ops.min_image(rows[:, None, :] - pos[None, :, :], box, box_inv)
     r2 = jnp.sum(dr * dr, -1)                            # [A,N]
     inter = valid[:, None] & col_alive[None, :]
     act = inter & (r2 < rc * rc)
-    rd_u, es_u, _, tc = _tile_values(r2, idx, params, cfg, rc, alpha,
-                                     temperature)
+    rd_u, es_u, _, tc = _tile_values(r2, None, params, cfg, rc, alpha,
+                                     temperature,
+                                     row=mol_row_params(params, mol))
 
     M = params.n_mols_max
 
@@ -521,17 +567,22 @@ def mol_lrc_self_coefficient(params, cfg, rc, mol):
     0.5 * this) / V)."""
     if not cfg.rd_lrc:
         return jnp.zeros((), params.eps.dtype)
-    idx = params.mol_atoms[mol]
-    ok = jnp.arange(idx.shape[0]) < params.mol_natoms[mol]
+    from mpmc_tpu.state import mol_rows as _mr
+    ok = (jnp.arange(params.max_atoms_per_mol)
+          < params.mol_natoms[mol])
     if cfg.cdvdw_repulsion != "none":
-        s, a, w = params.sig[idx], params.polar[idx], params.omega[idx]
+        s = _mr(params.sig, params, mol)
+        a = _mr(params.polar, params, mol)
+        w = _mr(params.omega, params, mol)
         tc = potentials.cdvdw_repulsion_tail_coefficient(
             s, s, a, a, w, w, rc, cfg)
     elif cfg.rd_potential == "lj":
-        tc = lj_ops.tail_coefficient(params.eps[idx], params.sig[idx], rc)
+        tc = lj_ops.tail_coefficient(_mr(params.eps, params, mol),
+                                     _mr(params.sig, params, mol), rc)
     elif cfg.rd_potential == "disp_expansion":
         tc = potentials.disp_tail_coefficient(
-            params.c6[idx], params.c8[idx], params.c10[idx], rc)
+            _mr(params.c6, params, mol), _mr(params.c8, params, mol),
+            _mr(params.c10, params, mol), rc)
     else:
         return jnp.zeros((), params.eps.dtype)
     return jnp.sum(jnp.where(ok, tc, 0.0))

@@ -450,14 +450,16 @@ def mol_pair_pass_pallas(pos, box, atom_alive, params, cfg, mol, rc,
                          alpha, interpret=False, row_pos=None):
     """PairTerms-compatible delta pass for one molecule (ke applied)."""
     from mpmc_tpu.ops.pairs import PairTerms
-    idx = params.mol_atoms[mol]
+    from mpmc_tpu.state import mol_rows as _mr
     na = params.mol_natoms[mol]
-    valid = jnp.arange(idx.shape[0]) < na
+    valid = jnp.arange(params.max_atoms_per_mol) < na
     col_alive = atom_alive & (params.mol_id != mol)
     raw = mol_pair_tiles(
-        pos[idx] if row_pos is None else row_pos,
-        params.charge[idx], params.eps[idx], params.sig[idx],
-        params.c6[idx], params.c8[idx], params.c10[idx], valid, pos,
+        _mr(pos, params, mol) if row_pos is None else row_pos,
+        _mr(params.charge, params, mol), _mr(params.eps, params, mol),
+        _mr(params.sig, params, mol), _mr(params.c6, params, mol),
+        _mr(params.c8, params, mol), _mr(params.c10, params, mol),
+        valid, pos,
         params.charge, params.eps, params.sig, params.c6, params.c8,
         params.c10, col_alive, box, rc, alpha, cfg, pos.shape[0],
         interpret=interpret)

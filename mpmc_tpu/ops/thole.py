@@ -198,20 +198,21 @@ def field_delta(pos, box, atom_alive, params, cfg, mol, e0,
     trial rows, which overwrite its slice.  Exactly matches a full
     static_field_direct rebuild (f64 test) and inherits the same
     per-corrtime refresh that bounds f32 drift on the energies."""
+    from mpmc_tpu.state import mol_rows as _mr
+    from mpmc_tpu.state import mol_rows_update as _mru
     box_inv = jnp.linalg.inv(box)
     rc = derived_cutoff(box, cfg)
-    idx = params.mol_atoms[mol]
-    A = idx.shape[0]
+    A = params.max_atoms_per_mol
     valid = jnp.arange(A) < params.mol_natoms[mol]
-    q = params.charge
-    old_rows = pos[idx]
+    q_rows = jnp.where(valid, _mr(params.charge, params, mol), 0.0)
+    old_rows = _mr(pos, params, mol)
     if delete:
-        src_pos, src_q, src_ok = old_rows, -q[idx], valid
+        src_pos, src_q, src_ok = old_rows, -q_rows, valid
     elif insert:
-        src_pos, src_q, src_ok = new_rows, q[idx], valid
+        src_pos, src_q, src_ok = new_rows, q_rows, valid
     else:
         src_pos = jnp.concatenate([new_rows, old_rows])
-        src_q = jnp.concatenate([q[idx], -q[idx]])
+        src_q = jnp.concatenate([q_rows, -q_rows])
         src_ok = jnp.concatenate([valid, valid])
 
     other = atom_alive & (params.mol_id != mol)
@@ -237,12 +238,15 @@ def field_delta(pos, box, atom_alive, params, cfg, mol, e0,
         r2bs = jnp.where(r2b > 1e-12, r2b, 1.0)
         rb = jnp.sqrt(r2bs)
         d1b, _ = _damping(rb, cfg.polar_damp, cfg.polar_damp_type)
-        cb = jnp.where(okb, q[None, :] * d1b / (r2bs * rb), 0.0)
+        cb = jnp.where(okb, params.charge[None, :] * d1b / (r2bs * rb),
+                       0.0)
         rows_field = jnp.einsum("an,ank->ak", cb, drr)
-    # padded idx entries duplicate the first atom index: make their
-    # values identical so the scatter stays deterministic
-    rows_field = jnp.where(valid[:, None], rows_field, rows_field[0])
-    return e0_new.at[idx].set(rows_field.astype(pos.dtype))
+    # slice read-modify-write: rows beyond natoms belong to the NEXT
+    # molecule and keep their (part-(a)-updated) values
+    cur = _mr(e0_new, params, mol)
+    rows_field = jnp.where(valid[:, None], rows_field.astype(pos.dtype),
+                           cur)
+    return _mru(e0_new, params, mol, rows_field)
 
 
 def residual_supported(cfg) -> bool:
@@ -274,15 +278,17 @@ def residual_delta(pos, box, atom_alive, params, cfg, mol, mu, r_old,
     diagonal change wholesale).  Exact in exact arithmetic; the
     per-corrtime ``initialize`` refresh re-grounds f32 drift exactly as
     it does for e0 and S(k).  ``atom_alive`` is the PRE-move mask."""
+    from mpmc_tpu.state import mol_rows as _mr
+    from mpmc_tpu.state import mol_rows_update as _mru
     dtype = pos.dtype
     box_inv = jnp.linalg.inv(box)
     rc = derived_cutoff(box, cfg)
-    idx = params.mol_atoms[mol]
-    A = idx.shape[0]
+    A = params.max_atoms_per_mol
     valid = jnp.arange(A) < params.mol_natoms[mol]
     pol_site = params.polar > 0
-    old_rows = pos[idx]
-    mu_rows = mu[idx]
+    pol_rows = valid & (_mr(params.polar, params, mol) > 0)
+    old_rows = _mr(pos, params, mol)
+    mu_rows = jnp.where(valid[:, None], _mr(mu, params, mol), 0.0)
 
     other_pol = (atom_alive & (params.mol_id != mol)
                  & pol_site)[..., None]
@@ -329,22 +335,25 @@ def residual_delta(pos, box, atom_alive, params, cfg, mol, mu, r_old,
         tgt = new_rows
         src2_pos = jnp.concatenate([pos, tgt])
         src2_mu = jnp.concatenate([jnp.where(other_pol, mu, 0.0), mu_rows])
-        src2_ok = jnp.concatenate(
-            [other_pol[:, 0], valid & (pol_site[idx])])
+        src2_ok = jnp.concatenate([other_pol[:, 0], pol_rows])
         # intra block: exclude self-pairs (source a == target a)
         self_m = jnp.concatenate(
             [jnp.zeros((pos.shape[0], A), bool), jnp.eye(A, dtype=bool)])
         ok_b = src2_ok[:, None] & valid[None, :] & ~self_m
         e_rows = dip_field(tgt, src2_pos, src2_mu, ok_b)
-        inv_a = jnp.where(pol_site[idx],
-                          1.0 / jnp.maximum(params.polar[idx], 1e-30),
-                          0.0)
-        rows_r = e0_new[idx] - inv_a[:, None] * mu_rows + e_rows
-        rows_r = jnp.where((valid & pol_site[idx])[:, None], rows_r, 0.0)
-    # padded idx entries duplicate the first atom index: make their
-    # values identical so the scatter stays deterministic
-    rows_r = jnp.where(valid[:, None], rows_r, rows_r[0])
-    return r.at[idx].set(rows_r.astype(dtype))
+        inv_a = jnp.where(
+            pol_rows,
+            1.0 / jnp.maximum(_mr(params.polar, params, mol), 1e-30),
+            0.0)
+        rows_r = (jnp.where(valid[:, None],
+                            _mr(e0_new, params, mol), 0.0)
+                  - inv_a[:, None] * mu_rows + e_rows)
+        rows_r = jnp.where(pol_rows[:, None], rows_r, 0.0)
+    # slice read-modify-write: rows beyond natoms belong to the NEXT
+    # molecule and keep their (tile-(a)-updated) residual values
+    cur = _mr(r, params, mol)
+    rows_r = jnp.where(valid[:, None], rows_r.astype(dtype), cur)
+    return _mru(r, params, mol, rows_r)
 
 
 def static_field_ewald(pos, box, atom_alive, params, cfg, chunk=None):

@@ -284,7 +284,6 @@ def build_system(
 
     n_sorb_atoms = sum(s.natoms * c for s, c in zip(species, capacity))
     N_real = F + n_sorb_atoms
-    N = _round_up(max(N_real, 1), pad_atoms_to)
     n_frozen_mols = 1 if F > 0 else 0
     M = n_frozen_mols + sum(capacity)
     # Width of the per-molecule atom-index table.  Deliberately capped at
@@ -292,6 +291,11 @@ def build_system(
     # displaced/inserted/deleted, so its (possibly huge) atom list must not
     # inflate the O(A*N) delta-energy tile (mol_pair_pass).
     A = max([1] + [s.natoms for s in species])
+    # pad the atom axis so mol_start[m] + A stays in bounds for EVERY
+    # molecule: keeps a contiguous [A, ...] row window valid for any
+    # slice-based row access (mol_rows is currently gather-backed — see
+    # its docstring — but the layout guarantee is cheap: <= A-1 rows)
+    N = _round_up(max(N_real, 1) + max(0, A - 1), pad_atoms_to)
 
     # --- per-atom arrays
     def zeros():
@@ -440,6 +444,44 @@ def _species_dof(sp) -> float:
     n = n / nn
     perp = d - np.outer(d @ n, n)
     return 5.0 if np.max(np.abs(perp)) < 1e-8 else 6.0
+
+
+def mol_rows(arr, params: Params, mol):
+    """[A, ...] rows of molecule ``mol`` — the single row-access chokepoint
+    for every hot path.
+
+    Implementation note (r2, measured on a v5e-class chip): molecule
+    slots are contiguous (``mol_start``), so a ``lax.dynamic_slice``
+    looks natural — but under vmapped multi-chain batching the batched
+    dynamic_slice/dynamic_update_slice pair lowers ~3x SLOWER than the
+    ``mol_atoms`` row gather (31k vs 100k agg steps/s at C=128; the
+    batched update-slice becomes a full-array select).  So this stays a
+    gather of the precomputed index row.  Padded entries duplicate the
+    molecule's first atom index; every consumer masks rows by
+    ``arange(A) < mol_natoms[mol]`` and writes go through
+    mol_rows_update's blend, so either padding convention is safe."""
+    idx = params.mol_atoms[mol]
+    if arr.ndim == 1:
+        # 2-D gather form (1-D gathers stress the compile service —
+        # CLAUDE.md landmine)
+        return arr[:, None][idx][:, 0]
+    return arr[idx]
+
+
+def mol_rows_update(arr, params: Params, mol, rows_new):
+    """Write an [A, ...] row window back at molecule ``mol``'s slots.
+    The caller blends rows beyond natoms with their CURRENT values
+    (read-modify-write via mol_rows + jnp.where(valid, new, cur)).
+
+    Padded ``mol_atoms`` entries duplicate the first atom's index, so
+    rows beyond natoms are forced to duplicate ``rows_new[0]`` here —
+    every write to the duplicated index carries the identical value,
+    keeping the scatter deterministic."""
+    valid = jnp.arange(rows_new.shape[0]) < params.mol_natoms[mol]
+    if rows_new.ndim > 1:
+        valid = valid.reshape((-1,) + (1,) * (rows_new.ndim - 1))
+    rows_new = jnp.where(valid, rows_new, rows_new[0])
+    return arr.at[params.mol_atoms[mol]].set(rows_new)
 
 
 def molecule_com(pos, params: Params, mol: int | jax.Array):
