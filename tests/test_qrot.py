@@ -248,3 +248,49 @@ def test_spinflip_excluded_under_nve():
             warnings.simplefilter("error")
             _, ids = metropolis.make_branch_picker(cfg)
         assert int(ids[-1]) == metropolis.SPINFLIP
+
+
+def test_spinflip_staleness_quantified():
+    """VERDICT r1 item 9: spinflip accepts against rot_f cached at the
+    last corrtime refresh while molecules move every step — the same
+    per-corrtime semantics as the reference (SURVEY §2 "Quantum
+    rotation").  This pins the bias magnitude: after 200 displaces on a
+    deliberately hot/dense system, the stale-vs-fresh flip acceptance
+    probability error is nonzero (staleness is real) but bounded; users
+    control it via corrtime.  Deterministic (fixed seed)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.ops import qrot
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=8, dtype="float64")
+    cfg = dataclasses.replace(cfg, ensemble="nvt", quantum_rotation=True,
+                              use_pallas=False)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    sp = (systems.h2_bss3(),)
+    t0 = qrot.free_energy_table(state.pos, state.box,
+                                state.atom_alive(params),
+                                state.mol_alive, params, cfg, thermo, sp)
+    M = int(params.n_mols_max)
+    state = state.replace(spin=jnp.zeros((M,), jnp.int32),
+                          rot_f=jnp.asarray(t0))
+    st, stats = metropolis.run_chunk(state, params, cfg, thermo, 200)
+    assert int(np.asarray(stats.accepts)[0]) > 0
+    t1 = qrot.free_energy_table(st.pos, st.box, st.atom_alive(params),
+                                st.mol_alive, params, cfg, thermo, sp)
+    mv = (~np.asarray(params.mol_frozen) & np.asarray(st.mol_alive)
+          & (np.asarray(params.mol_natoms) >= 2))
+    d_stale = (t0[:, 1] - t0[:, 0])[mv]
+    d_fresh = (t1[:, 1] - t1[:, 0])[mv]
+    T = float(thermo.temperature)
+    p_stale = np.minimum(1.0, np.exp(-d_stale / T))
+    p_fresh = np.minimum(1.0, np.exp(-d_fresh / T))
+    bias = float(np.max(np.abs(p_stale - p_fresh)))
+    # measured 2026-08-17: ~0.13 on this system after 200 un-refreshed
+    # steps.  If this regresses past 0.3 the caching contract changed;
+    # if it hits ~0 the test lost its teeth (system no longer hindered).
+    assert 0.005 < bias < 0.3, bias
