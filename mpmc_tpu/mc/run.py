@@ -774,9 +774,13 @@ def run(job: input_script.Job, **kw):
         from mpmc_tpu.mc import surface
         kw.pop("jsonl_path", None)
         return surface.run_surface(job, **kw)
-    if job.cfg.ensemble in ("surf_fit", "surf_multi_fit"):
+    if job.cfg.ensemble == "surf_fit":
         from mpmc_tpu.mc import surface
         kw.pop("jsonl_path", None)
         return surface.run_surface_fit(job, **kw)
+    if job.cfg.ensemble == "surf_multi_fit":
+        from mpmc_tpu.mc import surface
+        kw.pop("jsonl_path", None)
+        return surface.run_surface_multi_fit(job, **kw)
     raise NotImplementedError(
         f"ensemble {job.cfg.ensemble!r} not yet implemented")

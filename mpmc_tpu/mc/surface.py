@@ -210,6 +210,187 @@ def _fit_groups(params: Params, mol_a: int, mol_b: int):
     return list(groups.values())
 
 
+def read_multi_fit_configs(path: str):
+    """Parse a surf_multi_fit configuration file: blocks of
+
+        E <target energy in K>
+        x y z          (one line per movable atom, PQR slot order)
+        ...
+
+    '#'/'!' comments allowed.  Returns (coords [K, n, 3], energies [K]).
+    This is the multi-*configuration* fit surface the reference's
+    surface_multi_fit.c consumes (SURVEY.md §2 "Multi-surface fit" [M]:
+    arbitrary geometries per point, not just separation curves)."""
+    configs: List[List[List[float]]] = []
+    energies: List[float] = []
+    cur: List[List[float]] = []
+    with open(path) as fh:
+        for raw in fh:
+            line = raw.split("#")[0].split("!")[0].strip()
+            if not line:
+                continue
+            t = line.split()
+            if t[0].upper() == "E":
+                if cur:
+                    configs.append(cur)
+                    cur = []
+                energies.append(float(t[1]))
+            else:
+                cur.append([float(t[0]), float(t[1]), float(t[2])])
+    if cur:
+        configs.append(cur)
+    if not energies or len(configs) != len(energies):
+        raise ValueError(
+            f"fit input {path}: expected 'E <energy>' blocks each "
+            f"followed by one x-y-z line per movable atom "
+            f"(got {len(energies)} energies / {len(configs)} geometry "
+            f"blocks)")
+    n = len(configs[0])
+    if any(len(c) != n for c in configs):
+        raise ValueError(f"fit input {path}: inconsistent atom counts "
+                         "across configuration blocks")
+    return np.asarray(configs, np.float64), np.asarray(energies)
+
+
+def _movable_atom_rows(params: Params, mol_alive) -> np.ndarray:
+    """Atom-slot indices of every alive movable molecule, slot order."""
+    alive = np.asarray(mol_alive)
+    frozen = np.asarray(params.mol_frozen)
+    natoms = np.asarray(params.mol_natoms)
+    out = []
+    for m in range(len(alive)):
+        if alive[m] and not frozen[m]:
+            s0 = int(np.asarray(params.mol_start)[m])
+            out.extend(range(s0, s0 + int(natoms[m])))
+    return np.asarray(out, np.int64)
+
+
+def _anneal(chi2_j, vec0, job, cfg, out, tag):
+    """Shared simulated-annealing loop over a parameter vector."""
+    rng = np.random.default_rng(cfg.seed)
+    vec = vec0.copy()
+    cur = float(chi2_j(jnp.asarray(vec, cfg.jdtype)))
+    best_vec, best = vec.copy(), cur
+    t_anneal = job.fit_start_temp if job.fit_start_temp > 0 else cur
+    n_steps = max(job.cfg.numsteps, 2000)
+    print(f"{tag}: chi2_0={cur:.6g}, T0={t_anneal:.4g}", file=out)
+    for _ in range(n_steps):
+        prop = vec + rng.normal(0.0, 0.02, size=vec.shape)
+        c = float(chi2_j(jnp.asarray(prop, cfg.jdtype)))
+        if c < cur or rng.random() < np.exp(-(c - cur)
+                                            / max(t_anneal, 1e-30)):
+            vec, cur = prop, c
+            if c < best:
+                best_vec, best = prop.copy(), c
+        t_anneal *= job.fit_schedule
+    return best_vec, best
+
+
+def run_surface_multi_fit(job, log=None):
+    """Simultaneous multi-configuration FF fit (``ensemble
+    surf_multi_fit``): every fit_input holds arbitrary dimer/cluster
+    geometries with target energies (read_multi_fit_configs); one
+    chi^2 spans them all, evaluated through the production energy stack
+    per configuration.  Returns (best_params_dict, best_chi2)."""
+    from mpmc_tpu.mc import run as run_mod
+    out = log or sys.stdout
+    if not job.fit_inputs:
+        raise ValueError("surf_multi_fit requires at least one fit_input")
+
+    su = run_mod.setup(job)
+    params, state, cfg, thermo = su.params, su.state, su.cfg, su.thermo
+    rows = _movable_atom_rows(params, state.mol_alive)
+
+    coords, erefs = [], []
+    for p in job.fit_inputs:
+        c, e = read_multi_fit_configs(p)
+        if c.shape[1] != len(rows):
+            raise ValueError(
+                f"fit input {p}: {c.shape[1]} atoms per configuration, "
+                f"but the system has {len(rows)} movable atoms")
+        coords.append(c)
+        erefs.append(e)
+    coords = np.concatenate(coords)           # [K, n, 3]
+    erefs = np.concatenate(erefs)             # [K]
+
+    cap = job.fit_max_energy
+    e_capped = np.minimum(erefs, cap) if cap > 0 else erefs
+    if job.fit_boltzmann_weight > 0:
+        w = np.exp(-e_capped / job.fit_boltzmann_weight)
+    else:
+        w = np.ones_like(e_capped)
+    w = w / w.sum()
+
+    groups = _fit_groups_rows(params, rows)
+    if not groups:
+        raise ValueError("no LJ sites to fit (all eps == 0)")
+    group_masks = np.zeros((len(groups), params.n_atoms_max), bool)
+    for g, idxs in enumerate(groups):
+        group_masks[g, idxs] = True
+    masks_j = jnp.asarray(group_masks)
+    rows_j = jnp.asarray(rows)
+    coords_j = jnp.asarray(coords, cfg.jdtype)
+    eref_j = jnp.asarray(e_capped, cfg.jdtype)
+    w_j = jnp.asarray(w, cfg.jdtype)
+
+    def with_params(vec):
+        g = len(groups)
+        eps_g = jnp.exp(vec[:g])
+        sig_g = jnp.exp(vec[g:])
+        eps, sig = params.eps, params.sig
+        for k in range(g):
+            eps = jnp.where(masks_j[k], eps_g[k], eps)
+            sig = jnp.where(masks_j[k], sig_g[k], sig)
+        return dataclasses.replace(params, eps=eps, sig=sig)
+
+    def chi2(vec):
+        p = with_params(vec)
+
+        def conf_e(xyz):
+            pos = state.pos.at[rows_j].set(xyz)
+            e, _ = energy_mod.total_energy(pos, state.box,
+                                           state.mol_alive, p, cfg,
+                                           thermo)
+            return e.total
+
+        e_model = jax.vmap(conf_e)(coords_j)
+        e_model = jnp.minimum(e_model, cap) if cap > 0 else e_model
+        return jnp.sum(w_j * (e_model - eref_j) ** 2)
+
+    g = len(groups)
+    vec0 = np.concatenate([
+        np.log([np.asarray(params.eps)[gr[0]] for gr in groups]),
+        np.log([np.asarray(params.sig)[gr[0]] for gr in groups])])
+    best_vec, best = _anneal(
+        jax.jit(chi2), vec0, job, cfg, out,
+        f"surf_multi_fit: {g} LJ types, {coords.shape[0]} configurations")
+    result = {}
+    for k, gr in enumerate(groups):
+        result[f"type{k}"] = {
+            "atoms": gr,
+            "eps": float(np.exp(best_vec[k])),
+            "sig": float(np.exp(best_vec[g + k])),
+        }
+    print(f"surf_multi_fit: best chi2 = {best:.6g}", file=out)
+    for k, v in result.items():
+        print(f"  {k}: eps = {v['eps']:.6f} K   sig = {v['sig']:.6f} A",
+              file=out)
+    return result, best
+
+
+def _fit_groups_rows(params: Params, rows: np.ndarray):
+    """Group arbitrary atom rows by (eps, sig) type (eps > 0 only)."""
+    eps = np.asarray(params.eps)
+    sig = np.asarray(params.sig)
+    groups = {}
+    for i in rows:
+        if eps[i] <= 0:
+            continue
+        key = (round(float(eps[i]), 8), round(float(sig[i]), 8))
+        groups.setdefault(key, []).append(int(i))
+    return list(groups.values())
+
+
 def run_surface_fit(job, log=None):
     """Simulated-annealing FF fit; returns (best_params_dict, best_chi2)."""
     from mpmc_tpu.mc import run as run_mod
