@@ -92,6 +92,35 @@ def bench_lj_nvt():
             "vs_baseline": round(sps / BASELINES["lj_nvt"], 2)}
 
 
+def bench_lj_nvt_fused():
+    """Single-chain latency path: fused multi-step Pallas kernel
+    (ops/pallas/mc_kernel.py) on the config-1 LJ fluid.  Tracks the
+    per-launch amortization win vs the lax.scan path (VERDICT r1
+    item 3: 35.7k vs 8.5k steps/s on 2026-08-17)."""
+    import dataclasses
+
+    import numpy as np
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+
+    params, state, cfg, thermo = systems.lj_fluid(n=10000,
+                                                  dtype="float32")
+    cfg = dataclasses.replace(cfg, fused_mc=True)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    K, reps = 2048, 5
+    st, _ = metropolis.run_chunk_fused(state, params, cfg, thermo, K)
+    np.asarray(st.pos)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        st, _ = metropolis.run_chunk_fused(st, params, cfg, thermo, K)
+    np.asarray(st.pos)
+    sps = reps * K / (time.perf_counter() - t0)
+    return {"metric": "mc_steps_per_sec_10k_lj_nvt_single_chain_fused",
+            "value": round(sps, 2), "unit": "steps/s",
+            "vs_baseline": round(sps / BASELINES["lj_nvt"], 2)}
+
+
 def bench_nvt_ewald():
     """BASELINE config 2: charged rigid framework + point-charge
     sorbates, NVT (displace/rotate only)."""
@@ -158,7 +187,8 @@ def bench_pt_round():
 
     def pt_round(states, thermos, parity):
         states, _ = multichain.run_chunk_batched(states, params, cfg,
-                                                 thermos, chunk)
+                                                 thermos, chunk,
+                                                 thermo_batched=True)
         e = np.asarray(states.energy.rd)        # sync + swap input
         temps_new, _ = replica.host_swap(
             np.asarray(thermos.temperature), e, parity, rng)
@@ -181,8 +211,8 @@ def bench_pt_round():
 def main():
     results = []
     headline = bench_gcmc()          # first: measure on a quiet chip
-    for fn in (bench_lj_nvt, bench_nvt_ewald, bench_polar_gcmc,
-               bench_pt_round):
+    for fn in (bench_lj_nvt, bench_lj_nvt_fused, bench_nvt_ewald,
+               bench_polar_gcmc, bench_pt_round):
         try:
             row = fn()
         except Exception:

@@ -160,6 +160,11 @@ class RunConfig:
     # metropolis.cache_eligible.
     mol_cache: bool = False
     fused_kernels: bool = True
+    # fused multi-step MC kernel (ops/pallas/mc_kernel.py): K whole
+    # displacement steps per Pallas launch for monatomic NVT fluids —
+    # the single-chain latency path.  Opt-in; silently falls back to the
+    # scan path when mc_kernel.supported() rejects the configuration.
+    fused_mc: bool = False
 
     @property
     def jdtype(self):

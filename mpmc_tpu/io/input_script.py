@@ -307,6 +307,9 @@ def parse(text: str) -> Job:
             # per-replica restart files (the reference's per-MPI-rank
             # staggered restarts, SURVEY §2 "MPI layer" [L])
             job.parallel_restarts = _onoff(v0) if vals else True
+        elif key == "fused_mc":
+            # fused multi-step displacement kernel (monatomic NVT)
+            cfg_kw["fused_mc"] = _onoff(v0) if vals else True
         elif key == "allow_charged_cell":
             # downgrade the setup-time net-charge Ewald error to a warning
             cfg_kw["allow_charged_cell"] = _onoff(v0) if vals else True

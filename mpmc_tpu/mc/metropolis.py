@@ -743,6 +743,45 @@ def make_step_fn(params: Params, cfg: RunConfig):
     return step
 
 
+def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
+                    thermo: Thermo, n_steps: int):
+    """K Metropolis displacement steps in ONE Pallas launch — the
+    single-chain latency path (ops/pallas/mc_kernel.py; VERDICT r1
+    item 3).  Caller must have checked mc_kernel.supported(cfg, params).
+    Same (state, stats) contract as run_chunk; the move-type table is
+    displacement-only (supported() restricts to monatomic NVT)."""
+    import numpy as np
+
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    rc = pairs.derived_cutoff(state.box, cfg)
+    alpha = pairs.derived_alpha(rc, cfg)
+    key_next, k_u = jax.random.split(state.key)
+    u = mc_kernel.draw_uniforms(k_u, n_steps)
+    mov = mc_kernel.movable_atoms(params, np.asarray(state.mol_alive))
+    thr = cfg.cavity_autoreject_absolute
+    new_pos, d_rd, d_es, n_acc = mc_kernel.run_steps(
+        state.pos, params.eps, params.sig, params.charge,
+        state.atom_alive(params), mov, state.box, rc, alpha,
+        1.0 / thermo.temperature, thermo.move_factor, thr * thr, u,
+        cfg, n_steps, state.pos.shape[0],
+        interpret=jax.default_backend() != "tpu")
+    dtype = cfg.jdtype
+    new_energy = dataclasses.replace(
+        state.energy,
+        rd=state.energy.rd + d_rd.astype(dtype),
+        es_real=state.energy.es_real + d_es.astype(dtype))
+    stats = MCStats.zero()
+    stats = MCStats(
+        attempts=stats.attempts.at[DISPLACE].add(n_steps),
+        accepts=stats.accepts.at[DISPLACE].add(
+            n_acc.astype(jnp.int32)),
+        polar_iters=stats.polar_iters)
+    new_state = state.replace(pos=new_pos, energy=new_energy,
+                              key=key_next, step=state.step + n_steps)
+    return new_state, stats
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def run_chunk(state: SimState, params: Params, cfg: RunConfig,
               thermo: Thermo, n_steps: int):

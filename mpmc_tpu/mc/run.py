@@ -675,8 +675,22 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             params, su.spectre_species)
         print(f"spectre: {len(spectre_idx)} free-charge sites",
               file=writer.log)
+    use_fused = False
+    if cfg.fused_mc:
+        from mpmc_tpu.ops.pallas import mc_kernel
+        use_fused = mc_kernel.supported(cfg, params)
+        if not use_fused:
+            print("WARNING: fused_mc requested but unsupported for this "
+                  "configuration (needs monatomic NVT, lj/none RD, "
+                  "none/cutoff/wolf ES, f32) — scan path used",
+                  file=writer.log)
     for block in range(n_blocks):
-        state, stats = metropolis.run_chunk(state, params, cfg, thermo, corr)
+        if use_fused:
+            state, stats = metropolis.run_chunk_fused(state, params, cfg,
+                                                      thermo, corr)
+        else:
+            state, stats = metropolis.run_chunk(state, params, cfg,
+                                                thermo, corr)
         steps_done += corr
         if spectre_idx is not None and len(spectre_idx):
             # renormalize free charges, then let the full refresh below

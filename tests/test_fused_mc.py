@@ -1,0 +1,164 @@
+"""Fused multi-step MC kernel (ops/pallas/mc_kernel.py): correctness in
+interpret mode on CPU — the TPU-compiled path shares the same kernel
+body (same contract as the other Pallas parity suites)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpmc_tpu.config import RunConfig, Thermo
+from mpmc_tpu.mc import metropolis
+from mpmc_tpu.models import systems
+from mpmc_tpu.ops.pallas import mc_kernel
+
+
+def _fluid(n=64, coulomb="none", charges=False):
+    params, state, cfg, thermo = systems.lj_fluid(n=n, dtype="float32")
+    cfg = dataclasses.replace(cfg, coulomb=coulomb, fused_mc=True)
+    if charges:
+        q = np.zeros(params.charge.shape[0])
+        na = np.asarray(params.atom_ok)
+        # alternate +/- so the cell stays neutral
+        idx = np.where(na)[0]
+        q[idx[::2]] = 0.1
+        q[idx[1::2]] = -0.1
+        params = dataclasses.replace(params,
+                                     charge=jnp.asarray(q, jnp.float32))
+    state = metropolis.initialize(state, params, cfg, thermo)
+    return params, state, cfg, thermo
+
+
+def test_supported_gate():
+    params, state, cfg, thermo = _fluid()
+    assert mc_kernel.supported(cfg, params)
+    assert not mc_kernel.supported(
+        dataclasses.replace(cfg, ensemble="uvt"), params)
+    assert not mc_kernel.supported(
+        dataclasses.replace(cfg, coulomb="ewald"), params)
+    assert not mc_kernel.supported(
+        dataclasses.replace(cfg, polarization=True), params)
+    # diatomic species: excluded
+    p2, s2, c2, t2 = systems.mof_h2_gcmc(n_side=3, n_h2=4, capacity=8)
+    assert not mc_kernel.supported(
+        dataclasses.replace(c2, ensemble="nvt"), p2)
+
+
+@pytest.mark.parametrize("coulomb,charges", [("none", False),
+                                             ("cutoff", True),
+                                             ("wolf", True)])
+def test_bookkeeping_matches_full_recompute(coulomb, charges):
+    """The kernel's accumulated per-term deltas must equal a from-scratch
+    energy recompute of its final configuration — any wrong pair mask,
+    image, or acceptance would break this."""
+    params, state, cfg, thermo = _fluid(n=48, coulomb=coulomb,
+                                        charges=charges)
+    e0 = state.energy
+    st, stats = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                           300)
+    assert 0 < int(stats.accepts[0]) < 300
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    assert float(st.energy.rd) == pytest.approx(
+        float(fresh.energy.rd), rel=2e-4, abs=2e-2)
+    if charges:
+        assert float(st.energy.es_real) == pytest.approx(
+            float(fresh.energy.es_real), rel=2e-4, abs=2e-2)
+    # positions actually moved
+    assert float(jnp.max(jnp.abs(st.pos - state.pos))) > 0.0
+
+
+def test_deterministic_for_fixed_key():
+    params, state, cfg, thermo = _fluid(n=32)
+    a, _ = metropolis.run_chunk_fused(state, params, cfg, thermo, 100)
+    b, _ = metropolis.run_chunk_fused(state, params, cfg, thermo, 100)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_matches_jnp_reference_trajectory():
+    """Bit-level trajectory check against a pure-jnp reference consuming
+    the SAME uniform table (the kernel's pre-drawn-randomness design
+    exists exactly to make this testable)."""
+    params, state, cfg, thermo = _fluid(n=32)
+    from mpmc_tpu.ops import pairs
+    rc = pairs.derived_cutoff(state.box, cfg)
+    n_steps = 120
+    key = jax.random.PRNGKey(7)
+    u = np.asarray(mc_kernel.draw_uniforms(key, n_steps))
+    mov = mc_kernel.movable_atoms(params, np.asarray(state.mol_alive))
+    new_pos, d_rd, d_es, n_acc = mc_kernel.run_steps(
+        state.pos, params.eps, params.sig, params.charge,
+        state.atom_alive(params), mov, state.box, rc, 0.0,
+        1.0 / float(thermo.temperature), float(thermo.move_factor), 0.0,
+        u, cfg, n_steps, state.pos.shape[0], interpret=True)
+
+    # ---- reference: same arithmetic in f32 numpy -----------------------
+    pos = np.asarray(state.pos, np.float32).copy()
+    alive = np.asarray(state.atom_alive(params))
+    eps = np.asarray(params.eps, np.float32)
+    sig = np.asarray(params.sig, np.float32)
+    box = np.asarray(state.box, np.float32)
+    binv = np.linalg.inv(box)
+    beta = np.float32(1.0 / float(thermo.temperature))
+    mf = np.float32(thermo.move_factor)
+    rcf = np.float32(rc)
+    acc_n = 0
+    for k in range(n_steps):
+        m = min(int(u[k, 0] * len(mov)), len(mov) - 1)
+        i = int(mov[m])
+        old = pos[i].copy()
+        new = old + (2.0 * u[k, 1:4] - 1.0) * mf
+
+        def e_of(center):
+            d = center[None, :] - pos
+            fr = d @ binv
+            fr -= np.round(fr)
+            dr = fr @ box
+            r2 = np.sum(dr * dr, 1)
+            ok = alive & (np.arange(len(pos)) != i) & (r2 < rcf * rcf)
+            r2s = np.where(r2 > 1e-12, r2, 1.0)
+            s2 = (0.5 * (sig[i] + sig)) ** 2 / r2s
+            s6 = s2 ** 3
+            e = 4.0 * np.sqrt(eps[i]) * np.sqrt(eps) * s6 * (s6 - 1.0)
+            return np.sum(np.where(ok, e, 0.0))
+
+        du = e_of(new) - e_of(old)
+        if np.log(max(u[k, 4], 1e-38)) < -beta * du:
+            pos[i] = new
+            acc_n += 1
+    assert int(n_acc) == acc_n
+    moved = np.abs(np.asarray(new_pos) - pos)
+    assert float(moved.max()) < 1e-4, float(moved.max())
+
+
+def test_run_dispatch_uses_fused_path(tmp_path):
+    """CLI-level: fused_mc on a monatomic NVT deck runs end-to-end and
+    keeps energies consistent with the averages machinery."""
+    import io
+
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "ar.pqr"
+    lines = []
+    rng = np.random.default_rng(0)
+    for k in range(20):
+        x, y, z = rng.uniform(0.5, 11.5, 3)
+        lines.append(f"ATOM {k+1} Ar AR {k+1} M {x:.3f} {y:.3f} {z:.3f}"
+                     " 39.948 0.0 0.0 119.8 3.405")
+    pqr.write_text("\n".join(lines) + "\nEND\n")
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 400
+corrtime 100
+temperature 150
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+coulomb off
+fused_mc on
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    _, avgs = run_mod.run(job, log=log)
+    assert "unsupported" not in log.getvalue()
+    assert avgs.count() == 4
