@@ -1,0 +1,220 @@
+"""Post-hoc trajectory analysis: radial distribution functions and
+sorbate COM density grids from MPMC-format PQR trajectories.
+
+The reference accumulates its sorbate population histogram during the
+run (SURVEY.md §2 "Histogram", src/main/histogram.c) and visualizes it
+through the OpenDX writer; this module provides the same observables
+computed after the fact from ``traj.pqr``, plus g(r), which MPMC users
+obtain from external tools.  The heavy loops are native C++
+(native/mpmc_analyze.cpp via ctypes) with the numpy implementations
+below as the cross-validated reference fallback (tests/test_analyze.py).
+
+CLI::
+
+    python -m mpmc_tpu.analyze rdf traj.pqr --a AR --b AR --rmax 8 \
+        --bins 160 --out rdf.csv
+    python -m mpmc_tpu.analyze density traj.pqr --mol H2 \
+        --resolution 0.7 --out density.dx
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from mpmc_tpu.io import native, pqr
+from mpmc_tpu.ops import pbc
+
+
+def _frame_box(frame, box):
+    if frame.box is not None:
+        return np.asarray(frame.box, np.float64)
+    if box is None:
+        raise ValueError("frame has no CRYST cell and no box= given")
+    return np.asarray(box, np.float64)
+
+
+def _match(name: str, pat: str) -> bool:
+    # case-insensitive: PQR names are uppercased on output while users
+    # type species as given in their decks ("Ar" vs "AR")
+    return pat == "*" or name.upper() == pat.upper()
+
+
+def _flag_ok(flag: str, sel: str) -> bool:
+    if sel in ("", "*"):
+        return True
+    return (flag.upper().startswith("F")) == (sel.upper() == "F")
+
+
+def rdf_python(frames, name_a="*", name_b="*", flag_a="*", flag_b="*",
+               box=None, rmax=10.0, nbins=200):
+    """Reference g(r): ordered pairs (i in A, j in B, i != j) binned by
+    minimum-image distance, normalized by the per-frame ideal-gas pair
+    density — the exact contract of the native kernel."""
+    hist = np.zeros(nbins, np.float64)
+    dr = rmax / nbins
+    norm = 0.0
+    for frame in frames:
+        b = _frame_box(frame, box)
+        binv = np.linalg.inv(b)
+        vol = abs(np.linalg.det(b))
+        sel_a = [a for a in frame.atoms
+                 if _match(a.name, name_a) and _flag_ok(a.flag, flag_a)]
+        sel_b = [a for a in frame.atoms
+                 if _match(a.name, name_b) and _flag_ok(a.flag, flag_b)]
+        overlap = sum(1 for a in sel_a
+                      if _match(a.name, name_b)
+                      and _flag_ok(a.flag, flag_b))
+        if sel_a and sel_b:
+            pa = np.stack([a.xyz for a in sel_a])
+            pos_b = np.stack([a.xyz for a in sel_b])
+            ia = np.array([id(a) for a in sel_a])
+            ib = np.array([id(a) for a in sel_b])
+            d = pa[:, None, :] - pos_b[None, :, :]
+            fr = d @ binv
+            fr -= np.round(fr)
+            d = fr @ b
+            r = np.sqrt(np.sum(d * d, -1))
+            same = ia[:, None] == ib[None, :]
+            r = r[~same & (r < rmax)]
+            np.add.at(hist, np.minimum((r / dr).astype(int), nbins - 1),
+                      1.0)
+        norm += (len(sel_a) * len(sel_b) - overlap) / vol
+    edges = np.arange(nbins + 1) * dr
+    vshell = 4.0 * np.pi / 3.0 * (edges[1:] ** 3 - edges[:-1] ** 3)
+    with np.errstate(invalid="ignore"):
+        gr = hist / (norm * vshell) if norm > 0 else np.zeros(nbins)
+    return gr
+
+
+def density_python(frames, mol_name="*", flag="M", dims=(32, 32, 32),
+                   box=None):
+    """Reference COM density counts: mass-weighted molecule COM
+    (min-image unwrapped about the first atom; centroid when massless)
+    binned on a fractional grid.  Returns (grid, n_frames)."""
+    nx, ny, nz = (int(d) for d in dims)
+    grid = np.zeros((nx, ny, nz), np.float64)
+    n_frames = 0
+    for frame in frames:
+        b = _frame_box(frame, box)
+        binv = np.linalg.inv(b)
+        mols = {}
+        for a in frame.atoms:
+            if _match(a.mol_name, mol_name) and _flag_ok(a.flag, flag):
+                mols.setdefault(a.mol_id, []).append(a)
+        for atoms in mols.values():
+            r0 = np.asarray(atoms[0].xyz, np.float64)
+            d = np.stack([np.asarray(a.xyz, np.float64) - r0
+                          for a in atoms])
+            fr = d @ binv
+            fr -= np.round(fr)
+            d = fr @ b
+            m = np.array([a.mass for a in atoms])
+            if m.sum() > 0:
+                com = r0 + (m[:, None] * d).sum(0) / m.sum()
+            else:
+                com = r0 + d.mean(0)
+            f = com @ binv
+            f -= np.floor(f)
+            idx = np.clip((f * (nx, ny, nz)).astype(int), 0,
+                          (nx - 1, ny - 1, nz - 1))
+            grid[idx[0], idx[1], idx[2]] += 1.0
+        n_frames += 1
+    return grid, n_frames
+
+
+def rdf(path, name_a="*", name_b="*", flag_a="*", flag_b="*", box=None,
+        rmax=10.0, nbins=200, use_native=True):
+    """(r_centers, g) from a trajectory file — native when available."""
+    gr = None
+    if use_native:
+        gr = native.traj_rdf(path, name_a, name_b, flag_a, flag_b,
+                             box=box, rmax=rmax, nbins=nbins)
+    if gr is None:
+        gr = rdf_python(pqr.read_frames(path), name_a, name_b, flag_a,
+                        flag_b, box=box, rmax=rmax, nbins=nbins)
+    r = (np.arange(nbins) + 0.5) * (rmax / nbins)
+    return r, gr
+
+
+def density(path, mol_name="*", flag="M", resolution=0.7, box=None,
+            use_native=True):
+    """Per-frame-averaged COM density grid; returns (grid, dims, box).
+    ``box`` (3x3) is required when frames lack CRYST records; grid dims
+    follow PopulationHistogram (ceil(|cell vector| / resolution))."""
+    if box is None:
+        frames = pqr.read_frames(path)
+        if not frames or frames[0].box is None:
+            raise ValueError("no CRYST cell in trajectory; pass box=")
+        box = frames[0].box
+    box = np.asarray(box, np.float64)
+    lengths = np.linalg.norm(box, axis=1)
+    dims = tuple(int(d) for d in
+                 np.maximum(np.ceil(lengths / resolution), 1))
+    out = None
+    if use_native:
+        out = native.traj_density(path, mol_name, flag, dims, box=box)
+    if out is None:
+        out = density_python(pqr.read_frames(path), mol_name, flag,
+                             dims, box=box)
+    grid, n_frames = out
+    return grid / max(n_frames, 1), dims, box
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="python -m mpmc_tpu.analyze",
+        description="PQR trajectory analysis (RDF, COM density grids)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("rdf", help="radial distribution function")
+    pr.add_argument("traj")
+    pr.add_argument("--a", default="*", help="atom name selection A")
+    pr.add_argument("--b", default="*", help="atom name selection B")
+    pr.add_argument("--flag-a", default="*", choices=["*", "M", "F"])
+    pr.add_argument("--flag-b", default="*", choices=["*", "M", "F"])
+    pr.add_argument("--rmax", type=float, default=10.0)
+    pr.add_argument("--bins", type=int, default=200)
+    pr.add_argument("--out", default="-", help="CSV path (default stdout)")
+    pd = sub.add_parser("density", help="sorbate COM density -> OpenDX")
+    pd.add_argument("traj")
+    pd.add_argument("--mol", default="*", help="molecule name selection")
+    pd.add_argument("--flag", default="M", choices=["*", "M", "F"])
+    pd.add_argument("--resolution", type=float, default=0.7,
+                    help="target bin edge length (A)")
+    pd.add_argument("--out", required=True, help=".dx output path")
+    for p in (pr, pd):
+        p.add_argument("--no-native", action="store_true",
+                       help="force the numpy reference implementation")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "rdf":
+        r, g = rdf(args.traj, args.a, args.b, args.flag_a, args.flag_b,
+                   rmax=args.rmax, nbins=args.bins,
+                   use_native=not args.no_native)
+        out = sys.stdout if args.out == "-" else open(args.out, "w")
+        try:
+            out.write("r,g\n")
+            for ri, gi in zip(r, g):
+                out.write(f"{ri:.6f},{gi:.8f}\n")
+        finally:
+            if out is not sys.stdout:
+                out.close()
+    else:
+        grid, dims, box = density(args.traj, args.mol, args.flag,
+                                  resolution=args.resolution,
+                                  use_native=not args.no_native)
+        from mpmc_tpu.utils.histogram import PopulationHistogram
+        h = PopulationHistogram.__new__(PopulationHistogram)
+        h.box = box
+        h.dims = np.asarray(dims)
+        h.counts = grid
+        h.n_frames = 1          # grid is already per-frame averaged
+        h.write_dx(args.out)
+        print(f"wrote {args.out}: dims {dims}, "
+              f"total density {grid.sum():.3f} molecules/frame")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,14 +34,25 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when any native source is newer than the built library."""
+    try:
+        t_so = os.path.getmtime(_SO)
+        return any(os.path.getmtime(os.path.join(_DIR, f)) > t_so
+                   for f in os.listdir(_DIR)
+                   if f.endswith((".cpp", ".h", "Makefile")))
+    except OSError:
+        return False
+
+
 def load() -> Optional[ctypes.CDLL]:
     """The shared library, building it on first use; None if unavailable."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) and os.path.exists(
-            os.path.join(_DIR, "mpmc_io.cpp")):
+    if ((not os.path.exists(_SO) or _stale()) and os.path.exists(
+            os.path.join(_DIR, "mpmc_io.cpp"))):
         _build()
     if not os.path.exists(_SO):
         return None
@@ -74,6 +85,16 @@ def load() -> Optional[ctypes.CDLL]:
     lib.dx_write.restype = ctypes.c_long
     lib.dx_write.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
+    lib.traj_rdf.restype = ctypes.c_long
+    lib.traj_rdf.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char, ctypes.c_char, ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_long, ctypes.POINTER(ctypes.c_double)]
+    lib.traj_density.restype = ctypes.c_long
+    lib.traj_density.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return _lib
@@ -223,3 +244,76 @@ def dx_write(path: str, box: np.ndarray, dims, data: np.ndarray) -> bool:
                      deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                      flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return r == nx * ny * nz
+
+
+def _cell_ptr(box):
+    """(a b c alpha beta gamma) ctypes array from a 3x3 basis (or a
+    6-vector passed through); None box -> NULL (frames must carry
+    CRYST records then)."""
+    if box is None:
+        return None
+    box = np.asarray(box, np.float64)
+    if box.shape == (3, 3):
+        from mpmc_tpu.ops.pbc import abc_from_cell
+        abc = abc_from_cell(box)
+    else:
+        abc = box.reshape(6)
+    return (ctypes.c_double * 6)(*[float(v) for v in abc])
+
+
+def traj_rdf(path: str, name_a: str = "*", name_b: str = "*",
+             flag_a: str = "*", flag_b: str = "*", box=None,
+             rmax: float = 10.0, nbins: int = 200):
+    """Native g(r) over a trajectory; None if the library is unavailable.
+    Raises ValueError when a frame has no usable cell."""
+    lib = load()
+    if lib is None:
+        return None
+    h = lib.pqr_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        err = lib.pqr_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        gr = np.zeros(nbins, np.float64)
+        r = lib.traj_rdf(
+            h, name_a.encode(), name_b.encode(),
+            (flag_a.encode() + b"*")[:1], (flag_b.encode() + b"*")[:1],
+            _cell_ptr(box),
+            float(rmax), int(nbins),
+            gr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if r < 0:
+            raise ValueError(f"{path}: no usable cell for RDF (pass box=)")
+        return gr
+    finally:
+        lib.pqr_close(h)
+
+
+def traj_density(path: str, mol_name: str = "*", flag: str = "M",
+                 dims=(32, 32, 32), box=None):
+    """Native molecule-COM density counts grid [nx,ny,nz] accumulated
+    over every frame (PopulationHistogram layout; divide by the returned
+    frame count for a per-frame average).  Returns (grid, n_frames);
+    None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    h = lib.pqr_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        err = lib.pqr_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        nx, ny, nz = (int(d) for d in dims)
+        grid = np.zeros((nx, ny, nz), np.float64)
+        r = lib.traj_density(
+            h, mol_name.encode(), (flag.encode() + b"*")[:1], nx, ny, nz,
+            _cell_ptr(box),
+            grid.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if r < 0:
+            raise ValueError(f"{path}: no usable cell (pass box=)")
+        return grid, int(r)
+    finally:
+        lib.pqr_close(h)

@@ -1,0 +1,242 @@
+// Native trajectory-analysis runtime for mpmc_tpu: radial distribution
+// functions and sorbate COM density grids over multi-frame PQR
+// trajectories.
+//
+// The reference ships its analysis inside the C runtime (SURVEY.md §2
+// "Histogram"/"OpenDX writer" — src/main/histogram.c accumulates sorbate
+// population grids during the run); post-hoc trajectory analysis of the
+// same observables is the natural native companion.  A 10k-atom,
+// thousand-frame trajectory is ~10^7 ATOM lines and ~10^10 pair
+// distances — line parsing lives in mpmc_io.cpp (same .so), and the
+// O(frames * Na * Nb) pair loops below run at memory bandwidth in C++
+// where numpy needs per-frame temporaries.  Python fallbacks in
+// mpmc_tpu/analyze.py are the reference implementation and are
+// cross-validated in tests/test_analyze.py.
+//
+// Exposed as a plain C ABI via ctypes (mpmc_tpu/io/native.py).  The
+// trajectory handle is the File* returned by pqr_open (mpmc_io.cpp);
+// both TUs compile into libmpmc_io.so and share the in-memory model
+// via mpmc_common.h.
+
+#include <cctype>
+#include <cmath>
+#include <cstring>
+#include <map>
+#include <string>
+#include <vector>
+
+#include "mpmc_common.h"
+
+using mpmc_native::Atom;
+using mpmc_native::File;
+using mpmc_native::Frame;
+
+namespace {
+
+struct Cell {
+    double b[3][3];     // row-vector basis
+    double inv[3][3];
+    double volume;
+};
+
+// Row basis from (a,b,c,alpha,beta,gamma[deg]) — the CRYST1 convention,
+// identical to ops/pbc.py::cell_from_abc (a along x, b in xy).
+bool cell_from_abc(const double* abc, Cell* c) {
+    const double deg = M_PI / 180.0;
+    double a = abc[0], b = abc[1], cc = abc[2];
+    double al = abc[3] * deg, be = abc[4] * deg, ga = abc[5] * deg;
+    if (a <= 0 || b <= 0 || cc <= 0) return false;
+    double bx = b * std::cos(ga), by = b * std::sin(ga);
+    double cx = cc * std::cos(be);
+    double cy = cc * (std::cos(al) - std::cos(be) * std::cos(ga))
+                / std::sin(ga);
+    double cz2 = cc * cc - cx * cx - cy * cy;
+    if (cz2 <= 0) return false;
+    double m[3][3] = {{a, 0, 0}, {bx, by, 0}, {cx, cy, std::sqrt(cz2)}};
+    std::memcpy(c->b, m, sizeof m);
+    // inverse of a lower-triangular row basis
+    double det = m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+               - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+               + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]);
+    if (det == 0) return false;
+    c->volume = std::fabs(det);
+    double inv[3][3] = {
+        {(m[1][1] * m[2][2] - m[1][2] * m[2][1]) / det,
+         (m[0][2] * m[2][1] - m[0][1] * m[2][2]) / det,
+         (m[0][1] * m[1][2] - m[0][2] * m[1][1]) / det},
+        {(m[1][2] * m[2][0] - m[1][0] * m[2][2]) / det,
+         (m[0][0] * m[2][2] - m[0][2] * m[2][0]) / det,
+         (m[0][2] * m[1][0] - m[0][0] * m[1][2]) / det},
+        {(m[1][0] * m[2][1] - m[1][1] * m[2][0]) / det,
+         (m[0][1] * m[2][0] - m[0][0] * m[2][1]) / det,
+         (m[0][0] * m[1][1] - m[0][1] * m[1][0]) / det}};
+    std::memcpy(c->inv, inv, sizeof inv);
+    return true;
+}
+
+bool frame_cell(const Frame& fr, const double* fallback, Cell* c) {
+    if (fr.has_box && cell_from_abc(fr.box, c)) return true;
+    return fallback && cell_from_abc(fallback, c);
+}
+
+// minimum-image displacement (valid for r < half min perpendicular width)
+inline void min_image(const Cell& c, double dx, double dy, double dz,
+                      double* out) {
+    double f[3];
+    for (int k = 0; k < 3; ++k) {
+        f[k] = dx * c.inv[0][k] + dy * c.inv[1][k] + dz * c.inv[2][k];
+        f[k] -= std::nearbyint(f[k]);
+    }
+    for (int k = 0; k < 3; ++k)
+        out[k] = f[0] * c.b[0][k] + f[1] * c.b[1][k] + f[2] * c.b[2][k];
+}
+
+// case-insensitive: PQR names are uppercased on output while users
+// type species as given in their input decks ("Ar" vs "AR")
+inline bool name_match(const char* name, const char* pat) {
+    if (pat[0] == '*') return true;
+    for (;; ++name, ++pat) {
+        int a = std::toupper(static_cast<unsigned char>(*name));
+        int b = std::toupper(static_cast<unsigned char>(*pat));
+        if (a != b) return false;
+        if (!a) return true;
+    }
+}
+
+// flag selector: 0/'*' = all, 'M' = movable only, 'F' = frozen only
+inline bool flag_match(char flag, char sel) {
+    if (sel == 0 || sel == '*') return true;
+    return (flag == 'F') == (sel == 'F');
+}
+
+}  // namespace
+
+extern "C" {
+
+// g(r) between atom-name selections over every frame of an open
+// trajectory handle.  Ordered pairs (i in A, j in B, i != j) are binned
+// by minimum-image distance; normalization uses the per-frame ideal-gas
+// pair density (sum of Na*Nb - |A∩B| over V), so GCMC trajectories with
+// varying N and NPT trajectories with varying V normalize correctly.
+// Returns frames processed; -1 if any frame lacks a usable cell, -2 on
+// bad arguments.  gr_out: [nbins] g(r) at bin centers r = (k+0.5)*dr.
+long traj_rdf(void* h, const char* name_a, const char* name_b,
+              char flag_a, char flag_b, const double* fallback_cell,
+              double rmax, long nbins, double* gr_out) {
+    auto* file = static_cast<File*>(h);
+    if (!file || nbins <= 0 || rmax <= 0) return -2;
+    const double dr = rmax / static_cast<double>(nbins);
+    std::vector<double> hist(nbins, 0.0);
+    double norm = 0.0;   // sum over frames of (ordered pair count) / V
+    long n_frames = 0;
+    std::vector<const Atom*> sa, sb;
+    for (const Frame& fr : file->frames) {
+        Cell cell;
+        if (!frame_cell(fr, fallback_cell, &cell)) return -1;
+        sa.clear();
+        sb.clear();
+        for (const Atom& a : fr.atoms) {
+            if (name_match(a.name, name_a) && flag_match(a.flag, flag_a))
+                sa.push_back(&a);
+            if (name_match(a.name, name_b) && flag_match(a.flag, flag_b))
+                sb.push_back(&a);
+        }
+        long overlap = 0;
+        for (const Atom* a : sa)
+            if (name_match(a->name, name_b) && flag_match(a->flag, flag_b))
+                ++overlap;
+        const double r2max = rmax * rmax;
+        for (const Atom* a : sa) {
+            for (const Atom* b : sb) {
+                if (a == b) continue;
+                double d[3];
+                min_image(cell, a->x - b->x, a->y - b->y, a->z - b->z, d);
+                double r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2];
+                if (r2 < r2max) {
+                    long k = static_cast<long>(std::sqrt(r2) / dr);
+                    if (k >= nbins) k = nbins - 1;
+                    hist[k] += 1.0;
+                }
+            }
+        }
+        double npairs = static_cast<double>(sa.size()) * sb.size()
+                      - static_cast<double>(overlap);
+        norm += npairs / cell.volume;
+        ++n_frames;
+    }
+    const double four_thirds_pi = 4.0 * M_PI / 3.0;
+    for (long k = 0; k < nbins; ++k) {
+        double r0 = k * dr, r1 = (k + 1) * dr;
+        double vshell = four_thirds_pi * (r1 * r1 * r1 - r0 * r0 * r0);
+        gr_out[k] = norm > 0.0 ? hist[k] / (norm * vshell) : 0.0;
+    }
+    return n_frames;
+}
+
+// Accumulate molecule-COM counts into an [nx,ny,nz] fractional grid
+// (C order, x slowest — the PopulationHistogram layout).  Molecules are
+// grouped by mol_id within each frame and selected by mol_name pattern +
+// flag; the COM is mass-weighted with the molecule unwrapped via
+// minimum image about its first atom (centroid when the mass sum is 0).
+// Returns frames processed; -1 if any frame lacks a usable cell, -2 on
+// bad arguments.  grid must be zero-initialized by the caller.
+long traj_density(void* h, const char* mol_name, char flag_sel,
+                  long nx, long ny, long nz, const double* fallback_cell,
+                  double* grid) {
+    auto* file = static_cast<File*>(h);
+    if (!file || nx <= 0 || ny <= 0 || nz <= 0) return -2;
+    long n_frames = 0;
+    std::map<long, std::vector<const Atom*>> mols;
+    for (const Frame& fr : file->frames) {
+        Cell cell;
+        if (!frame_cell(fr, fallback_cell, &cell)) return -1;
+        mols.clear();
+        for (const Atom& a : fr.atoms)
+            if (name_match(a.mol_name, mol_name)
+                && flag_match(a.flag, flag_sel))
+                mols[a.mol_id].push_back(&a);
+        for (const auto& kv : mols) {
+            const auto& atoms = kv.second;
+            const Atom* a0 = atoms[0];
+            double msum = 0.0, com[3] = {0, 0, 0};
+            for (const Atom* a : atoms) {
+                double d[3];
+                min_image(cell, a->x - a0->x, a->y - a0->y, a->z - a0->z,
+                          d);
+                double w = a->mass;
+                msum += w;
+                for (int k = 0; k < 3; ++k) com[k] += w * d[k];
+            }
+            if (msum <= 0.0) {   // massless selection: plain centroid
+                msum = static_cast<double>(atoms.size());
+                com[0] = com[1] = com[2] = 0.0;
+                for (const Atom* a : atoms) {
+                    double d[3];
+                    min_image(cell, a->x - a0->x, a->y - a0->y,
+                              a->z - a0->z, d);
+                    for (int k = 0; k < 3; ++k) com[k] += d[k];
+                }
+            }
+            double p[3] = {a0->x + com[0] / msum, a0->y + com[1] / msum,
+                           a0->z + com[2] / msum};
+            double f[3];
+            for (int k = 0; k < 3; ++k) {
+                f[k] = p[0] * cell.inv[0][k] + p[1] * cell.inv[1][k]
+                     + p[2] * cell.inv[2][k];
+                f[k] -= std::floor(f[k]);
+            }
+            long dims[3] = {nx, ny, nz};
+            long idx[3];
+            for (int k = 0; k < 3; ++k) {
+                idx[k] = static_cast<long>(f[k] * dims[k]);
+                if (idx[k] >= dims[k]) idx[k] = dims[k] - 1;
+                if (idx[k] < 0) idx[k] = 0;
+            }
+            grid[(idx[0] * ny + idx[1]) * nz + idx[2]] += 1.0;
+        }
+        ++n_frames;
+    }
+    return n_frames;
+}
+
+}  // extern "C"

@@ -22,30 +22,14 @@
 #include <string>
 #include <vector>
 
+#include "mpmc_common.h"
+
+using mpmc_native::Atom;
+using mpmc_native::File;
+using mpmc_native::Frame;
+using mpmc_native::kNameLen;
+
 namespace {
-
-constexpr int kNameLen = 8;   // fixed-width strings handed to Python
-
-struct Atom {
-    long serial;
-    char name[kNameLen];
-    char mol_name[kNameLen];
-    long mol_id;
-    char flag;
-    double x, y, z, mass, charge, polar, eps, sig;
-    double omega, c6, c8, c10, gwp_alpha;
-};
-
-struct Frame {
-    std::vector<Atom> atoms;
-    bool has_box = false;
-    double box[6] = {0, 0, 0, 0, 0, 0};   // a b c alpha beta gamma
-};
-
-struct File {
-    std::vector<Frame> frames;
-    std::string error;
-};
 
 // split a line into whitespace tokens (in place, zero-copy)
 int tokenize(char* line, char** tok, int max_tok) {

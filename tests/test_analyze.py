@@ -1,0 +1,147 @@
+"""Trajectory analysis (mpmc_tpu/analyze.py + native/mpmc_analyze.cpp):
+native-vs-numpy cross-validation, ideal-gas g(r) physics check, density
+grid conservation, CLI round trip."""
+import numpy as np
+import pytest
+
+from mpmc_tpu import analyze
+from mpmc_tpu.io import native, pqr
+
+
+def _atom(serial, name, mol_name, mol_id, flag, xyz, mass=1.0):
+    return pqr.PqrAtom(serial=serial, name=name, mol_name=mol_name,
+                       mol_id=mol_id, flag=flag,
+                       xyz=np.asarray(xyz, np.float64), mass=mass,
+                       charge=0.0, polar=0.0, eps=10.0, sig=3.0)
+
+
+def _write_traj(path, frames, box):
+    for k, atoms in enumerate(frames):
+        pqr.write(str(path), atoms, mode="w" if k == 0 else "a",
+                  remark=f"frame {k}", box=box, use_native=False)
+
+
+def _triclinic_traj(tmp_path, n_frames=4, n_ar=40, n_he=12, seed=3):
+    """Mixed Ar/He fluid + a couple of frozen sites, triclinic cell."""
+    box = np.array([[14.0, 0.0, 0.0],
+                    [2.0, 13.0, 0.0],
+                    [1.0, -1.5, 12.0]])
+    rng = np.random.default_rng(seed)
+    frames = []
+    for _ in range(n_frames):
+        atoms, serial = [], 1
+        for i in range(n_ar):
+            frac = rng.uniform(0, 1, 3)
+            atoms.append(_atom(serial, "AR", "AR", serial, "M",
+                               frac @ box, mass=39.9))
+            serial += 1
+        for i in range(n_he):
+            frac = rng.uniform(0, 1, 3)
+            atoms.append(_atom(serial, "HE", "HE", serial, "M",
+                               frac @ box, mass=4.0))
+            serial += 1
+        # frozen framework sites named AR too: exercises flag selection
+        atoms.append(_atom(serial, "AR", "MOF", serial, "F",
+                           [0.5, 0.5, 0.5]))
+        frames.append(atoms)
+    path = tmp_path / "traj.pqr"
+    _write_traj(path, frames, box)
+    return str(path), box, frames
+
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native library unavailable")
+
+
+@needs_native
+@pytest.mark.parametrize("sel", [("AR", "AR", "*", "*"),
+                                 ("AR", "HE", "*", "*"),
+                                 ("*", "*", "M", "M"),
+                                 ("AR", "AR", "M", "F")])
+def test_rdf_native_matches_python(tmp_path, sel):
+    path, box, _ = _triclinic_traj(tmp_path)
+    a, b, fa, fb = sel
+    gr_n = native.traj_rdf(path, a, b, fa, fb, rmax=5.5, nbins=64)
+    frames = pqr.read_frames(path)
+    gr_p = analyze.rdf_python(frames, a, b, fa, fb, rmax=5.5, nbins=64)
+    np.testing.assert_allclose(gr_n, gr_p, rtol=1e-12, atol=1e-12)
+
+
+def test_rdf_ideal_gas_is_unity(tmp_path):
+    """Uniform random points -> g(r) = 1 (the normalization contract)."""
+    box = np.eye(3) * 16.0
+    rng = np.random.default_rng(11)
+    frames = []
+    for _ in range(24):
+        atoms = [_atom(i + 1, "ID", "ID", i + 1, "M",
+                       rng.uniform(0, 16, 3)) for i in range(150)]
+        frames.append(atoms)
+    path = tmp_path / "ideal.pqr"
+    _write_traj(path, frames, box)
+    r, g = analyze.rdf(str(path), "ID", "ID", rmax=7.0, nbins=14)
+    # skip the innermost bins (few counts); the rest must average to 1
+    assert abs(np.mean(g[3:]) - 1.0) < 0.03
+    assert np.all(np.abs(g[3:] - 1.0) < 0.2)
+
+
+@needs_native
+def test_density_native_matches_python(tmp_path):
+    path, box, frames_in = _triclinic_traj(tmp_path)
+    dims = (9, 8, 7)
+    grid_n, nf_n = native.traj_density(path, "AR", "M", dims, box=box)
+    frames = pqr.read_frames(path)
+    grid_p, nf_p = analyze.density_python(frames, "AR", "M", dims,
+                                          box=box)
+    assert nf_n == nf_p == len(frames_in)
+    np.testing.assert_allclose(grid_n, grid_p, atol=1e-12)
+    # every movable AR molecule lands in exactly one bin
+    assert grid_n.sum() == pytest.approx(40 * len(frames_in))
+
+
+def test_density_multisite_com_binning(tmp_path):
+    """A 2-site molecule straddling the boundary bins at its COM (the
+    min-image unwrap about atom 0), not at the naive mean."""
+    box = np.eye(3) * 10.0
+    # heavy site at x=9.8, light at x=0.2 (wrapped): unwrapped COM is
+    # 9.9 -> bin 9; the naive in-cell mass mean would be 7.4 -> bin 7.
+    # y/z sit at 5.2, OFF the bin boundary — exactly-on-boundary points
+    # bin to 4 or 5 depending on the CRYST round-trip's 1e-16 noise.
+    atoms = [_atom(1, "A", "D2", 1, "M", [9.8, 5.2, 5.2], mass=3.0),
+             _atom(2, "B", "D2", 1, "M", [0.2, 5.2, 5.2], mass=1.0)]
+    path = tmp_path / "d.pqr"
+    _write_traj(path, [atoms], box)
+    frames = pqr.read_frames(str(path))
+    grid, nf = analyze.density_python(frames, "D2", "M", (10, 10, 10),
+                                      box=box)
+    assert nf == 1
+    assert grid[9, 5, 5] == 1.0 and grid.sum() == 1.0
+    if native.available():
+        gn, _ = native.traj_density(str(path), "D2", "M", (10, 10, 10),
+                                    box=box)
+        np.testing.assert_allclose(gn, grid)
+
+
+def test_cli_rdf_and_density(tmp_path):
+    path, box, _ = _triclinic_traj(tmp_path)
+    out_csv = tmp_path / "rdf.csv"
+    assert analyze.main(["rdf", path, "--a", "AR", "--b", "AR",
+                         "--rmax", "5", "--bins", "40",
+                         "--out", str(out_csv)]) == 0
+    rows = out_csv.read_text().strip().splitlines()
+    assert rows[0] == "r,g" and len(rows) == 41
+    out_dx = tmp_path / "dens.dx"
+    assert analyze.main(["density", path, "--mol", "AR",
+                         "--resolution", "1.5",
+                         "--out", str(out_dx)]) == 0
+    from mpmc_tpu.utils.histogram import read_dx
+    grid = read_dx(str(out_dx))
+    assert grid.sum() == pytest.approx(40.0)    # per-frame average count
+
+
+def test_cli_python_fallback_matches_native(tmp_path):
+    path, box, _ = _triclinic_traj(tmp_path)
+    r1, g1 = analyze.rdf(path, "AR", "AR", rmax=5.0, nbins=50,
+                         use_native=True)
+    r2, g2 = analyze.rdf(path, "AR", "AR", rmax=5.0, nbins=50,
+                         use_native=False)
+    np.testing.assert_allclose(g1, g2, atol=1e-12)
