@@ -161,9 +161,9 @@ class RunConfig:
     mol_cache: bool = False
     fused_kernels: bool = True
     # fused multi-step MC kernel (ops/pallas/mc_kernel.py): K whole
-    # displacement steps per Pallas launch for monatomic NVT fluids —
-    # the single-chain latency path.  Opt-in; silently falls back to the
-    # scan path when mc_kernel.supported() rejects the configuration.
+    # translate+rotate steps per Pallas launch for rigid small-molecule
+    # NVT — the single-chain latency path.  Opt-in; silently falls back
+    # to the scan path when mc_kernel.supported() rejects the config.
     fused_mc: bool = False
 
     @property

@@ -308,7 +308,7 @@ def parse(text: str) -> Job:
             # staggered restarts, SURVEY §2 "MPI layer" [L])
             job.parallel_restarts = _onoff(v0) if vals else True
         elif key == "fused_mc":
-            # fused multi-step displacement kernel (monatomic NVT)
+            # fused multi-step translate+rotate kernel (rigid NVT)
             cfg_kw["fused_mc"] = _onoff(v0) if vals else True
         elif key == "allow_charged_cell":
             # downgrade the setup-time net-charge Ewald error to a warning

@@ -745,11 +745,12 @@ def make_step_fn(params: Params, cfg: RunConfig):
 
 def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
                     thermo: Thermo, n_steps: int):
-    """K Metropolis displacement steps in ONE Pallas launch — the
+    """K Metropolis translate+rotate steps in ONE Pallas launch — the
     single-chain latency path (ops/pallas/mc_kernel.py; VERDICT r1
     item 3).  Caller must have checked mc_kernel.supported(cfg, params).
     Same (state, stats) contract as run_chunk; the move-type table is
-    displacement-only (supported() restricts to monatomic NVT)."""
+    displacement-only (supported() restricts to rigid small-molecule
+    NVT)."""
     import numpy as np
 
     from mpmc_tpu.ops.pallas import mc_kernel
@@ -758,13 +759,15 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
     alpha = pairs.derived_alpha(rc, cfg)
     key_next, k_u = jax.random.split(state.key)
     u = mc_kernel.draw_uniforms(k_u, n_steps)
-    mov = mc_kernel.movable_atoms(params, np.asarray(state.mol_alive))
+    mv_start, mv_natoms, a_max = mc_kernel.movable_mols(
+        params, np.asarray(state.mol_alive))
     thr = cfg.cavity_autoreject_absolute
     new_pos, d_rd, d_es, n_acc = mc_kernel.run_steps(
-        state.pos, params.eps, params.sig, params.charge,
-        state.atom_alive(params), mov, state.box, rc, alpha,
-        1.0 / thermo.temperature, thermo.move_factor, thr * thr, u,
-        cfg, n_steps, state.pos.shape[0],
+        state.pos, params.eps, params.sig, params.charge, params.mass,
+        state.atom_alive(params), mv_start, mv_natoms, state.box, rc,
+        alpha, 1.0 / thermo.temperature, thermo.move_factor,
+        thermo.rot_factor, thr * thr, u, cfg, n_steps,
+        state.pos.shape[0], a_max=a_max,
         interpret=jax.default_backend() != "tpu")
     dtype = cfg.jdtype
     new_energy = dataclasses.replace(

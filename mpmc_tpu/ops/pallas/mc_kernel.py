@@ -4,28 +4,35 @@ Single-chain MC latency is bound by the per-step chain of small XLA ops
 inside ``lax.scan`` (delta tile, bookkeeping selects), not by FLOPs —
 SURVEY.md §3.1's hot loop, VERDICT r1 item 3.  This kernel runs K whole
 Metropolis displacement steps per launch with the entire system state
-resident in VMEM: per step it draws the target atom and trial
-displacement from PRE-DRAWN uniforms, evaluates the old+new pair energy
-against all atoms in fused column tiles, applies the acceptance rule,
-and commits the position update in place.  One launch ~ K steps; no
-HBM round-trips between steps.
+resident in VMEM: per step it draws the target molecule and the
+translate+rotate trial from PRE-DRAWN uniforms, evaluates the old+new
+pair energy against all atoms in fused column tiles, applies the
+acceptance rule, and commits the position update in place.  One launch
+~ K steps; no HBM round-trips between steps.
 
-Scope (static gate ``supported``): ensemble nvt, every movable molecule
-monatomic (single-site species — the BASELINE config-1 LJ-fluid shape),
-rd lj/none, coulomb none|cutoff|wolf (Ewald's k-space bookkeeping stays
-on the scan path), no FH/FK, no polarization/cdvdw, f32.
+Scope (static gate ``supported``): ensemble nvt, rigid movable
+molecules of <= MAX_SITES atoms (monatomic LJ fluids through small
+rigid sorbates like 3-site H2), rd lj/none, coulomb none|cutoff|wolf
+(Ewald's k-space bookkeeping stays on the scan path), no FH/FK, no
+polarization/cdvdw, f32.  The move mirrors mc/moves.displace_rows
+exactly: uniform translation in a cube of half-width move_factor PLUS
+rotation about the mass-weighted COM by a uniform angle in
+[0, rot_factor) about a uniform random axis (a normalized Gaussian and
+sphere point picking draw from the same distribution).
 
-Random numbers are drawn OUTSIDE with jax.random (``draw_uniforms``) and
-passed in as a [K, 8] table: lane 0 picks the molecule, 1-3 the
-displacement, 4 the acceptance coin.  This keeps the kernel trivially
-testable — a pure-jnp reference consuming the same table must produce
-the bit-identical trajectory (tests/test_fused_mc.py) — at the cost of
-K*8 f32 of input per launch (negligible).
+Random numbers are drawn OUTSIDE with jax.random (``draw_uniforms``)
+and passed in as a [K, 8] table: lane 0 picks the molecule, 1-3 the
+displacement, 4 the acceptance coin, 5-7 the rotation (axis z,
+axis azimuth, angle).  This keeps the kernel trivially testable — a
+pure-numpy reference consuming the same table must produce the
+bit-identical trajectory (tests/test_fused_mc.py) — at the cost of K*8
+f32 of input per launch (negligible).
 
 The per-pair formulas mirror ops/pairs._tile_values for the supported
-configs; energies accumulate per-term so the caller updates
-EnergyBreakdown exactly like the scan path (delta accumulation washed
-by the per-corrtime initialize, same contract).
+configs (inter-molecular pairs only — the moved molecule's own columns
+are excluded, matching the same_mol mask); energies accumulate per-term
+so the caller updates EnergyBreakdown exactly like the scan path (delta
+accumulation washed by the per-corrtime initialize, same contract).
 """
 from __future__ import annotations
 
@@ -40,7 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 from mpmc_tpu.constants import KE
 
 TJ = 1024      # column tile
-ROW_X, ROW_Y, ROW_Z, ROW_EPS, ROW_SIG, ROW_Q, ROW_ALIVE = range(7)
+MAX_SITES = 8  # supported() cap on movable-molecule size
+(ROW_X, ROW_Y, ROW_Z, ROW_EPS, ROW_SIG, ROW_Q, ROW_ALIVE,
+ ROW_MASS) = range(8)
 
 
 def _round_up(x, m):
@@ -91,7 +100,7 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
 
 
 def _kernel(scal_ref, u_ref, tbl_ref, data_in_ref, data_ref, out_ref, *,
-            cfg, n_steps, n_pad, n_real):
+            cfg, n_steps, n_pad, n_real, a_max):
     # data_in_ref aliases data_ref (input_output_aliases) — all access
     # goes through the output ref
     del data_in_ref
@@ -101,10 +110,12 @@ def _kernel(scal_ref, u_ref, tbl_ref, data_in_ref, data_ref, out_ref, *,
     mf = scal_ref[0, 3]
     n_mov = scal_ref[0, 4]          # float count of movable molecules
     thr2 = scal_ref[0, 5]           # autoreject r_min^2 (0 = off)
+    rotf = scal_ref[0, 6]           # max rotation angle (rad)
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
 
     n_tiles = n_pad // TJ
+    MW = 256 if a_max > 1 else 128      # molecule-tile width
 
     def step(k, carry):
         d_rd, d_es, n_acc = carry
@@ -113,40 +124,81 @@ def _kernel(scal_ref, u_ref, tbl_ref, data_in_ref, data_ref, out_ref, *,
         # ("index must be a multiple of 128"), so every scalar access
         # loads the 128-aligned tile containing the element and
         # mask-reduces it out; the update store blends the same tile.
+        # Multi-site molecules are contiguous atom rows [start, start+A)
+        # and may straddle a 128 boundary -> a 256-wide tile clamped to
+        # the array end always covers them (A <= MAX_SITES << 128).
         m = jnp.minimum((u_ref[k, 0] * n_mov).astype(jnp.int32),
                         (n_mov - 1.0).astype(jnp.int32))
         mt0 = pl.multiple_of((m // 128) * 128, 128)
-        ttile = tbl_ref[pl.dslice(0, 1), pl.dslice(mt0, 128)]  # [1,128]
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        i = jnp.sum(jnp.where(lane1 == (m - mt0), ttile, 0))
+        ttile = tbl_ref[pl.dslice(0, 2), pl.dslice(mt0, 128)]  # [2,128]
+        tlane = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+        trow = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
+        tsel = tlane == (m - mt0)
+        start = jnp.sum(jnp.where(tsel & (trow == 0), ttile, 0))
+        n_at = jnp.sum(jnp.where(tsel & (trow == 1), ttile, 0))
 
-        j0 = pl.multiple_of((i // 128) * 128, 128)
-        off = i - j0
-        itile = data_ref[pl.dslice(0, 8), pl.dslice(j0, 128)]  # [8,128]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        sel = lane == off
+        j0 = pl.multiple_of(
+            jnp.minimum((start // 128) * 128, n_pad - MW), 128)
+        off = start - j0
+        itile = data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)]  # [8,MW]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, MW), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, MW), 0)
 
-        def pick(row):
+        def pick(a, row):
+            sel = lane == off + a
             return jnp.sum(jnp.where(sel & (sub == row), itile, 0.0))
 
-        old = [pick(r) for r in (ROW_X, ROW_Y, ROW_Z)]
-        eps_i = pick(ROW_EPS)
-        sig_i = pick(ROW_SIG)
-        q_i = pick(ROW_Q)
-        new = [old[a] + (2.0 * u_ref[k, 1 + a] - 1.0) * mf
-               for a in range(3)]
+        valid = [jnp.asarray(a, jnp.int32) < n_at for a in range(a_max)]
+        old = [[pick(a, r) for r in (ROW_X, ROW_Y, ROW_Z)]
+               for a in range(a_max)]
+        eps_i = [pick(a, ROW_EPS) for a in range(a_max)]
+        sig_i = [pick(a, ROW_SIG) for a in range(a_max)]
+        q_i = [pick(a, ROW_Q) for a in range(a_max)]
+
+        disp = [(2.0 * u_ref[k, 1 + c] - 1.0) * mf for c in range(3)]
+        if a_max == 1:
+            new = [[old[0][c] + disp[c] for c in range(3)]]
+        else:
+            # mass-weighted COM, then translate + rotate about it
+            mass = [jnp.where(valid[a], pick(a, ROW_MASS), 0.0)
+                    for a in range(a_max)]
+            msum = sum(mass)
+            com = [sum(mass[a] * old[a][c] for a in range(a_max))
+                   / jnp.maximum(msum, 1e-30) for c in range(3)]
+            # uniform axis (sphere point picking) + uniform angle
+            az = 2.0 * u_ref[k, 5] - 1.0
+            aphi = 2.0 * np.float32(np.pi) * u_ref[k, 6]
+            s = jnp.sqrt(jnp.maximum(1.0 - az * az, 0.0))
+            ax, ay = s * jnp.cos(aphi), s * jnp.sin(aphi)
+            ang = u_ref[k, 7] * rotf
+            ca, sa = jnp.cos(ang), jnp.sin(ang)
+            omc = 1.0 - ca
+            R = [[ca + ax * ax * omc, ax * ay * omc - az * sa,
+                  ax * az * omc + ay * sa],
+                 [ay * ax * omc + az * sa, ca + ay * ay * omc,
+                  ay * az * omc - ax * sa],
+                 [az * ax * omc - ay * sa, az * ay * omc + ax * sa,
+                  ca + az * az * omc]]
+            new = []
+            for a in range(a_max):
+                rel = [old[a][c] - com[c] for c in range(3)]
+                new.append([com[c] + disp[c]
+                            + sum(R[c][d] * rel[d] for d in range(3))
+                            for c in range(3)])
 
         # --- old+new delta pass over column tiles ---------------------------
         def col(jt, acc):
             rd_o, es_o, rd_n, es_n, mr2 = acc
-            j0 = jt * TJ
-            blk = data_ref[pl.dslice(0, 8), pl.dslice(j0, TJ)]
+            c0 = jt * TJ
+            blk = data_ref[pl.dslice(0, 8), pl.dslice(c0, TJ)]
             px, py, pz = blk[ROW_X], blk[ROW_Y], blk[ROW_Z]
             eps_j, sig_j = blk[ROW_EPS], blk[ROW_SIG]
             q_j, alive_j = blk[ROW_Q], blk[ROW_ALIVE]
-            cols = j0 + jax.lax.broadcasted_iota(jnp.int32, (TJ,), 0)
-            ok = (alive_j > 0) & (cols != i) & (cols < n_real)
+            cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (TJ,), 0)
+            # inter-molecular only: the moved molecule's own columns are
+            # excluded (ops/pairs._block_terms same_mol mask)
+            ok = ((alive_j > 0) & (cols < n_real)
+                  & ((cols < start) | (cols >= start + n_at)))
 
             def mimg(dx, dy, dz):
                 fr = [dx * binv[0][a] + dy * binv[1][a] + dz * binv[2][a]
@@ -155,16 +207,20 @@ def _kernel(scal_ref, u_ref, tbl_ref, data_in_ref, data_ref, out_ref, *,
                 return [fr[0] * box[0][b] + fr[1] * box[1][b]
                         + fr[2] * box[2][b] for b in range(3)]
 
-            do = mimg(old[0] - px, old[1] - py, old[2] - pz)
-            dn = mimg(new[0] - px, new[1] - py, new[2] - pz)
-            r_o, e_o, _ = _pair_terms(do[0], do[1], do[2], eps_j, sig_j,
-                                      q_j, ok, eps_i, sig_i, q_i, rc,
-                                      alpha, cfg)
-            r_n, e_n, m2 = _pair_terms(dn[0], dn[1], dn[2], eps_j, sig_j,
-                                       q_j, ok, eps_i, sig_i, q_i, rc,
-                                       alpha, cfg)
-            return (rd_o + r_o, es_o + e_o, rd_n + r_n, es_n + e_n,
-                    jnp.minimum(mr2, m2))
+            for a in range(a_max):
+                ok_a = ok & valid[a] if a_max > 1 else ok
+                do = mimg(old[a][0] - px, old[a][1] - py, old[a][2] - pz)
+                dn = mimg(new[a][0] - px, new[a][1] - py, new[a][2] - pz)
+                r_o, e_o, _ = _pair_terms(
+                    do[0], do[1], do[2], eps_j, sig_j, q_j, ok_a,
+                    eps_i[a], sig_i[a], q_i[a], rc, alpha, cfg)
+                r_n, e_n, m2 = _pair_terms(
+                    dn[0], dn[1], dn[2], eps_j, sig_j, q_j, ok_a,
+                    eps_i[a], sig_i[a], q_i[a], rc, alpha, cfg)
+                rd_o, es_o = rd_o + r_o, es_o + e_o
+                rd_n, es_n = rd_n + r_n, es_n + e_n
+                mr2 = jnp.minimum(mr2, m2)
+            return (rd_o, es_o, rd_n, es_n, mr2)
 
         z = jnp.zeros((), jnp.float32)
         rd_o, es_o, rd_n, es_n, mr2 = jax.lax.fori_loop(
@@ -178,10 +234,13 @@ def _kernel(scal_ref, u_ref, tbl_ref, data_in_ref, data_ref, out_ref, *,
 
         @pl.when(accept)
         def _():
-            tile = data_ref[pl.dslice(0, 8), pl.dslice(j0, 128)]
-            for a, r in enumerate((ROW_X, ROW_Y, ROW_Z)):
-                tile = jnp.where(sel & (sub == r), new[a], tile)
-            data_ref[pl.dslice(0, 8), pl.dslice(j0, 128)] = tile
+            tile = data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)]
+            for a in range(a_max):
+                va = valid[a] if a_max > 1 else True
+                sel = (lane == off + a) & va
+                for c, r in enumerate((ROW_X, ROW_Y, ROW_Z)):
+                    tile = jnp.where(sel & (sub == r), new[a][c], tile)
+            data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)] = tile
 
         af = accept.astype(jnp.float32)
         return (d_rd + af * drd, d_es + af * des, n_acc + af)
@@ -194,14 +253,15 @@ def _kernel(scal_ref, u_ref, tbl_ref, data_in_ref, data_ref, out_ref, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_steps", "n_real",
+                   static_argnames=("cfg", "n_steps", "n_real", "a_max",
                                     "interpret"))
-def run_steps(pos, eps, sig, charge, alive, mov_atom, box, rc, alpha,
-              beta, move_factor, thr2, uniforms, cfg, n_steps, n_real,
-              interpret=False):
-    """K fused displacement steps.  Returns (new_pos [N,3], d_rd, d_es,
-    n_accept).  ``mov_atom``: [Mv] atom row of each movable molecule;
-    ``uniforms``: [K, 8] from draw_uniforms."""
+def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
+              box, rc, alpha, beta, move_factor, rot_factor, thr2,
+              uniforms, cfg, n_steps, n_real, a_max=1, interpret=False):
+    """K fused translate+rotate steps.  Returns (new_pos [N,3], d_rd,
+    d_es, n_accept).  ``mov_start``/``mov_natoms``: [Mv] first atom row
+    and atom count of each movable molecule; ``uniforms``: [K, 8] from
+    draw_uniforms; ``a_max``: static max movable-molecule size."""
     f32 = jnp.float32
     n_pad = _round_up(n_real, TJ)
 
@@ -217,10 +277,13 @@ def run_steps(pos, eps, sig, charge, alive, mov_atom, box, rc, alpha,
     data = data.at[ROW_SIG].set(pad1(sig))
     data = data.at[ROW_Q].set(pad1(charge))
     data = data.at[ROW_ALIVE].set(pad1(alive.astype(f32)))
+    data = data.at[ROW_MASS].set(pad1(mass))
 
-    mv = jnp.asarray(mov_atom, jnp.int32)
+    mv = jnp.asarray(mov_start, jnp.int32)
+    na = jnp.asarray(mov_natoms, jnp.int32)
     mv_pad = _round_up(max(mv.shape[0], 1), 128)
-    tbl = jnp.pad(mv, (0, mv_pad - mv.shape[0])).reshape(1, mv_pad)
+    tbl = jnp.stack([jnp.pad(mv, (0, mv_pad - mv.shape[0])),
+                     jnp.pad(na, (0, mv_pad - na.shape[0]))])
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
@@ -231,6 +294,7 @@ def run_steps(pos, eps, sig, charge, alive, mov_atom, box, rc, alpha,
     scal = scal.at[0, 3].set(jnp.asarray(move_factor, f32))
     scal = scal.at[0, 4].set(jnp.asarray(mv.shape[0], f32))
     scal = scal.at[0, 5].set(jnp.asarray(thr2, f32))
+    scal = scal.at[0, 6].set(jnp.asarray(rot_factor, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
 
@@ -238,14 +302,14 @@ def run_steps(pos, eps, sig, charge, alive, mov_atom, box, rc, alpha,
 
     out_data, out_sums = pl.pallas_call(
         functools.partial(_kernel, cfg=cfg, n_steps=n_steps,
-                          n_pad=n_pad, n_real=n_real),
+                          n_pad=n_pad, n_real=n_real, a_max=a_max),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((3, 16), lambda _: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n_steps, 8), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mv_pad), lambda _: (0, 0),
+            pl.BlockSpec((2, mv_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, n_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -272,7 +336,7 @@ def run_steps(pos, eps, sig, charge, alive, mov_atom, box, rc, alpha,
 
 def draw_uniforms(key, n_steps):
     """[K, 8] uniform table: lane 0 molecule pick, 1-3 displacement,
-    4 acceptance coin (5-7 spare)."""
+    4 acceptance coin, 5-7 rotation (axis z, azimuth, angle)."""
     return jax.random.uniform(key, (n_steps, 8), jnp.float32)
 
 
@@ -291,18 +355,28 @@ def supported(cfg, params) -> bool:
             and not cfg.quantum_rotation
             and cfg.dtype == "float32"):
         return False
-    # monatomic movable species only (no rotations, no intra terms)
+    # rigid molecules up to MAX_SITES atoms (no intra terms)
     natoms = np.asarray(params.mol_natoms)
     frozen = np.asarray(params.mol_frozen)
     mov = ~frozen & (np.asarray(params.mol_species) >= 0)
-    return bool(mov.any()) and bool((natoms[mov] == 1).all())
+    return bool(mov.any()) and bool((natoms[mov] <= MAX_SITES).all())
 
 
-def movable_atoms(params, mol_alive) -> np.ndarray:
-    """[Mv] atom row of each alive movable (monatomic) molecule."""
+def movable_mols(params, mol_alive):
+    """([Mv] first atom row, [Mv] atom count, a_max) of each alive
+    movable molecule."""
     alive = np.asarray(mol_alive)
     frozen = np.asarray(params.mol_frozen)
     spec = np.asarray(params.mol_species)
     start = np.asarray(params.mol_start)
+    natoms = np.asarray(params.mol_natoms)
     mv = alive & ~frozen & (spec >= 0)
-    return start[mv].astype(np.int32)
+    a_max = int(natoms[mv].max()) if mv.any() else 1
+    return (start[mv].astype(np.int32), natoms[mv].astype(np.int32),
+            a_max)
+
+
+def movable_atoms(params, mol_alive) -> np.ndarray:
+    """[Mv] atom row of each alive movable molecule (legacy monatomic
+    helper; see movable_mols)."""
+    return movable_mols(params, mol_alive)[0]

@@ -39,10 +39,11 @@ def test_supported_gate():
         dataclasses.replace(cfg, coulomb="ewald"), params)
     assert not mc_kernel.supported(
         dataclasses.replace(cfg, polarization=True), params)
-    # diatomic species: excluded
+    # rigid multi-site species (3-site H2): supported under NVT + wolf
     p2, s2, c2, t2 = systems.mof_h2_gcmc(n_side=3, n_h2=4, capacity=8)
-    assert not mc_kernel.supported(
-        dataclasses.replace(c2, ensemble="nvt"), p2)
+    assert mc_kernel.supported(
+        dataclasses.replace(c2, ensemble="nvt", coulomb="wolf"), p2)
+    assert not mc_kernel.supported(c2, p2)      # uvt + ewald
 
 
 @pytest.mark.parametrize("coulomb,charges", [("none", False),
@@ -85,12 +86,14 @@ def test_matches_jnp_reference_trajectory():
     n_steps = 120
     key = jax.random.PRNGKey(7)
     u = np.asarray(mc_kernel.draw_uniforms(key, n_steps))
-    mov = mc_kernel.movable_atoms(params, np.asarray(state.mol_alive))
+    mov, mova, a_max = mc_kernel.movable_mols(
+        params, np.asarray(state.mol_alive))
     new_pos, d_rd, d_es, n_acc = mc_kernel.run_steps(
-        state.pos, params.eps, params.sig, params.charge,
-        state.atom_alive(params), mov, state.box, rc, 0.0,
+        state.pos, params.eps, params.sig, params.charge, params.mass,
+        state.atom_alive(params), mov, mova, state.box, rc, 0.0,
         1.0 / float(thermo.temperature), float(thermo.move_factor), 0.0,
-        u, cfg, n_steps, state.pos.shape[0], interpret=True)
+        0.0, u, cfg, n_steps, state.pos.shape[0], a_max=a_max,
+        interpret=True)
 
     # ---- reference: same arithmetic in f32 numpy -----------------------
     pos = np.asarray(state.pos, np.float32).copy()
@@ -129,6 +132,69 @@ def test_matches_jnp_reference_trajectory():
     assert int(n_acc) == acc_n
     moved = np.abs(np.asarray(new_pos) - pos)
     assert float(moved.max()) < 1e-4, float(moved.max())
+
+
+def _mof_h2_nvt(coulomb="wolf"):
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=12, capacity=24)
+    cfg = dataclasses.replace(cfg, ensemble="nvt", coulomb=coulomb,
+                              fused_mc=True)
+    assert mc_kernel.supported(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    return params, state, cfg, thermo
+
+
+@pytest.mark.parametrize("coulomb", ["none", "wolf"])
+def test_multisite_bookkeeping_matches_full_recompute(coulomb):
+    """Rigid 3-site H2 in a frozen framework: the fused translate+rotate
+    deltas must equal a from-scratch recompute of the final
+    configuration (exercises the COM rotation, the multi-atom delta
+    pass, and the same-molecule column exclusion)."""
+    params, state, cfg, thermo = _mof_h2_nvt(coulomb)
+    st, stats = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                           400)
+    assert 0 < int(stats.accepts[0]) < 400
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    assert float(st.energy.rd) == pytest.approx(
+        float(fresh.energy.rd), rel=2e-4, abs=5e-2)
+    if coulomb != "none":
+        assert float(st.energy.es_real) == pytest.approx(
+            float(fresh.energy.es_real), rel=2e-4, abs=5e-2)
+
+
+def test_multisite_moves_are_rigid():
+    """Accepted translate+rotate moves must preserve every
+    intramolecular distance (rigid-molecule contract) while actually
+    rotating molecules (orientation change, not just translation)."""
+    params, state, cfg, thermo = _mof_h2_nvt("none")
+    starts = np.asarray(params.mol_start)
+    nat = np.asarray(params.mol_natoms)
+    mov = (~np.asarray(params.mol_frozen)
+           & np.asarray(state.mol_alive)
+           & (np.asarray(params.mol_species) >= 0))
+
+    def intra(pos):
+        out = []
+        for s, a in zip(starts[mov], nat[mov]):
+            rows = np.asarray(pos[s:s + a], np.float64)
+            out.append(np.linalg.norm(
+                rows[:, None, :] - rows[None, :, :], axis=-1))
+        return np.stack(out)
+
+    def orient(pos):
+        return np.stack([np.asarray(pos[s + 1] - pos[s], np.float64)
+                         for s, a in zip(starts[mov], nat[mov])])
+
+    d0, o0 = intra(state.pos), orient(state.pos)
+    st, stats = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                           300)
+    assert int(stats.accepts[0]) > 0
+    d1, o1 = intra(st.pos), orient(st.pos)
+    np.testing.assert_allclose(d1, d0, atol=5e-4)
+    # at least one molecule's bond direction rotated measurably
+    cosang = np.sum(o0 * o1, -1) / (
+        np.linalg.norm(o0, axis=-1) * np.linalg.norm(o1, axis=-1))
+    assert float(np.min(cosang)) < 0.999
 
 
 def test_run_dispatch_uses_fused_path(tmp_path):
