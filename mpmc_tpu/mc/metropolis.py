@@ -753,6 +753,7 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
     NVT)."""
     import numpy as np
 
+    from mpmc_tpu.constants import KE
     from mpmc_tpu.ops.pallas import mc_kernel
 
     rc = pairs.derived_cutoff(state.box, cfg)
@@ -762,18 +763,30 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
     mv_start, mv_natoms, a_max = mc_kernel.movable_mols(
         params, np.asarray(state.mol_alive))
     thr = cfg.cavity_autoreject_absolute
-    new_pos, d_rd, d_es, n_acc = mc_kernel.run_steps(
+    kv = kcoef = None
+    if cfg.coulomb == "ewald":
+        # fully-folded per-k recip coefficient (see mc_kernel.run_steps)
+        kv, pw = ewald.ktable(state.box, cfg)
+        k2 = jnp.sum(kv * kv, axis=-1)
+        k2s = jnp.where(k2 > 1e-12, k2, 1.0)
+        vol = jnp.abs(jnp.linalg.det(state.box))
+        kcoef = (KE * (2.0 * jnp.pi / vol) * pw
+                 * jnp.exp(-k2 / (4.0 * alpha * alpha)) / k2s)
+        kcoef = jnp.where(k2 > 1e-12, kcoef, 0.0)
+    new_pos, d_rd, d_es, d_rec, n_acc, sk_re, sk_im = mc_kernel.run_steps(
         state.pos, params.eps, params.sig, params.charge, params.mass,
         state.atom_alive(params), mv_start, mv_natoms, state.box, rc,
         alpha, 1.0 / thermo.temperature, thermo.move_factor,
         thermo.rot_factor, thr * thr, u, cfg, n_steps,
         state.pos.shape[0], a_max=a_max,
-        interpret=jax.default_backend() != "tpu")
+        interpret=jax.default_backend() != "tpu",
+        kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im)
     dtype = cfg.jdtype
     new_energy = dataclasses.replace(
         state.energy,
         rd=state.energy.rd + d_rd.astype(dtype),
-        es_real=state.energy.es_real + d_es.astype(dtype))
+        es_real=state.energy.es_real + d_es.astype(dtype),
+        es_recip=state.energy.es_recip + d_rec.astype(dtype))
     stats = MCStats.zero()
     stats = MCStats(
         attempts=stats.attempts.at[DISPLACE].add(n_steps),
@@ -782,6 +795,9 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
         polar_iters=stats.polar_iters)
     new_state = state.replace(pos=new_pos, energy=new_energy,
                               key=key_next, step=state.step + n_steps)
+    if cfg.coulomb == "ewald":
+        new_state = new_state.replace(sk_re=sk_re.astype(dtype),
+                                      sk_im=sk_im.astype(dtype))
     return new_state, stats
 
 

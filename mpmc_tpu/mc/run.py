@@ -682,7 +682,7 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         if not use_fused:
             print("WARNING: fused_mc requested but unsupported for this "
                   "configuration (needs rigid <=8-site NVT, lj/none RD, "
-                  "none/cutoff/wolf ES, f32) — scan path used",
+                  "none/cutoff/wolf/ewald ES, f32) — scan path used",
                   file=writer.log)
     for block in range(n_blocks):
         if use_fused:

@@ -12,9 +12,14 @@ acceptance rule, and commits the position update in place.  One launch
 
 Scope (static gate ``supported``): ensemble nvt, rigid movable
 molecules of <= MAX_SITES atoms (monatomic LJ fluids through small
-rigid sorbates like 3-site H2), rd lj/none, coulomb none|cutoff|wolf
-(Ewald's k-space bookkeeping stays on the scan path), no FH/FK, no
-polarization/cdvdw, f32.  The move mirrors mc/moves.displace_rows
+rigid sorbates like 3-site H2), rd lj/none, coulomb
+none|cutoff|wolf|ewald, no FH/FK, no polarization/cdvdw, f32.  Under
+ewald the cached structure factor S(k) lives in VMEM beside the atom
+table: each step adds the moved molecule's phase delta, scores
+dE_recip = sum_k c_k (|S+dS|^2-|S|^2), and commits dS on accept —
+exactly the scan path's _mol_sf_delta/_recip_delta, fused.  The
+rigid-move-invariant self and intra-exclusion terms stay constant.
+The move mirrors mc/moves.displace_rows
 exactly: uniform translation in a cube of half-width move_factor PLUS
 rotation about the mass-weighted COM by a uniform angle in
 [0, rot_factor) about a uniform random axis (a normalized Gaussian and
@@ -91,6 +96,10 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
         r = r2s * inv_r
         if cfg.coulomb == "cutoff":
             es_u = qq * inv_r
+        elif cfg.coulomb == "ewald":
+            # real-space erfc sum (ops/pairs._tile_values ewald branch);
+            # the k-space part is the S(k) delta in _kernel
+            es_u = qq * _erfc(alpha * r) * inv_r
         else:   # wolf (shifted)
             es_u = qq * (_erfc(alpha * r) * inv_r
                          - _erfc(alpha * rc) / rc)
@@ -99,11 +108,13 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
     return rd, es, min_r2
 
 
-def _kernel(scal_ref, u_ref, tbl_ref, data_in_ref, data_ref, out_ref, *,
-            cfg, n_steps, n_pad, n_real, a_max):
-    # data_in_ref aliases data_ref (input_output_aliases) — all access
-    # goes through the output ref
-    del data_in_ref
+def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
+            data_ref, out_ref, sk_ref, *,
+            cfg, n_steps, n_pad, n_real, a_max, nk_pad):
+    # data_in_ref/sk_in_ref alias data_ref/sk_ref (input_output_aliases)
+    # — all access goes through the output refs
+    del data_in_ref, sk_in_ref
+    ew = cfg.coulomb == "ewald"
     rc = scal_ref[0, 0]
     alpha = scal_ref[0, 1]
     beta = scal_ref[0, 2]
@@ -118,7 +129,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, data_in_ref, data_ref, out_ref, *,
     MW = 256 if a_max > 1 else 128      # molecule-tile width
 
     def step(k, carry):
-        d_rd, d_es, n_acc = carry
+        d_rd, d_es, d_rec, n_acc = carry
         # --- proposal -----------------------------------------------------
         # Mosaic cannot load a single VMEM lane at a dynamic offset
         # ("index must be a multiple of 128"), so every scalar access
@@ -227,7 +238,34 @@ def _kernel(scal_ref, u_ref, tbl_ref, data_in_ref, data_ref, out_ref, *,
             0, n_tiles, col, (z, z, z, z, jnp.asarray(jnp.inf)))
         drd = rd_n - rd_o
         des = KE * (es_n - es_o)
-        du = drd + des
+
+        # --- k-space S(k) delta (ewald only; mirrors mc.metropolis.
+        # _mol_sf_delta + _recip_delta): dS = sum_a q_a (cis(k.r_new_a)
+        # - cis(k.r_old_a)); dE = sum_k c_k (|S+dS|^2 - |S|^2) with
+        # c_k = KE (2 pi / V) pw_k exp(-k^2/4a^2)/k^2 folded in on the
+        # host.  Padded k lanes have c=0 and k=0 (so dS there is 0 by
+        # cos(0)-cos(0)).  Self/intra-exclusion terms are rigid-move
+        # invariant and stay constant (module docstring).
+        if ew:
+            kt = ktab_ref[pl.dslice(0, 4), pl.dslice(0, nk_pad)]
+            kx, ky, kz, kc = kt[0:1], kt[1:2], kt[2:3], kt[3:4]
+            dsr = jnp.zeros((1, nk_pad), jnp.float32)
+            dsi = jnp.zeros((1, nk_pad), jnp.float32)
+            for a in range(a_max):
+                qa = (jnp.where(valid[a], q_i[a], 0.0)
+                      if a_max > 1 else q_i[a])
+                to = kx * old[a][0] + ky * old[a][1] + kz * old[a][2]
+                tn = kx * new[a][0] + ky * new[a][1] + kz * new[a][2]
+                dsr = dsr + qa * (jnp.cos(tn) - jnp.cos(to))
+                dsi = dsi + qa * (jnp.sin(tn) - jnp.sin(to))
+            s = sk_ref[pl.dslice(0, 2), pl.dslice(0, nk_pad)]
+            sr, si = s[0:1], s[1:2]
+            drec = jnp.sum(kc * ((2.0 * sr + dsr) * dsr
+                                 + (2.0 * si + dsi) * dsi))
+        else:
+            drec = jnp.zeros((), jnp.float32)
+
+        du = drd + des + drec
         reject_overlap = (thr2 > 0.0) & (mr2 < thr2)
         accept = ((jnp.log(jnp.maximum(u_ref[k, 4], 1e-38))
                    < -beta * du) & ~reject_overlap)
@@ -242,14 +280,24 @@ def _kernel(scal_ref, u_ref, tbl_ref, data_in_ref, data_ref, out_ref, *,
                     tile = jnp.where(sel & (sub == r), new[a][c], tile)
             data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)] = tile
 
+        if ew:
+            @pl.when(accept)
+            def _():
+                sk_ref[pl.dslice(0, 2), pl.dslice(0, nk_pad)] = (
+                    jnp.concatenate([sr + dsr, si + dsi], axis=0))
+
         af = accept.astype(jnp.float32)
-        return (d_rd + af * drd, d_es + af * des, n_acc + af)
+        return (d_rd + af * drd, d_es + af * des, d_rec + af * drec,
+                n_acc + af)
 
     z = jnp.zeros((), jnp.float32)
-    d_rd, d_es, n_acc = jax.lax.fori_loop(0, n_steps, step, (z, z, z))
+    d_rd, d_es, d_rec, n_acc = jax.lax.fori_loop(0, n_steps, step,
+                                                 (z, z, z, z))
     out_ref[0, 0] = d_rd
     out_ref[0, 1] = d_es
-    out_ref[0, 2] = n_acc
+    out_ref[0, 2] = d_rec
+    out_ref[0, 3] = n_acc
+    # non-ewald: sk_ref is aliased to its (dummy) input and stays as-is
 
 
 @functools.partial(jax.jit,
@@ -257,13 +305,35 @@ def _kernel(scal_ref, u_ref, tbl_ref, data_in_ref, data_ref, out_ref, *,
                                     "interpret"))
 def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
               box, rc, alpha, beta, move_factor, rot_factor, thr2,
-              uniforms, cfg, n_steps, n_real, a_max=1, interpret=False):
+              uniforms, cfg, n_steps, n_real, a_max=1, interpret=False,
+              kvecs=None, kcoef=None, sk_re=None, sk_im=None):
     """K fused translate+rotate steps.  Returns (new_pos [N,3], d_rd,
-    d_es, n_accept).  ``mov_start``/``mov_natoms``: [Mv] first atom row
-    and atom count of each movable molecule; ``uniforms``: [K, 8] from
-    draw_uniforms; ``a_max``: static max movable-molecule size."""
+    d_es, d_recip, n_accept, sk_re', sk_im').  ``mov_start``/
+    ``mov_natoms``: [Mv] first atom row and atom count of each movable
+    molecule; ``uniforms``: [K, 8] from draw_uniforms; ``a_max``: static
+    max movable-molecule size.  For cfg.coulomb == 'ewald' pass
+    ``kvecs`` [Nk,3], ``kcoef`` [Nk] (the fully-folded per-k energy
+    coefficient KE*(2pi/V)*pw*exp(-k^2/4a^2)/k^2) and the cached
+    structure factor ``sk_re``/``sk_im`` [Nk]; the updated S(k) comes
+    back in the last two outputs (pass-through otherwise)."""
     f32 = jnp.float32
     n_pad = _round_up(n_real, TJ)
+    ew = cfg.coulomb == "ewald"
+    if ew:
+        nk = kvecs.shape[0]
+        nk_pad = _round_up(nk, 128)
+
+        def padk(x):
+            x = jnp.asarray(x).astype(f32)
+            return jnp.pad(x, (0, nk_pad - x.shape[0]))
+
+        ktab = jnp.stack([padk(kvecs[:, 0]), padk(kvecs[:, 1]),
+                          padk(kvecs[:, 2]), padk(kcoef)])
+        sk = jnp.stack([padk(sk_re), padk(sk_im)])
+    else:
+        nk = nk_pad = 128
+        ktab = jnp.zeros((4, nk_pad), f32)
+        sk = jnp.zeros((2, nk_pad), f32)
 
     def pad1(x, fill=0.0):
         x = jnp.asarray(x).astype(f32)
@@ -300,9 +370,10 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
 
     u = jnp.asarray(uniforms, f32)
 
-    out_data, out_sums = pl.pallas_call(
+    out_data, out_sums, out_sk = pl.pallas_call(
         functools.partial(_kernel, cfg=cfg, n_steps=n_steps,
-                          n_pad=n_pad, n_real=n_real, a_max=a_max),
+                          n_pad=n_pad, n_real=n_real, a_max=a_max,
+                          nk_pad=nk_pad),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((3, 16), lambda _: (0, 0),
@@ -311,7 +382,11 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, mv_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, nk_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8, n_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, nk_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -319,19 +394,23 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda _: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, nk_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, n_pad), f32),
             jax.ShapeDtypeStruct((1, 8), f32),
+            jax.ShapeDtypeStruct((2, nk_pad), f32),
         ],
-        input_output_aliases={3: 0},
+        input_output_aliases={4: 0, 5: 2},
         interpret=interpret,
-    )(scal, u, tbl, data)
+    )(scal, u, tbl, ktab, data, sk)
     new_pos = jnp.stack([out_data[ROW_X, :n_real],
                          out_data[ROW_Y, :n_real],
                          out_data[ROW_Z, :n_real]], axis=1)
     return (new_pos.astype(pos.dtype), out_sums[0, 0], out_sums[0, 1],
-            out_sums[0, 2])
+            out_sums[0, 2], out_sums[0, 3],
+            out_sk[0, :nk], out_sk[1, :nk])
 
 
 def draw_uniforms(key, n_steps):
@@ -344,7 +423,7 @@ def supported(cfg, params) -> bool:
     """Static gate for the fused multi-step path (module docstring)."""
     if not (cfg.ensemble == "nvt"
             and cfg.rd_potential in ("lj", "none")
-            and cfg.coulomb in ("none", "cutoff", "wolf")
+            and cfg.coulomb in ("none", "cutoff", "wolf", "ewald")
             and cfg.mixing_rule in ("lb", "waldman_hagler")
             and not cfg.feynman_hibbs and not cfg.feynman_kleinert
             and not cfg.polarization and not cfg.cdvdw

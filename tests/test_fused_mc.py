@@ -35,15 +35,17 @@ def test_supported_gate():
     assert mc_kernel.supported(cfg, params)
     assert not mc_kernel.supported(
         dataclasses.replace(cfg, ensemble="uvt"), params)
-    assert not mc_kernel.supported(
+    assert mc_kernel.supported(
         dataclasses.replace(cfg, coulomb="ewald"), params)
     assert not mc_kernel.supported(
         dataclasses.replace(cfg, polarization=True), params)
-    # rigid multi-site species (3-site H2): supported under NVT + wolf
+    # rigid multi-site species (3-site H2): supported under NVT
     p2, s2, c2, t2 = systems.mof_h2_gcmc(n_side=3, n_h2=4, capacity=8)
     assert mc_kernel.supported(
         dataclasses.replace(c2, ensemble="nvt", coulomb="wolf"), p2)
-    assert not mc_kernel.supported(c2, p2)      # uvt + ewald
+    assert mc_kernel.supported(
+        dataclasses.replace(c2, ensemble="nvt"), p2)    # nvt + ewald
+    assert not mc_kernel.supported(c2, p2)      # uvt
 
 
 @pytest.mark.parametrize("coulomb,charges", [("none", False),
@@ -88,7 +90,7 @@ def test_matches_jnp_reference_trajectory():
     u = np.asarray(mc_kernel.draw_uniforms(key, n_steps))
     mov, mova, a_max = mc_kernel.movable_mols(
         params, np.asarray(state.mol_alive))
-    new_pos, d_rd, d_es, n_acc = mc_kernel.run_steps(
+    new_pos, d_rd, d_es, _, n_acc, _, _ = mc_kernel.run_steps(
         state.pos, params.eps, params.sig, params.charge, params.mass,
         state.atom_alive(params), mov, mova, state.box, rc, 0.0,
         1.0 / float(thermo.temperature), float(thermo.move_factor), 0.0,
@@ -144,12 +146,13 @@ def _mof_h2_nvt(coulomb="wolf"):
     return params, state, cfg, thermo
 
 
-@pytest.mark.parametrize("coulomb", ["none", "wolf"])
+@pytest.mark.parametrize("coulomb", ["none", "wolf", "ewald"])
 def test_multisite_bookkeeping_matches_full_recompute(coulomb):
     """Rigid 3-site H2 in a frozen framework: the fused translate+rotate
     deltas must equal a from-scratch recompute of the final
     configuration (exercises the COM rotation, the multi-atom delta
-    pass, and the same-molecule column exclusion)."""
+    pass, the same-molecule column exclusion and — under ewald — the
+    in-kernel S(k) delta commit)."""
     params, state, cfg, thermo = _mof_h2_nvt(coulomb)
     st, stats = metropolis.run_chunk_fused(state, params, cfg, thermo,
                                            400)
@@ -160,6 +163,21 @@ def test_multisite_bookkeeping_matches_full_recompute(coulomb):
     if coulomb != "none":
         assert float(st.energy.es_real) == pytest.approx(
             float(fresh.energy.es_real), rel=2e-4, abs=5e-2)
+    if coulomb == "ewald":
+        # the committed structure factor must track the positions
+        np.testing.assert_allclose(np.asarray(st.sk_re),
+                                   np.asarray(fresh.sk_re),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(st.sk_im),
+                                   np.asarray(fresh.sk_im),
+                                   rtol=1e-4, atol=1e-3)
+        assert float(st.energy.es_recip) == pytest.approx(
+            float(fresh.energy.es_recip), rel=2e-4, abs=5e-2)
+        # self/exclusion terms are rigid-move invariant
+        assert float(st.energy.es_self) == pytest.approx(
+            float(fresh.energy.es_self), rel=1e-6)
+        assert float(st.energy.es_excl) == pytest.approx(
+            float(fresh.energy.es_excl), rel=1e-4)
 
 
 def test_multisite_moves_are_rigid():
