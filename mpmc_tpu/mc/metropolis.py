@@ -190,8 +190,11 @@ def _mol_sf_delta(pos, new_rows, box, params, cfg, mol):
 
 
 def _mol_self_energy(params, cfg, box, mol):
-    """Ewald self-energy of one molecule's charges (GCMC +/- delta)."""
-    if cfg.coulomb != "ewald":
+    """Self-energy of one molecule's charges (GCMC +/- delta): Ewald
+    -ke a/sqrt(pi) sum q^2, Wolf -ke (erfc(a rc)/2rc + a/sqrt(pi))
+    sum q^2 — both per-charge constants, so insert/delete deltas are
+    exact (ops/ewald.self_energy / wolf_self_energy)."""
+    if cfg.coulomb not in ("ewald", "wolf"):
         return jnp.zeros((), params.charge.dtype)
     rc = pairs.derived_cutoff(box, cfg)
     alpha = pairs.derived_alpha(rc, cfg)
@@ -199,7 +202,11 @@ def _mol_self_energy(params, cfg, box, mol):
           < params.mol_natoms[mol])
     q2 = jnp.where(ok, mol_rows(params.charge, params, mol) ** 2, 0.0)
     from mpmc_tpu.constants import KE
-    return -KE * alpha / jnp.sqrt(jnp.pi) * jnp.sum(q2)
+    coef = alpha / jnp.sqrt(jnp.pi)
+    if cfg.coulomb == "wolf":
+        from jax.scipy.special import erfc
+        coef = coef + erfc(alpha * rc) / (2.0 * rc)
+    return -KE * coef * jnp.sum(q2)
 
 
 def make_branch_picker(cfg: RunConfig):
@@ -743,6 +750,23 @@ def make_step_fn(params: Params, cfg: RunConfig):
     return step
 
 
+def _fused_ktable(box, cfg, alpha):
+    """(kvecs, fully-folded per-k recip coefficient) for the fused
+    kernels' in-VMEM S(k) delta, or (None, None) outside ewald.  The
+    coefficient KE*(2pi/V)*pw*exp(-k^2/4a^2)/k^2 makes dE_recip a plain
+    dot against |S+dS|^2-|S|^2 in the kernel."""
+    if cfg.coulomb != "ewald":
+        return None, None
+    from mpmc_tpu.constants import KE
+    kv, pw = ewald.ktable(box, cfg)
+    k2 = jnp.sum(kv * kv, axis=-1)
+    k2s = jnp.where(k2 > 1e-12, k2, 1.0)
+    vol = jnp.abs(jnp.linalg.det(box))
+    kcoef = (KE * (2.0 * jnp.pi / vol) * pw
+             * jnp.exp(-k2 / (4.0 * alpha * alpha)) / k2s)
+    return kv, jnp.where(k2 > 1e-12, kcoef, 0.0)
+
+
 def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
                     thermo: Thermo, n_steps: int):
     """K Metropolis translate+rotate steps in ONE Pallas launch — the
@@ -753,7 +777,6 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
     NVT)."""
     import numpy as np
 
-    from mpmc_tpu.constants import KE
     from mpmc_tpu.ops.pallas import mc_kernel
 
     rc = pairs.derived_cutoff(state.box, cfg)
@@ -763,16 +786,7 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
     mv_start, mv_natoms, a_max = mc_kernel.movable_mols(
         params, np.asarray(state.mol_alive))
     thr = cfg.cavity_autoreject_absolute
-    kv = kcoef = None
-    if cfg.coulomb == "ewald":
-        # fully-folded per-k recip coefficient (see mc_kernel.run_steps)
-        kv, pw = ewald.ktable(state.box, cfg)
-        k2 = jnp.sum(kv * kv, axis=-1)
-        k2s = jnp.where(k2 > 1e-12, k2, 1.0)
-        vol = jnp.abs(jnp.linalg.det(state.box))
-        kcoef = (KE * (2.0 * jnp.pi / vol) * pw
-                 * jnp.exp(-k2 / (4.0 * alpha * alpha)) / k2s)
-        kcoef = jnp.where(k2 > 1e-12, kcoef, 0.0)
+    kv, kcoef = _fused_ktable(state.box, cfg, alpha)
     new_pos, d_rd, d_es, d_rec, n_acc, sk_re, sk_im = mc_kernel.run_steps(
         state.pos, params.eps, params.sig, params.charge, params.mass,
         state.atom_alive(params), mv_start, mv_natoms, state.box, rc,
@@ -795,6 +809,105 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
         polar_iters=stats.polar_iters)
     new_state = state.replace(pos=new_pos, energy=new_energy,
                               key=key_next, step=state.step + n_steps)
+    if cfg.coulomb == "ewald":
+        new_state = new_state.replace(sk_re=sk_re.astype(dtype),
+                                      sk_im=sk_im.astype(dtype))
+    return new_state, stats
+
+
+def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
+                        thermo: Thermo, n_steps: int):
+    """K GCMC steps (displace | insert | delete) in ONE Pallas launch
+    (ops/pallas/mc_kernel.py::run_steps_uvt) — the single-chain latency
+    path for the headline µVT workload.  Caller must have checked
+    mc_kernel.supported_uvt(cfg, params): single insert species,
+    uniform rigid slots, no cavity bias.  The per-molecule self /
+    intra-exclusion / LRC constants are computed here with the SAME
+    host functions the scan path's b_insert/b_delete use, so the two
+    paths agree term by term."""
+    import numpy as np
+
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    rc = pairs.derived_cutoff(state.box, cfg)
+    alpha = pairs.derived_alpha(rc, cfg)
+    key_next, k_u = jax.random.split(state.key)
+    u = mc_kernel.draw_uniforms(k_u, n_steps, lanes=16)
+    slots, slot_start, A = mc_kernel.movable_slots(params)
+    si = cfg.insert_species[0]
+    tmpl = params.species_pos[si][:A]
+    thr = cfg.cavity_autoreject_absolute
+    kv, kcoef = _fused_ktable(state.box, cfg, alpha)
+
+    # per-molecule constants, via the same helpers the scan path uses
+    slot0 = jnp.asarray(int(slots[0]), jnp.int32)
+    d_self = _mol_self_energy(params, cfg, state.box, slot0)
+    a_cap = params.mol_atoms.shape[1]
+    tmpl_rows = jnp.concatenate(
+        [tmpl, jnp.broadcast_to(tmpl[:1], (a_cap - A, 3))], axis=0)
+    d_excl = pairs.intra_terms(state.pos, state.box, params, cfg, slot0,
+                               row_pos=tmpl_rows.astype(state.pos.dtype))
+    volume = jnp.abs(jnp.linalg.det(state.box))
+    zero = jnp.zeros((), cfg.jdtype)
+    c1 = c2 = zero
+    if cfg.rd_potential == "lj" and cfg.rd_lrc:
+        own = pairs.mol_lrc_self_coefficient(params, cfg, rc, slot0)
+        frozen_atoms = (params.mol_frozen[params.mol_id]
+                        & params.atom_ok)
+        c_mf = pairs.mol_pair_pass(
+            state.pos, state.box, frozen_atoms, params, cfg,
+            thermo.temperature, slot0).lrc_coeff
+        if len(slots) >= 2:
+            slot1 = jnp.asarray(int(slots[1]), jnp.int32)
+            other_atoms = (params.mol_id == slot1) & params.atom_ok
+            c_mm = pairs.mol_pair_pass(
+                state.pos, state.box, other_atoms, params, cfg,
+                thermo.temperature, slot0).lrc_coeff
+        else:
+            c_mm = zero
+        c1 = (c_mf + 0.5 * own) / volume
+        c2 = c_mm / volume
+
+    f = thermo.fugacity[si] * ATM2K_A3                  # K / A^3
+    lnfv = jnp.log(jnp.maximum(f * volume, 1e-300))
+
+    new_pos, slot_alive, sums, sk_re, sk_im = mc_kernel.run_steps_uvt(
+        state.pos, params.eps, params.sig, params.charge, params.mass,
+        state.atom_alive(params), jnp.asarray(slot_start),
+        state.mol_alive[slots], jnp.asarray(tmpl), state.box, rc,
+        alpha, 1.0 / thermo.temperature, thermo.move_factor,
+        thermo.rot_factor, thr * thr, thermo.insert_probability, lnfv,
+        d_self, d_excl, c1, c2, u, cfg, n_steps, state.pos.shape[0],
+        A=A, interpret=jax.default_backend() != "tpu",
+        kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im)
+    dtype = cfg.jdtype
+    d = sums.astype(dtype)
+    new_energy = dataclasses.replace(
+        state.energy,
+        rd=state.energy.rd + d[0],
+        es_real=state.energy.es_real + d[1],
+        es_recip=state.energy.es_recip + d[2],
+        es_self=state.energy.es_self + d[3],
+        es_excl=state.energy.es_excl + d[4],
+        lrc=state.energy.lrc + d[5])
+    acc = sums[6:9]
+    att = sums[9:12]
+    stats = MCStats.zero()
+    stats = MCStats(
+        attempts=stats.attempts
+        .at[DISPLACE].add(att[0].astype(jnp.int32))
+        .at[INSERT].add(att[1].astype(jnp.int32))
+        .at[DELETE].add(att[2].astype(jnp.int32)),
+        accepts=stats.accepts
+        .at[DISPLACE].add(acc[0].astype(jnp.int32))
+        .at[INSERT].add(acc[1].astype(jnp.int32))
+        .at[DELETE].add(acc[2].astype(jnp.int32)),
+        polar_iters=stats.polar_iters)
+    new_alive = state.mol_alive.at[jnp.asarray(slots)].set(slot_alive)
+    new_state = state.replace(pos=new_pos, mol_alive=new_alive,
+                              energy=new_energy, key=key_next,
+                              step=state.step + n_steps)
     if cfg.coulomb == "ewald":
         new_state = new_state.replace(sk_re=sk_re.astype(dtype),
                                       sk_im=sk_im.astype(dtype))

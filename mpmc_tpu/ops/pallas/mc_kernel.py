@@ -413,32 +413,453 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
             out_sk[0, :nk], out_sk[1, :nk])
 
 
-def draw_uniforms(key, n_steps):
-    """[K, 8] uniform table: lane 0 molecule pick, 1-3 displacement,
-    4 acceptance coin, 5-7 rotation (axis z, azimuth, angle)."""
-    return jax.random.uniform(key, (n_steps, 8), jnp.float32)
+def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
+                sk_in_ref, data_ref, out_ref, sk_ref, tbl_ref, *,
+                cfg, n_steps, n_pad, n_real, A, nk_pad, ms_pad):
+    """Fused µVT (GCMC) step loop: displace | insert | delete per step.
+
+    Differences from the NVT ``_kernel``: the movable-slot table carries
+    a DYNAMIC alive row (committed in-kernel on insert/delete accept);
+    the j-th alive/dead slot is selected by a prefix-sum rank computed
+    as a triangular-matrix matmul (Mosaic has no cumsum primitive); all
+    three move branches share ONE old+new column pass via has_old/
+    has_new masks (insert masks the old pass, delete the new pass); and
+    the rigid-molecule self/intra-exclusion/LRC constants enter the
+    acceptance as host-precomputed scalars, exactly like the scan
+    path's b_insert/b_delete (mc/metropolis.py).  Single insert species
+    only: every movable slot has the same A sites and the same
+    template, so the per-molecule constants really are constants."""
+    del tbl_in_ref, data_in_ref, sk_in_ref
+    ew = cfg.coulomb == "ewald"
+    rc = scal_ref[0, 0]
+    alpha = scal_ref[0, 1]
+    beta = scal_ref[0, 2]
+    mf = scal_ref[0, 3]
+    thr2 = scal_ref[0, 4]
+    rotf = scal_ref[0, 5]
+    p_half = scal_ref[0, 6]         # 0.5 * insert_probability
+    p_ins = scal_ref[0, 7]          # insert_probability
+    lnfv = scal_ref[0, 8]           # ln(f V), f in K/A^3
+    d_self = scal_ref[0, 9]         # per-molecule Ewald self energy
+    d_excl = scal_ref[0, 10]        # per-molecule intra-exclusion energy
+    c1 = scal_ref[0, 11]            # LRC: (c_mf + 0.5 c_own) / V
+    c2 = scal_ref[0, 12]            # LRC: c_mm / V
+    box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
+    binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
+    tmpl = [[scal_ref[3 + c, a] for c in range(3)] for a in range(A)]
+
+    n_tiles = n_pad // TJ
+    MW = 256 if A > 1 else 128
+    two_pi = np.float32(2.0 * np.pi)
+
+    def step(k, carry):
+        (d_rd, d_es, d_rec, d_slf, d_exc, d_lrc,
+         acc_d, acc_i, acc_x, att_d, att_i, att_x) = carry
+        # --- move type + slot pick ---------------------------------------
+        u8 = u_ref[k, 8]
+        is_ins = u8 < p_half
+        is_del = (~is_ins) & (u8 < p_ins)
+        is_disp = u8 >= p_ins
+        fins = is_ins.astype(jnp.float32)
+        fdel = is_del.astype(jnp.float32)
+
+        tb = tbl_ref[pl.dslice(0, 4), pl.dslice(0, ms_pad)]   # [4, ms]
+        alive_v = tb[2:3]
+        valid_v = tb[3:4]
+        n_alive = jnp.sum(alive_v)
+        n_free = jnp.sum(valid_v) - n_alive
+        wv = jnp.where(is_ins, valid_v - alive_v, alive_v)    # [1, ms]
+        cnt = jnp.where(is_ins, n_free, n_alive)
+        j = jnp.minimum(jnp.floor(u_ref[k, 0] * cnt), cnt - 1.0)
+        # inclusive prefix sum as [1,ms] @ upper-tri ones (MXU)
+        ir = jax.lax.broadcasted_iota(jnp.int32, (ms_pad, ms_pad), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (ms_pad, ms_pad), 1)
+        tri = (ir <= ic).astype(jnp.float32)
+        rank = jnp.dot(wv, tri, preferred_element_type=jnp.float32)
+        sel_slot = (wv > 0) & (rank == j + 1.0)               # [1, ms]
+        start = jnp.sum(jnp.where(sel_slot, tb[0:1], 0.0)).astype(
+            jnp.int32)
+
+        # --- load the slot's rows ----------------------------------------
+        j0 = pl.multiple_of(
+            jnp.minimum((start // 128) * 128, n_pad - MW), 128)
+        off = start - j0
+        itile = data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, MW), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, MW), 0)
+
+        def pick(a, row):
+            sel = lane == off + a
+            return jnp.sum(jnp.where(sel & (sub == row), itile, 0.0))
+
+        old = [[pick(a, r) for r in (ROW_X, ROW_Y, ROW_Z)]
+               for a in range(A)]
+        eps_i = [pick(a, ROW_EPS) for a in range(A)]
+        sig_i = [pick(a, ROW_SIG) for a in range(A)]
+        q_i = [pick(a, ROW_Q) for a in range(A)]
+
+        # --- trial rows: displace (translate+rotate) or insert (template
+        # at uniform fractional COM + uniform Shoemake orientation,
+        # mirroring mc/moves.place_rows) ----------------------------------
+        disp = [(2.0 * u_ref[k, 1 + c] - 1.0) * mf for c in range(3)]
+        com_new = [u_ref[k, 1] * box[0][c] + u_ref[k, 2] * box[1][c]
+                   + u_ref[k, 3] * box[2][c] for c in range(3)]
+        if A == 1:
+            new = [[jnp.where(is_ins, com_new[c], old[0][c] + disp[c])
+                    for c in range(3)]]
+        else:
+            mass = [pick(a, ROW_MASS) for a in range(A)]
+            msum = sum(mass)
+            com = [sum(mass[a] * old[a][c] for a in range(A))
+                   / jnp.maximum(msum, 1e-30) for c in range(3)]
+            # displace rotation: uniform axis + uniform angle in [0,rotf)
+            az = 2.0 * u_ref[k, 5] - 1.0
+            aphi = two_pi * u_ref[k, 6]
+            s = jnp.sqrt(jnp.maximum(1.0 - az * az, 0.0))
+            ax, ay = s * jnp.cos(aphi), s * jnp.sin(aphi)
+            ang = u_ref[k, 7] * rotf
+            ca, sa = jnp.cos(ang), jnp.sin(ang)
+            omc = 1.0 - ca
+            Rd = [[ca + ax * ax * omc, ax * ay * omc - az * sa,
+                   ax * az * omc + ay * sa],
+                  [ay * ax * omc + az * sa, ca + ay * ay * omc,
+                   ay * az * omc - ax * sa],
+                  [az * ax * omc - ay * sa, az * ay * omc + ax * sa,
+                   ca + az * az * omc]]
+            # insert rotation: uniform quaternion (Shoemake) from the
+            # same three lanes
+            sq1 = jnp.sqrt(jnp.maximum(1.0 - u_ref[k, 5], 0.0))
+            sq2 = jnp.sqrt(jnp.maximum(u_ref[k, 5], 0.0))
+            th1, th2 = two_pi * u_ref[k, 6], two_pi * u_ref[k, 7]
+            qx, qy = sq1 * jnp.sin(th1), sq1 * jnp.cos(th1)
+            qz, qw = sq2 * jnp.sin(th2), sq2 * jnp.cos(th2)
+            Ri = [[1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+                   2 * (qx * qz + qy * qw)],
+                  [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+                   2 * (qy * qz - qx * qw)],
+                  [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+                   1 - 2 * (qx * qx + qy * qy)]]
+            R = [[jnp.where(is_ins, Ri[c][d], Rd[c][d])
+                  for d in range(3)] for c in range(3)]
+            t = [jnp.where(is_ins, com_new[c], com[c] + disp[c])
+                 for c in range(3)]
+            new = []
+            for a in range(A):
+                rel = [jnp.where(is_ins, tmpl[a][d], old[a][d] - com[d])
+                       for d in range(3)]
+                new.append([t[c] + sum(R[c][d] * rel[d]
+                                       for d in range(3))
+                            for c in range(3)])
+
+        # --- one old+new column pass for all three branches --------------
+        has_old = ~is_ins
+        has_new = ~is_del
+
+        def col(jt, acc):
+            rd_o, es_o, rd_n, es_n, mr2 = acc
+            c0 = jt * TJ
+            blk = data_ref[pl.dslice(0, 8), pl.dslice(c0, TJ)]
+            px, py, pz = blk[ROW_X], blk[ROW_Y], blk[ROW_Z]
+            eps_j, sig_j = blk[ROW_EPS], blk[ROW_SIG]
+            q_j, alive_j = blk[ROW_Q], blk[ROW_ALIVE]
+            cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (TJ,), 0)
+            ok = ((alive_j > 0) & (cols < n_real)
+                  & ((cols < start) | (cols >= start + A)))
+
+            def mimg(dx, dy, dz):
+                fr = [dx * binv[0][a] + dy * binv[1][a]
+                      + dz * binv[2][a] for a in range(3)]
+                fr = [f - jnp.round(f) for f in fr]
+                return [fr[0] * box[0][b] + fr[1] * box[1][b]
+                        + fr[2] * box[2][b] for b in range(3)]
+
+            for a in range(A):
+                do = mimg(old[a][0] - px, old[a][1] - py,
+                          old[a][2] - pz)
+                dn = mimg(new[a][0] - px, new[a][1] - py,
+                          new[a][2] - pz)
+                r_o, e_o, _ = _pair_terms(
+                    do[0], do[1], do[2], eps_j, sig_j, q_j,
+                    ok & has_old, eps_i[a], sig_i[a], q_i[a], rc,
+                    alpha, cfg)
+                r_n, e_n, m2 = _pair_terms(
+                    dn[0], dn[1], dn[2], eps_j, sig_j, q_j,
+                    ok & has_new, eps_i[a], sig_i[a], q_i[a], rc,
+                    alpha, cfg)
+                rd_o, es_o = rd_o + r_o, es_o + e_o
+                rd_n, es_n = rd_n + r_n, es_n + e_n
+                mr2 = jnp.minimum(mr2, m2)
+            return (rd_o, es_o, rd_n, es_n, mr2)
+
+        z = jnp.zeros((), jnp.float32)
+        rd_o, es_o, rd_n, es_n, mr2 = jax.lax.fori_loop(
+            0, n_tiles, col, (z, z, z, z, jnp.asarray(jnp.inf)))
+        drd = rd_n - rd_o
+        des = KE * (es_n - es_o)
+
+        # --- k-space S(k) delta (masked like the pair pass) --------------
+        if ew:
+            fo = has_old.astype(jnp.float32)
+            fn = has_new.astype(jnp.float32)
+            kt = ktab_ref[pl.dslice(0, 4), pl.dslice(0, nk_pad)]
+            kx, ky, kz, kc = kt[0:1], kt[1:2], kt[2:3], kt[3:4]
+            dsr = jnp.zeros((1, nk_pad), jnp.float32)
+            dsi = jnp.zeros((1, nk_pad), jnp.float32)
+            for a in range(A):
+                to = kx * old[a][0] + ky * old[a][1] + kz * old[a][2]
+                tn = kx * new[a][0] + ky * new[a][1] + kz * new[a][2]
+                dsr = dsr + q_i[a] * (fn * jnp.cos(tn)
+                                      - fo * jnp.cos(to))
+                dsi = dsi + q_i[a] * (fn * jnp.sin(tn)
+                                      - fo * jnp.sin(to))
+            sx = sk_ref[pl.dslice(0, 2), pl.dslice(0, nk_pad)]
+            sr, si = sx[0:1], sx[1:2]
+            drec = jnp.sum(kc * ((2.0 * sr + dsr) * dsr
+                                 + (2.0 * si + dsi) * dsi))
+        else:
+            drec = jnp.zeros((), jnp.float32)
+
+        # --- per-molecule constants + acceptance -------------------------
+        sgn = fins - fdel
+        dslf = sgn * d_self
+        dexc = sgn * d_excl
+        dlrc = (fins * (c1 + c2 * n_alive)
+                - fdel * (c1 + c2 * (n_alive - 1.0)))
+        du = drd + des + drec + dslf + dexc + dlrc
+        lnb = (fins * (lnfv + jnp.log(beta)
+                       - jnp.log(n_alive + 1.0))
+               + fdel * (jnp.log(jnp.maximum(n_alive, 1e-30))
+                         - jnp.log(beta) - lnfv))
+        reject = ((cnt < 0.5) | ((thr2 > 0.0) & has_new
+                                 & (mr2 < thr2)))
+        accept = ((jnp.log(jnp.maximum(u_ref[k, 4], 1e-38))
+                   < lnb - beta * du) & ~reject)
+
+        @pl.when(accept)
+        def _():
+            tile = data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)]
+            alive_val = 1.0 - fdel
+            for a in range(A):
+                sel = lane == off + a
+                for c, r in enumerate((ROW_X, ROW_Y, ROW_Z)):
+                    tile = jnp.where(sel & (sub == r) & ~is_del,
+                                     new[a][c], tile)
+                tile = jnp.where(sel & (sub == ROW_ALIVE), alive_val,
+                                 tile)
+            data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)] = tile
+            # slot-table alive flag (no-op for displace)
+            row2 = jnp.where(sel_slot, 1.0 - fdel, alive_v)
+            tbl_ref[pl.dslice(2, 1), pl.dslice(0, ms_pad)] = row2
+
+        if ew:
+            @pl.when(accept)
+            def _():
+                sk_ref[pl.dslice(0, 2), pl.dslice(0, nk_pad)] = (
+                    jnp.concatenate([sr + dsr, si + dsi], axis=0))
+
+        af = accept.astype(jnp.float32)
+        fdsp = is_disp.astype(jnp.float32)
+        return (d_rd + af * drd, d_es + af * des, d_rec + af * drec,
+                d_slf + af * dslf, d_exc + af * dexc,
+                d_lrc + af * dlrc,
+                acc_d + af * fdsp, acc_i + af * fins, acc_x + af * fdel,
+                att_d + fdsp, att_i + fins, att_x + fdel)
+
+    z = jnp.zeros((), jnp.float32)
+    outs = jax.lax.fori_loop(0, n_steps, step, (z,) * 12)
+    for i in range(12):
+        out_ref[0, i] = outs[i]
 
 
-def supported(cfg, params) -> bool:
-    """Static gate for the fused multi-step path (module docstring)."""
-    if not (cfg.ensemble == "nvt"
-            and cfg.rd_potential in ("lj", "none")
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "n_real", "A",
+                                    "interpret"))
+def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
+                  slot_alive, tmpl, box, rc, alpha, beta, move_factor,
+                  rot_factor, thr2, p_ins, lnfv, d_self, d_excl, c1, c2,
+                  uniforms, cfg, n_steps, n_real, A, interpret=False,
+                  kvecs=None, kcoef=None, sk_re=None, sk_im=None):
+    """K fused µVT steps (displace | insert | delete).  Returns
+    (new_pos [N,3], new_slot_alive [Ms] bool, sums [12], sk_re',
+    sk_im') where sums = (d_rd, d_es_real, d_es_recip, d_es_self,
+    d_es_excl, d_lrc, acc_disp, acc_ins, acc_del, att_disp, att_ins,
+    att_del).  ``slot_start``/``slot_alive``: [Ms] first atom row and
+    alive flag of EVERY movable slot (single insert species, uniform
+    ``A`` sites); ``tmpl``: [A,3] COM-centered species template;
+    ``uniforms``: [K,16] from draw_uniforms(lanes=16); scalars
+    ``p_ins`` (insert_probability), ``lnfv`` (ln of fugacity*V in
+    K/A^3 units), ``d_self``/``d_excl`` (per-molecule Ewald self and
+    intra-exclusion energies), ``c1``/``c2`` (LRC delta coefficients:
+    d_lrc(insert at count N) = c1 + c2*N)."""
+    f32 = jnp.float32
+    n_pad = _round_up(n_real, TJ)
+    ew = cfg.coulomb == "ewald"
+    if ew:
+        nk = kvecs.shape[0]
+        nk_pad = _round_up(nk, 128)
+
+        def padk(x):
+            x = jnp.asarray(x).astype(f32)
+            return jnp.pad(x, (0, nk_pad - x.shape[0]))
+
+        ktab = jnp.stack([padk(kvecs[:, 0]), padk(kvecs[:, 1]),
+                          padk(kvecs[:, 2]), padk(kcoef)])
+        sk = jnp.stack([padk(sk_re), padk(sk_im)])
+    else:
+        nk = nk_pad = 128
+        ktab = jnp.zeros((4, nk_pad), f32)
+        sk = jnp.zeros((2, nk_pad), f32)
+
+    def pad1(x, fill=0.0):
+        x = jnp.asarray(x).astype(f32)
+        return jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
+
+    data = jnp.zeros((8, n_pad), f32)
+    data = data.at[ROW_X, :n_real].set(pos[:, 0].astype(f32))
+    data = data.at[ROW_Y, :n_real].set(pos[:, 1].astype(f32))
+    data = data.at[ROW_Z, :n_real].set(pos[:, 2].astype(f32))
+    data = data.at[ROW_EPS].set(pad1(eps))
+    data = data.at[ROW_SIG].set(pad1(sig))
+    data = data.at[ROW_Q].set(pad1(charge))
+    data = data.at[ROW_ALIVE].set(pad1(alive.astype(f32)))
+    data = data.at[ROW_MASS].set(pad1(mass))
+
+    ms = slot_start.shape[0]
+    ms_pad = _round_up(max(ms, 1), 128)
+
+    def padm(x):
+        x = jnp.asarray(x).astype(f32)
+        return jnp.pad(x, (0, ms_pad - x.shape[0]))
+
+    tbl = jnp.stack([padm(slot_start),
+                     jnp.full((ms_pad,), A, f32),
+                     padm(slot_alive.astype(f32)),
+                     padm(jnp.ones((ms,), f32))])
+
+    box32 = jnp.asarray(box, f32)
+    binv = jnp.linalg.inv(box32)
+    scal = jnp.zeros((6, 16), f32)
+    for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
+                           rot_factor, 0.5 * p_ins, p_ins, lnfv,
+                           d_self, d_excl, c1, c2)):
+        scal = scal.at[0, i].set(jnp.asarray(v, f32))
+    scal = scal.at[1, :9].set(box32.reshape(-1))
+    scal = scal.at[2, :9].set(binv.reshape(-1))
+    scal = scal.at[3:6, :A].set(jnp.asarray(tmpl, f32).T)
+
+    u = jnp.asarray(uniforms, f32)
+
+    out_data, out_sums, out_sk, out_tbl = pl.pallas_call(
+        functools.partial(_kernel_uvt, cfg=cfg, n_steps=n_steps,
+                          n_pad=n_pad, n_real=n_real, A=A,
+                          nk_pad=nk_pad, ms_pad=ms_pad),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((6, 16), lambda _: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_steps, 16), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, nk_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, ms_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, nk_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, n_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda _: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, nk_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, ms_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, n_pad), f32),
+            jax.ShapeDtypeStruct((1, 16), f32),
+            jax.ShapeDtypeStruct((2, nk_pad), f32),
+            jax.ShapeDtypeStruct((4, ms_pad), f32),
+        ],
+        input_output_aliases={4: 0, 5: 2, 3: 3},
+        interpret=interpret,
+    )(scal, u, ktab, tbl, data, sk)
+    new_pos = jnp.stack([out_data[ROW_X, :n_real],
+                         out_data[ROW_Y, :n_real],
+                         out_data[ROW_Z, :n_real]], axis=1)
+    return (new_pos.astype(pos.dtype), out_tbl[2, :ms] > 0.5,
+            out_sums[0, :12], out_sk[0, :nk], out_sk[1, :nk])
+
+
+def draw_uniforms(key, n_steps, lanes=8):
+    """[K, lanes] uniform table.  Lanes 0-7: 0 slot pick, 1-3
+    displacement (µVT insert: fractional COM), 4 acceptance coin, 5-7
+    rotation axis z / azimuth / angle (µVT insert: Shoemake quaternion
+    u1/u2/u3).  Lane 8 (µVT, lanes=16): move-type draw."""
+    return jax.random.uniform(key, (n_steps, lanes), jnp.float32)
+
+
+def _supported_physics(cfg) -> bool:
+    """Physics-surface gate shared by the NVT and µVT fused paths."""
+    return (cfg.rd_potential in ("lj", "none")
             and cfg.coulomb in ("none", "cutoff", "wolf", "ewald")
             and cfg.mixing_rule in ("lb", "waldman_hagler")
             and not cfg.feynman_hibbs and not cfg.feynman_kleinert
             and not cfg.polarization and not cfg.cdvdw
             and cfg.cdvdw_repulsion == "none"
-            # rd_lrc IS allowed: tail coefficients are
-            # distance-independent, so displacement deltas are zero
+            # rd_lrc IS allowed: NVT tail coefficients are
+            # distance-independent (displacement deltas are zero); the
+            # uvt kernel carries the count-dependent delta explicitly
             and not cfg.rd_crystal
             and not cfg.quantum_rotation
-            and cfg.dtype == "float32"):
+            and cfg.dtype == "float32")
+
+
+def supported(cfg, params) -> bool:
+    """Static gate for the fused multi-step NVT path (module
+    docstring)."""
+    if not (cfg.ensemble == "nvt" and _supported_physics(cfg)):
         return False
     # rigid molecules up to MAX_SITES atoms (no intra terms)
     natoms = np.asarray(params.mol_natoms)
     frozen = np.asarray(params.mol_frozen)
     mov = ~frozen & (np.asarray(params.mol_species) >= 0)
     return bool(mov.any()) and bool((natoms[mov] <= MAX_SITES).all())
+
+
+def supported_uvt(cfg, params) -> bool:
+    """Static gate for the fused µVT path: same physics surface as the
+    NVT gate plus single-insert-species GCMC (every movable slot is of
+    that species, so the per-molecule self/exclusion/LRC deltas are
+    constants), no cavity bias (the biased proposal density needs the
+    open-cell grid, which lives outside the kernel)."""
+    if not (cfg.ensemble == "uvt" and len(cfg.insert_species) == 1
+            and not cfg.cavity_bias and _supported_physics(cfg)):
+        return False
+    si = cfg.insert_species[0]
+    frozen = np.asarray(params.mol_frozen)
+    spec = np.asarray(params.mol_species)
+    natoms = np.asarray(params.mol_natoms)
+    mov = ~frozen & (spec >= 0)
+    if not mov.any() or not (spec[mov] == si).all():
+        return False
+    a = natoms[mov]
+    return bool((a == a[0]).all()) and int(a[0]) <= MAX_SITES
+
+
+def movable_slots(params):
+    """([Ms] slot indices, [Ms] first atom rows, A) of EVERY movable
+    molecule slot, alive or dead (fused µVT path; see supported_uvt —
+    uniform single-species slots)."""
+    frozen = np.asarray(params.mol_frozen)
+    spec = np.asarray(params.mol_species)
+    mov = np.where(~frozen & (spec >= 0))[0]
+    start = np.asarray(params.mol_start)[mov].astype(np.int32)
+    A = int(np.asarray(params.mol_natoms)[mov][0])
+    return mov.astype(np.int32), start, A
 
 
 def movable_mols(params, mol_alive):

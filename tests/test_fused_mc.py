@@ -246,3 +246,124 @@ pqr_input {pqr}
     _, avgs = run_mod.run(job, log=log)
     assert "unsupported" not in log.getvalue()
     assert avgs.count() == 4
+
+
+# ---------------------------------------------------------------- fused µVT
+
+def test_uvt_supported_gate():
+    p, s, c, t = systems.mof_h2_gcmc(n_side=3, n_h2=4, capacity=8)
+    assert mc_kernel.supported_uvt(c, p)                # uvt + ewald
+    assert mc_kernel.supported_uvt(
+        dataclasses.replace(c, coulomb="wolf"), p)
+    assert not mc_kernel.supported_uvt(
+        dataclasses.replace(c, ensemble="nvt"), p)
+    assert not mc_kernel.supported_uvt(
+        dataclasses.replace(c, cavity_bias=True), p)
+    assert not mc_kernel.supported_uvt(
+        dataclasses.replace(c, polarization=True), p)
+    assert not mc_kernel.supported_uvt(
+        dataclasses.replace(c, insert_species=(0, 1)), p)
+    assert not mc_kernel.supported_uvt(
+        dataclasses.replace(c, dtype="float64"), p)
+
+
+def _mof_h2_uvt(coulomb="ewald"):
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=12, capacity=24)
+    cfg = dataclasses.replace(cfg, coulomb=coulomb, fused_mc=True)
+    assert mc_kernel.supported_uvt(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    return params, state, cfg, thermo
+
+
+@pytest.mark.parametrize("coulomb", ["none", "wolf", "ewald"])
+def test_uvt_bookkeeping_matches_full_recompute(coulomb):
+    """Fused GCMC on rigid 3-site H2 in a frozen framework: after K
+    displace/insert/delete steps every accumulated per-term delta
+    (incl. the count-dependent self/exclusion/LRC constants and the
+    S(k) commit) must equal a from-scratch recompute of the final
+    configuration."""
+    params, state, cfg, thermo = _mof_h2_uvt(coulomb)
+    n0 = int(np.asarray(state.mol_alive).sum())
+    st, stats = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                               thermo, 600)
+    att = np.asarray(stats.attempts)
+    acc = np.asarray(stats.accepts)
+    assert att[metropolis.DISPLACE] > 100
+    assert att[metropolis.INSERT] > 50
+    assert att[metropolis.DELETE] > 50
+    assert att.sum() == 600
+    # the chain must actually exchange particles with the reservoir
+    assert acc[metropolis.INSERT] + acc[metropolis.DELETE] > 0
+    n1 = int(np.asarray(st.mol_alive).sum())
+    assert n1 - n0 == (int(acc[metropolis.INSERT])
+                       - int(acc[metropolis.DELETE]))
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    for term in ("rd", "lrc", "es_real", "es_recip", "es_self",
+                 "es_excl"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+    if coulomb == "ewald":
+        np.testing.assert_allclose(np.asarray(st.sk_re),
+                                   np.asarray(fresh.sk_re),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(st.sk_im),
+                                   np.asarray(fresh.sk_im),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_uvt_ideal_gas_occupancy():
+    """Non-interacting fused GCMC: <N> = f V / kT (Poisson) — the
+    acceptance rule, slot bookkeeping, and pick distributions all feed
+    this number."""
+    from helpers import atom_species
+
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.state import build_system
+
+    L, T, target_n = 20.0, 300.0, 20.0
+    f_atm = target_n * T / L ** 3 / ATM2K_A3
+    sp = atom_species("He", eps=0.0, sig=0.0, charge=0.0, mass=4.0)
+    params, state = build_system(L * np.eye(3), species=(sp,),
+                                 capacity=(80,), initial_counts=(10,),
+                                 dtype=jnp.float32, seed=3)
+    cfg = RunConfig(ensemble="uvt", rd_potential="none", coulomb="none",
+                    rd_lrc=False, dtype="float32", insert_species=(0,),
+                    fused_mc=True)
+    thermo = Thermo.make(temperature=T, fugacity=(f_atm,),
+                         insert_probability=0.5, move_factor=1.0,
+                         rot_factor=0.1, n_species=1, dtype=jnp.float32)
+    assert mc_kernel.supported_uvt(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    state, _ = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                              thermo, 2000)
+    samples = []
+    for _ in range(60):
+        state, _ = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                                  thermo, 100)
+        samples.append(int(np.asarray(state.mol_alive).sum()))
+    mean_n = np.mean(samples)
+    assert mean_n == pytest.approx(target_n, abs=2.0)
+
+
+def test_uvt_matches_scan_equilibrium():
+    """Interacting fused GCMC must equilibrate to the same <N> and <U>
+    as the scan path (statistical agreement, not trajectory
+    equality)."""
+    params, state, cfg, thermo = _mof_h2_uvt("wolf")
+
+    def sample(chunk_fn, st, n_blocks=40, block=100):
+        ns, us = [], []
+        st, _ = chunk_fn(st, params, cfg, thermo, 1500)
+        for _ in range(n_blocks):
+            st, _ = chunk_fn(st, params, cfg, thermo, block)
+            st = metropolis.initialize(st, params, cfg, thermo)
+            ns.append(int(np.asarray(st.mol_alive).sum()))
+            us.append(float(st.energy.total))
+        return np.mean(ns), np.std(ns), np.mean(us)
+
+    nf, sf, uf = sample(metropolis.run_chunk_fused_uvt, state)
+    ns_, ss, us_ = sample(metropolis.run_chunk, state)
+    # loose statistical tolerance: a few sigma of the block means
+    tol = 4.0 * max(sf, ss, 0.5) / np.sqrt(40.0)
+    assert nf == pytest.approx(ns_, abs=max(3.0 * tol, 1.5))
