@@ -121,6 +121,38 @@ def bench_lj_nvt_fused():
             "vs_baseline": round(sps / BASELINES["lj_nvt"], 2)}
 
 
+def bench_gcmc_fused():
+    """Single-chain latency path on the HEADLINE workload: fused µVT
+    Pallas kernel (ops/pallas/mc_kernel.py::run_steps_uvt) on the
+    north-star MOF+H2 GCMC system with Ewald.  2026-08-17: 16.3k vs
+    3.6k scan steps/s (4.5x)."""
+    import dataclasses
+
+    import numpy as np
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=21, spacing=4.0, n_h2=256, capacity=512,
+        temperature=77.0, pressure=1.0, dtype="float32")
+    cfg = dataclasses.replace(cfg, fused_mc=True)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    K, reps = 2048, 5
+    st, _ = metropolis.run_chunk_fused_uvt(state, params, cfg, thermo, K)
+    np.asarray(st.pos)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        st, _ = metropolis.run_chunk_fused_uvt(st, params, cfg, thermo,
+                                               K)
+    np.asarray(st.pos)
+    sps = reps * K / (time.perf_counter() - t0)
+    return {"metric":
+            "mc_steps_per_sec_10k_mof_h2_gcmc_single_chain_fused",
+            "value": round(sps, 2), "unit": "steps/s",
+            "vs_baseline": round(sps / BASELINES["gcmc"], 2)}
+
+
 def bench_nvt_ewald():
     """BASELINE config 2: charged rigid framework + point-charge
     sorbates, NVT (displace/rotate only)."""
@@ -212,7 +244,7 @@ def main():
     results = []
     headline = bench_gcmc()          # first: measure on a quiet chip
     for fn in (bench_lj_nvt, bench_lj_nvt_fused, bench_nvt_ewald,
-               bench_polar_gcmc, bench_pt_round):
+               bench_gcmc_fused, bench_polar_gcmc, bench_pt_round):
         try:
             row = fn()
         except Exception:

@@ -815,6 +815,51 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
     return new_state, stats
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "A", "slot0", "slot1"))
+def _uvt_chunk_consts(pos, box, params, thermo, cfg, A, slot0, slot1):
+    """Per-chunk constants for the fused µVT kernel, all in one jitted
+    dispatch: (d_self, d_excl, c1, c2, lnfv, kvecs, kcoef).  Uses the
+    SAME helpers the scan path's b_insert/b_delete use so the two paths
+    agree term by term; ``slot1`` = -1 when only one movable slot
+    exists (then c2 = 0)."""
+    si = cfg.insert_species[0]
+    rc = pairs.derived_cutoff(box, cfg)
+    alpha = pairs.derived_alpha(rc, cfg)
+    kv, kcoef = _fused_ktable(box, cfg, alpha)
+    s0 = jnp.asarray(slot0, jnp.int32)
+    d_self = _mol_self_energy(params, cfg, box, s0)
+    tmpl = params.species_pos[si][:A]
+    a_cap = params.mol_atoms.shape[1]
+    tmpl_rows = jnp.concatenate(
+        [tmpl, jnp.broadcast_to(tmpl[:1], (a_cap - A, 3))], axis=0)
+    d_excl = pairs.intra_terms(pos, box, params, cfg, s0,
+                               row_pos=tmpl_rows.astype(pos.dtype))
+    volume = jnp.abs(jnp.linalg.det(box))
+    zero = jnp.zeros((), cfg.jdtype)
+    c1 = c2 = zero
+    if cfg.rd_potential == "lj" and cfg.rd_lrc:
+        own = pairs.mol_lrc_self_coefficient(params, cfg, rc, s0)
+        frozen_atoms = (params.mol_frozen[params.mol_id]
+                        & params.atom_ok)
+        c_mf = pairs.mol_pair_pass(
+            pos, box, frozen_atoms, params, cfg,
+            thermo.temperature, s0).lrc_coeff
+        if slot1 >= 0:
+            s1 = jnp.asarray(slot1, jnp.int32)
+            other_atoms = (params.mol_id == s1) & params.atom_ok
+            c_mm = pairs.mol_pair_pass(
+                pos, box, other_atoms, params, cfg,
+                thermo.temperature, s0).lrc_coeff
+        else:
+            c_mm = zero
+        c1 = (c_mf + 0.5 * own) / volume
+        c2 = c_mm / volume
+    f = thermo.fugacity[si] * ATM2K_A3                  # K / A^3
+    lnfv = jnp.log(jnp.maximum(f * volume, 1e-300))
+    return d_self, d_excl, c1, c2, lnfv, kv, kcoef
+
+
 def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
                         thermo: Thermo, n_steps: int):
     """K GCMC steps (displace | insert | delete) in ONE Pallas launch
@@ -825,9 +870,6 @@ def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
     intra-exclusion / LRC constants are computed here with the SAME
     host functions the scan path's b_insert/b_delete use, so the two
     paths agree term by term."""
-    import numpy as np
-
-    from mpmc_tpu.constants import ATM2K_A3
     from mpmc_tpu.ops.pallas import mc_kernel
 
     rc = pairs.derived_cutoff(state.box, cfg)
@@ -838,39 +880,12 @@ def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
     si = cfg.insert_species[0]
     tmpl = params.species_pos[si][:A]
     thr = cfg.cavity_autoreject_absolute
-    kv, kcoef = _fused_ktable(state.box, cfg, alpha)
-
-    # per-molecule constants, via the same helpers the scan path uses
-    slot0 = jnp.asarray(int(slots[0]), jnp.int32)
-    d_self = _mol_self_energy(params, cfg, state.box, slot0)
-    a_cap = params.mol_atoms.shape[1]
-    tmpl_rows = jnp.concatenate(
-        [tmpl, jnp.broadcast_to(tmpl[:1], (a_cap - A, 3))], axis=0)
-    d_excl = pairs.intra_terms(state.pos, state.box, params, cfg, slot0,
-                               row_pos=tmpl_rows.astype(state.pos.dtype))
-    volume = jnp.abs(jnp.linalg.det(state.box))
-    zero = jnp.zeros((), cfg.jdtype)
-    c1 = c2 = zero
-    if cfg.rd_potential == "lj" and cfg.rd_lrc:
-        own = pairs.mol_lrc_self_coefficient(params, cfg, rc, slot0)
-        frozen_atoms = (params.mol_frozen[params.mol_id]
-                        & params.atom_ok)
-        c_mf = pairs.mol_pair_pass(
-            state.pos, state.box, frozen_atoms, params, cfg,
-            thermo.temperature, slot0).lrc_coeff
-        if len(slots) >= 2:
-            slot1 = jnp.asarray(int(slots[1]), jnp.int32)
-            other_atoms = (params.mol_id == slot1) & params.atom_ok
-            c_mm = pairs.mol_pair_pass(
-                state.pos, state.box, other_atoms, params, cfg,
-                thermo.temperature, slot0).lrc_coeff
-        else:
-            c_mm = zero
-        c1 = (c_mf + 0.5 * own) / volume
-        c2 = c_mm / volume
-
-    f = thermo.fugacity[si] * ATM2K_A3                  # K / A^3
-    lnfv = jnp.log(jnp.maximum(f * volume, 1e-300))
+    # ONE jitted dispatch for every per-chunk constant: eager op-by-op
+    # evaluation here costs hundreds of ms per chunk on the tunneled
+    # axon backend (measured 2026-08-17: ~1.9k vs ~19k steps/s)
+    d_self, d_excl, c1, c2, lnfv, kv, kcoef = _uvt_chunk_consts(
+        state.pos, state.box, params, thermo, cfg, A,
+        int(slots[0]), int(slots[1]) if len(slots) >= 2 else -1)
 
     new_pos, slot_alive, sums, sk_re, sk_im = mc_kernel.run_steps_uvt(
         state.pos, params.eps, params.sig, params.charge, params.mass,
