@@ -816,48 +816,62 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "A", "slot0", "slot1"))
-def _uvt_chunk_consts(pos, box, params, thermo, cfg, A, slot0, slot1):
-    """Per-chunk constants for the fused µVT kernel, all in one jitted
-    dispatch: (d_self, d_excl, c1, c2, lnfv, kvecs, kcoef).  Uses the
-    SAME helpers the scan path's b_insert/b_delete use so the two paths
-    agree term by term; ``slot1`` = -1 when only one movable slot
-    exists (then c2 = 0)."""
-    si = cfg.insert_species[0]
+                   static_argnames=("cfg", "A_list", "rep_slots"))
+def _uvt_chunk_consts(pos, box, params, thermo, cfg, A_list, rep_slots):
+    """Per-chunk per-species constants for the fused µVT kernel, all in
+    one jitted dispatch: ([S] d_self, [S] d_excl, [S] c1, [S,S] cx,
+    [S] lnfv, kvecs, kcoef).  Uses the SAME helpers the scan path's
+    b_insert/b_delete use so the two paths agree term by term.
+    ``rep_slots[s]`` = (slot0, slot1): two distinct movable slots of
+    species s (slot1 = -1 when the species has a single slot — then
+    its same-species LRC cross term is unused: N_s <= 1 makes
+    cx[s,s]*N_s - cx[s,s] vanish on delete)."""
+    S = len(A_list)
     rc = pairs.derived_cutoff(box, cfg)
     alpha = pairs.derived_alpha(rc, cfg)
     kv, kcoef = _fused_ktable(box, cfg, alpha)
-    s0 = jnp.asarray(slot0, jnp.int32)
-    d_self = _mol_self_energy(params, cfg, box, s0)
-    tmpl = params.species_pos[si][:A]
-    a_cap = params.mol_atoms.shape[1]
-    tmpl_rows = jnp.concatenate(
-        [tmpl, jnp.broadcast_to(tmpl[:1], (a_cap - A, 3))], axis=0)
-    d_excl = pairs.intra_terms(pos, box, params, cfg, s0,
-                               row_pos=tmpl_rows.astype(pos.dtype))
     volume = jnp.abs(jnp.linalg.det(box))
     zero = jnp.zeros((), cfg.jdtype)
-    c1 = c2 = zero
-    if cfg.rd_potential == "lj" and cfg.rd_lrc:
-        own = pairs.mol_lrc_self_coefficient(params, cfg, rc, s0)
-        frozen_atoms = (params.mol_frozen[params.mol_id]
-                        & params.atom_ok)
-        c_mf = pairs.mol_pair_pass(
-            pos, box, frozen_atoms, params, cfg,
-            thermo.temperature, s0).lrc_coeff
-        if slot1 >= 0:
-            s1 = jnp.asarray(slot1, jnp.int32)
-            other_atoms = (params.mol_id == s1) & params.atom_ok
-            c_mm = pairs.mol_pair_pass(
-                pos, box, other_atoms, params, cfg,
+    a_cap = params.mol_atoms.shape[1]
+    lrc_on = cfg.rd_potential == "lj" and cfg.rd_lrc
+    frozen_atoms = params.mol_frozen[params.mol_id] & params.atom_ok
+    d_self, d_excl, c1, lnfv, cx = [], [], [], [], []
+    for s in range(S):
+        si = cfg.insert_species[s]
+        A = A_list[s]
+        s0 = jnp.asarray(rep_slots[s][0], jnp.int32)
+        d_self.append(_mol_self_energy(params, cfg, box, s0))
+        tmpl = params.species_pos[si][:A]
+        tmpl_rows = jnp.concatenate(
+            [tmpl, jnp.broadcast_to(tmpl[:1], (a_cap - A, 3))], axis=0)
+        d_excl.append(pairs.intra_terms(
+            pos, box, params, cfg, s0,
+            row_pos=tmpl_rows.astype(pos.dtype)))
+        f = thermo.fugacity[si] * ATM2K_A3              # K / A^3
+        lnfv.append(jnp.log(jnp.maximum(f * volume, 1e-300)))
+        if lrc_on:
+            own = pairs.mol_lrc_self_coefficient(params, cfg, rc, s0)
+            c_mf = pairs.mol_pair_pass(
+                pos, box, frozen_atoms, params, cfg,
                 thermo.temperature, s0).lrc_coeff
+            c1.append((c_mf + 0.5 * own) / volume)
+            row = []
+            for t in range(S):
+                other = rep_slots[t][0] if t != s else rep_slots[s][1]
+                if other < 0:
+                    row.append(zero)
+                    continue
+                ot = jnp.asarray(other, jnp.int32)
+                other_atoms = (params.mol_id == ot) & params.atom_ok
+                row.append(pairs.mol_pair_pass(
+                    pos, box, other_atoms, params, cfg,
+                    thermo.temperature, s0).lrc_coeff / volume)
+            cx.append(jnp.stack(row))
         else:
-            c_mm = zero
-        c1 = (c_mf + 0.5 * own) / volume
-        c2 = c_mm / volume
-    f = thermo.fugacity[si] * ATM2K_A3                  # K / A^3
-    lnfv = jnp.log(jnp.maximum(f * volume, 1e-300))
-    return d_self, d_excl, c1, c2, lnfv, kv, kcoef
+            c1.append(zero)
+            cx.append(jnp.zeros((S,), cfg.jdtype))
+    return (jnp.stack(d_self), jnp.stack(d_excl), jnp.stack(c1),
+            jnp.stack(cx), jnp.stack(lnfv), kv, kcoef)
 
 
 def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
@@ -865,36 +879,48 @@ def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
     """K GCMC steps (displace | insert | delete) in ONE Pallas launch
     (ops/pallas/mc_kernel.py::run_steps_uvt) — the single-chain latency
     path for the headline µVT workload.  Caller must have checked
-    mc_kernel.supported_uvt(cfg, params): single insert species,
-    uniform rigid slots, no cavity bias.  The per-molecule self /
-    intra-exclusion / LRC constants are computed here with the SAME
-    host functions the scan path's b_insert/b_delete use, so the two
-    paths agree term by term."""
+    mc_kernel.supported_uvt(cfg, params): up to MAX_SPECIES insert
+    species, uniform rigid slots per species, no cavity bias.  The
+    per-molecule self / intra-exclusion / LRC constants are computed
+    here with the SAME host functions the scan path's
+    b_insert/b_delete use, so the two paths agree term by term."""
+    import numpy as np
+
     from mpmc_tpu.ops.pallas import mc_kernel
 
     rc = pairs.derived_cutoff(state.box, cfg)
     alpha = pairs.derived_alpha(rc, cfg)
     key_next, k_u = jax.random.split(state.key)
     u = mc_kernel.draw_uniforms(k_u, n_steps, lanes=16)
-    slots, slot_start, A = mc_kernel.movable_slots(params)
-    si = cfg.insert_species[0]
-    tmpl = params.species_pos[si][:A]
+    slots, slot_start, species_idx, A_list = mc_kernel.movable_slots(
+        params, cfg.insert_species)
+    A_max = max(A_list)
+    tmpl = np.zeros((len(A_list), A_max, 3), np.float32)
+    rep_slots = []
+    for s, si in enumerate(cfg.insert_species):
+        t = np.asarray(params.species_pos[si][:A_list[s]], np.float32)
+        tmpl[s, :A_list[s]] = t
+        tmpl[s, A_list[s]:] = t[:1]         # pad rows (masked in-kernel)
+        own = slots[species_idx == s]
+        rep_slots.append((int(own[0]),
+                          int(own[1]) if len(own) >= 2 else -1))
     thr = cfg.cavity_autoreject_absolute
     # ONE jitted dispatch for every per-chunk constant: eager op-by-op
     # evaluation here costs hundreds of ms per chunk on the tunneled
     # axon backend (measured 2026-08-17: ~1.9k vs ~19k steps/s)
-    d_self, d_excl, c1, c2, lnfv, kv, kcoef = _uvt_chunk_consts(
-        state.pos, state.box, params, thermo, cfg, A,
-        int(slots[0]), int(slots[1]) if len(slots) >= 2 else -1)
+    d_self, d_excl, c1, cx, lnfv, kv, kcoef = _uvt_chunk_consts(
+        state.pos, state.box, params, thermo, cfg, A_list,
+        tuple(rep_slots))
 
     new_pos, slot_alive, sums, sk_re, sk_im = mc_kernel.run_steps_uvt(
         state.pos, params.eps, params.sig, params.charge, params.mass,
         state.atom_alive(params), jnp.asarray(slot_start),
-        state.mol_alive[slots], jnp.asarray(tmpl), state.box, rc,
+        jnp.asarray(species_idx), state.mol_alive[slots],
+        jnp.asarray(tmpl), state.box, rc,
         alpha, 1.0 / thermo.temperature, thermo.move_factor,
         thermo.rot_factor, thr * thr, thermo.insert_probability, lnfv,
-        d_self, d_excl, c1, c2, u, cfg, n_steps, state.pos.shape[0],
-        A=A, interpret=jax.default_backend() != "tpu",
+        d_self, d_excl, c1, cx, u, cfg, n_steps, state.pos.shape[0],
+        A_list=A_list, interpret=jax.default_backend() != "tpu",
         kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im)
     dtype = cfg.jdtype
     d = sums.astype(dtype)

@@ -683,8 +683,8 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
                          and mc_kernel.supported_uvt(cfg, params))
         if not (use_fused or use_fused_uvt):
             print("WARNING: fused_mc requested but unsupported for this "
-                  "configuration (needs rigid <=8-site NVT or "
-                  "single-species µVT, lj/none RD, none/cutoff/wolf/"
+                  "configuration (needs rigid <=8-site NVT or <=8-"
+                  "species µVT, lj/none RD, none/cutoff/wolf/"
                   "ewald ES, f32) — scan path used",
                   file=writer.log)
     for block in range(n_blocks):

@@ -118,6 +118,46 @@ def lj_fluid(n: int = 256, density: float = 0.0212, temperature=120.0,
     return params, state, cfg, thermo
 
 
+def mof_h2_ch4_gcmc(n_side: int = 6, spacing: float = 4.0,
+                    n_h2: int = 16, n_ch4: int = 16, capacity: int = 64,
+                    temperature=150.0, pressures=(1.0, 1.0),
+                    dtype="float32", seed=0, ewald_kmax=5,
+                    corrtime=1000):
+    """Two-sorbate MOF GCMC (rigid 3-site H2 + united-atom CH4): the
+    multi-sorbate µVT shape (SURVEY §2 'Moves / checkpoint':
+    multi-sorbate uniform species pick; per-species fugacities).
+    Mixed per-species site counts (3 and 1) also exercise the fused
+    µVT kernel's per-species validity masks.  Returns
+    (params, state, cfg, thermo)."""
+    fpos, fp, box_len = _framework_lattice(n_side, spacing)
+    h2, ch4 = h2_bss3(), ch4_united_atom()
+    if n_h2 + n_ch4 > n_side ** 3:
+        raise ValueError("initial loading exceeds interstitial sites")
+    ijk = np.stack(np.meshgrid(*[np.arange(n_side)] * 3,
+                               indexing="ij"), -1).reshape(-1, 3)
+    rng = np.random.default_rng(seed)
+    sites = (ijk[rng.permutation(len(ijk))[:n_h2 + n_ch4]] + 1.0) * spacing
+    initial_pos = {
+        0: sites[:n_h2, None, :] + h2.pos[None, :, :],
+        1: sites[n_h2:, None, :] + ch4.pos[None, :, :],
+    }
+    cfg = RunConfig(
+        ensemble="uvt", rd_potential="lj", coulomb="ewald",
+        ewald_kmax=ewald_kmax, insert_species=(0, 1),
+        cavity_autoreject_absolute=1.0, corrtime=corrtime, dtype=dtype,
+        seed=seed)
+    params, state = build_system(
+        np.eye(3) * box_len, frozen_pos=fpos, frozen_params=fp,
+        species=(h2, ch4), capacity=(capacity, capacity),
+        initial_counts=(n_h2, n_ch4), initial_pos=initial_pos,
+        dtype=cfg.jdtype, seed=seed)
+    thermo = Thermo.make(
+        temperature=temperature, pressure=pressures[0],
+        fugacity=list(pressures), move_factor=1.0, rot_factor=np.pi,
+        insert_probability=0.5, n_species=2, dtype=cfg.jdtype)
+    return params, state, cfg, thermo
+
+
 def mof_h2_gcmc(n_side: int = 8, spacing: float = 4.0, n_h2: int = 64,
                 capacity: int = 256, temperature=77.0, pressure=1.0,
                 polarization=False, dtype="float32", seed=0,

@@ -415,7 +415,7 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
 
 def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
                 sk_in_ref, data_ref, out_ref, sk_ref, tbl_ref, *,
-                cfg, n_steps, n_pad, n_real, A, nk_pad, ms_pad):
+                cfg, n_steps, n_pad, n_real, A_list, nk_pad, ms_pad):
     """Fused µVT (GCMC) step loop: displace | insert | delete per step.
 
     Differences from the NVT ``_kernel``: the movable-slot table carries
@@ -426,11 +426,26 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
     has_new masks (insert masks the old pass, delete the new pass); and
     the rigid-molecule self/intra-exclusion/LRC constants enter the
     acceptance as host-precomputed scalars, exactly like the scan
-    path's b_insert/b_delete (mc/metropolis.py).  Single insert species
-    only: every movable slot has the same A sites and the same
-    template, so the per-molecule constants really are constants."""
+    path's b_insert/b_delete (mc/metropolis.py).
+
+    Multi-sorbate (``A_list`` = per-species site counts, S = len):
+    insert and delete draw the species FIRST (uniform over S, lane 9),
+    then pick a slot of that species — the 1/S proposal factor cancels
+    between insert and its reverse delete, so the acceptance uses only
+    the per-species ln(f_s V) and N_s exactly like the scan path's
+    species-first b_insert/b_delete (detailed balance; see
+    test_multisorbate_ideal_gas_partial_loadings).  Displacement picks
+    uniformly over ALL alive movable slots.  Per-species constants
+    (site count, template, self/exclusion energies, ln fV, LRC c1 and
+    the S x S cross matrix c_x) are selected from SMEM by the picked
+    slot's species; the LRC delta for species s at per-species counts
+    N_s' is  insert: (c1[s] + sum_s' c_x[s,s'] N_s');
+    delete: -(c1[s] + sum_s' c_x[s,s'] N_s' - c_x[s,s])."""
     del tbl_in_ref, data_in_ref, sk_in_ref
     ew = cfg.coulomb == "ewald"
+    S = len(A_list)
+    A = max(A_list)                 # unrolled site loop bound
+    uniform_A = len(set(A_list)) == 1
     rc = scal_ref[0, 0]
     alpha = scal_ref[0, 1]
     beta = scal_ref[0, 2]
@@ -439,23 +454,35 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
     rotf = scal_ref[0, 5]
     p_half = scal_ref[0, 6]         # 0.5 * insert_probability
     p_ins = scal_ref[0, 7]          # insert_probability
-    lnfv = scal_ref[0, 8]           # ln(f V), f in K/A^3
-    d_self = scal_ref[0, 9]         # per-molecule Ewald self energy
-    d_excl = scal_ref[0, 10]        # per-molecule intra-exclusion energy
-    c1 = scal_ref[0, 11]            # LRC: (c_mf + 0.5 c_own) / V
-    c2 = scal_ref[0, 12]            # LRC: c_mm / V
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
-    tmpl = [[scal_ref[3 + c, a] for c in range(3)] for a in range(A)]
+    # per-species SMEM tables (rows 3-7 + S cx rows + 3S template rows)
+    natoms_s = [scal_ref[3, s] for s in range(S)]
+    lnfv_s = [scal_ref[4, s] for s in range(S)]
+    d_self_s = [scal_ref[5, s] for s in range(S)]
+    d_excl_s = [scal_ref[6, s] for s in range(S)]
+    c1_s = [scal_ref[7, s] for s in range(S)]
+    cx = [[scal_ref[8 + s, t] for t in range(S)] for s in range(S)]
+    tmpl_s = [[[scal_ref[8 + S + 3 * s + c, a] for c in range(3)]
+               for a in range(A)] for s in range(S)]
 
     n_tiles = n_pad // TJ
     MW = 256 if A > 1 else 128
     two_pi = np.float32(2.0 * np.pi)
 
+    def sp_sel(spf, table):
+        """Select a per-species scalar by the (float) species id."""
+        if S == 1:
+            return table[0]
+        out = table[0]
+        for s in range(1, S):
+            out = jnp.where(spf == np.float32(s), table[s], out)
+        return out
+
     def step(k, carry):
         (d_rd, d_es, d_rec, d_slf, d_exc, d_lrc,
          acc_d, acc_i, acc_x, att_d, att_i, att_x) = carry
-        # --- move type + slot pick ---------------------------------------
+        # --- move type + species + slot pick -----------------------------
         u8 = u_ref[k, 8]
         is_ins = u8 < p_half
         is_del = (~is_ins) & (u8 < p_ins)
@@ -464,12 +491,32 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
         fdel = is_del.astype(jnp.float32)
 
         tb = tbl_ref[pl.dslice(0, 4), pl.dslice(0, ms_pad)]   # [4, ms]
+        spec_v = tb[1:2]
         alive_v = tb[2:3]
         valid_v = tb[3:4]
-        n_alive = jnp.sum(alive_v)
-        n_free = jnp.sum(valid_v) - n_alive
-        wv = jnp.where(is_ins, valid_v - alive_v, alive_v)    # [1, ms]
-        cnt = jnp.where(is_ins, n_free, n_alive)
+        if S == 1:
+            n_vec = [jnp.sum(alive_v)]
+            n_alive = n_vec[0]
+            n_free = jnp.sum(valid_v) - n_alive
+            wv = jnp.where(is_ins, valid_v - alive_v, alive_v)
+            cnt = jnp.where(is_ins, n_free, n_alive)
+            n_s = n_alive
+            suf = np.float32(0.0)
+        else:
+            # species-first pick (uniform over S) for insert/delete
+            su = jnp.minimum((u_ref[k, 9] * np.float32(S)).astype(
+                jnp.int32), S - 1)
+            suf = su.astype(jnp.float32)
+            sel_sp = (spec_v == suf).astype(jnp.float32)      # [1, ms]
+            n_vec = [jnp.sum(alive_v
+                             * (spec_v == np.float32(s)).astype(
+                                 jnp.float32)) for s in range(S)]
+            n_s = sp_sel(suf, n_vec)                # alive of species su
+            free_s = jnp.sum((valid_v - alive_v) * sel_sp)
+            wv = jnp.where(is_ins, (valid_v - alive_v) * sel_sp,
+                           jnp.where(is_del, alive_v * sel_sp, alive_v))
+            cnt = jnp.where(is_ins, free_s,
+                            jnp.where(is_del, n_s, sum(n_vec)))
         j = jnp.minimum(jnp.floor(u_ref[k, 0] * cnt), cnt - 1.0)
         # inclusive prefix sum as [1,ms] @ upper-tri ones (MXU)
         ir = jax.lax.broadcasted_iota(jnp.int32, (ms_pad, ms_pad), 0)
@@ -479,6 +526,21 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
         sel_slot = (wv > 0) & (rank == j + 1.0)               # [1, ms]
         start = jnp.sum(jnp.where(sel_slot, tb[0:1], 0.0)).astype(
             jnp.int32)
+        # picked slot's species: = su for insert/delete; for displace
+        # read it off the slot table
+        if S == 1:
+            spf = suf
+            na_i = jnp.int32(A)
+        else:
+            sp_disp = jnp.sum(jnp.where(sel_slot, spec_v, 0.0))
+            spf = jnp.where(is_disp, sp_disp, suf)
+            na = sp_sel(spf, natoms_s)
+            na_i = na.astype(jnp.int32)
+        # per-site validity (species may have fewer than A sites)
+        if uniform_A:
+            valid = [True] * A
+        else:
+            valid = [jnp.asarray(a, jnp.int32) < na_i for a in range(A)]
 
         # --- load the slot's rows ----------------------------------------
         j0 = pl.multiple_of(
@@ -497,6 +559,9 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
         eps_i = [pick(a, ROW_EPS) for a in range(A)]
         sig_i = [pick(a, ROW_SIG) for a in range(A)]
         q_i = [pick(a, ROW_Q) for a in range(A)]
+        # selected species' template rows (COM-centered)
+        tmpl = [[sp_sel(spf, [tmpl_s[s][a][c] for s in range(S)])
+                 for c in range(3)] for a in range(A)]
 
         # --- trial rows: displace (translate+rotate) or insert (template
         # at uniform fractional COM + uniform Shoemake orientation,
@@ -508,7 +573,9 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
             new = [[jnp.where(is_ins, com_new[c], old[0][c] + disp[c])
                     for c in range(3)]]
         else:
-            mass = [pick(a, ROW_MASS) for a in range(A)]
+            mass = [pick(a, ROW_MASS) if uniform_A
+                    else jnp.where(valid[a], pick(a, ROW_MASS), 0.0)
+                    for a in range(A)]
             msum = sum(mass)
             com = [sum(mass[a] * old[a][c] for a in range(A))
                    / jnp.maximum(msum, 1e-30) for c in range(3)]
@@ -564,7 +631,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
             q_j, alive_j = blk[ROW_Q], blk[ROW_ALIVE]
             cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (TJ,), 0)
             ok = ((alive_j > 0) & (cols < n_real)
-                  & ((cols < start) | (cols >= start + A)))
+                  & ((cols < start) | (cols >= start + na_i)))
 
             def mimg(dx, dy, dz):
                 fr = [dx * binv[0][a] + dy * binv[1][a]
@@ -574,17 +641,18 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
                         + fr[2] * box[2][b] for b in range(3)]
 
             for a in range(A):
+                ok_a = ok if uniform_A else ok & valid[a]
                 do = mimg(old[a][0] - px, old[a][1] - py,
                           old[a][2] - pz)
                 dn = mimg(new[a][0] - px, new[a][1] - py,
                           new[a][2] - pz)
                 r_o, e_o, _ = _pair_terms(
                     do[0], do[1], do[2], eps_j, sig_j, q_j,
-                    ok & has_old, eps_i[a], sig_i[a], q_i[a], rc,
+                    ok_a & has_old, eps_i[a], sig_i[a], q_i[a], rc,
                     alpha, cfg)
                 r_n, e_n, m2 = _pair_terms(
                     dn[0], dn[1], dn[2], eps_j, sig_j, q_j,
-                    ok & has_new, eps_i[a], sig_i[a], q_i[a], rc,
+                    ok_a & has_new, eps_i[a], sig_i[a], q_i[a], rc,
                     alpha, cfg)
                 rd_o, es_o = rd_o + r_o, es_o + e_o
                 rd_n, es_n = rd_n + r_n, es_n + e_n
@@ -606,12 +674,14 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
             dsr = jnp.zeros((1, nk_pad), jnp.float32)
             dsi = jnp.zeros((1, nk_pad), jnp.float32)
             for a in range(A):
+                qa = (q_i[a] if uniform_A
+                      else jnp.where(valid[a], q_i[a], 0.0))
                 to = kx * old[a][0] + ky * old[a][1] + kz * old[a][2]
                 tn = kx * new[a][0] + ky * new[a][1] + kz * new[a][2]
-                dsr = dsr + q_i[a] * (fn * jnp.cos(tn)
-                                      - fo * jnp.cos(to))
-                dsi = dsi + q_i[a] * (fn * jnp.sin(tn)
-                                      - fo * jnp.sin(to))
+                dsr = dsr + qa * (fn * jnp.cos(tn)
+                                  - fo * jnp.cos(to))
+                dsi = dsi + qa * (fn * jnp.sin(tn)
+                                  - fo * jnp.sin(to))
             sx = sk_ref[pl.dslice(0, 2), pl.dslice(0, nk_pad)]
             sr, si = sx[0:1], sx[1:2]
             drec = jnp.sum(kc * ((2.0 * sr + dsr) * dsr
@@ -621,14 +691,25 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
 
         # --- per-molecule constants + acceptance -------------------------
         sgn = fins - fdel
-        dslf = sgn * d_self
-        dexc = sgn * d_excl
-        dlrc = (fins * (c1 + c2 * n_alive)
-                - fdel * (c1 + c2 * (n_alive - 1.0)))
+        dslf = sgn * sp_sel(spf, d_self_s)
+        dexc = sgn * sp_sel(spf, d_excl_s)
+        c1 = sp_sel(spf, c1_s)
+        if S == 1:
+            c2 = cx[0][0]
+            dlrc = (fins * (c1 + c2 * n_s)
+                    - fdel * (c1 + c2 * (n_s - 1.0)))
+        else:
+            cx_dot = sp_sel(spf, [sum(cx[s][t] * n_vec[t]
+                                      for t in range(S))
+                                  for s in range(S)])
+            cx_self = sp_sel(spf, [cx[s][s] for s in range(S)])
+            dlrc = (fins * (c1 + cx_dot)
+                    - fdel * (c1 + cx_dot - cx_self))
         du = drd + des + drec + dslf + dexc + dlrc
+        lnfv = sp_sel(spf, lnfv_s)
         lnb = (fins * (lnfv + jnp.log(beta)
-                       - jnp.log(n_alive + 1.0))
-               + fdel * (jnp.log(jnp.maximum(n_alive, 1e-30))
+                       - jnp.log(n_s + 1.0))
+               + fdel * (jnp.log(jnp.maximum(n_s, 1e-30))
                          - jnp.log(beta) - lnfv))
         reject = ((cnt < 0.5) | ((thr2 > 0.0) & has_new
                                  & (mr2 < thr2)))
@@ -640,7 +721,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
             tile = data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)]
             alive_val = 1.0 - fdel
             for a in range(A):
-                sel = lane == off + a
+                sel = (lane == off + a if uniform_A
+                       else (lane == off + a) & valid[a])
                 for c, r in enumerate((ROW_X, ROW_Y, ROW_Z)):
                     tile = jnp.where(sel & (sub == r) & ~is_del,
                                      new[a][c], tile)
@@ -672,26 +754,31 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_steps", "n_real", "A",
+                   static_argnames=("cfg", "n_steps", "n_real", "A_list",
                                     "interpret"))
 def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
-                  slot_alive, tmpl, box, rc, alpha, beta, move_factor,
-                  rot_factor, thr2, p_ins, lnfv, d_self, d_excl, c1, c2,
-                  uniforms, cfg, n_steps, n_real, A, interpret=False,
-                  kvecs=None, kcoef=None, sk_re=None, sk_im=None):
+                  slot_species, slot_alive, tmpl, box, rc, alpha, beta,
+                  move_factor, rot_factor, thr2, p_ins, lnfv, d_self,
+                  d_excl, c1, cx, uniforms, cfg, n_steps, n_real, A_list,
+                  interpret=False, kvecs=None, kcoef=None, sk_re=None,
+                  sk_im=None):
     """K fused µVT steps (displace | insert | delete).  Returns
     (new_pos [N,3], new_slot_alive [Ms] bool, sums [12], sk_re',
     sk_im') where sums = (d_rd, d_es_real, d_es_recip, d_es_self,
     d_es_excl, d_lrc, acc_disp, acc_ins, acc_del, att_disp, att_ins,
-    att_del).  ``slot_start``/``slot_alive``: [Ms] first atom row and
-    alive flag of EVERY movable slot (single insert species, uniform
-    ``A`` sites); ``tmpl``: [A,3] COM-centered species template;
-    ``uniforms``: [K,16] from draw_uniforms(lanes=16); scalars
-    ``p_ins`` (insert_probability), ``lnfv`` (ln of fugacity*V in
-    K/A^3 units), ``d_self``/``d_excl`` (per-molecule Ewald self and
-    intra-exclusion energies), ``c1``/``c2`` (LRC delta coefficients:
-    d_lrc(insert at count N) = c1 + c2*N)."""
+    att_del).  ``slot_start``/``slot_species``/``slot_alive``: [Ms]
+    first atom row, insert-species index (0..S-1) and alive flag of
+    EVERY movable slot; ``A_list``: static per-species site counts
+    (S = len); ``tmpl``: [S, max(A_list), 3] COM-centered species
+    templates; ``uniforms``: [K,16] from draw_uniforms(lanes=16);
+    per-species [S] arrays ``lnfv`` (ln of fugacity*V in K/A^3 units),
+    ``d_self``/``d_excl`` (per-molecule Ewald self and intra-exclusion
+    energies), ``c1`` and [S,S] ``cx`` (LRC delta coefficients:
+    d_lrc(insert species s at per-species counts N_t) =
+    c1[s] + sum_t cx[s,t]*N_t)."""
     f32 = jnp.float32
+    S = len(A_list)
+    A = max(A_list)
     n_pad = _round_up(n_real, TJ)
     ew = cfg.coulomb == "ewald"
     if ew:
@@ -727,35 +814,44 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     ms = slot_start.shape[0]
     ms_pad = _round_up(max(ms, 1), 128)
 
-    def padm(x):
+    def padm(x, fill=0.0):
         x = jnp.asarray(x).astype(f32)
-        return jnp.pad(x, (0, ms_pad - x.shape[0]))
+        return jnp.pad(x, (0, ms_pad - x.shape[0]), constant_values=fill)
 
     tbl = jnp.stack([padm(slot_start),
-                     jnp.full((ms_pad,), A, f32),
+                     padm(slot_species, fill=-1.0),
                      padm(slot_alive.astype(f32)),
                      padm(jnp.ones((ms,), f32))])
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
-    scal = jnp.zeros((6, 16), f32)
+    n_rows = 8 + 4 * S
+    scal = jnp.zeros((n_rows, 16), f32)
     for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
-                           rot_factor, 0.5 * p_ins, p_ins, lnfv,
-                           d_self, d_excl, c1, c2)):
+                           rot_factor, 0.5 * p_ins, p_ins)):
         scal = scal.at[0, i].set(jnp.asarray(v, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
-    scal = scal.at[3:6, :A].set(jnp.asarray(tmpl, f32).T)
+    scal = scal.at[3, :S].set(jnp.asarray(A_list, f32))
+    scal = scal.at[4, :S].set(jnp.asarray(lnfv, f32).reshape(S))
+    scal = scal.at[5, :S].set(jnp.asarray(d_self, f32).reshape(S))
+    scal = scal.at[6, :S].set(jnp.asarray(d_excl, f32).reshape(S))
+    scal = scal.at[7, :S].set(jnp.asarray(c1, f32).reshape(S))
+    scal = scal.at[8:8 + S, :S].set(jnp.asarray(cx, f32).reshape(S, S))
+    tmpl32 = jnp.asarray(tmpl, f32).reshape(S, A, 3)
+    for s in range(S):
+        scal = scal.at[8 + S + 3 * s:8 + S + 3 * s + 3, :A].set(
+            tmpl32[s].T)
 
     u = jnp.asarray(uniforms, f32)
 
     out_data, out_sums, out_sk, out_tbl = pl.pallas_call(
         functools.partial(_kernel_uvt, cfg=cfg, n_steps=n_steps,
-                          n_pad=n_pad, n_real=n_real, A=A,
+                          n_pad=n_pad, n_real=n_real, A_list=A_list,
                           nk_pad=nk_pad, ms_pad=ms_pad),
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((6, 16), lambda _: (0, 0),
+            pl.BlockSpec((n_rows, 16), lambda _: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n_steps, 16), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -798,7 +894,8 @@ def draw_uniforms(key, n_steps, lanes=8):
     """[K, lanes] uniform table.  Lanes 0-7: 0 slot pick, 1-3
     displacement (µVT insert: fractional COM), 4 acceptance coin, 5-7
     rotation axis z / azimuth / angle (µVT insert: Shoemake quaternion
-    u1/u2/u3).  Lane 8 (µVT, lanes=16): move-type draw."""
+    u1/u2/u3).  Lane 8 (µVT, lanes=16): move-type draw; lane 9:
+    insert/delete species pick (consumed only when S > 1)."""
     return jax.random.uniform(key, (n_steps, lanes), jnp.float32)
 
 
@@ -830,36 +927,56 @@ def supported(cfg, params) -> bool:
     return bool(mov.any()) and bool((natoms[mov] <= MAX_SITES).all())
 
 
+MAX_SPECIES = 8     # SMEM per-species table width (supported_uvt cap)
+
+
 def supported_uvt(cfg, params) -> bool:
     """Static gate for the fused µVT path: same physics surface as the
-    NVT gate plus single-insert-species GCMC (every movable slot is of
-    that species, so the per-molecule self/exclusion/LRC deltas are
-    constants), no cavity bias (the biased proposal density needs the
-    open-cell grid, which lives outside the kernel)."""
-    if not (cfg.ensemble == "uvt" and len(cfg.insert_species) == 1
+    NVT gate plus GCMC over up to MAX_SPECIES insert species (every
+    movable slot belongs to one of them, so the per-molecule
+    self/exclusion/LRC deltas are per-species constants), no cavity
+    bias (the biased proposal density needs the open-cell grid, which
+    lives outside the kernel)."""
+    if not (cfg.ensemble == "uvt"
+            and 1 <= len(cfg.insert_species) <= MAX_SPECIES
             and not cfg.cavity_bias and _supported_physics(cfg)):
         return False
-    si = cfg.insert_species[0]
     frozen = np.asarray(params.mol_frozen)
     spec = np.asarray(params.mol_species)
     natoms = np.asarray(params.mol_natoms)
     mov = ~frozen & (spec >= 0)
-    if not mov.any() or not (spec[mov] == si).all():
+    if not mov.any() or not np.isin(spec[mov],
+                                    list(cfg.insert_species)).all():
         return False
-    a = natoms[mov]
-    return bool((a == a[0]).all()) and int(a[0]) <= MAX_SITES
+    for si in cfg.insert_species:
+        a = natoms[mov & (spec == si)]
+        if a.size == 0:     # species with no slot: no capacity to insert
+            return False
+        if not (a == a[0]).all() or int(a[0]) > MAX_SITES:
+            return False
+    return True
 
 
-def movable_slots(params):
-    """([Ms] slot indices, [Ms] first atom rows, A) of EVERY movable
-    molecule slot, alive or dead (fused µVT path; see supported_uvt —
-    uniform single-species slots)."""
+def movable_slots(params, insert_species=None):
+    """([Ms] slot indices, [Ms] first atom rows, [Ms] species index into
+    ``insert_species`` order, A_list) of EVERY movable molecule slot,
+    alive or dead (fused µVT path; see supported_uvt).  ``A_list`` is
+    the per-species site-count tuple in ``insert_species`` order;
+    ``insert_species=None`` treats all movable species in ascending
+    id order (legacy single-species callers)."""
     frozen = np.asarray(params.mol_frozen)
     spec = np.asarray(params.mol_species)
     mov = np.where(~frozen & (spec >= 0))[0]
     start = np.asarray(params.mol_start)[mov].astype(np.int32)
-    A = int(np.asarray(params.mol_natoms)[mov][0])
-    return mov.astype(np.int32), start, A
+    natoms = np.asarray(params.mol_natoms)
+    if insert_species is None:
+        insert_species = tuple(sorted(set(spec[mov].tolist())))
+    order = {int(si): i for i, si in enumerate(insert_species)}
+    species_idx = np.asarray([order[int(s)] for s in spec[mov]],
+                             np.int32)
+    A_list = tuple(int(natoms[mov][species_idx == i][0])
+                   for i in range(len(insert_species)))
+    return mov.astype(np.int32), start, species_idx, A_list
 
 
 def movable_mols(params, mol_alive):

@@ -346,6 +346,123 @@ def test_uvt_ideal_gas_occupancy():
     assert mean_n == pytest.approx(target_n, abs=2.0)
 
 
+def _mof_h2_ch4_uvt(coulomb="ewald"):
+    params, state, cfg, thermo = systems.mof_h2_ch4_gcmc(
+        n_side=4, n_h2=6, n_ch4=6, capacity=12)
+    cfg = dataclasses.replace(cfg, coulomb=coulomb, fused_mc=True)
+    assert mc_kernel.supported_uvt(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    return params, state, cfg, thermo
+
+
+def test_uvt_multisorbate_supported_gate():
+    p, s, c, t = systems.mof_h2_ch4_gcmc(n_side=3, n_h2=2, n_ch4=2,
+                                         capacity=4)
+    assert mc_kernel.supported_uvt(c, p)
+    assert not mc_kernel.supported_uvt(
+        dataclasses.replace(c, ensemble="nvt"), p)
+    assert not mc_kernel.supported_uvt(
+        dataclasses.replace(c, cavity_bias=True), p)
+    # a declared insert species with no movable slot has no capacity
+    assert not mc_kernel.supported_uvt(
+        dataclasses.replace(c, insert_species=(0, 1, 2)), p)
+    # dropping a species from insert_species leaves its movable slots
+    # outside the kernel's displace/exchange model
+    assert not mc_kernel.supported_uvt(
+        dataclasses.replace(c, insert_species=(0,)), p)
+
+
+@pytest.mark.parametrize("coulomb", ["wolf", "ewald"])
+def test_uvt_multisorbate_bookkeeping_matches_full_recompute(coulomb):
+    """Fused 2-sorbate GCMC (3-site H2 + 1-site CH4, mixed site counts):
+    accumulated per-term deltas must equal a from-scratch recompute —
+    exercises the species-first pick, per-species templates/constants,
+    the per-site validity masks, and the S x S LRC cross matrix."""
+    params, state, cfg, thermo = _mof_h2_ch4_uvt(coulomb)
+    n0 = int(np.asarray(state.mol_alive).sum())
+    st, stats = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                               thermo, 800)
+    att = np.asarray(stats.attempts)
+    acc = np.asarray(stats.accepts)
+    assert att.sum() == 800
+    assert acc[metropolis.INSERT] + acc[metropolis.DELETE] > 0
+    n1 = int(np.asarray(st.mol_alive).sum())
+    assert n1 - n0 == (int(acc[metropolis.INSERT])
+                       - int(acc[metropolis.DELETE]))
+    # both species must actually move/exchange over the run
+    sp = np.asarray(params.mol_species)
+    mov = ~np.asarray(params.mol_frozen) & (sp >= 0)
+    pos_moved = np.abs(np.asarray(st.pos) - np.asarray(state.pos))
+    starts = np.asarray(params.mol_start)
+    nat = np.asarray(params.mol_natoms)
+    alive0 = np.asarray(state.mol_alive)
+    alive1 = np.asarray(st.mol_alive)
+    for si in (0, 1):
+        rows = np.concatenate(
+            [np.arange(s, s + a) for s, a in
+             zip(starts[mov & (sp == si)], nat[mov & (sp == si)])])
+        # a species is "active" if it displaced OR exchanged (delete
+        # flips mol_alive without touching pos)
+        n0 = int((alive0 & (sp == si)).sum())
+        n1 = int((alive1 & (sp == si)).sum())
+        assert float(pos_moved[rows].max()) > 0.0 or n0 != n1, \
+            f"species {si} frozen"
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    # abs tolerance: f32 drift scales with the INTERMEDIATE magnitude,
+    # not the final one — es_self per H2 exchange is ~3.1e4 K on a
+    # ~1.9e5 K running total (ulp ~0.016), so a trajectory that deletes
+    # every charged molecule ends near 0 with a few-ulp residual.
+    for term in ("rd", "lrc", "es_real", "es_recip", "es_self",
+                 "es_excl"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=1.0), term
+    if coulomb == "ewald":
+        np.testing.assert_allclose(np.asarray(st.sk_re),
+                                   np.asarray(fresh.sk_re),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_uvt_multisorbate_ideal_gas_partial_loadings_fused():
+    """Fused-path version of the scan detailed-balance anchor: two
+    non-interacting species at different fugacities must each obey
+    <N_s> = f_s V / kT — the species-first insert/delete pick and the
+    per-species acceptance constants all feed this."""
+    from helpers import atom_species
+
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.state import build_system
+
+    L, T = 16.0, 300.0
+    targets = np.array([8.0, 24.0])
+    f = targets * T / L ** 3 / ATM2K_A3
+    spa = atom_species("AA", eps=0.0, sig=0.0, charge=0.0, mass=10.0)
+    spb = atom_species("BB", eps=0.0, sig=0.0, charge=0.0, mass=20.0)
+    params, state = build_system(L * np.eye(3), species=(spa, spb),
+                                 capacity=(64, 96),
+                                 initial_counts=(4, 4),
+                                 dtype=jnp.float32, seed=5)
+    cfg = RunConfig(ensemble="uvt", rd_potential="none", coulomb="none",
+                    rd_lrc=False, dtype="float32", insert_species=(0, 1),
+                    fused_mc=True)
+    thermo = Thermo.make(temperature=T, fugacity=list(f),
+                         insert_probability=0.5, move_factor=1.0,
+                         rot_factor=0.1, n_species=2, dtype=jnp.float32)
+    assert mc_kernel.supported_uvt(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    state, _ = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                              thermo, 2000)
+    sp = np.asarray(params.mol_species)
+    na, nb = [], []
+    for _ in range(60):
+        state, _ = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                                  thermo, 100)
+        alive = np.asarray(state.mol_alive)
+        na.append(int((alive & (sp == 0)).sum()))
+        nb.append(int((alive & (sp == 1)).sum()))
+    assert np.mean(na) == pytest.approx(targets[0], abs=1.5)
+    assert np.mean(nb) == pytest.approx(targets[1], abs=3.0)
+
+
 def test_uvt_matches_scan_equilibrium():
     """Interacting fused GCMC must equilibrate to the same <N> and <U>
     as the scan path (statistical agreement, not trajectory
