@@ -767,24 +767,41 @@ def _fused_ktable(box, cfg, alpha):
     return kv, jnp.where(k2 > 1e-12, kcoef, 0.0)
 
 
-def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
-                    thermo: Thermo, n_steps: int):
-    """K Metropolis translate+rotate steps in ONE Pallas launch — the
-    single-chain latency path (ops/pallas/mc_kernel.py; VERDICT r1
-    item 3).  Caller must have checked mc_kernel.supported(cfg, params).
-    Same (state, stats) contract as run_chunk; the move-type table is
-    displacement-only (supported() restricts to rigid small-molecule
-    NVT)."""
-    import numpy as np
+_FUSED_HOST_CACHE: dict = {}
 
+
+def _fused_host_cached(key, referents, build):
+    """Host-side constants for the fused paths, cached by array object
+    identity.  The tunneled axon backend charges ~30 ms per blocking
+    D2H fetch and ~1 ms per eager dispatch, so per-chunk host recompute
+    of move tables was the dominant cost of the fused paths (measured
+    2026-08-17: ~40-50 ms per chunk vs ~2.8 us/step in-kernel).  The
+    keyed objects are pinned inside the cache value so their ids stay
+    valid for the cache's lifetime."""
+    hit = _FUSED_HOST_CACHE.get(key)
+    if hit is None:
+        if len(_FUSED_HOST_CACHE) > 64:
+            _FUSED_HOST_CACHE.clear()
+        hit = (build(), referents)
+        _FUSED_HOST_CACHE[key] = hit
+    return hit[0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "a_max",
+                                    "interpret"))
+def _fused_chunk_nvt(state, params, thermo, mv_start, mv_natoms, cfg,
+                     n_steps, a_max, interpret):
+    """The WHOLE fused-NVT chunk — RNG split, uniform table, k-table,
+    kernel launch, and state/stats update — as one jitted dispatch.
+    Anything eager here costs ~1 ms per op on the tunneled backend
+    (CLAUDE.md lesson), which dwarfs the ~2.8 us/step kernel."""
     from mpmc_tpu.ops.pallas import mc_kernel
 
     rc = pairs.derived_cutoff(state.box, cfg)
     alpha = pairs.derived_alpha(rc, cfg)
     key_next, k_u = jax.random.split(state.key)
     u = mc_kernel.draw_uniforms(k_u, n_steps)
-    mv_start, mv_natoms, a_max = mc_kernel.movable_mols(
-        params, np.asarray(state.mol_alive))
     thr = cfg.cavity_autoreject_absolute
     kv, kcoef = _fused_ktable(state.box, cfg, alpha)
     new_pos, d_rd, d_es, d_rec, n_acc, sk_re, sk_im = mc_kernel.run_steps(
@@ -792,8 +809,7 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
         state.atom_alive(params), mv_start, mv_natoms, state.box, rc,
         alpha, 1.0 / thermo.temperature, thermo.move_factor,
         thermo.rot_factor, thr * thr, u, cfg, n_steps,
-        state.pos.shape[0], a_max=a_max,
-        interpret=jax.default_backend() != "tpu",
+        state.pos.shape[0], a_max=a_max, interpret=interpret,
         kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im)
     dtype = cfg.jdtype
     new_energy = dataclasses.replace(
@@ -813,6 +829,33 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
         new_state = new_state.replace(sk_re=sk_re.astype(dtype),
                                       sk_im=sk_im.astype(dtype))
     return new_state, stats
+
+
+def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
+                    thermo: Thermo, n_steps: int):
+    """K Metropolis translate+rotate steps in ONE Pallas launch — the
+    single-chain latency path (ops/pallas/mc_kernel.py; VERDICT r1
+    item 3).  Caller must have checked mc_kernel.supported(cfg, params).
+    Same (state, stats) contract as run_chunk; the move-type table is
+    displacement-only (supported() restricts to rigid small-molecule
+    NVT).  Host movable tables are cached by array identity (NVT alive
+    flags never change within a run; the fetch recurs only when
+    initialize() rebuilds the state pytree)."""
+    import numpy as np
+
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    def build():
+        mv, mva, am = mc_kernel.movable_mols(
+            params, np.asarray(state.mol_alive))
+        return jnp.asarray(mv), jnp.asarray(mva), int(am)
+
+    mv_start, mv_natoms, a_max = _fused_host_cached(
+        ("nvt", id(params.mol_start), id(state.mol_alive)),
+        (params.mol_start, state.mol_alive), build)
+    return _fused_chunk_nvt(state, params, thermo, mv_start, mv_natoms,
+                            cfg, n_steps, a_max,
+                            jax.default_backend() != "tpu")
 
 
 @functools.partial(jax.jit,
@@ -874,53 +917,34 @@ def _uvt_chunk_consts(pos, box, params, thermo, cfg, A_list, rep_slots):
             jnp.stack(cx), jnp.stack(lnfv), kv, kcoef)
 
 
-def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
-                        thermo: Thermo, n_steps: int):
-    """K GCMC steps (displace | insert | delete) in ONE Pallas launch
-    (ops/pallas/mc_kernel.py::run_steps_uvt) — the single-chain latency
-    path for the headline µVT workload.  Caller must have checked
-    mc_kernel.supported_uvt(cfg, params): up to MAX_SPECIES insert
-    species, uniform rigid slots per species, no cavity bias.  The
-    per-molecule self / intra-exclusion / LRC constants are computed
-    here with the SAME host functions the scan path's
-    b_insert/b_delete use, so the two paths agree term by term."""
-    import numpy as np
-
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "A_list",
+                                    "rep_slots", "interpret"))
+def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
+                     species_idx, tmpl, cfg, n_steps, A_list, rep_slots,
+                     interpret):
+    """The WHOLE fused-µVT chunk — per-chunk constants, RNG, uniforms,
+    kernel launch, and state/stats update — as one jitted dispatch
+    (same rationale as _fused_chunk_nvt; the eager version of this
+    function cost ~40-50 ms/chunk on the tunneled backend)."""
     from mpmc_tpu.ops.pallas import mc_kernel
 
     rc = pairs.derived_cutoff(state.box, cfg)
     alpha = pairs.derived_alpha(rc, cfg)
     key_next, k_u = jax.random.split(state.key)
     u = mc_kernel.draw_uniforms(k_u, n_steps, lanes=16)
-    slots, slot_start, species_idx, A_list = mc_kernel.movable_slots(
-        params, cfg.insert_species)
-    A_max = max(A_list)
-    tmpl = np.zeros((len(A_list), A_max, 3), np.float32)
-    rep_slots = []
-    for s, si in enumerate(cfg.insert_species):
-        t = np.asarray(params.species_pos[si][:A_list[s]], np.float32)
-        tmpl[s, :A_list[s]] = t
-        tmpl[s, A_list[s]:] = t[:1]         # pad rows (masked in-kernel)
-        own = slots[species_idx == s]
-        rep_slots.append((int(own[0]),
-                          int(own[1]) if len(own) >= 2 else -1))
     thr = cfg.cavity_autoreject_absolute
-    # ONE jitted dispatch for every per-chunk constant: eager op-by-op
-    # evaluation here costs hundreds of ms per chunk on the tunneled
-    # axon backend (measured 2026-08-17: ~1.9k vs ~19k steps/s)
     d_self, d_excl, c1, cx, lnfv, kv, kcoef = _uvt_chunk_consts(
-        state.pos, state.box, params, thermo, cfg, A_list,
-        tuple(rep_slots))
+        state.pos, state.box, params, thermo, cfg, A_list, rep_slots)
 
     new_pos, slot_alive, sums, sk_re, sk_im = mc_kernel.run_steps_uvt(
         state.pos, params.eps, params.sig, params.charge, params.mass,
-        state.atom_alive(params), jnp.asarray(slot_start),
-        jnp.asarray(species_idx), state.mol_alive[slots],
-        jnp.asarray(tmpl), state.box, rc,
+        state.atom_alive(params), slot_start,
+        species_idx, state.mol_alive[slots], tmpl, state.box, rc,
         alpha, 1.0 / thermo.temperature, thermo.move_factor,
         thermo.rot_factor, thr * thr, thermo.insert_probability, lnfv,
         d_self, d_excl, c1, cx, u, cfg, n_steps, state.pos.shape[0],
-        A_list=A_list, interpret=jax.default_backend() != "tpu",
+        A_list=A_list, interpret=interpret,
         kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im)
     dtype = cfg.jdtype
     d = sums.astype(dtype)
@@ -945,7 +969,7 @@ def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
         .at[INSERT].add(acc[1].astype(jnp.int32))
         .at[DELETE].add(acc[2].astype(jnp.int32)),
         polar_iters=stats.polar_iters)
-    new_alive = state.mol_alive.at[jnp.asarray(slots)].set(slot_alive)
+    new_alive = state.mol_alive.at[slots].set(slot_alive)
     new_state = state.replace(pos=new_pos, mol_alive=new_alive,
                               energy=new_energy, key=key_next,
                               step=state.step + n_steps)
@@ -953,6 +977,49 @@ def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
         new_state = new_state.replace(sk_re=sk_re.astype(dtype),
                                       sk_im=sk_im.astype(dtype))
     return new_state, stats
+
+
+def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
+                        thermo: Thermo, n_steps: int):
+    """K GCMC steps (displace | insert | delete) in ONE Pallas launch
+    (ops/pallas/mc_kernel.py::run_steps_uvt) — the single-chain latency
+    path for the headline µVT workload.  Caller must have checked
+    mc_kernel.supported_uvt(cfg, params): up to MAX_SPECIES insert
+    species, uniform rigid slots per species, no cavity bias.  The
+    per-molecule self / intra-exclusion / LRC constants are computed
+    in-jit with the SAME helpers the scan path's b_insert/b_delete use,
+    so the two paths agree term by term; the params-only slot/template
+    tables are cached by array identity (one host fetch per run)."""
+    import numpy as np
+
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    def build():
+        slots, slot_start, species_idx, A_list = mc_kernel.movable_slots(
+            params, cfg.insert_species)
+        A_max = max(A_list)
+        tmpl = np.zeros((len(A_list), A_max, 3), np.float32)
+        rep_slots = []
+        for s, si in enumerate(cfg.insert_species):
+            t = np.asarray(params.species_pos[si][:A_list[s]],
+                           np.float32)
+            tmpl[s, :A_list[s]] = t
+            tmpl[s, A_list[s]:] = t[:1]     # pad rows (masked in-kernel)
+            own = slots[species_idx == s]
+            rep_slots.append((int(own[0]),
+                              int(own[1]) if len(own) >= 2 else -1))
+        return (jnp.asarray(slots), jnp.asarray(slot_start),
+                jnp.asarray(species_idx), jnp.asarray(tmpl), A_list,
+                tuple(rep_slots))
+
+    slots, slot_start, species_idx, tmpl, A_list, rep_slots = (
+        _fused_host_cached(
+            ("uvt", id(params.mol_start), cfg.insert_species),
+            (params.mol_start,), build))
+    return _fused_chunk_uvt(state, params, thermo, slots, slot_start,
+                            species_idx, tmpl, cfg, n_steps, A_list,
+                            rep_slots,
+                            jax.default_backend() != "tpu")
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
