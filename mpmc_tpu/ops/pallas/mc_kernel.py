@@ -71,12 +71,18 @@ def _erfc(x):
 
 def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
                 rc, alpha, cfg):
-    """(rd, es, min_r2) of one site vs a column tile (masked sums)."""
+    """Elementwise (rd, es, masked r2) of one site vs an atom block.
+
+    Returns PER-LANE values: the kernels accumulate (8,128) vectors
+    across blocks and sites and reduce ONCE per step.  The old per-tile
+    ``jnp.sum`` form put hundreds of vector->scalar round-trips on the
+    step's serial path, which dominated kernel time (~270 ns per
+    site-tile pass measured 2026-08-17)."""
     r2 = dx * dx + dy * dy + dz * dz
     act = ok & (r2 < rc * rc)
     r2s = jnp.where(r2 > 1e-12, r2, 1.0)
     inv_r = jax.lax.rsqrt(r2s)
-    rd = jnp.zeros((), jnp.float32)
+    rd = jnp.zeros_like(r2)
     if cfg.rd_potential == "lj":
         if cfg.mixing_rule == "lb":
             eps = jnp.sqrt(eps_i) * jnp.sqrt(eps_j)
@@ -89,8 +95,8 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
                 2.0 * sig_i ** 3 * sig_j ** 3 / denom)
         s2 = (sig * sig) * (inv_r * inv_r)
         s6 = s2 * s2 * s2
-        rd = jnp.sum(jnp.where(act, 4.0 * eps * s6 * (s6 - 1.0), 0.0))
-    es = jnp.zeros((), jnp.float32)
+        rd = jnp.where(act, 4.0 * eps * s6 * (s6 - 1.0), 0.0)
+    es = jnp.zeros_like(r2)
     if cfg.coulomb != "none":
         qq = q_i * q_j
         r = r2s * inv_r
@@ -103,9 +109,9 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
         else:   # wolf (shifted)
             es_u = qq * (_erfc(alpha * r) * inv_r
                          - _erfc(alpha * rc) / rc)
-        es = jnp.sum(jnp.where(act, es_u, 0.0))
-    min_r2 = jnp.min(jnp.where(ok, r2, jnp.inf))
-    return rd, es, min_r2
+        es = jnp.where(act, es_u, 0.0)
+    r2m = jnp.where(ok, r2, jnp.inf)
+    return rd, es, r2m
 
 
 def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
@@ -125,19 +131,26 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
 
-    n_tiles = n_pad // TJ
-    MW = 256 if a_max > 1 else 128      # molecule-tile width
+    # Sublane-packed planes: each per-atom quantity q is an (R, 128)
+    # plane at rows [q*R, (q+1)*R) of data_ref, atom n at (n//128,
+    # n%128).  Every block op then runs on full (8,128) vregs instead
+    # of the old (1, TJ) row slices that used 1 of 8 sublanes.
+    R = n_pad // 128
+    n_blk = n_pad // TJ             # 1024-atom (8-row) blocks
+    Rk = nk_pad // 128
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
 
     def step(k, carry):
         d_rd, d_es, d_rec, n_acc = carry
-        # --- proposal -----------------------------------------------------
-        # Mosaic cannot load a single VMEM lane at a dynamic offset
-        # ("index must be a multiple of 128"), so every scalar access
-        # loads the 128-aligned tile containing the element and
-        # mask-reduces it out; the update store blends the same tile.
-        # Multi-site molecules are contiguous atom rows [start, start+A)
-        # and may straddle a 128 boundary -> a 256-wide tile clamped to
-        # the array end always covers them (A <= MAX_SITES << 128).
+        # --- proposal ---------------------------------------------------
+        # Scalar accesses load the aligned tile containing the element
+        # and mask-reduce it out; the update store blends the same
+        # window.  The moved molecule's rows [start, start+A) span at
+        # most 2 plane rows; a 16-row 8-aligned window always covers
+        # them (requires R >= 16, i.e. n_pad >= 2048 — run_steps pads).
         m = jnp.minimum((u_ref[k, 0] * n_mov).astype(jnp.int32),
                         (n_mov - 1.0).astype(jnp.int32))
         mt0 = pl.multiple_of((m // 128) * 128, 128)
@@ -148,30 +161,34 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
         start = jnp.sum(jnp.where(tsel & (trow == 0), ttile, 0))
         n_at = jnp.sum(jnp.where(tsel & (trow == 1), ttile, 0))
 
-        j0 = pl.multiple_of(
-            jnp.minimum((start // 128) * 128, n_pad - MW), 128)
-        off = start - j0
-        itile = data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)]  # [8,MW]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, MW), 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (8, MW), 0)
+        rw0 = pl.multiple_of(
+            jnp.minimum((start // TJ) * 8, jnp.int32(R - 16)), 8)
 
-        def pick(a, row):
-            sel = lane == off + a
-            return jnp.sum(jnp.where(sel & (sub == row), itile, 0.0))
+        def wload(q):
+            return data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
+                                      16), :]
 
+        asel = [(sub16 == (start + a) // 128 - rw0)
+                & (lane16 == (start + a) % 128) for a in range(a_max)]
+
+        def wpick(win, a):
+            return jnp.sum(jnp.where(asel[a], win, 0.0))
+
+        wx, wy, wz = wload(ROW_X), wload(ROW_Y), wload(ROW_Z)
         valid = [jnp.asarray(a, jnp.int32) < n_at for a in range(a_max)]
-        old = [[pick(a, r) for r in (ROW_X, ROW_Y, ROW_Z)]
+        old = [[wpick(w, a) for w in (wx, wy, wz)]
                for a in range(a_max)]
-        eps_i = [pick(a, ROW_EPS) for a in range(a_max)]
-        sig_i = [pick(a, ROW_SIG) for a in range(a_max)]
-        q_i = [pick(a, ROW_Q) for a in range(a_max)]
+        eps_i = [wpick(wload(ROW_EPS), a) for a in range(a_max)]
+        sig_i = [wpick(wload(ROW_SIG), a) for a in range(a_max)]
+        q_i = [wpick(wload(ROW_Q), a) for a in range(a_max)]
 
         disp = [(2.0 * u_ref[k, 1 + c] - 1.0) * mf for c in range(3)]
         if a_max == 1:
             new = [[old[0][c] + disp[c] for c in range(3)]]
         else:
             # mass-weighted COM, then translate + rotate about it
-            mass = [jnp.where(valid[a], pick(a, ROW_MASS), 0.0)
+            wm = wload(ROW_MASS)
+            mass = [jnp.where(valid[a], wpick(wm, a), 0.0)
                     for a in range(a_max)]
             msum = sum(mass)
             com = [sum(mass[a] * old[a][c] for a in range(a_max))
@@ -184,32 +201,36 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
             ang = u_ref[k, 7] * rotf
             ca, sa = jnp.cos(ang), jnp.sin(ang)
             omc = 1.0 - ca
-            R = [[ca + ax * ax * omc, ax * ay * omc - az * sa,
-                  ax * az * omc + ay * sa],
-                 [ay * ax * omc + az * sa, ca + ay * ay * omc,
-                  ay * az * omc - ax * sa],
-                 [az * ax * omc - ay * sa, az * ay * omc + ax * sa,
-                  ca + az * az * omc]]
+            R3 = [[ca + ax * ax * omc, ax * ay * omc - az * sa,
+                   ax * az * omc + ay * sa],
+                  [ay * ax * omc + az * sa, ca + ay * ay * omc,
+                   ay * az * omc - ax * sa],
+                  [az * ax * omc - ay * sa, az * ay * omc + ax * sa,
+                   ca + az * az * omc]]
             new = []
             for a in range(a_max):
                 rel = [old[a][c] - com[c] for c in range(3)]
                 new.append([com[c] + disp[c]
-                            + sum(R[c][d] * rel[d] for d in range(3))
+                            + sum(R3[c][d] * rel[d] for d in range(3))
                             for c in range(3)])
 
-        # --- old+new delta pass over column tiles ---------------------------
+        # --- old+new delta pass: (8,128) vector accumulators ------------
         def col(jt, acc):
-            rd_o, es_o, rd_n, es_n, mr2 = acc
-            c0 = jt * TJ
-            blk = data_ref[pl.dslice(0, 8), pl.dslice(c0, TJ)]
-            px, py, pz = blk[ROW_X], blk[ROW_Y], blk[ROW_Z]
-            eps_j, sig_j = blk[ROW_EPS], blk[ROW_SIG]
-            q_j, alive_j = blk[ROW_Q], blk[ROW_ALIVE]
-            cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (TJ,), 0)
-            # inter-molecular only: the moved molecule's own columns are
+            rd_a, es_a, mr_a = acc
+            r0 = pl.multiple_of(jt * 8, 8)
+
+            def plane(q):
+                return data_ref[pl.dslice(
+                    pl.multiple_of(q * R + r0, 8), 8), :]
+
+            px, py, pz = plane(ROW_X), plane(ROW_Y), plane(ROW_Z)
+            eps_j, sig_j = plane(ROW_EPS), plane(ROW_SIG)
+            q_j, alive_j = plane(ROW_Q), plane(ROW_ALIVE)
+            lin = jt * TJ + sub8 * 128 + lane8
+            # inter-molecular only: the moved molecule's own rows are
             # excluded (ops/pairs._block_terms same_mol mask)
-            ok = ((alive_j > 0) & (cols < n_real)
-                  & ((cols < start) | (cols >= start + n_at)))
+            ok = ((alive_j > 0) & (lin < n_real)
+                  & ((lin < start) | (lin >= start + n_at)))
 
             def mimg(dx, dy, dz):
                 fr = [dx * binv[0][a] + dy * binv[1][a] + dz * binv[2][a]
@@ -228,16 +249,18 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
                 r_n, e_n, m2 = _pair_terms(
                     dn[0], dn[1], dn[2], eps_j, sig_j, q_j, ok_a,
                     eps_i[a], sig_i[a], q_i[a], rc, alpha, cfg)
-                rd_o, es_o = rd_o + r_o, es_o + e_o
-                rd_n, es_n = rd_n + r_n, es_n + e_n
-                mr2 = jnp.minimum(mr2, m2)
-            return (rd_o, es_o, rd_n, es_n, mr2)
+                rd_a = rd_a + (r_n - r_o)
+                es_a = es_a + (e_n - e_o)
+                mr_a = jnp.minimum(mr_a, m2)
+            return (rd_a, es_a, mr_a)
 
-        z = jnp.zeros((), jnp.float32)
-        rd_o, es_o, rd_n, es_n, mr2 = jax.lax.fori_loop(
-            0, n_tiles, col, (z, z, z, z, jnp.asarray(jnp.inf)))
-        drd = rd_n - rd_o
-        des = KE * (es_n - es_o)
+        zb = jnp.zeros((8, 128), jnp.float32)
+        rd_a, es_a, mr_a = jax.lax.fori_loop(
+            0, n_blk, col, (zb, zb, jnp.full((8, 128), jnp.inf,
+                                             jnp.float32)))
+        drd = jnp.sum(rd_a)
+        des = KE * jnp.sum(es_a)
+        mr2 = jnp.min(mr_a)
 
         # --- k-space S(k) delta (ewald only; mirrors mc.metropolis.
         # _mol_sf_delta + _recip_delta): dS = sum_a q_a (cis(k.r_new_a)
@@ -245,12 +268,15 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
         # c_k = KE (2 pi / V) pw_k exp(-k^2/4a^2)/k^2 folded in on the
         # host.  Padded k lanes have c=0 and k=0 (so dS there is 0 by
         # cos(0)-cos(0)).  Self/intra-exclusion terms are rigid-move
-        # invariant and stay constant (module docstring).
+        # invariant and stay constant (module docstring).  The k table
+        # and S(k) are (Rk,128) planes like the atom data.
         if ew:
-            kt = ktab_ref[pl.dslice(0, 4), pl.dslice(0, nk_pad)]
-            kx, ky, kz, kc = kt[0:1], kt[1:2], kt[2:3], kt[3:4]
-            dsr = jnp.zeros((1, nk_pad), jnp.float32)
-            dsi = jnp.zeros((1, nk_pad), jnp.float32)
+            kx = ktab_ref[pl.dslice(0, Rk), :]
+            ky = ktab_ref[pl.dslice(Rk, Rk), :]
+            kz = ktab_ref[pl.dslice(2 * Rk, Rk), :]
+            kc = ktab_ref[pl.dslice(3 * Rk, Rk), :]
+            dsr = jnp.zeros((Rk, 128), jnp.float32)
+            dsi = jnp.zeros((Rk, 128), jnp.float32)
             for a in range(a_max):
                 qa = (jnp.where(valid[a], q_i[a], 0.0)
                       if a_max > 1 else q_i[a])
@@ -258,8 +284,8 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
                 tn = kx * new[a][0] + ky * new[a][1] + kz * new[a][2]
                 dsr = dsr + qa * (jnp.cos(tn) - jnp.cos(to))
                 dsi = dsi + qa * (jnp.sin(tn) - jnp.sin(to))
-            s = sk_ref[pl.dslice(0, 2), pl.dslice(0, nk_pad)]
-            sr, si = s[0:1], s[1:2]
+            sx = sk_ref[pl.dslice(0, 2 * Rk), :]
+            sr, si = sx[0:Rk], sx[Rk:2 * Rk]
             drec = jnp.sum(kc * ((2.0 * sr + dsr) * dsr
                                  + (2.0 * si + dsi) * dsi))
         else:
@@ -272,19 +298,18 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
 
         @pl.when(accept)
         def _():
-            tile = data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)]
-            for a in range(a_max):
-                va = valid[a] if a_max > 1 else True
-                sel = (lane == off + a) & va
-                for c, r in enumerate((ROW_X, ROW_Y, ROW_Z)):
-                    tile = jnp.where(sel & (sub == r), new[a][c], tile)
-            data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)] = tile
+            for q, w in ((ROW_X, wx), (ROW_Y, wy), (ROW_Z, wz)):
+                for a in range(a_max):
+                    va = valid[a] if a_max > 1 else True
+                    w = jnp.where(asel[a] & va, new[a][q], w)
+                data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
+                                   16), :] = w
 
         if ew:
             @pl.when(accept)
             def _():
-                sk_ref[pl.dslice(0, 2), pl.dslice(0, nk_pad)] = (
-                    jnp.concatenate([sr + dsr, si + dsi], axis=0))
+                sk_ref[pl.dslice(0, 2 * Rk), :] = jnp.concatenate(
+                    [sr + dsr, si + dsi], axis=0)
 
         af = accept.astype(jnp.float32)
         return (d_rd + af * drd, d_es + af * des, d_rec + af * drec,
@@ -317,7 +342,9 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
     structure factor ``sk_re``/``sk_im`` [Nk]; the updated S(k) comes
     back in the last two outputs (pass-through otherwise)."""
     f32 = jnp.float32
-    n_pad = _round_up(n_real, TJ)
+    # n_pad >= 2048 so the kernel's 16-row molecule windows fit (R>=16)
+    n_pad = max(2 * TJ, _round_up(n_real, TJ))
+    R = n_pad // 128
     ew = cfg.coulomb == "ewald"
     if ew:
         nk = kvecs.shape[0]
@@ -334,6 +361,9 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
         nk = nk_pad = 128
         ktab = jnp.zeros((4, nk_pad), f32)
         sk = jnp.zeros((2, nk_pad), f32)
+    Rk = nk_pad // 128
+    ktab = ktab.reshape(4 * Rk, 128)    # (Rk,128) plane per component
+    sk = sk.reshape(2 * Rk, 128)
 
     def pad1(x, fill=0.0):
         x = jnp.asarray(x).astype(f32)
@@ -348,6 +378,9 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
     data = data.at[ROW_Q].set(pad1(charge))
     data = data.at[ROW_ALIVE].set(pad1(alive.astype(f32)))
     data = data.at[ROW_MASS].set(pad1(mass))
+    # sublane-packed planes: quantity q rows [q*R,(q+1)*R), atom n at
+    # (n//128, n%128) — see _kernel
+    data = data.reshape(8 * R, 128)
 
     mv = jnp.asarray(mov_start, jnp.int32)
     na = jnp.asarray(mov_natoms, jnp.int32)
@@ -382,35 +415,37 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, mv_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, nk_pad), lambda _: (0, 0),
+            pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n_pad), lambda _: (0, 0),
+            pl.BlockSpec((8 * R, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, nk_pad), lambda _: (0, 0),
+            pl.BlockSpec((2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, n_pad), lambda _: (0, 0),
+            pl.BlockSpec((8 * R, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda _: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, nk_pad), lambda _: (0, 0),
+            pl.BlockSpec((2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8, n_pad), f32),
+            jax.ShapeDtypeStruct((8 * R, 128), f32),
             jax.ShapeDtypeStruct((1, 8), f32),
-            jax.ShapeDtypeStruct((2, nk_pad), f32),
+            jax.ShapeDtypeStruct((2 * Rk, 128), f32),
         ],
         input_output_aliases={4: 0, 5: 2},
         interpret=interpret,
     )(scal, u, tbl, ktab, data, sk)
-    new_pos = jnp.stack([out_data[ROW_X, :n_real],
-                         out_data[ROW_Y, :n_real],
-                         out_data[ROW_Z, :n_real]], axis=1)
+    planes = out_data.reshape(8, n_pad)
+    new_pos = jnp.stack([planes[ROW_X, :n_real],
+                         planes[ROW_Y, :n_real],
+                         planes[ROW_Z, :n_real]], axis=1)
+    out_sk2 = out_sk.reshape(2, nk_pad)
     return (new_pos.astype(pos.dtype), out_sums[0, 0], out_sums[0, 1],
             out_sums[0, 2], out_sums[0, 3],
-            out_sk[0, :nk], out_sk[1, :nk])
+            out_sk2[0, :nk], out_sk2[1, :nk])
 
 
 def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
@@ -440,7 +475,11 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
     the S x S cross matrix c_x) are selected from SMEM by the picked
     slot's species; the LRC delta for species s at per-species counts
     N_s' is  insert: (c1[s] + sum_s' c_x[s,s'] N_s');
-    delete: -(c1[s] + sum_s' c_x[s,s'] N_s' - c_x[s,s])."""
+    delete: -(c1[s] + sum_s' c_x[s,s'] N_s' - c_x[s,s]).
+
+    Data layout is the same sublane-packed (R,128)-plane scheme as the
+    NVT ``_kernel`` (full-vreg block math, 16-row molecule windows,
+    vector energy accumulators reduced once per step)."""
     del tbl_in_ref, data_in_ref, sk_in_ref
     ew = cfg.coulomb == "ewald"
     S = len(A_list)
@@ -466,8 +505,13 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
     tmpl_s = [[[scal_ref[8 + S + 3 * s + c, a] for c in range(3)]
                for a in range(A)] for s in range(S)]
 
-    n_tiles = n_pad // TJ
-    MW = 256 if A > 1 else 128
+    R = n_pad // 128
+    n_blk = n_pad // TJ
+    Rk = nk_pad // 128
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
     two_pi = np.float32(2.0 * np.pi)
 
     def sp_sel(spf, table):
@@ -542,23 +586,26 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
         else:
             valid = [jnp.asarray(a, jnp.int32) < na_i for a in range(A)]
 
-        # --- load the slot's rows ----------------------------------------
-        j0 = pl.multiple_of(
-            jnp.minimum((start // 128) * 128, n_pad - MW), 128)
-        off = start - j0
-        itile = data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, MW), 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (8, MW), 0)
+        # --- load the slot's rows (16-row aligned plane windows) ---------
+        rw0 = pl.multiple_of(
+            jnp.minimum((start // TJ) * 8, jnp.int32(R - 16)), 8)
 
-        def pick(a, row):
-            sel = lane == off + a
-            return jnp.sum(jnp.where(sel & (sub == row), itile, 0.0))
+        def wload(q):
+            return data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
+                                      16), :]
 
-        old = [[pick(a, r) for r in (ROW_X, ROW_Y, ROW_Z)]
-               for a in range(A)]
-        eps_i = [pick(a, ROW_EPS) for a in range(A)]
-        sig_i = [pick(a, ROW_SIG) for a in range(A)]
-        q_i = [pick(a, ROW_Q) for a in range(A)]
+        asel = [(sub16 == (start + a) // 128 - rw0)
+                & (lane16 == (start + a) % 128) for a in range(A)]
+
+        def wpick(win, a):
+            return jnp.sum(jnp.where(asel[a], win, 0.0))
+
+        wx, wy, wz = wload(ROW_X), wload(ROW_Y), wload(ROW_Z)
+        wal = wload(ROW_ALIVE)
+        old = [[wpick(w, a) for w in (wx, wy, wz)] for a in range(A)]
+        eps_i = [wpick(wload(ROW_EPS), a) for a in range(A)]
+        sig_i = [wpick(wload(ROW_SIG), a) for a in range(A)]
+        q_i = [wpick(wload(ROW_Q), a) for a in range(A)]
         # selected species' template rows (COM-centered)
         tmpl = [[sp_sel(spf, [tmpl_s[s][a][c] for s in range(S)])
                  for c in range(3)] for a in range(A)]
@@ -573,8 +620,9 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
             new = [[jnp.where(is_ins, com_new[c], old[0][c] + disp[c])
                     for c in range(3)]]
         else:
-            mass = [pick(a, ROW_MASS) if uniform_A
-                    else jnp.where(valid[a], pick(a, ROW_MASS), 0.0)
+            wm = wload(ROW_MASS)
+            mass = [wpick(wm, a) if uniform_A
+                    else jnp.where(valid[a], wpick(wm, a), 0.0)
                     for a in range(A)]
             msum = sum(mass)
             com = [sum(mass[a] * old[a][c] for a in range(A))
@@ -606,15 +654,15 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
                    2 * (qy * qz - qx * qw)],
                   [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
                    1 - 2 * (qx * qx + qy * qy)]]
-            R = [[jnp.where(is_ins, Ri[c][d], Rd[c][d])
-                  for d in range(3)] for c in range(3)]
+            Rm = [[jnp.where(is_ins, Ri[c][d], Rd[c][d])
+                   for d in range(3)] for c in range(3)]
             t = [jnp.where(is_ins, com_new[c], com[c] + disp[c])
                  for c in range(3)]
             new = []
             for a in range(A):
                 rel = [jnp.where(is_ins, tmpl[a][d], old[a][d] - com[d])
                        for d in range(3)]
-                new.append([t[c] + sum(R[c][d] * rel[d]
+                new.append([t[c] + sum(Rm[c][d] * rel[d]
                                        for d in range(3))
                             for c in range(3)])
 
@@ -623,15 +671,19 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
         has_new = ~is_del
 
         def col(jt, acc):
-            rd_o, es_o, rd_n, es_n, mr2 = acc
-            c0 = jt * TJ
-            blk = data_ref[pl.dslice(0, 8), pl.dslice(c0, TJ)]
-            px, py, pz = blk[ROW_X], blk[ROW_Y], blk[ROW_Z]
-            eps_j, sig_j = blk[ROW_EPS], blk[ROW_SIG]
-            q_j, alive_j = blk[ROW_Q], blk[ROW_ALIVE]
-            cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (TJ,), 0)
-            ok = ((alive_j > 0) & (cols < n_real)
-                  & ((cols < start) | (cols >= start + na_i)))
+            rd_a, es_a, mr_a = acc
+            r0 = pl.multiple_of(jt * 8, 8)
+
+            def plane(q):
+                return data_ref[pl.dslice(
+                    pl.multiple_of(q * R + r0, 8), 8), :]
+
+            px, py, pz = plane(ROW_X), plane(ROW_Y), plane(ROW_Z)
+            eps_j, sig_j = plane(ROW_EPS), plane(ROW_SIG)
+            q_j, alive_j = plane(ROW_Q), plane(ROW_ALIVE)
+            lin = jt * TJ + sub8 * 128 + lane8
+            ok = ((alive_j > 0) & (lin < n_real)
+                  & ((lin < start) | (lin >= start + na_i)))
 
             def mimg(dx, dy, dz):
                 fr = [dx * binv[0][a] + dy * binv[1][a]
@@ -654,25 +706,29 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
                     dn[0], dn[1], dn[2], eps_j, sig_j, q_j,
                     ok_a & has_new, eps_i[a], sig_i[a], q_i[a], rc,
                     alpha, cfg)
-                rd_o, es_o = rd_o + r_o, es_o + e_o
-                rd_n, es_n = rd_n + r_n, es_n + e_n
-                mr2 = jnp.minimum(mr2, m2)
-            return (rd_o, es_o, rd_n, es_n, mr2)
+                rd_a = rd_a + (r_n - r_o)
+                es_a = es_a + (e_n - e_o)
+                mr_a = jnp.minimum(mr_a, m2)
+            return (rd_a, es_a, mr_a)
 
-        z = jnp.zeros((), jnp.float32)
-        rd_o, es_o, rd_n, es_n, mr2 = jax.lax.fori_loop(
-            0, n_tiles, col, (z, z, z, z, jnp.asarray(jnp.inf)))
-        drd = rd_n - rd_o
-        des = KE * (es_n - es_o)
+        zb = jnp.zeros((8, 128), jnp.float32)
+        rd_a, es_a, mr_a = jax.lax.fori_loop(
+            0, n_blk, col, (zb, zb, jnp.full((8, 128), jnp.inf,
+                                             jnp.float32)))
+        drd = jnp.sum(rd_a)
+        des = KE * jnp.sum(es_a)
+        mr2 = jnp.min(mr_a)
 
         # --- k-space S(k) delta (masked like the pair pass) --------------
         if ew:
             fo = has_old.astype(jnp.float32)
             fn = has_new.astype(jnp.float32)
-            kt = ktab_ref[pl.dslice(0, 4), pl.dslice(0, nk_pad)]
-            kx, ky, kz, kc = kt[0:1], kt[1:2], kt[2:3], kt[3:4]
-            dsr = jnp.zeros((1, nk_pad), jnp.float32)
-            dsi = jnp.zeros((1, nk_pad), jnp.float32)
+            kx = ktab_ref[pl.dslice(0, Rk), :]
+            ky = ktab_ref[pl.dslice(Rk, Rk), :]
+            kz = ktab_ref[pl.dslice(2 * Rk, Rk), :]
+            kc = ktab_ref[pl.dslice(3 * Rk, Rk), :]
+            dsr = jnp.zeros((Rk, 128), jnp.float32)
+            dsi = jnp.zeros((Rk, 128), jnp.float32)
             for a in range(A):
                 qa = (q_i[a] if uniform_A
                       else jnp.where(valid[a], q_i[a], 0.0))
@@ -682,8 +738,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
                                   - fo * jnp.cos(to))
                 dsi = dsi + qa * (fn * jnp.sin(tn)
                                   - fo * jnp.sin(to))
-            sx = sk_ref[pl.dslice(0, 2), pl.dslice(0, nk_pad)]
-            sr, si = sx[0:1], sx[1:2]
+            sx = sk_ref[pl.dslice(0, 2 * Rk), :]
+            sr, si = sx[0:Rk], sx[Rk:2 * Rk]
             drec = jnp.sum(kc * ((2.0 * sr + dsr) * dsr
                                  + (2.0 * si + dsi) * dsi))
         else:
@@ -718,17 +774,23 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
 
         @pl.when(accept)
         def _():
-            tile = data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)]
             alive_val = 1.0 - fdel
+            wins = [wx, wy, wz]
+            for ci, q in enumerate((ROW_X, ROW_Y, ROW_Z)):
+                w = wins[ci]
+                for a in range(A):
+                    sel = (asel[a] if uniform_A
+                           else asel[a] & valid[a])
+                    w = jnp.where(sel & ~is_del, new[a][ci], w)
+                data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
+                                   16), :] = w
+            w = wal
             for a in range(A):
-                sel = (lane == off + a if uniform_A
-                       else (lane == off + a) & valid[a])
-                for c, r in enumerate((ROW_X, ROW_Y, ROW_Z)):
-                    tile = jnp.where(sel & (sub == r) & ~is_del,
-                                     new[a][c], tile)
-                tile = jnp.where(sel & (sub == ROW_ALIVE), alive_val,
-                                 tile)
-            data_ref[pl.dslice(0, 8), pl.dslice(j0, MW)] = tile
+                sel = (asel[a] if uniform_A
+                       else asel[a] & valid[a])
+                w = jnp.where(sel, alive_val, w)
+            data_ref[pl.dslice(pl.multiple_of(ROW_ALIVE * R + rw0, 8),
+                               16), :] = w
             # slot-table alive flag (no-op for displace)
             row2 = jnp.where(sel_slot, 1.0 - fdel, alive_v)
             tbl_ref[pl.dslice(2, 1), pl.dslice(0, ms_pad)] = row2
@@ -736,8 +798,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
         if ew:
             @pl.when(accept)
             def _():
-                sk_ref[pl.dslice(0, 2), pl.dslice(0, nk_pad)] = (
-                    jnp.concatenate([sr + dsr, si + dsi], axis=0))
+                sk_ref[pl.dslice(0, 2 * Rk), :] = jnp.concatenate(
+                    [sr + dsr, si + dsi], axis=0)
 
         af = accept.astype(jnp.float32)
         fdsp = is_disp.astype(jnp.float32)
@@ -751,6 +813,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
     outs = jax.lax.fori_loop(0, n_steps, step, (z,) * 12)
     for i in range(12):
         out_ref[0, i] = outs[i]
+
+
 
 
 @functools.partial(jax.jit,
@@ -779,7 +843,9 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     f32 = jnp.float32
     S = len(A_list)
     A = max(A_list)
-    n_pad = _round_up(n_real, TJ)
+    # n_pad >= 2048 so the kernel's 16-row molecule windows fit (R>=16)
+    n_pad = max(2 * TJ, _round_up(n_real, TJ))
+    R = n_pad // 128
     ew = cfg.coulomb == "ewald"
     if ew:
         nk = kvecs.shape[0]
@@ -796,6 +862,9 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
         nk = nk_pad = 128
         ktab = jnp.zeros((4, nk_pad), f32)
         sk = jnp.zeros((2, nk_pad), f32)
+    Rk = nk_pad // 128
+    ktab = ktab.reshape(4 * Rk, 128)    # (Rk,128) plane per component
+    sk = sk.reshape(2 * Rk, 128)
 
     def pad1(x, fill=0.0):
         x = jnp.asarray(x).astype(f32)
@@ -810,6 +879,9 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     data = data.at[ROW_Q].set(pad1(charge))
     data = data.at[ROW_ALIVE].set(pad1(alive.astype(f32)))
     data = data.at[ROW_MASS].set(pad1(mass))
+    # sublane-packed planes: quantity q rows [q*R,(q+1)*R), atom n at
+    # (n//128, n%128) — see _kernel
+    data = data.reshape(8 * R, 128)
 
     ms = slot_start.shape[0]
     ms_pad = _round_up(max(ms, 1), 128)
@@ -855,39 +927,41 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n_steps, 16), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, nk_pad), lambda _: (0, 0),
+            pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n_pad), lambda _: (0, 0),
+            pl.BlockSpec((8 * R, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, nk_pad), lambda _: (0, 0),
+            pl.BlockSpec((2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, n_pad), lambda _: (0, 0),
+            pl.BlockSpec((8 * R, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16), lambda _: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, nk_pad), lambda _: (0, 0),
+            pl.BlockSpec((2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8, n_pad), f32),
+            jax.ShapeDtypeStruct((8 * R, 128), f32),
             jax.ShapeDtypeStruct((1, 16), f32),
-            jax.ShapeDtypeStruct((2, nk_pad), f32),
+            jax.ShapeDtypeStruct((2 * Rk, 128), f32),
             jax.ShapeDtypeStruct((4, ms_pad), f32),
         ],
         input_output_aliases={4: 0, 5: 2, 3: 3},
         interpret=interpret,
     )(scal, u, ktab, tbl, data, sk)
-    new_pos = jnp.stack([out_data[ROW_X, :n_real],
-                         out_data[ROW_Y, :n_real],
-                         out_data[ROW_Z, :n_real]], axis=1)
+    planes = out_data.reshape(8, n_pad)
+    new_pos = jnp.stack([planes[ROW_X, :n_real],
+                         planes[ROW_Y, :n_real],
+                         planes[ROW_Z, :n_real]], axis=1)
+    out_sk2 = out_sk.reshape(2, nk_pad)
     return (new_pos.astype(pos.dtype), out_tbl[2, :ms] > 0.5,
-            out_sums[0, :12], out_sk[0, :nk], out_sk[1, :nk])
+            out_sums[0, :12], out_sk2[0, :nk], out_sk2[1, :nk])
 
 
 def draw_uniforms(key, n_steps, lanes=8):
