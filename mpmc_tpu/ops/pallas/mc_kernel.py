@@ -296,20 +296,21 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
         accept = ((jnp.log(jnp.maximum(u_ref[k, 4], 1e-38))
                    < -beta * du) & ~reject_overlap)
 
-        @pl.when(accept)
-        def _():
-            for q, w in ((ROW_X, wx), (ROW_Y, wy), (ROW_Z, wz)):
-                for a in range(a_max):
-                    va = valid[a] if a_max > 1 else True
-                    w = jnp.where(asel[a] & va, new[a][q], w)
-                data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
-                                   16), :] = w
+        # unconditional blended stores: storing the (possibly
+        # unchanged) window every step avoids a per-step pl.when
+        # region; measured marginally faster than the conditional form
+        # (2026-08-17) and keeps the dataflow branch-free
+        for q, w in ((ROW_X, wx), (ROW_Y, wy), (ROW_Z, wz)):
+            for a in range(a_max):
+                va = valid[a] if a_max > 1 else True
+                w = jnp.where(asel[a] & va & accept, new[a][q], w)
+            data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
+                               16), :] = w
 
         if ew:
-            @pl.when(accept)
-            def _():
-                sk_ref[pl.dslice(0, 2 * Rk), :] = jnp.concatenate(
-                    [sr + dsr, si + dsi], axis=0)
+            accf = accept.astype(jnp.float32)
+            sk_ref[pl.dslice(0, 2 * Rk), :] = jnp.concatenate(
+                [sr + accf * dsr, si + accf * dsi], axis=0)
 
         af = accept.astype(jnp.float32)
         return (d_rd + af * drd, d_es + af * des, d_rec + af * drec,
@@ -772,34 +773,32 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
         accept = ((jnp.log(jnp.maximum(u_ref[k, 4], 1e-38))
                    < lnb - beta * du) & ~reject)
 
-        @pl.when(accept)
-        def _():
-            alive_val = 1.0 - fdel
-            wins = [wx, wy, wz]
-            for ci, q in enumerate((ROW_X, ROW_Y, ROW_Z)):
-                w = wins[ci]
-                for a in range(A):
-                    sel = (asel[a] if uniform_A
-                           else asel[a] & valid[a])
-                    w = jnp.where(sel & ~is_del, new[a][ci], w)
-                data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
-                                   16), :] = w
-            w = wal
+        # unconditional blended stores (see the NVT kernel note)
+        alive_val = 1.0 - fdel
+        wins = [wx, wy, wz]
+        for ci, q in enumerate((ROW_X, ROW_Y, ROW_Z)):
+            w = wins[ci]
             for a in range(A):
                 sel = (asel[a] if uniform_A
                        else asel[a] & valid[a])
-                w = jnp.where(sel, alive_val, w)
-            data_ref[pl.dslice(pl.multiple_of(ROW_ALIVE * R + rw0, 8),
+                w = jnp.where(sel & ~is_del & accept, new[a][ci], w)
+            data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
                                16), :] = w
-            # slot-table alive flag (no-op for displace)
-            row2 = jnp.where(sel_slot, 1.0 - fdel, alive_v)
-            tbl_ref[pl.dslice(2, 1), pl.dslice(0, ms_pad)] = row2
+        w = wal
+        for a in range(A):
+            sel = (asel[a] if uniform_A
+                   else asel[a] & valid[a])
+            w = jnp.where(sel & accept, alive_val, w)
+        data_ref[pl.dslice(pl.multiple_of(ROW_ALIVE * R + rw0, 8),
+                           16), :] = w
+        # slot-table alive flag (no-op for displace)
+        row2 = jnp.where(sel_slot & accept, 1.0 - fdel, alive_v)
+        tbl_ref[pl.dslice(2, 1), pl.dslice(0, ms_pad)] = row2
 
         if ew:
-            @pl.when(accept)
-            def _():
-                sk_ref[pl.dslice(0, 2 * Rk), :] = jnp.concatenate(
-                    [sr + dsr, si + dsi], axis=0)
+            accf = accept.astype(jnp.float32)
+            sk_ref[pl.dslice(0, 2 * Rk), :] = jnp.concatenate(
+                [sr + accf * dsr, si + accf * dsi], axis=0)
 
         af = accept.astype(jnp.float32)
         fdsp = is_disp.astype(jnp.float32)
