@@ -198,45 +198,34 @@ def bench_polar_gcmc():
 
 
 def bench_pt_round():
-    """BASELINE config 5: 8-replica parallel tempering.  On one chip the
-    replicas batch (vmap) with host-side neighbor temperature swaps —
-    the mesh/ppermute path is exercised by dryrun_multichip instead."""
-    import dataclasses
-
+    """BASELINE config 5: 8-replica parallel tempering.  Uses the fused
+    single-chip PT driver (parallel/replica.run_parallel_tempering_fused):
+    each replica advances steps_per_round whole MC steps in one Pallas
+    launch and the neighbor temperature swap runs ON DEVICE
+    (replica.ladder_swap), so a round is R+1 async dispatches with no
+    host sync — the old host-swap scan round was D2H-bound at ~6k agg
+    steps/s.  The mesh/ppermute PT path is exercised by
+    dryrun_multichip instead."""
     import numpy as np
 
-    from mpmc_tpu.mc import metropolis
     from mpmc_tpu.models import systems
-    from mpmc_tpu.parallel import multichain, replica
+    from mpmc_tpu.parallel import replica
 
-    R, chunk, rounds = 8, 64, 3
+    R, spr, rounds = 8, 1024, 6
     params, state, cfg, thermo = systems.mof_h2_gcmc(
         n_side=21, spacing=4.0, n_h2=256, capacity=512)
-    cfg = dataclasses.replace(cfg, ensemble="nvt")
+    import dataclasses
+    cfg = dataclasses.replace(cfg, ensemble="nvt", fused_mc=True)
     temps = replica.geometric_ladder(77.0, 250.0, R)
-    state = metropolis.initialize(state, params, cfg, thermo)
-    states = multichain.stack_states(state, R)
-    thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
-    rng = np.random.default_rng(11)
-
-    def pt_round(states, thermos, parity):
-        states, _ = multichain.run_chunk_batched(states, params, cfg,
-                                                 thermos, chunk,
-                                                 thermo_batched=True)
-        e = np.asarray(states.energy.rd)        # sync + swap input
-        temps_new, _ = replica.host_swap(
-            np.asarray(thermos.temperature), e, parity, rng)
-        thermos = dataclasses.replace(
-            thermos, temperature=__import__("jax").numpy.asarray(
-                temps_new, cfg.jdtype))
-        return states, thermos
-
-    states, thermos = pt_round(states, thermos, 0)      # warm
+    # warm (compiles the fused chunk + BOTH swap parities)
+    replica.run_parallel_tempering_fused(params, state, cfg, thermo,
+                                         temps, 2, spr)
     t0 = time.perf_counter()
-    for r in range(rounds):
-        states, thermos = pt_round(states, thermos, r % 2)
+    states, _, _ = replica.run_parallel_tempering_fused(
+        params, state, cfg, thermo, temps, rounds, spr)
+    np.asarray(states[0].pos)
     wall = time.perf_counter() - t0
-    sps = rounds * chunk * R / wall
+    sps = rounds * spr * R / wall
     return {"metric": "agg_mc_steps_per_sec_pt_8_replicas_incl_swaps",
             "value": round(sps, 2), "unit": "steps/s",
             "vs_baseline": round(sps / BASELINES["pt_round"], 2)}

@@ -853,9 +853,15 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
     mv_start, mv_natoms, a_max = _fused_host_cached(
         ("nvt", id(params.mol_start), id(state.mol_alive)),
         (params.mol_start, state.mol_alive), build)
-    return _fused_chunk_nvt(state, params, thermo, mv_start, mv_natoms,
-                            cfg, n_steps, a_max,
-                            jax.default_backend() != "tpu")
+    new_state, stats = _fused_chunk_nvt(
+        state, params, thermo, mv_start, mv_natoms, cfg, n_steps, a_max,
+        jax.default_backend() != "tpu")
+    # NVT never changes aliveness: reattach the INPUT mol_alive object
+    # so the id-keyed cache above stays hot across chained chunks (a jit
+    # output leaf is a FRESH buffer every call -> cache miss -> one
+    # ~30 ms blocking D2H per chunk on the tunneled backend)
+    new_state = dataclasses.replace(new_state, mol_alive=state.mol_alive)
+    return new_state, stats
 
 
 @functools.partial(jax.jit,

@@ -212,3 +212,98 @@ def run_parallel_tempering(params, state, cfg, thermo, temps,
             "temperatures": np.asarray(thermos.temperature).tolist(),
         })
     return states, thermos, history
+
+# --------------------------------------------------------------------------
+# Single-chip fused-kernel parallel tempering
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("parity",))
+def ladder_swap(temps, energies, key, parity):
+    """Vectorized on-device neighbor temperature swap (single-chip PT).
+
+    Same physics as ``host_swap``/``PTRunner._swap`` (SURVEY.md §2
+    "Parallel tempering": pairs (p,p+1),(p+2,p+3),... for parity p,
+    P = min(1, exp[(b_i - b_j)(E_i - E_j)]), shared coin per pair) but
+    computed entirely on device so a PT round needs ZERO host syncs —
+    the tunneled backend charges ~30 ms per blocking D2H, which
+    dominated swap-bound PT rounds.
+
+    Returns (per-replica new temperatures as a tuple of scalars so the
+    caller can rebuild per-replica ``Thermo`` without eager slicing,
+    number of accepted swaps).  ``energies`` may be per-replica scalars
+    or EnergyBreakdown pytrees — the .total sum is taken IN-JIT (an
+    eager .total costs 7 dispatches per replica per round)."""
+    temps = jnp.stack(list(temps))
+    energies = jnp.stack([e.total if hasattr(e, "total") else e
+                          for e in energies]).astype(temps.dtype)
+    R = temps.shape[0]
+    i = jnp.arange(R)
+    hi = parity + 2 * ((R - parity) // 2)
+    in_pair = (i >= parity) & (i < hi)
+    left = in_pair & (((i - parity) % 2) == 0)
+    partner = jnp.where(in_pair, jnp.where(left, i + 1, i - 1), i)
+    t_other = temps[partner]
+    e_other = energies[partner]
+    # shared coin: both partners read the pair-lo lane -> same decision
+    pair_lo = jnp.minimum(i, partner)
+    u = jax.random.uniform(key, (R,), temps.dtype)[pair_lo]
+    ln_p = (1.0 / temps - 1.0 / t_other) * (energies - e_other)
+    accept = in_pair & (jnp.log(jnp.maximum(u, 1e-300)) < ln_p)
+    new_t = jnp.where(accept, t_other, temps)
+    n_acc = jnp.sum(accept.astype(jnp.int32)) // 2
+    return tuple(new_t[r] for r in range(R)), n_acc
+
+
+def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
+                                 n_rounds: int, steps_per_round: int,
+                                 seed: int = 0):
+    """Single-chip PT over the fused Pallas MC path.
+
+    Each replica advances ``steps_per_round`` whole MC steps in one
+    fused kernel launch (mc/metropolis.run_chunk_fused[_uvt]); the R
+    replicas run back-to-back on the chip, then one on-device
+    ``ladder_swap`` exchanges neighbor temperatures.  A full round is
+    R+1 async dispatches with NO host round-trip, so aggregate
+    throughput stays at the fused kernel's single-chain rate instead of
+    the sync-bound batched-scan PT (measured 2026-08-17: the host-swap
+    scan round at 8x64 steps ran ~6k agg steps/s).
+
+    Caller must have checked mc_kernel.supported / supported_uvt.
+    Returns (states list, temps ndarray, total accepted swaps)."""
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    if mc_kernel.supported(cfg, params):
+        runner = metropolis.run_chunk_fused
+    elif mc_kernel.supported_uvt(cfg, params):
+        runner = metropolis.run_chunk_fused_uvt
+    else:
+        raise ValueError("fused PT needs a fused-gate-supported config "
+                         "(mc_kernel.supported / supported_uvt)")
+    temps = np.asarray(temps, np.float64)
+    R = len(temps)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    keys = jax.random.split(jax.random.PRNGKey(seed), R)
+    states = [dataclasses.replace(state, key=keys[r]) for r in range(R)]
+    thermos = [dataclasses.replace(
+        thermo, temperature=jnp.asarray(t, cfg.jdtype)) for t in temps]
+    # ONE dispatch for every round key (fold_in per round would cost
+    # ~1 ms of eager work per round on the tunneled backend)
+    round_keys = jax.random.split(jax.random.PRNGKey(seed + 7), n_rounds)
+    n_acc = jnp.zeros((), jnp.int32)
+    for r in range(n_rounds):
+        for i in range(R):
+            states[i], _ = runner(states[i], params, cfg, thermos[i],
+                                  steps_per_round)
+        # swap on the ACTIVE total energy (summed in-jit by ladder_swap):
+        # the frozen-framework constant is identical across replicas and
+        # cancels in (E_i - E_j)
+        new_ts, acc = ladder_swap(
+            tuple(th.temperature for th in thermos),
+            tuple(st.energy for st in states),
+            round_keys[r], r % 2)
+        thermos = [dataclasses.replace(thermos[i], temperature=new_ts[i])
+                   for i in range(R)]
+        n_acc = n_acc + acc
+    final_temps = np.asarray(
+        [float(th.temperature) for th in thermos])
+    return states, final_temps, int(n_acc)

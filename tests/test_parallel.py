@@ -314,3 +314,52 @@ def test_batched_chains_with_polar_delta_field():
         st2 = metropolis.initialize(st, params, cfg, thermo)
         assert float(st.energy.total) == pytest.approx(
             float(st2.energy.total), abs=1e-9), c
+
+
+def test_ladder_swap_matches_rule():
+    """On-device ladder_swap implements the host_swap/PTRunner rule:
+    equal-T pairs always exchange (ln_p = 0 > log u), parity selects the
+    pair offsets, and the temperature multiset is preserved."""
+    key = jax.random.PRNGKey(0)
+    t4 = (jnp.float64(100.0),) * 4
+    e4 = tuple(jnp.float64(v) for v in (-5.0, -4.0, -3.0, -2.0))
+    new_t, n_acc = replica.ladder_swap(t4, e4, key, 0)
+    assert int(n_acc) == 2          # pairs (0,1), (2,3) both accept
+    new_t, n_acc = replica.ladder_swap(t4, e4, key, 1)
+    assert int(n_acc) == 1          # only (1,2) at odd parity
+    # distinct ladder: multiset invariant whatever is accepted
+    t = tuple(jnp.float64(v) for v in (77.0, 120.0, 200.0, 350.0))
+    new_t, _ = replica.ladder_swap(t, e4, key, 0)
+    assert sorted(float(x) for x in new_t) == pytest.approx(
+        [77.0, 120.0, 200.0, 350.0])
+    # R=2 odd parity: no pairs, no swaps
+    new_t, n_acc = replica.ladder_swap(t[:2], e4[:2], key, 1)
+    assert int(n_acc) == 0
+    assert [float(x) for x in new_t] == [77.0, 120.0]
+
+
+def test_fused_pt_single_chip():
+    """run_parallel_tempering_fused: fused-kernel replicas + on-device
+    swaps.  Equal-T ladder makes every attempted swap accept
+    (deterministic count); a real ladder preserves the T multiset and
+    advances every replica."""
+    import dataclasses
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=8, ewald_kmax=3, dtype="float32")
+    cfg = dataclasses.replace(cfg, coulomb="wolf", fused_mc=True)
+    # equal-T ladder: ln_p = 0 for every pair -> always accept
+    states, final_t, n_acc = replica.run_parallel_tempering_fused(
+        params, state, cfg, thermo, [150.0] * 4, n_rounds=4,
+        steps_per_round=30, seed=1)
+    assert n_acc == 2 + 1 + 2 + 1
+    # real ladder on the uvt (GCMC) fused path
+    temps = replica.geometric_ladder(100.0, 300.0, 4)
+    states, final_t, n_acc = replica.run_parallel_tempering_fused(
+        params, state, cfg, thermo, temps, n_rounds=3,
+        steps_per_round=40, seed=2)
+    assert sorted(final_t) == pytest.approx(sorted(temps))
+    p0 = np.asarray(state.pos)
+    for st in states:
+        assert int(np.asarray(st.step)) == 120
+        assert float(np.abs(np.asarray(st.pos) - p0).max()) > 0.0
