@@ -865,6 +865,89 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_disp", "a_max",
+                                    "interpret"))
+def _fused_npt_segment(state, stats, params, thermo, mv_start, mv_natoms,
+                       cfg, n_disp, a_max, interpret):
+    """One fused-NPT segment as ONE jitted dispatch: ``n_disp`` fused
+    displacement steps (_fused_chunk_nvt inlines under this trace)
+    followed by one scan-path volume attempt (make_step_fn's b_volume
+    branch, forced via move_t).  ``stats`` threads through so the
+    per-chunk accumulation costs no extra eager dispatches on the
+    tunneled backend."""
+    if n_disp > 0:
+        state, s2 = _fused_chunk_nvt(state, params, thermo, mv_start,
+                                     mv_natoms, cfg, n_disp, a_max,
+                                     interpret)
+        stats = jax.tree_util.tree_map(lambda a, b: a + b, stats, s2)
+    step = make_step_fn(params, cfg)
+    # move_t is a PYTHON int: lax.switch constant-folds to the volume
+    # branch at trace time (b_volume is branch 1 of the npt table)
+    return step(state, stats, thermo, move_t=1)
+
+
+def run_chunk_fused_npt(state: SimState, params: Params, cfg: RunConfig,
+                        thermo: Thermo, n_steps: int):
+    """K NPT steps as fused displacement segments interleaved with
+    scan-path volume attempts (the hybrid fused-NPT path).
+
+    The fused kernel cannot score a volume move — an isotropic rescale
+    shifts EVERY coordinate and re-prices every energy term, a full
+    O(N^2) recompute — so the chunk runs ``n_v = round(pv * n_steps)``
+    volume attempts (pv = thermo.volume_probability) spaced evenly
+    through the chunk with fused displacement segments in between.
+    Each component kernel (fused displacement Metropolis, b_volume
+    Metropolis) leaves the NPT distribution invariant, so their
+    fixed-order composition samples the same ensemble (sequential-
+    composition MC); the attempt MIX matches the scan path's per-step
+    volume_probability draw in expectation, which is what the
+    acceptance bookkeeping and the reference's move accounting see
+    (SURVEY.md §2 "Moves / checkpoint", §3.3 NPT rule).  Caller must
+    have checked mc_kernel.supported_npt(cfg, params).
+
+    Same (state, stats) contract as run_chunk: state.step advances by
+    exactly ``n_steps`` (n_steps - n_v displacements + n_v volume
+    attempts)."""
+    import numpy as np
+
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    def build():
+        mv, mva, am = mc_kernel.movable_mols(
+            params, np.asarray(state.mol_alive))
+        return jnp.asarray(mv), jnp.asarray(mva), int(am)
+
+    mv_start, mv_natoms, a_max = _fused_host_cached(
+        ("nvt", id(params.mol_start), id(state.mol_alive)),
+        (params.mol_start, state.mol_alive), build)
+    # pv must be a host float (it sets the static segment structure);
+    # fetched once per distinct leaf object — annealing/PT replace
+    # temperature but keep this leaf, so the D2H does not recur
+    pv = _fused_host_cached(
+        ("npt_pv", id(thermo.volume_probability)),
+        (thermo.volume_probability,),
+        lambda: float(np.asarray(thermo.volume_probability)))
+    n_v = int(round(pv * n_steps))
+    interp = jax.default_backend() != "tpu"
+    if n_v <= 0:
+        new_state, stats = _fused_chunk_nvt(
+            state, params, thermo, mv_start, mv_natoms, cfg, n_steps,
+            a_max, interp)
+    else:
+        base, rem = divmod(n_steps - n_v, n_v)
+        stats = MCStats.zero()
+        new_state = state
+        for s in range(n_v):
+            new_state, stats = _fused_npt_segment(
+                new_state, stats, params, thermo, mv_start, mv_natoms,
+                cfg, base + 1 if s < rem else base, a_max, interp)
+    # NPT never changes aliveness: reattach the INPUT mol_alive object
+    # so the id-keyed host cache stays hot (see run_chunk_fused)
+    new_state = dataclasses.replace(new_state, mol_alive=state.mol_alive)
+    return new_state, stats
+
+
+@functools.partial(jax.jit,
                    static_argnames=("cfg", "A_list", "rep_slots"))
 def _uvt_chunk_consts(pos, box, params, thermo, cfg, A_list, rep_slots):
     """Per-chunk per-species constants for the fused µVT kernel, all in

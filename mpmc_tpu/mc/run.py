@@ -675,17 +675,19 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             params, su.spectre_species)
         print(f"spectre: {len(spectre_idx)} free-charge sites",
               file=writer.log)
-    use_fused = use_fused_uvt = False
+    use_fused = use_fused_uvt = use_fused_npt = False
     if cfg.fused_mc:
         from mpmc_tpu.ops.pallas import mc_kernel
         use_fused = mc_kernel.supported(cfg, params)
         use_fused_uvt = (not use_fused
                          and mc_kernel.supported_uvt(cfg, params))
-        if not (use_fused or use_fused_uvt):
+        use_fused_npt = (not (use_fused or use_fused_uvt)
+                         and mc_kernel.supported_npt(cfg, params))
+        if not (use_fused or use_fused_uvt or use_fused_npt):
             print("WARNING: fused_mc requested but unsupported for this "
-                  "configuration (needs rigid <=8-site NVT or <=8-"
-                  "species µVT, lj/none RD, none/cutoff/wolf/"
-                  "ewald ES, f32) — scan path used",
+                  "configuration (needs rigid <=8-site NVT / "
+                  "frameworkless NPT or <=8-species µVT, lj/none RD, "
+                  "none/cutoff/wolf/ewald ES, f32) — scan path used",
                   file=writer.log)
     for block in range(n_blocks):
         if use_fused:
@@ -693,6 +695,9 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
                                                       thermo, corr)
         elif use_fused_uvt:
             state, stats = metropolis.run_chunk_fused_uvt(
+                state, params, cfg, thermo, corr)
+        elif use_fused_npt:
+            state, stats = metropolis.run_chunk_fused_npt(
                 state, params, cfg, thermo, corr)
         else:
             state, stats = metropolis.run_chunk(state, params, cfg,

@@ -1000,6 +1000,24 @@ def supported(cfg, params) -> bool:
     return bool(mov.any()) and bool((natoms[mov] <= MAX_SITES).all())
 
 
+def supported_npt(cfg, params) -> bool:
+    """Static gate for the HYBRID fused NPT path
+    (mc/metropolis.run_chunk_fused_npt): fused displacement segments
+    need the NVT kernel surface; the interleaved scan-path volume
+    moves additionally require NO frozen framework — moves.scale_volume
+    rescales every molecule about its COM, which is only meaningful
+    when everything is movable (same gate the scan path's b_volume
+    documents)."""
+    if not (cfg.ensemble == "npt" and _supported_physics(cfg)):
+        return False
+    frozen = np.asarray(params.mol_frozen)
+    if frozen.any():
+        return False
+    natoms = np.asarray(params.mol_natoms)
+    mov = np.asarray(params.mol_species) >= 0
+    return bool(mov.any()) and bool((natoms[mov] <= MAX_SITES).all())
+
+
 MAX_SPECIES = 8     # SMEM per-species table width (supported_uvt cap)
 
 

@@ -484,3 +484,103 @@ def test_uvt_matches_scan_equilibrium():
     # loose statistical tolerance: a few sigma of the block means
     tol = 4.0 * max(sf, ss, 0.5) / np.sqrt(40.0)
     assert nf == pytest.approx(ns_, abs=max(3.0 * tol, 1.5))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid fused NPT (run_chunk_fused_npt)
+# ---------------------------------------------------------------------------
+
+def _npt_fluid(n=24, pv=0.1, dtype="float32"):
+    from mpmc_tpu.config import Thermo
+    params, state, cfg, thermo = systems.lj_fluid(n=n, dtype=dtype)
+    cfg = dataclasses.replace(cfg, ensemble="npt", fused_mc=True)
+    thermo = Thermo.make(temperature=150.0, pressure=50.0,
+                         volume_probability=pv, volume_change_factor=0.1,
+                         move_factor=0.5, rot_factor=0.0, n_species=1,
+                         dtype=cfg.jdtype)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    return params, state, cfg, thermo
+
+
+def test_npt_supported_gate():
+    params, state, cfg, thermo = _npt_fluid()
+    assert mc_kernel.supported_npt(cfg, params)
+    assert not mc_kernel.supported_npt(
+        dataclasses.replace(cfg, ensemble="nvt"), params)
+    assert not mc_kernel.supported_npt(
+        dataclasses.replace(cfg, polarization=True), params)
+    # frozen framework (MOF) -> scale_volume invalid -> gated out
+    p2, s2, c2, t2 = systems.mof_h2_gcmc(n_side=3, n_h2=4, capacity=8)
+    assert not mc_kernel.supported_npt(
+        dataclasses.replace(c2, ensemble="npt"), p2)
+
+
+def test_npt_attempt_mix_and_bookkeeping():
+    """The hybrid chunk must attempt exactly round(pv*K) volume moves
+    and K - n_v displacements, advance step by K, and keep the
+    delta-accumulated energy consistent with a from-scratch recompute
+    (the volume branch re-prices everything; the fused segments add
+    per-move deltas on top)."""
+    params, state, cfg, thermo = _npt_fluid(n=24, pv=0.1)
+    st, stats = metropolis.run_chunk_fused_npt(state, params, cfg,
+                                               thermo, 200)
+    assert int(np.asarray(st.step)) == 200
+    assert int(stats.attempts[metropolis.VOLUME]) == 20
+    assert int(stats.attempts[metropolis.DISPLACE]) == 180
+    assert int(stats.accepts[metropolis.VOLUME]) > 0
+    assert int(stats.accepts[metropolis.DISPLACE]) > 0
+    # box actually rescaled at least once
+    assert float(np.abs(np.asarray(st.box) - np.asarray(state.box)).max()
+                 ) > 0.0
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    assert float(st.energy.rd) == pytest.approx(
+        float(fresh.energy.rd), rel=2e-4, abs=2e-2)
+    assert float(st.energy.lrc) == pytest.approx(
+        float(fresh.energy.lrc), rel=2e-4, abs=2e-2)
+
+
+def test_npt_deterministic_and_pv_zero():
+    params, state, cfg, thermo = _npt_fluid(n=16, pv=0.2)
+    a, _ = metropolis.run_chunk_fused_npt(state, params, cfg, thermo, 60)
+    b, _ = metropolis.run_chunk_fused_npt(state, params, cfg, thermo, 60)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.box), np.asarray(b.box))
+    # pv = 0: pure fused displacement chunk (no volume attempts)
+    params, state, cfg, thermo = _npt_fluid(n=16, pv=0.0)
+    st, stats = metropolis.run_chunk_fused_npt(state, params, cfg,
+                                               thermo, 50)
+    assert int(stats.attempts[metropolis.VOLUME]) == 0
+    assert int(stats.attempts[metropolis.DISPLACE]) == 50
+
+
+def test_npt_ideal_gas_volume_fused():
+    """Ideal-gas NPT through the hybrid path: <V> = (N+1) kT / P —
+    the same analytic anchor as the scan path's
+    test_npt_ideal_gas_volume, so a bias in the hybrid composition
+    (wrong attempt weighting, wrong ln-bias) would show here."""
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.config import Thermo
+    T, n, p_atm = 300.0, 15, 80.0
+    expect_v = (n + 1) * T / (p_atm * ATM2K_A3)
+    params, state, cfg, thermo = systems.lj_fluid(n=n, dtype="float32")
+    cfg = dataclasses.replace(cfg, ensemble="npt", rd_potential="none",
+                              rd_lrc=False, fused_mc=True)
+    assert mc_kernel.supported_npt(cfg, params)
+    # start at the expected volume
+    s = (expect_v / float(np.abs(np.linalg.det(np.asarray(state.box))))
+         ) ** (1 / 3)
+    state = dataclasses.replace(state, box=state.box * s,
+                                pos=state.pos * s)
+    thermo = Thermo.make(temperature=T, pressure=p_atm,
+                         volume_probability=0.5,
+                         volume_change_factor=0.2, move_factor=1.0,
+                         rot_factor=0.0, n_species=1, dtype=cfg.jdtype)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    state, _ = metropolis.run_chunk_fused_npt(state, params, cfg,
+                                              thermo, 400)
+    vols = []
+    for _ in range(120):
+        state, _ = metropolis.run_chunk_fused_npt(state, params, cfg,
+                                                  thermo, 20)
+        vols.append(float(np.abs(np.linalg.det(np.asarray(state.box)))))
+    assert np.mean(vols) == pytest.approx(expect_v, rel=0.15)
