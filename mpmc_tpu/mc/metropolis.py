@@ -791,26 +791,41 @@ def _fused_host_cached(key, referents, build):
                    static_argnames=("cfg", "n_steps", "a_max",
                                     "interpret"))
 def _fused_chunk_nvt(state, params, thermo, mv_start, mv_natoms, cfg,
-                     n_steps, a_max, interpret):
+                     n_steps, a_max, interpret, mv_slots=None):
     """The WHOLE fused-NVT chunk — RNG split, uniform table, k-table,
     kernel launch, and state/stats update — as one jitted dispatch.
     Anything eager here costs ~1 ms per op on the tunneled backend
-    (CLAUDE.md lesson), which dwarfs the ~2.8 us/step kernel."""
+    (CLAUDE.md lesson), which dwarfs the ~2.8 us/step kernel.
+
+    ``mv_slots`` ([Mv] molecule slot of each movable molecule) is only
+    needed under cfg.quantum_rotation: the per-corrtime rot_f/spin
+    tables ride into the kernel for in-kernel spinflip moves and the
+    flipped spins scatter back afterwards."""
     from mpmc_tpu.ops.pallas import mc_kernel
 
+    sf = cfg.quantum_rotation
     rc = pairs.derived_cutoff(state.box, cfg)
     alpha = pairs.derived_alpha(rc, cfg)
     key_next, k_u = jax.random.split(state.key)
-    u = mc_kernel.draw_uniforms(k_u, n_steps)
+    u = mc_kernel.draw_uniforms(k_u, n_steps, lanes=16 if sf else 8)
     thr = cfg.cavity_autoreject_absolute
     kv, kcoef = _fused_ktable(state.box, cfg, alpha)
-    new_pos, d_rd, d_es, d_rec, n_acc, sk_re, sk_im = mc_kernel.run_steps(
+    if sf:
+        rot_mov = state.rot_f[mv_slots].astype(jnp.float32)
+        spin_mov = state.spin.reshape(-1, 1)[mv_slots][:, 0]
+        p_spin = thermo.spinflip_probability
+    else:
+        rot_mov = spin_mov = None
+        p_spin = 0.0
+    (new_pos, d_rd, d_es, d_rec, n_acc, sk_re, sk_im, spin_new, acc_sp,
+     att_sp) = mc_kernel.run_steps(
         state.pos, params.eps, params.sig, params.charge, params.mass,
         state.atom_alive(params), mv_start, mv_natoms, state.box, rc,
         alpha, 1.0 / thermo.temperature, thermo.move_factor,
         thermo.rot_factor, thr * thr, u, cfg, n_steps,
         state.pos.shape[0], a_max=a_max, interpret=interpret,
-        kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im)
+        kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im,
+        rot_f=rot_mov, spin=spin_mov, p_spin=p_spin)
     dtype = cfg.jdtype
     new_energy = dataclasses.replace(
         state.energy,
@@ -818,13 +833,22 @@ def _fused_chunk_nvt(state, params, thermo, mv_start, mv_natoms, cfg,
         es_real=state.energy.es_real + d_es.astype(dtype),
         es_recip=state.energy.es_recip + d_rec.astype(dtype))
     stats = MCStats.zero()
-    stats = MCStats(
-        attempts=stats.attempts.at[DISPLACE].add(n_steps),
-        accepts=stats.accepts.at[DISPLACE].add(
-            n_acc.astype(jnp.int32)),
-        polar_iters=stats.polar_iters)
+    att = stats.attempts.at[DISPLACE].add(n_steps)
+    acc = stats.accepts.at[DISPLACE].add(n_acc.astype(jnp.int32))
+    if sf:
+        # the displace slot over-counted by the spinflip carve-out
+        att = (att.at[DISPLACE].add(-att_sp.astype(jnp.int32))
+               .at[SPINFLIP].add(att_sp.astype(jnp.int32)))
+        acc = acc.at[SPINFLIP].add(acc_sp.astype(jnp.int32))
+    stats = MCStats(attempts=att, accepts=acc,
+                    polar_iters=stats.polar_iters)
     new_state = state.replace(pos=new_pos, energy=new_energy,
                               key=key_next, step=state.step + n_steps)
+    if sf:
+        new_spin = state.spin.reshape(-1, 1).at[mv_slots].set(
+            (spin_new > 0.5).astype(state.spin.dtype)[:, None]
+        ).reshape(state.spin.shape)
+        new_state = new_state.replace(spin=new_spin)
     if cfg.coulomb == "ewald":
         new_state = new_state.replace(sk_re=sk_re.astype(dtype),
                                       sk_im=sk_im.astype(dtype))
@@ -846,16 +870,17 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
     from mpmc_tpu.ops.pallas import mc_kernel
 
     def build():
-        mv, mva, am = mc_kernel.movable_mols(
+        mv, mva, am, slots = mc_kernel.movable_mols(
             params, np.asarray(state.mol_alive))
-        return jnp.asarray(mv), jnp.asarray(mva), int(am)
+        return (jnp.asarray(mv), jnp.asarray(mva), int(am),
+                jnp.asarray(slots))
 
-    mv_start, mv_natoms, a_max = _fused_host_cached(
+    mv_start, mv_natoms, a_max, mv_slots = _fused_host_cached(
         ("nvt", id(params.mol_start), id(state.mol_alive)),
         (params.mol_start, state.mol_alive), build)
     new_state, stats = _fused_chunk_nvt(
         state, params, thermo, mv_start, mv_natoms, cfg, n_steps, a_max,
-        jax.default_backend() != "tpu")
+        jax.default_backend() != "tpu", mv_slots=mv_slots)
     # NVT never changes aliveness: reattach the INPUT mol_alive object
     # so the id-keyed cache above stays hot across chained chunks (a jit
     # output leaf is a FRESH buffer every call -> cache miss -> one
@@ -913,11 +938,12 @@ def run_chunk_fused_npt(state: SimState, params: Params, cfg: RunConfig,
     from mpmc_tpu.ops.pallas import mc_kernel
 
     def build():
-        mv, mva, am = mc_kernel.movable_mols(
+        mv, mva, am, slots = mc_kernel.movable_mols(
             params, np.asarray(state.mol_alive))
-        return jnp.asarray(mv), jnp.asarray(mva), int(am)
+        return (jnp.asarray(mv), jnp.asarray(mva), int(am),
+                jnp.asarray(slots))
 
-    mv_start, mv_natoms, a_max = _fused_host_cached(
+    mv_start, mv_natoms, a_max, _ = _fused_host_cached(
         ("nvt", id(params.mol_start), id(state.mol_alive)),
         (params.mol_start, state.mol_alive), build)
     # pv must be a host float (it sets the static segment structure);
@@ -1034,7 +1060,8 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
         thermo.rot_factor, thr * thr, thermo.insert_probability, lnfv,
         d_self, d_excl, c1, cx, u, cfg, n_steps, state.pos.shape[0],
         A_list=A_list, interpret=interpret,
-        kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im)
+        kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im,
+        cav_open=state.cavity_open if cfg.cavity_bias else None)
     dtype = cfg.jdtype
     d = sums.astype(dtype)
     new_energy = dataclasses.replace(
@@ -1074,7 +1101,8 @@ def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
     (ops/pallas/mc_kernel.py::run_steps_uvt) — the single-chain latency
     path for the headline µVT workload.  Caller must have checked
     mc_kernel.supported_uvt(cfg, params): up to MAX_SPECIES insert
-    species, uniform rigid slots per species, no cavity bias.  The
+    species, uniform rigid slots per species (cavity bias supported —
+    the per-corrtime open-cell grid rides into the kernel).  The
     per-molecule self / intra-exclusion / LRC constants are computed
     in-jit with the SAME helpers the scan path's b_insert/b_delete use,
     so the two paths agree term by term; the params-only slot/template

@@ -114,13 +114,14 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
     return rd, es, r2m
 
 
-def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
-            data_ref, out_ref, sk_ref, *,
-            cfg, n_steps, n_pad, n_real, a_max, nk_pad):
-    # data_in_ref/sk_in_ref alias data_ref/sk_ref (input_output_aliases)
-    # — all access goes through the output refs
-    del data_in_ref, sk_in_ref
+def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
+            sk_in_ref, data_ref, out_ref, sk_ref, rot_ref, *,
+            cfg, n_steps, n_pad, n_real, a_max, nk_pad, mv_pad):
+    # data_in_ref/sk_in_ref/rot_in_ref alias data_ref/sk_ref/rot_ref
+    # (input_output_aliases) — all access goes through the output refs
+    del data_in_ref, sk_in_ref, rot_in_ref
     ew = cfg.coulomb == "ewald"
+    sf = cfg.quantum_rotation       # in-kernel spinflip moves
     rc = scal_ref[0, 0]
     alpha = scal_ref[0, 1]
     beta = scal_ref[0, 2]
@@ -128,6 +129,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
     n_mov = scal_ref[0, 4]          # float count of movable molecules
     thr2 = scal_ref[0, 5]           # autoreject r_min^2 (0 = off)
     rotf = scal_ref[0, 6]           # max rotation angle (rad)
+    p_spin = scal_ref[0, 7]         # P(spinflip) (0 when sf off)
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
 
@@ -144,7 +146,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
 
     def step(k, carry):
-        d_rd, d_es, d_rec, n_acc = carry
+        d_rd, d_es, d_rec, n_acc, acc_sp, att_sp = carry
         # --- proposal ---------------------------------------------------
         # Scalar accesses load the aligned tile containing the element
         # and mask-reduce it out; the update store blends the same
@@ -160,6 +162,33 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
         tsel = tlane == (m - mt0)
         start = jnp.sum(jnp.where(tsel & (trow == 0), ttile, 0))
         n_at = jnp.sum(jnp.where(tsel & (trow == 1), ttile, 0))
+
+        if sf:
+            # spinflip move (lane 8 carve-out, mirroring
+            # make_branch_picker): positions untouched, acceptance on
+            # the cached rotor free-energy difference rot_f[m, 1-s] -
+            # rot_f[m, s] (mc/metropolis.b_spinflip; per-corrtime
+            # staleness contract identical to the scan path).  The
+            # pair pass below still executes with a zeroed move — its
+            # ~0 deltas are masked out of du and the accumulators, so
+            # the dataflow stays branch-free.
+            is_spin = u_ref[k, 8] < p_spin
+            fpair = 1.0 - is_spin.astype(jnp.float32)
+            rwin = rot_ref[pl.dslice(0, 3), pl.dslice(mt0, 128)]
+            rlane = jax.lax.broadcasted_iota(jnp.int32, (3, 128), 1)
+            rrow = jax.lax.broadcasted_iota(jnp.int32, (3, 128), 0)
+            rsel = rlane == (m - mt0)
+
+            def rpick(r):
+                return jnp.sum(jnp.where(rsel & (rrow == r), rwin, 0.0))
+
+            f_para, f_ortho, s_cur = rpick(0), rpick(1), rpick(2)
+            d_f = jnp.where(s_cur > 0.5, f_para - f_ortho,
+                            f_ortho - f_para)
+        else:
+            is_spin = jnp.zeros((), bool)
+            fpair = jnp.float32(1.0)
+            d_f = jnp.float32(0.0)
 
         rw0 = pl.multiple_of(
             jnp.minimum((start // TJ) * 8, jnp.int32(R - 16)), 8)
@@ -182,7 +211,8 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
         sig_i = [wpick(wload(ROW_SIG), a) for a in range(a_max)]
         q_i = [wpick(wload(ROW_Q), a) for a in range(a_max)]
 
-        disp = [(2.0 * u_ref[k, 1 + c] - 1.0) * mf for c in range(3)]
+        disp = [(2.0 * u_ref[k, 1 + c] - 1.0) * mf * fpair
+                for c in range(3)]
         if a_max == 1:
             new = [[old[0][c] + disp[c] for c in range(3)]]
         else:
@@ -198,7 +228,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
             aphi = 2.0 * np.float32(np.pi) * u_ref[k, 6]
             s = jnp.sqrt(jnp.maximum(1.0 - az * az, 0.0))
             ax, ay = s * jnp.cos(aphi), s * jnp.sin(aphi)
-            ang = u_ref[k, 7] * rotf
+            ang = u_ref[k, 7] * rotf * fpair
             ca, sa = jnp.cos(ang), jnp.sin(ang)
             omc = 1.0 - ca
             R3 = [[ca + ax * ax * omc, ax * ay * omc - az * sa,
@@ -292,9 +322,17 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
             drec = jnp.zeros((), jnp.float32)
 
         du = drd + des + drec
+        if sf:
+            # spinflip: the zeroed move's ~0 pair deltas are replaced
+            # by the rotor free-energy difference, and the overlap
+            # autoreject does not apply (no positions change)
+            du = jnp.where(is_spin, d_f, du)
         reject_overlap = (thr2 > 0.0) & (mr2 < thr2)
+        if sf:
+            reject_overlap = reject_overlap & ~is_spin
         accept = ((jnp.log(jnp.maximum(u_ref[k, 4], 1e-38))
                    < -beta * du) & ~reject_overlap)
+        acc_pair = accept & ~is_spin if sf else accept
 
         # unconditional blended stores: storing the (possibly
         # unchanged) window every step avoids a per-step pl.when
@@ -303,26 +341,39 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
         for q, w in ((ROW_X, wx), (ROW_Y, wy), (ROW_Z, wz)):
             for a in range(a_max):
                 va = valid[a] if a_max > 1 else True
-                w = jnp.where(asel[a] & va & accept, new[a][q], w)
+                w = jnp.where(asel[a] & va & acc_pair, new[a][q], w)
             data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
                                16), :] = w
 
         if ew:
-            accf = accept.astype(jnp.float32)
+            accf = acc_pair.astype(jnp.float32)
             sk_ref[pl.dslice(0, 2 * Rk), :] = jnp.concatenate(
                 [sr + accf * dsr, si + accf * dsi], axis=0)
 
-        af = accept.astype(jnp.float32)
+        if sf:
+            # commit the flip into the rot table's spin row
+            srow = rot_ref[pl.dslice(2, 1), :]
+            slane = jax.lax.broadcasted_iota(jnp.int32, (1, mv_pad), 1)
+            srow = jnp.where((slane == m) & accept & is_spin,
+                             1.0 - srow, srow)
+            rot_ref[pl.dslice(2, 1), :] = srow
+            fsp = is_spin.astype(jnp.float32)
+            acc_sp = acc_sp + accept.astype(jnp.float32) * fsp
+            att_sp = att_sp + fsp
+
+        af = acc_pair.astype(jnp.float32)
         return (d_rd + af * drd, d_es + af * des, d_rec + af * drec,
-                n_acc + af)
+                n_acc + af, acc_sp, att_sp)
 
     z = jnp.zeros((), jnp.float32)
-    d_rd, d_es, d_rec, n_acc = jax.lax.fori_loop(0, n_steps, step,
-                                                 (z, z, z, z))
+    d_rd, d_es, d_rec, n_acc, acc_sp, att_sp = jax.lax.fori_loop(
+        0, n_steps, step, (z, z, z, z, z, z))
     out_ref[0, 0] = d_rd
     out_ref[0, 1] = d_es
     out_ref[0, 2] = d_rec
     out_ref[0, 3] = n_acc
+    out_ref[0, 4] = acc_sp
+    out_ref[0, 5] = att_sp
     # non-ewald: sk_ref is aliased to its (dummy) input and stays as-is
 
 
@@ -332,16 +383,24 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, data_in_ref, sk_in_ref,
 def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
               box, rc, alpha, beta, move_factor, rot_factor, thr2,
               uniforms, cfg, n_steps, n_real, a_max=1, interpret=False,
-              kvecs=None, kcoef=None, sk_re=None, sk_im=None):
-    """K fused translate+rotate steps.  Returns (new_pos [N,3], d_rd,
-    d_es, d_recip, n_accept, sk_re', sk_im').  ``mov_start``/
-    ``mov_natoms``: [Mv] first atom row and atom count of each movable
-    molecule; ``uniforms``: [K, 8] from draw_uniforms; ``a_max``: static
-    max movable-molecule size.  For cfg.coulomb == 'ewald' pass
-    ``kvecs`` [Nk,3], ``kcoef`` [Nk] (the fully-folded per-k energy
-    coefficient KE*(2pi/V)*pw*exp(-k^2/4a^2)/k^2) and the cached
-    structure factor ``sk_re``/``sk_im`` [Nk]; the updated S(k) comes
-    back in the last two outputs (pass-through otherwise)."""
+              kvecs=None, kcoef=None, sk_re=None, sk_im=None,
+              rot_f=None, spin=None, p_spin=0.0):
+    """K fused translate+rotate (+spinflip) steps.  Returns (new_pos
+    [N,3], d_rd, d_es, d_recip, n_accept_displace, sk_re', sk_im',
+    spin' [Mv] f32, n_accept_spinflip, n_attempt_spinflip).
+    ``mov_start``/``mov_natoms``: [Mv] first atom row and atom count of
+    each movable molecule; ``uniforms``: [K, 8] from draw_uniforms
+    ([K, >=9] under cfg.quantum_rotation — lane 8 is the spinflip
+    carve-out); ``a_max``: static max movable-molecule size.  For
+    cfg.coulomb == 'ewald' pass ``kvecs`` [Nk,3], ``kcoef`` [Nk] (the
+    fully-folded per-k energy coefficient
+    KE*(2pi/V)*pw*exp(-k^2/4a^2)/k^2) and the cached structure factor
+    ``sk_re``/``sk_im`` [Nk]; the updated S(k) comes back in outputs
+    5-6 (pass-through otherwise).  For cfg.quantum_rotation pass
+    ``rot_f`` [Mv,2] (F_para, F_ortho per movable molecule), ``spin``
+    [Mv] (0/1) and the scalar spinflip probability ``p_spin``
+    (mc/metropolis.b_spinflip semantics, per-corrtime rot_f staleness
+    contract)."""
     f32 = jnp.float32
     # n_pad >= 2048 so the kernel's 16-row molecule windows fit (R>=16)
     n_pad = max(2 * TJ, _round_up(n_real, TJ))
@@ -388,6 +447,14 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
     mv_pad = _round_up(max(mv.shape[0], 1), 128)
     tbl = jnp.stack([jnp.pad(mv, (0, mv_pad - mv.shape[0])),
                      jnp.pad(na, (0, mv_pad - na.shape[0]))])
+    if cfg.quantum_rotation:
+        pad_mv = mv_pad - mv.shape[0]
+        rot = jnp.stack([
+            jnp.pad(jnp.asarray(rot_f[:, 0], f32), (0, pad_mv)),
+            jnp.pad(jnp.asarray(rot_f[:, 1], f32), (0, pad_mv)),
+            jnp.pad(jnp.asarray(spin, f32), (0, pad_mv))])
+    else:
+        rot = jnp.zeros((3, mv_pad), f32)
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
@@ -399,24 +466,27 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
     scal = scal.at[0, 4].set(jnp.asarray(mv.shape[0], f32))
     scal = scal.at[0, 5].set(jnp.asarray(thr2, f32))
     scal = scal.at[0, 6].set(jnp.asarray(rot_factor, f32))
+    scal = scal.at[0, 7].set(jnp.asarray(p_spin, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
 
     u = jnp.asarray(uniforms, f32)
 
-    out_data, out_sums, out_sk = pl.pallas_call(
+    out_data, out_sums, out_sk, out_rot = pl.pallas_call(
         functools.partial(_kernel, cfg=cfg, n_steps=n_steps,
                           n_pad=n_pad, n_real=n_real, a_max=a_max,
-                          nk_pad=nk_pad),
+                          nk_pad=nk_pad, mv_pad=mv_pad),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((3, 16), lambda _: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_steps, 8), lambda _: (0, 0),
+            pl.BlockSpec(uniforms.shape, lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, mv_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mv_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8 * R, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -430,15 +500,18 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mv_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8 * R, 128), f32),
             jax.ShapeDtypeStruct((1, 8), f32),
             jax.ShapeDtypeStruct((2 * Rk, 128), f32),
+            jax.ShapeDtypeStruct((3, mv_pad), f32),
         ],
-        input_output_aliases={4: 0, 5: 2},
+        input_output_aliases={5: 0, 6: 2, 4: 3},
         interpret=interpret,
-    )(scal, u, tbl, ktab, data, sk)
+    )(scal, u, tbl, ktab, rot, data, sk)
     planes = out_data.reshape(8, n_pad)
     new_pos = jnp.stack([planes[ROW_X, :n_real],
                          planes[ROW_Y, :n_real],
@@ -446,12 +519,14 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
     out_sk2 = out_sk.reshape(2, nk_pad)
     return (new_pos.astype(pos.dtype), out_sums[0, 0], out_sums[0, 1],
             out_sums[0, 2], out_sums[0, 3],
-            out_sk2[0, :nk], out_sk2[1, :nk])
+            out_sk2[0, :nk], out_sk2[1, :nk],
+            out_rot[2, :mv.shape[0]], out_sums[0, 4], out_sums[0, 5])
 
 
-def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
-                sk_in_ref, data_ref, out_ref, sk_ref, tbl_ref, *,
-                cfg, n_steps, n_pad, n_real, A_list, nk_pad, ms_pad):
+def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
+                data_in_ref, sk_in_ref, data_ref, out_ref, sk_ref,
+                tbl_ref, *, cfg, n_steps, n_pad, n_real, A_list, nk_pad,
+                ms_pad, g3_pad):
     """Fused µVT (GCMC) step loop: displace | insert | delete per step.
 
     Differences from the NVT ``_kernel``: the movable-slot table carries
@@ -478,11 +553,22 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
     N_s' is  insert: (c1[s] + sum_s' c_x[s,s'] N_s');
     delete: -(c1[s] + sum_s' c_x[s,s'] N_s' - c_x[s,s]).
 
+    Cavity bias (``cfg.cavity_bias``): insert proposes the COM inside a
+    uniformly-picked OPEN grid cell (lane 10 picks rank j among the
+    n_open cells of the per-chunk open-cell id list in ``cav_ref``;
+    lanes 1-3 become the in-cell fractional position), and the
+    acceptance gains +ln(n_open/G^3) on insert / -ln(n_open/G^3) on
+    delete — exactly the scan path's cav_bias correction
+    (mc/metropolis.b_insert/b_delete; SURVEY.md §2 "Cavity bias").
+    The open-cell grid refreshes per corrtime (initialize), the same
+    staleness contract as the scan path.
+
     Data layout is the same sublane-packed (R,128)-plane scheme as the
     NVT ``_kernel`` (full-vreg block math, 16-row molecule windows,
     vector energy accumulators reduced once per step)."""
     del tbl_in_ref, data_in_ref, sk_in_ref
     ew = cfg.coulomb == "ewald"
+    cb = cfg.cavity_bias
     S = len(A_list)
     A = max(A_list)                 # unrolled site loop bound
     uniform_A = len(set(A_list)) == 1
@@ -494,6 +580,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
     rotf = scal_ref[0, 5]
     p_half = scal_ref[0, 6]         # 0.5 * insert_probability
     p_ins = scal_ref[0, 7]          # insert_probability
+    cav_n = scal_ref[0, 8]          # float n_open (1.0 when bias off)
+    cav_lnf = scal_ref[0, 9]        # ln(n_open/G^3) (0.0 when off)
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
     # per-species SMEM tables (rows 3-7 + S cx rows + 3S template rows)
@@ -615,8 +703,31 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
         # at uniform fractional COM + uniform Shoemake orientation,
         # mirroring mc/moves.place_rows) ----------------------------------
         disp = [(2.0 * u_ref[k, 1 + c] - 1.0) * mf for c in range(3)]
-        com_new = [u_ref[k, 1] * box[0][c] + u_ref[k, 2] * box[1][c]
-                   + u_ref[k, 3] * box[2][c] for c in range(3)]
+        if cb:
+            # cavity-biased insert COM: pick rank j among the n_open
+            # open cells (lane 10), read the cell id off the [Rg,128]
+            # open-cell list plane, then place uniformly IN that cell
+            # (lanes 1-3) — mirrors moves.pick_random_true + cell_com
+            g = np.float32(cfg.cavity_grid)
+            Rg = g3_pad // 128
+            jc = jnp.minimum(jnp.floor(u_ref[k, 10] * cav_n),
+                             cav_n - 1.0)
+            ling = (jax.lax.broadcasted_iota(jnp.int32, (Rg, 128), 0)
+                    * 128
+                    + jax.lax.broadcasted_iota(jnp.int32, (Rg, 128), 1)
+                    ).astype(jnp.float32)
+            cell = jnp.sum(jnp.where(ling == jc,
+                                     cav_ref[pl.dslice(0, Rg), :], 0.0))
+            ci = jnp.floor(cell / (g * g))
+            rem = cell - ci * g * g
+            cj = jnp.floor(rem / g)
+            ck = rem - cj * g
+            fr_ins = [(ci + u_ref[k, 1]) / g, (cj + u_ref[k, 2]) / g,
+                      (ck + u_ref[k, 3]) / g]
+        else:
+            fr_ins = [u_ref[k, 1], u_ref[k, 2], u_ref[k, 3]]
+        com_new = [fr_ins[0] * box[0][c] + fr_ins[1] * box[1][c]
+                   + fr_ins[2] * box[2][c] for c in range(3)]
         if A == 1:
             new = [[jnp.where(is_ins, com_new[c], old[0][c] + disp[c])
                     for c in range(3)]]
@@ -768,8 +879,15 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, tbl_in_ref, data_in_ref,
                        - jnp.log(n_s + 1.0))
                + fdel * (jnp.log(jnp.maximum(n_s, 1e-30))
                          - jnp.log(beta) - lnfv))
+        if cb:
+            # +ln f on insert (proposal density 1/(n_open v_cell) vs
+            # 1/V), -ln f on the reverse of a delete (scan-path
+            # cav_bias); n_open == 0 hard-rejects inserts
+            lnb = lnb + sgn * cav_lnf
         reject = ((cnt < 0.5) | ((thr2 > 0.0) & has_new
                                  & (mr2 < thr2)))
+        if cb:
+            reject = reject | (is_ins & (cav_n < 0.5))
         accept = ((jnp.log(jnp.maximum(u_ref[k, 4], 1e-38))
                    < lnb - beta * du) & ~reject)
 
@@ -824,7 +942,7 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                   move_factor, rot_factor, thr2, p_ins, lnfv, d_self,
                   d_excl, c1, cx, uniforms, cfg, n_steps, n_real, A_list,
                   interpret=False, kvecs=None, kcoef=None, sk_re=None,
-                  sk_im=None):
+                  sk_im=None, cav_open=None):
     """K fused µVT steps (displace | insert | delete).  Returns
     (new_pos [N,3], new_slot_alive [Ms] bool, sums [12], sk_re',
     sk_im') where sums = (d_rd, d_es_real, d_es_recip, d_es_self,
@@ -838,10 +956,32 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     ``d_self``/``d_excl`` (per-molecule Ewald self and intra-exclusion
     energies), ``c1`` and [S,S] ``cx`` (LRC delta coefficients:
     d_lrc(insert species s at per-species counts N_t) =
-    c1[s] + sum_t cx[s,t]*N_t)."""
+    c1[s] + sum_t cx[s,t]*N_t).  For cfg.cavity_bias pass ``cav_open``
+    ([G^3] bool open-cell mask, frozen for the chunk): inserts then
+    propose inside open cells with the matching ln(n_open/G^3)
+    acceptance correction (kernel docstring)."""
     f32 = jnp.float32
     S = len(A_list)
     A = max(A_list)
+    if cfg.cavity_bias:
+        g3 = cav_open.shape[0]
+        g3_pad = _round_up(g3, 128)
+        m32 = cav_open.astype(jnp.int32)
+        cav_n = jnp.sum(m32).astype(f32)
+        cav_lnf = (jnp.log(jnp.maximum(cav_n, 1e-30))
+                   - jnp.log(jnp.asarray(float(g3), f32)))
+        # dense rank->cell-id list: open cell of rank r scatters its id
+        # to row r (2-D scatter, closed cells dropped out of bounds)
+        rank = jnp.cumsum(m32) - 1
+        tgt = jnp.where(cav_open, rank, g3_pad)
+        lst = jnp.zeros((g3_pad, 1), f32).at[tgt].set(
+            jnp.arange(g3, dtype=f32)[:, None], mode="drop")
+        cav = lst.reshape(g3_pad // 128, 128)
+    else:
+        g3_pad = 128
+        cav = jnp.zeros((1, 128), f32)
+        cav_n = jnp.asarray(1.0, f32)
+        cav_lnf = jnp.asarray(0.0, f32)
     # n_pad >= 2048 so the kernel's 16-row molecule windows fit (R>=16)
     n_pad = max(2 * TJ, _round_up(n_real, TJ))
     R = n_pad // 128
@@ -899,7 +1039,8 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     n_rows = 8 + 4 * S
     scal = jnp.zeros((n_rows, 16), f32)
     for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
-                           rot_factor, 0.5 * p_ins, p_ins)):
+                           rot_factor, 0.5 * p_ins, p_ins, cav_n,
+                           cav_lnf)):
         scal = scal.at[0, i].set(jnp.asarray(v, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
@@ -919,7 +1060,7 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     out_data, out_sums, out_sk, out_tbl = pl.pallas_call(
         functools.partial(_kernel_uvt, cfg=cfg, n_steps=n_steps,
                           n_pad=n_pad, n_real=n_real, A_list=A_list,
-                          nk_pad=nk_pad, ms_pad=ms_pad),
+                          nk_pad=nk_pad, ms_pad=ms_pad, g3_pad=g3_pad),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((n_rows, 16), lambda _: (0, 0),
@@ -927,6 +1068,8 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
             pl.BlockSpec((n_steps, 16), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g3_pad // 128, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -951,9 +1094,9 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
             jax.ShapeDtypeStruct((2 * Rk, 128), f32),
             jax.ShapeDtypeStruct((4, ms_pad), f32),
         ],
-        input_output_aliases={4: 0, 5: 2, 3: 3},
+        input_output_aliases={5: 0, 6: 2, 4: 3},
         interpret=interpret,
-    )(scal, u, ktab, tbl, data, sk)
+    )(scal, u, ktab, cav, tbl, data, sk)
     planes = out_data.reshape(8, n_pad)
     new_pos = jnp.stack([planes[ROW_X, :n_real],
                          planes[ROW_Y, :n_real],
@@ -968,7 +1111,9 @@ def draw_uniforms(key, n_steps, lanes=8):
     displacement (µVT insert: fractional COM), 4 acceptance coin, 5-7
     rotation axis z / azimuth / angle (µVT insert: Shoemake quaternion
     u1/u2/u3).  Lane 8 (µVT, lanes=16): move-type draw; lane 9:
-    insert/delete species pick (consumed only when S > 1)."""
+    insert/delete species pick (consumed only when S > 1); lane 10:
+    cavity-bias open-cell pick (consumed only under cfg.cavity_bias,
+    when lanes 1-3 become the in-cell fractional position)."""
     return jax.random.uniform(key, (n_steps, lanes), jnp.float32)
 
 
@@ -984,20 +1129,27 @@ def _supported_physics(cfg) -> bool:
             # distance-independent (displacement deltas are zero); the
             # uvt kernel carries the count-dependent delta explicitly
             and not cfg.rd_crystal
-            and not cfg.quantum_rotation
             and cfg.dtype == "float32")
 
 
 def supported(cfg, params) -> bool:
     """Static gate for the fused multi-step NVT path (module
-    docstring)."""
+    docstring).  quantum_rotation IS supported: spinflip moves run
+    in-kernel against the per-corrtime rot_f table (requires every
+    movable molecule to be a rotor, natoms >= 2, so displace and
+    spinflip share one eligibility pool — the scan path's separate
+    natoms>=2 mask collapses to it)."""
     if not (cfg.ensemble == "nvt" and _supported_physics(cfg)):
         return False
     # rigid molecules up to MAX_SITES atoms (no intra terms)
     natoms = np.asarray(params.mol_natoms)
     frozen = np.asarray(params.mol_frozen)
     mov = ~frozen & (np.asarray(params.mol_species) >= 0)
-    return bool(mov.any()) and bool((natoms[mov] <= MAX_SITES).all())
+    if not mov.any() or not (natoms[mov] <= MAX_SITES).all():
+        return False
+    if cfg.quantum_rotation and int(natoms[mov].min()) < 2:
+        return False
+    return True
 
 
 def supported_npt(cfg, params) -> bool:
@@ -1008,7 +1160,8 @@ def supported_npt(cfg, params) -> bool:
     rescales every molecule about its COM, which is only meaningful
     when everything is movable (same gate the scan path's b_volume
     documents)."""
-    if not (cfg.ensemble == "npt" and _supported_physics(cfg)):
+    if not (cfg.ensemble == "npt" and _supported_physics(cfg)
+            and not cfg.quantum_rotation):
         return False
     frozen = np.asarray(params.mol_frozen)
     if frozen.any():
@@ -1025,12 +1178,13 @@ def supported_uvt(cfg, params) -> bool:
     """Static gate for the fused µVT path: same physics surface as the
     NVT gate plus GCMC over up to MAX_SPECIES insert species (every
     movable slot belongs to one of them, so the per-molecule
-    self/exclusion/LRC deltas are per-species constants), no cavity
-    bias (the biased proposal density needs the open-cell grid, which
-    lives outside the kernel)."""
+    self/exclusion/LRC deltas are per-species constants).  Cavity bias
+    IS supported: the per-corrtime open-cell grid rides into VMEM as a
+    rank->cell-id list (see _kernel_uvt docstring)."""
     if not (cfg.ensemble == "uvt"
             and 1 <= len(cfg.insert_species) <= MAX_SPECIES
-            and not cfg.cavity_bias and _supported_physics(cfg)):
+            and not cfg.quantum_rotation
+            and _supported_physics(cfg)):
         return False
     frozen = np.asarray(params.mol_frozen)
     spec = np.asarray(params.mol_species)
@@ -1071,8 +1225,8 @@ def movable_slots(params, insert_species=None):
 
 
 def movable_mols(params, mol_alive):
-    """([Mv] first atom row, [Mv] atom count, a_max) of each alive
-    movable molecule."""
+    """([Mv] first atom row, [Mv] atom count, a_max, [Mv] molecule slot
+    index) of each alive movable molecule."""
     alive = np.asarray(mol_alive)
     frozen = np.asarray(params.mol_frozen)
     spec = np.asarray(params.mol_species)
@@ -1081,7 +1235,7 @@ def movable_mols(params, mol_alive):
     mv = alive & ~frozen & (spec >= 0)
     a_max = int(natoms[mv].max()) if mv.any() else 1
     return (start[mv].astype(np.int32), natoms[mv].astype(np.int32),
-            a_max)
+            a_max, np.where(mv)[0].astype(np.int32))
 
 
 def movable_atoms(params, mol_alive) -> np.ndarray:

@@ -88,9 +88,9 @@ def test_matches_jnp_reference_trajectory():
     n_steps = 120
     key = jax.random.PRNGKey(7)
     u = np.asarray(mc_kernel.draw_uniforms(key, n_steps))
-    mov, mova, a_max = mc_kernel.movable_mols(
+    mov, mova, a_max, _slots = mc_kernel.movable_mols(
         params, np.asarray(state.mol_alive))
-    new_pos, d_rd, d_es, _, n_acc, _, _ = mc_kernel.run_steps(
+    new_pos, d_rd, d_es, _, n_acc, _, _, _, _, _ = mc_kernel.run_steps(
         state.pos, params.eps, params.sig, params.charge, params.mass,
         state.atom_alive(params), mov, mova, state.box, rc, 0.0,
         1.0 / float(thermo.temperature), float(thermo.move_factor), 0.0,
@@ -257,7 +257,8 @@ def test_uvt_supported_gate():
         dataclasses.replace(c, coulomb="wolf"), p)
     assert not mc_kernel.supported_uvt(
         dataclasses.replace(c, ensemble="nvt"), p)
-    assert not mc_kernel.supported_uvt(
+    # cavity bias rides into the kernel as the open-cell id list
+    assert mc_kernel.supported_uvt(
         dataclasses.replace(c, cavity_bias=True), p)
     assert not mc_kernel.supported_uvt(
         dataclasses.replace(c, polarization=True), p)
@@ -361,7 +362,7 @@ def test_uvt_multisorbate_supported_gate():
     assert mc_kernel.supported_uvt(c, p)
     assert not mc_kernel.supported_uvt(
         dataclasses.replace(c, ensemble="nvt"), p)
-    assert not mc_kernel.supported_uvt(
+    assert mc_kernel.supported_uvt(
         dataclasses.replace(c, cavity_bias=True), p)
     # a declared insert species with no movable slot has no capacity
     assert not mc_kernel.supported_uvt(
@@ -584,3 +585,184 @@ def test_npt_ideal_gas_volume_fused():
                                                   thermo, 20)
         vols.append(float(np.abs(np.linalg.det(np.asarray(state.box)))))
     assert np.mean(vols) == pytest.approx(expect_v, rel=0.15)
+
+
+# ---------------------------------------------------------------------------
+# Cavity bias in the fused µVT kernel
+# ---------------------------------------------------------------------------
+
+def test_uvt_cavity_bias_bookkeeping():
+    """Cavity-biased fused GCMC (radius > 0 closes framework-adjacent
+    cells): the per-term delta accumulation must still match a
+    from-scratch recompute, inserts must land (the biased proposal
+    points into open space), and the grid must have both open and
+    closed cells so the correction is non-trivial."""
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=12, capacity=24)
+    cfg = dataclasses.replace(cfg, fused_mc=True, cavity_bias=True,
+                              cavity_grid=6, cavity_radius=2.0)
+    assert mc_kernel.supported_uvt(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    n_open = int(np.asarray(state.cavity_open).sum())
+    assert 0 < n_open < 6 ** 3
+    st, stats = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                               thermo, 600)
+    att = np.asarray(stats.attempts)
+    acc = np.asarray(stats.accepts)
+    assert att[metropolis.INSERT] > 50
+    assert acc[metropolis.INSERT] + acc[metropolis.DELETE] > 0
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    for term in ("rd", "lrc", "es_real", "es_recip", "es_self",
+                 "es_excl"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+
+
+def test_uvt_cavity_bias_inserts_only_into_open_cells():
+    """Every accepted insert's COM must lie in a cell that was open in
+    the chunk's grid (the proposal never points into closed cells)."""
+    from mpmc_tpu.state import all_molecule_coms
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=2, capacity=24, pressure=20.0)
+    cfg = dataclasses.replace(cfg, fused_mc=True, cavity_bias=True,
+                              cavity_grid=5, cavity_radius=2.5)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    g = cfg.cavity_grid
+    open_mask = np.asarray(state.cavity_open)
+    alive0 = np.asarray(state.mol_alive).copy()
+    st, stats = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                               thermo, 400)
+    alive1 = np.asarray(st.mol_alive)
+    new_mols = np.where(alive1 & ~alive0)[0]
+    assert int(np.asarray(stats.accepts)[metropolis.INSERT]) > 0
+    assert len(new_mols) > 0
+    coms = np.asarray(all_molecule_coms(st.pos, params))
+    binv = np.linalg.inv(np.asarray(st.box))
+    for m in new_mols:
+        frac = coms[m] @ binv % 1.0
+        ijk = np.minimum((frac * g).astype(int), g - 1)
+        cell = ijk[0] * g * g + ijk[1] * g + ijk[2]
+        assert open_mask[cell], (m, cell)
+
+
+def test_uvt_cavity_bias_preserves_equilibrium_density():
+    """Ideal-gas fused GCMC with cavity bias at radius 0 (every cell
+    open): <N> = fV/kT — the plumbing (cell pick, in-cell placement,
+    ln f correction with f = 1) must not shift the equilibrium.  Same
+    power as test_uvt_ideal_gas_occupancy so a systematic offset from
+    lane misuse or a wrong lnf sign would stand out of the noise."""
+    from helpers import atom_species
+
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.state import build_system
+
+    L, T, target_n = 20.0, 300.0, 20.0
+    f_atm = target_n * T / L ** 3 / ATM2K_A3
+    sp = atom_species("He", eps=0.0, sig=0.0, charge=0.0, mass=4.0)
+    params, state = build_system(L * np.eye(3), species=(sp,),
+                                 capacity=(80,), initial_counts=(10,),
+                                 dtype=jnp.float32, seed=3)
+    cfg = RunConfig(ensemble="uvt", rd_potential="none", coulomb="none",
+                    rd_lrc=False, dtype="float32", insert_species=(0,),
+                    fused_mc=True, cavity_bias=True, cavity_grid=4,
+                    cavity_radius=0.0)
+    thermo = Thermo.make(temperature=T, fugacity=(f_atm,),
+                         insert_probability=0.5, move_factor=1.0,
+                         rot_factor=0.1, n_species=1, dtype=jnp.float32)
+    assert mc_kernel.supported_uvt(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    assert int(np.asarray(state.cavity_open).sum()) == 4 ** 3
+    state, _ = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                              thermo, 2000)
+    samples = []
+    for _ in range(60):
+        state, _ = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                                  thermo, 100)
+        samples.append(int(np.asarray(state.mol_alive).sum()))
+    assert np.mean(samples) == pytest.approx(target_n, abs=2.0)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel spinflip (quantum rotation) in the fused NVT kernel
+# ---------------------------------------------------------------------------
+
+def _h2_qrot_nvt(dF=100.0, p_spin=0.5, n_h2=12):
+    """Frozen framework + rigid H2 rotors under NVT with a hand-set
+    rot_f table (F_para = 0, F_ortho = dF for every molecule) — the
+    kernel only consumes the cached table, exactly like the scan
+    path's b_spinflip, so the test controls the physics directly."""
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=n_h2, capacity=n_h2)
+    cfg = dataclasses.replace(cfg, ensemble="nvt", coulomb="wolf",
+                              fused_mc=True, quantum_rotation=True)
+    thermo = thermo.replace(
+        spinflip_probability=jnp.asarray(p_spin, jnp.float32))
+    state = metropolis.initialize(state, params, cfg, thermo)
+    M = params.mol_species.shape[0]
+    rot_f = np.zeros((M, 2), np.float32)
+    rot_f[:, 1] = dF
+    state = state.replace(rot_f=jnp.asarray(rot_f),
+                          spin=jnp.zeros(M, jnp.int32))
+    return params, state, cfg, thermo
+
+
+def test_spinflip_gate():
+    params, state, cfg, thermo = _h2_qrot_nvt()
+    assert mc_kernel.supported(cfg, params)
+    # monatomic movables are not rotors
+    p1, s1, c1, t1 = systems.lj_fluid(n=16, dtype="float32")
+    assert not mc_kernel.supported(
+        dataclasses.replace(c1, quantum_rotation=True), p1)
+    # the uvt/npt kernels have no spinflip branch
+    assert not mc_kernel.supported_uvt(
+        dataclasses.replace(cfg, ensemble="uvt"), params)
+
+
+def test_spinflip_pure_flip_chunk():
+    """p_spin = 1: every step is a spinflip — positions and energies
+    must be BIT-identical, only spins and the SPINFLIP stats move."""
+    params, state, cfg, thermo = _h2_qrot_nvt(dF=50.0, p_spin=1.0)
+    st, stats = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                           200)
+    np.testing.assert_array_equal(np.asarray(st.pos),
+                                  np.asarray(state.pos))
+    assert float(st.energy.total) == float(state.energy.total)
+    att = np.asarray(stats.attempts)
+    acc = np.asarray(stats.accepts)
+    assert att[metropolis.SPINFLIP] == 200
+    assert att[metropolis.DISPLACE] == 0
+    assert 0 < acc[metropolis.SPINFLIP] < 200
+    # some molecules actually flipped to ortho
+    mv_slots = mc_kernel.movable_mols(params,
+                                      np.asarray(state.mol_alive))[3]
+    assert int(np.asarray(st.spin)[mv_slots].sum()) > 0
+
+
+def test_spinflip_ortho_para_equilibrium():
+    """Mixed displace+spinflip chain: the stationary ortho fraction is
+    the two-level Boltzmann weight exp(-dF/T)/(1+exp(-dF/T)) per
+    molecule (rot_f is position-independent here, so displacements
+    do not couple).  Also re-checks the energy bookkeeping with the
+    spinflip carve-out active."""
+    dF, p_spin = 100.0, 0.5
+    params, state, cfg, thermo = _h2_qrot_nvt(dF=dF, p_spin=p_spin)
+    T = float(thermo.temperature)
+    mv_slots = mc_kernel.movable_mols(params,
+                                      np.asarray(state.mol_alive))[3]
+    st = state
+    fracs = []
+    n_acc_disp = 0
+    for i in range(40):
+        st, stats = metropolis.run_chunk_fused(st, params, cfg, thermo,
+                                               100)
+        n_acc_disp += int(np.asarray(stats.accepts)[metropolis.DISPLACE])
+        if i >= 5:
+            fracs.append(np.asarray(st.spin)[mv_slots].mean())
+    w = np.exp(-dF / T)
+    assert np.mean(fracs) == pytest.approx(w / (1.0 + w), abs=0.08)
+    assert n_acc_disp > 0
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    assert float(st.energy.rd) == pytest.approx(
+        float(fresh.energy.rd), rel=2e-4, abs=5e-2)
+    assert float(st.energy.es_real) == pytest.approx(
+        float(fresh.energy.es_real), rel=2e-4, abs=5e-2)
