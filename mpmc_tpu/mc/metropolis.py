@@ -767,6 +767,16 @@ def _fused_ktable(box, cfg, alpha):
     return kv, jnp.where(k2 > 1e-12, kcoef, 0.0)
 
 
+def _fh_mol_mass_atom(params, cfg):
+    """[N] molecule total mass per atom for the fused kernels' FH
+    reduced-mass term (None unless cfg.feynman_hibbs).  2-D row gather
+    — the 1-D form can stall this backend's compile service
+    (CLAUDE.md landmine)."""
+    if not cfg.feynman_hibbs:
+        return None
+    return params.mol_mass.reshape(-1, 1)[params.mol_id][:, 0]
+
+
 _FUSED_HOST_CACHE: dict = {}
 
 
@@ -825,7 +835,8 @@ def _fused_chunk_nvt(state, params, thermo, mv_start, mv_natoms, cfg,
         thermo.rot_factor, thr * thr, u, cfg, n_steps,
         state.pos.shape[0], a_max=a_max, interpret=interpret,
         kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im,
-        rot_f=rot_mov, spin=spin_mov, p_spin=p_spin)
+        rot_f=rot_mov, spin=spin_mov, p_spin=p_spin,
+        mol_mass_atom=_fh_mol_mass_atom(params, cfg))
     dtype = cfg.jdtype
     new_energy = dataclasses.replace(
         state.energy,
@@ -1061,7 +1072,8 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
         d_self, d_excl, c1, cx, u, cfg, n_steps, state.pos.shape[0],
         A_list=A_list, interpret=interpret,
         kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im,
-        cav_open=state.cavity_open if cfg.cavity_bias else None)
+        cav_open=state.cavity_open if cfg.cavity_bias else None,
+        mol_mass_atom=_fh_mol_mass_atom(params, cfg))
     dtype = cfg.jdtype
     d = sums.astype(dtype)
     new_energy = dataclasses.replace(

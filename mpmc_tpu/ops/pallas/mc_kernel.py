@@ -54,7 +54,13 @@ from mpmc_tpu.constants import KE
 TJ = 1024      # column tile
 MAX_SITES = 8  # supported() cap on movable-molecule size
 (ROW_X, ROW_Y, ROW_Z, ROW_EPS, ROW_SIG, ROW_Q, ROW_ALIVE,
- ROW_MASS) = range(8)
+ ROW_MASS, ROW_MOLMASS) = range(9)
+
+
+def _n_rows(cfg) -> int:
+    """Per-atom VMEM planes: the base 8, plus the molecule-mass plane
+    Feynman-Hibbs needs for the per-pair reduced mass."""
+    return 9 if cfg.feynman_hibbs else 8
 
 
 def _round_up(x, m):
@@ -70,14 +76,21 @@ def _erfc(x):
 
 
 def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
-                rc, alpha, cfg):
+                rc, alpha, cfg, mm_i=None, mm_j=None, beta=None):
     """Elementwise (rd, es, masked r2) of one site vs an atom block.
 
     Returns PER-LANE values: the kernels accumulate (8,128) vectors
     across blocks and sites and reduce ONCE per step.  The old per-tile
     ``jnp.sum`` form put hundreds of vector->scalar round-trips on the
     step's serial path, which dominated kernel time (~270 ns per
-    site-tile pass measured 2026-08-17)."""
+    site-tile pass measured 2026-08-17).
+
+    Under cfg.feynman_hibbs, ``mm_i`` (moving molecule total mass,
+    scalar) / ``mm_j`` (column atoms' molecule-mass plane) / ``beta``
+    feed the FH quantum correction — the same LJ-derivative series as
+    ops/lj.feynman_hibbs, with the molecule-pair reduced mass exactly
+    like the scan path (a frozen-framework partner's huge molecule
+    mass degrades red -> mm_i, the right physical limit)."""
     r2 = dx * dx + dy * dy + dz * dz
     act = ok & (r2 < rc * rc)
     r2s = jnp.where(r2 > 1e-12, r2, 1.0)
@@ -95,7 +108,27 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
                 2.0 * sig_i ** 3 * sig_j ** 3 / denom)
         s2 = (sig * sig) * (inv_r * inv_r)
         s6 = s2 * s2 * s2
-        rd = jnp.where(act, 4.0 * eps * s6 * (s6 - 1.0), 0.0)
+        rd_u = 4.0 * eps * s6 * (s6 - 1.0)
+        if cfg.feynman_hibbs:
+            from mpmc_tpu.constants import HBAR2_KB_AMU_A2
+            red = mm_i * mm_j / jnp.maximum(mm_i + mm_j, 1e-30)
+            s12 = s6 * s6
+            e4 = 4.0 * eps
+            v1 = e4 * (6.0 * s6 - 12.0 * s12) * inv_r
+            v2 = e4 * (156.0 * s12 - 42.0 * s6) * (inv_r * inv_r)
+            c2 = (HBAR2_KB_AMU_A2 / 24.0) * beta / jnp.maximum(red,
+                                                               1e-30)
+            rd_u = rd_u + c2 * (v2 + 2.0 * v1 * inv_r)
+            if cfg.feynman_hibbs_order >= 4:
+                inv3 = inv_r * inv_r * inv_r
+                v3 = e4 * (336.0 * s6 - 2184.0 * s12) * inv3
+                v4 = e4 * (32760.0 * s12 - 3024.0 * s6) * (inv3 * inv_r)
+                c4 = ((HBAR2_KB_AMU_A2 * HBAR2_KB_AMU_A2 / 1152.0)
+                      * beta * beta
+                      / jnp.maximum(red * red, 1e-30))
+                rd_u = rd_u + c4 * (15.0 * v1 * inv3 + 4.0 * v3 * inv_r
+                                    + v4)
+        rd = jnp.where(act, rd_u, 0.0)
     es = jnp.zeros_like(r2)
     if cfg.coulomb != "none":
         qq = q_i * q_j
@@ -133,6 +166,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
 
+    fh = cfg.feynman_hibbs
     # Sublane-packed planes: each per-atom quantity q is an (R, 128)
     # plane at rows [q*R, (q+1)*R) of data_ref, atom n at (n//128,
     # n%128).  Every block op then runs on full (8,128) vregs instead
@@ -213,14 +247,16 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
 
         disp = [(2.0 * u_ref[k, 1 + c] - 1.0) * mf * fpair
                 for c in range(3)]
-        if a_max == 1:
-            new = [[old[0][c] + disp[c] for c in range(3)]]
-        else:
-            # mass-weighted COM, then translate + rotate about it
+        msum = None
+        if a_max > 1 or fh:
             wm = wload(ROW_MASS)
             mass = [jnp.where(valid[a], wpick(wm, a), 0.0)
                     for a in range(a_max)]
             msum = sum(mass)
+        if a_max == 1:
+            new = [[old[0][c] + disp[c] for c in range(3)]]
+        else:
+            # mass-weighted COM, then translate + rotate about it
             com = [sum(mass[a] * old[a][c] for a in range(a_max))
                    / jnp.maximum(msum, 1e-30) for c in range(3)]
             # uniform axis (sphere point picking) + uniform angle
@@ -256,6 +292,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             px, py, pz = plane(ROW_X), plane(ROW_Y), plane(ROW_Z)
             eps_j, sig_j = plane(ROW_EPS), plane(ROW_SIG)
             q_j, alive_j = plane(ROW_Q), plane(ROW_ALIVE)
+            mm_j = plane(ROW_MOLMASS) if fh else None
             lin = jt * TJ + sub8 * 128 + lane8
             # inter-molecular only: the moved molecule's own rows are
             # excluded (ops/pairs._block_terms same_mol mask)
@@ -275,10 +312,12 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
                 dn = mimg(new[a][0] - px, new[a][1] - py, new[a][2] - pz)
                 r_o, e_o, _ = _pair_terms(
                     do[0], do[1], do[2], eps_j, sig_j, q_j, ok_a,
-                    eps_i[a], sig_i[a], q_i[a], rc, alpha, cfg)
+                    eps_i[a], sig_i[a], q_i[a], rc, alpha, cfg,
+                    mm_i=msum, mm_j=mm_j, beta=beta)
                 r_n, e_n, m2 = _pair_terms(
                     dn[0], dn[1], dn[2], eps_j, sig_j, q_j, ok_a,
-                    eps_i[a], sig_i[a], q_i[a], rc, alpha, cfg)
+                    eps_i[a], sig_i[a], q_i[a], rc, alpha, cfg,
+                    mm_i=msum, mm_j=mm_j, beta=beta)
                 rd_a = rd_a + (r_n - r_o)
                 es_a = es_a + (e_n - e_o)
                 mr_a = jnp.minimum(mr_a, m2)
@@ -384,7 +423,7 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
               box, rc, alpha, beta, move_factor, rot_factor, thr2,
               uniforms, cfg, n_steps, n_real, a_max=1, interpret=False,
               kvecs=None, kcoef=None, sk_re=None, sk_im=None,
-              rot_f=None, spin=None, p_spin=0.0):
+              rot_f=None, spin=None, p_spin=0.0, mol_mass_atom=None):
     """K fused translate+rotate (+spinflip) steps.  Returns (new_pos
     [N,3], d_rd, d_es, d_recip, n_accept_displace, sk_re', sk_im',
     spin' [Mv] f32, n_accept_spinflip, n_attempt_spinflip).
@@ -429,7 +468,8 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
         x = jnp.asarray(x).astype(f32)
         return jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
 
-    data = jnp.zeros((8, n_pad), f32)
+    nq = _n_rows(cfg)
+    data = jnp.zeros((nq, n_pad), f32)
     data = data.at[ROW_X, :n_real].set(pos[:, 0].astype(f32))
     data = data.at[ROW_Y, :n_real].set(pos[:, 1].astype(f32))
     data = data.at[ROW_Z, :n_real].set(pos[:, 2].astype(f32))
@@ -438,9 +478,11 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
     data = data.at[ROW_Q].set(pad1(charge))
     data = data.at[ROW_ALIVE].set(pad1(alive.astype(f32)))
     data = data.at[ROW_MASS].set(pad1(mass))
+    if cfg.feynman_hibbs:
+        data = data.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
     # sublane-packed planes: quantity q rows [q*R,(q+1)*R), atom n at
     # (n//128, n%128) — see _kernel
-    data = data.reshape(8 * R, 128)
+    data = data.reshape(nq * R, 128)
 
     mv = jnp.asarray(mov_start, jnp.int32)
     na = jnp.asarray(mov_natoms, jnp.int32)
@@ -488,13 +530,13 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, mv_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * R, 128), lambda _: (0, 0),
+            pl.BlockSpec((nq * R, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8 * R, 128), lambda _: (0, 0),
+            pl.BlockSpec((nq * R, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda _: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -504,7 +546,7 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8 * R, 128), f32),
+            jax.ShapeDtypeStruct((nq * R, 128), f32),
             jax.ShapeDtypeStruct((1, 8), f32),
             jax.ShapeDtypeStruct((2 * Rk, 128), f32),
             jax.ShapeDtypeStruct((3, mv_pad), f32),
@@ -512,7 +554,7 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
         input_output_aliases={5: 0, 6: 2, 4: 3},
         interpret=interpret,
     )(scal, u, tbl, ktab, rot, data, sk)
-    planes = out_data.reshape(8, n_pad)
+    planes = out_data.reshape(nq, n_pad)
     new_pos = jnp.stack([planes[ROW_X, :n_real],
                          planes[ROW_Y, :n_real],
                          planes[ROW_Z, :n_real]], axis=1)
@@ -569,6 +611,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
     del tbl_in_ref, data_in_ref, sk_in_ref
     ew = cfg.coulomb == "ewald"
     cb = cfg.cavity_bias
+    fh = cfg.feynman_hibbs
     S = len(A_list)
     A = max(A_list)                 # unrolled site loop bound
     uniform_A = len(set(A_list)) == 1
@@ -728,15 +771,17 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             fr_ins = [u_ref[k, 1], u_ref[k, 2], u_ref[k, 3]]
         com_new = [fr_ins[0] * box[0][c] + fr_ins[1] * box[1][c]
                    + fr_ins[2] * box[2][c] for c in range(3)]
-        if A == 1:
-            new = [[jnp.where(is_ins, com_new[c], old[0][c] + disp[c])
-                    for c in range(3)]]
-        else:
+        msum = None
+        if A > 1 or fh:
             wm = wload(ROW_MASS)
             mass = [wpick(wm, a) if uniform_A
                     else jnp.where(valid[a], wpick(wm, a), 0.0)
                     for a in range(A)]
             msum = sum(mass)
+        if A == 1:
+            new = [[jnp.where(is_ins, com_new[c], old[0][c] + disp[c])
+                    for c in range(3)]]
+        else:
             com = [sum(mass[a] * old[a][c] for a in range(A))
                    / jnp.maximum(msum, 1e-30) for c in range(3)]
             # displace rotation: uniform axis + uniform angle in [0,rotf)
@@ -793,6 +838,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             px, py, pz = plane(ROW_X), plane(ROW_Y), plane(ROW_Z)
             eps_j, sig_j = plane(ROW_EPS), plane(ROW_SIG)
             q_j, alive_j = plane(ROW_Q), plane(ROW_ALIVE)
+            mm_j = plane(ROW_MOLMASS) if fh else None
             lin = jt * TJ + sub8 * 128 + lane8
             ok = ((alive_j > 0) & (lin < n_real)
                   & ((lin < start) | (lin >= start + na_i)))
@@ -813,11 +859,11 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                 r_o, e_o, _ = _pair_terms(
                     do[0], do[1], do[2], eps_j, sig_j, q_j,
                     ok_a & has_old, eps_i[a], sig_i[a], q_i[a], rc,
-                    alpha, cfg)
+                    alpha, cfg, mm_i=msum, mm_j=mm_j, beta=beta)
                 r_n, e_n, m2 = _pair_terms(
                     dn[0], dn[1], dn[2], eps_j, sig_j, q_j,
                     ok_a & has_new, eps_i[a], sig_i[a], q_i[a], rc,
-                    alpha, cfg)
+                    alpha, cfg, mm_i=msum, mm_j=mm_j, beta=beta)
                 rd_a = rd_a + (r_n - r_o)
                 es_a = es_a + (e_n - e_o)
                 mr_a = jnp.minimum(mr_a, m2)
@@ -942,7 +988,7 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                   move_factor, rot_factor, thr2, p_ins, lnfv, d_self,
                   d_excl, c1, cx, uniforms, cfg, n_steps, n_real, A_list,
                   interpret=False, kvecs=None, kcoef=None, sk_re=None,
-                  sk_im=None, cav_open=None):
+                  sk_im=None, cav_open=None, mol_mass_atom=None):
     """K fused µVT steps (displace | insert | delete).  Returns
     (new_pos [N,3], new_slot_alive [Ms] bool, sums [12], sk_re',
     sk_im') where sums = (d_rd, d_es_real, d_es_recip, d_es_self,
@@ -1009,7 +1055,8 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
         x = jnp.asarray(x).astype(f32)
         return jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
 
-    data = jnp.zeros((8, n_pad), f32)
+    nq = _n_rows(cfg)
+    data = jnp.zeros((nq, n_pad), f32)
     data = data.at[ROW_X, :n_real].set(pos[:, 0].astype(f32))
     data = data.at[ROW_Y, :n_real].set(pos[:, 1].astype(f32))
     data = data.at[ROW_Z, :n_real].set(pos[:, 2].astype(f32))
@@ -1018,9 +1065,11 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     data = data.at[ROW_Q].set(pad1(charge))
     data = data.at[ROW_ALIVE].set(pad1(alive.astype(f32)))
     data = data.at[ROW_MASS].set(pad1(mass))
+    if cfg.feynman_hibbs:
+        data = data.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
     # sublane-packed planes: quantity q rows [q*R,(q+1)*R), atom n at
     # (n//128, n%128) — see _kernel
-    data = data.reshape(8 * R, 128)
+    data = data.reshape(nq * R, 128)
 
     ms = slot_start.shape[0]
     ms_pad = _round_up(max(ms, 1), 128)
@@ -1073,13 +1122,13 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * R, 128), lambda _: (0, 0),
+            pl.BlockSpec((nq * R, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8 * R, 128), lambda _: (0, 0),
+            pl.BlockSpec((nq * R, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16), lambda _: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -1089,7 +1138,7 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8 * R, 128), f32),
+            jax.ShapeDtypeStruct((nq * R, 128), f32),
             jax.ShapeDtypeStruct((1, 16), f32),
             jax.ShapeDtypeStruct((2 * Rk, 128), f32),
             jax.ShapeDtypeStruct((4, ms_pad), f32),
@@ -1097,7 +1146,7 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
         input_output_aliases={5: 0, 6: 2, 4: 3},
         interpret=interpret,
     )(scal, u, ktab, cav, tbl, data, sk)
-    planes = out_data.reshape(8, n_pad)
+    planes = out_data.reshape(nq, n_pad)
     new_pos = jnp.stack([planes[ROW_X, :n_real],
                          planes[ROW_Y, :n_real],
                          planes[ROW_Z, :n_real]], axis=1)
@@ -1122,7 +1171,11 @@ def _supported_physics(cfg) -> bool:
     return (cfg.rd_potential in ("lj", "none")
             and cfg.coulomb in ("none", "cutoff", "wolf", "ewald")
             and cfg.mixing_rule in ("lb", "waldman_hagler")
-            and not cfg.feynman_hibbs and not cfg.feynman_kleinert
+            # feynman_hibbs IS allowed (in-kernel FH2/FH4 correction
+            # with the molecule-pair reduced mass); FK's per-pair
+            # fixed-point iteration stays scan-only
+            and not cfg.feynman_kleinert
+            and not (cfg.feynman_hibbs and cfg.rd_potential != "lj")
             and not cfg.polarization and not cfg.cdvdw
             and cfg.cdvdw_repulsion == "none"
             # rd_lrc IS allowed: NVT tail coefficients are

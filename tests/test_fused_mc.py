@@ -766,3 +766,63 @@ def test_spinflip_ortho_para_equilibrium():
         float(fresh.energy.rd), rel=2e-4, abs=5e-2)
     assert float(st.energy.es_real) == pytest.approx(
         float(fresh.energy.es_real), rel=2e-4, abs=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# Feynman-Hibbs quantum correction in the fused kernels
+# ---------------------------------------------------------------------------
+
+def test_fh_gate():
+    params, state, cfg, thermo = _fluid(n=32)
+    assert mc_kernel.supported(
+        dataclasses.replace(cfg, feynman_hibbs=True), params)
+    assert not mc_kernel.supported(
+        dataclasses.replace(cfg, feynman_kleinert=True), params)
+    assert not mc_kernel.supported(
+        dataclasses.replace(cfg, feynman_hibbs=True,
+                            rd_potential="none"), params)
+
+
+@pytest.mark.parametrize("order", [2, 4])
+def test_fh_bookkeeping_matches_full_recompute(order):
+    """Fused NVT on 3-site H2 at 77 K with FH2/FH4: the in-kernel
+    derivative series must reproduce ops/lj.feynman_hibbs exactly
+    enough that the accumulated deltas match a scan-path recompute
+    of the final configuration (reduced mass incl. the huge frozen-
+    framework molecule partner)."""
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=12, capacity=24, temperature=77.0)
+    cfg = dataclasses.replace(cfg, ensemble="nvt", coulomb="wolf",
+                              fused_mc=True, feynman_hibbs=True,
+                              feynman_hibbs_order=order)
+    assert mc_kernel.supported(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    st, stats = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                           400)
+    assert 0 < int(stats.accepts[0]) < 400
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    assert float(st.energy.rd) == pytest.approx(
+        float(fresh.energy.rd), rel=2e-4, abs=5e-2)
+    # FH actually changes the energy scale vs plain LJ on this system
+    cfg0 = dataclasses.replace(cfg, feynman_hibbs=False)
+    base = metropolis.initialize(st, params, cfg0, thermo)
+    assert abs(float(base.energy.rd) - float(fresh.energy.rd)) > 1.0
+
+
+def test_fh_uvt_bookkeeping_matches_full_recompute():
+    """Fused GCMC with FH4 at 77 K: insert/delete/displace deltas all
+    carry the correction."""
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=12, capacity=24, temperature=77.0)
+    cfg = dataclasses.replace(cfg, fused_mc=True, feynman_hibbs=True,
+                              feynman_hibbs_order=4)
+    assert mc_kernel.supported_uvt(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    st, stats = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                               thermo, 500)
+    acc = np.asarray(stats.accepts)
+    assert acc[metropolis.INSERT] + acc[metropolis.DELETE] > 0
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    for term in ("rd", "lrc", "es_real", "es_recip"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
