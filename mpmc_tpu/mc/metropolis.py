@@ -836,7 +836,8 @@ def _fused_chunk_nvt(state, params, thermo, mv_start, mv_natoms, cfg,
         state.pos.shape[0], a_max=a_max, interpret=interpret,
         kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im,
         rot_f=rot_mov, spin=spin_mov, p_spin=p_spin,
-        mol_mass_atom=_fh_mol_mass_atom(params, cfg))
+        mol_mass_atom=_fh_mol_mass_atom(params, cfg),
+        c6=params.c6, c8=params.c8, c10=params.c10)
     dtype = cfg.jdtype
     new_energy = dataclasses.replace(
         state.energy,
@@ -1073,7 +1074,8 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
         A_list=A_list, interpret=interpret,
         kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im,
         cav_open=state.cavity_open if cfg.cavity_bias else None,
-        mol_mass_atom=_fh_mol_mass_atom(params, cfg))
+        mol_mass_atom=_fh_mol_mass_atom(params, cfg),
+        c6=params.c6, c8=params.c8, c10=params.c10)
     dtype = cfg.jdtype
     d = sums.astype(dtype)
     new_energy = dataclasses.replace(

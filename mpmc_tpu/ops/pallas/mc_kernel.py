@@ -55,11 +55,18 @@ TJ = 1024      # column tile
 MAX_SITES = 8  # supported() cap on movable-molecule size
 (ROW_X, ROW_Y, ROW_Z, ROW_EPS, ROW_SIG, ROW_Q, ROW_ALIVE,
  ROW_MASS, ROW_MOLMASS) = range(9)
+# disp_expansion per-atom dispersion coefficients reuse slots 8-10
+# (feynman_hibbs requires rd_potential == 'lj', so ROW_MOLMASS and
+# these never coexist)
+ROW_C6, ROW_C8, ROW_C10 = 8, 9, 10
 
 
 def _n_rows(cfg) -> int:
     """Per-atom VMEM planes: the base 8, plus the molecule-mass plane
-    Feynman-Hibbs needs for the per-pair reduced mass."""
+    Feynman-Hibbs needs for the per-pair reduced mass, or the three
+    dispersion-coefficient planes of disp_expansion."""
+    if cfg.rd_potential == "disp_expansion":
+        return 11
     return 9 if cfg.feynman_hibbs else 8
 
 
@@ -76,7 +83,8 @@ def _erfc(x):
 
 
 def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
-                rc, alpha, cfg, mm_i=None, mm_j=None, beta=None):
+                rc, alpha, cfg, mm_i=None, mm_j=None, beta=None,
+                disp_i=None, disp_j=None):
     """Elementwise (rd, es, masked r2) of one site vs an atom block.
 
     Returns PER-LANE values: the kernels accumulate (8,128) vectors
@@ -129,6 +137,16 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
                 rd_u = rd_u + c4 * (15.0 * v1 * inv3 + 4.0 * v3 * inv_r
                                     + v4)
         rd = jnp.where(act, rd_u, 0.0)
+    elif cfg.rd_potential == "disp_expansion":
+        # Born-Mayer + TT-damped C6/C8/C10 — the SAME shared formula as
+        # the jnp tile pass (ops/potentials.rd_pair_energy_generic is
+        # gather-free and elementwise, so it lowers in Mosaic directly)
+        from mpmc_tpu.ops import potentials
+        r = r2s * inv_r
+        rd_u = potentials.rd_pair_energy_generic(
+            r, eps_i, eps_j, sig_i, sig_j, disp_i[0], disp_j[0],
+            disp_i[1], disp_j[1], disp_i[2], disp_j[2], cfg)
+        rd = jnp.where(act, rd_u, 0.0)
     es = jnp.zeros_like(r2)
     if cfg.coulomb != "none":
         qq = q_i * q_j
@@ -167,6 +185,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
 
     fh = cfg.feynman_hibbs
+    de = cfg.rd_potential == "disp_expansion"
     # Sublane-packed planes: each per-atom quantity q is an (R, 128)
     # plane at rows [q*R, (q+1)*R) of data_ref, atom n at (n//128,
     # n%128).  Every block op then runs on full (8,128) vregs instead
@@ -244,6 +263,9 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
         eps_i = [wpick(wload(ROW_EPS), a) for a in range(a_max)]
         sig_i = [wpick(wload(ROW_SIG), a) for a in range(a_max)]
         q_i = [wpick(wload(ROW_Q), a) for a in range(a_max)]
+        disp_i = ([(wpick(wload(ROW_C6), a), wpick(wload(ROW_C8), a),
+                    wpick(wload(ROW_C10), a)) for a in range(a_max)]
+                  if de else [None] * a_max)
 
         disp = [(2.0 * u_ref[k, 1 + c] - 1.0) * mf * fpair
                 for c in range(3)]
@@ -293,6 +315,8 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             eps_j, sig_j = plane(ROW_EPS), plane(ROW_SIG)
             q_j, alive_j = plane(ROW_Q), plane(ROW_ALIVE)
             mm_j = plane(ROW_MOLMASS) if fh else None
+            disp_j = ((plane(ROW_C6), plane(ROW_C8), plane(ROW_C10))
+                      if de else None)
             lin = jt * TJ + sub8 * 128 + lane8
             # inter-molecular only: the moved molecule's own rows are
             # excluded (ops/pairs._block_terms same_mol mask)
@@ -313,11 +337,13 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
                 r_o, e_o, _ = _pair_terms(
                     do[0], do[1], do[2], eps_j, sig_j, q_j, ok_a,
                     eps_i[a], sig_i[a], q_i[a], rc, alpha, cfg,
-                    mm_i=msum, mm_j=mm_j, beta=beta)
+                    mm_i=msum, mm_j=mm_j, beta=beta,
+                    disp_i=disp_i[a], disp_j=disp_j)
                 r_n, e_n, m2 = _pair_terms(
                     dn[0], dn[1], dn[2], eps_j, sig_j, q_j, ok_a,
                     eps_i[a], sig_i[a], q_i[a], rc, alpha, cfg,
-                    mm_i=msum, mm_j=mm_j, beta=beta)
+                    mm_i=msum, mm_j=mm_j, beta=beta,
+                    disp_i=disp_i[a], disp_j=disp_j)
                 rd_a = rd_a + (r_n - r_o)
                 es_a = es_a + (e_n - e_o)
                 mr_a = jnp.minimum(mr_a, m2)
@@ -423,7 +449,8 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
               box, rc, alpha, beta, move_factor, rot_factor, thr2,
               uniforms, cfg, n_steps, n_real, a_max=1, interpret=False,
               kvecs=None, kcoef=None, sk_re=None, sk_im=None,
-              rot_f=None, spin=None, p_spin=0.0, mol_mass_atom=None):
+              rot_f=None, spin=None, p_spin=0.0, mol_mass_atom=None,
+              c6=None, c8=None, c10=None):
     """K fused translate+rotate (+spinflip) steps.  Returns (new_pos
     [N,3], d_rd, d_es, d_recip, n_accept_displace, sk_re', sk_im',
     spin' [Mv] f32, n_accept_spinflip, n_attempt_spinflip).
@@ -480,6 +507,10 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
     data = data.at[ROW_MASS].set(pad1(mass))
     if cfg.feynman_hibbs:
         data = data.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
+    if cfg.rd_potential == "disp_expansion":
+        data = data.at[ROW_C6].set(pad1(c6))
+        data = data.at[ROW_C8].set(pad1(c8))
+        data = data.at[ROW_C10].set(pad1(c10))
     # sublane-packed planes: quantity q rows [q*R,(q+1)*R), atom n at
     # (n//128, n%128) — see _kernel
     data = data.reshape(nq * R, 128)
@@ -612,6 +643,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
     ew = cfg.coulomb == "ewald"
     cb = cfg.cavity_bias
     fh = cfg.feynman_hibbs
+    de = cfg.rd_potential == "disp_expansion"
     S = len(A_list)
     A = max(A_list)                 # unrolled site loop bound
     uniform_A = len(set(A_list)) == 1
@@ -738,6 +770,9 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
         eps_i = [wpick(wload(ROW_EPS), a) for a in range(A)]
         sig_i = [wpick(wload(ROW_SIG), a) for a in range(A)]
         q_i = [wpick(wload(ROW_Q), a) for a in range(A)]
+        disp_i = ([(wpick(wload(ROW_C6), a), wpick(wload(ROW_C8), a),
+                    wpick(wload(ROW_C10), a)) for a in range(A)]
+                  if de else [None] * A)
         # selected species' template rows (COM-centered)
         tmpl = [[sp_sel(spf, [tmpl_s[s][a][c] for s in range(S)])
                  for c in range(3)] for a in range(A)]
@@ -839,6 +874,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             eps_j, sig_j = plane(ROW_EPS), plane(ROW_SIG)
             q_j, alive_j = plane(ROW_Q), plane(ROW_ALIVE)
             mm_j = plane(ROW_MOLMASS) if fh else None
+            disp_j = ((plane(ROW_C6), plane(ROW_C8), plane(ROW_C10))
+                      if de else None)
             lin = jt * TJ + sub8 * 128 + lane8
             ok = ((alive_j > 0) & (lin < n_real)
                   & ((lin < start) | (lin >= start + na_i)))
@@ -859,11 +896,13 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                 r_o, e_o, _ = _pair_terms(
                     do[0], do[1], do[2], eps_j, sig_j, q_j,
                     ok_a & has_old, eps_i[a], sig_i[a], q_i[a], rc,
-                    alpha, cfg, mm_i=msum, mm_j=mm_j, beta=beta)
+                    alpha, cfg, mm_i=msum, mm_j=mm_j, beta=beta,
+                    disp_i=disp_i[a], disp_j=disp_j)
                 r_n, e_n, m2 = _pair_terms(
                     dn[0], dn[1], dn[2], eps_j, sig_j, q_j,
                     ok_a & has_new, eps_i[a], sig_i[a], q_i[a], rc,
-                    alpha, cfg, mm_i=msum, mm_j=mm_j, beta=beta)
+                    alpha, cfg, mm_i=msum, mm_j=mm_j, beta=beta,
+                    disp_i=disp_i[a], disp_j=disp_j)
                 rd_a = rd_a + (r_n - r_o)
                 es_a = es_a + (e_n - e_o)
                 mr_a = jnp.minimum(mr_a, m2)
@@ -988,7 +1027,8 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                   move_factor, rot_factor, thr2, p_ins, lnfv, d_self,
                   d_excl, c1, cx, uniforms, cfg, n_steps, n_real, A_list,
                   interpret=False, kvecs=None, kcoef=None, sk_re=None,
-                  sk_im=None, cav_open=None, mol_mass_atom=None):
+                  sk_im=None, cav_open=None, mol_mass_atom=None,
+                  c6=None, c8=None, c10=None):
     """K fused µVT steps (displace | insert | delete).  Returns
     (new_pos [N,3], new_slot_alive [Ms] bool, sums [12], sk_re',
     sk_im') where sums = (d_rd, d_es_real, d_es_recip, d_es_self,
@@ -1067,6 +1107,10 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     data = data.at[ROW_MASS].set(pad1(mass))
     if cfg.feynman_hibbs:
         data = data.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
+    if cfg.rd_potential == "disp_expansion":
+        data = data.at[ROW_C6].set(pad1(c6))
+        data = data.at[ROW_C8].set(pad1(c8))
+        data = data.at[ROW_C10].set(pad1(c10))
     # sublane-packed planes: quantity q rows [q*R,(q+1)*R), atom n at
     # (n//128, n%128) — see _kernel
     data = data.reshape(nq * R, 128)
@@ -1168,7 +1212,7 @@ def draw_uniforms(key, n_steps, lanes=8):
 
 def _supported_physics(cfg) -> bool:
     """Physics-surface gate shared by the NVT and µVT fused paths."""
-    return (cfg.rd_potential in ("lj", "none")
+    return (cfg.rd_potential in ("lj", "none", "disp_expansion")
             and cfg.coulomb in ("none", "cutoff", "wolf", "ewald")
             and cfg.mixing_rule in ("lb", "waldman_hagler")
             # feynman_hibbs IS allowed (in-kernel FH2/FH4 correction

@@ -826,3 +826,76 @@ def test_fh_uvt_bookkeeping_matches_full_recompute():
     for term in ("rd", "lrc", "es_real", "es_recip"):
         assert float(getattr(st.energy, term)) == pytest.approx(
             float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+
+
+# ---------------------------------------------------------------------------
+# disp_expansion (PHAHST-style Born-Mayer + damped C6/C8/C10) in the
+# fused kernels
+# ---------------------------------------------------------------------------
+
+def _dispexp_h2(ensemble="nvt"):
+    from mpmc_tpu.state import build_system
+    sp = systems.h2_bss3()
+    sp = dataclasses.replace(
+        sp, c6=np.array([12.0, 0, 0]), c8=np.array([215.0, 0, 0]),
+        c10=np.array([4813.0, 0, 0]), eps=np.array([1.2e5, 0, 0]),
+        sig=np.array([1.8, 0, 0]))
+    cfg = RunConfig(ensemble=ensemble, rd_potential="disp_expansion",
+                    coulomb="wolf", rd_lrc=True, dtype="float32",
+                    insert_species=(0,) if ensemble == "uvt" else (),
+                    fused_mc=True)
+    rng = np.random.default_rng(4)
+    coms = rng.uniform(2.0, 16.0, (12, 3))
+    params, state = build_system(
+        np.eye(3) * 18.0, species=(sp,), capacity=(16,),
+        initial_counts=(12,),
+        initial_pos={0: coms[:, None] + np.asarray(sp.pos)[None]},
+        dtype=cfg.jdtype, seed=9)
+    thermo = Thermo.make(temperature=150.0, fugacity=(20.0,),
+                         insert_probability=0.4, move_factor=0.6,
+                         rot_factor=1.0, n_species=1, dtype=cfg.jdtype)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    return params, state, cfg, thermo
+
+
+def test_dispexp_gate():
+    params, state, cfg, thermo = _dispexp_h2()
+    assert mc_kernel.supported(cfg, params)
+    assert mc_kernel.supported_uvt(
+        dataclasses.replace(cfg, ensemble="uvt", insert_species=(0,)),
+        params)
+    # FH only defined on top of LJ
+    assert not mc_kernel.supported(
+        dataclasses.replace(cfg, feynman_hibbs=True), params)
+    assert not mc_kernel.supported(
+        dataclasses.replace(cfg, rd_potential="sg"), params)
+
+
+def test_dispexp_nvt_bookkeeping_matches_full_recompute():
+    """Fused NVT displace on PHAHST-style H2: the in-kernel Born-Mayer
+    + TT-damped dispersion (shared ops/potentials formula) must track
+    the scan-path recompute."""
+    params, state, cfg, thermo = _dispexp_h2("nvt")
+    assert abs(float(state.energy.rd)) > 1e-3
+    st, stats = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                           400)
+    assert 0 < int(stats.accepts[0]) < 400
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    assert float(st.energy.rd) == pytest.approx(
+        float(fresh.energy.rd), rel=2e-4, abs=5e-2)
+    assert float(st.energy.es_real) == pytest.approx(
+        float(fresh.energy.es_real), rel=2e-4, abs=5e-2)
+
+
+def test_dispexp_uvt_bookkeeping_matches_full_recompute():
+    """Fused GCMC on the same system: insert/delete carry the damped
+    dispersion and its count-dependent LRC."""
+    params, state, cfg, thermo = _dispexp_h2("uvt")
+    st, stats = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                               thermo, 500)
+    acc = np.asarray(stats.accepts)
+    assert acc[metropolis.INSERT] + acc[metropolis.DELETE] > 0
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    for term in ("rd", "lrc", "es_real"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
