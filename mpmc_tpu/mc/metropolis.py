@@ -837,7 +837,8 @@ def _fused_chunk_nvt(state, params, thermo, mv_start, mv_natoms, cfg,
         kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im,
         rot_f=rot_mov, spin=spin_mov, p_spin=p_spin,
         mol_mass_atom=_fh_mol_mass_atom(params, cfg),
-        c6=params.c6, c8=params.c8, c10=params.c10)
+        c6=params.c6, c8=params.c8, c10=params.c10,
+        gwp_alpha=params.gwp_alpha)
     dtype = cfg.jdtype
     new_energy = dataclasses.replace(
         state.energy,
@@ -1075,7 +1076,8 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
         kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im,
         cav_open=state.cavity_open if cfg.cavity_bias else None,
         mol_mass_atom=_fh_mol_mass_atom(params, cfg),
-        c6=params.c6, c8=params.c8, c10=params.c10)
+        c6=params.c6, c8=params.c8, c10=params.c10,
+        gwp_alpha=params.gwp_alpha)
     dtype = cfg.jdtype
     d = sums.astype(dtype)
     new_energy = dataclasses.replace(

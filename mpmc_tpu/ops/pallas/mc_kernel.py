@@ -61,13 +61,19 @@ MAX_SITES = 8  # supported() cap on movable-molecule size
 ROW_C6, ROW_C8, ROW_C10 = 8, 9, 10
 
 
+def _row_gwp(cfg) -> int:
+    """Row index of the GWP width plane (valid only when cfg.coulomb ==
+    'gwp'): appended after whichever optional planes are active."""
+    return (8 + (1 if cfg.feynman_hibbs else 0)
+            + (3 if cfg.rd_potential == "disp_expansion" else 0))
+
+
 def _n_rows(cfg) -> int:
     """Per-atom VMEM planes: the base 8, plus the molecule-mass plane
-    Feynman-Hibbs needs for the per-pair reduced mass, or the three
-    dispersion-coefficient planes of disp_expansion."""
-    if cfg.rd_potential == "disp_expansion":
-        return 11
-    return 9 if cfg.feynman_hibbs else 8
+    Feynman-Hibbs needs for the per-pair reduced mass, and/or the three
+    dispersion-coefficient planes of disp_expansion, and/or the GWP
+    charge-width plane."""
+    return _row_gwp(cfg) + (1 if cfg.coulomb == "gwp" else 0)
 
 
 def _round_up(x, m):
@@ -84,7 +90,7 @@ def _erfc(x):
 
 def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
                 rc, alpha, cfg, mm_i=None, mm_j=None, beta=None,
-                disp_i=None, disp_j=None):
+                disp_i=None, disp_j=None, gwp_i=None, gwp_j=None):
     """Elementwise (rd, es, masked r2) of one site vs an atom block.
 
     Returns PER-LANE values: the kernels accumulate (8,128) vectors
@@ -157,6 +163,17 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
             # real-space erfc sum (ops/pairs._tile_values ewald branch);
             # the k-space part is the S(k) delta in _kernel
             es_u = qq * _erfc(alpha * r) * inv_r
+        elif cfg.coulomb == "gwp":
+            # Gaussian-wave-packet smeared charges
+            # (ops/pairs._tile_values gwp branch): erf(r/sqrt(2(s_i^2+
+            # s_j^2)))/r, point charges where both widths vanish
+            from mpmc_tpu.ops.pallas.pair_kernel import _erf
+            s2 = gwp_i * gwp_i + gwp_j * gwp_j
+            smear = jnp.where(
+                s2 > 1e-12,
+                _erf(r * jax.lax.rsqrt(2.0 * jnp.maximum(s2, 1e-12))),
+                1.0)
+            es_u = qq * smear * inv_r
         else:   # wolf (shifted)
             es_u = qq * (_erfc(alpha * r) * inv_r
                          - _erfc(alpha * rc) / rc)
@@ -186,6 +203,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
 
     fh = cfg.feynman_hibbs
     de = cfg.rd_potential == "disp_expansion"
+    gw = cfg.coulomb == "gwp"
     # Sublane-packed planes: each per-atom quantity q is an (R, 128)
     # plane at rows [q*R, (q+1)*R) of data_ref, atom n at (n//128,
     # n%128).  Every block op then runs on full (8,128) vregs instead
@@ -266,6 +284,8 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
         disp_i = ([(wpick(wload(ROW_C6), a), wpick(wload(ROW_C8), a),
                     wpick(wload(ROW_C10), a)) for a in range(a_max)]
                   if de else [None] * a_max)
+        gwp_i = ([wpick(wload(_row_gwp(cfg)), a) for a in range(a_max)]
+                 if gw else [None] * a_max)
 
         disp = [(2.0 * u_ref[k, 1 + c] - 1.0) * mf * fpair
                 for c in range(3)]
@@ -317,6 +337,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             mm_j = plane(ROW_MOLMASS) if fh else None
             disp_j = ((plane(ROW_C6), plane(ROW_C8), plane(ROW_C10))
                       if de else None)
+            gwp_j = plane(_row_gwp(cfg)) if gw else None
             lin = jt * TJ + sub8 * 128 + lane8
             # inter-molecular only: the moved molecule's own rows are
             # excluded (ops/pairs._block_terms same_mol mask)
@@ -338,12 +359,14 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
                     do[0], do[1], do[2], eps_j, sig_j, q_j, ok_a,
                     eps_i[a], sig_i[a], q_i[a], rc, alpha, cfg,
                     mm_i=msum, mm_j=mm_j, beta=beta,
-                    disp_i=disp_i[a], disp_j=disp_j)
+                    disp_i=disp_i[a], disp_j=disp_j,
+                    gwp_i=gwp_i[a], gwp_j=gwp_j)
                 r_n, e_n, m2 = _pair_terms(
                     dn[0], dn[1], dn[2], eps_j, sig_j, q_j, ok_a,
                     eps_i[a], sig_i[a], q_i[a], rc, alpha, cfg,
                     mm_i=msum, mm_j=mm_j, beta=beta,
-                    disp_i=disp_i[a], disp_j=disp_j)
+                    disp_i=disp_i[a], disp_j=disp_j,
+                    gwp_i=gwp_i[a], gwp_j=gwp_j)
                 rd_a = rd_a + (r_n - r_o)
                 es_a = es_a + (e_n - e_o)
                 mr_a = jnp.minimum(mr_a, m2)
@@ -450,7 +473,7 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
               uniforms, cfg, n_steps, n_real, a_max=1, interpret=False,
               kvecs=None, kcoef=None, sk_re=None, sk_im=None,
               rot_f=None, spin=None, p_spin=0.0, mol_mass_atom=None,
-              c6=None, c8=None, c10=None):
+              c6=None, c8=None, c10=None, gwp_alpha=None):
     """K fused translate+rotate (+spinflip) steps.  Returns (new_pos
     [N,3], d_rd, d_es, d_recip, n_accept_displace, sk_re', sk_im',
     spin' [Mv] f32, n_accept_spinflip, n_attempt_spinflip).
@@ -511,6 +534,8 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
         data = data.at[ROW_C6].set(pad1(c6))
         data = data.at[ROW_C8].set(pad1(c8))
         data = data.at[ROW_C10].set(pad1(c10))
+    if cfg.coulomb == "gwp":
+        data = data.at[_row_gwp(cfg)].set(pad1(gwp_alpha))
     # sublane-packed planes: quantity q rows [q*R,(q+1)*R), atom n at
     # (n//128, n%128) — see _kernel
     data = data.reshape(nq * R, 128)
@@ -644,6 +669,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
     cb = cfg.cavity_bias
     fh = cfg.feynman_hibbs
     de = cfg.rd_potential == "disp_expansion"
+    gw = cfg.coulomb == "gwp"
     S = len(A_list)
     A = max(A_list)                 # unrolled site loop bound
     uniform_A = len(set(A_list)) == 1
@@ -773,6 +799,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
         disp_i = ([(wpick(wload(ROW_C6), a), wpick(wload(ROW_C8), a),
                     wpick(wload(ROW_C10), a)) for a in range(A)]
                   if de else [None] * A)
+        gwp_i = ([wpick(wload(_row_gwp(cfg)), a) for a in range(A)]
+                 if gw else [None] * A)
         # selected species' template rows (COM-centered)
         tmpl = [[sp_sel(spf, [tmpl_s[s][a][c] for s in range(S)])
                  for c in range(3)] for a in range(A)]
@@ -876,6 +904,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             mm_j = plane(ROW_MOLMASS) if fh else None
             disp_j = ((plane(ROW_C6), plane(ROW_C8), plane(ROW_C10))
                       if de else None)
+            gwp_j = plane(_row_gwp(cfg)) if gw else None
             lin = jt * TJ + sub8 * 128 + lane8
             ok = ((alive_j > 0) & (lin < n_real)
                   & ((lin < start) | (lin >= start + na_i)))
@@ -897,12 +926,14 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                     do[0], do[1], do[2], eps_j, sig_j, q_j,
                     ok_a & has_old, eps_i[a], sig_i[a], q_i[a], rc,
                     alpha, cfg, mm_i=msum, mm_j=mm_j, beta=beta,
-                    disp_i=disp_i[a], disp_j=disp_j)
+                    disp_i=disp_i[a], disp_j=disp_j,
+                    gwp_i=gwp_i[a], gwp_j=gwp_j)
                 r_n, e_n, m2 = _pair_terms(
                     dn[0], dn[1], dn[2], eps_j, sig_j, q_j,
                     ok_a & has_new, eps_i[a], sig_i[a], q_i[a], rc,
                     alpha, cfg, mm_i=msum, mm_j=mm_j, beta=beta,
-                    disp_i=disp_i[a], disp_j=disp_j)
+                    disp_i=disp_i[a], disp_j=disp_j,
+                    gwp_i=gwp_i[a], gwp_j=gwp_j)
                 rd_a = rd_a + (r_n - r_o)
                 es_a = es_a + (e_n - e_o)
                 mr_a = jnp.minimum(mr_a, m2)
@@ -1028,7 +1059,7 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                   d_excl, c1, cx, uniforms, cfg, n_steps, n_real, A_list,
                   interpret=False, kvecs=None, kcoef=None, sk_re=None,
                   sk_im=None, cav_open=None, mol_mass_atom=None,
-                  c6=None, c8=None, c10=None):
+                  c6=None, c8=None, c10=None, gwp_alpha=None):
     """K fused µVT steps (displace | insert | delete).  Returns
     (new_pos [N,3], new_slot_alive [Ms] bool, sums [12], sk_re',
     sk_im') where sums = (d_rd, d_es_real, d_es_recip, d_es_self,
@@ -1111,6 +1142,8 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
         data = data.at[ROW_C6].set(pad1(c6))
         data = data.at[ROW_C8].set(pad1(c8))
         data = data.at[ROW_C10].set(pad1(c10))
+    if cfg.coulomb == "gwp":
+        data = data.at[_row_gwp(cfg)].set(pad1(gwp_alpha))
     # sublane-packed planes: quantity q rows [q*R,(q+1)*R), atom n at
     # (n//128, n%128) — see _kernel
     data = data.reshape(nq * R, 128)
@@ -1213,7 +1246,8 @@ def draw_uniforms(key, n_steps, lanes=8):
 def _supported_physics(cfg) -> bool:
     """Physics-surface gate shared by the NVT and µVT fused paths."""
     return (cfg.rd_potential in ("lj", "none", "disp_expansion")
-            and cfg.coulomb in ("none", "cutoff", "wolf", "ewald")
+            and cfg.coulomb in ("none", "cutoff", "wolf",
+                                "ewald", "gwp")
             and cfg.mixing_rule in ("lb", "waldman_hagler")
             # feynman_hibbs IS allowed (in-kernel FH2/FH4 correction
             # with the molecule-pair reduced mass); FK's per-pair

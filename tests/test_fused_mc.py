@@ -899,3 +899,62 @@ def test_dispexp_uvt_bookkeeping_matches_full_recompute():
     for term in ("rd", "lrc", "es_real"):
         assert float(getattr(st.energy, term)) == pytest.approx(
             float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+
+
+# ---------------------------------------------------------------------------
+# GWP (Gaussian-wave-packet) coulomb in the fused kernels
+# ---------------------------------------------------------------------------
+
+def _gwp_h2(ensemble="nvt"):
+    """The golden h2_dispexp_gwp family in f32: disp_expansion RD +
+    GWP-smeared charges on a 3-site H2 fluid."""
+    from mpmc_tpu.state import build_system
+    sp = systems.h2_bss3()
+    sp = dataclasses.replace(
+        sp, c6=np.array([12.0, 0, 0]), c8=np.array([215.0, 0, 0]),
+        c10=np.array([4813.0, 0, 0]), eps=np.array([1.2e5, 0, 0]),
+        sig=np.array([1.8, 0, 0]),
+        gwp_alpha=np.array([0.3, 0.2, 0.2]))
+    cfg = RunConfig(ensemble=ensemble, rd_potential="disp_expansion",
+                    coulomb="gwp", rd_lrc=False, dtype="float32",
+                    insert_species=(0,) if ensemble == "uvt" else (),
+                    fused_mc=True)
+    rng = np.random.default_rng(4)
+    coms = rng.uniform(2.0, 16.0, (12, 3))
+    params, state = build_system(
+        np.eye(3) * 18.0, species=(sp,), capacity=(16,),
+        initial_counts=(12,),
+        initial_pos={0: coms[:, None] + np.asarray(sp.pos)[None]},
+        dtype=cfg.jdtype, seed=9)
+    thermo = Thermo.make(temperature=120.0, fugacity=(20.0,),
+                         insert_probability=0.4, move_factor=0.6,
+                         rot_factor=1.0, n_species=1, dtype=cfg.jdtype)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    return params, state, cfg, thermo
+
+
+def test_gwp_gate_and_nvt_bookkeeping():
+    params, state, cfg, thermo = _gwp_h2("nvt")
+    assert mc_kernel.supported(cfg, params)
+    assert abs(float(state.energy.es_real)) > 1e-3
+    st, stats = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                           400)
+    assert 0 < int(stats.accepts[0]) < 400
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    assert float(st.energy.rd) == pytest.approx(
+        float(fresh.energy.rd), rel=2e-4, abs=5e-2)
+    assert float(st.energy.es_real) == pytest.approx(
+        float(fresh.energy.es_real), rel=2e-4, abs=5e-2)
+
+
+def test_gwp_uvt_bookkeeping():
+    params, state, cfg, thermo = _gwp_h2("uvt")
+    assert mc_kernel.supported_uvt(cfg, params)
+    st, stats = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                               thermo, 500)
+    acc = np.asarray(stats.accepts)
+    assert acc[metropolis.INSERT] + acc[metropolis.DELETE] > 0
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    for term in ("rd", "es_real"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
