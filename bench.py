@@ -157,19 +157,46 @@ def bench_gcmc_fused():
 
 def bench_nvt_ewald():
     """BASELINE config 2: charged rigid framework + point-charge
-    sorbates, NVT (displace/rotate only)."""
+    sorbates, NVT (displace/rotate only).  Races the two aggregate
+    strategies: C=128 batched-scan chains vs C=16 chains interleaved in
+    ONE fused Pallas launch (run_chunk_fused_multi)."""
     import dataclasses
 
+    import numpy as np
+
+    from mpmc_tpu.mc import metropolis
     from mpmc_tpu.models import systems
+    from mpmc_tpu.parallel import multichain
 
     params, state, cfg, thermo = systems.mof_h2_gcmc(
         n_side=21, spacing=4.0, n_h2=256, capacity=512)
     cfg = dataclasses.replace(cfg, ensemble="nvt")
-    sps = _time_batched(state, params, cfg, thermo, n_chains=128,
-                        chunk=64)
+    sps_scan = _time_batched(state, params, cfg, thermo, n_chains=128,
+                             chunk=64)
+
+    try:
+        cfg_f = dataclasses.replace(cfg, fused_mc=True)
+        C, K, reps = 16, 4096, 3
+        st0 = metropolis.initialize(state, params, cfg_f, thermo)
+        states = multichain.stack_states(st0, C)
+        states, _ = metropolis.run_chunk_fused_multi(
+            states, params, cfg_f, thermo, K)
+        np.asarray(states.pos)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            states, _ = metropolis.run_chunk_fused_multi(
+                states, params, cfg_f, thermo, K)
+        np.asarray(states.pos)
+        sps_multi = reps * K * C / (time.perf_counter() - t0)
+    except Exception:
+        sps_multi = 0.0     # e.g. compile-service timeout at C=16
+
+    sps, method = max((sps_scan, "batched_scan_c128"),
+                      (sps_multi, "fused_interleaved_c16"))
     return {"metric": "agg_mc_steps_per_sec_10k_mof_h2_nvt_ewald",
             "value": round(sps, 2), "unit": "steps/s",
-            "vs_baseline": round(sps / BASELINES["nvt_ewald"], 2)}
+            "vs_baseline": round(sps / BASELINES["nvt_ewald"], 2),
+            "method": method}
 
 
 def bench_polar_gcmc():
@@ -217,18 +244,25 @@ def bench_pt_round():
     import dataclasses
     cfg = dataclasses.replace(cfg, ensemble="nvt", fused_mc=True)
     temps = replica.geometric_ladder(77.0, 250.0, R)
-    # warm (compiles the fused chunk + BOTH swap parities)
-    replica.run_parallel_tempering_fused(params, state, cfg, thermo,
-                                         temps, 2, spr)
-    t0 = time.perf_counter()
-    states, _, _ = replica.run_parallel_tempering_fused(
-        params, state, cfg, thermo, temps, rounds, spr)
-    np.asarray(states[0].pos)
-    wall = time.perf_counter() - t0
-    sps = rounds * spr * R / wall
+
+    def time_variant(runner, sync):
+        runner(params, state, cfg, thermo, temps, 2, spr)   # warm
+        t0 = time.perf_counter()
+        states, _, _ = runner(params, state, cfg, thermo, temps,
+                              rounds, spr)
+        sync(states)
+        return rounds * spr * R / (time.perf_counter() - t0)
+
+    sps_seq = time_variant(replica.run_parallel_tempering_fused,
+                           lambda s: np.asarray(s[0].pos))
+    sps_multi = time_variant(replica.run_parallel_tempering_fused_multi,
+                             lambda s: np.asarray(s.pos))
+    sps, method = max((sps_seq, "per_replica_launches"),
+                      (sps_multi, "chain_interleaved_single_launch"))
     return {"metric": "agg_mc_steps_per_sec_pt_8_replicas_incl_swaps",
             "value": round(sps, 2), "unit": "steps/s",
-            "vs_baseline": round(sps / BASELINES["pt_round"], 2)}
+            "vs_baseline": round(sps / BASELINES["pt_round"], 2),
+            "method": method}
 
 
 def main():

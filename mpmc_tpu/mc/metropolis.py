@@ -903,6 +903,104 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "a_max",
+                                    "interpret", "thermo_batched"))
+def _fused_chunk_nvt_multi(states, params, thermo, mv_start, mv_natoms,
+                           cfg, n_steps, a_max, interpret,
+                           thermo_batched):
+    """C-chain fused NVT chunk in ONE kernel launch
+    (ops/pallas/mc_kernel.run_steps_multi): all chains' planes live in
+    VMEM together and each in-kernel step advances every chain, giving
+    the scheduler C independent dependency chains to overlap.  States
+    are a stacked pytree (parallel/multichain.stack_states); box,
+    params and aliveness are shared across chains (the NVT contract).
+    ``thermo_batched``: thermo.temperature carries a leading [C] (PT
+    ladders); move factors are shared (replica 0's)."""
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    C = states.pos.shape[0]
+    box = states.box[0]
+    rc = pairs.derived_cutoff(box, cfg)
+    alpha = pairs.derived_alpha(rc, cfg)
+    ks = jax.vmap(jax.random.split)(states.key)        # [C,2,2]
+    key_next, k_u = ks[:, 0], ks[:, 1]
+    u = jax.vmap(lambda k: mc_kernel.draw_uniforms(k, n_steps))(k_u)
+    u = u.reshape(C * n_steps, u.shape[-1])
+    thr = cfg.cavity_autoreject_absolute
+    kv, kcoef = _fused_ktable(box, cfg, alpha)
+    if thermo_batched:
+        betas = 1.0 / thermo.temperature.reshape(C)
+        mf = thermo.move_factor.reshape(-1)[0]
+        rotf = thermo.rot_factor.reshape(-1)[0]
+    else:
+        betas = jnp.broadcast_to(1.0 / thermo.temperature, (C,))
+        mf = thermo.move_factor
+        rotf = thermo.rot_factor
+    alive = states.mol_alive[0][params.mol_id] & params.atom_ok
+    sk_re = states.sk_re if cfg.coulomb == "ewald" else None
+    sk_im = states.sk_im if cfg.coulomb == "ewald" else None
+    new_pos, sums, sk_re2, sk_im2 = mc_kernel.run_steps_multi(
+        states.pos, params.eps, params.sig, params.charge, params.mass,
+        alive, mv_start, mv_natoms, box, rc, alpha, betas, mf, rotf,
+        thr * thr, u, cfg, n_steps, states.pos.shape[1], a_max=a_max,
+        interpret=interpret, kvecs=kv, kcoef=kcoef, sk_re=sk_re,
+        sk_im=sk_im, mol_mass_atom=_fh_mol_mass_atom(params, cfg),
+        c6=params.c6, c8=params.c8, c10=params.c10,
+        gwp_alpha=params.gwp_alpha)
+    dtype = cfg.jdtype
+    d = sums.astype(dtype)
+    new_energy = dataclasses.replace(
+        states.energy,
+        rd=states.energy.rd + d[:, 0],
+        es_real=states.energy.es_real + d[:, 1],
+        es_recip=states.energy.es_recip + d[:, 2])
+    att = jnp.zeros((C, N_MOVE_TYPES), jnp.int32).at[:, DISPLACE].set(
+        n_steps)
+    acc = jnp.zeros((C, N_MOVE_TYPES), jnp.int32).at[:, DISPLACE].set(
+        sums[:, 3].astype(jnp.int32))
+    stats = MCStats(attempts=att, accepts=acc,
+                    polar_iters=jnp.zeros((C,), jnp.int32))
+    new_states = states.replace(pos=new_pos, energy=new_energy,
+                                key=key_next,
+                                step=states.step + n_steps)
+    if cfg.coulomb == "ewald":
+        new_states = new_states.replace(sk_re=sk_re2.astype(dtype),
+                                        sk_im=sk_im2.astype(dtype))
+    return new_states, stats
+
+
+def run_chunk_fused_multi(states: SimState, params: Params,
+                          cfg: RunConfig, thermo: Thermo, n_steps: int,
+                          thermo_batched: bool = False):
+    """K NVT steps for C stacked chains in ONE Pallas launch — the
+    chain-interleaved aggregate-throughput path.  Caller must have
+    checked mc_kernel.supported_multi(cfg, params) and C <=
+    mc_kernel.MAX_MULTI_CHAINS.  Same (states, stats) contract as
+    parallel/multichain.run_chunk_batched (leading chain dim on
+    both)."""
+    import numpy as np
+
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    def build():
+        mv, mva, am, slots = mc_kernel.movable_mols(
+            params, np.asarray(states.mol_alive[0]))
+        return (jnp.asarray(mv), jnp.asarray(mva), int(am),
+                jnp.asarray(slots))
+
+    mv_start, mv_natoms, a_max, _ = _fused_host_cached(
+        ("nvt_multi", id(params.mol_start), id(states.mol_alive)),
+        (params.mol_start, states.mol_alive), build)
+    new_states, stats = _fused_chunk_nvt_multi(
+        states, params, thermo, mv_start, mv_natoms, cfg, n_steps,
+        a_max, jax.default_backend() != "tpu", thermo_batched)
+    # NVT never changes aliveness: reattach for the id-keyed cache
+    new_states = dataclasses.replace(new_states,
+                                     mol_alive=states.mol_alive)
+    return new_states, stats
+
+
+@functools.partial(jax.jit,
                    static_argnames=("cfg", "n_disp", "a_max",
                                     "interpret"))
 def _fused_npt_segment(state, stats, params, thermo, mv_start, mv_natoms,

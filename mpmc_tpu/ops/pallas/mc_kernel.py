@@ -52,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mpmc_tpu.constants import KE
 
 TJ = 1024      # column tile
+BLOCK_UNROLL = 2   # column-block fori_loop unroll (see _kernel)
 MAX_SITES = 8  # supported() cap on movable-molecule size
 (ROW_X, ROW_Y, ROW_Z, ROW_EPS, ROW_SIG, ROW_Q, ROW_ALIVE,
  ROW_MASS, ROW_MOLMASS) = range(9)
@@ -184,15 +185,26 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
 
 def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             sk_in_ref, data_ref, out_ref, sk_ref, rot_ref, *,
-            cfg, n_steps, n_pad, n_real, a_max, nk_pad, mv_pad):
+            cfg, n_steps, n_pad, n_real, a_max, nk_pad, mv_pad,
+            n_chains=1):
     # data_in_ref/sk_in_ref/rot_in_ref alias data_ref/sk_ref/rot_ref
     # (input_output_aliases) — all access goes through the output refs
+    #
+    # n_chains > 1 (run_steps_multi): C independent chains live in the
+    # SAME launch as stacked plane groups (chain c's plane q at rows
+    # [(c*NQ + q)*R, ...)) with per-chain S(k) and per-chain beta, and
+    # each fori_loop step runs all C chains' Metropolis steps.  The
+    # single-chain step is a serial dependency chain (pick -> window ->
+    # pair pass -> reduce -> commit); C independent copies give the
+    # Mosaic scheduler work to overlap into its latency, which one
+    # chain cannot fill.
     del data_in_ref, sk_in_ref, rot_in_ref
     ew = cfg.coulomb == "ewald"
     sf = cfg.quantum_rotation       # in-kernel spinflip moves
+    assert n_chains == 1 or not sf
     rc = scal_ref[0, 0]
     alpha = scal_ref[0, 1]
-    beta = scal_ref[0, 2]
+    beta0 = scal_ref[0, 2]
     mf = scal_ref[0, 3]
     n_mov = scal_ref[0, 4]          # float count of movable molecules
     thr2 = scal_ref[0, 5]           # autoreject r_min^2 (0 = off)
@@ -200,6 +212,9 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
     p_spin = scal_ref[0, 7]         # P(spinflip) (0 when sf off)
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
+    # per-chain inverse temperatures (scal row 3) — PT ladders batch
+    betas = ([scal_ref[3, c] for c in range(n_chains)]
+             if n_chains > 1 else [beta0])
 
     fh = cfg.feynman_hibbs
     de = cfg.rd_potential == "disp_expansion"
@@ -209,6 +224,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
     # n%128).  Every block op then runs on full (8,128) vregs instead
     # of the old (1, TJ) row slices that used 1 of 8 sublanes.
     R = n_pad // 128
+    nq = _n_rows(cfg)
     n_blk = n_pad // TJ             # 1024-atom (8-row) blocks
     Rk = nk_pad // 128
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -216,15 +232,19 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
     sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
 
-    def step(k, carry):
+    def chain_step(cc, k, carry):
         d_rd, d_es, d_rec, n_acc, acc_sp, att_sp = carry
+        co = cc * nq * R            # chain's data-plane row offset
+        cs = cc * 2 * Rk            # chain's S(k) row offset
+        beta = betas[cc]
+        uk = cc * n_steps + k       # chain's uniform-table row
         # --- proposal ---------------------------------------------------
         # Scalar accesses load the aligned tile containing the element
         # and mask-reduce it out; the update store blends the same
         # window.  The moved molecule's rows [start, start+A) span at
         # most 2 plane rows; a 16-row 8-aligned window always covers
         # them (requires R >= 16, i.e. n_pad >= 2048 — run_steps pads).
-        m = jnp.minimum((u_ref[k, 0] * n_mov).astype(jnp.int32),
+        m = jnp.minimum((u_ref[uk, 0] * n_mov).astype(jnp.int32),
                         (n_mov - 1.0).astype(jnp.int32))
         mt0 = pl.multiple_of((m // 128) * 128, 128)
         ttile = tbl_ref[pl.dslice(0, 2), pl.dslice(mt0, 128)]  # [2,128]
@@ -243,7 +263,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             # pair pass below still executes with a zeroed move — its
             # ~0 deltas are masked out of du and the accumulators, so
             # the dataflow stays branch-free.
-            is_spin = u_ref[k, 8] < p_spin
+            is_spin = u_ref[uk, 8] < p_spin
             fpair = 1.0 - is_spin.astype(jnp.float32)
             rwin = rot_ref[pl.dslice(0, 3), pl.dslice(mt0, 128)]
             rlane = jax.lax.broadcasted_iota(jnp.int32, (3, 128), 1)
@@ -265,8 +285,8 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             jnp.minimum((start // TJ) * 8, jnp.int32(R - 16)), 8)
 
         def wload(q):
-            return data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
-                                      16), :]
+            return data_ref[pl.dslice(
+                pl.multiple_of(co + q * R + rw0, 8), 16), :]
 
         asel = [(sub16 == (start + a) // 128 - rw0)
                 & (lane16 == (start + a) % 128) for a in range(a_max)]
@@ -287,7 +307,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
         gwp_i = ([wpick(wload(_row_gwp(cfg)), a) for a in range(a_max)]
                  if gw else [None] * a_max)
 
-        disp = [(2.0 * u_ref[k, 1 + c] - 1.0) * mf * fpair
+        disp = [(2.0 * u_ref[uk, 1 + c] - 1.0) * mf * fpair
                 for c in range(3)]
         msum = None
         if a_max > 1 or fh:
@@ -302,11 +322,11 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             com = [sum(mass[a] * old[a][c] for a in range(a_max))
                    / jnp.maximum(msum, 1e-30) for c in range(3)]
             # uniform axis (sphere point picking) + uniform angle
-            az = 2.0 * u_ref[k, 5] - 1.0
-            aphi = 2.0 * np.float32(np.pi) * u_ref[k, 6]
+            az = 2.0 * u_ref[uk, 5] - 1.0
+            aphi = 2.0 * np.float32(np.pi) * u_ref[uk, 6]
             s = jnp.sqrt(jnp.maximum(1.0 - az * az, 0.0))
             ax, ay = s * jnp.cos(aphi), s * jnp.sin(aphi)
-            ang = u_ref[k, 7] * rotf * fpair
+            ang = u_ref[uk, 7] * rotf * fpair
             ca, sa = jnp.cos(ang), jnp.sin(ang)
             omc = 1.0 - ca
             R3 = [[ca + ax * ax * omc, ax * ay * omc - az * sa,
@@ -329,7 +349,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
 
             def plane(q):
                 return data_ref[pl.dslice(
-                    pl.multiple_of(q * R + r0, 8), 8), :]
+                    pl.multiple_of(co + q * R + r0, 8), 8), :]
 
             px, py, pz = plane(ROW_X), plane(ROW_Y), plane(ROW_Z)
             eps_j, sig_j = plane(ROW_EPS), plane(ROW_SIG)
@@ -373,9 +393,14 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             return (rd_a, es_a, mr_a)
 
         zb = jnp.zeros((8, 128), jnp.float32)
+        # unroll=2: lets Mosaic overlap block j+1's plane loads with
+        # block j's math (the fori_loop carry only chains through the
+        # accumulators) without the compile-time blowup of a full
+        # static unroll
         rd_a, es_a, mr_a = jax.lax.fori_loop(
             0, n_blk, col, (zb, zb, jnp.full((8, 128), jnp.inf,
-                                             jnp.float32)))
+                                             jnp.float32)),
+            unroll=BLOCK_UNROLL)
         drd = jnp.sum(rd_a)
         des = KE * jnp.sum(es_a)
         mr2 = jnp.min(mr_a)
@@ -402,7 +427,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
                 tn = kx * new[a][0] + ky * new[a][1] + kz * new[a][2]
                 dsr = dsr + qa * (jnp.cos(tn) - jnp.cos(to))
                 dsi = dsi + qa * (jnp.sin(tn) - jnp.sin(to))
-            sx = sk_ref[pl.dslice(0, 2 * Rk), :]
+            sx = sk_ref[pl.dslice(cs, 2 * Rk), :]
             sr, si = sx[0:Rk], sx[Rk:2 * Rk]
             drec = jnp.sum(kc * ((2.0 * sr + dsr) * dsr
                                  + (2.0 * si + dsi) * dsi))
@@ -418,7 +443,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
         reject_overlap = (thr2 > 0.0) & (mr2 < thr2)
         if sf:
             reject_overlap = reject_overlap & ~is_spin
-        accept = ((jnp.log(jnp.maximum(u_ref[k, 4], 1e-38))
+        accept = ((jnp.log(jnp.maximum(u_ref[uk, 4], 1e-38))
                    < -beta * du) & ~reject_overlap)
         acc_pair = accept & ~is_spin if sf else accept
 
@@ -430,12 +455,12 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             for a in range(a_max):
                 va = valid[a] if a_max > 1 else True
                 w = jnp.where(asel[a] & va & acc_pair, new[a][q], w)
-            data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
+            data_ref[pl.dslice(pl.multiple_of(co + q * R + rw0, 8),
                                16), :] = w
 
         if ew:
             accf = acc_pair.astype(jnp.float32)
-            sk_ref[pl.dslice(0, 2 * Rk), :] = jnp.concatenate(
+            sk_ref[pl.dslice(cs, 2 * Rk), :] = jnp.concatenate(
                 [sr + accf * dsr, si + accf * dsi], axis=0)
 
         if sf:
@@ -453,15 +478,18 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
         return (d_rd + af * drd, d_es + af * des, d_rec + af * drec,
                 n_acc + af, acc_sp, att_sp)
 
+    def step(k, carry):
+        # all chains' steps per iteration — independent dataflow the
+        # scheduler can interleave (n_chains == 1: the original body)
+        return tuple(chain_step(cc, k, carry[cc])
+                     for cc in range(n_chains))
+
     z = jnp.zeros((), jnp.float32)
-    d_rd, d_es, d_rec, n_acc, acc_sp, att_sp = jax.lax.fori_loop(
-        0, n_steps, step, (z, z, z, z, z, z))
-    out_ref[0, 0] = d_rd
-    out_ref[0, 1] = d_es
-    out_ref[0, 2] = d_rec
-    out_ref[0, 3] = n_acc
-    out_ref[0, 4] = acc_sp
-    out_ref[0, 5] = att_sp
+    outs = jax.lax.fori_loop(0, n_steps, step,
+                             ((z,) * 6,) * n_chains)
+    for cc in range(n_chains):
+        for i in range(6):
+            out_ref[cc, i] = outs[cc][i]
     # non-ewald: sk_ref is aliased to its (dummy) input and stays as-is
 
 
@@ -619,6 +647,151 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
             out_sums[0, 2], out_sums[0, 3],
             out_sk2[0, :nk], out_sk2[1, :nk],
             out_rot[2, :mv.shape[0]], out_sums[0, 4], out_sums[0, 5])
+
+
+MAX_MULTI_CHAINS = 16   # scal row 3 lane budget (betas)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "n_real", "a_max",
+                                    "interpret"))
+def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
+                    mov_natoms, box, rc, alpha, betas, move_factor,
+                    rot_factor, thr2, uniforms, cfg, n_steps, n_real,
+                    a_max=1, interpret=False, kvecs=None, kcoef=None,
+                    sk_re=None, sk_im=None, mol_mass_atom=None,
+                    c6=None, c8=None, c10=None, gwp_alpha=None):
+    """C chains x K fused NVT steps in ONE launch (chain-interleaved
+    _kernel; see its n_chains note).  ``pos`` [C,N,3], ``betas`` [C]
+    per-chain 1/T (PT ladders batch), ``uniforms`` [C*K, lanes] (chain
+    c's step k at row c*K + k — each chain's trajectory is bit-equal to
+    a run_steps call with its own [K, lanes] table), ``sk_re``/
+    ``sk_im`` [C, Nk] under ewald.  Params/box/movable tables are
+    shared across chains (same system, same aliveness — the NVT
+    contract).  quantum_rotation is NOT supported here (supported()
+    spinflip needs the per-chain rot table; use C=1).  Returns
+    (new_pos [C,N,3], sums [C,6] = (d_rd, d_es, d_rec, n_acc_disp, 0,
+    0) per chain, sk_re' [C,Nk], sk_im')."""
+    f32 = jnp.float32
+    C = pos.shape[0]
+    assert C <= MAX_MULTI_CHAINS and not cfg.quantum_rotation
+    n_pad = max(2 * TJ, _round_up(n_real, TJ))
+    R = n_pad // 128
+    ew = cfg.coulomb == "ewald"
+    if ew:
+        nk = kvecs.shape[0]
+        nk_pad = _round_up(nk, 128)
+
+        def padk(x):
+            x = jnp.asarray(x).astype(f32)
+            return jnp.pad(x, (0, nk_pad - x.shape[0]))
+
+        ktab = jnp.stack([padk(kvecs[:, 0]), padk(kvecs[:, 1]),
+                          padk(kvecs[:, 2]), padk(kcoef)])
+        sk = jnp.concatenate(
+            [jnp.stack([padk(sk_re[c]), padk(sk_im[c])])
+             for c in range(C)])                    # [C*2, nk_pad]
+    else:
+        nk = nk_pad = 128
+        ktab = jnp.zeros((4, nk_pad), f32)
+        sk = jnp.zeros((C * 2, nk_pad), f32)
+    Rk = nk_pad // 128
+    ktab = ktab.reshape(4 * Rk, 128)
+    sk = sk.reshape(C * 2 * Rk, 128)
+
+    def pad1(x, fill=0.0):
+        x = jnp.asarray(x).astype(f32)
+        return jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
+
+    nq = _n_rows(cfg)
+    base = jnp.zeros((nq, n_pad), f32)
+    base = base.at[ROW_EPS].set(pad1(eps))
+    base = base.at[ROW_SIG].set(pad1(sig))
+    base = base.at[ROW_Q].set(pad1(charge))
+    base = base.at[ROW_ALIVE].set(pad1(alive.astype(f32)))
+    base = base.at[ROW_MASS].set(pad1(mass))
+    if cfg.feynman_hibbs:
+        base = base.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
+    if cfg.rd_potential == "disp_expansion":
+        base = base.at[ROW_C6].set(pad1(c6))
+        base = base.at[ROW_C8].set(pad1(c8))
+        base = base.at[ROW_C10].set(pad1(c10))
+    if cfg.coulomb == "gwp":
+        base = base.at[_row_gwp(cfg)].set(pad1(gwp_alpha))
+    datas = []
+    for c in range(C):
+        d = base.at[ROW_X, :n_real].set(pos[c, :, 0].astype(f32))
+        d = d.at[ROW_Y, :n_real].set(pos[c, :, 1].astype(f32))
+        d = d.at[ROW_Z, :n_real].set(pos[c, :, 2].astype(f32))
+        datas.append(d.reshape(nq * R, 128))
+    data = jnp.concatenate(datas)
+
+    mv = jnp.asarray(mov_start, jnp.int32)
+    na = jnp.asarray(mov_natoms, jnp.int32)
+    mv_pad = _round_up(max(mv.shape[0], 1), 128)
+    tbl = jnp.stack([jnp.pad(mv, (0, mv_pad - mv.shape[0])),
+                     jnp.pad(na, (0, mv_pad - na.shape[0]))])
+    rot = jnp.zeros((3, mv_pad), f32)
+
+    box32 = jnp.asarray(box, f32)
+    binv = jnp.linalg.inv(box32)
+    scal = jnp.zeros((4, 16), f32)
+    for i, v in enumerate((rc, alpha, 0.0, move_factor,
+                           mv.shape[0], thr2, rot_factor, 0.0)):
+        scal = scal.at[0, i].set(jnp.asarray(v, f32))
+    scal = scal.at[1, :9].set(box32.reshape(-1))
+    scal = scal.at[2, :9].set(binv.reshape(-1))
+    scal = scal.at[3, :C].set(jnp.asarray(betas, f32).reshape(C))
+
+    u = jnp.asarray(uniforms, f32)
+
+    out_data, out_sums, out_sk, _ = pl.pallas_call(
+        functools.partial(_kernel, cfg=cfg, n_steps=n_steps,
+                          n_pad=n_pad, n_real=n_real, a_max=a_max,
+                          nk_pad=nk_pad, mv_pad=mv_pad, n_chains=C),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((4, 16), lambda _: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(uniforms.shape, lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, mv_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mv_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * nq * R, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * 2 * Rk, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((C * nq * R, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 8), lambda _: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((C * 2 * Rk, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mv_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C * nq * R, 128), f32),
+            jax.ShapeDtypeStruct((C, 8), f32),
+            jax.ShapeDtypeStruct((C * 2 * Rk, 128), f32),
+            jax.ShapeDtypeStruct((3, mv_pad), f32),
+        ],
+        input_output_aliases={5: 0, 6: 2, 4: 3},
+        interpret=interpret,
+    )(scal, u, tbl, ktab, rot, data, sk)
+    planes = out_data.reshape(C, nq, n_pad)
+    new_pos = jnp.stack([planes[:, ROW_X, :n_real],
+                         planes[:, ROW_Y, :n_real],
+                         planes[:, ROW_Z, :n_real]], axis=2)
+    out_sk2 = out_sk.reshape(C, 2, nk_pad)
+    return (new_pos.astype(pos.dtype), out_sums[:, :6],
+            out_sk2[:, 0, :nk], out_sk2[:, 1, :nk])
 
 
 def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
@@ -940,9 +1113,14 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             return (rd_a, es_a, mr_a)
 
         zb = jnp.zeros((8, 128), jnp.float32)
+        # unroll=2: lets Mosaic overlap block j+1's plane loads with
+        # block j's math (the fori_loop carry only chains through the
+        # accumulators) without the compile-time blowup of a full
+        # static unroll
         rd_a, es_a, mr_a = jax.lax.fori_loop(
             0, n_blk, col, (zb, zb, jnp.full((8, 128), jnp.inf,
-                                             jnp.float32)))
+                                             jnp.float32)),
+            unroll=BLOCK_UNROLL)
         drd = jnp.sum(rd_a)
         des = KE * jnp.sum(es_a)
         mr2 = jnp.min(mr_a)
@@ -1281,6 +1459,14 @@ def supported(cfg, params) -> bool:
     if cfg.quantum_rotation and int(natoms[mov].min()) < 2:
         return False
     return True
+
+
+def supported_multi(cfg, params) -> bool:
+    """Static gate for the chain-interleaved multi-chain NVT path
+    (run_steps_multi): the NVT kernel surface minus quantum_rotation
+    (the spinflip rot table is per-chain state the shared-table layout
+    does not carry)."""
+    return supported(cfg, params) and not cfg.quantum_rotation
 
 
 def supported_npt(cfg, params) -> bool:

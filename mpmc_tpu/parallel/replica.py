@@ -236,6 +236,22 @@ def ladder_swap(temps, energies, key, parity):
     temps = jnp.stack(list(temps))
     energies = jnp.stack([e.total if hasattr(e, "total") else e
                           for e in energies]).astype(temps.dtype)
+    new_t, n_acc = _ladder_swap_core(temps, energies, key, parity)
+    R = temps.shape[0]
+    return tuple(new_t[r] for r in range(R)), n_acc
+
+
+@functools.partial(jax.jit, static_argnames=("parity",))
+def ladder_swap_batched(temps, energy, key, parity):
+    """Array-interface ladder swap for the stacked-replica (multi-chain)
+    PT path: ``temps`` [R], ``energy`` a batched EnergyBreakdown (leaf
+    shape [R]) or an [R] array.  Returns ([R] new temps, accepts)."""
+    temps = jnp.asarray(temps)
+    e = energy.total if hasattr(energy, "total") else jnp.asarray(energy)
+    return _ladder_swap_core(temps, e.astype(temps.dtype), key, parity)
+
+
+def _ladder_swap_core(temps, energies, key, parity):
     R = temps.shape[0]
     i = jnp.arange(R)
     hi = parity + 2 * ((R - parity) // 2)
@@ -251,7 +267,7 @@ def ladder_swap(temps, energies, key, parity):
     accept = in_pair & (jnp.log(jnp.maximum(u, 1e-300)) < ln_p)
     new_t = jnp.where(accept, t_other, temps)
     n_acc = jnp.sum(accept.astype(jnp.int32)) // 2
-    return tuple(new_t[r] for r in range(R)), n_acc
+    return new_t, n_acc
 
 
 def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
@@ -307,3 +323,43 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
     final_temps = np.asarray(
         [float(th.temperature) for th in thermos])
     return states, final_temps, int(n_acc)
+
+
+def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
+                                       temps, n_rounds: int,
+                                       steps_per_round: int,
+                                       seed: int = 0):
+    """Single-chip PT with ALL replicas in one chain-interleaved fused
+    launch per round (mc/metropolis.run_chunk_fused_multi) — a round is
+    2 async dispatches (one kernel, one ladder_swap_batched) however
+    many replicas run, and the in-kernel interleave additionally
+    overlaps the replicas' serial per-step latency.  NVT only
+    (mc_kernel.supported_multi); the per-replica variant
+    run_parallel_tempering_fused covers fused µVT ladders.
+
+    Returns (stacked states pytree [R, ...], [R] final temps ndarray,
+    total accepted swaps)."""
+    from mpmc_tpu.ops.pallas import mc_kernel
+    from mpmc_tpu.parallel import multichain
+
+    if not mc_kernel.supported_multi(cfg, params):
+        raise ValueError("multi-chain fused PT needs "
+                         "mc_kernel.supported_multi(cfg, params)")
+    R = len(temps)
+    if R > mc_kernel.MAX_MULTI_CHAINS:
+        raise ValueError(f"R={R} exceeds MAX_MULTI_CHAINS="
+                         f"{mc_kernel.MAX_MULTI_CHAINS}")
+    state = metropolis.initialize(state, params, cfg, thermo)
+    states = multichain.stack_states(state, R, seed=seed)
+    thermos = stack_thermo(thermo, temps, cfg.jdtype)
+    round_keys = jax.random.split(jax.random.PRNGKey(seed + 7), n_rounds)
+    n_acc = jnp.zeros((), jnp.int32)
+    for r in range(n_rounds):
+        states, _ = metropolis.run_chunk_fused_multi(
+            states, params, cfg, thermos, steps_per_round,
+            thermo_batched=True)
+        new_ts, acc = ladder_swap_batched(
+            thermos.temperature, states.energy, round_keys[r], r % 2)
+        thermos = dataclasses.replace(thermos, temperature=new_ts)
+        n_acc = n_acc + acc
+    return states, np.asarray(thermos.temperature), int(n_acc)

@@ -958,3 +958,79 @@ def test_gwp_uvt_bookkeeping():
     for term in ("rd", "es_real"):
         assert float(getattr(st.energy, term)) == pytest.approx(
             float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+
+
+# ---------------------------------------------------------------------------
+# Chain-interleaved multi-chain fused NVT (run_steps_multi)
+# ---------------------------------------------------------------------------
+
+def _multi_states(state, params, cfg, thermo, C, seed=5):
+    from mpmc_tpu.parallel import multichain
+    states = multichain.stack_states(state, C, seed=seed)
+    return states
+
+
+@pytest.mark.parametrize("coulomb", ["none", "ewald"])
+def test_multi_chain_bit_equals_single_chain(coulomb):
+    """Each chain of a C=3 interleaved launch must reproduce BIT-EXACTLY
+    the single-chain fused path run with the same key — the interleave
+    only reorders independent work."""
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=6, ewald_kmax=3)
+    cfg = dataclasses.replace(cfg, ensemble="nvt", coulomb=coulomb,
+                              fused_mc=True)
+    assert mc_kernel.supported_multi(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    C, K = 3, 80
+    states = _multi_states(state, params, cfg, thermo, C)
+    keys = np.asarray(states.key).copy()
+    out, stats = metropolis.run_chunk_fused_multi(states, params, cfg,
+                                                  thermo, K)
+    assert int(np.asarray(stats.attempts)[:, metropolis.DISPLACE].sum()
+               ) == C * K
+    moved = 0
+    for c in range(C):
+        single = dataclasses.replace(state, key=jnp.asarray(keys[c]))
+        ref, rstats = metropolis.run_chunk_fused(single, params, cfg,
+                                                 thermo, K)
+        np.testing.assert_array_equal(np.asarray(out.pos)[c],
+                                      np.asarray(ref.pos)), c
+        assert (int(np.asarray(stats.accepts)[c, metropolis.DISPLACE])
+                == int(np.asarray(rstats.accepts)[metropolis.DISPLACE]))
+        assert float(out.energy.rd[c]) == float(ref.energy.rd)
+        if coulomb == "ewald":
+            np.testing.assert_array_equal(np.asarray(out.sk_re)[c],
+                                          np.asarray(ref.sk_re))
+            assert float(out.energy.es_recip[c]) == float(
+                ref.energy.es_recip)
+        moved += float(np.abs(np.asarray(out.pos)[c]
+                              - np.asarray(state.pos)).max())
+    assert moved > 0.0
+
+
+def test_multi_chain_pt_ladder_betas():
+    """thermo_batched: per-chain temperatures — each chain must equal a
+    single-chain run at ITS temperature (the per-chain beta plumbing)."""
+    import dataclasses as dc
+    from mpmc_tpu.parallel import replica
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=6)
+    cfg = dc.replace(cfg, ensemble="nvt", coulomb="wolf", fused_mc=True)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    C, K = 4, 60
+    temps = replica.geometric_ladder(80.0, 400.0, C)
+    states = _multi_states(state, params, cfg, thermo, C, seed=11)
+    keys = np.asarray(states.key).copy()
+    thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
+    out, stats = metropolis.run_chunk_fused_multi(
+        states, params, cfg, thermos, K, thermo_batched=True)
+    accs = np.asarray(stats.accepts)[:, metropolis.DISPLACE]
+    for c in range(C):
+        single = dataclasses.replace(state, key=jnp.asarray(keys[c]))
+        th = dc.replace(thermo, temperature=jnp.asarray(temps[c],
+                                                        cfg.jdtype))
+        ref, _ = metropolis.run_chunk_fused(single, params, cfg, th, K)
+        np.testing.assert_array_equal(np.asarray(out.pos)[c],
+                                      np.asarray(ref.pos))
+    # hotter replicas accept at least as often on average (loose sanity)
+    assert accs.sum() > 0

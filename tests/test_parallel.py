@@ -363,3 +363,30 @@ def test_fused_pt_single_chip():
     for st in states:
         assert int(np.asarray(st.step)) == 120
         assert float(np.abs(np.asarray(st.pos) - p0).max()) > 0.0
+
+
+def test_fused_pt_multi_chain():
+    """run_parallel_tempering_fused_multi: all replicas in ONE
+    chain-interleaved launch per round + batched on-device swaps.
+    Equal-T ladder -> every attempted swap accepts (deterministic
+    count); real ladder preserves the T multiset and advances every
+    replica."""
+    import dataclasses
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=4, ewald_kmax=3, dtype="float32")
+    cfg = dataclasses.replace(cfg, ensemble="nvt", coulomb="wolf",
+                              fused_mc=True)
+    states, final_t, n_acc = replica.run_parallel_tempering_fused_multi(
+        params, state, cfg, thermo, [150.0] * 4, n_rounds=4,
+        steps_per_round=30, seed=1)
+    assert n_acc == 2 + 1 + 2 + 1
+    temps = replica.geometric_ladder(100.0, 300.0, 4)
+    states, final_t, n_acc = replica.run_parallel_tempering_fused_multi(
+        params, state, cfg, thermo, temps, n_rounds=3,
+        steps_per_round=40, seed=2)
+    assert sorted(final_t) == pytest.approx(sorted(temps))
+    assert np.asarray(states.step).tolist() == [120] * 4
+    p0 = np.asarray(state.pos)
+    for c in range(4):
+        assert float(np.abs(np.asarray(states.pos)[c] - p0).max()) > 0.0
