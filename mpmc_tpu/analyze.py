@@ -124,6 +124,90 @@ def density_python(frames, mol_name="*", flag="M", dims=(32, 32, 32),
     return grid, n_frames
 
 
+def loading_python(frames, mol_name="*", flag="M"):
+    """Reference per-frame selected-molecule counts (GCMC loading
+    series)."""
+    out = []
+    for frame in frames:
+        ids = {a.mol_id for a in frame.atoms
+               if _match(a.mol_name, mol_name) and _flag_ok(a.flag, flag)}
+        out.append(float(len(ids)))
+    return np.asarray(out)
+
+
+def msd_python(frames, mol_name="*", flag="M", box=None, max_lag=0):
+    """Reference mean-square COM displacement vs frame lag — the exact
+    contract of the native kernel: per-molecule COM series unwrapped by
+    min-image increments, segments closed on disappearance (GCMC), all
+    time origins, counts returned alongside."""
+    if max_lag <= 0:
+        max_lag = max(len(frames) - 1, 1)
+    segments, open_segs = [], {}
+    for frame in frames:
+        b = _frame_box(frame, box)
+        binv = np.linalg.inv(b)
+        mols = {}
+        for a in frame.atoms:
+            if _match(a.mol_name, mol_name) and _flag_ok(a.flag, flag):
+                mols.setdefault(a.mol_id, []).append(a)
+        for mid in [m for m in open_segs if m not in mols]:
+            segments.append(open_segs.pop(mid)[0])
+        for mid, atoms in mols.items():
+            r0 = np.asarray(atoms[0].xyz, np.float64)
+            d = np.stack([np.asarray(a.xyz, np.float64) - r0
+                          for a in atoms])
+            fr = d @ binv
+            fr -= np.round(fr)
+            d = fr @ b
+            m = np.array([a.mass for a in atoms])
+            com = (r0 + (m[:, None] * d).sum(0) / m.sum()
+                   if m.sum() > 0 else r0 + d.mean(0))
+            if mid not in open_segs:
+                open_segs[mid] = ([com], com)
+            else:
+                series, last = open_segs[mid]
+                step = (com - last) @ binv
+                step -= np.round(step)
+                series.append(series[-1] + step @ b)
+                open_segs[mid] = (series, com)
+    segments.extend(s[0] for s in open_segs.values())
+    msd = np.zeros(max_lag + 1)
+    cnt = np.zeros(max_lag + 1, np.int64)
+    for seg in segments:
+        u = np.stack(seg)
+        for t in range(1, min(max_lag, len(u) - 1) + 1):
+            d = u[t:] - u[:-t]
+            msd[t] += float(np.sum(d * d))
+            cnt[t] += d.shape[0]
+    with np.errstate(invalid="ignore"):
+        msd[1:] = np.where(cnt[1:] > 0, msd[1:] / np.maximum(cnt[1:], 1),
+                           0.0)
+    return msd, cnt
+
+
+def loading(path, mol_name="*", flag="M", use_native=True):
+    """Per-frame selected-molecule counts — native when available."""
+    counts = None
+    if use_native:
+        counts = native.traj_loading(path, mol_name, flag)
+    if counts is None:
+        counts = loading_python(pqr.read_frames(path), mol_name, flag)
+    return counts
+
+
+def msd(path, mol_name="*", flag="M", box=None, max_lag=0,
+        use_native=True):
+    """(msd [L+1], counts [L+1]) vs frame lag — native when available."""
+    out = None
+    if use_native:
+        out = native.traj_msd(path, mol_name, flag, box=box,
+                              max_lag=max_lag)
+    if out is None:
+        out = msd_python(pqr.read_frames(path), mol_name, flag, box=box,
+                         max_lag=max_lag)
+    return out
+
+
 def rdf(path, name_a="*", name_b="*", flag_a="*", flag_b="*", box=None,
         rmax=10.0, nbins=200, use_native=True):
     """(r_centers, g) from a trajectory file — native when available."""
@@ -183,23 +267,50 @@ def main(argv=None):
     pd.add_argument("--resolution", type=float, default=0.7,
                     help="target bin edge length (A)")
     pd.add_argument("--out", required=True, help=".dx output path")
-    for p in (pr, pd):
+    pm = sub.add_parser("msd", help="COM mean-square displacement")
+    pm.add_argument("traj")
+    pm.add_argument("--mol", default="*", help="molecule name selection")
+    pm.add_argument("--flag", default="M", choices=["*", "M", "F"])
+    pm.add_argument("--max-lag", type=int, default=0,
+                    help="largest frame lag (default: n_frames-1)")
+    pm.add_argument("--out", default="-", help="CSV path (default stdout)")
+    pl = sub.add_parser("loading", help="per-frame molecule counts")
+    pl.add_argument("traj")
+    pl.add_argument("--mol", default="*", help="molecule name selection")
+    pl.add_argument("--flag", default="M", choices=["*", "M", "F"])
+    pl.add_argument("--out", default="-", help="CSV path (default stdout)")
+    for p in (pr, pd, pm, pl):
         p.add_argument("--no-native", action="store_true",
                        help="force the numpy reference implementation")
     args = ap.parse_args(argv)
+
+    def write_csv(path, header, rows):
+        out = sys.stdout if path == "-" else open(path, "w")
+        try:
+            out.write(header + "\n")
+            for row in rows:
+                out.write(",".join(str(v) for v in row) + "\n")
+        finally:
+            if out is not sys.stdout:
+                out.close()
 
     if args.cmd == "rdf":
         r, g = rdf(args.traj, args.a, args.b, args.flag_a, args.flag_b,
                    rmax=args.rmax, nbins=args.bins,
                    use_native=not args.no_native)
-        out = sys.stdout if args.out == "-" else open(args.out, "w")
-        try:
-            out.write("r,g\n")
-            for ri, gi in zip(r, g):
-                out.write(f"{ri:.6f},{gi:.8f}\n")
-        finally:
-            if out is not sys.stdout:
-                out.close()
+        write_csv(args.out, "r,g",
+                  ((f"{ri:.6f}", f"{gi:.8f}") for ri, gi in zip(r, g)))
+    elif args.cmd == "msd":
+        m, c = msd(args.traj, args.mol, args.flag, max_lag=args.max_lag,
+                   use_native=not args.no_native)
+        write_csv(args.out, "lag,msd,samples",
+                  ((t, f"{m[t]:.8f}", int(c[t]))
+                   for t in range(len(m))))
+    elif args.cmd == "loading":
+        counts = loading(args.traj, args.mol, args.flag,
+                         use_native=not args.no_native)
+        write_csv(args.out, "frame,n",
+                  ((i, f"{v:g}") for i, v in enumerate(counts)))
     else:
         grid, dims, box = density(args.traj, args.mol, args.flag,
                                   resolution=args.resolution,

@@ -96,6 +96,15 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char,
         ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
+    lib.traj_loading.restype = ctypes.c_long
+    lib.traj_loading.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char,
+        ctypes.POINTER(ctypes.c_double)]
+    lib.traj_msd.restype = ctypes.c_long
+    lib.traj_msd.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long)]
     _lib = lib
     return _lib
 
@@ -315,5 +324,64 @@ def traj_density(path: str, mol_name: str = "*", flag: str = "M",
         if r < 0:
             raise ValueError(f"{path}: no usable cell (pass box=)")
         return grid, int(r)
+    finally:
+        lib.pqr_close(h)
+
+
+def traj_loading(path: str, mol_name: str = "*", flag: str = "M"):
+    """Native per-frame selected-molecule counts (GCMC loading series).
+    Returns a [n_frames] float array; None if the library is
+    unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    h = lib.pqr_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        err = lib.pqr_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        nf = lib.pqr_n_frames(h)
+        counts = np.zeros(max(int(nf), 1), np.float64)
+        r = lib.traj_loading(
+            h, mol_name.encode(), (flag.encode() + b"*")[:1],
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if r < 0:
+            raise ValueError(f"{path}: traj_loading failed")
+        return counts[:int(r)]
+    finally:
+        lib.pqr_close(h)
+
+
+def traj_msd(path: str, mol_name: str = "*", flag: str = "M", box=None,
+             max_lag: int = 0):
+    """Native mean-square COM displacement vs frame lag with min-image
+    unwrapping; segments close when a molecule vanishes (GCMC).
+    Returns (msd [max_lag+1], counts [max_lag+1]); None if the library
+    is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    h = lib.pqr_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        err = lib.pqr_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        if max_lag <= 0:
+            max_lag = max(int(lib.pqr_n_frames(h)) - 1, 1)
+        msd = np.zeros(max_lag + 1, np.float64)
+        cnt = np.zeros(max_lag + 1, np.int64)
+        r = lib.traj_msd(
+            h, mol_name.encode(), (flag.encode() + b"*")[:1],
+            _cell_ptr(box), int(max_lag),
+            msd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+        if r < 0:
+            raise ValueError(f"{path}: no usable cell for MSD "
+                             "(pass box=)")
+        return msd, cnt
     finally:
         lib.pqr_close(h)

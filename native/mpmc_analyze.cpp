@@ -18,6 +18,7 @@
 // both TUs compile into libmpmc_io.so and share the in-memory model
 // via mpmc_common.h.
 
+#include <array>
 #include <cctype>
 #include <cmath>
 #include <cstring>
@@ -236,6 +237,137 @@ long traj_density(void* h, const char* mol_name, char flag_sel,
         }
         ++n_frames;
     }
+    return n_frames;
+}
+
+// Mass-weighted COM of one molecule's atoms, min-image unwrapped about
+// the first atom (centroid when massless) — the traj_density rule,
+// shared with traj_msd.
+static void mol_com(const Cell& cell, const std::vector<const Atom*>& atoms,
+                    double out[3]) {
+    const Atom* a0 = atoms[0];
+    double msum = 0.0, com[3] = {0, 0, 0};
+    for (const Atom* a : atoms) {
+        double d[3];
+        min_image(cell, a->x - a0->x, a->y - a0->y, a->z - a0->z, d);
+        double w = a->mass;
+        msum += w;
+        for (int k = 0; k < 3; ++k) com[k] += w * d[k];
+    }
+    if (msum <= 0.0) {
+        msum = static_cast<double>(atoms.size());
+        com[0] = com[1] = com[2] = 0.0;
+        for (const Atom* a : atoms) {
+            double d[3];
+            min_image(cell, a->x - a0->x, a->y - a0->y, a->z - a0->z, d);
+            for (int k = 0; k < 3; ++k) com[k] += d[k];
+        }
+    }
+    out[0] = a0->x + com[0] / msum;
+    out[1] = a0->y + com[1] / msum;
+    out[2] = a0->z + com[2] / msum;
+}
+
+// Per-frame selected-molecule counts (GCMC loading time series).
+// counts_out must hold pqr_n_frames(h) doubles.  Returns frames
+// processed; -2 on bad arguments.
+long traj_loading(void* h, const char* mol_name, char flag_sel,
+                  double* counts_out) {
+    auto* file = static_cast<File*>(h);
+    if (!file || !counts_out) return -2;
+    long n_frames = 0;
+    std::map<long, bool> seen;
+    for (const Frame& fr : file->frames) {
+        seen.clear();
+        for (const Atom& a : fr.atoms)
+            if (name_match(a.mol_name, mol_name)
+                && flag_match(a.flag, flag_sel))
+                seen[a.mol_id] = true;
+        counts_out[n_frames++] = static_cast<double>(seen.size());
+    }
+    return n_frames;
+}
+
+// Mean-square COM displacement vs frame lag.  Each molecule's COM is
+// unwrapped across frames by accumulating minimum-image increments
+// (valid while no molecule hops more than half a cell between frames);
+// a molecule absent from a frame closes its trajectory segment, and a
+// reappearance (GCMC re-insertion into the same slot id) starts a new
+// one, so exchange trajectories never alias.  All time origins within
+// each segment contribute: msd_out[t] = <|u(s+t) - u(s)|^2>,
+// cnt_out[t] = number of (segment, origin) samples at lag t (0 where
+// no segment is long enough).  Returns frames processed; -1 if any
+// frame lacks a usable cell, -2 on bad arguments.
+long traj_msd(void* h, const char* mol_name, char flag_sel,
+              const double* fallback_cell, long max_lag,
+              double* msd_out, long* cnt_out) {
+    auto* file = static_cast<File*>(h);
+    if (!file || max_lag <= 0 || !msd_out || !cnt_out) return -2;
+    using Vec3 = std::array<double, 3>;
+    std::vector<std::vector<Vec3>> segments;   // closed
+    struct Open { std::vector<Vec3> u; Vec3 last_wrapped; };
+    std::map<long, Open> open;
+    std::map<long, std::vector<const Atom*>> mols;
+    long n_frames = 0;
+    for (const Frame& fr : file->frames) {
+        Cell cell;
+        if (!frame_cell(fr, fallback_cell, &cell)) return -1;
+        mols.clear();
+        for (const Atom& a : fr.atoms)
+            if (name_match(a.mol_name, mol_name)
+                && flag_match(a.flag, flag_sel))
+                mols[a.mol_id].push_back(&a);
+        // close segments for molecules that vanished this frame
+        for (auto it = open.begin(); it != open.end();) {
+            if (mols.find(it->first) == mols.end()) {
+                segments.push_back(std::move(it->second.u));
+                it = open.erase(it);
+            } else {
+                ++it;
+            }
+        }
+        for (const auto& kv : mols) {
+            double c[3];
+            mol_com(cell, kv.second, c);
+            auto it = open.find(kv.first);
+            if (it == open.end()) {
+                Open o;
+                o.u = {{c[0], c[1], c[2]}};
+                o.last_wrapped = {c[0], c[1], c[2]};
+                open.emplace(kv.first, std::move(o));
+            } else {
+                Open& o = it->second;
+                double d[3];
+                min_image(cell, c[0] - o.last_wrapped[0],
+                          c[1] - o.last_wrapped[1],
+                          c[2] - o.last_wrapped[2], d);
+                const Vec3& prev = o.u.back();
+                o.u.push_back({prev[0] + d[0], prev[1] + d[1],
+                               prev[2] + d[2]});
+                o.last_wrapped = {c[0], c[1], c[2]};
+            }
+        }
+        ++n_frames;
+    }
+    for (auto& kv : open) segments.push_back(std::move(kv.second.u));
+    for (long t = 0; t <= max_lag; ++t) {
+        msd_out[t] = 0.0;
+        cnt_out[t] = 0;
+    }
+    for (const auto& seg : segments) {
+        const long L = static_cast<long>(seg.size());
+        for (long t = 1; t <= max_lag && t < L; ++t) {
+            for (long s = 0; s + t < L; ++s) {
+                double dx = seg[s + t][0] - seg[s][0];
+                double dy = seg[s + t][1] - seg[s][1];
+                double dz = seg[s + t][2] - seg[s][2];
+                msd_out[t] += dx * dx + dy * dy + dz * dz;
+                ++cnt_out[t];
+            }
+        }
+    }
+    for (long t = 1; t <= max_lag; ++t)
+        if (cnt_out[t] > 0) msd_out[t] /= static_cast<double>(cnt_out[t]);
     return n_frames;
 }
 

@@ -145,3 +145,86 @@ def test_cli_python_fallback_matches_native(tmp_path):
     r2, g2 = analyze.rdf(path, "AR", "AR", rmax=5.0, nbins=50,
                          use_native=False)
     np.testing.assert_allclose(g1, g2, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# MSD + loading
+# ---------------------------------------------------------------------------
+
+def _drift_traj(tmp_path, n_frames=6, v=(0.9, 0.0, 0.0)):
+    """One molecule drifting v per frame across the boundary (exercises
+    the min-image unwrapping), plus a GCMC-style molecule that vanishes
+    mid-trajectory and a different mol_id appearing afterwards."""
+    box = np.eye(3) * 5.0
+    v = np.asarray(v)
+    frames = []
+    for k in range(n_frames):
+        atoms = [_atom(1, "AR", "AR", 1, "M",
+                       (np.array([0.5, 2.5, 2.5]) + k * v) % 5.0)]
+        if k < 3:
+            atoms.append(_atom(2, "HE", "HE", 2, "M", [1.0, 1.0, 1.0]))
+        if k >= 4:
+            atoms.append(_atom(3, "HE", "HE", 3, "M", [4.0, 4.0, 4.0]))
+        frames.append(atoms)
+    path = tmp_path / "drift.pqr"
+    _write_traj(path, frames, box)
+    return str(path), box, frames
+
+
+def test_msd_drifting_particle_analytic(tmp_path):
+    """A particle moving v per frame (crossing the boundary) must give
+    msd[t] = |v t|^2 exactly — wrong unwrapping would fold it back."""
+    path, box, frames = _drift_traj(tmp_path)
+    m, c = analyze.msd(path, mol_name="AR", box=box)
+    for t in range(1, 6):
+        assert m[t] == pytest.approx((0.9 * t) ** 2, rel=1e-9), t
+        assert c[t] == 6 - t
+
+
+def test_msd_segments_close_on_disappearance(tmp_path):
+    """The vanishing HE (frames 0-2) and the late HE (frames 4-5) are
+    separate stationary segments: zero MSD, and lag counts only within
+    each segment (no cross-segment aliasing through the reused name)."""
+    path, box, frames = _drift_traj(tmp_path)
+    m, c = analyze.msd(path, mol_name="HE", box=box)
+    assert m[1] == pytest.approx(0.0, abs=1e-12)
+    assert c[1] == 2 + 1      # lags inside [0,1,2] and [4,5]
+    assert c[2] == 1
+    assert c[3] == 0
+
+
+def test_msd_native_matches_python(tmp_path):
+    path, box, frames = _triclinic_traj(tmp_path)
+    if not native.available():
+        pytest.skip("no native library")
+    mn, cn = native.traj_msd(path, "AR", "M", box=box)
+    mp, cp = analyze.msd_python(pqr.read_frames(path), "AR", "M",
+                                box=box)
+    np.testing.assert_allclose(mn, mp, rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(cn, cp)
+
+
+def test_loading_series(tmp_path):
+    path, box, frames = _drift_traj(tmp_path)
+    counts = analyze.loading(path, mol_name="HE")
+    np.testing.assert_allclose(counts, [1, 1, 1, 0, 1, 1])
+    if native.available():
+        cp = analyze.loading_python(pqr.read_frames(path), "HE", "M")
+        np.testing.assert_allclose(counts, cp)
+    # frozen sites excluded by the default flag
+    path2, box2, frames2 = _triclinic_traj(tmp_path)
+    np.testing.assert_allclose(analyze.loading(path2, mol_name="AR"),
+                               [40] * 4)
+
+
+def test_msd_cli(tmp_path, capsys):
+    path, box, frames = _drift_traj(tmp_path)
+    # box must come from CRYST records for the CLI: _write_traj wrote it
+    analyze.main(["msd", path, "--mol", "AR"])
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert lines[0] == "lag,msd,samples"
+    assert len(lines) == 6 + 1
+    analyze.main(["loading", path, "--mol", "HE"])
+    out = capsys.readouterr().out
+    assert out.strip().splitlines()[0] == "frame,n"
