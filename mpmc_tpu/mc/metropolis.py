@@ -1253,6 +1253,118 @@ def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
                             jax.default_backend() != "tpu")
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "A_list",
+                                    "rep_slots", "interpret"))
+def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
+                           species_idx, tmpl, cfg, n_steps, A_list,
+                           rep_slots, interpret):
+    """C-chain fused µVT chunk in ONE kernel launch
+    (ops/pallas/mc_kernel.run_steps_uvt_multi).  States are a stacked
+    pytree; box/params/thermo shared across chains (aggregate mode).
+    Per-chunk per-species constants are computed once from chain 0
+    (they depend only on the shared box, thermo, and the frozen
+    framework — never on sorbate positions)."""
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    C = states.pos.shape[0]
+    box = states.box[0]
+    rc = pairs.derived_cutoff(box, cfg)
+    alpha = pairs.derived_alpha(rc, cfg)
+    ks = jax.vmap(jax.random.split)(states.key)
+    key_next, k_u = ks[:, 0], ks[:, 1]
+    u = jax.vmap(lambda k: mc_kernel.draw_uniforms(k, n_steps,
+                                                   lanes=16))(k_u)
+    u = u.reshape(C * n_steps, 16)
+    thr = cfg.cavity_autoreject_absolute
+    d_self, d_excl, c1, cx, lnfv, kv, kcoef = _uvt_chunk_consts(
+        states.pos[0], box, params, thermo, cfg, A_list, rep_slots)
+    alive = states.mol_alive[:, params.mol_id] & params.atom_ok[None]
+    sk_re = states.sk_re if cfg.coulomb == "ewald" else None
+    sk_im = states.sk_im if cfg.coulomb == "ewald" else None
+    new_pos, slot_alive, sums, sk_re2, sk_im2 = (
+        mc_kernel.run_steps_uvt_multi(
+            states.pos, params.eps, params.sig, params.charge,
+            params.mass, alive, slot_start, species_idx,
+            states.mol_alive[:, slots], tmpl, box, rc, alpha,
+            1.0 / thermo.temperature, thermo.move_factor,
+            thermo.rot_factor, thr * thr, thermo.insert_probability,
+            lnfv, d_self, d_excl, c1, cx, u, cfg, n_steps,
+            states.pos.shape[1], A_list=A_list, interpret=interpret,
+            kvecs=kv, kcoef=kcoef, sk_re=sk_re, sk_im=sk_im,
+            mol_mass_atom=_fh_mol_mass_atom(params, cfg),
+            c6=params.c6, c8=params.c8, c10=params.c10,
+            gwp_alpha=params.gwp_alpha))
+    dtype = cfg.jdtype
+    d = sums.astype(dtype)
+    new_energy = dataclasses.replace(
+        states.energy,
+        rd=states.energy.rd + d[:, 0],
+        es_real=states.energy.es_real + d[:, 1],
+        es_recip=states.energy.es_recip + d[:, 2],
+        es_self=states.energy.es_self + d[:, 3],
+        es_excl=states.energy.es_excl + d[:, 4],
+        lrc=states.energy.lrc + d[:, 5])
+    att = (jnp.zeros((C, N_MOVE_TYPES), jnp.int32)
+           .at[:, DISPLACE].set(sums[:, 9].astype(jnp.int32))
+           .at[:, INSERT].set(sums[:, 10].astype(jnp.int32))
+           .at[:, DELETE].set(sums[:, 11].astype(jnp.int32)))
+    acc = (jnp.zeros((C, N_MOVE_TYPES), jnp.int32)
+           .at[:, DISPLACE].set(sums[:, 6].astype(jnp.int32))
+           .at[:, INSERT].set(sums[:, 7].astype(jnp.int32))
+           .at[:, DELETE].set(sums[:, 8].astype(jnp.int32)))
+    stats = MCStats(attempts=att, accepts=acc,
+                    polar_iters=jnp.zeros((C,), jnp.int32))
+    new_alive = states.mol_alive.at[:, slots].set(slot_alive)
+    new_states = states.replace(pos=new_pos, mol_alive=new_alive,
+                                energy=new_energy, key=key_next,
+                                step=states.step + n_steps)
+    if cfg.coulomb == "ewald":
+        new_states = new_states.replace(sk_re=sk_re2.astype(dtype),
+                                        sk_im=sk_im2.astype(dtype))
+    return new_states, stats
+
+
+def run_chunk_fused_uvt_multi(states: SimState, params: Params,
+                              cfg: RunConfig, thermo: Thermo,
+                              n_steps: int):
+    """K GCMC steps for C stacked chains in ONE Pallas launch — the
+    chain-interleaved aggregate path for the headline µVT workload.
+    Caller must have checked mc_kernel.supported_uvt_multi(cfg, params)
+    and C <= mc_kernel.MAX_MULTI_CHAINS; thermo is shared across chains
+    (PT µVT ladders use replica.run_parallel_tempering_fused)."""
+    import numpy as np
+
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    def build():
+        slots, slot_start, species_idx, A_list = mc_kernel.movable_slots(
+            params, cfg.insert_species)
+        A_max = max(A_list)
+        tmpl = np.zeros((len(A_list), A_max, 3), np.float32)
+        rep_slots = []
+        for s, si in enumerate(cfg.insert_species):
+            t = np.asarray(params.species_pos[si][:A_list[s]],
+                           np.float32)
+            tmpl[s, :A_list[s]] = t
+            tmpl[s, A_list[s]:] = t[:1]
+            own = slots[species_idx == s]
+            rep_slots.append((int(own[0]),
+                              int(own[1]) if len(own) >= 2 else -1))
+        return (jnp.asarray(slots), jnp.asarray(slot_start),
+                jnp.asarray(species_idx), jnp.asarray(tmpl), A_list,
+                tuple(rep_slots))
+
+    slots, slot_start, species_idx, tmpl, A_list, rep_slots = (
+        _fused_host_cached(
+            ("uvt", id(params.mol_start), cfg.insert_species),
+            (params.mol_start,), build))
+    return _fused_chunk_uvt_multi(states, params, thermo, slots,
+                                  slot_start, species_idx, tmpl, cfg,
+                                  n_steps, A_list, rep_slots,
+                                  jax.default_backend() != "tpu")
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def run_chunk(state: SimState, params: Params, cfg: RunConfig,
               thermo: Thermo, n_steps: int):

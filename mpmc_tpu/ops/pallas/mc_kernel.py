@@ -797,7 +797,7 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
 def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                 data_in_ref, sk_in_ref, data_ref, out_ref, sk_ref,
                 tbl_ref, *, cfg, n_steps, n_pad, n_real, A_list, nk_pad,
-                ms_pad, g3_pad):
+                ms_pad, g3_pad, n_chains=1):
     """Fused µVT (GCMC) step loop: displace | insert | delete per step.
 
     Differences from the NVT ``_kernel``: the movable-slot table carries
@@ -840,6 +840,9 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
     del tbl_in_ref, data_in_ref, sk_in_ref
     ew = cfg.coulomb == "ewald"
     cb = cfg.cavity_bias
+    # the open-cell grid is per-chain state (each chain's positions
+    # close different cells) — cavity bias requires n_chains == 1
+    assert n_chains == 1 or not cb
     fh = cfg.feynman_hibbs
     de = cfg.rd_potential == "disp_expansion"
     gw = cfg.coulomb == "gwp"
@@ -869,6 +872,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                for a in range(A)] for s in range(S)]
 
     R = n_pad // 128
+    nq = _n_rows(cfg)
     n_blk = n_pad // TJ
     Rk = nk_pad // 128
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -886,18 +890,22 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             out = jnp.where(spf == np.float32(s), table[s], out)
         return out
 
-    def step(k, carry):
+    def chain_step(cc, k, carry):
         (d_rd, d_es, d_rec, d_slf, d_exc, d_lrc,
          acc_d, acc_i, acc_x, att_d, att_i, att_x) = carry
+        co = cc * nq * R            # chain's data-plane row offset
+        cs = cc * 2 * Rk            # chain's S(k) row offset
+        ct = cc * 4                 # chain's slot-table row offset
+        uk = cc * n_steps + k       # chain's uniform-table row
         # --- move type + species + slot pick -----------------------------
-        u8 = u_ref[k, 8]
+        u8 = u_ref[uk, 8]
         is_ins = u8 < p_half
         is_del = (~is_ins) & (u8 < p_ins)
         is_disp = u8 >= p_ins
         fins = is_ins.astype(jnp.float32)
         fdel = is_del.astype(jnp.float32)
 
-        tb = tbl_ref[pl.dslice(0, 4), pl.dslice(0, ms_pad)]   # [4, ms]
+        tb = tbl_ref[pl.dslice(ct, 4), pl.dslice(0, ms_pad)]  # [4,ms]
         spec_v = tb[1:2]
         alive_v = tb[2:3]
         valid_v = tb[3:4]
@@ -911,7 +919,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             suf = np.float32(0.0)
         else:
             # species-first pick (uniform over S) for insert/delete
-            su = jnp.minimum((u_ref[k, 9] * np.float32(S)).astype(
+            su = jnp.minimum((u_ref[uk, 9] * np.float32(S)).astype(
                 jnp.int32), S - 1)
             suf = su.astype(jnp.float32)
             sel_sp = (spec_v == suf).astype(jnp.float32)      # [1, ms]
@@ -924,7 +932,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                            jnp.where(is_del, alive_v * sel_sp, alive_v))
             cnt = jnp.where(is_ins, free_s,
                             jnp.where(is_del, n_s, sum(n_vec)))
-        j = jnp.minimum(jnp.floor(u_ref[k, 0] * cnt), cnt - 1.0)
+        j = jnp.minimum(jnp.floor(u_ref[uk, 0] * cnt), cnt - 1.0)
         # inclusive prefix sum as [1,ms] @ upper-tri ones (MXU)
         ir = jax.lax.broadcasted_iota(jnp.int32, (ms_pad, ms_pad), 0)
         ic = jax.lax.broadcasted_iota(jnp.int32, (ms_pad, ms_pad), 1)
@@ -954,8 +962,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             jnp.minimum((start // TJ) * 8, jnp.int32(R - 16)), 8)
 
         def wload(q):
-            return data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
-                                      16), :]
+            return data_ref[pl.dslice(
+                pl.multiple_of(co + q * R + rw0, 8), 16), :]
 
         asel = [(sub16 == (start + a) // 128 - rw0)
                 & (lane16 == (start + a) % 128) for a in range(A)]
@@ -981,7 +989,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
         # --- trial rows: displace (translate+rotate) or insert (template
         # at uniform fractional COM + uniform Shoemake orientation,
         # mirroring mc/moves.place_rows) ----------------------------------
-        disp = [(2.0 * u_ref[k, 1 + c] - 1.0) * mf for c in range(3)]
+        disp = [(2.0 * u_ref[uk, 1 + c] - 1.0) * mf for c in range(3)]
         if cb:
             # cavity-biased insert COM: pick rank j among the n_open
             # open cells (lane 10), read the cell id off the [Rg,128]
@@ -989,7 +997,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             # (lanes 1-3) — mirrors moves.pick_random_true + cell_com
             g = np.float32(cfg.cavity_grid)
             Rg = g3_pad // 128
-            jc = jnp.minimum(jnp.floor(u_ref[k, 10] * cav_n),
+            jc = jnp.minimum(jnp.floor(u_ref[uk, 10] * cav_n),
                              cav_n - 1.0)
             ling = (jax.lax.broadcasted_iota(jnp.int32, (Rg, 128), 0)
                     * 128
@@ -1001,10 +1009,10 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             rem = cell - ci * g * g
             cj = jnp.floor(rem / g)
             ck = rem - cj * g
-            fr_ins = [(ci + u_ref[k, 1]) / g, (cj + u_ref[k, 2]) / g,
-                      (ck + u_ref[k, 3]) / g]
+            fr_ins = [(ci + u_ref[uk, 1]) / g, (cj + u_ref[uk, 2]) / g,
+                      (ck + u_ref[uk, 3]) / g]
         else:
-            fr_ins = [u_ref[k, 1], u_ref[k, 2], u_ref[k, 3]]
+            fr_ins = [u_ref[uk, 1], u_ref[uk, 2], u_ref[uk, 3]]
         com_new = [fr_ins[0] * box[0][c] + fr_ins[1] * box[1][c]
                    + fr_ins[2] * box[2][c] for c in range(3)]
         msum = None
@@ -1021,11 +1029,11 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             com = [sum(mass[a] * old[a][c] for a in range(A))
                    / jnp.maximum(msum, 1e-30) for c in range(3)]
             # displace rotation: uniform axis + uniform angle in [0,rotf)
-            az = 2.0 * u_ref[k, 5] - 1.0
-            aphi = two_pi * u_ref[k, 6]
+            az = 2.0 * u_ref[uk, 5] - 1.0
+            aphi = two_pi * u_ref[uk, 6]
             s = jnp.sqrt(jnp.maximum(1.0 - az * az, 0.0))
             ax, ay = s * jnp.cos(aphi), s * jnp.sin(aphi)
-            ang = u_ref[k, 7] * rotf
+            ang = u_ref[uk, 7] * rotf
             ca, sa = jnp.cos(ang), jnp.sin(ang)
             omc = 1.0 - ca
             Rd = [[ca + ax * ax * omc, ax * ay * omc - az * sa,
@@ -1036,9 +1044,9 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                    ca + az * az * omc]]
             # insert rotation: uniform quaternion (Shoemake) from the
             # same three lanes
-            sq1 = jnp.sqrt(jnp.maximum(1.0 - u_ref[k, 5], 0.0))
-            sq2 = jnp.sqrt(jnp.maximum(u_ref[k, 5], 0.0))
-            th1, th2 = two_pi * u_ref[k, 6], two_pi * u_ref[k, 7]
+            sq1 = jnp.sqrt(jnp.maximum(1.0 - u_ref[uk, 5], 0.0))
+            sq2 = jnp.sqrt(jnp.maximum(u_ref[uk, 5], 0.0))
+            th1, th2 = two_pi * u_ref[uk, 6], two_pi * u_ref[uk, 7]
             qx, qy = sq1 * jnp.sin(th1), sq1 * jnp.cos(th1)
             qz, qw = sq2 * jnp.sin(th2), sq2 * jnp.cos(th2)
             Ri = [[1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
@@ -1069,7 +1077,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
 
             def plane(q):
                 return data_ref[pl.dslice(
-                    pl.multiple_of(q * R + r0, 8), 8), :]
+                    pl.multiple_of(co + q * R + r0, 8), 8), :]
 
             px, py, pz = plane(ROW_X), plane(ROW_Y), plane(ROW_Z)
             eps_j, sig_j = plane(ROW_EPS), plane(ROW_SIG)
@@ -1144,7 +1152,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                                   - fo * jnp.cos(to))
                 dsi = dsi + qa * (fn * jnp.sin(tn)
                                   - fo * jnp.sin(to))
-            sx = sk_ref[pl.dslice(0, 2 * Rk), :]
+            sx = sk_ref[pl.dslice(cs, 2 * Rk), :]
             sr, si = sx[0:Rk], sx[Rk:2 * Rk]
             drec = jnp.sum(kc * ((2.0 * sr + dsr) * dsr
                                  + (2.0 * si + dsi) * dsi))
@@ -1182,7 +1190,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                                  & (mr2 < thr2)))
         if cb:
             reject = reject | (is_ins & (cav_n < 0.5))
-        accept = ((jnp.log(jnp.maximum(u_ref[k, 4], 1e-38))
+        accept = ((jnp.log(jnp.maximum(u_ref[uk, 4], 1e-38))
                    < lnb - beta * du) & ~reject)
 
         # unconditional blended stores (see the NVT kernel note)
@@ -1194,22 +1202,22 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                 sel = (asel[a] if uniform_A
                        else asel[a] & valid[a])
                 w = jnp.where(sel & ~is_del & accept, new[a][ci], w)
-            data_ref[pl.dslice(pl.multiple_of(q * R + rw0, 8),
+            data_ref[pl.dslice(pl.multiple_of(co + q * R + rw0, 8),
                                16), :] = w
         w = wal
         for a in range(A):
             sel = (asel[a] if uniform_A
                    else asel[a] & valid[a])
             w = jnp.where(sel & accept, alive_val, w)
-        data_ref[pl.dslice(pl.multiple_of(ROW_ALIVE * R + rw0, 8),
-                           16), :] = w
+        data_ref[pl.dslice(
+            pl.multiple_of(co + ROW_ALIVE * R + rw0, 8), 16), :] = w
         # slot-table alive flag (no-op for displace)
         row2 = jnp.where(sel_slot & accept, 1.0 - fdel, alive_v)
-        tbl_ref[pl.dslice(2, 1), pl.dslice(0, ms_pad)] = row2
+        tbl_ref[pl.dslice(ct + 2, 1), pl.dslice(0, ms_pad)] = row2
 
         if ew:
             accf = accept.astype(jnp.float32)
-            sk_ref[pl.dslice(0, 2 * Rk), :] = jnp.concatenate(
+            sk_ref[pl.dslice(cs, 2 * Rk), :] = jnp.concatenate(
                 [sr + accf * dsr, si + accf * dsi], axis=0)
 
         af = accept.astype(jnp.float32)
@@ -1220,10 +1228,17 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                 acc_d + af * fdsp, acc_i + af * fins, acc_x + af * fdel,
                 att_d + fdsp, att_i + fins, att_x + fdel)
 
+    def step(k, carry):
+        # all chains' steps per iteration (see the NVT _kernel note)
+        return tuple(chain_step(cc, k, carry[cc])
+                     for cc in range(n_chains))
+
     z = jnp.zeros((), jnp.float32)
-    outs = jax.lax.fori_loop(0, n_steps, step, (z,) * 12)
-    for i in range(12):
-        out_ref[0, i] = outs[i]
+    outs = jax.lax.fori_loop(0, n_steps, step,
+                             (((z,) * 12),) * n_chains)
+    for cc in range(n_chains):
+        for i in range(12):
+            out_ref[cc, i] = outs[cc][i]
 
 
 
@@ -1410,6 +1425,172 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
             out_sums[0, :12], out_sk2[0, :nk], out_sk2[1, :nk])
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "n_real", "A_list",
+                                    "interpret"))
+def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
+                        slot_species, slot_alive, tmpl, box, rc, alpha,
+                        beta, move_factor, rot_factor, thr2, p_ins, lnfv,
+                        d_self, d_excl, c1, cx, uniforms, cfg, n_steps,
+                        n_real, A_list, interpret=False, kvecs=None,
+                        kcoef=None, sk_re=None, sk_im=None,
+                        mol_mass_atom=None, c6=None, c8=None, c10=None,
+                        gwp_alpha=None):
+    """C chains x K fused µVT steps in ONE launch (chain-interleaved
+    _kernel_uvt).  Per-chain state: ``pos`` [C,N,3], ``alive`` [C,N],
+    ``slot_alive`` [C,Ms], ``sk_re``/``sk_im`` [C,Nk]; everything else
+    (params, box, thermo-derived scalars and per-species constants) is
+    shared — the aggregate-throughput contract (one T/fugacity; PT µVT
+    ladders use the per-replica launcher).  Cavity bias is not
+    supported (the open-cell grid is per-chain state).  Each chain's
+    trajectory is bit-equal to a run_steps_uvt call with its own
+    [K,16] uniform block (chain c's step k at row c*K + k).  Returns
+    (new_pos [C,N,3], new_slot_alive [C,Ms] bool, sums [C,12],
+    sk_re' [C,Nk], sk_im')."""
+    f32 = jnp.float32
+    C = pos.shape[0]
+    assert C <= MAX_MULTI_CHAINS and not cfg.cavity_bias
+    g3_pad = 128
+    cav = jnp.zeros((1, 128), f32)
+    n_pad = max(2 * TJ, _round_up(n_real, TJ))
+    R = n_pad // 128
+    ew = cfg.coulomb == "ewald"
+    S = len(A_list)
+    A = max(A_list)
+    if ew:
+        nk = kvecs.shape[0]
+        nk_pad = _round_up(nk, 128)
+
+        def padk(x):
+            x = jnp.asarray(x).astype(f32)
+            return jnp.pad(x, (0, nk_pad - x.shape[0]))
+
+        ktab = jnp.stack([padk(kvecs[:, 0]), padk(kvecs[:, 1]),
+                          padk(kvecs[:, 2]), padk(kcoef)])
+        sk = jnp.concatenate(
+            [jnp.stack([padk(sk_re[c]), padk(sk_im[c])])
+             for c in range(C)])
+    else:
+        nk = nk_pad = 128
+        ktab = jnp.zeros((4, nk_pad), f32)
+        sk = jnp.zeros((C * 2, nk_pad), f32)
+    Rk = nk_pad // 128
+    ktab = ktab.reshape(4 * Rk, 128)
+    sk = sk.reshape(C * 2 * Rk, 128)
+
+    def pad1(x, fill=0.0):
+        x = jnp.asarray(x).astype(f32)
+        return jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
+
+    nq = _n_rows(cfg)
+    base = jnp.zeros((nq, n_pad), f32)
+    base = base.at[ROW_EPS].set(pad1(eps))
+    base = base.at[ROW_SIG].set(pad1(sig))
+    base = base.at[ROW_Q].set(pad1(charge))
+    base = base.at[ROW_MASS].set(pad1(mass))
+    if cfg.feynman_hibbs:
+        base = base.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
+    if cfg.rd_potential == "disp_expansion":
+        base = base.at[ROW_C6].set(pad1(c6))
+        base = base.at[ROW_C8].set(pad1(c8))
+        base = base.at[ROW_C10].set(pad1(c10))
+    if cfg.coulomb == "gwp":
+        base = base.at[_row_gwp(cfg)].set(pad1(gwp_alpha))
+    datas = []
+    for c in range(C):
+        d = base.at[ROW_X, :n_real].set(pos[c, :, 0].astype(f32))
+        d = d.at[ROW_Y, :n_real].set(pos[c, :, 1].astype(f32))
+        d = d.at[ROW_Z, :n_real].set(pos[c, :, 2].astype(f32))
+        d = d.at[ROW_ALIVE].set(pad1(alive[c].astype(f32)))
+        datas.append(d.reshape(nq * R, 128))
+    data = jnp.concatenate(datas)
+
+    ms = slot_start.shape[0]
+    ms_pad = _round_up(max(ms, 1), 128)
+
+    def padm(x, fill=0.0):
+        x = jnp.asarray(x).astype(f32)
+        return jnp.pad(x, (0, ms_pad - x.shape[0]), constant_values=fill)
+
+    tbl = jnp.concatenate(
+        [jnp.stack([padm(slot_start),
+                    padm(slot_species, fill=-1.0),
+                    padm(slot_alive[c].astype(f32)),
+                    padm(jnp.ones((ms,), f32))]) for c in range(C)])
+
+    box32 = jnp.asarray(box, f32)
+    binv = jnp.linalg.inv(box32)
+    n_rows = 8 + 4 * S
+    scal = jnp.zeros((n_rows, 16), f32)
+    for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
+                           rot_factor, 0.5 * p_ins, p_ins, 1.0, 0.0)):
+        scal = scal.at[0, i].set(jnp.asarray(v, f32))
+    scal = scal.at[1, :9].set(box32.reshape(-1))
+    scal = scal.at[2, :9].set(binv.reshape(-1))
+    scal = scal.at[3, :S].set(jnp.asarray(A_list, f32))
+    scal = scal.at[4, :S].set(jnp.asarray(lnfv, f32).reshape(S))
+    scal = scal.at[5, :S].set(jnp.asarray(d_self, f32).reshape(S))
+    scal = scal.at[6, :S].set(jnp.asarray(d_excl, f32).reshape(S))
+    scal = scal.at[7, :S].set(jnp.asarray(c1, f32).reshape(S))
+    scal = scal.at[8:8 + S, :S].set(jnp.asarray(cx, f32).reshape(S, S))
+    tmpl32 = jnp.asarray(tmpl, f32).reshape(S, A, 3)
+    for s in range(S):
+        scal = scal.at[8 + S + 3 * s:8 + S + 3 * s + 3, :A].set(
+            tmpl32[s].T)
+
+    u = jnp.asarray(uniforms, f32)
+
+    out_data, out_sums, out_sk, out_tbl = pl.pallas_call(
+        functools.partial(_kernel_uvt, cfg=cfg, n_steps=n_steps,
+                          n_pad=n_pad, n_real=n_real, A_list=A_list,
+                          nk_pad=nk_pad, ms_pad=ms_pad, g3_pad=g3_pad,
+                          n_chains=C),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((n_rows, 16), lambda _: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(uniforms.shape, lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g3_pad // 128, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * 4, ms_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * nq * R, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * 2 * Rk, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((C * nq * R, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 16), lambda _: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((C * 2 * Rk, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * 4, ms_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C * nq * R, 128), f32),
+            jax.ShapeDtypeStruct((C, 16), f32),
+            jax.ShapeDtypeStruct((C * 2 * Rk, 128), f32),
+            jax.ShapeDtypeStruct((C * 4, ms_pad), f32),
+        ],
+        input_output_aliases={5: 0, 6: 2, 4: 3},
+        interpret=interpret,
+    )(scal, u, ktab, cav, tbl, data, sk)
+    planes = out_data.reshape(C, nq, n_pad)
+    new_pos = jnp.stack([planes[:, ROW_X, :n_real],
+                         planes[:, ROW_Y, :n_real],
+                         planes[:, ROW_Z, :n_real]], axis=2)
+    out_tbl2 = out_tbl.reshape(C, 4, ms_pad)
+    out_sk2 = out_sk.reshape(C, 2, nk_pad)
+    return (new_pos.astype(pos.dtype), out_tbl2[:, 2, :ms] > 0.5,
+            out_sums[:, :12], out_sk2[:, 0, :nk], out_sk2[:, 1, :nk])
+
+
 def draw_uniforms(key, n_steps, lanes=8):
     """[K, lanes] uniform table.  Lanes 0-7: 0 slot pick, 1-3
     displacement (µVT insert: fractional COM), 4 acceptance coin, 5-7
@@ -1517,6 +1698,14 @@ def supported_uvt(cfg, params) -> bool:
         if not (a == a[0]).all() or int(a[0]) > MAX_SITES:
             return False
     return True
+
+
+def supported_uvt_multi(cfg, params) -> bool:
+    """Static gate for the chain-interleaved multi-chain µVT path
+    (run_steps_uvt_multi): the fused µVT surface minus cavity bias
+    (the open-cell grid is per-chain state the shared layout does not
+    carry)."""
+    return supported_uvt(cfg, params) and not cfg.cavity_bias
 
 
 def movable_slots(params, insert_species=None):

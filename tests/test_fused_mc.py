@@ -1034,3 +1034,68 @@ def test_multi_chain_pt_ladder_betas():
                                       np.asarray(ref.pos))
     # hotter replicas accept at least as often on average (loose sanity)
     assert accs.sum() > 0
+
+
+@pytest.mark.parametrize("coulomb", ["wolf", "ewald"])
+def test_multi_chain_uvt_bit_equals_single_chain(coulomb):
+    """Each chain of a C=3 interleaved µVT launch must reproduce
+    BIT-EXACTLY the single-chain fused GCMC run with the same key —
+    positions, aliveness, per-term energies, stats, and committed
+    S(k)."""
+    from mpmc_tpu.parallel import multichain
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=8, ewald_kmax=3)
+    cfg = dataclasses.replace(cfg, coulomb=coulomb, fused_mc=True)
+    assert mc_kernel.supported_uvt_multi(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    C, K = 3, 120
+    states = multichain.stack_states(state, C, seed=6)
+    keys = np.asarray(states.key).copy()
+    out, stats = metropolis.run_chunk_fused_uvt_multi(states, params,
+                                                      cfg, thermo, K)
+    exch = 0
+    for c in range(C):
+        single = dataclasses.replace(state, key=jnp.asarray(keys[c]))
+        ref, rstats = metropolis.run_chunk_fused_uvt(single, params,
+                                                     cfg, thermo, K)
+        np.testing.assert_array_equal(np.asarray(out.pos)[c],
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(out.mol_alive)[c],
+                                      np.asarray(ref.mol_alive))
+        for term in ("rd", "es_real", "es_recip", "es_self", "es_excl",
+                     "lrc"):
+            assert float(getattr(out.energy, term)[c]) == float(
+                getattr(ref.energy, term)), (c, term)
+        np.testing.assert_array_equal(np.asarray(stats.attempts)[c],
+                                      np.asarray(rstats.attempts))
+        np.testing.assert_array_equal(np.asarray(stats.accepts)[c],
+                                      np.asarray(rstats.accepts))
+        if coulomb == "ewald":
+            np.testing.assert_array_equal(np.asarray(out.sk_re)[c],
+                                          np.asarray(ref.sk_re))
+        exch += int(np.asarray(rstats.accepts)[metropolis.INSERT]
+                    + np.asarray(rstats.accepts)[metropolis.DELETE])
+    assert exch > 0     # the comparison actually covered exchanges
+
+
+def test_multi_chain_uvt_multisorbate_gate_and_run():
+    from mpmc_tpu.parallel import multichain
+    params, state, cfg, thermo = systems.mof_h2_ch4_gcmc(
+        n_side=3, n_h2=2, n_ch4=2, capacity=4)
+    cfg = dataclasses.replace(cfg, coulomb="wolf", fused_mc=True)
+    assert mc_kernel.supported_uvt_multi(cfg, params)
+    assert not mc_kernel.supported_uvt_multi(
+        dataclasses.replace(cfg, cavity_bias=True), params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    states = multichain.stack_states(state, 2, seed=3)
+    keys = np.asarray(states.key).copy()
+    out, stats = metropolis.run_chunk_fused_uvt_multi(states, params,
+                                                      cfg, thermo, 150)
+    for c in range(2):
+        single = dataclasses.replace(state, key=jnp.asarray(keys[c]))
+        ref, _ = metropolis.run_chunk_fused_uvt(single, params, cfg,
+                                                thermo, 150)
+        np.testing.assert_array_equal(np.asarray(out.pos)[c],
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(out.mol_alive)[c],
+                                      np.asarray(ref.mol_alive))
