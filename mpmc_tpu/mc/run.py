@@ -552,13 +552,36 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
               "single-chain driver (chains 1)", file=writer.log)
     state = metropolis.initialize(su.state, params, cfg, thermo)
     states = multichain.stack_states(state, C, seed=cfg.seed)
+    use_fused = use_fused_uvt = False
+    if cfg.fused_mc:
+        from mpmc_tpu.ops.pallas import mc_kernel
+        if C <= mc_kernel.MAX_MULTI_CHAINS:
+            use_fused = mc_kernel.supported_multi(cfg, params)
+            use_fused_uvt = (not use_fused
+                             and mc_kernel.supported_uvt_multi(cfg,
+                                                               params))
+        if use_fused or use_fused_uvt:
+            print("fused_mc: chain-interleaved multi-chain kernel "
+                  f"(C={C})", file=writer.log)
+        else:
+            print("WARNING: fused_mc requested but unsupported for "
+                  f"chains={C} (needs C<=16 and the fused NVT/µVT "
+                  "surface minus quantum_rotation/cavity_bias) — "
+                  "batched scan path used", file=writer.log)
     avgs = Averages()
     corr = max(cfg.corrtime, 1)
     n_blocks = max(cfg.numsteps // corr, 1)
     t0 = time.time()
     for block in range(n_blocks):
-        states, stats = multichain.run_chunk_batched(states, params, cfg,
-                                                     thermo, corr)
+        if use_fused:
+            states, stats = metropolis.run_chunk_fused_multi(
+                states, params, cfg, thermo, corr)
+        elif use_fused_uvt:
+            states, stats = metropolis.run_chunk_fused_uvt_multi(
+                states, params, cfg, thermo, corr)
+        else:
+            states, stats = multichain.run_chunk_batched(
+                states, params, cfg, thermo, corr)
         states = multichain.initialize_batched(states, params, cfg, thermo)
         # per-chain observables -> cross-chain mean (+ _sem spread)
         per_chain = [observables(

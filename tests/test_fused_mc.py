@@ -1099,3 +1099,39 @@ def test_multi_chain_uvt_multisorbate_gate_and_run():
                                       np.asarray(ref.pos))
         np.testing.assert_array_equal(np.asarray(out.mol_alive)[c],
                                       np.asarray(ref.mol_alive))
+
+
+def test_run_dispatch_chains_uses_multi_kernel(tmp_path):
+    """CLI-level: ``chains N`` + ``fused_mc`` dispatches to the
+    chain-interleaved multi kernel (log line) and runs end-to-end."""
+    import io
+
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "ar.pqr"
+    lines = []
+    rng = np.random.default_rng(0)
+    for k in range(20):
+        x, y, z = rng.uniform(0.5, 11.5, 3)
+        lines.append(f"ATOM {k+1} Ar AR {k+1} M {x:.3f} {y:.3f} {z:.3f}"
+                     " 39.948 0.0 0.0 119.8 3.405")
+    pqr.write_text("\n".join(lines) + "\nEND\n")
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 200
+corrtime 100
+temperature 150
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+coulomb off
+chains 3
+fused_mc on
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    _, avgs = run_mod.run(job, log=log)
+    out = log.getvalue()
+    assert "chain-interleaved multi-chain kernel (C=3)" in out
+    assert "WARNING" not in out
+    assert avgs.count() == 2
