@@ -827,6 +827,19 @@ def _fused_chunk_nvt(state, params, thermo, mv_start, mv_natoms, cfg,
     else:
         rot_mov = spin_mov = None
         p_spin = 0.0
+    if cfg.ensemble == "nve":
+        # kinetic reservoir at chunk entry + Ray exponent (the scan
+        # path's nve branch in step(); e_frozen is part of the reported
+        # total the nve_energy option is given in)
+        u_off = (state.e_frozen.total if state.e_frozen is not None
+                 else jnp.zeros((), cfg.jdtype))
+        nve_k0 = thermo.nve_energy - (state.energy.total + u_off)
+        f_dof = jnp.sum(jnp.where(
+            _movable_mask(params, state.mol_alive), params.mol_dof,
+            0.0))
+        nve_g = 0.5 * f_dof - 1.0
+    else:
+        nve_k0 = nve_g = 0.0
     (new_pos, d_rd, d_es, d_rec, n_acc, sk_re, sk_im, spin_new, acc_sp,
      att_sp) = mc_kernel.run_steps(
         state.pos, params.eps, params.sig, params.charge, params.mass,
@@ -838,7 +851,7 @@ def _fused_chunk_nvt(state, params, thermo, mv_start, mv_natoms, cfg,
         rot_f=rot_mov, spin=spin_mov, p_spin=p_spin,
         mol_mass_atom=_fh_mol_mass_atom(params, cfg),
         c6=params.c6, c8=params.c8, c10=params.c10,
-        gwp_alpha=params.gwp_alpha)
+        gwp_alpha=params.gwp_alpha, nve_k0=nve_k0, nve_g=nve_g)
     dtype = cfg.jdtype
     new_energy = dataclasses.replace(
         state.energy,

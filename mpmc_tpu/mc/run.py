@@ -708,10 +708,11 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
                          and mc_kernel.supported_npt(cfg, params))
         if not (use_fused or use_fused_uvt or use_fused_npt):
             print("WARNING: fused_mc requested but unsupported for this "
-                  "configuration (needs rigid <=8-site NVT / "
-                  "frameworkless NPT or <=8-species µVT, lj/none RD, "
-                  "none/cutoff/wolf/ewald ES, f32) — scan path used",
-                  file=writer.log)
+                  "configuration (needs rigid <=8-site NVT/NVE / "
+                  "frameworkless NPT or <=8-species µVT, "
+                  "lj/none/disp_expansion RD, "
+                  "none/cutoff/wolf/ewald/gwp ES, f32) — scan path "
+                  "used", file=writer.log)
     for block in range(n_blocks):
         if use_fused:
             state, stats = metropolis.run_chunk_fused(state, params, cfg,

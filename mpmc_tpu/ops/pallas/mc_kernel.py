@@ -201,7 +201,8 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
     del data_in_ref, sk_in_ref, rot_in_ref
     ew = cfg.coulomb == "ewald"
     sf = cfg.quantum_rotation       # in-kernel spinflip moves
-    assert n_chains == 1 or not sf
+    nve = cfg.ensemble == "nve"     # Ray microcanonical acceptance
+    assert n_chains == 1 or not (sf or nve)
     rc = scal_ref[0, 0]
     alpha = scal_ref[0, 1]
     beta0 = scal_ref[0, 2]
@@ -210,6 +211,8 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
     thr2 = scal_ref[0, 5]           # autoreject r_min^2 (0 = off)
     rotf = scal_ref[0, 6]           # max rotation angle (rad)
     p_spin = scal_ref[0, 7]         # P(spinflip) (0 when sf off)
+    k_init = scal_ref[0, 8]         # NVE kinetic reservoir K at entry
+    g_nve = scal_ref[0, 9]          # NVE exponent F/2 - 1
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
     # per-chain inverse temperatures (scal row 3) — PT ladders batch
@@ -233,7 +236,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
 
     def chain_step(cc, k, carry):
-        d_rd, d_es, d_rec, n_acc, acc_sp, att_sp = carry
+        d_rd, d_es, d_rec, n_acc, acc_sp, att_sp, k_cur = carry
         co = cc * nq * R            # chain's data-plane row offset
         cs = cc * 2 * Rk            # chain's S(k) row offset
         beta = betas[cc]
@@ -443,8 +446,22 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
         reject_overlap = (thr2 > 0.0) & (mr2 < thr2)
         if sf:
             reject_overlap = reject_overlap & ~is_spin
-        accept = ((jnp.log(jnp.maximum(u_ref[uk, 4], 1e-38))
-                   < -beta * du) & ~reject_overlap)
+        if nve:
+            # Ray's microcanonical rule (mc/metropolis.step nve
+            # branch): P = min(1, (K_new/K_old)**(F/2-1)) with the
+            # kinetic reservoir K_new = K_old - dU > 0, carried across
+            # the chunk's steps and re-derived from the energy totals
+            # at every chunk entry
+            k_new = k_cur - du
+            ln_acc = g_nve * (jnp.log(jnp.maximum(k_new, 1e-30))
+                              - jnp.log(jnp.maximum(k_cur, 1e-30)))
+            accept = ((k_new > 0.0) & (k_cur > 0.0)
+                      & (jnp.log(jnp.maximum(u_ref[uk, 4], 1e-38))
+                         < ln_acc) & ~reject_overlap)
+            k_cur = jnp.where(accept, k_new, k_cur)
+        else:
+            accept = ((jnp.log(jnp.maximum(u_ref[uk, 4], 1e-38))
+                       < -beta * du) & ~reject_overlap)
         acc_pair = accept & ~is_spin if sf else accept
 
         # unconditional blended stores: storing the (possibly
@@ -476,7 +493,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
 
         af = acc_pair.astype(jnp.float32)
         return (d_rd + af * drd, d_es + af * des, d_rec + af * drec,
-                n_acc + af, acc_sp, att_sp)
+                n_acc + af, acc_sp, att_sp, k_cur)
 
     def step(k, carry):
         # all chains' steps per iteration — independent dataflow the
@@ -486,7 +503,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
 
     z = jnp.zeros((), jnp.float32)
     outs = jax.lax.fori_loop(0, n_steps, step,
-                             ((z,) * 6,) * n_chains)
+                             ((z, z, z, z, z, z, k_init),) * n_chains)
     for cc in range(n_chains):
         for i in range(6):
             out_ref[cc, i] = outs[cc][i]
@@ -501,7 +518,8 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
               uniforms, cfg, n_steps, n_real, a_max=1, interpret=False,
               kvecs=None, kcoef=None, sk_re=None, sk_im=None,
               rot_f=None, spin=None, p_spin=0.0, mol_mass_atom=None,
-              c6=None, c8=None, c10=None, gwp_alpha=None):
+              c6=None, c8=None, c10=None, gwp_alpha=None,
+              nve_k0=0.0, nve_g=0.0):
     """K fused translate+rotate (+spinflip) steps.  Returns (new_pos
     [N,3], d_rd, d_es, d_recip, n_accept_displace, sk_re', sk_im',
     spin' [Mv] f32, n_accept_spinflip, n_attempt_spinflip).
@@ -593,6 +611,8 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
     scal = scal.at[0, 5].set(jnp.asarray(thr2, f32))
     scal = scal.at[0, 6].set(jnp.asarray(rot_factor, f32))
     scal = scal.at[0, 7].set(jnp.asarray(p_spin, f32))
+    scal = scal.at[0, 8].set(jnp.asarray(nve_k0, f32))
+    scal = scal.at[0, 9].set(jnp.asarray(nve_g, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
 
@@ -1628,8 +1648,12 @@ def supported(cfg, params) -> bool:
     in-kernel against the per-corrtime rot_f table (requires every
     movable molecule to be a rotor, natoms >= 2, so displace and
     spinflip share one eligibility pool — the scan path's separate
-    natoms>=2 mask collapses to it)."""
-    if not (cfg.ensemble == "nvt" and _supported_physics(cfg)):
+    natoms>=2 mask collapses to it).  NVE (Ray microcanonical) runs on
+    the same kernel with the kinetic-reservoir acceptance and the
+    spinflip carve-out excluded (spinflip_active forbids it there)."""
+    if not (cfg.ensemble in ("nvt", "nve") and _supported_physics(cfg)):
+        return False
+    if cfg.ensemble == "nve" and cfg.quantum_rotation:
         return False
     # rigid molecules up to MAX_SITES atoms (no intra terms)
     natoms = np.asarray(params.mol_natoms)
@@ -1646,8 +1670,10 @@ def supported_multi(cfg, params) -> bool:
     """Static gate for the chain-interleaved multi-chain NVT path
     (run_steps_multi): the NVT kernel surface minus quantum_rotation
     (the spinflip rot table is per-chain state the shared-table layout
-    does not carry)."""
-    return supported(cfg, params) and not cfg.quantum_rotation
+    does not carry) and minus NVE (the kinetic reservoir is per-chain
+    state)."""
+    return (supported(cfg, params) and cfg.ensemble == "nvt"
+            and not cfg.quantum_rotation)
 
 
 def supported_npt(cfg, params) -> bool:

@@ -1135,3 +1135,104 @@ pqr_input {pqr}
     assert "chain-interleaved multi-chain kernel (C=3)" in out
     assert "WARNING" not in out
     assert avgs.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# NVE (Ray microcanonical) on the fused kernel
+# ---------------------------------------------------------------------------
+
+def _nve_fluid(n=48, k0_per_atom=180.0):
+    params, state, cfg, thermo = systems.lj_fluid(n=n, dtype="float32")
+    cfg = dataclasses.replace(cfg, ensemble="nve", fused_mc=True)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    e_total = float(state.energy.total) + k0_per_atom * n
+    thermo = thermo.replace(
+        nve_energy=jnp.asarray(e_total, cfg.jdtype))
+    return params, state, cfg, thermo
+
+
+def test_nve_gate():
+    params, state, cfg, thermo = _nve_fluid()
+    assert mc_kernel.supported(cfg, params)
+    assert not mc_kernel.supported_multi(cfg, params)
+    assert not mc_kernel.supported(
+        dataclasses.replace(cfg, quantum_rotation=True), params)
+
+
+def test_nve_matches_jnp_reference_trajectory():
+    """Bit-level NVE trajectory check against a numpy reference with
+    the kinetic-reservoir bookkeeping — wrong K carry, exponent, or
+    positivity guard would desynchronize the acceptances."""
+    params, state, cfg, thermo = _nve_fluid(n=32)
+    from mpmc_tpu.ops import pairs
+    rc = pairs.derived_cutoff(state.box, cfg)
+    n_steps = 150
+    key = jax.random.PRNGKey(11)
+    u = np.asarray(mc_kernel.draw_uniforms(key, n_steps))
+    mov, mova, a_max, _slots = mc_kernel.movable_mols(
+        params, np.asarray(state.mol_alive))
+    k0 = float(thermo.nve_energy) - float(state.energy.total)
+    g = 1.5 * 32 - 1.0
+    new_pos, d_rd, _, _, n_acc, _, _, _, _, _ = mc_kernel.run_steps(
+        state.pos, params.eps, params.sig, params.charge, params.mass,
+        state.atom_alive(params), mov, mova, state.box, rc, 0.0,
+        1.0 / float(thermo.temperature), float(thermo.move_factor), 0.0,
+        0.0, u, cfg, n_steps, state.pos.shape[0], a_max=a_max,
+        interpret=True, nve_k0=k0, nve_g=g)
+
+    pos = np.asarray(state.pos, np.float32).copy()
+    alive = np.asarray(state.atom_alive(params))
+    eps = np.asarray(params.eps, np.float32)
+    sig = np.asarray(params.sig, np.float32)
+    box = np.asarray(state.box, np.float32)
+    binv = np.linalg.inv(box)
+    mf = np.float32(thermo.move_factor)
+    rcf = np.float32(rc)
+    k_cur = np.float32(k0)
+    g32 = np.float32(g)
+    acc_n = 0
+    for k in range(n_steps):
+        m = min(int(u[k, 0] * len(mov)), len(mov) - 1)
+        i = int(mov[m])
+        old = pos[i].copy()
+        new = old + (2.0 * u[k, 1:4] - 1.0) * mf
+
+        def e_of(center):
+            d = center[None, :] - pos
+            fr = d @ binv
+            fr -= np.round(fr)
+            dr = fr @ box
+            r2 = np.sum(dr * dr, 1)
+            ok = alive & (np.arange(len(pos)) != i) & (r2 < rcf * rcf)
+            r2s = np.where(r2 > 1e-12, r2, 1.0)
+            s2 = (0.5 * (sig[i] + sig)) ** 2 / r2s
+            s6 = s2 ** 3
+            e = 4.0 * np.sqrt(eps[i]) * np.sqrt(eps) * s6 * (s6 - 1.0)
+            return np.sum(np.where(ok, e, 0.0))
+
+        du = np.float32(e_of(new) - e_of(old))
+        k_new = k_cur - du
+        ln_acc = g32 * (np.log(max(k_new, 1e-30))
+                        - np.log(max(k_cur, 1e-30)))
+        if (k_new > 0 and k_cur > 0
+                and np.log(max(u[k, 4], 1e-38)) < ln_acc):
+            pos[i] = new
+            k_cur = k_new
+            acc_n += 1
+    assert int(n_acc) == acc_n
+    assert float(np.abs(np.asarray(new_pos) - pos).max()) < 1e-4
+
+
+def test_nve_bookkeeping_and_reservoir_consistency():
+    """After a fused NVE chunk the delta-accumulated U must match a
+    recompute, so K = E_total - U stays exact by construction; and the
+    chain must move without exhausting the reservoir."""
+    params, state, cfg, thermo = _nve_fluid(n=48)
+    st, stats = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                           400)
+    assert 0 < int(stats.accepts[0]) < 400
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    assert float(st.energy.rd) == pytest.approx(
+        float(fresh.energy.rd), rel=2e-4, abs=2e-2)
+    k_end = float(thermo.nve_energy) - float(fresh.energy.total)
+    assert k_end > 0.0
