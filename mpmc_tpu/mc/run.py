@@ -489,6 +489,20 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     states = multichain.stack_states(state, R, seed=cfg.seed)
     thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
     rng = _np.random.default_rng(cfg.seed + 101)
+    use_fused_multi = False
+    if cfg.fused_mc:
+        from mpmc_tpu.ops.pallas import mc_kernel
+        # FH energies are T-dependent: a swap invalidates the
+        # accumulated totals, and the fused path has no per-swap
+        # refresh — scan path handles FH ladders
+        use_fused_multi = (R <= mc_kernel.MAX_MULTI_CHAINS
+                           and mc_kernel.supported_multi(cfg, params)
+                           and not cfg.feynman_hibbs)
+        if use_fused_multi:
+            print("fused_mc: chain-interleaved PT kernel "
+                  f"(R={R}, on-device swaps)", file=writer.log)
+    swap_keys = jax.random.split(jax.random.PRNGKey(cfg.seed + 101),
+                                 max(cfg.numsteps, 1))
     avgs = Averages()
     swap_acc, swap_att = 0, 0
     corr = max(cfg.corrtime, 1)
@@ -496,22 +510,43 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     n_blocks = max(cfg.numsteps // corr, 1)
     t0 = time.time()
     parity = 0
+    n_swaps = 0
     for block in range(n_blocks):
         for _ in range(max(corr // ptf, 1)):
-            states, stats = multichain.run_chunk_batched(
-                states, params, cfg, thermos, ptf, thermo_batched=True)
-            energies = np.asarray(states.energy.total)
-            temps, acc = replica.host_swap(temps, energies, parity, rng)
-            swap_acc += acc
+            if use_fused_multi:
+                states, stats = metropolis.run_chunk_fused_multi(
+                    states, params, cfg, thermos, ptf,
+                    thermo_batched=True)
+                new_ts, acc_d = replica.ladder_swap_batched(
+                    thermos.temperature, states.energy,
+                    swap_keys[n_swaps], parity)
+                thermos = dataclasses.replace(thermos,
+                                              temperature=new_ts)
+                swap_acc += int(np.asarray(acc_d))
+                n_swaps += 1
+            else:
+                states, stats = multichain.run_chunk_batched(
+                    states, params, cfg, thermos, ptf,
+                    thermo_batched=True)
+                energies = np.asarray(states.energy.total)
+                temps, acc = replica.host_swap(temps, energies, parity,
+                                               rng)
+                swap_acc += acc
+                thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
+                if cfg.feynman_hibbs:
+                    # FH energies are T-dependent: refresh caches after
+                    # a swap
+                    states = multichain.initialize_batched(
+                        states, params, cfg, thermos,
+                        thermo_batched=True)
             swap_att += max((R - parity) // 2, 0)
             parity ^= 1
-            thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
-            if cfg.feynman_hibbs:
-                # FH energies are T-dependent: refresh caches after a swap
-                states = multichain.initialize_batched(
-                    states, params, cfg, thermos, thermo_batched=True)
         states = multichain.initialize_batched(states, params, cfg,
                                                thermos, thermo_batched=True)
+        if use_fused_multi:
+            # swaps happened on device: one fetch per block keeps the
+            # host's ladder view (logging, base-replica pick) current
+            temps = np.asarray(thermos.temperature)
         # report the base-temperature replica (wherever T0 currently lives)
         k = int(np.argmin(temps))
         st0 = jax.tree_util.tree_map(lambda x: x[k], states)

@@ -288,6 +288,11 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
     Returns (states list, temps ndarray, total accepted swaps)."""
     from mpmc_tpu.ops.pallas import mc_kernel
 
+    if cfg.feynman_hibbs:
+        # FH pair energies are T-dependent: a temperature swap
+        # invalidates the accumulated totals and this driver has no
+        # per-swap refresh — use the scan-path PT (run.run_mc_pt)
+        raise ValueError("fused PT does not support feynman_hibbs")
     if mc_kernel.supported(cfg, params):
         runner = metropolis.run_chunk_fused
     elif mc_kernel.supported_uvt(cfg, params):
@@ -345,6 +350,9 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
     if not mc_kernel.supported_multi(cfg, params):
         raise ValueError("multi-chain fused PT needs "
                          "mc_kernel.supported_multi(cfg, params)")
+    if cfg.feynman_hibbs:
+        raise ValueError("fused PT does not support feynman_hibbs "
+                         "(T-dependent energies vs swapped ladders)")
     R = len(temps)
     if R > mc_kernel.MAX_MULTI_CHAINS:
         raise ValueError(f"R={R} exceeds MAX_MULTI_CHAINS="

@@ -390,3 +390,45 @@ def test_fused_pt_multi_chain():
     p0 = np.asarray(state.pos)
     for c in range(4):
         assert float(np.abs(np.asarray(states.pos)[c] - p0).max()) > 0.0
+
+
+def test_run_mc_pt_uses_fused_multi_kernel(tmp_path):
+    """CLI-level parallel_tempering + fused_mc dispatches to the
+    chain-interleaved PT kernel with on-device swaps, and the base
+    replica reports sane averages."""
+    import dataclasses
+    import io
+
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+
+    pqr = tmp_path / "ar.pqr"
+    lines = []
+    rng = np.random.default_rng(0)
+    for k in range(16):
+        x, y, z = rng.uniform(0.5, 11.5, 3)
+        lines.append(f"ATOM {k+1} Ar AR {k+1} M {x:.3f} {y:.3f} {z:.3f}"
+                     " 39.948 0.0 0.0 119.8 3.405")
+    pqr.write_text("\n".join(lines) + "\nEND\n")
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 200
+corrtime 100
+temperature 150
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+coulomb off
+parallel_tempering on
+n_replicas 4
+max_temperature 400
+ptemp_freq 50
+fused_mc on
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    avgs = run_mod.run(job, log=log)
+    out = log.getvalue()
+    assert "chain-interleaved PT kernel (R=4" in out
+    assert "swap acceptance:" in out
+    assert avgs.count() == 2
