@@ -511,6 +511,7 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     t0 = time.time()
     parity = 0
     n_swaps = 0
+    swap_acc_dev = None
     for block in range(n_blocks):
         for _ in range(max(corr // ptf, 1)):
             if use_fused_multi:
@@ -522,7 +523,11 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                     swap_keys[n_swaps], parity)
                 thermos = dataclasses.replace(thermos,
                                               temperature=new_ts)
-                swap_acc += int(np.asarray(acc_d))
+                # device-side accumulation: a per-swap int() would be a
+                # ~30 ms blocking D2H on the tunneled backend; the block
+                # boundary fetches it once below
+                swap_acc_dev = (acc_d if swap_acc_dev is None
+                                else swap_acc_dev + acc_d)
                 n_swaps += 1
             else:
                 states, stats = multichain.run_chunk_batched(
@@ -545,8 +550,11 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                                                thermos, thermo_batched=True)
         if use_fused_multi:
             # swaps happened on device: one fetch per block keeps the
-            # host's ladder view (logging, base-replica pick) current
+            # host's ladder view (logging, base-replica pick) and the
+            # swap-acceptance counter current
             temps = np.asarray(thermos.temperature)
+            if swap_acc_dev is not None:
+                swap_acc = int(np.asarray(swap_acc_dev))
         # report the base-temperature replica (wherever T0 currently lives)
         k = int(np.argmin(temps))
         st0 = jax.tree_util.tree_map(lambda x: x[k], states)
