@@ -501,13 +501,14 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         if use_fused_multi:
             print("fused_mc: chain-interleaved PT kernel "
                   f"(R={R}, on-device swaps)", file=writer.log)
-    swap_keys = jax.random.split(jax.random.PRNGKey(cfg.seed + 101),
-                                 max(cfg.numsteps, 1))
     avgs = Averages()
     swap_acc, swap_att = 0, 0
     corr = max(cfg.corrtime, 1)
     ptf = max(min(job.ptemp_freq, corr), 1)
     n_blocks = max(cfg.numsteps // corr, 1)
+    swap_keys = (jax.random.split(
+        jax.random.PRNGKey(cfg.seed + 101),
+        n_blocks * max(corr // ptf, 1)) if use_fused_multi else None)
     t0 = time.time()
     parity = 0
     n_swaps = 0

@@ -510,6 +510,59 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
     # non-ewald: sk_ref is aliased to its (dummy) input and stays as-is
 
 
+def _pack_ktab(kvecs, kcoef, cfg):
+    """Shared k-table packing for every wrapper: ((4*Rk,128) ktab
+    planes, nk, nk_pad, padk) — padk pads a [<=nk] vector to nk_pad
+    (None outside ewald; callers build their own S(k) stacks with
+    it so single- and multi-chain layouts stay bit-identical)."""
+    f32 = jnp.float32
+    if cfg.coulomb == "ewald":
+        nk = kvecs.shape[0]
+        nk_pad = _round_up(nk, 128)
+
+        def padk(x):
+            x = jnp.asarray(x).astype(f32)
+            return jnp.pad(x, (0, nk_pad - x.shape[0]))
+
+        ktab = jnp.stack([padk(kvecs[:, 0]), padk(kvecs[:, 1]),
+                          padk(kvecs[:, 2]), padk(kcoef)])
+    else:
+        nk = nk_pad = 128
+        padk = None
+        ktab = jnp.zeros((4, nk_pad), f32)
+    return ktab.reshape(4 * (nk_pad // 128), 128), nk, nk_pad, padk
+
+
+def _pack_param_planes(eps, sig, charge, mass, cfg, n_pad,
+                       mol_mass_atom=None, c6=None, c8=None, c10=None,
+                       gwp_alpha=None):
+    """Shared per-atom parameter planes for every wrapper: (nq,
+    [nq, n_pad] planes with the position/alive rows left zero, pad1).
+    One packer keeps the four run_steps* layouts bit-identical — the
+    multi==single bit-exactness tests depend on that."""
+    f32 = jnp.float32
+
+    def pad1(x, fill=0.0):
+        x = jnp.asarray(x).astype(f32)
+        return jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
+
+    nq = _n_rows(cfg)
+    base = jnp.zeros((nq, n_pad), f32)
+    base = base.at[ROW_EPS].set(pad1(eps))
+    base = base.at[ROW_SIG].set(pad1(sig))
+    base = base.at[ROW_Q].set(pad1(charge))
+    base = base.at[ROW_MASS].set(pad1(mass))
+    if cfg.feynman_hibbs:
+        base = base.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
+    if cfg.rd_potential == "disp_expansion":
+        base = base.at[ROW_C6].set(pad1(c6))
+        base = base.at[ROW_C8].set(pad1(c8))
+        base = base.at[ROW_C10].set(pad1(c10))
+    if cfg.coulomb == "gwp":
+        base = base.at[_row_gwp(cfg)].set(pad1(gwp_alpha))
+    return nq, base, pad1
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_steps", "n_real", "a_max",
                                     "interpret"))
@@ -541,47 +594,18 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
     n_pad = max(2 * TJ, _round_up(n_real, TJ))
     R = n_pad // 128
     ew = cfg.coulomb == "ewald"
-    if ew:
-        nk = kvecs.shape[0]
-        nk_pad = _round_up(nk, 128)
-
-        def padk(x):
-            x = jnp.asarray(x).astype(f32)
-            return jnp.pad(x, (0, nk_pad - x.shape[0]))
-
-        ktab = jnp.stack([padk(kvecs[:, 0]), padk(kvecs[:, 1]),
-                          padk(kvecs[:, 2]), padk(kcoef)])
-        sk = jnp.stack([padk(sk_re), padk(sk_im)])
-    else:
-        nk = nk_pad = 128
-        ktab = jnp.zeros((4, nk_pad), f32)
-        sk = jnp.zeros((2, nk_pad), f32)
+    ktab, nk, nk_pad, padk = _pack_ktab(kvecs, kcoef, cfg)
     Rk = nk_pad // 128
-    ktab = ktab.reshape(4 * Rk, 128)    # (Rk,128) plane per component
-    sk = sk.reshape(2 * Rk, 128)
+    sk = (jnp.stack([padk(sk_re), padk(sk_im)]) if ew
+          else jnp.zeros((2, nk_pad), f32)).reshape(2 * Rk, 128)
 
-    def pad1(x, fill=0.0):
-        x = jnp.asarray(x).astype(f32)
-        return jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
-
-    nq = _n_rows(cfg)
-    data = jnp.zeros((nq, n_pad), f32)
+    nq, data, pad1 = _pack_param_planes(
+        eps, sig, charge, mass, cfg, n_pad, mol_mass_atom=mol_mass_atom,
+        c6=c6, c8=c8, c10=c10, gwp_alpha=gwp_alpha)
     data = data.at[ROW_X, :n_real].set(pos[:, 0].astype(f32))
     data = data.at[ROW_Y, :n_real].set(pos[:, 1].astype(f32))
     data = data.at[ROW_Z, :n_real].set(pos[:, 2].astype(f32))
-    data = data.at[ROW_EPS].set(pad1(eps))
-    data = data.at[ROW_SIG].set(pad1(sig))
-    data = data.at[ROW_Q].set(pad1(charge))
     data = data.at[ROW_ALIVE].set(pad1(alive.astype(f32)))
-    data = data.at[ROW_MASS].set(pad1(mass))
-    if cfg.feynman_hibbs:
-        data = data.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
-    if cfg.rd_potential == "disp_expansion":
-        data = data.at[ROW_C6].set(pad1(c6))
-        data = data.at[ROW_C8].set(pad1(c8))
-        data = data.at[ROW_C10].set(pad1(c10))
-    if cfg.coulomb == "gwp":
-        data = data.at[_row_gwp(cfg)].set(pad1(gwp_alpha))
     # sublane-packed planes: quantity q rows [q*R,(q+1)*R), atom n at
     # (n//128, n%128) — see _kernel
     data = data.reshape(nq * R, 128)
@@ -698,46 +722,17 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
     n_pad = max(2 * TJ, _round_up(n_real, TJ))
     R = n_pad // 128
     ew = cfg.coulomb == "ewald"
-    if ew:
-        nk = kvecs.shape[0]
-        nk_pad = _round_up(nk, 128)
-
-        def padk(x):
-            x = jnp.asarray(x).astype(f32)
-            return jnp.pad(x, (0, nk_pad - x.shape[0]))
-
-        ktab = jnp.stack([padk(kvecs[:, 0]), padk(kvecs[:, 1]),
-                          padk(kvecs[:, 2]), padk(kcoef)])
-        sk = jnp.concatenate(
-            [jnp.stack([padk(sk_re[c]), padk(sk_im[c])])
-             for c in range(C)])                    # [C*2, nk_pad]
-    else:
-        nk = nk_pad = 128
-        ktab = jnp.zeros((4, nk_pad), f32)
-        sk = jnp.zeros((C * 2, nk_pad), f32)
+    ktab, nk, nk_pad, padk = _pack_ktab(kvecs, kcoef, cfg)
     Rk = nk_pad // 128
-    ktab = ktab.reshape(4 * Rk, 128)
-    sk = sk.reshape(C * 2 * Rk, 128)
+    sk = (jnp.concatenate([jnp.stack([padk(sk_re[c]), padk(sk_im[c])])
+                           for c in range(C)]) if ew
+          else jnp.zeros((C * 2, nk_pad), f32)).reshape(
+        C * 2 * Rk, 128)
 
-    def pad1(x, fill=0.0):
-        x = jnp.asarray(x).astype(f32)
-        return jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
-
-    nq = _n_rows(cfg)
-    base = jnp.zeros((nq, n_pad), f32)
-    base = base.at[ROW_EPS].set(pad1(eps))
-    base = base.at[ROW_SIG].set(pad1(sig))
-    base = base.at[ROW_Q].set(pad1(charge))
+    nq, base, pad1 = _pack_param_planes(
+        eps, sig, charge, mass, cfg, n_pad, mol_mass_atom=mol_mass_atom,
+        c6=c6, c8=c8, c10=c10, gwp_alpha=gwp_alpha)
     base = base.at[ROW_ALIVE].set(pad1(alive.astype(f32)))
-    base = base.at[ROW_MASS].set(pad1(mass))
-    if cfg.feynman_hibbs:
-        base = base.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
-    if cfg.rd_potential == "disp_expansion":
-        base = base.at[ROW_C6].set(pad1(c6))
-        base = base.at[ROW_C8].set(pad1(c8))
-        base = base.at[ROW_C10].set(pad1(c10))
-    if cfg.coulomb == "gwp":
-        base = base.at[_row_gwp(cfg)].set(pad1(gwp_alpha))
     datas = []
     for c in range(C):
         d = base.at[ROW_X, :n_real].set(pos[c, :, 0].astype(f32))
@@ -755,13 +750,16 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
+    betas32 = jnp.asarray(betas, f32).reshape(C)
     scal = jnp.zeros((4, 16), f32)
-    for i, v in enumerate((rc, alpha, 0.0, move_factor,
+    # slot 2 must carry chain 0's beta: the kernel's n_chains == 1 path
+    # reads THIS slot (a zero here would sample at beta = 0)
+    for i, v in enumerate((rc, alpha, betas32[0], move_factor,
                            mv.shape[0], thr2, rot_factor, 0.0)):
         scal = scal.at[0, i].set(jnp.asarray(v, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
-    scal = scal.at[3, :C].set(jnp.asarray(betas, f32).reshape(C))
+    scal = scal.at[3, :C].set(betas32)
 
     u = jnp.asarray(uniforms, f32)
 
@@ -1316,47 +1314,18 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     n_pad = max(2 * TJ, _round_up(n_real, TJ))
     R = n_pad // 128
     ew = cfg.coulomb == "ewald"
-    if ew:
-        nk = kvecs.shape[0]
-        nk_pad = _round_up(nk, 128)
-
-        def padk(x):
-            x = jnp.asarray(x).astype(f32)
-            return jnp.pad(x, (0, nk_pad - x.shape[0]))
-
-        ktab = jnp.stack([padk(kvecs[:, 0]), padk(kvecs[:, 1]),
-                          padk(kvecs[:, 2]), padk(kcoef)])
-        sk = jnp.stack([padk(sk_re), padk(sk_im)])
-    else:
-        nk = nk_pad = 128
-        ktab = jnp.zeros((4, nk_pad), f32)
-        sk = jnp.zeros((2, nk_pad), f32)
+    ktab, nk, nk_pad, padk = _pack_ktab(kvecs, kcoef, cfg)
     Rk = nk_pad // 128
-    ktab = ktab.reshape(4 * Rk, 128)    # (Rk,128) plane per component
-    sk = sk.reshape(2 * Rk, 128)
+    sk = (jnp.stack([padk(sk_re), padk(sk_im)]) if ew
+          else jnp.zeros((2, nk_pad), f32)).reshape(2 * Rk, 128)
 
-    def pad1(x, fill=0.0):
-        x = jnp.asarray(x).astype(f32)
-        return jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
-
-    nq = _n_rows(cfg)
-    data = jnp.zeros((nq, n_pad), f32)
+    nq, data, pad1 = _pack_param_planes(
+        eps, sig, charge, mass, cfg, n_pad, mol_mass_atom=mol_mass_atom,
+        c6=c6, c8=c8, c10=c10, gwp_alpha=gwp_alpha)
     data = data.at[ROW_X, :n_real].set(pos[:, 0].astype(f32))
     data = data.at[ROW_Y, :n_real].set(pos[:, 1].astype(f32))
     data = data.at[ROW_Z, :n_real].set(pos[:, 2].astype(f32))
-    data = data.at[ROW_EPS].set(pad1(eps))
-    data = data.at[ROW_SIG].set(pad1(sig))
-    data = data.at[ROW_Q].set(pad1(charge))
     data = data.at[ROW_ALIVE].set(pad1(alive.astype(f32)))
-    data = data.at[ROW_MASS].set(pad1(mass))
-    if cfg.feynman_hibbs:
-        data = data.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
-    if cfg.rd_potential == "disp_expansion":
-        data = data.at[ROW_C6].set(pad1(c6))
-        data = data.at[ROW_C8].set(pad1(c8))
-        data = data.at[ROW_C10].set(pad1(c10))
-    if cfg.coulomb == "gwp":
-        data = data.at[_row_gwp(cfg)].set(pad1(gwp_alpha))
     # sublane-packed planes: quantity q rows [q*R,(q+1)*R), atom n at
     # (n//128, n%128) — see _kernel
     data = data.reshape(nq * R, 128)
@@ -1477,45 +1446,16 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
     ew = cfg.coulomb == "ewald"
     S = len(A_list)
     A = max(A_list)
-    if ew:
-        nk = kvecs.shape[0]
-        nk_pad = _round_up(nk, 128)
-
-        def padk(x):
-            x = jnp.asarray(x).astype(f32)
-            return jnp.pad(x, (0, nk_pad - x.shape[0]))
-
-        ktab = jnp.stack([padk(kvecs[:, 0]), padk(kvecs[:, 1]),
-                          padk(kvecs[:, 2]), padk(kcoef)])
-        sk = jnp.concatenate(
-            [jnp.stack([padk(sk_re[c]), padk(sk_im[c])])
-             for c in range(C)])
-    else:
-        nk = nk_pad = 128
-        ktab = jnp.zeros((4, nk_pad), f32)
-        sk = jnp.zeros((C * 2, nk_pad), f32)
+    ktab, nk, nk_pad, padk = _pack_ktab(kvecs, kcoef, cfg)
     Rk = nk_pad // 128
-    ktab = ktab.reshape(4 * Rk, 128)
-    sk = sk.reshape(C * 2 * Rk, 128)
+    sk = (jnp.concatenate([jnp.stack([padk(sk_re[c]), padk(sk_im[c])])
+                           for c in range(C)]) if ew
+          else jnp.zeros((C * 2, nk_pad), f32)).reshape(
+        C * 2 * Rk, 128)
 
-    def pad1(x, fill=0.0):
-        x = jnp.asarray(x).astype(f32)
-        return jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
-
-    nq = _n_rows(cfg)
-    base = jnp.zeros((nq, n_pad), f32)
-    base = base.at[ROW_EPS].set(pad1(eps))
-    base = base.at[ROW_SIG].set(pad1(sig))
-    base = base.at[ROW_Q].set(pad1(charge))
-    base = base.at[ROW_MASS].set(pad1(mass))
-    if cfg.feynman_hibbs:
-        base = base.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
-    if cfg.rd_potential == "disp_expansion":
-        base = base.at[ROW_C6].set(pad1(c6))
-        base = base.at[ROW_C8].set(pad1(c8))
-        base = base.at[ROW_C10].set(pad1(c10))
-    if cfg.coulomb == "gwp":
-        base = base.at[_row_gwp(cfg)].set(pad1(gwp_alpha))
+    nq, base, pad1 = _pack_param_planes(
+        eps, sig, charge, mass, cfg, n_pad, mol_mass_atom=mol_mass_atom,
+        c6=c6, c8=c8, c10=c10, gwp_alpha=gwp_alpha)
     datas = []
     for c in range(C):
         d = base.at[ROW_X, :n_real].set(pos[c, :, 0].astype(f32))

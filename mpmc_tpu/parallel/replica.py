@@ -325,8 +325,11 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
         thermos = [dataclasses.replace(thermos[i], temperature=new_ts[i])
                    for i in range(R)]
         n_acc = n_acc + acc
-    final_temps = np.asarray(
-        [float(th.temperature) for th in thermos])
+    # ONE stacked fetch: per-replica float() would be R blocking D2H
+    # round-trips (~30 ms each on the tunneled backend) inside callers'
+    # timing windows
+    final_temps = np.asarray(jnp.stack([th.temperature
+                                        for th in thermos]))
     return states, final_temps, int(n_acc)
 
 
