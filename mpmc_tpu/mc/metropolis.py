@@ -768,11 +768,11 @@ def _fused_ktable(box, cfg, alpha):
 
 
 def _fh_mol_mass_atom(params, cfg):
-    """[N] molecule total mass per atom for the fused kernels' FH
-    reduced-mass term (None unless cfg.feynman_hibbs).  2-D row gather
-    — the 1-D form can stall this backend's compile service
+    """[N] molecule total mass per atom for the fused kernels' FH/FK
+    reduced-mass term (None unless a quantum correction is on).  2-D
+    row gather — the 1-D form can stall this backend's compile service
     (CLAUDE.md landmine)."""
-    if not cfg.feynman_hibbs:
+    if not (cfg.feynman_hibbs or cfg.feynman_kleinert):
         return None
     return params.mol_mass.reshape(-1, 1)[params.mol_id][:, 0]
 
@@ -1115,7 +1115,11 @@ def _uvt_chunk_consts(pos, box, params, thermo, cfg, A_list, rep_slots):
     volume = jnp.abs(jnp.linalg.det(box))
     zero = jnp.zeros((), cfg.jdtype)
     a_cap = params.mol_atoms.shape[1]
-    lrc_on = cfg.rd_potential == "lj" and cfg.rd_lrc
+    # same rd_potential surface as the scan path's b_insert/b_delete
+    # (lj + disp_expansion carry count-dependent tails; sg/dreiding/
+    # b14_7 have none — pairs.rd_tile_energy)
+    lrc_on = (cfg.rd_potential in ("lj", "disp_expansion")
+              and cfg.rd_lrc)
     frozen_atoms = params.mol_frozen[params.mol_id] & params.atom_ok
     d_self, d_excl, c1, lnfv, cx = [], [], [], [], []
     for s in range(S):

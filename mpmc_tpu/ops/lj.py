@@ -68,18 +68,25 @@ def feynman_hibbs(r, eps, sig, red_mass, temperature, order=2):
 
 
 def _ln_sinhc(x):
-    """ln(sinh x / x), stable for x in [0, inf)."""
+    """ln(sinh x / x), stable for x in [0, inf).
+
+    exp/log-only form (sinh x = e^x (1 - e^-2x) / 2) so the fused MC
+    kernels can inline it — Mosaic has exp/log primitives but no
+    sinh/tanh; the x >= 40 limit x - ln 2x falls out automatically
+    (e^-80 underflows to 0)."""
     small = x * x / 6.0 - x ** 4 / 180.0
-    mid = jnp.log(jnp.sinh(jnp.minimum(x, 40.0))
-                  / jnp.maximum(x, 1e-30))
-    large = x - jnp.log(2.0 * jnp.maximum(x, 1e-30))
-    return jnp.where(x < 1e-3, small, jnp.where(x < 40.0, mid, large))
+    big = (x - jnp.log(2.0 * jnp.maximum(x, 1e-30))
+           + jnp.log(jnp.maximum(1.0 - jnp.exp(-2.0 * x), 1e-30)))
+    return jnp.where(x < 1e-3, small, big)
 
 
 def _xcothx(x):
-    """x coth x, stable for x in [0, inf)."""
+    """x coth x, stable for x in [0, inf) — exp-only form
+    x (1 + e^-2x)/(1 - e^-2x) for the same Mosaic reason as
+    _ln_sinhc."""
+    e = jnp.exp(-2.0 * jnp.maximum(x, 1e-3))
     return jnp.where(x < 1e-3, 1.0 + x * x / 3.0,
-                     x / jnp.tanh(jnp.maximum(x, 1e-30)))
+                     x * (1.0 + e) / (1.0 - e))
 
 
 def feynman_kleinert_from_derivs(r, v1, v2, v3, v4, red_mass, temperature,

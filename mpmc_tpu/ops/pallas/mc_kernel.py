@@ -12,8 +12,11 @@ acceptance rule, and commits the position update in place.  One launch
 
 Scope (static gate ``supported``): ensemble nvt, rigid movable
 molecules of <= MAX_SITES atoms (monatomic LJ fluids through small
-rigid sorbates like 3-site H2), rd lj/none, coulomb
-none|cutoff|wolf|ewald, no FH/FK, no polarization/cdvdw, f32.  Under
+rigid sorbates like 3-site H2), rd lj/none/disp_expansion/sg/
+dreiding/b14_7 (the non-LJ forms via the scan path's shared
+ops/potentials.rd_pair_energy_generic), FH2/FH4 and Feynman-Kleinert
+on top of LJ, coulomb none|cutoff|wolf|ewald|gwp, no
+polarization/cdvdw/rd_crystal, f32.  Under
 ewald the cached structure factor S(k) lives in VMEM beside the atom
 table: each step adds the moved molecule's phase delta, scores
 dE_recip = sum_k c_k (|S+dS|^2-|S|^2), and commits dS on accept —
@@ -62,10 +65,16 @@ MAX_SITES = 8  # supported() cap on movable-molecule size
 ROW_C6, ROW_C8, ROW_C10 = 8, 9, 10
 
 
+def _needs_molmass(cfg) -> bool:
+    """FH and FK both need the molecule-mass plane for the per-pair
+    reduced mass."""
+    return cfg.feynman_hibbs or cfg.feynman_kleinert
+
+
 def _row_gwp(cfg) -> int:
     """Row index of the GWP width plane (valid only when cfg.coulomb ==
     'gwp'): appended after whichever optional planes are active."""
-    return (8 + (1 if cfg.feynman_hibbs else 0)
+    return (8 + (1 if _needs_molmass(cfg) else 0)
             + (3 if cfg.rd_potential == "disp_expansion" else 0))
 
 
@@ -124,7 +133,20 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
         s2 = (sig * sig) * (inv_r * inv_r)
         s6 = s2 * s2 * s2
         rd_u = 4.0 * eps * s6 * (s6 - 1.0)
-        if cfg.feynman_hibbs:
+        if cfg.feynman_kleinert:
+            # FK variational effective potential — the SAME shared
+            # fixed-point formula as the scan path (ops/pairs
+            # rd_tile_energy FK branch), with the molecule-pair reduced
+            # mass like FH below.  Elementwise (exp/log/tanh/where), so
+            # it lowers in Mosaic directly; FK takes precedence over FH
+            # when both flags are set, mirroring the scan path.
+            from mpmc_tpu.ops import lj as lj_ops
+            red = mm_i * mm_j / jnp.maximum(mm_i + mm_j, 1e-30)
+            r = r2s * inv_r
+            v1, v2, v3, v4 = lj_ops.derivatives(r, eps, sig)
+            rd_u = rd_u + lj_ops.feynman_kleinert_from_derivs(
+                r, v1, v2, v3, v4, red, 1.0 / beta)
+        elif cfg.feynman_hibbs:
             from mpmc_tpu.constants import HBAR2_KB_AMU_A2
             red = mm_i * mm_j / jnp.maximum(mm_i + mm_j, 1e-30)
             s12 = s6 * s6
@@ -144,15 +166,23 @@ def _pair_terms(dx, dy, dz, eps_j, sig_j, q_j, ok, eps_i, sig_i, q_i,
                 rd_u = rd_u + c4 * (15.0 * v1 * inv3 + 4.0 * v3 * inv_r
                                     + v4)
         rd = jnp.where(act, rd_u, 0.0)
-    elif cfg.rd_potential == "disp_expansion":
-        # Born-Mayer + TT-damped C6/C8/C10 — the SAME shared formula as
-        # the jnp tile pass (ops/potentials.rd_pair_energy_generic is
-        # gather-free and elementwise, so it lowers in Mosaic directly)
+    elif cfg.rd_potential in ("disp_expansion", "sg", "dreiding",
+                              "b14_7"):
+        # Born-Mayer + TT-damped C6/C8/C10, Silvera-Goldman, Dreiding
+        # exp-6 or buffered 14-7 — the SAME shared formula as the jnp
+        # tile pass (ops/potentials.rd_pair_energy_generic is
+        # gather-free and elementwise, so it lowers in Mosaic
+        # directly).  Only disp_expansion reads the C6/C8/C10 planes;
+        # the other three use eps/sig (sg: nothing), so zeros stand in
+        # for the absent dispersion-coefficient planes.
         from mpmc_tpu.ops import potentials
         r = r2s * inv_r
+        z = jnp.float32(0.0)
+        d_i = disp_i if disp_i is not None else (z, z, z)
+        d_j = disp_j if disp_j is not None else (z, z, z)
         rd_u = potentials.rd_pair_energy_generic(
-            r, eps_i, eps_j, sig_i, sig_j, disp_i[0], disp_j[0],
-            disp_i[1], disp_j[1], disp_i[2], disp_j[2], cfg)
+            r, eps_i, eps_j, sig_i, sig_j, d_i[0], d_j[0],
+            d_i[1], d_j[1], d_i[2], d_j[2], cfg)
         rd = jnp.where(act, rd_u, 0.0)
     es = jnp.zeros_like(r2)
     if cfg.coulomb != "none":
@@ -219,7 +249,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
     betas = ([scal_ref[3, c] for c in range(n_chains)]
              if n_chains > 1 else [beta0])
 
-    fh = cfg.feynman_hibbs
+    fh = _needs_molmass(cfg)
     de = cfg.rd_potential == "disp_expansion"
     gw = cfg.coulomb == "gwp"
     # Sublane-packed planes: each per-atom quantity q is an (R, 128)
@@ -552,7 +582,7 @@ def _pack_param_planes(eps, sig, charge, mass, cfg, n_pad,
     base = base.at[ROW_SIG].set(pad1(sig))
     base = base.at[ROW_Q].set(pad1(charge))
     base = base.at[ROW_MASS].set(pad1(mass))
-    if cfg.feynman_hibbs:
+    if _needs_molmass(cfg):
         base = base.at[ROW_MOLMASS].set(pad1(mol_mass_atom))
     if cfg.rd_potential == "disp_expansion":
         base = base.at[ROW_C6].set(pad1(c6))
@@ -861,7 +891,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
     # the open-cell grid is per-chain state (each chain's positions
     # close different cells) — cavity bias requires n_chains == 1
     assert n_chains == 1 or not cb
-    fh = cfg.feynman_hibbs
+    fh = _needs_molmass(cfg)
     de = cfg.rd_potential == "disp_expansion"
     gw = cfg.coulomb == "gwp"
     S = len(A_list)
@@ -1564,14 +1594,18 @@ def draw_uniforms(key, n_steps, lanes=8):
 
 def _supported_physics(cfg) -> bool:
     """Physics-surface gate shared by the NVT and µVT fused paths."""
-    return (cfg.rd_potential in ("lj", "none", "disp_expansion")
+    return (cfg.rd_potential in ("lj", "none", "disp_expansion",
+                                 "sg", "dreiding", "b14_7")
             and cfg.coulomb in ("none", "cutoff", "wolf",
                                 "ewald", "gwp")
             and cfg.mixing_rule in ("lb", "waldman_hagler")
             # feynman_hibbs IS allowed (in-kernel FH2/FH4 correction
-            # with the molecule-pair reduced mass); FK's per-pair
-            # fixed-point iteration stays scan-only
-            and not cfg.feynman_kleinert
+            # with the molecule-pair reduced mass), and so is
+            # feynman_kleinert (the unrolled fixed point is elementwise
+            # — _pair_terms calls the scan path's shared
+            # lj.feynman_kleinert_from_derivs); both are defined on top
+            # of the LJ derivatives only
+            and not (cfg.feynman_kleinert and cfg.rd_potential != "lj")
             and not (cfg.feynman_hibbs and cfg.rd_potential != "lj")
             and not cfg.polarization and not cfg.cdvdw
             and cfg.cdvdw_repulsion == "none"

@@ -39,8 +39,17 @@ _SG_RC = 8.32   # bohr — damping onset (1.28 * r_min)
 
 
 def sg_energy(r_ang):
-    """Silvera-Goldman H2-H2 potential, r in Angstrom, returns Kelvin."""
-    r = r_ang / BOHR_A
+    """Silvera-Goldman H2-H2 potential, r in Angstrom, returns Kelvin.
+
+    r is floored at 0.3 bohr (0.16 A): below it the dispersion sum
+    overflows f32 (C10/r^10 > 3.4e38 for r < 3.2e-4 bohr) while the
+    damping fc underflows to 0, and 0*inf = NaN would poison the fused
+    MC kernels' branch-free accumulators (ops/pallas/mc_kernel.py).
+    The floor turns that region into a constant ~1.1e6 K rejection
+    plateau — physically equivalent (deep core overlap is always
+    rejected) and identical in every path since the formula is
+    shared."""
+    r = jnp.maximum(r_ang, 0.3 * BOHR_A) / BOHR_A
     rep = jnp.exp(_SG_ALPHA - _SG_BETA * r - _SG_GAMMA * r * r)
     r2 = r * r
     r6 = r2 * r2 * r2

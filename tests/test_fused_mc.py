@@ -776,11 +776,39 @@ def test_fh_gate():
     params, state, cfg, thermo = _fluid(n=32)
     assert mc_kernel.supported(
         dataclasses.replace(cfg, feynman_hibbs=True), params)
-    assert not mc_kernel.supported(
+    assert mc_kernel.supported(
         dataclasses.replace(cfg, feynman_kleinert=True), params)
+    # both quantum corrections are defined on the LJ derivatives only
     assert not mc_kernel.supported(
         dataclasses.replace(cfg, feynman_hibbs=True,
                             rd_potential="none"), params)
+    assert not mc_kernel.supported(
+        dataclasses.replace(cfg, feynman_kleinert=True,
+                            rd_potential="none"), params)
+
+
+def test_fk_bookkeeping_matches_full_recompute():
+    """Fused NVT on 3-site H2 at 77 K with the Feynman-Kleinert
+    effective potential: the in-kernel unrolled fixed point is the
+    scan path's shared lj.feynman_kleinert_from_derivs, so the
+    accumulated deltas must match a recompute of the final
+    configuration."""
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=12, capacity=24, temperature=77.0)
+    cfg = dataclasses.replace(cfg, ensemble="nvt", coulomb="wolf",
+                              fused_mc=True, feynman_kleinert=True)
+    assert mc_kernel.supported(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    st, stats = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                           400)
+    assert 0 < int(stats.accepts[0]) < 400
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    assert float(st.energy.rd) == pytest.approx(
+        float(fresh.energy.rd), rel=2e-4, abs=5e-2)
+    # FK actually changes the energy scale vs plain LJ on this system
+    cfg0 = dataclasses.replace(cfg, feynman_kleinert=False)
+    base = metropolis.initialize(st, params, cfg0, thermo)
+    assert abs(float(base.energy.rd) - float(fresh.energy.rd)) > 1.0
 
 
 @pytest.mark.parametrize("order", [2, 4])
@@ -867,8 +895,10 @@ def test_dispexp_gate():
     # FH only defined on top of LJ
     assert not mc_kernel.supported(
         dataclasses.replace(cfg, feynman_hibbs=True), params)
-    assert not mc_kernel.supported(
-        dataclasses.replace(cfg, rd_potential="sg"), params)
+    # the other generic RD potentials share the fused surface
+    for rd in ("sg", "dreiding", "b14_7"):
+        assert mc_kernel.supported(
+            dataclasses.replace(cfg, rd_potential=rd), params), rd
 
 
 def test_dispexp_nvt_bookkeeping_matches_full_recompute():
@@ -896,9 +926,89 @@ def test_dispexp_uvt_bookkeeping_matches_full_recompute():
     acc = np.asarray(stats.accepts)
     assert acc[metropolis.INSERT] + acc[metropolis.DELETE] > 0
     fresh = metropolis.initialize(st, params, cfg, thermo)
-    for term in ("rd", "lrc", "es_real"):
+    for term in ("rd", "es_real"):
         assert float(getattr(st.energy, term)) == pytest.approx(
             float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+    # the count-dependent dispersion tail is small here — check it at
+    # its own scale (this caught _uvt_chunk_consts dropping the
+    # disp_expansion branch from lrc_on)
+    assert float(st.energy.lrc) != 0.0
+    assert float(st.energy.lrc) == pytest.approx(
+        float(fresh.energy.lrc), rel=1e-3, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Silvera-Goldman / Dreiding / buffered 14-7 in the fused kernels
+# ---------------------------------------------------------------------------
+
+def _altrd_h2(rd, ensemble="nvt", **sp_over):
+    """3-site H2 fluid on one of the alternative RD potentials (shared
+    ops/potentials.rd_pair_energy_generic path in the fused kernels).
+
+    coulomb='cutoff' on purpose: its 1/r formula is identical in both
+    paths, so the es term checks at accumulation noise and the rd
+    assertions isolate the RD surface under test.  (wolf/ewald mix the
+    kernel's A&S-7.1.26 erfc against the scan path's exact erfc — a
+    documented ~1.5e-7-absolute implementation mismatch that the SG
+    fluid's jammed contacts amplify past the usual tolerance.)"""
+    from mpmc_tpu.state import build_system
+    sp = systems.h2_bss3()
+    if sp_over:
+        sp = dataclasses.replace(
+            sp, **{k: np.asarray(v) for k, v in sp_over.items()})
+    cfg = RunConfig(ensemble=ensemble, rd_potential=rd,
+                    coulomb="cutoff", rd_lrc=False, dtype="float32",
+                    insert_species=(0,) if ensemble == "uvt" else (),
+                    fused_mc=True)
+    rng = np.random.default_rng(11)
+    coms = rng.uniform(2.0, 16.0, (12, 3))
+    params, state = build_system(
+        np.eye(3) * 18.0, species=(sp,), capacity=(16,),
+        initial_counts=(12,),
+        initial_pos={0: coms[:, None] + np.asarray(sp.pos)[None]},
+        dtype=cfg.jdtype, seed=3)
+    thermo = Thermo.make(temperature=80.0, fugacity=(30.0,),
+                         insert_probability=0.4, move_factor=0.5,
+                         rot_factor=1.0, n_species=1, dtype=cfg.jdtype)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    return params, state, cfg, thermo
+
+
+def _assert_bookkeeping(st, fresh, terms=("rd", "es_real")):
+    for term in terms:
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+
+
+@pytest.mark.parametrize("rd,over", [
+    ("sg", {}),
+    ("dreiding", {"eps": [34.2, 0.0, 0.0], "sig": [3.3, 0.0, 0.0]}),
+    ("b14_7", {"eps": [34.2, 0.0, 0.0], "sig": [3.3, 0.0, 0.0]}),
+])
+def test_altrd_nvt_bookkeeping_matches_full_recompute(rd, over):
+    """Fused NVT displace under sg/dreiding/b14_7: the in-kernel
+    generic RD formulas must track the scan-path recompute."""
+    params, state, cfg, thermo = _altrd_h2(rd, "nvt", **over)
+    assert mc_kernel.supported(cfg, params)
+    assert abs(float(state.energy.rd)) > 1e-3
+    st, stats = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                           400)
+    assert 0 < int(stats.accepts[0]) < 400
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    _assert_bookkeeping(st, fresh)
+
+
+def test_sg_uvt_bookkeeping_matches_full_recompute():
+    """Fused GCMC on Silvera-Goldman H2: insert/delete carry the
+    parameter-free SG pair energy (no LRC — pairs.rd_tile_energy)."""
+    params, state, cfg, thermo = _altrd_h2("sg", "uvt")
+    assert mc_kernel.supported_uvt(cfg, params)
+    st, stats = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                               thermo, 500)
+    acc = np.asarray(stats.accepts)
+    assert acc[metropolis.INSERT] + acc[metropolis.DELETE] > 0
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    _assert_bookkeeping(st, fresh)
 
 
 # ---------------------------------------------------------------------------
