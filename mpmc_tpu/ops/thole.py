@@ -531,30 +531,42 @@ def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None, r0=None):
         mu = jax.lax.fori_loop(0, cfg.polar_max_iter, jbody, mu)
         return mu, jnp.asarray(cfg.polar_max_iter), None
 
-    # --- conjugate gradient (default) --------------------------------------
+    # --- preconditioned conjugate gradient (default) ------------------------
+    # Jacobi preconditioner M = diag(A) = diag(1/alpha) exactly (T has
+    # zero self-blocks — dipole_tensor), i.e. z = alpha*r elementwise.
+    # Same fixed point and the SAME stopping criterion (unpreconditioned
+    # ||r||_rms <= polar_precision) as plain CG; it only re-scales the
+    # Krylov directions, which cuts iterations when site
+    # polarizabilities span a wide range (MOF frameworks).  One extra
+    # [N,3] multiply + reduction per iteration — noise next to the
+    # O(N'^2) matvec.
+    alpha_site = jnp.where(mask, params.polar[:, None], 0.0)
     x = jnp.where(mask, mu0, 0.0) if mu0 is not None else jnp.zeros_like(e0)
     r = jnp.where(mask, r0, 0.0) if r0 is not None else b - amul(x)
-    p = r
+    z = alpha_site * r
+    p = z
     rs = jnp.sum(r * r)
+    rz = jnp.sum(r * z)
 
     def cond(carry):
-        x, r, p, rs, it = carry
+        x, r, p, rs, rz, it = carry
         return (it < cfg.polar_max_iter) & (rs > tol2)
 
     def step(carry):
-        x, r, p, rs, it = carry
+        x, r, p, rs, rz, it = carry
         ap = amul(p)
         denom = jnp.sum(p * ap)
-        alpha = rs / jnp.where(jnp.abs(denom) > 1e-300, denom, 1e-300)
+        alpha = rz / jnp.where(jnp.abs(denom) > 1e-300, denom, 1e-300)
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = jnp.sum(r * r)
-        beta = rs_new / jnp.where(rs > 1e-300, rs, 1e-300)
-        p = r + beta * p
-        return x, r, p, rs_new, it + 1
+        z = alpha_site * r
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-300, rz, 1e-300)
+        p = z + beta * p
+        return x, r, p, jnp.sum(r * r), rz_new, it + 1
 
-    x, r, p, rs, it = jax.lax.while_loop(
-        cond, step, (x, r, p, rs, jnp.zeros((), jnp.int32)))
+    x, r, p, rs, rz, it = jax.lax.while_loop(
+        cond, step, (x, r, p, rs, rz, jnp.zeros((), jnp.int32)))
     return jnp.where(mask, x, 0.0), it, jnp.where(mask, r, 0.0)
 
 
