@@ -492,12 +492,13 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     use_fused_multi = False
     if cfg.fused_mc:
         from mpmc_tpu.ops.pallas import mc_kernel
-        # FH energies are T-dependent: a swap invalidates the
+        # FH/FK energies are T-dependent: a swap invalidates the
         # accumulated totals, and the fused path has no per-swap
-        # refresh — scan path handles FH ladders
+        # refresh — scan path handles FH/FK ladders
         use_fused_multi = (R <= mc_kernel.MAX_MULTI_CHAINS
                            and mc_kernel.supported_multi(cfg, params)
-                           and not cfg.feynman_hibbs)
+                           and not cfg.feynman_hibbs
+                           and not cfg.feynman_kleinert)
         if use_fused_multi:
             print("fused_mc: chain-interleaved PT kernel "
                   f"(R={R}, on-device swaps)", file=writer.log)
@@ -539,9 +540,9 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                                                rng)
                 swap_acc += acc
                 thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
-                if cfg.feynman_hibbs:
-                    # FH energies are T-dependent: refresh caches after
-                    # a swap
+                if cfg.feynman_hibbs or cfg.feynman_kleinert:
+                    # FH/FK energies are T-dependent: refresh caches
+                    # after a swap
                     states = multichain.initialize_batched(
                         states, params, cfg, thermos,
                         thermo_batched=True)

@@ -288,11 +288,12 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
     Returns (states list, temps ndarray, total accepted swaps)."""
     from mpmc_tpu.ops.pallas import mc_kernel
 
-    if cfg.feynman_hibbs:
-        # FH pair energies are T-dependent: a temperature swap
+    if cfg.feynman_hibbs or cfg.feynman_kleinert:
+        # FH/FK pair energies are T-dependent: a temperature swap
         # invalidates the accumulated totals and this driver has no
         # per-swap refresh — use the scan-path PT (run.run_mc_pt)
-        raise ValueError("fused PT does not support feynman_hibbs")
+        raise ValueError("fused PT does not support T-dependent "
+                         "pair energies (feynman_hibbs/kleinert)")
     if mc_kernel.supported(cfg, params):
         runner = metropolis.run_chunk_fused
     elif mc_kernel.supported_uvt(cfg, params):
@@ -353,9 +354,10 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
     if not mc_kernel.supported_multi(cfg, params):
         raise ValueError("multi-chain fused PT needs "
                          "mc_kernel.supported_multi(cfg, params)")
-    if cfg.feynman_hibbs:
-        raise ValueError("fused PT does not support feynman_hibbs "
-                         "(T-dependent energies vs swapped ladders)")
+    if cfg.feynman_hibbs or cfg.feynman_kleinert:
+        raise ValueError("fused PT does not support feynman_hibbs/"
+                         "kleinert (T-dependent energies vs swapped "
+                         "ladders)")
     R = len(temps)
     if R > mc_kernel.MAX_MULTI_CHAINS:
         raise ValueError(f"R={R} exceeds MAX_MULTI_CHAINS="

@@ -12,7 +12,7 @@ EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "examples")
 
 
-def _shrunk(path, tmp_path, steps=600, corr=200):
+def _shrunk(path, tmp_path, steps=600, corr=200, f64=True):
     text = open(path).read()
     out = []
     for line in text.splitlines():
@@ -27,7 +27,8 @@ def _shrunk(path, tmp_path, steps=600, corr=200):
                             "histogram_output", "checkpoint_output"):
             line = f"{t[0]} {tmp_path / os.path.basename(t[1])}"
         out.append(line)
-    out.append("precision float64")
+    if f64:
+        out.append("precision float64")
     return input_script.parse("\n".join(out))
 
 
@@ -37,6 +38,21 @@ def test_h2_sorption_deck(tmp_path):
     assert np.isfinite(avgs.mean("energy_total"))
     assert (tmp_path / "restart.pqr").exists()
     assert (tmp_path / "h2_density.dx").exists()
+
+
+def test_h2_quantum_fk_deck(tmp_path):
+    """The FK quantum deck runs AS SHIPPED (f32), which dispatches the
+    fused µVT kernel with the in-kernel FK correction."""
+    job = _shrunk(os.path.join(EXAMPLES, "h2_quantum_fk.inp"), tmp_path,
+                  f64=False)
+    assert job.cfg.feynman_kleinert and job.cfg.fused_mc
+    log = io.StringIO()
+    su, avgs = run_mod.run(job, log=log)
+    assert np.isfinite(avgs.mean("energy_total"))
+    # the fused gate accepted the deck (no fallback warning printed)
+    assert not any("unsupported" in ln
+                   for ln in log.getvalue().splitlines())
+    assert (tmp_path / "restart.pqr").exists()
 
 
 def test_co2_n2_separation_deck(tmp_path):

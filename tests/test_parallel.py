@@ -392,6 +392,28 @@ def test_fused_pt_multi_chain():
         assert float(np.abs(np.asarray(states.pos)[c] - p0).max()) > 0.0
 
 
+def test_fused_pt_rejects_t_dependent_energies():
+    """FH/FK pair energies are temperature-dependent: a ladder swap
+    invalidates the fused path's accumulated totals, so both fused PT
+    drivers must refuse (the scan-path PT refreshes caches per swap
+    instead — mc/run.py)."""
+    import dataclasses
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=8, ewald_kmax=3, dtype="float32")
+    for flag in ("feynman_hibbs", "feynman_kleinert"):
+        c = dataclasses.replace(cfg, ensemble="nvt", coulomb="wolf",
+                                fused_mc=True, **{flag: True})
+        with pytest.raises(ValueError, match="T-dependent|feynman"):
+            replica.run_parallel_tempering_fused(
+                params, state, c, thermo, [150.0] * 2, n_rounds=1,
+                steps_per_round=4)
+        with pytest.raises(ValueError, match="T-dependent|feynman"):
+            replica.run_parallel_tempering_fused_multi(
+                params, state, c, thermo, [150.0] * 2, n_rounds=1,
+                steps_per_round=4)
+
+
 def test_run_mc_pt_uses_fused_multi_kernel(tmp_path):
     """CLI-level parallel_tempering + fused_mc dispatches to the
     chain-interleaved PT kernel with on-device swaps, and the base
