@@ -185,6 +185,86 @@ def msd_python(frames, mol_name="*", flag="M", box=None, max_lag=0):
     return msd, cnt
 
 
+def widom_python(frames, eps, sig, temperature, frac_pos, box=None,
+                 rc=10.0):
+    """Reference Widom LJ test-particle insertion — the exact contract
+    of the native kernel (native/mpmc_analyze.cpp::traj_widom): a
+    single-site LJ ghost LB-mixed against each frame atom's eps/sig,
+    inserted at the given fractional points (reused every frame),
+    minimum-image within ``rc``.  Returns (mean exp(-bU),
+    mean U exp(-bU), n_frames), frames averaged evenly."""
+    beta = 1.0 / float(temperature)
+    fp = np.asarray(frac_pos, np.float64)
+    sum_e = sum_ue = 0.0
+    n_frames = 0
+    for frame in frames:
+        b = _frame_box(frame, box)
+        binv = np.linalg.inv(b)
+        sel = [a for a in frame.atoms if a.eps > 0.0]
+        p = fp @ b
+        if sel:
+            pa = np.stack([a.xyz for a in sel])
+            d = p[:, None, :] - pa[None, :, :]
+            fr = d @ binv
+            fr -= np.round(fr)
+            d = fr @ b
+            r2 = np.sum(d * d, -1)
+            ok = r2 < rc * rc
+            r2 = np.maximum(r2, 1e-12)
+            s = 0.5 * (sig + np.array([a.sig for a in sel]))[None, :]
+            e = np.sqrt(eps * np.array([a.eps for a in sel]))[None, :]
+            s6 = (s * s / r2) ** 3
+            u = np.sum(np.where(ok, 4.0 * e * s6 * (s6 - 1.0), 0.0), -1)
+        else:
+            u = np.zeros(len(fp))
+        w = np.exp(-beta * u)
+        sum_e += float(w.mean())
+        sum_ue += float((u * w).mean())
+        n_frames += 1
+    n = max(n_frames, 1)
+    return sum_e / n, sum_ue / n, n_frames
+
+
+def widom(path, eps, sig, temperature, n_try=2000, seed=0, box=None,
+          rc=10.0, use_native=True, frac_pos=None):
+    """Widom insertion over a trajectory — native when available.
+    Returns a dict with the dimensionless Henry factor
+    ``boltzmann`` = <exp(-U/kT)>, the excess chemical potential
+    ``mu_ex`` = -kT ln<exp(-U/kT)> [K], the infinite-dilution mean
+    adsorption energy ``u0`` = <U e>/<e> [K], the Henry coefficient
+    ``kh_mol_kg_atm`` (per framework mass), and ``n_frames``."""
+    out = None
+    if use_native and frac_pos is None:
+        out = native.traj_widom(path, eps, sig, temperature,
+                                n_try=n_try, seed=seed, box=box, rc=rc)
+    if out is None:
+        if frac_pos is None:
+            frac_pos = np.random.default_rng(seed).uniform(
+                0.0, 1.0, (int(n_try), 3))
+        out = widom_python(pqr.read_frames(path), eps, sig, temperature,
+                           frac_pos, box=box, rc=rc)
+    e_mean, ue_mean, n_frames = out
+    from mpmc_tpu.constants import ATM2K_A3
+    frames = pqr.read_frames(path)
+    fw_mass = (sum(a.mass for a in frames[0].atoms
+                   if _flag_ok(a.flag, "F"))
+               if frames else 0.0)
+    u0 = ue_mean / e_mean if e_mean > 0 else float("nan")
+    mu_ex = (-temperature * float(np.log(e_mean)) if e_mean > 0
+             else float("inf"))
+    kh = float("nan")
+    if frames and fw_mass > 0 and e_mean > 0:
+        b = _frame_box(frames[0], box)
+        vol = abs(np.linalg.det(b))
+        # Henry's law: <N> = (f/kT) V <exp(-bU)>, f in atm
+        # (ATM2K_A3: atm -> K/A^3).  K_H [mol / (kg_framework * atm)]
+        # = (<N>/f / N_A) / (m_frame[amu] / N_A / 1000) — Avogadro
+        # cancels: 1000 * ATM2K_A3 * V * <e> / (T * m_frame).
+        kh = 1e3 * ATM2K_A3 * vol * e_mean / (temperature * fw_mass)
+    return {"boltzmann": e_mean, "mu_ex": mu_ex, "u0": u0,
+            "kh_mol_kg_atm": kh, "n_frames": n_frames}
+
+
 def loading(path, mol_name="*", flag="M", use_native=True):
     """Per-frame selected-molecule counts — native when available."""
     counts = None
@@ -247,6 +327,15 @@ def density(path, mol_name="*", flag="M", resolution=0.7, box=None,
 
 
 def main(argv=None):
+    # host-side analysis never needs an accelerator, and the PQR cell
+    # conversion touches jnp — pin the CPU backend so the CLI works on
+    # login nodes / with the TPU tunnel down (env vars alone don't
+    # switch backends once the axon plugin is registered)
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass   # already initialized (in-process callers, tests)
     ap = argparse.ArgumentParser(
         prog="python -m mpmc_tpu.analyze",
         description="PQR trajectory analysis (RDF, COM density grids)")
@@ -279,7 +368,18 @@ def main(argv=None):
     pl.add_argument("--mol", default="*", help="molecule name selection")
     pl.add_argument("--flag", default="M", choices=["*", "M", "F"])
     pl.add_argument("--out", default="-", help="CSV path (default stdout)")
-    for p in (pr, pd, pm, pl):
+    pw = sub.add_parser("widom", help="Widom LJ test-particle insertion")
+    pw.add_argument("traj")
+    pw.add_argument("--eps", type=float, required=True,
+                    help="test-particle LJ epsilon (K)")
+    pw.add_argument("--sig", type=float, required=True,
+                    help="test-particle LJ sigma (A)")
+    pw.add_argument("--temperature", "-T", type=float, required=True)
+    pw.add_argument("--tries", type=int, default=2000,
+                    help="insertions per frame")
+    pw.add_argument("--seed", type=int, default=0)
+    pw.add_argument("--rc", type=float, default=10.0, help="cutoff (A)")
+    for p in (pr, pd, pm, pl, pw):
         p.add_argument("--no-native", action="store_true",
                        help="force the numpy reference implementation")
     args = ap.parse_args(argv)
@@ -311,6 +411,15 @@ def main(argv=None):
                          use_native=not args.no_native)
         write_csv(args.out, "frame,n",
                   ((i, f"{v:g}") for i, v in enumerate(counts)))
+    elif args.cmd == "widom":
+        res = widom(args.traj, args.eps, args.sig, args.temperature,
+                    n_try=args.tries, seed=args.seed, rc=args.rc,
+                    use_native=not args.no_native)
+        print(f"frames:            {res['n_frames']}")
+        print(f"<exp(-U/kT)>:      {res['boltzmann']:.6e}")
+        print(f"mu_excess (K):     {res['mu_ex']:.4f}")
+        print(f"<U>_0 (K):         {res['u0']:.4f}")
+        print(f"K_H (mol/kg/atm):  {res['kh_mol_kg_atm']:.6e}")
     else:
         grid, dims, box = density(args.traj, args.mol, args.flag,
                                   resolution=args.resolution,

@@ -105,6 +105,12 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char,
         ctypes.POINTER(ctypes.c_double), ctypes.c_long,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long)]
+    lib.traj_widom.restype = ctypes.c_long
+    lib.traj_widom.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_long, ctypes.c_ulonglong,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return _lib
 
@@ -383,5 +389,45 @@ def traj_msd(path: str, mol_name: str = "*", flag: str = "M", box=None,
             raise ValueError(f"{path}: no usable cell for MSD "
                              "(pass box=)")
         return msd, cnt
+    finally:
+        lib.pqr_close(h)
+
+
+def traj_widom(path: str, eps: float, sig: float, temperature: float,
+               n_try: int = 1000, seed: int = 0, frac_pos=None,
+               box=None, rc: float = 10.0):
+    """Native Widom LJ test-particle insertion over every frame.
+    Returns (mean exp(-bU), mean U exp(-bU), n_frames); None if the
+    library is unavailable.  ``frac_pos`` [n_try,3] fixes the fractional
+    insertion points (reused every frame — the cross-validation path);
+    None draws fresh ones per frame from ``seed``."""
+    lib = load()
+    if lib is None:
+        return None
+    h = lib.pqr_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        err = lib.pqr_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        fp = None
+        if frac_pos is not None:
+            fp = np.ascontiguousarray(frac_pos, np.float64)
+            if fp.shape != (int(n_try), 3):
+                raise ValueError("frac_pos must be [n_try, 3]")
+            fp = fp.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        out = np.zeros(2, np.float64)
+        r = lib.traj_widom(
+            h, float(eps), float(sig), 1.0 / float(temperature),
+            int(n_try), int(seed) & (2**64 - 1), fp, _cell_ptr(box),
+            float(rc),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if r == -1:
+            raise ValueError(f"{path}: no usable cell for Widom "
+                             "(pass box=)")
+        if r < 0:
+            raise ValueError(f"{path}: traj_widom failed")
+        return float(out[0]), float(out[1]), int(r)
     finally:
         lib.pqr_close(h)

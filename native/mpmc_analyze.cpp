@@ -23,6 +23,7 @@
 #include <cmath>
 #include <cstring>
 #include <map>
+#include <random>
 #include <string>
 #include <vector>
 
@@ -368,6 +369,80 @@ long traj_msd(void* h, const char* mol_name, char flag_sel,
     }
     for (long t = 1; t <= max_lag; ++t)
         if (cnt_out[t] > 0) msd_out[t] /= static_cast<double>(cnt_out[t]);
+    return n_frames;
+}
+
+// Widom test-particle insertion over every frame (beyond-reference
+// extension — the framework's run-time Henry behavior is validated by
+// tests/test_henry.py; this is the post-hoc trajectory analogue).  A
+// single-site LJ ghost (eps_t [K], sig_t [A], Lorentz-Berthelot mixed
+// against each frame atom's eps/sig columns) is inserted at n_try
+// positions per frame; U is the minimum-image LJ energy within rc.
+//
+//   out[0] = <exp(-beta U)>        (per-frame mean, frames averaged
+//                                   evenly — canonical-frame Widom)
+//   out[1] = <U exp(-beta U)>      (same averaging; the caller forms
+//                                   the infinite-dilution adsorption
+//                                   energy <U>_0 = out[1]/out[0] and
+//                                   mu_ex = -ln(out[0])/beta)
+//
+// frac_pos: optional [n_try*3] fractional insertion coordinates reused
+// for every frame (the cross-validation tests feed the same points to
+// the numpy reference); NULL draws n_try fresh uniform points per frame
+// from a splitmix-seeded mt19937_64.  Returns frames processed; -1 if
+// any frame lacks a usable cell, -2 on bad arguments.
+long traj_widom(void* h, double eps_t, double sig_t, double beta,
+                long n_try, unsigned long long seed,
+                const double* frac_pos, const double* fallback_cell,
+                double rc, double* out) {
+    auto* file = static_cast<File*>(h);
+    if (!file || n_try <= 0 || !out || rc <= 0 || beta <= 0) return -2;
+    std::mt19937_64 rng(seed);
+    std::uniform_real_distribution<double> uni(0.0, 1.0);
+    const double rc2 = rc * rc;
+    double sum_e = 0.0, sum_ue = 0.0;
+    long n_frames = 0;
+    for (const Frame& fr : file->frames) {
+        Cell cell;
+        if (!frame_cell(fr, fallback_cell, &cell)) return -1;
+        double fe = 0.0, fue = 0.0;
+        for (long t = 0; t < n_try; ++t) {
+            double f[3];
+            if (frac_pos) {
+                f[0] = frac_pos[3 * t];
+                f[1] = frac_pos[3 * t + 1];
+                f[2] = frac_pos[3 * t + 2];
+            } else {
+                f[0] = uni(rng);
+                f[1] = uni(rng);
+                f[2] = uni(rng);
+            }
+            double p[3];
+            for (int k = 0; k < 3; ++k)
+                p[k] = f[0] * cell.b[0][k] + f[1] * cell.b[1][k]
+                     + f[2] * cell.b[2][k];
+            double u = 0.0;
+            for (const Atom& a : fr.atoms) {
+                if (a.eps <= 0.0) continue;
+                double d[3];
+                min_image(cell, p[0] - a.x, p[1] - a.y, p[2] - a.z, d);
+                double r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2];
+                if (r2 >= rc2) continue;
+                double sig = 0.5 * (sig_t + a.sig);
+                double s2 = sig * sig / (r2 > 1e-12 ? r2 : 1e-12);
+                double s6 = s2 * s2 * s2;
+                u += 4.0 * std::sqrt(eps_t * a.eps) * s6 * (s6 - 1.0);
+            }
+            double e = std::exp(-beta * u);
+            fe += e;
+            fue += u * e;
+        }
+        sum_e += fe / static_cast<double>(n_try);
+        sum_ue += fue / static_cast<double>(n_try);
+        ++n_frames;
+    }
+    out[0] = n_frames > 0 ? sum_e / static_cast<double>(n_frames) : 0.0;
+    out[1] = n_frames > 0 ? sum_ue / static_cast<double>(n_frames) : 0.0;
     return n_frames;
 }
 

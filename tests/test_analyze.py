@@ -228,3 +228,48 @@ def test_msd_cli(tmp_path, capsys):
     analyze.main(["loading", path, "--mol", "HE"])
     out = capsys.readouterr().out
     assert out.strip().splitlines()[0] == "frame,n"
+
+
+@needs_native
+def test_widom_native_matches_python(tmp_path):
+    """Same fractional insertion points -> the native Widom kernel and
+    the numpy reference must agree to rounding."""
+    path, box, frames = _triclinic_traj(tmp_path)
+    fp = np.random.default_rng(5).uniform(0, 1, (64, 3))
+    en, uen, nf = native.traj_widom(path, eps=30.0, sig=3.1,
+                                    temperature=120.0, n_try=64,
+                                    frac_pos=fp, rc=5.5)
+    ep, uep, npf = analyze.widom_python(pqr.read_frames(path), 30.0,
+                                        3.1, 120.0, fp, rc=5.5)
+    assert nf == npf == len(frames)
+    assert en == pytest.approx(ep, rel=1e-12)
+    assert uen == pytest.approx(uep, rel=1e-12)
+    assert 0.0 < en < 1.5 and uen != 0.0
+
+
+def test_widom_empty_framework_is_ideal(tmp_path):
+    """No LJ sites (eps=0 everywhere): every insertion has U=0, so
+    <exp(-bU)> = 1 and <U e> = 0 in both implementations."""
+    box = np.eye(3) * 12.0
+    atoms = [pqr.PqrAtom(serial=1, name="X", mol_name="MOF", mol_id=1,
+                         flag="F", xyz=np.array([6.0, 6.0, 6.0]),
+                         mass=10.0, charge=0.0, polar=0.0, eps=0.0,
+                         sig=0.0)]
+    path = tmp_path / "empty.pqr"
+    _write_traj(path, [atoms], box)
+    res = analyze.widom(str(path), eps=30.0, sig=3.0, temperature=100.0,
+                        n_try=16, use_native=native.available())
+    assert res["boltzmann"] == pytest.approx(1.0)
+    assert res["u0"] == pytest.approx(0.0, abs=1e-12)
+    # Henry coefficient reduces to the ideal-gas value V/(kT m)
+    from mpmc_tpu.constants import ATM2K_A3
+    kh_ideal = 1e3 * ATM2K_A3 * 12.0**3 / (100.0 * 10.0)
+    assert res["kh_mol_kg_atm"] == pytest.approx(kh_ideal, rel=1e-12)
+
+
+def test_widom_cli(tmp_path, capsys):
+    path, box, frames = _triclinic_traj(tmp_path)
+    analyze.main(["widom", path, "--eps", "30", "--sig", "3.1", "-T",
+                  "120", "--tries", "32", "--rc", "5.0"])
+    out = capsys.readouterr().out
+    assert "K_H (mol/kg/atm)" in out and "mu_excess" in out
