@@ -331,6 +331,9 @@ def main():
     headline = dict(winner)
     headline["metric"] = "agg_mc_steps_per_sec_10k_mof_h2_gcmc_ewald"
     headline["method"] = winner["metric"]
+    if "value" not in headline:   # every contender errored (dead chip/
+        headline.update(value=0.0, unit="steps/s",   # tunnel): keep the
+                        vs_baseline=0.0)             # one-line contract
     results.append(headline)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
