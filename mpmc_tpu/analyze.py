@@ -326,6 +326,71 @@ def density(path, mol_name="*", flag="M", resolution=0.7, box=None,
     return grid / max(n_frames, 1), dims, box
 
 
+def blocking(series):
+    """Flyvbjerg-Petersen blocking analysis of a scalar MC series.
+
+    Returns (block_sizes, sem, sem_err, tau_int): the standard error of
+    the mean estimated at doubling block sizes (with its own one-sigma
+    uncertainty sem/sqrt(2(n_blocks-1))), and the integrated
+    autocorrelation estimate tau_int = (sem_inf/sem_1)^2 from the
+    largest block level with >= 8 blocks (the plateau read-off).  The
+    in-run averages report block-SEM at the corrtime cadence
+    (utils/averages.py); this is the post-hoc tool for choosing that
+    cadence and for error bars on replayed/stored series."""
+    x = np.asarray(series, np.float64).ravel()
+    if x.size < 4:
+        raise ValueError("blocking needs >= 4 samples")
+    sizes, sems, errs = [], [], []
+    block = 1
+    while x.size >= 4:
+        n = x.size
+        var = x.var(ddof=1)
+        sem = float(np.sqrt(var / n))
+        sizes.append(block)
+        sems.append(sem)
+        errs.append(sem / np.sqrt(2.0 * (n - 1)))
+        x = 0.5 * (x[0:2 * (n // 2):2] + x[1:2 * (n // 2):2])
+        block *= 2
+    sems = np.asarray(sems)
+    # plateau read-off at the largest level that still has >= 32
+    # blocks: higher levels converge no further but their SEM noise
+    # (1/sqrt(2(n_blocks-1))) swamps the estimate
+    n0 = len(np.asarray(series).ravel())
+    eligible = [i for i, b in enumerate(sizes) if n0 // b >= 32]
+    plateau = max(eligible) if eligible else len(sizes) - 1
+    tau = float((sems[plateau] / sems[0]) ** 2) if sems[0] > 0 else 1.0
+    return (np.asarray(sizes), sems, np.asarray(errs), tau)
+
+
+def _read_series(path, column):
+    """A scalar column from an energy CSV (header row) or a JSONL
+    observable stream."""
+    import json
+    vals = []
+    with open(path) as f:
+        first = f.readline()
+        if first.lstrip().startswith("{"):
+            for line in [first] + f.readlines():
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if column in rec:
+                    vals.append(float(rec[column]))
+        else:
+            cols = [c.strip() for c in first.strip().split(",")]
+            if column not in cols:
+                raise ValueError(f"column {column!r} not in {cols}")
+            k = cols.index(column)
+            for line in f:
+                t = line.strip().split(",")
+                if len(t) > k and t[k]:
+                    vals.append(float(t[k]))
+    if not vals:
+        raise ValueError(f"no values for column {column!r} in {path}")
+    return np.asarray(vals)
+
+
 def main(argv=None):
     # host-side analysis never needs an accelerator, and the PQR cell
     # conversion touches jnp — pin the CPU backend so the CLI works on
@@ -368,6 +433,12 @@ def main(argv=None):
     pl.add_argument("--mol", default="*", help="molecule name selection")
     pl.add_argument("--flag", default="M", choices=["*", "M", "F"])
     pl.add_argument("--out", default="-", help="CSV path (default stdout)")
+    pb = sub.add_parser("blocking",
+                        help="Flyvbjerg-Petersen error analysis of an "
+                             "energy-CSV / JSONL observable column")
+    pb.add_argument("series", help="energy CSV or --jsonl stream path")
+    pb.add_argument("--column", default="energy_total")
+    pb.add_argument("--out", default="-", help="CSV path (default stdout)")
     pw = sub.add_parser("widom", help="Widom LJ test-particle insertion")
     pw.add_argument("traj")
     pw.add_argument("--eps", type=float, required=True,
@@ -411,6 +482,15 @@ def main(argv=None):
                          use_native=not args.no_native)
         write_csv(args.out, "frame,n",
                   ((i, f"{v:g}") for i, v in enumerate(counts)))
+    elif args.cmd == "blocking":
+        s = _read_series(args.series, args.column)
+        sizes, sems, errs, tau = blocking(s)
+        write_csv(args.out, "block_size,sem,sem_err",
+                  ((int(b), f"{m:.8g}", f"{e:.8g}")
+                   for b, m, e in zip(sizes, sems, errs)))
+        print(f"samples: {len(s)}  mean: {s.mean():.8g}  "
+              f"tau_int: {tau:.2f}  "
+              f"sem(plateau): {sems[0] * np.sqrt(tau):.6g}")
     elif args.cmd == "widom":
         res = widom(args.traj, args.eps, args.sig, args.temperature,
                     n_try=args.tries, seed=args.seed, rc=args.rc,

@@ -273,3 +273,37 @@ def test_widom_cli(tmp_path, capsys):
                   "120", "--tries", "32", "--rc", "5.0"])
     out = capsys.readouterr().out
     assert "K_H (mol/kg/atm)" in out and "mu_excess" in out
+
+
+def test_blocking_ar1_statistical_inefficiency(tmp_path):
+    """Blocking analysis on an AR(1) series must recover the known
+    statistical inefficiency s = (1+phi)/(1-phi) at the plateau, and
+    ~1 for white noise."""
+    rng = np.random.default_rng(12)
+    phi, n = 0.9, 1 << 15
+    x = np.empty(n)
+    x[0] = rng.standard_normal()
+    eps = rng.standard_normal(n)
+    for i in range(1, n):
+        x[i] = phi * x[i - 1] + eps[i]
+    sizes, sems, errs, tau = analyze.blocking(x)
+    s_true = (1 + phi) / (1 - phi)   # 19.0
+    assert tau == pytest.approx(s_true, rel=0.3)
+    _, _, _, tau_iid = analyze.blocking(rng.standard_normal(4096))
+    assert tau_iid == pytest.approx(1.0, abs=0.35)
+
+
+def test_blocking_cli_csv_and_jsonl(tmp_path, capsys):
+    import json
+    csv = tmp_path / "energy.csv"
+    csv.write_text("step,energy_total\n" + "\n".join(
+        f"{i},{np.sin(i)}" for i in range(64)) + "\n")
+    analyze.main(["blocking", str(csv), "--column", "energy_total"])
+    out = capsys.readouterr().out
+    assert out.startswith("block_size,sem,sem_err")
+    assert "tau_int" in out
+    jl = tmp_path / "obs.jsonl"
+    jl.write_text("\n".join(json.dumps({"step": i, "N": float(i % 5)})
+                            for i in range(64)) + "\n")
+    analyze.main(["blocking", str(jl), "--column", "N"])
+    assert "tau_int" in capsys.readouterr().out
