@@ -245,16 +245,17 @@ def widom(path, eps, sig, temperature, n_try=2000, seed=0, box=None,
                            frac_pos, box=box, rc=rc)
     e_mean, ue_mean, n_frames = out
     from mpmc_tpu.constants import ATM2K_A3
-    frames = pqr.read_frames(path)
-    fw_mass = (sum(a.mass for a in frames[0].atoms
-                   if _flag_ok(a.flag, "F"))
-               if frames else 0.0)
+    # metadata only (framework mass + cell): never re-parse the whole
+    # trajectory the compute kernel already scanned
+    frame0 = pqr.read_first_frame(path)
+    fw_mass = sum(a.mass for a in frame0.atoms
+                  if _flag_ok(a.flag, "F"))
     u0 = ue_mean / e_mean if e_mean > 0 else float("nan")
     mu_ex = (-temperature * float(np.log(e_mean)) if e_mean > 0
              else float("inf"))
     kh = float("nan")
-    if frames and fw_mass > 0 and e_mean > 0:
-        b = _frame_box(frames[0], box)
+    if fw_mass > 0 and e_mean > 0:
+        b = _frame_box(frame0, box)
         vol = abs(np.linalg.det(b))
         # Henry's law: <N> = (f/kT) V <exp(-bU)>, f in atm
         # (ATM2K_A3: atm -> K/A^3).  K_H [mol / (kg_framework * atm)]
@@ -332,8 +333,10 @@ def blocking(series):
     Returns (block_sizes, sem, sem_err, tau_int): the standard error of
     the mean estimated at doubling block sizes (with its own one-sigma
     uncertainty sem/sqrt(2(n_blocks-1))), and the integrated
-    autocorrelation estimate tau_int = (sem_inf/sem_1)^2 from the
-    largest block level with >= 8 blocks (the plateau read-off).  The
+    autocorrelation estimate tau_int = (sem_inf/sem_1)^2 read off at
+    the largest block level that still has >= 32 blocks (falling back
+    to >= 8 blocks for short series — noisier, but never the silent
+    tau = 1 of the raw level).  The
     in-run averages report block-SEM at the corrtime cadence
     (utils/averages.py); this is the post-hoc tool for choosing that
     cadence and for error bars on replayed/stored series."""
@@ -356,8 +359,10 @@ def blocking(series):
     # blocks: higher levels converge no further but their SEM noise
     # (1/sqrt(2(n_blocks-1))) swamps the estimate
     n0 = len(np.asarray(series).ravel())
-    eligible = [i for i, b in enumerate(sizes) if n0 // b >= 32]
-    plateau = max(eligible) if eligible else len(sizes) - 1
+    eligible = ([i for i, b in enumerate(sizes) if n0 // b >= 32]
+                or [i for i, b in enumerate(sizes) if n0 // b >= 8]
+                or [len(sizes) - 1])
+    plateau = max(eligible)
     tau = float((sems[plateau] / sems[0]) ** 2) if sems[0] > 0 else 1.0
     return (np.asarray(sizes), sems, np.asarray(errs), tau)
 
@@ -391,16 +396,22 @@ def _read_series(path, column):
     return np.asarray(vals)
 
 
-def main(argv=None):
-    # host-side analysis never needs an accelerator, and the PQR cell
-    # conversion touches jnp — pin the CPU backend so the CLI works on
-    # login nodes / with the TPU tunnel down (env vars alone don't
-    # switch backends once the axon plugin is registered)
+def _pin_cpu():
+    """Host-side analysis never needs an accelerator, and the PQR cell
+    conversion touches jnp — pin the CPU backend so the standalone CLI
+    works on login nodes / with the TPU tunnel down (env vars alone
+    don't switch backends once the axon plugin is registered).  Called
+    ONLY from the ``python -m mpmc_tpu.analyze`` entry below: in-process
+    callers (tests, scripts that later run on the TPU) must not have
+    their whole process silently CPU-pinned."""
     import jax
     try:
         jax.config.update("jax_platforms", "cpu")
     except Exception:
-        pass   # already initialized (in-process callers, tests)
+        pass   # backend already initialized
+
+
+def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="python -m mpmc_tpu.analyze",
         description="PQR trajectory analysis (RDF, COM density grids)")
@@ -517,4 +528,5 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    _pin_cpu()
     sys.exit(main())

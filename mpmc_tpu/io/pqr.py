@@ -85,6 +85,36 @@ def parse_atom_line(line: str) -> Optional[PqrAtom]:
         gwp_alpha=extra[4])
 
 
+def read_first_frame(path: str) -> PqrFrame:
+    """First frame only — stops at the first END/ENDMDL, so metadata
+    lookups (framework mass, cell) on multi-GB trajectories never
+    materialize the whole file (analyze.widom)."""
+    atoms: List[PqrAtom] = []
+    box = None
+    with open(path) as f:
+        for line in f:
+            s = line.strip()
+            if s.startswith("CRYST"):
+                t = s.split()
+                if len(t) >= 7:
+                    from mpmc_tpu.ops.pbc import cell_from_abc
+                    box = np.asarray(cell_from_abc(
+                        *[float(x) for x in t[1:7]]))
+                continue
+            if not s or s.startswith(("#", "!", "REMARK")):
+                continue
+            if s.startswith(("END", "ENDMDL")):
+                if atoms:
+                    break
+                continue
+            a = parse_atom_line(line)
+            if a is not None:
+                atoms.append(a)
+    if not atoms:
+        raise ValueError(f"no atoms found in {path}")
+    return PqrFrame(atoms, box=box)
+
+
 def read_frames(path: str, use_native: bool = False) -> List[PqrFrame]:
     # NOTE: the native parser wins on raw line parsing but loses the gain
     # rebuilding per-atom Python objects, so the object API defaults to

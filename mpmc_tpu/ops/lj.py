@@ -73,20 +73,32 @@ def _ln_sinhc(x):
     exp/log-only form (sinh x = e^x (1 - e^-2x) / 2) so the fused MC
     kernels can inline it — Mosaic has exp/log primitives but no
     sinh/tanh; the x >= 40 limit x - ln 2x falls out automatically
-    (e^-80 underflows to 0)."""
+    (e^-80 underflows to 0).  The series branch extends to x < 0.1:
+    below that, 1 - e^-2x carries the f32 rounding of e^-2x (~1 ulp of
+    1.0) as a growing RELATIVE error, which swamps the tiny signal —
+    the 2-term series is exact to x^6/2835 ~ 4e-10 there."""
     small = x * x / 6.0 - x ** 4 / 180.0
     big = (x - jnp.log(2.0 * jnp.maximum(x, 1e-30))
            + jnp.log(jnp.maximum(1.0 - jnp.exp(-2.0 * x), 1e-30)))
-    return jnp.where(x < 1e-3, small, big)
+    return jnp.where(x < 0.1, small, big)
+
+
+def _xcothx_m1(x):
+    """x coth x - 1, stable for x in [0, inf) — exp-only for the same
+    Mosaic reason as _ln_sinhc, and returned as the DIFFERENCE so the
+    x^2/3-scale signal never gets quantized against 1.0 in f32.  The
+    series branch extends to x < 0.1 (error ~ 2 x^6/945 ~ 2e-9); above
+    it the grouped form (x(1+e) - (1-e))/(1-e), e = e^-2x, keeps every
+    term O(x)."""
+    e = jnp.exp(-2.0 * jnp.maximum(x, 0.1))
+    return jnp.where(x < 0.1,
+                     x * x / 3.0 - x ** 4 / 45.0,
+                     (x * (1.0 + e) - (1.0 - e)) / (1.0 - e))
 
 
 def _xcothx(x):
-    """x coth x, stable for x in [0, inf) — exp-only form
-    x (1 + e^-2x)/(1 - e^-2x) for the same Mosaic reason as
-    _ln_sinhc."""
-    e = jnp.exp(-2.0 * jnp.maximum(x, 1e-3))
-    return jnp.where(x < 1e-3, 1.0 + x * x / 3.0,
-                     x * (1.0 + e) / (1.0 - e))
+    """x coth x (see _xcothx_m1 for the stability notes)."""
+    return 1.0 + _xcothx_m1(x)
 
 
 def feynman_kleinert_from_derivs(r, v1, v2, v3, v4, red_mass, temperature,
@@ -132,7 +144,7 @@ def feynman_kleinert_from_derivs(r, v1, v2, v3, v4, red_mass, temperature,
         # a2 = (T/(mu y)) [x coth x - 1]; y->0 limit = hbar^2/(12 mu T)
         a2 = jnp.where(
             y > y_min,
-            t / (m * y) * (_xcothx(x) - 1.0),
+            t / (m * y) * _xcothx_m1(x),
             HBAR2_KB_AMU_A2 / (12.0 * m * t))
         y = jnp.maximum((d2 + 0.5 * a2 * d4) / (3.0 * m), y_min)
     x = jnp.sqrt(c_x2 * y)

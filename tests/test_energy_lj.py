@@ -334,3 +334,24 @@ def test_disp_expansion_lrc_matches_direct_integral():
     assert float(st.energy.lrc) == pytest.approx(float(st2.energy.lrc),
                                                  rel=1e-10, abs=1e-12)
     assert int(np.asarray(stats.accepts)[1]) > 0
+
+
+def test_fk_helpers_f32_accuracy():
+    """_xcothx_m1/_ln_sinhc must stay accurate in f32 across the
+    series/exp-form cutover: the first exp/log-only rewrite lost the
+    x^2-scale signal to 1 - e^-2x cancellation for x in [1e-3, 5e-3]
+    (sign flips, >100% error) — the fused MC kernels run FK in f32, so
+    this regression test pins the whole range."""
+    import numpy as np
+
+    from mpmc_tpu.ops import lj as lj_ops
+
+    for x in (1e-4, 5e-4, 1e-3, 2e-3, 5e-3, 0.02, 0.09, 0.11,
+              0.5, 2.0, 45.0):
+        exact_m1 = x / np.tanh(x) - 1.0
+        exact_ls = (np.log(np.sinh(min(x, 40.0)) / x) if x < 40
+                    else x - np.log(2 * x))
+        got_m1 = float(lj_ops._xcothx_m1(jnp.float32(x)))
+        got_ls = float(lj_ops._ln_sinhc(jnp.float32(x)))
+        assert got_m1 == pytest.approx(exact_m1, rel=5e-5), x
+        assert got_ls == pytest.approx(exact_ls, rel=2e-4, abs=1e-10), x
