@@ -1080,15 +1080,22 @@ def _multi_states(state, params, cfg, thermo, C, seed=5):
     return states
 
 
-@pytest.mark.parametrize("coulomb", ["none", "ewald"])
-def test_multi_chain_bit_equals_single_chain(coulomb):
+@pytest.mark.parametrize("coulomb,extra", [
+    ("none", {}),
+    ("ewald", {}),
+    # FK adds the ROW_MOLMASS plane, sg swaps the RD formula — both
+    # change the per-chain plane layout/physics the interleave stacks
+    ("wolf", {"feynman_kleinert": True}),
+    ("none", {"rd_potential": "sg"}),
+])
+def test_multi_chain_bit_equals_single_chain(coulomb, extra):
     """Each chain of a C=3 interleaved launch must reproduce BIT-EXACTLY
     the single-chain fused path run with the same key — the interleave
     only reorders independent work."""
     params, state, cfg, thermo = systems.mof_h2_gcmc(
         n_side=3, n_h2=6, capacity=6, ewald_kmax=3)
     cfg = dataclasses.replace(cfg, ensemble="nvt", coulomb=coulomb,
-                              fused_mc=True)
+                              fused_mc=True, **extra)
     assert mc_kernel.supported_multi(cfg, params)
     state = metropolis.initialize(state, params, cfg, thermo)
     C, K = 3, 80
