@@ -1309,6 +1309,7 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
             lnfv, d_self, d_excl, c1, cx, u, cfg, n_steps,
             states.pos.shape[1], A_list=A_list, interpret=interpret,
             kvecs=kv, kcoef=kcoef, sk_re=sk_re, sk_im=sk_im,
+            cav_open=(states.cavity_open if cfg.cavity_bias else None),
             mol_mass_atom=_fh_mol_mass_atom(params, cfg),
             c6=params.c6, c8=params.c8, c10=params.c10,
             gwp_alpha=params.gwp_alpha))

@@ -888,9 +888,10 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
     del tbl_in_ref, data_in_ref, sk_in_ref
     ew = cfg.coulomb == "ewald"
     cb = cfg.cavity_bias
-    # the open-cell grid is per-chain state (each chain's positions
-    # close different cells) — cavity bias requires n_chains == 1
-    assert n_chains == 1 or not cb
+    # cavity bias under n_chains > 1: the open-cell grid is per-chain
+    # state (each chain's positions close different cells), so cav_ref
+    # stacks C [Rg,128] planes and cav_n/cav_lnf live in per-chain SMEM
+    # lanes (rows 8+4S / 8+4S+1), read inside chain_step
     fh = _needs_molmass(cfg)
     de = cfg.rd_potential == "disp_expansion"
     gw = cfg.coulomb == "gwp"
@@ -905,8 +906,6 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
     rotf = scal_ref[0, 5]
     p_half = scal_ref[0, 6]         # 0.5 * insert_probability
     p_ins = scal_ref[0, 7]          # insert_probability
-    cav_n = scal_ref[0, 8]          # float n_open (1.0 when bias off)
-    cav_lnf = scal_ref[0, 9]        # ln(n_open/G^3) (0.0 when off)
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
     # per-species SMEM tables (rows 3-7 + S cx rows + 3S template rows)
@@ -945,6 +944,9 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
         cs = cc * 2 * Rk            # chain's S(k) row offset
         ct = cc * 4                 # chain's slot-table row offset
         uk = cc * n_steps + k       # chain's uniform-table row
+        # per-chain cavity-bias scalars (1.0 / 0.0 when bias off)
+        cav_n = scal_ref[8 + 4 * S, cc]
+        cav_lnf = scal_ref[8 + 4 * S + 1, cc]
         # --- move type + species + slot pick -----------------------------
         u8 = u_ref[uk, 8]
         is_ins = u8 < p_half
@@ -1051,8 +1053,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                     * 128
                     + jax.lax.broadcasted_iota(jnp.int32, (Rg, 128), 1)
                     ).astype(jnp.float32)
-            cell = jnp.sum(jnp.where(ling == jc,
-                                     cav_ref[pl.dslice(0, Rg), :], 0.0))
+            cell = jnp.sum(jnp.where(
+                ling == jc, cav_ref[pl.dslice(cc * Rg, Rg), :], 0.0))
             ci = jnp.floor(cell / (g * g))
             rem = cell - ci * g * g
             cj = jnp.floor(rem / g)
@@ -1291,6 +1293,29 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
 
 
 
+def _pack_cav(cav_open, cfg):
+    """Open-cell plane + scalars for one chain: ([Rg,128] rank->cell-id
+    list, n_open, ln(n_open/G^3), g3_pad).  (1.0 / 0.0 dummies when
+    cavity bias is off.)"""
+    f32 = jnp.float32
+    if not cfg.cavity_bias:
+        return (jnp.zeros((1, 128), f32), jnp.asarray(1.0, f32),
+                jnp.asarray(0.0, f32), 128)
+    g3 = cav_open.shape[0]
+    g3_pad = _round_up(g3, 128)
+    m32 = cav_open.astype(jnp.int32)
+    cav_n = jnp.sum(m32).astype(f32)
+    cav_lnf = (jnp.log(jnp.maximum(cav_n, 1e-30))
+               - jnp.log(jnp.asarray(float(g3), f32)))
+    # dense rank->cell-id list: open cell of rank r scatters its id
+    # to row r (2-D scatter, closed cells dropped out of bounds)
+    rank = jnp.cumsum(m32) - 1
+    tgt = jnp.where(cav_open, rank, g3_pad)
+    lst = jnp.zeros((g3_pad, 1), f32).at[tgt].set(
+        jnp.arange(g3, dtype=f32)[:, None], mode="drop")
+    return lst.reshape(g3_pad // 128, 128), cav_n, cav_lnf, g3_pad
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_steps", "n_real", "A_list",
                                     "interpret"))
@@ -1321,25 +1346,7 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     f32 = jnp.float32
     S = len(A_list)
     A = max(A_list)
-    if cfg.cavity_bias:
-        g3 = cav_open.shape[0]
-        g3_pad = _round_up(g3, 128)
-        m32 = cav_open.astype(jnp.int32)
-        cav_n = jnp.sum(m32).astype(f32)
-        cav_lnf = (jnp.log(jnp.maximum(cav_n, 1e-30))
-                   - jnp.log(jnp.asarray(float(g3), f32)))
-        # dense rank->cell-id list: open cell of rank r scatters its id
-        # to row r (2-D scatter, closed cells dropped out of bounds)
-        rank = jnp.cumsum(m32) - 1
-        tgt = jnp.where(cav_open, rank, g3_pad)
-        lst = jnp.zeros((g3_pad, 1), f32).at[tgt].set(
-            jnp.arange(g3, dtype=f32)[:, None], mode="drop")
-        cav = lst.reshape(g3_pad // 128, 128)
-    else:
-        g3_pad = 128
-        cav = jnp.zeros((1, 128), f32)
-        cav_n = jnp.asarray(1.0, f32)
-        cav_lnf = jnp.asarray(0.0, f32)
+    cav, cav_n, cav_lnf, g3_pad = _pack_cav(cav_open, cfg)
     # n_pad >= 2048 so the kernel's 16-row molecule windows fit (R>=16)
     n_pad = max(2 * TJ, _round_up(n_real, TJ))
     R = n_pad // 128
@@ -1374,11 +1381,10 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
-    n_rows = 8 + 4 * S
+    n_rows = 8 + 4 * S + 2      # + per-chain cav_n / cav_lnf rows
     scal = jnp.zeros((n_rows, 16), f32)
     for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
-                           rot_factor, 0.5 * p_ins, p_ins, cav_n,
-                           cav_lnf)):
+                           rot_factor, 0.5 * p_ins, p_ins)):
         scal = scal.at[0, i].set(jnp.asarray(v, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
@@ -1392,6 +1398,8 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     for s in range(S):
         scal = scal.at[8 + S + 3 * s:8 + S + 3 * s + 3, :A].set(
             tmpl32[s].T)
+    scal = scal.at[8 + 4 * S, 0].set(cav_n)
+    scal = scal.at[8 + 4 * S + 1, 0].set(cav_lnf)
 
     u = jnp.asarray(uniforms, f32)
 
@@ -1453,24 +1461,34 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
                         d_self, d_excl, c1, cx, uniforms, cfg, n_steps,
                         n_real, A_list, interpret=False, kvecs=None,
                         kcoef=None, sk_re=None, sk_im=None,
-                        mol_mass_atom=None, c6=None, c8=None, c10=None,
-                        gwp_alpha=None):
+                        cav_open=None, mol_mass_atom=None, c6=None,
+                        c8=None, c10=None, gwp_alpha=None):
     """C chains x K fused µVT steps in ONE launch (chain-interleaved
     _kernel_uvt).  Per-chain state: ``pos`` [C,N,3], ``alive`` [C,N],
     ``slot_alive`` [C,Ms], ``sk_re``/``sk_im`` [C,Nk]; everything else
     (params, box, thermo-derived scalars and per-species constants) is
     shared — the aggregate-throughput contract (one T/fugacity; PT µVT
-    ladders use the per-replica launcher).  Cavity bias is not
-    supported (the open-cell grid is per-chain state).  Each chain's
-    trajectory is bit-equal to a run_steps_uvt call with its own
-    [K,16] uniform block (chain c's step k at row c*K + k).  Returns
-    (new_pos [C,N,3], new_slot_alive [C,Ms] bool, sums [C,12],
+    ladders use the per-replica launcher).  Cavity bias IS supported:
+    ``cav_open`` [C, G^3] carries each chain's open-cell mask
+    (per-chain planes + per-chain n_open/ln-correction SMEM lanes).
+    Each chain's trajectory is bit-equal to a run_steps_uvt call with
+    its own [K,16] uniform block (chain c's step k at row c*K + k).
+    Returns (new_pos [C,N,3], new_slot_alive [C,Ms] bool, sums [C,12],
     sk_re' [C,Nk], sk_im')."""
     f32 = jnp.float32
     C = pos.shape[0]
-    assert C <= MAX_MULTI_CHAINS and not cfg.cavity_bias
-    g3_pad = 128
-    cav = jnp.zeros((1, 128), f32)
+    assert C <= MAX_MULTI_CHAINS
+    if cfg.cavity_bias:
+        packs = [_pack_cav(cav_open[c], cfg) for c in range(C)]
+        g3_pad = packs[0][3]
+        cav = jnp.concatenate([pk[0] for pk in packs])
+        cav_ns = jnp.stack([pk[1] for pk in packs])
+        cav_lnfs = jnp.stack([pk[2] for pk in packs])
+    else:
+        g3_pad = 128
+        cav = jnp.zeros((C, 128), f32)
+        cav_ns = jnp.ones((C,), f32)
+        cav_lnfs = jnp.zeros((C,), f32)
     n_pad = max(2 * TJ, _round_up(n_real, TJ))
     R = n_pad // 128
     ew = cfg.coulomb == "ewald"
@@ -1510,10 +1528,10 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
-    n_rows = 8 + 4 * S
+    n_rows = 8 + 4 * S + 2      # + per-chain cav_n / cav_lnf rows
     scal = jnp.zeros((n_rows, 16), f32)
     for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
-                           rot_factor, 0.5 * p_ins, p_ins, 1.0, 0.0)):
+                           rot_factor, 0.5 * p_ins, p_ins)):
         scal = scal.at[0, i].set(jnp.asarray(v, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
@@ -1527,6 +1545,8 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
     for s in range(S):
         scal = scal.at[8 + S + 3 * s:8 + S + 3 * s + 3, :A].set(
             tmpl32[s].T)
+    scal = scal.at[8 + 4 * S, :C].set(cav_ns)
+    scal = scal.at[8 + 4 * S + 1, :C].set(cav_lnfs)
 
     u = jnp.asarray(uniforms, f32)
 
@@ -1543,7 +1563,7 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g3_pad // 128, 128), lambda _: (0, 0),
+            pl.BlockSpec((C * (g3_pad // 128), 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C * 4, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1702,10 +1722,10 @@ def supported_uvt(cfg, params) -> bool:
 
 def supported_uvt_multi(cfg, params) -> bool:
     """Static gate for the chain-interleaved multi-chain µVT path
-    (run_steps_uvt_multi): the fused µVT surface minus cavity bias
-    (the open-cell grid is per-chain state the shared layout does not
-    carry)."""
-    return supported_uvt(cfg, params) and not cfg.cavity_bias
+    (run_steps_uvt_multi): the full fused µVT surface — cavity bias
+    included (each chain's open-cell grid rides in as its own plane
+    with per-chain n_open/ln-correction SMEM lanes)."""
+    return supported_uvt(cfg, params)
 
 
 def movable_slots(params, insert_species=None):

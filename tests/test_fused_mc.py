@@ -1195,13 +1195,66 @@ def test_multi_chain_uvt_bit_equals_single_chain(coulomb):
     assert exch > 0     # the comparison actually covered exchanges
 
 
+def test_multi_chain_uvt_cavity_bias_bit_equals_single_chain():
+    """Per-chain cavity-bias plumbing: chains whose positions (and
+    therefore open-cell grids) have DIVERGED must each reproduce the
+    single-chain fused GCMC run from the same per-chain state —
+    per-chain cav planes and n_open/ln-correction lanes."""
+    from mpmc_tpu.parallel import multichain
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=16)
+    # grid 4 / radius 2.0 on the 12 A 4-A-lattice box: the open cells
+    # are the genuine pore centers (~40% open) — finer grids put every
+    # cell center within 2 A of a framework atom and n_open = 0 would
+    # hard-reject every insert, covering nothing
+    cfg = dataclasses.replace(cfg, coulomb="wolf", fused_mc=True,
+                              cavity_bias=True, cavity_grid=4,
+                              cavity_radius=2.0)
+    # 10x fugacity: at the builder's 1 atm exchange accepts are ~1%
+    # and 3 chains x 120 steps can see none (capacity 16 keeps the
+    # pool from saturating, which would also freeze exchanges)
+    thermo = dataclasses.replace(thermo,
+                                 fugacity=thermo.fugacity * 10.0)
+    assert mc_kernel.supported_uvt_multi(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    C = 3
+    states = multichain.stack_states(state, C, seed=9)
+    # diverge the chains, then refresh per-chain grids at a corrtime
+    # boundary exactly like the run loop does
+    states, _ = metropolis.run_chunk_fused_uvt_multi(states, params,
+                                                     cfg, thermo, 60)
+    states = multichain.initialize_batched(states, params, cfg, thermo)
+    grids = np.asarray(states.cavity_open)
+    assert grids.any(axis=(1,)).all()   # every chain has open cells
+    assert not (grids[0] == grids[1]).all() or not (
+        grids[0] == grids[2]).all()     # grids actually differ
+    K = 120
+    out, stats = metropolis.run_chunk_fused_uvt_multi(states, params,
+                                                      cfg, thermo, K)
+    exch = 0
+    for c in range(C):
+        single = jax.tree_util.tree_map(lambda x: x[c], states)
+        ref, rstats = metropolis.run_chunk_fused_uvt(single, params,
+                                                     cfg, thermo, K)
+        np.testing.assert_array_equal(np.asarray(out.pos)[c],
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(out.mol_alive)[c],
+                                      np.asarray(ref.mol_alive))
+        np.testing.assert_array_equal(np.asarray(stats.accepts)[c],
+                                      np.asarray(rstats.accepts))
+        exch += int(np.asarray(rstats.accepts)[metropolis.INSERT]
+                    + np.asarray(rstats.accepts)[metropolis.DELETE])
+    assert exch > 0
+
+
 def test_multi_chain_uvt_multisorbate_gate_and_run():
     from mpmc_tpu.parallel import multichain
     params, state, cfg, thermo = systems.mof_h2_ch4_gcmc(
         n_side=3, n_h2=2, n_ch4=2, capacity=4)
     cfg = dataclasses.replace(cfg, coulomb="wolf", fused_mc=True)
     assert mc_kernel.supported_uvt_multi(cfg, params)
-    assert not mc_kernel.supported_uvt_multi(
+    # cavity bias is part of the multi surface too (per-chain planes)
+    assert mc_kernel.supported_uvt_multi(
         dataclasses.replace(cfg, cavity_bias=True), params)
     state = metropolis.initialize(state, params, cfg, thermo)
     states = multichain.stack_states(state, 2, seed=3)
