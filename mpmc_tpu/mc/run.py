@@ -477,6 +477,12 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
 
     su = setup(job)
     cfg, params, thermo = su.cfg, su.params, su.thermo
+    if metropolis.spinflip_active(cfg):
+        # rot_f free-energy tables are temperature-dependent per-chain
+        # state this driver neither builds nor refreshes across ladder
+        # swaps — single-chain runs (chains 1) support spinflips
+        raise ValueError("parallel tempering does not support "
+                         "quantum_rotation spinflip moves")
     R = job.n_replicas or max(len(jax.devices()), 4)
     t_max = job.max_temperature or 2.0 * job.temperature
     temps = replica.geometric_ladder(job.temperature, t_max, R)
@@ -588,6 +594,11 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
 
     su = setup(job)
     cfg, params, thermo = su.cfg, su.params, su.thermo
+    if metropolis.spinflip_active(cfg):
+        # per-chain rot_f tables are state this driver does not build
+        # or refresh — run quantum-rotation spinflips single-chain
+        raise ValueError("chains N does not support quantum_rotation "
+                         "spinflip moves (use chains 1)")
     writer = output_io.RunWriter(job, su.species_names, log=log,
                                  jsonl_path=jsonl_path)
     C = job.chains

@@ -294,6 +294,11 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
         # per-swap refresh — use the scan-path PT (run.run_mc_pt)
         raise ValueError("fused PT does not support T-dependent "
                          "pair energies (feynman_hibbs/kleinert)")
+    if metropolis.spinflip_active(cfg):
+        # rot_f tables are T-dependent per-replica state this driver
+        # neither builds nor refreshes across swaps
+        raise ValueError("fused PT does not support quantum_rotation "
+                         "spinflip moves")
     if mc_kernel.supported(cfg, params):
         runner = metropolis.run_chunk_fused
     elif mc_kernel.supported_uvt(cfg, params):
@@ -358,6 +363,9 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
         raise ValueError("fused PT does not support feynman_hibbs/"
                          "kleinert (T-dependent energies vs swapped "
                          "ladders)")
+    if metropolis.spinflip_active(cfg):
+        raise ValueError("fused PT does not support quantum_rotation "
+                         "spinflip moves (T-dependent rot_f tables)")
     R = len(temps)
     if R > mc_kernel.MAX_MULTI_CHAINS:
         raise ValueError(f"R={R} exceeds MAX_MULTI_CHAINS="

@@ -454,3 +454,50 @@ pqr_input {pqr}
     assert "chain-interleaved PT kernel (R=4" in out
     assert "swap acceptance:" in out
     assert avgs.count() == 2
+
+
+def test_pt_and_chains_reject_spinflip_moves():
+    """quantum_rotation spinflips need per-chain, per-T rot_f tables
+    that the PT/chains drivers neither build nor refresh — they must
+    refuse with a clear error instead of crashing on rot_f=None."""
+    import dataclasses
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=8, ewald_kmax=3, dtype="float32")
+    c = dataclasses.replace(cfg, ensemble="nvt", coulomb="wolf",
+                            fused_mc=True, quantum_rotation=True)
+    for runner in (replica.run_parallel_tempering_fused,
+                   replica.run_parallel_tempering_fused_multi):
+        with pytest.raises(ValueError,
+                           match="spinflip|supported_multi"):
+            runner(params, state, c, thermo, [150.0] * 2, n_rounds=1,
+                   steps_per_round=4)
+
+
+def test_pt_and_chains_cli_reject_spinflip(tmp_path):
+    import io
+
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "h2.pqr"
+    pqr.write_text(
+        "ATOM 1 H2G H2 1 M 3.0 3.0 3.0 0.0 0.0 0.0 34.2 2.96\n"
+        "ATOM 2 H2E H2 1 M 3.0 3.0 3.371 1.008 0.0 0.0 0.0 0.0\n"
+        "ATOM 3 H2E H2 1 M 3.0 3.0 2.629 1.008 0.0 0.0 0.0 0.0\n"
+        "END\n")
+    base = f"""
+ensemble nvt
+numsteps 200
+corrtime 100
+temperature 40
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+quantum_rotation on
+precision float64
+pqr_input {pqr}
+"""
+    for extra in ("parallel_tempering on\nn_replicas 2\n", "chains 2\n"):
+        job = input_script.parse(base + extra)
+        with pytest.raises(ValueError, match="spinflip"):
+            run_mod.run(job, log=io.StringIO())
