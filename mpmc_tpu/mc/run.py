@@ -622,7 +622,7 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
         else:
             print("WARNING: fused_mc requested but unsupported for "
                   f"chains={C} (needs C<=16 and the fused NVT/µVT "
-                  "surface minus quantum_rotation/cavity_bias) — "
+                  "surface minus quantum_rotation) — "
                   "batched scan path used", file=writer.log)
     avgs = Averages()
     corr = max(cfg.corrtime, 1)
