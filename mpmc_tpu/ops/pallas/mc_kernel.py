@@ -522,7 +522,15 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             att_sp = att_sp + fsp
 
         af = acc_pair.astype(jnp.float32)
-        return (d_rd + af * drd, d_es + af * des, d_rec + af * drec,
+        # where, NOT af-multiply: a rejected trial's pair energy can be
+        # inf (deep-core overlap overflows the f32 LJ/dispersion sums)
+        # and 0 * inf = NaN would poison the chunk accumulators; the
+        # select yields an exact 0 on reject.  An ACCEPTED step cannot
+        # carry inf — inf du always rejects.
+        zf = jnp.float32(0.0)
+        return (d_rd + jnp.where(acc_pair, drd, zf),
+                d_es + jnp.where(acc_pair, des, zf),
+                d_rec + jnp.where(acc_pair, drec, zf),
                 n_acc + af, acc_sp, att_sp, k_cur)
 
     def step(k, carry):
@@ -1272,9 +1280,17 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
 
         af = accept.astype(jnp.float32)
         fdsp = is_disp.astype(jnp.float32)
-        return (d_rd + af * drd, d_es + af * des, d_rec + af * drec,
-                d_slf + af * dslf, d_exc + af * dexc,
-                d_lrc + af * dlrc,
+        # where, NOT af-multiply, for the energy deltas: a rejected
+        # trial's pair energy can be inf (deep-core overlap overflows
+        # the f32 LJ/dispersion sums — a uniform-position µVT insert
+        # WILL eventually land inside a core) and 0 * inf = NaN would
+        # poison the chunk accumulators; the select yields an exact 0
+        # on reject, and an accepted step cannot carry inf.
+        zf = jnp.float32(0.0)
+        sel = lambda v: jnp.where(accept, v, zf)
+        return (d_rd + sel(drd), d_es + sel(des), d_rec + sel(drec),
+                d_slf + sel(dslf), d_exc + sel(dexc),
+                d_lrc + sel(dlrc),
                 acc_d + af * fdsp, acc_i + af * fins, acc_x + af * fdel,
                 att_d + fdsp, att_i + fins, att_x + fdel)
 

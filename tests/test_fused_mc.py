@@ -1406,3 +1406,77 @@ def test_nve_bookkeeping_and_reservoir_consistency():
         float(fresh.energy.rd), rel=2e-4, abs=2e-2)
     k_end = float(thermo.nve_energy) - float(fresh.energy.total)
     assert k_end > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Overflowing rejected trials must not poison the accumulators
+# ---------------------------------------------------------------------------
+
+def test_uvt_overlap_insert_keeps_accumulators_finite():
+    """A crafted µVT insert 1e-4 A from an existing atom overflows the
+    f32 LJ sum to inf; the step must reject AND the returned energy
+    sums must stay finite (the af-multiply form turned 0*inf into NaN
+    and poisoned every later step of the chunk)."""
+    from mpmc_tpu.state import build_system
+    sp = systems.lj_atom()
+    cfg = RunConfig(ensemble="uvt", rd_potential="lj", coulomb="none",
+                    rd_lrc=False, dtype="float32", insert_species=(0,),
+                    fused_mc=True)
+    params, state = build_system(
+        np.eye(3) * 10.0, species=(sp,), capacity=(2,),
+        initial_counts=(1,),
+        initial_pos={0: np.array([[[5.0, 5.0, 5.0]]])},
+        dtype=cfg.jdtype, seed=0)
+    u = np.zeros((1, 16), np.float32)
+    u[0, 8] = 0.0                       # < p_half -> insert move
+    u[0, 0] = 0.0                       # free-slot rank 0
+    u[0, 1:4] = [0.5 + 1e-5, 0.5, 0.5]  # COM 1e-4 A from the atom
+    u[0, 4] = 0.5                       # coin (inf du rejects anyway)
+    slots, start, spidx, A_list = mc_kernel.movable_slots(params, (0,))
+    one = np.zeros((1,), np.float32)
+    new_pos, slot_alive, sums, _, _ = mc_kernel.run_steps_uvt(
+        state.pos, params.eps, params.sig, params.charge, params.mass,
+        state.atom_alive(params), start, spidx,
+        np.asarray(state.mol_alive)[np.asarray(slots)],
+        np.zeros((1, 1, 3), np.float32), state.box, 4.9, 0.0,
+        1.0 / 120.0, 0.5, 0.0, 0.0, 1.0,
+        one + 5.0, one, one, one, np.zeros((1, 1), np.float32),
+        jnp.asarray(u), cfg, 1, state.pos.shape[0], A_list=A_list,
+        interpret=True)
+    s = np.asarray(sums)
+    assert np.isfinite(s).all(), s
+    assert s[7] == 0.0          # the overlapping insert was rejected
+    assert s[10] == 1.0         # and it was attempted
+
+
+def test_nvt_overlap_trial_keeps_accumulators_finite():
+    """Same hazard on the NVT kernel: a crafted displacement landing
+    1e-4 A from another atom must reject with finite sums."""
+    from mpmc_tpu.state import build_system
+    sp = systems.lj_atom()
+    cfg = RunConfig(ensemble="nvt", rd_potential="lj", coulomb="none",
+                    rd_lrc=False, dtype="float32", fused_mc=True)
+    params, state = build_system(
+        np.eye(3) * 10.0, species=(sp,), capacity=(2,),
+        initial_counts=(2,),
+        initial_pos={0: np.array([[[5.0, 5.0, 5.0]],
+                                  [[5.0, 5.0, 6.0]]])},
+        dtype=cfg.jdtype, seed=0)
+    u = np.zeros((1, 8), np.float32)
+    u[0, 0] = 0.9                       # pick molecule 1 (at z=6)
+    # disp = (2u-1)*mf with mf=1: dz = -(1 - 1e-4) -> lands 1e-4 away
+    u[0, 1:4] = [0.5, 0.5, 0.5 * 1e-4]
+    u[0, 4] = 0.5
+    mov, mova, a_max, _ = mc_kernel.movable_mols(
+        params, np.asarray(state.mol_alive))
+    out = mc_kernel.run_steps(
+        state.pos, params.eps, params.sig, params.charge, params.mass,
+        state.atom_alive(params), mov, mova, state.box, 4.9, 0.0,
+        1.0 / 120.0, 1.0, 0.0, 0.0, jnp.asarray(u), cfg, 1,
+        state.pos.shape[0], a_max=a_max, interpret=True)
+    new_pos, d_rd, d_es, d_rec, n_acc = out[0], out[1], out[2], out[3], out[4]
+    for v in (d_rd, d_es, d_rec):
+        assert np.isfinite(float(v)), (d_rd, d_es, d_rec)
+    assert float(n_acc) == 0.0
+    np.testing.assert_array_equal(np.asarray(new_pos),
+                                  np.asarray(state.pos, np.float32))
