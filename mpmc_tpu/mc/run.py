@@ -483,6 +483,12 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         # swaps — single-chain runs (chains 1) support spinflips
         raise ValueError("parallel tempering does not support "
                          "quantum_rotation spinflip moves")
+    if cfg.ensemble == "nve":
+        # Ray's microcanonical acceptance never reads the temperature a
+        # ladder would swap — every replica would sample the identical
+        # distribution while reporting swap acceptances
+        raise ValueError("parallel tempering is undefined for ensemble "
+                         "nve (the NVE acceptance does not read T)")
     R = job.n_replicas or max(len(jax.devices()), 4)
     t_max = job.max_temperature or 2.0 * job.temperature
     temps = replica.geometric_ladder(job.temperature, t_max, R)
@@ -542,8 +548,15 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                     states, params, cfg, thermos, ptf,
                     thermo_batched=True)
                 energies = np.asarray(states.energy.total)
+                # µVT ladders carry the grand-canonical
+                # (beta_j/beta_i)^dN swap factor (replica.host_swap)
+                n_uvt = (np.asarray(
+                    states.mol_alive
+                    & ~np.asarray(params.mol_frozen)
+                    & (np.asarray(params.mol_species) >= 0)).sum(axis=-1)
+                    if cfg.ensemble == "uvt" else None)
                 temps, acc = replica.host_swap(temps, energies, parity,
-                                               rng)
+                                               rng, n_mols=n_uvt)
                 swap_acc += acc
                 thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
                 if cfg.feynman_hibbs or cfg.feynman_kleinert:

@@ -69,7 +69,8 @@ def stack_thermo(thermo: Thermo, temps, dtype) -> Thermo:
         batched, temperature=jnp.asarray(np.asarray(temps), dtype))
 
 
-def host_swap(temps, energies, parity: int, rng) -> Tuple[np.ndarray, int]:
+def host_swap(temps, energies, parity: int, rng,
+              n_mols=None) -> Tuple[np.ndarray, int]:
     """Host-side neighbor temperature swap for single-device PT (replicas
     batched on one chip; the mesh version in PTRunner uses ppermute).
     Pairs (p, p+1), (p+2, p+3), ...; acceptance
@@ -81,6 +82,11 @@ def host_swap(temps, energies, parity: int, rng) -> Tuple[np.ndarray, int]:
     for lo in range(parity, len(temps) - 1, 2):
         ln_p = ((1.0 / temps[lo] - 1.0 / temps[lo + 1])
                 * (energies[lo] - energies[lo + 1]))
+        if n_mols is not None:
+            # grand-canonical ladder: + (N_i - N_j) ln(T_i/T_j)
+            # (see _ladder_swap_core)
+            ln_p += ((float(n_mols[lo]) - float(n_mols[lo + 1]))
+                     * np.log(temps[lo] / temps[lo + 1]))
         if np.log(rng.random()) < ln_p:
             temps[lo], temps[lo + 1] = temps[lo + 1], temps[lo]
             n_acc += 1
@@ -109,9 +115,12 @@ class PTRunner:
             length=self.steps)
         return st, stats
 
-    def _swap(self, thermo, energy, shared_key, parity):
+    def _swap(self, thermo, energy, shared_key, parity, n_mols=None):
         """Neighbor temperature swap; pairs are (p,p+1),(p+2,p+3),... for
-        parity p in {0,1}.  Returns (new_thermo, accepted?)."""
+        parity p in {0,1}.  Returns (new_thermo, accepted?).  ``n_mols``
+        (µVT ladders): per-replica molecule count for the
+        grand-canonical (beta_j/beta_i)^dN swap factor (see
+        _ladder_swap_core)."""
         R = self.R
         perm = []
         for lo in range(parity, R - 1, 2):
@@ -133,6 +142,12 @@ class PTRunner:
         dtype = energy.dtype
         ln_p = ((1.0 / thermo.temperature - 1.0 / t_other)
                 * (energy - e_other)).astype(dtype)
+        if n_mols is not None:
+            n = n_mols.astype(dtype)
+            n_other = jax.lax.ppermute(n, AXIS, perm)
+            ln_p = ln_p + (n - n_other) * (
+                jnp.log(thermo.temperature.astype(dtype))
+                - jnp.log(t_other.astype(dtype)))
         accept = in_pair & (jnp.log(u.astype(dtype)) < ln_p)
         new_t = jnp.where(accept, t_other, thermo.temperature)
         return dataclasses.replace(thermo, temperature=new_t), accept
@@ -145,8 +160,11 @@ class PTRunner:
         def local(state_b, thermo_b, shared_key):
             state, thermo = take0(state_b), take0(thermo_b)
             st, stats = self._chunk(state, thermo)
+            n_uvt = (st.n_molecules(self.params)
+                     if self.cfg.ensemble == "uvt" else None)
             new_thermo, acc = self._swap(
-                thermo, st.energy.total, shared_key, parity)
+                thermo, st.energy.total, shared_key, parity,
+                n_mols=n_uvt)
             # replica-mean observables over ICI (the MPI_Reduce analog).
             # acc_frac is reduced in-mesh so multi-host callers never
             # have to fetch the replica-sharded acc (non-addressable
@@ -218,7 +236,7 @@ def run_parallel_tempering(params, state, cfg, thermo, temps,
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("parity",))
-def ladder_swap(temps, energies, key, parity):
+def ladder_swap(temps, energies, key, parity, n_mols=None):
     """Vectorized on-device neighbor temperature swap (single-chip PT).
 
     Same physics as ``host_swap``/``PTRunner._swap`` (SURVEY.md §2
@@ -236,22 +254,25 @@ def ladder_swap(temps, energies, key, parity):
     temps = jnp.stack(list(temps))
     energies = jnp.stack([e.total if hasattr(e, "total") else e
                           for e in energies]).astype(temps.dtype)
-    new_t, n_acc = _ladder_swap_core(temps, energies, key, parity)
+    n = (jnp.stack(list(n_mols)) if n_mols is not None else None)
+    new_t, n_acc = _ladder_swap_core(temps, energies, key, parity,
+                                     n_mols=n)
     R = temps.shape[0]
     return tuple(new_t[r] for r in range(R)), n_acc
 
 
 @functools.partial(jax.jit, static_argnames=("parity",))
-def ladder_swap_batched(temps, energy, key, parity):
+def ladder_swap_batched(temps, energy, key, parity, n_mols=None):
     """Array-interface ladder swap for the stacked-replica (multi-chain)
     PT path: ``temps`` [R], ``energy`` a batched EnergyBreakdown (leaf
     shape [R]) or an [R] array.  Returns ([R] new temps, accepts)."""
     temps = jnp.asarray(temps)
     e = energy.total if hasattr(energy, "total") else jnp.asarray(energy)
-    return _ladder_swap_core(temps, e.astype(temps.dtype), key, parity)
+    return _ladder_swap_core(temps, e.astype(temps.dtype), key, parity,
+                             n_mols=n_mols)
 
 
-def _ladder_swap_core(temps, energies, key, parity):
+def _ladder_swap_core(temps, energies, key, parity, n_mols=None):
     R = temps.shape[0]
     i = jnp.arange(R)
     hi = parity + 2 * ((R - parity) // 2)
@@ -264,6 +285,17 @@ def _ladder_swap_core(temps, energies, key, parity):
     pair_lo = jnp.minimum(i, partner)
     u = jax.random.uniform(key, (R,), temps.dtype)[pair_lo]
     ln_p = (1.0 / temps - 1.0 / t_other) * (energies - e_other)
+    if n_mols is not None:
+        # grand-canonical ladder (same fugacity, different T): the
+        # configurational weight is (beta f V)^N e^{-beta U}/N!
+        # (b_insert uses beta f V/(N+1)), so a temperature swap also
+        # carries (beta_j/beta_i)^{N_i - N_j}
+        #   = exp[(N_i - N_j) ln(T_i/T_j)]
+        # — symmetric between partners.  Without it every µVT swap
+        # decision violates detailed balance in N.
+        n = jnp.asarray(n_mols).astype(temps.dtype)
+        ln_p = ln_p + (n - n[partner]) * (jnp.log(temps)
+                                          - jnp.log(t_other))
     accept = in_pair & (jnp.log(jnp.maximum(u, 1e-300)) < ln_p)
     new_t = jnp.where(accept, t_other, temps)
     n_acc = jnp.sum(accept.astype(jnp.int32)) // 2
@@ -299,6 +331,12 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
         # neither builds nor refreshes across swaps
         raise ValueError("fused PT does not support quantum_rotation "
                          "spinflip moves")
+    if cfg.ensemble == "nve":
+        # Ray's microcanonical acceptance never reads the temperature a
+        # ladder would swap — a "PT" run would report swap acceptances
+        # while every replica samples the identical distribution
+        raise ValueError("fused PT is undefined for ensemble nve "
+                         "(the NVE acceptance does not read T)")
     if mc_kernel.supported(cfg, params):
         runner = metropolis.run_chunk_fused
     elif mc_kernel.supported_uvt(cfg, params):
@@ -306,6 +344,7 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
     else:
         raise ValueError("fused PT needs a fused-gate-supported config "
                          "(mc_kernel.supported / supported_uvt)")
+    uvt = cfg.ensemble == "uvt"
     temps = np.asarray(temps, np.float64)
     R = len(temps)
     state = metropolis.initialize(state, params, cfg, thermo)
@@ -317,17 +356,30 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
     # ~1 ms of eager work per round on the tunneled backend)
     round_keys = jax.random.split(jax.random.PRNGKey(seed + 7), n_rounds)
     n_acc = jnp.zeros((), jnp.int32)
+    # per-corrtime contract: wash the f32 delta accumulation and rebuild
+    # per-corrtime state (cavity grids) exactly like the run loop does
+    corr = max(int(cfg.corrtime), 1)
+    since_refresh = 0
     for r in range(n_rounds):
         for i in range(R):
             states[i], _ = runner(states[i], params, cfg, thermos[i],
                                   steps_per_round)
+        since_refresh += steps_per_round
+        if since_refresh >= corr and r + 1 < n_rounds:
+            states = [metropolis.initialize(states[i], params, cfg,
+                                            thermos[i])
+                      for i in range(R)]
+            since_refresh = 0
         # swap on the ACTIVE total energy (summed in-jit by ladder_swap):
         # the frozen-framework constant is identical across replicas and
-        # cancels in (E_i - E_j)
+        # cancels in (E_i - E_j); µVT ladders additionally carry the
+        # grand-canonical (beta_j/beta_i)^dN factor via n_mols
         new_ts, acc = ladder_swap(
             tuple(th.temperature for th in thermos),
             tuple(st.energy for st in states),
-            round_keys[r], r % 2)
+            round_keys[r], r % 2,
+            n_mols=(tuple(st.n_molecules(params) for st in states)
+                    if uvt else None))
         thermos = [dataclasses.replace(thermos[i], temperature=new_ts[i])
                    for i in range(R)]
         n_acc = n_acc + acc
@@ -375,10 +427,19 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
     thermos = stack_thermo(thermo, temps, cfg.jdtype)
     round_keys = jax.random.split(jax.random.PRNGKey(seed + 7), n_rounds)
     n_acc = jnp.zeros((), jnp.int32)
+    # per-corrtime contract: wash the f32 delta accumulation and rebuild
+    # per-corrtime state exactly like the run loop does
+    corr = max(int(cfg.corrtime), 1)
+    since_refresh = 0
     for r in range(n_rounds):
         states, _ = metropolis.run_chunk_fused_multi(
             states, params, cfg, thermos, steps_per_round,
             thermo_batched=True)
+        since_refresh += steps_per_round
+        if since_refresh >= corr and r + 1 < n_rounds:
+            states = multichain.initialize_batched(
+                states, params, cfg, thermos, thermo_batched=True)
+            since_refresh = 0
         new_ts, acc = ladder_swap_batched(
             thermos.temperature, states.energy, round_keys[r], r % 2)
         thermos = dataclasses.replace(thermos, temperature=new_ts)

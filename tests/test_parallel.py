@@ -128,6 +128,43 @@ pqr_input {pqr}
     assert 0.0 <= avgs.mean("swap_acceptance") <= 1.0
 
 
+def test_parallel_tempering_uvt_cli_path(tmp_path):
+    """µVT PT through the scan path: exercises the grand-canonical
+    (beta_j/beta_i)^dN host_swap factor end-to-end (run_mc_pt computes
+    per-replica molecule counts for the ladder decision)."""
+    import io
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "ar.pqr"
+    pqr.write_text(
+        "ATOM 1 Ar AR 1 M 0.0 0.0 0.0 39.948 0.0 0.0 119.8 3.405\n"
+        "END\n")
+    job = input_script.parse(f"""
+ensemble uvt
+numsteps 200
+corrtime 50
+temperature 100
+pressure 1.0
+h2_fugacity off
+insert_probability 0.4
+basis1 15 0 0
+basis2 0 15 0
+basis3 0 0 15
+precision float64
+parallel_tempering on
+max_temperature 400
+n_replicas 4
+ptemp_freq 25
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    avgs = run_mod.run(job, log=log)
+    text = log.getvalue()
+    assert "parallel tempering: 4 replicas" in text
+    assert 0.0 <= avgs.mean("swap_acceptance") <= 1.0
+    assert avgs.mean("N") >= 0.0
+
+
 def test_chains_option_cli(tmp_path):
     import io
     from mpmc_tpu.io import input_script
@@ -336,6 +373,47 @@ def test_ladder_swap_matches_rule():
     new_t, n_acc = replica.ladder_swap(t[:2], e4[:2], key, 1)
     assert int(n_acc) == 0
     assert [float(x) for x in new_t] == [77.0, 120.0]
+
+
+def test_uvt_ladder_swap_grand_canonical_factor():
+    """µVT PT swaps must carry (beta_j/beta_i)^(N_i-N_j): at equal
+    energies the Boltzmann term is 0 and the sign of
+    (N_i - N_j) ln(T_i/T_j) alone decides — deterministically, since
+    log(u) < 0 always.  Checked across host_swap, ladder_swap, and
+    ladder_swap_batched (the three swap implementations)."""
+    key = jax.random.PRNGKey(5)
+    temps = (jnp.float64(100.0), jnp.float64(200.0))
+    e = (jnp.float64(-3.0), jnp.float64(-3.0))
+
+    # N_lo < N_hi: ln_p = (0-50) ln(100/200) = +34.7 -> always accept
+    new_t, n_acc = replica.ladder_swap(
+        temps, e, key, 0, n_mols=(jnp.int32(0), jnp.int32(50)))
+    assert int(n_acc) == 1 and float(new_t[0]) == 200.0
+    # N_lo > N_hi: ln_p = -34.7 -> always reject
+    new_t, n_acc = replica.ladder_swap(
+        temps, e, key, 0, n_mols=(jnp.int32(50), jnp.int32(0)))
+    assert int(n_acc) == 0 and float(new_t[0]) == 100.0
+    # without n_mols (NVT ladder): ln_p = 0 -> always accept
+    new_t, n_acc = replica.ladder_swap(temps, e, key, 0)
+    assert int(n_acc) == 1
+
+    # batched array interface agrees
+    new_t, n_acc = replica.ladder_swap_batched(
+        jnp.asarray([100.0, 200.0]), jnp.asarray([-3.0, -3.0]), key, 0,
+        n_mols=jnp.asarray([50, 0]))
+    assert int(n_acc) == 0
+
+    # host_swap agrees (numpy path used by the scan-path PT driver)
+    rng = np.random.default_rng(0)
+    t, acc = replica.host_swap(np.array([100.0, 200.0]),
+                               np.array([-3.0, -3.0]), 0, rng,
+                               n_mols=np.array([0, 50]))
+    assert acc == 1 and t[0] == 200.0
+    rng = np.random.default_rng(0)
+    t, acc = replica.host_swap(np.array([100.0, 200.0]),
+                               np.array([-3.0, -3.0]), 0, rng,
+                               n_mols=np.array([50, 0]))
+    assert acc == 0 and t[0] == 100.0
 
 
 def test_fused_pt_single_chip():
