@@ -242,21 +242,34 @@ def bench_polar_gcmc():
     from mpmc_tpu.mc import metropolis
     from mpmc_tpu.models import systems
 
+    import dataclasses
+
     params, state, cfg, thermo = systems.mof_h2_gcmc(
         n_side=21, spacing=4.0, n_h2=256, capacity=512,
         polarization=True)
     state = metropolis.initialize(state, params, cfg, thermo)
     chunk = 64
-    state, _ = metropolis.run_chunk(state, params, cfg, thermo, chunk)
-    np.asarray(state.energy.rd)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        state, _ = metropolis.run_chunk(state, params, cfg, thermo, chunk)
-    np.asarray(state.energy.rd)
-    sps = 3 * chunk / (time.perf_counter() - t0)
+
+    def time_cfg(c):
+        st, _ = metropolis.run_chunk(state, params, c, thermo, chunk)
+        np.asarray(st.energy.rd)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            st, _ = metropolis.run_chunk(st, params, c, thermo, chunk)
+        np.asarray(st.energy.rd)
+        return 3 * chunk / (time.perf_counter() - t0)
+
+    # race plain Metropolis against delayed acceptance (polar_delayed:
+    # zodid stage-1 filter, SCF only for survivors — same stationary
+    # distribution, test_thole.py)
+    sps_plain = time_cfg(cfg)
+    sps_da = time_cfg(dataclasses.replace(cfg, polar_delayed=True))
+    sps, method = max((sps_plain, "metropolis"),
+                      (sps_da, "delayed_acceptance"))
     return {"metric": "mc_steps_per_sec_10k_mof_h2_polar_gcmc_thole_scf",
             "value": round(sps, 2), "unit": "steps/s",
-            "vs_baseline": round(sps / BASELINES["polar_gcmc"], 2)}
+            "vs_baseline": round(sps / BASELINES["polar_gcmc"], 2),
+            "method": method}
 
 
 def bench_pt_round():

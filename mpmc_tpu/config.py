@@ -83,6 +83,18 @@ class RunConfig:
     polar_wolf: bool = False       # Wolf damped-shifted static field
     polar_wolf_alpha: Optional[float] = None
     polar_gamma: float = 1.0       # over-relaxation (jacobi)
+    # delayed-acceptance polar MC (two-stage Metropolis, Christen & Fox
+    # 2005): filter every trial with the zeroth-iteration ("zodid")
+    # surrogate U* = U_nonpolar - (ke/2) sum alpha |E0|^2 — essentially
+    # free given the cached per-move field delta — and run the full SCF
+    # only for stage-1 survivors; stage 2 accepts with
+    # min(1, exp(-(dU_polar - dU_surrogate)/T)), which restores exact
+    # detailed balance w.r.t. the SCF target.  Skips the dominant
+    # O(N'^2)-matvec solve on every surrogate-rejected move.  Opt-in;
+    # changes the Markov chain (same stationary distribution, different
+    # trajectories), ignored under ensemble nve (the microcanonical rule
+    # has no Boltzmann split to stage).
+    polar_delayed: bool = False
 
     # --- coupled-dipole many-body vdW (SURVEY §2.9 "vdW": cdvdw family)
     cdvdw: bool = False

@@ -276,6 +276,10 @@ def parse(text: str) -> Job:
             cfg_kw["polar_damp_type"] = ("none" if d == "off" else d)
         elif key == "polar_gamma":
             cfg_kw["polar_gamma"] = float(v0)
+        elif key == "polar_delayed":
+            # delayed-acceptance polar MC (our extension): zodid
+            # surrogate stage-1 filter, SCF only for survivors
+            cfg_kw["polar_delayed"] = _onoff(v0) if vals else True
         elif key in ("polar_ewald", "polar_ewald_full"):
             cfg_kw["polar_ewald"] = _onoff(v0) if vals else True
         elif key in ("polar_wolf", "polar_wolf_full"):

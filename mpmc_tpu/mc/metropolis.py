@@ -282,6 +282,14 @@ def make_step_fn(params: Params, cfg: RunConfig):
     # agree under lax.switch)
     pol_resid = (pol_delta and thole.residual_supported(cfg)
                  and cfg.ensemble != "npt")
+    # delayed-acceptance polar MC (RunConfig.polar_delayed): stage-1
+    # filter with the zodid surrogate, SCF only for survivors under a
+    # scalar lax.cond (a real branch at C=1 — under vmapped chains the
+    # cond lowers to a select that runs both sides, so the batched
+    # driver keeps plain Metropolis economics but identical sampling).
+    # NVE excluded: the microcanonical rule has no Boltzmann split.
+    pol_da = (cfg.polarization and cfg.polar_delayed
+              and cfg.ensemble != "nve")
 
     def eb(rd=None, lrc=None, es_real=None, es_recip=None, es_self=None,
            es_excl=None):
@@ -617,25 +625,6 @@ def make_step_fn(params: Params, cfg: RunConfig):
             t = move_t
         cand = jax.lax.switch(t, branches, state, thermo, k_move)
 
-        # polarization: re-solve SCF on the candidate (common to all moves)
-        if cfg.polarization:
-            alive_c = cand.mol_alive[params.mol_id] & params.atom_ok
-            if pol_delta:
-                e0_new = cand.e0
-            else:
-                e0_new = thole.static_field(cand.pos, cand.box, alive_c,
-                                            params, cfg)
-            mu_new, iters, r_new = thole.solve_scf(
-                cand.pos, cand.box, alive_c, params, cfg, e0_new,
-                mu0=state.mu, r0=cand.r0 if pol_resid else None)
-            pol_new = thole.polar_energy(mu_new, e0_new)
-            d_polar = pol_new - state.energy.polar
-        else:
-            e0_new, mu_new = state.e0, state.mu
-            r_new = state.r_pol
-            iters = jnp.zeros((), jnp.int32)
-            d_polar = zero
-
         # coupled-dipole vdW: a many-body term with no cheap delta — the
         # 3P x 3P eigensolve reruns per candidate, exactly like the
         # reference recomputes vdw() in every energy() call (SURVEY §3.2)
@@ -648,6 +637,58 @@ def make_step_fn(params: Params, cfg: RunConfig):
         else:
             vdw_new = state.energy.vdw
             d_vdw = zero
+
+        # polarization: re-solve SCF on the candidate (common to all moves)
+        acc1 = d_surr = k_acc2 = None
+        if cfg.polarization:
+            alive_c = cand.mol_alive[params.mol_id] & params.atom_ok
+            if pol_delta:
+                e0_new = cand.e0
+            else:
+                e0_new = thole.static_field(cand.pos, cand.box, alive_c,
+                                            params, cfg)
+        if pol_da:
+            # delayed acceptance (Christen & Fox 2005): stage 1 filters
+            # the trial with the zodid surrogate — free given e0 — so
+            # the SCF solve runs only for stage-1 survivors.  Stage 2
+            # below corrects with the exact-vs-surrogate difference,
+            # restoring detailed balance w.r.t. the SCF target exactly.
+            alive_o = state.mol_alive[params.mol_id] & params.atom_ok
+            d_surr = (thole.zodid_energy(e0_new, alive_c, params)
+                      - thole.zodid_energy(state.e0, alive_o, params))
+            k_acc, k_acc2 = jax.random.split(k_acc)
+            u1 = jax.random.uniform(k_acc, dtype=dtype)
+            du1 = cand.denergy.total + d_surr + d_vdw
+            acc1 = ((~cand.hard_reject)
+                    & (jnp.log(u1)
+                       < cand.ln_bias - du1 / thermo.temperature))
+            r_skip = state.r_pol if pol_resid else jnp.zeros_like(state.mu)
+
+            def _scf(_):
+                mu_n, it, r_n = thole.solve_scf(
+                    cand.pos, cand.box, alive_c, params, cfg, e0_new,
+                    mu0=state.mu, r0=cand.r0 if pol_resid else None)
+                if r_n is None:     # jacobi/direct solvers
+                    r_n = jnp.zeros_like(state.mu)
+                return mu_n, it.astype(jnp.int32), r_n
+
+            def _keep(_):
+                return state.mu, jnp.zeros((), jnp.int32), r_skip
+
+            mu_new, iters, r_new = jax.lax.cond(acc1, _scf, _keep, None)
+            pol_new = thole.polar_energy(mu_new, e0_new)
+            d_polar = pol_new - state.energy.polar
+        elif cfg.polarization:
+            mu_new, iters, r_new = thole.solve_scf(
+                cand.pos, cand.box, alive_c, params, cfg, e0_new,
+                mu0=state.mu, r0=cand.r0 if pol_resid else None)
+            pol_new = thole.polar_energy(mu_new, e0_new)
+            d_polar = pol_new - state.energy.polar
+        else:
+            e0_new, mu_new = state.e0, state.mu
+            r_new = state.r_pol
+            iters = jnp.zeros((), jnp.int32)
+            d_polar = zero
 
         du = cand.denergy.total + d_polar + d_vdw
         if cfg.ensemble == "nve":
@@ -674,8 +715,16 @@ def make_step_fn(params: Params, cfg: RunConfig):
                 -jnp.inf)
         else:
             ln_acc = cand.ln_bias - du / thermo.temperature
-        u = jax.random.uniform(k_acc, dtype=dtype)
-        accept = (~cand.hard_reject) & (jnp.log(u) < ln_acc)
+        if pol_da:
+            # stage 2: proposal bias and every non-polar term cancelled
+            # in stage 1; only the exact-vs-surrogate polar difference
+            # remains.  Stage-1 rejects carry acc1 = False.
+            u2 = jax.random.uniform(k_acc2, dtype=dtype)
+            accept = acc1 & (jnp.log(u2)
+                             < -(d_polar - d_surr) / thermo.temperature)
+        else:
+            u = jax.random.uniform(k_acc, dtype=dtype)
+            accept = (~cand.hard_reject) & (jnp.log(u) < ln_acc)
 
         new_energy = state.energy.add(cand.denergy)
         if cfg.polarization:

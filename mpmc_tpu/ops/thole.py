@@ -613,6 +613,19 @@ def polar_energy(mu, e0):
     return -0.5 * KE * jnp.sum(mu * e0)
 
 
+def zodid_energy(e0, atom_alive, params):
+    """Zeroth-iteration ("zodid") polarization energy: mu = alpha E0
+    with no dipole-dipole coupling, U* = -(ke/2) sum alpha |E0|^2 [K].
+
+    The reference exposes this as its polar_zodid diagnostic level
+    (SURVEY.md §2.9 "Polarization"); here it is the surrogate target of
+    the delayed-acceptance polar MC (RunConfig.polar_delayed) — O(N)
+    given the cached static field, vs the O(N'^2)-matvec SCF solve."""
+    pol_ok = atom_alive & (params.polar > 0)
+    a = jnp.where(pol_ok, params.polar, 0.0)
+    return -0.5 * KE * jnp.sum(a * jnp.sum(e0 * e0, axis=1))
+
+
 def polarizability_tensor(pos, box, atom_alive, params, cfg):
     """System polarizability tensor alpha[a,b] [A^3]: apply a unit uniform
     field along each axis, solve the coupled-dipole SCF, and sum the

@@ -418,3 +418,81 @@ def test_residual_mode_bookkeeping_over_gcmc_chunk():
         float(st2.energy.total), abs=1e-9)
     assert float(st.energy.polar) == pytest.approx(
         float(st2.energy.polar), abs=1e-9)
+
+
+def test_zodid_energy_is_uncoupled_limit():
+    """zodid_energy == polar_energy(alpha*E0, E0) by construction, and
+    equals the full SCF energy exactly when only ONE polarizable site
+    exists (no dipole-dipole coupling to iterate)."""
+    params, state = build_charge_plus_polarizable(d=4.0)
+    cfg = cfg_polar(cutoff=50.0)
+    pos, box = state.pos, state.box
+    alive = state.atom_alive(params)
+    e0 = thole.static_field(pos, box, alive, params, cfg)
+    ez = thole.zodid_energy(e0, alive, params)
+    mu_z = jnp.where((alive & (params.polar > 0))[:, None],
+                     params.polar[:, None] * e0, 0.0)
+    assert float(ez) == pytest.approx(
+        float(thole.polar_energy(mu_z, e0)), rel=1e-14)
+    mu, _, _ = thole.solve_scf(pos, box, alive, params, cfg, e0)
+    assert float(ez) == pytest.approx(
+        float(thole.polar_energy(mu, e0)), rel=1e-12)
+
+
+def test_delayed_acceptance_bookkeeping_and_scf_skip():
+    """polar_delayed (two-stage Metropolis) GCMC chunk: the skipped-SCF
+    branch must never leak into carried state (energies re-ground to a
+    from-scratch initialize at 1e-9), and the chunk must spend fewer
+    total SCF iterations than plain Metropolis on the same run (stage-1
+    rejects skip the solve entirely — the point of the algorithm)."""
+    import dataclasses
+    import jax
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=12, polarization=True, dtype="float64")
+    cfg = dataclasses.replace(cfg, use_pallas=False)
+    cfg_da = dataclasses.replace(cfg, polar_delayed=True)
+    state = metropolis.initialize(state, params, cfg, thermo_)
+    st_p, stats_p = metropolis.run_chunk(state, params, cfg, thermo_, 250)
+    st_d, stats_d = metropolis.run_chunk(state, params, cfg_da, thermo_,
+                                         250)
+    acc = np.asarray(stats_d.accepts)
+    assert acc[0] > 0                     # displaces still get accepted
+    st2 = metropolis.initialize(st_d, params, cfg_da, thermo_)
+    assert float(st_d.energy.total) == pytest.approx(
+        float(st2.energy.total), abs=1e-9)
+    assert float(st_d.energy.polar) == pytest.approx(
+        float(st2.energy.polar), abs=1e-9)
+    assert int(stats_d.polar_iters) < int(stats_p.polar_iters)
+
+
+def test_delayed_acceptance_same_equilibrium():
+    """Delayed acceptance targets the SAME stationary distribution as
+    plain Metropolis (Christen & Fox 2005) — NVT means of the polar and
+    total energy must agree within combined statistical error on a small
+    polarizable system."""
+    import dataclasses
+    import jax
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=8, polarization=True, dtype="float64")
+    cfg = dataclasses.replace(cfg, ensemble="nvt", use_pallas=False)
+    cfg_da = dataclasses.replace(cfg, polar_delayed=True)
+    state = metropolis.initialize(state, params, cfg, thermo_)
+
+    def run_means(c, seed):
+        st = state.replace(key=jax.random.PRNGKey(seed))
+        samples = []
+        for _ in range(12):               # 12 blocks x 150 steps
+            st, _ = metropolis.run_chunk(st, params, c, thermo_, 150)
+            samples.append(float(st.energy.polar))
+            st = metropolis.initialize(st, params, c, thermo_)
+        s = np.asarray(samples[2:])       # drop equilibration blocks
+        return s.mean(), s.std(ddof=1) / np.sqrt(len(s))
+
+    m_p, e_p = run_means(cfg, 11)
+    m_d, e_d = run_means(cfg_da, 12)
+    tol = 5.0 * float(np.hypot(e_p, e_d))
+    assert abs(m_p - m_d) < max(tol, 0.05 * abs(m_p))
