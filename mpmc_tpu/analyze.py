@@ -185,6 +185,94 @@ def msd_python(frames, mol_name="*", flag="M", box=None, max_lag=0):
     return msd, cnt
 
 
+def orient_python(frames, mol_name="*", flag="M", axis_name="*",
+                  box=None, max_lag=0):
+    """Reference orientational autocorrelation — the exact contract of
+    the native kernel (traj_orient): per selected molecule the axis is
+    the normalized min-image vector between the first two atoms whose
+    name matches ``axis_name``; segments close on disappearance (GCMC);
+    all time origins.  Returns (c1 [L+1], c2 [L+1], counts [L+1])."""
+    if max_lag <= 0:
+        max_lag = max(len(frames) - 1, 1)
+    segments, open_segs = [], {}
+    for frame in frames:
+        b = _frame_box(frame, box)
+        binv = np.linalg.inv(b)
+        mols = {}
+        for a in frame.atoms:
+            if _match(a.mol_name, mol_name) and _flag_ok(a.flag, flag):
+                mols.setdefault(a.mol_id, []).append(a)
+        axes = {}
+        for mid, atoms in mols.items():
+            pick = [a for a in atoms if _match(a.name, axis_name)][:2]
+            if len(pick) < 2:
+                continue
+            d = np.asarray(pick[1].xyz, np.float64) - np.asarray(
+                pick[0].xyz, np.float64)
+            fr = d @ binv
+            fr -= np.round(fr)
+            d = fr @ b
+            n = np.linalg.norm(d)
+            if n > 0:
+                axes[mid] = d / n
+        for mid in [m for m in open_segs if m not in axes]:
+            segments.append(open_segs.pop(mid))
+        for mid, u in axes.items():
+            open_segs.setdefault(mid, []).append(u)
+    segments.extend(open_segs.values())
+    c1 = np.zeros(max_lag + 1)
+    c2 = np.zeros(max_lag + 1)
+    cnt = np.zeros(max_lag + 1, np.int64)
+    for seg in segments:
+        u = np.stack(seg)
+        for t in range(0, min(max_lag, len(u) - 1) + 1):
+            dot = np.sum(u[t:] * u[:len(u) - t], axis=1)
+            c1[t] += float(dot.sum())
+            c2[t] += float(np.sum(1.5 * dot * dot - 0.5))
+            cnt[t] += dot.shape[0]
+    nz = cnt > 0
+    c1[nz] /= cnt[nz]
+    c2[nz] /= cnt[nz]
+    return c1, c2, cnt
+
+
+def sq_python(frames, q, name="*", flag="*", box=None, dr_bin=0.005):
+    """Reference Debye S(q) — the exact contract of the native kernel
+    (traj_sq): min-image pair distances binned at dr_bin (bin-center
+    sinc evaluation), each frame's histogram weighted by 2/N_f, frames
+    averaged evenly."""
+    q = np.asarray(q, np.float64).reshape(-1)
+    if np.any(q <= 0):
+        raise ValueError("q values must be > 0")
+    hist = np.zeros(0)
+    n_frames = 0
+    for frame in frames:
+        b = _frame_box(frame, box)
+        binv = np.linalg.inv(b)
+        sel = [a for a in frame.atoms
+               if _match(a.name, name) and _flag_ok(a.flag, flag)]
+        n_frames += 1
+        if len(sel) < 2:
+            continue
+        p = np.stack([a.xyz for a in sel])
+        d = p[:, None, :] - p[None, :, :]
+        fr = d @ binv
+        fr -= np.round(fr)
+        d = fr @ b
+        r = np.sqrt(np.sum(d * d, -1))
+        iu = np.triu_indices(len(sel), k=1)
+        bins = (r[iu] / dr_bin).astype(np.int64)
+        if bins.size and bins.max() >= hist.size:
+            hist = np.concatenate(
+                [hist, np.zeros(bins.max() + 1 - hist.size)])
+        np.add.at(hist, bins, 2.0 / len(sel))
+    r_c = (np.arange(hist.size) + 0.5) * dr_bin
+    x = q[:, None] * r_c[None, :]
+    s = (hist[None, :] * np.sin(x) / x).sum(axis=1)
+    return (1.0 + s / max(n_frames, 1)
+            if n_frames > 0 else np.ones_like(q)), n_frames
+
+
 def widom_python(frames, eps, sig, temperature, frac_pos, box=None,
                  rc=10.0):
     """Reference Widom LJ test-particle insertion — the exact contract
@@ -287,6 +375,138 @@ def msd(path, mol_name="*", flag="M", box=None, max_lag=0,
         out = msd_python(pqr.read_frames(path), mol_name, flag, box=box,
                          max_lag=max_lag)
     return out
+
+
+def orientation(path, mol_name="*", flag="M", axis_name="*", box=None,
+                max_lag=0, use_native=True):
+    """(c1, c2, counts) orientational autocorrelation vs frame lag —
+    native when available."""
+    out = None
+    if use_native:
+        out = native.traj_orient(path, mol_name, flag, axis_name,
+                                 box=box, max_lag=max_lag)
+    if out is None:
+        out = orient_python(pqr.read_frames(path), mol_name, flag,
+                            axis_name, box=box, max_lag=max_lag)
+    return out
+
+
+def sq(path, q, name="*", flag="*", box=None, dr_bin=0.005,
+       use_native=True):
+    """(S(q) [nq], n_frames) Debye structure factor — native when
+    available."""
+    out = None
+    if use_native:
+        out = native.traj_sq(path, q, name, flag, box=box, dr_bin=dr_bin)
+    if out is None:
+        out = sq_python(pqr.read_frames(path), q, name, flag, box=box,
+                        dr_bin=dr_bin)
+    return out
+
+
+def qst(n_series, u_series, temperature, n_blocks=10):
+    """Isosteric heat of adsorption from stored (N, U) corrtime series
+    via the GCMC fluctuation formula the in-run averages use
+    (utils/averages.py; SURVEY.md §2 "Averages/observables"):
+
+        Qst = kT - (<UN> - <U><N>) / (<N^2> - <N>^2)     [K units]
+
+    Post-hoc companion to the in-run estimate: run it over a JSONL /
+    energy-CSV stream (or several concatenated reruns) with an
+    equilibration skip of the caller's choice.  Error bar: jackknife
+    over ``n_blocks`` contiguous blocks (the fluctuation ratio is
+    nonlinear, so block-SEM of the ratio, not of the inputs).  Returns
+    dict with qst, qst_sem, n_mean, n_sem (blocking), samples."""
+    n = np.asarray(n_series, np.float64).ravel()
+    u = np.asarray(u_series, np.float64).ravel()
+    if n.size != u.size:
+        raise ValueError("N and U series must be the same length")
+    if n.size < 2 * n_blocks:
+        raise ValueError(f"need >= {2 * n_blocks} samples for "
+                         f"{n_blocks}-block jackknife")
+    if float(np.var(n)) == 0.0:
+        raise ValueError("var(N) = 0 — not a GCMC series (fixed N?)")
+
+    def ratio(nn, uu):
+        return ((uu * nn).mean() - uu.mean() * nn.mean()) / \
+            max(float((nn * nn).mean() - nn.mean() ** 2), 1e-300)
+
+    q_full = temperature - ratio(n, u)
+    # leave-one-block-out jackknife
+    edges = np.linspace(0, n.size, n_blocks + 1).astype(int)
+    loo = []
+    for k in range(n_blocks):
+        keep = np.r_[0:edges[k], edges[k + 1]:n.size]
+        loo.append(temperature - ratio(n[keep], u[keep]))
+    loo = np.asarray(loo)
+    q_sem = float(np.sqrt((n_blocks - 1) / n_blocks
+                          * np.sum((loo - loo.mean()) ** 2)))
+    _, sems, _, tau = blocking(n)
+    return {"qst": float(q_full), "qst_sem": q_sem,
+            "n_mean": float(n.mean()),
+            "n_sem": float(sems[0] * np.sqrt(tau)),
+            "samples": int(n.size)}
+
+
+_ISO_MODELS = {
+    # loading(P; params) — P in the user's pressure unit, params > 0
+    "langmuir": (("qm", "k"),
+                 lambda p, qm, k: qm * k * p / (1.0 + k * p)),
+    "dsl": (("qm1", "k1", "qm2", "k2"),
+            lambda p, qm1, k1, qm2, k2: qm1 * k1 * p / (1.0 + k1 * p)
+            + qm2 * k2 * p / (1.0 + k2 * p)),
+    "toth": (("qm", "k", "t"),
+             lambda p, qm, k, t: qm * k * p
+             / (1.0 + (k * p) ** t) ** (1.0 / t)),
+}
+
+
+def isotherm_fit(pressures, loadings, model="langmuir", sem=None):
+    """Fit an adsorption-isotherm model to (P, loading) points.
+
+    Models: langmuir  q = qm K P / (1 + K P)
+            dsl       two-site Langmuir
+            toth      q = qm K P / (1 + (K P)^t)^(1/t)
+    All parameters are constrained positive (log-space optimization);
+    ``sem`` (per-point 1-sigma) weights the residuals when given.
+    Returns dict with params, rmse, henry (low-pressure slope dq/dP),
+    model.  Campaign output (campaign.py) feeds straight in."""
+    from scipy.optimize import least_squares
+    p = np.asarray(pressures, np.float64).ravel()
+    y = np.asarray(loadings, np.float64).ravel()
+    if p.size != y.size or p.size < 2:
+        raise ValueError("need matching P/loading arrays, >= 2 points")
+    if np.any(p <= 0):
+        raise ValueError("pressures must be > 0")
+    if model not in _ISO_MODELS:
+        raise ValueError(f"unknown model {model!r}; "
+                         f"choose from {sorted(_ISO_MODELS)}")
+    names, fn = _ISO_MODELS[model]
+    if p.size < len(names):
+        raise ValueError(f"{model} needs >= {len(names)} points")
+    w = np.ones_like(y)
+    if sem is not None:
+        s = np.asarray(sem, np.float64).ravel()
+        w = 1.0 / np.maximum(s, 1e-12)
+    qm0 = max(float(y.max()) * 1.5, 1e-6)
+    k0 = 1.0 / float(np.median(p))
+    starts = {"langmuir": [qm0, k0], "toth": [qm0, k0, 0.7],
+              "dsl": [qm0 * 0.6, k0 * 3.0, qm0 * 0.6, k0 / 3.0]}[model]
+
+    def resid(logx):
+        return w * (fn(p, *np.exp(logx)) - y)
+
+    fit = least_squares(resid, np.log(np.asarray(starts)), method="lm",
+                        max_nfev=20000)
+    prm = np.exp(fit.x)
+    pred = fn(p, *prm)
+    rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
+    henry = prm[0] * prm[1]
+    if model == "dsl":
+        henry += prm[2] * prm[3]
+    return {"model": model, "params": dict(zip(names, prm.tolist())),
+            "rmse": rmse, "henry": float(henry),
+            "converged": bool(fit.success)}
 
 
 def rdf(path, name_a="*", name_b="*", flag_a="*", flag_b="*", box=None,
@@ -450,6 +670,50 @@ def main(argv=None):
     pb.add_argument("series", help="energy CSV or --jsonl stream path")
     pb.add_argument("--column", default="energy_total")
     pb.add_argument("--out", default="-", help="CSV path (default stdout)")
+    po = sub.add_parser("orient",
+                        help="orientational autocorrelation C1/C2 of "
+                             "molecular axes")
+    po.add_argument("traj")
+    po.add_argument("--mol", default="*", help="molecule name selection")
+    po.add_argument("--flag", default="M", choices=["*", "M", "F"])
+    po.add_argument("--axis", default="*",
+                    help="atom-name pattern: axis = first two matching "
+                         "atoms per molecule")
+    po.add_argument("--max-lag", type=int, default=0,
+                    help="largest frame lag (default: n_frames-1)")
+    po.add_argument("--out", default="-", help="CSV path (default stdout)")
+    ps = sub.add_parser("sq", help="Debye static structure factor S(q)")
+    ps.add_argument("traj")
+    ps.add_argument("--a", default="*", help="atom name selection")
+    ps.add_argument("--flag", default="*", choices=["*", "M", "F"])
+    ps.add_argument("--qmin", type=float, default=0.2, help="1/A")
+    ps.add_argument("--qmax", type=float, default=12.0, help="1/A")
+    ps.add_argument("--nq", type=int, default=200)
+    ps.add_argument("--dr-bin", type=float, default=0.005,
+                    help="internal pair-distance bin width (A)")
+    ps.add_argument("--out", default="-", help="CSV path (default stdout)")
+    pq = sub.add_parser("qst",
+                        help="isosteric heat from a stored (N, U) "
+                             "corrtime series (fluctuation formula)")
+    pq.add_argument("series", help="energy CSV or JSONL stream path")
+    pq.add_argument("--temperature", "-T", type=float, required=True)
+    pq.add_argument("--n-column", default="N")
+    pq.add_argument("--u-column", default="energy_total")
+    pq.add_argument("--skip", type=float, default=0.0,
+                    help="equilibration fraction to drop (0-0.9)")
+    pq.add_argument("--blocks", type=int, default=10,
+                    help="jackknife block count")
+    pi = sub.add_parser("isofit",
+                        help="fit an isotherm model to P,loading points")
+    pi.add_argument("csv", help="CSV with pressure + loading columns "
+                                "(campaign.py output works directly)")
+    pi.add_argument("--model", default="langmuir",
+                    choices=sorted(_ISO_MODELS))
+    pi.add_argument("--p-column", default="pressure")
+    pi.add_argument("--q-column", default="N")
+    pi.add_argument("--sem-column", default="",
+                    help="optional per-point 1-sigma column for "
+                         "weighted residuals")
     pw = sub.add_parser("widom", help="Widom LJ test-particle insertion")
     pw.add_argument("traj")
     pw.add_argument("--eps", type=float, required=True,
@@ -461,7 +725,7 @@ def main(argv=None):
                     help="insertions per frame")
     pw.add_argument("--seed", type=int, default=0)
     pw.add_argument("--rc", type=float, default=10.0, help="cutoff (A)")
-    for p in (pr, pd, pm, pl, pw):
+    for p in (pr, pd, pm, pl, pw, po, ps):
         p.add_argument("--no-native", action="store_true",
                        help="force the numpy reference implementation")
     args = ap.parse_args(argv)
@@ -493,6 +757,42 @@ def main(argv=None):
                          use_native=not args.no_native)
         write_csv(args.out, "frame,n",
                   ((i, f"{v:g}") for i, v in enumerate(counts)))
+    elif args.cmd == "orient":
+        c1, c2, cnt = orientation(args.traj, args.mol, args.flag,
+                                  args.axis, max_lag=args.max_lag,
+                                  use_native=not args.no_native)
+        write_csv(args.out, "lag,c1,c2,samples",
+                  ((t, f"{c1[t]:.8f}", f"{c2[t]:.8f}", int(cnt[t]))
+                   for t in range(len(c1))))
+    elif args.cmd == "sq":
+        qv = np.linspace(args.qmin, args.qmax, args.nq)
+        s, nf = sq(args.traj, qv, args.a, args.flag, dr_bin=args.dr_bin,
+                   use_native=not args.no_native)
+        write_csv(args.out, "q,sq",
+                  ((f"{qi:.6f}", f"{si:.8f}") for qi, si in zip(qv, s)))
+    elif args.cmd == "qst":
+        nn = _read_series(args.series, args.n_column)
+        uu = _read_series(args.series, args.u_column)
+        k0 = int(min(max(args.skip, 0.0), 0.9) * len(nn))
+        res = qst(nn[k0:], uu[k0:], args.temperature,
+                  n_blocks=args.blocks)
+        print(f"samples:   {res['samples']} (skipped {k0})")
+        print(f"<N>:       {res['n_mean']:.6g} +/- {res['n_sem']:.3g}")
+        print(f"Qst (K):   {res['qst']:.6g} +/- {res['qst_sem']:.3g}")
+        print(f"Qst (kJ/mol): {res['qst'] * 8.314462618e-3:.6g} "
+              f"+/- {res['qst_sem'] * 8.314462618e-3:.3g}")
+    elif args.cmd == "isofit":
+        pp = _read_series(args.csv, args.p_column)
+        qq = _read_series(args.csv, args.q_column)
+        se = (_read_series(args.csv, args.sem_column)
+              if args.sem_column else None)
+        res = isotherm_fit(pp, qq, model=args.model, sem=se)
+        print(f"model:     {res['model']}  "
+              f"(converged: {res['converged']})")
+        for k, v in res["params"].items():
+            print(f"  {k:>4s} = {v:.8g}")
+        print(f"rmse:      {res['rmse']:.6g}")
+        print(f"henry dq/dP (P->0): {res['henry']:.6g}")
     elif args.cmd == "blocking":
         s = _read_series(args.series, args.column)
         sizes, sems, errs, tau = blocking(s)

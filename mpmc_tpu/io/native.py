@@ -111,6 +111,17 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_long, ctypes.c_ulonglong,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+    lib.traj_orient.restype = ctypes.c_long
+    lib.traj_orient.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_long)]
+    lib.traj_sq.restype = ctypes.c_long
+    lib.traj_sq.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_long, ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return _lib
 
@@ -389,6 +400,71 @@ def traj_msd(path: str, mol_name: str = "*", flag: str = "M", box=None,
             raise ValueError(f"{path}: no usable cell for MSD "
                              "(pass box=)")
         return msd, cnt
+    finally:
+        lib.pqr_close(h)
+
+
+def traj_orient(path: str, mol_name: str = "*", flag: str = "M",
+                axis_name: str = "*", box=None, max_lag: int = 0):
+    """Native orientational autocorrelation of molecular axes.
+    Returns (c1 [max_lag+1], c2 [max_lag+1], counts [max_lag+1]); None
+    if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    h = lib.pqr_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        err = lib.pqr_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        if max_lag <= 0:
+            max_lag = max(int(lib.pqr_n_frames(h)) - 1, 1)
+        c1 = np.zeros(max_lag + 1, np.float64)
+        c2 = np.zeros(max_lag + 1, np.float64)
+        cnt = np.zeros(max_lag + 1, np.int64)
+        r = lib.traj_orient(
+            h, mol_name.encode(), (flag.encode() + b"*")[:1],
+            axis_name.encode(), _cell_ptr(box), int(max_lag),
+            c1.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            c2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+        if r < 0:
+            raise ValueError(f"{path}: no usable cell for orientation "
+                             "autocorrelation (pass box=)")
+        return c1, c2, cnt
+    finally:
+        lib.pqr_close(h)
+
+
+def traj_sq(path: str, q, name: str = "*", flag: str = "*", box=None,
+            dr_bin: float = 0.005):
+    """Native Debye structure factor S(q) at the given q values [1/A].
+    Returns (sq [nq], n_frames); None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    h = lib.pqr_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        err = lib.pqr_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        qv = np.ascontiguousarray(q, np.float64).reshape(-1)
+        sq = np.zeros(qv.size, np.float64)
+        r = lib.traj_sq(
+            h, name.encode(), (flag.encode() + b"*")[:1], _cell_ptr(box),
+            qv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            int(qv.size), float(dr_bin),
+            sq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if r == -1:
+            raise ValueError(f"{path}: no usable cell for S(q) "
+                             "(pass box=)")
+        if r < 0:
+            raise ValueError(f"{path}: traj_sq failed (q must be > 0)")
+        return sq, int(r)
     finally:
         lib.pqr_close(h)
 

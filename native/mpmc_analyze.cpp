@@ -446,4 +446,161 @@ long traj_widom(void* h, double eps_t, double sig_t, double beta,
     return n_frames;
 }
 
+// Orientational autocorrelation of molecular axes vs frame lag
+// (beyond-reference extension; the in-run analogue is the spinflip /
+// quantum-rotation machinery — this is the trajectory-side observable
+// users compare against NMR/Raman correlation times).  For every
+// selected molecule (mol_name pattern + flag), the axis is the
+// normalized minimum-image vector between the FIRST TWO atoms whose
+// atom name matches axis_name ('*' = the molecule's first two atoms);
+// molecules with fewer than two matching atoms are skipped.  Segment
+// bookkeeping is identical to traj_msd: a molecule absent from a frame
+// closes its segment, so GCMC slot reuse never aliases.  All time
+// origins contribute:
+//   c1_out[t] = < u(s) . u(s+t) >            (first Legendre, P1)
+//   c2_out[t] = < (3 (u(s).u(s+t))^2 - 1)/2 > (second Legendre, P2)
+//   cnt_out[t] = samples at lag t
+// Returns frames processed; -1 if any frame lacks a usable cell, -2 on
+// bad arguments.
+long traj_orient(void* h, const char* mol_name, char flag_sel,
+                 const char* axis_name, const double* fallback_cell,
+                 long max_lag, double* c1_out, double* c2_out,
+                 long* cnt_out) {
+    auto* file = static_cast<File*>(h);
+    if (!file || max_lag <= 0 || !c1_out || !c2_out || !cnt_out)
+        return -2;
+    using Vec3 = std::array<double, 3>;
+    std::vector<std::vector<Vec3>> segments;   // closed axis series
+    std::map<long, std::vector<Vec3>> open;
+    std::map<long, std::vector<const Atom*>> mols;
+    long n_frames = 0;
+    for (const Frame& fr : file->frames) {
+        Cell cell;
+        if (!frame_cell(fr, fallback_cell, &cell)) return -1;
+        mols.clear();
+        for (const Atom& a : fr.atoms)
+            if (name_match(a.mol_name, mol_name)
+                && flag_match(a.flag, flag_sel))
+                mols[a.mol_id].push_back(&a);
+        // axis per molecule this frame (molecules lacking two matching
+        // atoms this frame behave like absent ones: segment closes)
+        std::map<long, Vec3> axes;
+        for (const auto& kv : mols) {
+            const Atom* a = nullptr;
+            const Atom* b = nullptr;
+            for (const Atom* at : kv.second) {
+                if (!name_match(at->name, axis_name)) continue;
+                if (!a) { a = at; continue; }
+                b = at;
+                break;
+            }
+            if (!b) continue;
+            double d[3];
+            min_image(cell, b->x - a->x, b->y - a->y, b->z - a->z, d);
+            double n = std::sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2]);
+            if (n <= 0.0) continue;
+            axes[kv.first] = {d[0] / n, d[1] / n, d[2] / n};
+        }
+        for (auto it = open.begin(); it != open.end();) {
+            if (axes.find(it->first) == axes.end()) {
+                segments.push_back(std::move(it->second));
+                it = open.erase(it);
+            } else {
+                ++it;
+            }
+        }
+        for (const auto& kv : axes) open[kv.first].push_back(kv.second);
+        ++n_frames;
+    }
+    for (auto& kv : open) segments.push_back(std::move(kv.second));
+    for (long t = 0; t <= max_lag; ++t) {
+        c1_out[t] = c2_out[t] = 0.0;
+        cnt_out[t] = 0;
+    }
+    for (const auto& seg : segments) {
+        const long L = static_cast<long>(seg.size());
+        for (long t = 0; t <= max_lag && t < L; ++t) {
+            for (long s = 0; s + t < L; ++s) {
+                double dot = seg[s][0] * seg[s + t][0]
+                           + seg[s][1] * seg[s + t][1]
+                           + seg[s][2] * seg[s + t][2];
+                c1_out[t] += dot;
+                c2_out[t] += 1.5 * dot * dot - 0.5;
+                ++cnt_out[t];
+            }
+        }
+    }
+    for (long t = 0; t <= max_lag; ++t)
+        if (cnt_out[t] > 0) {
+            c1_out[t] /= static_cast<double>(cnt_out[t]);
+            c2_out[t] /= static_cast<double>(cnt_out[t]);
+        }
+    return n_frames;
+}
+
+// Spherically-averaged static structure factor S(q) by the Debye
+// formula over minimum-image pair distances (beyond-reference
+// extension — the diffraction-side observable):
+//   S_f(q) = 1 + (2 / N_f) * sum_{i<j} sin(q r_ij) / (q r_ij)
+// averaged evenly over frames.  Pair distances are binned once per
+// frame at resolution dr_bin (bin-center evaluation; error is
+// O((q dr)^2) — keep q_max * dr_bin << 1), which turns the
+// O(N^2 * nq) double loop into O(N^2 + nbins * nq).  Minimum-image
+// truncation means pairs beyond half the cell are folded — the usual
+// finite-size artifact at low q; interpret q below ~2*pi/L_half
+// accordingly.  q values must be > 0.  Returns frames processed; -1 if
+// any frame lacks a usable cell, -2 on bad arguments.
+long traj_sq(void* h, const char* name_sel, char flag_sel,
+             const double* fallback_cell, const double* q, long nq,
+             double dr_bin, double* sq_out) {
+    auto* file = static_cast<File*>(h);
+    if (!file || nq <= 0 || !q || !sq_out || dr_bin <= 0) return -2;
+    for (long k = 0; k < nq; ++k)
+        if (q[k] <= 0.0) return -2;
+    // N varies across GCMC frames: weight each frame's pair histogram
+    // by its own 2/N_f as it is accumulated, then average frames evenly.
+    std::vector<double> hist;       // sum over frames of (2/N_f) counts
+    long n_frames = 0;
+    std::vector<const Atom*> sel;
+    for (const Frame& fr : file->frames) {
+        Cell cell;
+        if (!frame_cell(fr, fallback_cell, &cell)) return -1;
+        sel.clear();
+        for (const Atom& a : fr.atoms)
+            if (name_match(a.name, name_sel)
+                && flag_match(a.flag, flag_sel))
+                sel.push_back(&a);
+        ++n_frames;
+        const long n = static_cast<long>(sel.size());
+        if (n < 2) continue;
+        const double w = 2.0 / static_cast<double>(n);
+        for (long i = 0; i < n; ++i) {
+            for (long j = i + 1; j < n; ++j) {
+                double d[3];
+                min_image(cell, sel[i]->x - sel[j]->x,
+                          sel[i]->y - sel[j]->y, sel[i]->z - sel[j]->z,
+                          d);
+                double r = std::sqrt(d[0] * d[0] + d[1] * d[1]
+                                     + d[2] * d[2]);
+                auto k = static_cast<size_t>(r / dr_bin);
+                if (k >= hist.size()) hist.resize(k + 1, 0.0);
+                hist[k] += w;
+            }
+        }
+    }
+    for (long k = 0; k < nq; ++k) {
+        double s = 0.0;
+        for (size_t b = 0; b < hist.size(); ++b) {
+            if (hist[b] == 0.0) continue;
+            double r = (static_cast<double>(b) + 0.5) * dr_bin;
+            double x = q[k] * r;
+            s += hist[b] * std::sin(x) / x;
+        }
+        sq_out[k] = n_frames > 0
+                        ? 1.0 + s / static_cast<double>(n_frames)
+                        : 1.0;
+    }
+    return n_frames;
+}
+
 }  // extern "C"

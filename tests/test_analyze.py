@@ -307,3 +307,202 @@ def test_blocking_cli_csv_and_jsonl(tmp_path, capsys):
                             for i in range(64)) + "\n")
     analyze.main(["blocking", str(jl), "--column", "N"])
     assert "tau_int" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# Orientational autocorrelation + S(q)
+# ---------------------------------------------------------------------------
+
+def _dimer_traj(tmp_path, n_frames=12, dtheta=2 * np.pi / 12):
+    """One rigid dimer rotating dtheta per frame in the xy plane, plus a
+    GCMC-style dimer that vanishes after 3 frames; a lone single-atom
+    molecule exercises the <2-axis-atoms skip."""
+    box = np.eye(3) * 20.0
+    frames = []
+    for k in range(n_frames):
+        th = k * dtheta
+        u = np.array([np.cos(th), np.sin(th), 0.0])
+        c = np.array([10.0, 10.0, 10.0])
+        atoms = [_atom(1, "H", "H2", 1, "M", c - 0.37 * u),
+                 _atom(2, "H", "H2", 1, "M", c + 0.37 * u),
+                 _atom(5, "X", "XE", 5, "M", [3.0, 3.0, 3.0])]
+        if k < 3:
+            atoms += [_atom(3, "H", "H2", 2, "M", [5.0, 5.0, 4.63]),
+                      _atom(4, "H", "H2", 2, "M", [5.0, 5.0, 5.37])]
+        frames.append(atoms)
+    path = tmp_path / "dimer.pqr"
+    _write_traj(path, frames, box)
+    return str(path), box, frames
+
+
+def test_orient_rotating_dimer_analytic(tmp_path):
+    """A dimer rotating th per frame: C1(t) = cos(t th), C2(t) =
+    P2(cos(t th)) exactly, for every implementation."""
+    dth = 2 * np.pi / 12
+    path, box, frames = _dimer_traj(tmp_path, n_frames=12, dtheta=dth)
+    c1, c2, cnt = analyze.orientation(path, mol_name="H2",
+                                      use_native=False, max_lag=8)
+    # restrict to lags where only the rotor contributes mixed angles:
+    # the static second dimer (frames 0-2) also contributes at lags 0-2
+    for t in range(3, 9):
+        n_rot = 12 - t
+        # PQR coordinates round-trip at 1e-5 (%11.5f): direction error
+        # ~1.4e-5 rad on the 0.74 A axis bounds the cos error by ~3e-5
+        c1_expect = (n_rot * np.cos(t * dth)) / n_rot
+        assert c1[t] == pytest.approx(c1_expect, abs=1e-4), t
+        p2 = 1.5 * np.cos(t * dth) ** 2 - 0.5
+        assert c2[t] == pytest.approx(p2, abs=1e-4), t
+        assert cnt[t] == n_rot
+    # lag 0 is identically 1 with rotor + static-segment samples
+    assert c1[0] == pytest.approx(1.0) and c2[0] == pytest.approx(1.0)
+    assert cnt[0] == 12 + 3
+    # lag 1 mixes 11 rotor pairs and 2 static (dot=1) pairs
+    expect1 = (11 * np.cos(dth) + 2 * 1.0) / 13
+    assert c1[1] == pytest.approx(expect1, abs=1e-4)
+
+
+@needs_native
+def test_orient_native_matches_python(tmp_path):
+    path, box, frames = _dimer_traj(tmp_path)
+    cn = native.traj_orient(path, "H2", "M", "*", max_lag=9)
+    cp = analyze.orient_python(pqr.read_frames(path), "H2", "M", "*",
+                               max_lag=9)
+    np.testing.assert_allclose(cn[0], cp[0], atol=1e-12)
+    np.testing.assert_allclose(cn[1], cp[1], atol=1e-12)
+    np.testing.assert_array_equal(cn[2], cp[2])
+    assert cn[2][0] > 0
+
+
+def test_orient_axis_name_selection(tmp_path):
+    """axis selection by atom name must ignore non-matching sites (a
+    3-site model whose first site is a COM ghost)."""
+    box = np.eye(3) * 10.0
+    atoms = [_atom(1, "COM", "N2", 1, "M", [5.0, 5.0, 5.0], mass=0.0),
+             _atom(2, "N", "N2", 1, "M", [5.0, 5.0, 4.45]),
+             _atom(3, "N", "N2", 1, "M", [5.0, 5.0, 5.55])]
+    path = tmp_path / "n2.pqr"
+    _write_traj(path, [atoms, atoms], box)
+    c1, c2, cnt = analyze.orientation(str(path), mol_name="N2",
+                                      axis_name="N", use_native=False)
+    assert cnt[1] == 1 and c1[1] == pytest.approx(1.0)
+    if native.available():
+        cn = native.traj_orient(str(path), "N2", "M", "N")
+        np.testing.assert_allclose(cn[0], c1, atol=1e-12)
+
+
+def test_sq_two_atom_analytic(tmp_path):
+    """Two atoms at separation d: S(q) = 1 + sin(qd)/(qd).  d is placed
+    exactly on a bin center so the histogram evaluation is exact."""
+    dr = 0.005
+    d = (600 + 0.5) * dr            # 3.0025 A
+    box = np.eye(3) * 25.0
+    atoms = [_atom(1, "AR", "AR", 1, "M", [5.0, 5.0, 5.0]),
+             _atom(2, "AR", "AR", 2, "M", [5.0 + d, 5.0, 5.0])]
+    path = tmp_path / "two.pqr"
+    _write_traj(path, [atoms], box)
+    q = np.linspace(0.3, 12.0, 40)
+    s, nf = analyze.sq(str(path), q, name="AR", use_native=False,
+                       dr_bin=dr)
+    assert nf == 1
+    np.testing.assert_allclose(s, 1.0 + np.sin(q * d) / (q * d),
+                               atol=1e-9)   # PQR %11.5f round-trip ulp
+
+
+@needs_native
+def test_sq_native_matches_python(tmp_path):
+    path, box, frames = _triclinic_traj(tmp_path)
+    q = np.linspace(0.5, 10.0, 25)
+    sn, nfn = native.traj_sq(path, q, "*", "M", dr_bin=0.01)
+    sp, nfp = analyze.sq_python(pqr.read_frames(path), q, "*", "M",
+                                dr_bin=0.01)
+    assert nfn == nfp == len(frames)
+    np.testing.assert_allclose(sn, sp, rtol=1e-10, atol=1e-10)
+
+
+def test_sq_rejects_nonpositive_q(tmp_path):
+    path, box, frames = _triclinic_traj(tmp_path, n_frames=1)
+    with pytest.raises(ValueError):
+        analyze.sq_python(pqr.read_frames(path), [0.0, 1.0])
+    if native.available():
+        with pytest.raises(ValueError):
+            native.traj_sq(path, [0.0, 1.0])
+
+
+# ---------------------------------------------------------------------------
+# Post-hoc Qst + isotherm fitting
+# ---------------------------------------------------------------------------
+
+def test_qst_fluctuation_recovery():
+    """U = u0 N + white noise gives cov(U,N)/var(N) = u0 exactly in
+    expectation, so Qst -> T - u0; the jackknife sem must bracket it."""
+    rng = np.random.default_rng(7)
+    t, u0, n_s = 77.0, -900.0, 1 << 13
+    n = rng.poisson(25.0, n_s).astype(float)
+    u = u0 * n + rng.standard_normal(n_s) * 40.0
+    res = analyze.qst(n, u, temperature=t)
+    assert res["qst"] == pytest.approx(t - u0, rel=0.01)
+    assert abs(res["qst"] - (t - u0)) < 5 * res["qst_sem"]
+    assert res["n_mean"] == pytest.approx(25.0, rel=0.02)
+    with pytest.raises(ValueError):
+        analyze.qst(np.full(64, 3.0), np.arange(64.0), 77.0)
+
+
+@pytest.mark.parametrize("model,params", [
+    ("langmuir", {"qm": 12.0, "k": 0.8}),
+    ("toth", {"qm": 9.0, "k": 1.4, "t": 0.62}),
+    ("dsl", {"qm1": 6.0, "k1": 4.0, "qm2": 10.0, "k2": 0.05}),
+])
+def test_isofit_parameter_recovery(model, params):
+    p = np.geomspace(0.01, 60.0, 24)
+    names, fn = analyze._ISO_MODELS[model]
+    y = fn(p, *[params[k] for k in names])
+    res = analyze.isotherm_fit(p, y, model=model)
+    assert res["rmse"] < 1e-8 * y.max()
+    for k in names:
+        assert res["params"][k] == pytest.approx(params[k], rel=1e-4), k
+    henry_true = {"langmuir": params.get("qm", 0) * params.get("k", 0),
+                  "toth": params.get("qm", 0) * params.get("k", 0),
+                  "dsl": params.get("qm1", 0) * params.get("k1", 0)
+                  + params.get("qm2", 0) * params.get("k2", 0)}[model]
+    assert res["henry"] == pytest.approx(henry_true, rel=1e-3)
+
+
+def test_isofit_validates_inputs():
+    with pytest.raises(ValueError):
+        analyze.isotherm_fit([1.0, 2.0], [1.0, 2.0], model="bogus")
+    with pytest.raises(ValueError):
+        analyze.isotherm_fit([0.0, 2.0], [1.0, 2.0])
+    with pytest.raises(ValueError):
+        analyze.isotherm_fit([1.0, 2.0, 3.0], [1.0, 2.0, 2.5],
+                             model="dsl")   # 4 params, 3 points
+
+
+def test_new_cli_commands(tmp_path, capsys):
+    import json
+    path, box, frames = _dimer_traj(tmp_path)
+    out_csv = tmp_path / "c.csv"
+    assert analyze.main(["orient", path, "--mol", "H2", "--max-lag",
+                         "6", "--out", str(out_csv)]) == 0
+    rows = out_csv.read_text().strip().splitlines()
+    assert rows[0] == "lag,c1,c2,samples" and len(rows) == 8
+    assert analyze.main(["sq", path, "--a", "H", "--qmin", "0.5",
+                         "--qmax", "8", "--nq", "16",
+                         "--out", str(out_csv)]) == 0
+    rows = out_csv.read_text().strip().splitlines()
+    assert rows[0] == "q,sq" and len(rows) == 17
+    jl = tmp_path / "obs.jsonl"
+    rng = np.random.default_rng(1)
+    nn = rng.poisson(12.0, 512).astype(float)
+    jl.write_text("\n".join(
+        json.dumps({"step": i, "N": v, "energy_total": -500.0 * v})
+        for i, v in enumerate(nn)) + "\n")
+    assert analyze.main(["qst", str(jl), "-T", "77"]) == 0
+    out = capsys.readouterr().out
+    assert "Qst (K):" in out and "577" in out
+    iso = tmp_path / "iso.csv"
+    p = np.geomspace(0.1, 30, 12)
+    iso.write_text("pressure,N\n" + "\n".join(
+        f"{pi},{8.0 * 0.5 * pi / (1 + 0.5 * pi)}" for pi in p) + "\n")
+    assert analyze.main(["isofit", str(iso), "--model", "langmuir"]) == 0
+    out = capsys.readouterr().out
+    assert "qm = 8" in out and "henry" in out
