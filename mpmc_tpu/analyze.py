@@ -709,11 +709,13 @@ def main(argv=None):
                                 "(campaign.py output works directly)")
     pi.add_argument("--model", default="langmuir",
                     choices=sorted(_ISO_MODELS))
-    pi.add_argument("--p-column", default="pressure")
-    pi.add_argument("--q-column", default="N")
+    pi.add_argument("--p-column", default="pressure_atm",
+                    help="campaign.py write_csv column names are the "
+                         "defaults")
+    pi.add_argument("--q-column", default="n_mean")
     pi.add_argument("--sem-column", default="",
                     help="optional per-point 1-sigma column for "
-                         "weighted residuals")
+                         "weighted residuals (campaign: n_sem)")
     pw = sub.add_parser("widom", help="Widom LJ test-particle insertion")
     pw.add_argument("traj")
     pw.add_argument("--eps", type=float, required=True,

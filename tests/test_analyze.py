@@ -501,8 +501,10 @@ def test_new_cli_commands(tmp_path, capsys):
     assert "Qst (K):" in out and "577" in out
     iso = tmp_path / "iso.csv"
     p = np.geomspace(0.1, 30, 12)
-    iso.write_text("pressure,N\n" + "\n".join(
-        f"{pi},{8.0 * 0.5 * pi / (1 + 0.5 * pi)}" for pi in p) + "\n")
-    assert analyze.main(["isofit", str(iso), "--model", "langmuir"]) == 0
+    iso.write_text("pressure_atm,n_mean,n_sem\n" + "\n".join(
+        f"{pi},{8.0 * 0.5 * pi / (1 + 0.5 * pi)},0.05" for pi in p)
+        + "\n")
+    assert analyze.main(["isofit", str(iso), "--model", "langmuir",
+                         "--sem-column", "n_sem"]) == 0
     out = capsys.readouterr().out
     assert "qm = 8" in out and "henry" in out
