@@ -313,6 +313,130 @@ def widom_python(frames, eps, sig, temperature, frac_pos, box=None,
     return sum_e / n, sum_ue / n, n_frames
 
 
+def _quat_rotate(q, v):
+    """Rotate rows of v [S,3] by unit quaternion q (w,x,y,z) — the
+    exact v + w*t + qv x t, t = 2 qv x v formula of the native kernel."""
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q)
+    qv = q[1:]
+    t = 2.0 * np.cross(qv, v)
+    return v + q[0] * t + np.cross(qv, t)
+
+
+def widom_mol_python(frames, site_xyz, site_eps, site_sig, site_q,
+                     temperature, posquat, box=None, rc=10.0):
+    """Reference rigid multi-site Widom insertion — the exact contract
+    of the native kernel (traj_widom_mol): template sites rotated by the
+    trial quaternion, COM at the trial fractional point, LJ
+    (LB-mixed, both eps > 0) + cutoff Coulomb (both charges nonzero)
+    within rc, minimum image.  Returns (mean exp(-bU), mean U exp(-bU),
+    n_frames)."""
+    from mpmc_tpu.constants import KE
+    beta = 1.0 / float(temperature)
+    xyz = np.asarray(site_xyz, np.float64).reshape(-1, 3)
+    eps_s = np.asarray(site_eps, np.float64).ravel()
+    sig_s = np.asarray(site_sig, np.float64).ravel()
+    q_s = np.asarray(site_q, np.float64).ravel()
+    pq = np.asarray(posquat, np.float64)
+    sum_e = sum_ue = 0.0
+    n_frames = 0
+    for frame in frames:
+        b = _frame_box(frame, box)
+        binv = np.linalg.inv(b)
+        sel = [a for a in frame.atoms if a.eps > 0.0 or a.charge != 0.0]
+        fe = fue = 0.0
+        for row in pq:
+            p = row[:3] @ b
+            rot = _quat_rotate(row[3:], xyz) + p
+            u = 0.0
+            if sel:
+                pa = np.stack([a.xyz for a in sel])
+                a_eps = np.array([a.eps for a in sel])
+                a_sig = np.array([a.sig for a in sel])
+                a_q = np.array([a.charge for a in sel])
+                d = rot[:, None, :] - pa[None, :, :]
+                fr = d @ binv
+                fr -= np.round(fr)
+                d = fr @ b
+                r2 = np.maximum(np.sum(d * d, -1), 1e-12)
+                ok = r2 < rc * rc
+                lj_ok = ok & (a_eps[None, :] > 0) & (eps_s[:, None] > 0)
+                s_mix = 0.5 * (sig_s[:, None] + a_sig[None, :])
+                s6 = (s_mix * s_mix / r2) ** 3
+                e_mix = np.sqrt(eps_s[:, None] * a_eps[None, :])
+                u += float(np.sum(np.where(
+                    lj_ok, 4.0 * e_mix * s6 * (s6 - 1.0), 0.0)))
+                es_ok = ok & (a_q[None, :] != 0) & (q_s[:, None] != 0)
+                u += float(np.sum(np.where(
+                    es_ok, KE * q_s[:, None] * a_q[None, :]
+                    / np.sqrt(r2), 0.0)))
+            w = np.exp(-beta * u)
+            fe += w
+            fue += u * w
+        sum_e += fe / len(pq)
+        sum_ue += fue / len(pq)
+        n_frames += 1
+    n = max(n_frames, 1)
+    return sum_e / n, sum_ue / n, n_frames
+
+
+def template_sites(insert_pqr):
+    """(site_xyz [S,3] about the mass-weighted COM, eps, sig, charge)
+    from an insertion-template PQR (the GCMC insert_input deck)."""
+    frame = pqr.read_first_frame(insert_pqr)
+    if not frame.atoms:
+        raise ValueError(f"{insert_pqr}: empty template")
+    xyz = np.stack([np.asarray(a.xyz, np.float64) for a in frame.atoms])
+    m = np.array([a.mass for a in frame.atoms])
+    com = (m[:, None] * xyz).sum(0) / m.sum() if m.sum() > 0 \
+        else xyz.mean(0)
+    return (xyz - com,
+            np.array([a.eps for a in frame.atoms]),
+            np.array([a.sig for a in frame.atoms]),
+            np.array([a.charge for a in frame.atoms]))
+
+
+def widom_mol(path, insert_pqr, temperature, n_try=2000, seed=0,
+              box=None, rc=10.0, use_native=True, posquat=None):
+    """Rigid multi-site Widom insertion over a trajectory, template
+    from an insert_input-style PQR — native when available.  Energy =
+    LB-mixed LJ + plain-cutoff Coulomb (documented approximation; the
+    run-time Henry machinery is the full-Ewald path).  Returns the same
+    dict as widom()."""
+    sx, se, ss, sq2 = template_sites(insert_pqr)
+    out = None
+    if use_native and posquat is None:
+        out = native.traj_widom_mol(path, sx, se, ss, sq2, temperature,
+                                    n_try=n_try, seed=seed, box=box,
+                                    rc=rc)
+    if out is None:
+        if posquat is None:
+            rng = np.random.default_rng(seed)
+            u = rng.uniform(0.0, 1.0, (int(n_try), 6))
+            quat = np.stack([
+                np.sqrt(u[:, 3]) * np.cos(2 * np.pi * u[:, 5]),
+                np.sqrt(1 - u[:, 3]) * np.sin(2 * np.pi * u[:, 4]),
+                np.sqrt(1 - u[:, 3]) * np.cos(2 * np.pi * u[:, 4]),
+                np.sqrt(u[:, 3]) * np.sin(2 * np.pi * u[:, 5])], -1)
+            posquat = np.concatenate([u[:, :3], quat], -1)
+        out = widom_mol_python(pqr.read_frames(path), sx, se, ss, sq2,
+                               temperature, posquat, box=box, rc=rc)
+    e_mean, ue_mean, n_frames = out
+    from mpmc_tpu.constants import ATM2K_A3
+    frame0 = pqr.read_first_frame(path)
+    fw_mass = sum(a.mass for a in frame0.atoms if _flag_ok(a.flag, "F"))
+    u0 = ue_mean / e_mean if e_mean > 0 else float("nan")
+    mu_ex = (-temperature * float(np.log(e_mean)) if e_mean > 0
+             else float("inf"))
+    kh = float("nan")
+    if fw_mass > 0 and e_mean > 0:
+        b = _frame_box(frame0, box)
+        vol = abs(np.linalg.det(b))
+        kh = 1e3 * ATM2K_A3 * vol * e_mean / (temperature * fw_mass)
+    return {"boltzmann": e_mean, "mu_ex": mu_ex, "u0": u0,
+            "kh_mol_kg_atm": kh, "n_frames": n_frames}
+
+
 def widom(path, eps, sig, temperature, n_try=2000, seed=0, box=None,
           rc=10.0, use_native=True, frac_pos=None):
     """Widom insertion over a trajectory — native when available.
@@ -716,12 +840,18 @@ def main(argv=None):
     pi.add_argument("--sem-column", default="",
                     help="optional per-point 1-sigma column for "
                          "weighted residuals (campaign: n_sem)")
-    pw = sub.add_parser("widom", help="Widom LJ test-particle insertion")
+    pw = sub.add_parser("widom", help="Widom test-particle insertion "
+                                      "(single LJ site, or a rigid "
+                                      "multi-site charged template)")
     pw.add_argument("traj")
-    pw.add_argument("--eps", type=float, required=True,
-                    help="test-particle LJ epsilon (K)")
-    pw.add_argument("--sig", type=float, required=True,
-                    help="test-particle LJ sigma (A)")
+    pw.add_argument("--eps", type=float,
+                    help="single-site LJ epsilon (K)")
+    pw.add_argument("--sig", type=float,
+                    help="single-site LJ sigma (A)")
+    pw.add_argument("--insert-pqr",
+                    help="insertion-template PQR (insert_input deck): "
+                         "rigid multi-site LJ + cutoff-Coulomb ghost "
+                         "with random orientations")
     pw.add_argument("--temperature", "-T", type=float, required=True)
     pw.add_argument("--tries", type=int, default=2000,
                     help="insertions per frame")
@@ -805,9 +935,18 @@ def main(argv=None):
               f"tau_int: {tau:.2f}  "
               f"sem(plateau): {sems[0] * np.sqrt(tau):.6g}")
     elif args.cmd == "widom":
-        res = widom(args.traj, args.eps, args.sig, args.temperature,
-                    n_try=args.tries, seed=args.seed, rc=args.rc,
-                    use_native=not args.no_native)
+        if args.insert_pqr:
+            res = widom_mol(args.traj, args.insert_pqr,
+                            args.temperature, n_try=args.tries,
+                            seed=args.seed, rc=args.rc,
+                            use_native=not args.no_native)
+        elif args.eps is None or args.sig is None:
+            raise SystemExit("widom needs --eps and --sig, or "
+                             "--insert-pqr")
+        else:
+            res = widom(args.traj, args.eps, args.sig, args.temperature,
+                        n_try=args.tries, seed=args.seed, rc=args.rc,
+                        use_native=not args.no_native)
         print(f"frames:            {res['n_frames']}")
         print(f"<exp(-U/kT)>:      {res['boltzmann']:.6e}")
         print(f"mu_excess (K):     {res['mu_ex']:.4f}")

@@ -111,6 +111,15 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_long, ctypes.c_ulonglong,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+    lib.traj_widom_mol.restype = ctypes.c_long
+    lib.traj_widom_mol.argtypes = [
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_double, ctypes.c_long,
+        ctypes.c_ulonglong, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double)]
     lib.traj_orient.restype = ctypes.c_long
     lib.traj_orient.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char, ctypes.c_char_p,
@@ -400,6 +409,54 @@ def traj_msd(path: str, mol_name: str = "*", flag: str = "M", box=None,
             raise ValueError(f"{path}: no usable cell for MSD "
                              "(pass box=)")
         return msd, cnt
+    finally:
+        lib.pqr_close(h)
+
+
+def traj_widom_mol(path: str, site_xyz, site_eps, site_sig, site_q,
+                   temperature: float, n_try: int = 1000, seed: int = 0,
+                   posquat=None, box=None, rc: float = 10.0):
+    """Native rigid multi-site Widom insertion (LJ + cutoff Coulomb).
+    ``site_xyz`` [S,3] template coordinates about the insertion origin;
+    ``posquat`` [n_try,7] optional fixed (frac xyz, quat wxyz) trials
+    reused every frame.  Returns (mean exp(-bU), mean U exp(-bU),
+    n_frames); None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    from mpmc_tpu.constants import KE
+    h = lib.pqr_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        err = lib.pqr_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        xyz = np.ascontiguousarray(site_xyz, np.float64).reshape(-1, 3)
+        s = xyz.shape[0]
+        eps = np.ascontiguousarray(site_eps, np.float64).reshape(s)
+        sig = np.ascontiguousarray(site_sig, np.float64).reshape(s)
+        q = np.ascontiguousarray(site_q, np.float64).reshape(s)
+        pq = None
+        if posquat is not None:
+            pq = np.ascontiguousarray(posquat, np.float64)
+            if pq.shape != (int(n_try), 7):
+                raise ValueError("posquat must be [n_try, 7]")
+            pq = pq.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        out = np.zeros(2, np.float64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        r = lib.traj_widom_mol(
+            h, s, xyz.ctypes.data_as(dp), eps.ctypes.data_as(dp),
+            sig.ctypes.data_as(dp), q.ctypes.data_as(dp), float(KE),
+            1.0 / float(temperature), int(n_try),
+            int(seed) & (2**64 - 1), pq, _cell_ptr(box), float(rc),
+            out.ctypes.data_as(dp))
+        if r == -1:
+            raise ValueError(f"{path}: no usable cell for Widom "
+                             "(pass box=)")
+        if r < 0:
+            raise ValueError(f"{path}: traj_widom_mol failed")
+        return float(out[0]), float(out[1]), int(r)
     finally:
         lib.pqr_close(h)
 

@@ -446,6 +446,121 @@ long traj_widom(void* h, double eps_t, double sig_t, double beta,
     return n_frames;
 }
 
+// Rigid multi-site Widom insertion with partial charges: the
+// generalization of traj_widom to a real insertion template (the GCMC
+// insert_input molecule).  Each trial places the template's COM at a
+// fractional cell point and applies a uniform random rotation; the
+// energy sums, per site x frame atom within rc (minimum image):
+//   LJ (Lorentz-Berthelot mixed) when both eps > 0, and
+//   cutoff Coulomb ke * q_s * q_a / r when both charges are nonzero.
+// Plain-cutoff Coulomb is the documented approximation here — the
+// run-time Henry machinery (tests/test_henry.py) is the full-Ewald
+// path; for neutral templates (H2/CO2 quadrupoles) the truncation
+// error decays as r^-3 shell-averaged.
+//
+// site_xyz [n_sites*3] are template coordinates about the insertion
+// origin (the caller centers them on the COM); try_posquat [n_try*7]
+// optionally fixes (frac x,y,z, quat w,x,y,z) per trial, reused every
+// frame (the cross-validation path); NULL draws fresh uniform
+// positions and Shoemake-uniform rotations per frame from the seed.
+// out[0] = <exp(-beta U)>, out[1] = <U exp(-beta U)> (frames averaged
+// evenly).  Returns frames processed; -1 if any frame lacks a usable
+// cell, -2 on bad arguments.
+long traj_widom_mol(void* h, long n_sites, const double* site_xyz,
+                    const double* site_eps, const double* site_sig,
+                    const double* site_q, double ke, double beta,
+                    long n_try, unsigned long long seed,
+                    const double* try_posquat,
+                    const double* fallback_cell, double rc,
+                    double* out) {
+    auto* file = static_cast<File*>(h);
+    if (!file || n_sites <= 0 || !site_xyz || !site_eps || !site_sig
+        || !site_q || n_try <= 0 || !out || rc <= 0 || beta <= 0)
+        return -2;
+    std::mt19937_64 rng(seed);
+    std::uniform_real_distribution<double> uni(0.0, 1.0);
+    const double rc2 = rc * rc;
+    const double two_pi = 2.0 * M_PI;
+    double sum_e = 0.0, sum_ue = 0.0;
+    long n_frames = 0;
+    std::vector<double> rot(3 * n_sites);
+    for (const Frame& fr : file->frames) {
+        Cell cell;
+        if (!frame_cell(fr, fallback_cell, &cell)) return -1;
+        double fe = 0.0, fue = 0.0;
+        for (long t = 0; t < n_try; ++t) {
+            double f[3], q[4];
+            if (try_posquat) {
+                const double* row = try_posquat + 7 * t;
+                f[0] = row[0]; f[1] = row[1]; f[2] = row[2];
+                double n = std::sqrt(row[3] * row[3] + row[4] * row[4]
+                                     + row[5] * row[5] + row[6] * row[6]);
+                q[0] = row[3] / n; q[1] = row[4] / n;
+                q[2] = row[5] / n; q[3] = row[6] / n;
+            } else {
+                f[0] = uni(rng); f[1] = uni(rng); f[2] = uni(rng);
+                // Shoemake uniform rotation
+                double u1 = uni(rng), u2 = uni(rng), u3 = uni(rng);
+                double s1 = std::sqrt(1.0 - u1), s2 = std::sqrt(u1);
+                q[0] = s2 * std::cos(two_pi * u3);
+                q[1] = s1 * std::sin(two_pi * u2);
+                q[2] = s1 * std::cos(two_pi * u2);
+                q[3] = s2 * std::sin(two_pi * u3);
+            }
+            double p[3];
+            for (int k = 0; k < 3; ++k)
+                p[k] = f[0] * cell.b[0][k] + f[1] * cell.b[1][k]
+                     + f[2] * cell.b[2][k];
+            // rotate each template site: v' = v + w*t + qv x t,
+            // t = 2 qv x v  (unit quaternion (w, qv))
+            for (long s = 0; s < n_sites; ++s) {
+                const double* v = site_xyz + 3 * s;
+                double tx = 2.0 * (q[2] * v[2] - q[3] * v[1]);
+                double ty = 2.0 * (q[3] * v[0] - q[1] * v[2]);
+                double tz = 2.0 * (q[1] * v[1] - q[2] * v[0]);
+                rot[3 * s] = v[0] + q[0] * tx + q[2] * tz - q[3] * ty;
+                rot[3 * s + 1] = v[1] + q[0] * ty + q[3] * tx
+                               - q[1] * tz;
+                rot[3 * s + 2] = v[2] + q[0] * tz + q[1] * ty
+                               - q[2] * tx;
+            }
+            double u = 0.0;
+            for (const Atom& a : fr.atoms) {
+                const bool a_lj = a.eps > 0.0;
+                const bool a_es = a.charge != 0.0;
+                if (!a_lj && !a_es) continue;
+                for (long s = 0; s < n_sites; ++s) {
+                    double d[3];
+                    min_image(cell, p[0] + rot[3 * s] - a.x,
+                              p[1] + rot[3 * s + 1] - a.y,
+                              p[2] + rot[3 * s + 2] - a.z, d);
+                    double r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2];
+                    if (r2 >= rc2) continue;
+                    if (r2 < 1e-12) r2 = 1e-12;
+                    if (a_lj && site_eps[s] > 0.0) {
+                        double sig = 0.5 * (site_sig[s] + a.sig);
+                        double s2 = sig * sig / r2;
+                        double s6 = s2 * s2 * s2;
+                        u += 4.0 * std::sqrt(site_eps[s] * a.eps) * s6
+                             * (s6 - 1.0);
+                    }
+                    if (a_es && site_q[s] != 0.0)
+                        u += ke * site_q[s] * a.charge / std::sqrt(r2);
+                }
+            }
+            double e = std::exp(-beta * u);
+            fe += e;
+            fue += u * e;
+        }
+        sum_e += fe / static_cast<double>(n_try);
+        sum_ue += fue / static_cast<double>(n_try);
+        ++n_frames;
+    }
+    out[0] = n_frames > 0 ? sum_e / static_cast<double>(n_frames) : 0.0;
+    out[1] = n_frames > 0 ? sum_ue / static_cast<double>(n_frames) : 0.0;
+    return n_frames;
+}
+
 // Orientational autocorrelation of molecular axes vs frame lag
 // (beyond-reference extension; the in-run analogue is the spinflip /
 // quantum-rotation machinery — this is the trajectory-side observable

@@ -508,3 +508,122 @@ def test_new_cli_commands(tmp_path, capsys):
                          "--sem-column", "n_sem"]) == 0
     out = capsys.readouterr().out
     assert "qm = 8" in out and "henry" in out
+
+
+# ---------------------------------------------------------------------------
+# Multi-site charged Widom
+# ---------------------------------------------------------------------------
+
+def _posquat(n, seed=5):
+    rng = np.random.default_rng(seed)
+    pq = np.empty((n, 7))
+    pq[:, :3] = rng.uniform(0, 1, (n, 3))
+    q = rng.standard_normal((n, 4))
+    pq[:, 3:] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    return pq
+
+
+@needs_native
+def test_widom_mol_single_site_reduces_to_widom(tmp_path):
+    """A 1-site uncharged template at the origin must reproduce the
+    single-site kernel exactly (rotation acts trivially)."""
+    path, box, frames = _triclinic_traj(tmp_path)
+    pq = _posquat(48)
+    en, uen, nf = native.traj_widom(path, eps=30.0, sig=3.1,
+                                    temperature=120.0, n_try=48,
+                                    frac_pos=pq[:, :3], rc=5.5)
+    em, uem, nfm = native.traj_widom_mol(
+        path, [[0.0, 0.0, 0.0]], [30.0], [3.1], [0.0], 120.0,
+        n_try=48, posquat=pq, rc=5.5)
+    assert nf == nfm
+    assert em == pytest.approx(en, rel=1e-12)
+    assert uem == pytest.approx(uen, rel=1e-12)
+
+
+def _charged_traj(tmp_path):
+    """Frozen framework with LJ + charges (net-neutral pairs)."""
+    box = np.eye(3) * 12.0
+    rng = np.random.default_rng(9)
+    frames = []
+    for _ in range(3):
+        atoms = []
+        for i in range(14):
+            a = _atom(i + 1, "O", "MOF", i + 1, "F",
+                      rng.uniform(0, 12, 3), mass=16.0)
+            a.charge = 0.3 if i % 2 == 0 else -0.3
+            atoms.append(a)
+        frames.append(atoms)
+    path = tmp_path / "charged.pqr"
+    _write_traj(path, frames, box)
+    return str(path), box
+
+
+@needs_native
+def test_widom_mol_native_matches_python(tmp_path):
+    """Shared (position, quaternion) trials -> native and numpy agree
+    to rounding on a charged 3-site template."""
+    path, box = _charged_traj(tmp_path)
+    pq = _posquat(32, seed=7)
+    sx = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, -0.74],
+                   [0.0, 0.0, 0.74]])
+    se = np.array([34.2, 0.0, 0.0])
+    ss = np.array([3.0, 0.0, 0.0])
+    sq2 = np.array([-0.84, 0.42, 0.42])
+    en, uen, nf = native.traj_widom_mol(path, sx, se, ss, sq2, 150.0,
+                                        n_try=32, posquat=pq, rc=5.9)
+    ep, uep, nfp = analyze.widom_mol_python(
+        pqr.read_frames(path), sx, se, ss, sq2, 150.0, pq, rc=5.9)
+    assert nf == nfp == 3
+    assert en == pytest.approx(ep, rel=1e-12)
+    assert uen == pytest.approx(uep, rel=1e-12)
+    assert uen != 0.0
+
+
+def test_widom_mol_charged_analytic(tmp_path):
+    """One framework charge Q, a single-site ghost of charge q inserted
+    at a known distance with no LJ: U = KE q Q / r exactly, in both
+    implementations."""
+    from mpmc_tpu.constants import KE
+    box = np.eye(3) * 20.0
+    a = _atom(1, "Q", "ION", 1, "F", [10.0, 10.0, 10.0], mass=10.0)
+    a.charge = 0.5
+    a.eps = 0.0
+    path = tmp_path / "ion.pqr"
+    _write_traj(path, [[a]], box)
+    # ghost at (13, 10, 10): r = 3
+    pq = np.array([[13.0 / 20.0, 0.5, 0.5, 1.0, 0.0, 0.0, 0.0]])
+    u_expect = KE * (-0.2) * 0.5 / 3.0
+    ep, uep, _ = analyze.widom_mol_python(
+        pqr.read_frames(str(path)), [[0.0, 0.0, 0.0]], [0.0], [0.0],
+        [-0.2], 100.0, pq, rc=8.0)
+    w = np.exp(-u_expect / 100.0)
+    assert ep == pytest.approx(w, rel=1e-9)
+    assert uep == pytest.approx(u_expect * w, rel=1e-9)
+    if native.available():
+        en, uen, _ = native.traj_widom_mol(
+            str(path), [[0.0, 0.0, 0.0]], [0.0], [0.0], [-0.2], 100.0,
+            n_try=1, posquat=pq, rc=8.0)
+        assert en == pytest.approx(ep, rel=1e-12)
+        assert uen == pytest.approx(uep, rel=1e-12)
+
+
+def test_widom_mol_cli(tmp_path, capsys):
+    path, box = _charged_traj(tmp_path)
+    tpl = tmp_path / "h2.pqr"
+    h = _atom(1, "H2G", "H2", 1, "M", [0.0, 0.0, 0.0], mass=0.0)
+    h.charge = -0.84
+    h.eps = 34.2
+    h.sig = 3.0
+    h1 = _atom(2, "H2E", "H2", 1, "M", [0.0, 0.0, -0.37], mass=1.008)
+    h1.charge = 0.42
+    h1.eps = 0.0
+    h2 = _atom(3, "H2E", "H2", 1, "M", [0.0, 0.0, 0.37], mass=1.008)
+    h2.charge = 0.42
+    h2.eps = 0.0
+    pqr.write(str(tpl), [h, h1, h2], use_native=False)
+    assert analyze.main(["widom", path, "--insert-pqr", str(tpl),
+                         "-T", "77", "--tries", "16"]) == 0
+    out = capsys.readouterr().out
+    assert "mu_excess" in out and "K_H" in out
+    with pytest.raises(SystemExit):
+        analyze.main(["widom", path, "-T", "77"])
