@@ -572,6 +572,42 @@ def qst(n_series, u_series, temperature, n_blocks=10):
             "samples": int(n.size)}
 
 
+def qst_clausius_clapeyron(p1, q1, t1, p2, q2, t2, n_loadings=20):
+    """Isosteric heat vs loading from two isotherms (Clausius-Clapeyron):
+
+        Qst(theta) = -R * ln(P2/P1) / (1/T2 - 1/T1)   at equal loading
+
+    the standard experimental construction, and the cross-check of the
+    in-run fluctuation-formula Qst (utils/averages.py).  Each isotherm
+    is interpolated in (ln P, loading); the loading grid spans the
+    overlap of the two loading ranges.  Returns (loadings, qst_K) —
+    Kelvin units (divide by 1e3/8.314... for kJ/mol upstream)."""
+    p1 = np.asarray(p1, np.float64).ravel()
+    q1 = np.asarray(q1, np.float64).ravel()
+    p2 = np.asarray(p2, np.float64).ravel()
+    q2 = np.asarray(q2, np.float64).ravel()
+    if t1 == t2:
+        raise ValueError("isotherms must differ in temperature")
+    for p, q in ((p1, q1), (p2, q2)):
+        if p.size != q.size or p.size < 2:
+            raise ValueError("each isotherm needs >= 2 (P, loading) "
+                             "points")
+        if np.any(p <= 0):
+            raise ValueError("pressures must be > 0")
+        if np.any(np.diff(q) <= 0):
+            raise ValueError("loadings must be strictly increasing "
+                             "with P (sort / de-noise first)")
+    lo = max(q1.min(), q2.min())
+    hi = min(q1.max(), q2.max())
+    if not hi > lo:
+        raise ValueError("isotherm loading ranges do not overlap")
+    theta = np.linspace(lo, hi, int(n_loadings))
+    lnp1 = np.interp(theta, q1, np.log(p1))
+    lnp2 = np.interp(theta, q2, np.log(p2))
+    qst_k = -(lnp2 - lnp1) / (1.0 / t2 - 1.0 / t1)
+    return theta, qst_k
+
+
 _ISO_MODELS = {
     # loading(P; params) — P in the user's pressure unit, params > 0
     "langmuir": (("qm", "k"),
@@ -827,6 +863,18 @@ def main(argv=None):
                     help="equilibration fraction to drop (0-0.9)")
     pq.add_argument("--blocks", type=int, default=10,
                     help="jackknife block count")
+    pc = sub.add_parser("qst-cc",
+                        help="Qst(loading) from two isotherm CSVs at "
+                             "different temperatures "
+                             "(Clausius-Clapeyron)")
+    pc.add_argument("csv1")
+    pc.add_argument("csv2")
+    pc.add_argument("--t1", type=float, required=True)
+    pc.add_argument("--t2", type=float, required=True)
+    pc.add_argument("--p-column", default="pressure_atm")
+    pc.add_argument("--q-column", default="n_mean")
+    pc.add_argument("--n-loadings", type=int, default=20)
+    pc.add_argument("--out", default="-", help="CSV path (default stdout)")
     pi = sub.add_parser("isofit",
                         help="fit an isotherm model to P,loading points")
     pi.add_argument("csv", help="CSV with pressure + loading columns "
@@ -913,6 +961,17 @@ def main(argv=None):
         print(f"Qst (K):   {res['qst']:.6g} +/- {res['qst_sem']:.3g}")
         print(f"Qst (kJ/mol): {res['qst'] * 8.314462618e-3:.6g} "
               f"+/- {res['qst_sem'] * 8.314462618e-3:.3g}")
+    elif args.cmd == "qst-cc":
+        th, qk = qst_clausius_clapeyron(
+            _read_series(args.csv1, args.p_column),
+            _read_series(args.csv1, args.q_column), args.t1,
+            _read_series(args.csv2, args.p_column),
+            _read_series(args.csv2, args.q_column), args.t2,
+            n_loadings=args.n_loadings)
+        write_csv(args.out, "loading,qst_K,qst_kJ_mol",
+                  ((f"{t:.6g}", f"{q:.6g}",
+                    f"{q * 8.314462618e-3:.6g}")
+                   for t, q in zip(th, qk)))
     elif args.cmd == "isofit":
         pp = _read_series(args.csv, args.p_column)
         qq = _read_series(args.csv, args.q_column)

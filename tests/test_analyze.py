@@ -627,3 +627,36 @@ def test_widom_mol_cli(tmp_path, capsys):
     assert "mu_excess" in out and "K_H" in out
     with pytest.raises(SystemExit):
         analyze.main(["widom", path, "-T", "77"])
+
+
+def test_qst_clausius_clapeyron_recovery(tmp_path, capsys):
+    """Langmuir isotherms with a van't Hoff K(T) = K0 exp(Qst/T) have a
+    loading-independent isosteric heat = Qst exactly; the CC
+    construction must recover it at every loading."""
+    qst_true, qm, k0 = 1100.0, 10.0, 2e-4
+    t1, t2 = 77.0, 97.0
+
+    def iso(t, p):
+        k = k0 * np.exp(qst_true / t)
+        return qm * k * p / (1 + k * p)
+
+    p = np.geomspace(0.05, 80.0, 30)
+    th, qk = analyze.qst_clausius_clapeyron(p, iso(t1, p), t1,
+                                            p, iso(t2, p), t2)
+    # interp in (ln P, loading) is piecewise-linear: ~0.3%
+    np.testing.assert_allclose(qk, qst_true, rtol=5e-3)
+    # CLI round trip on campaign-style CSVs
+    for name, t in (("i1.csv", t1), ("i2.csv", t2)):
+        (tmp_path / name).write_text(
+            "pressure_atm,n_mean\n" + "\n".join(
+                f"{pi},{iso(t, pi)}" for pi in p) + "\n")
+    assert analyze.main(["qst-cc", str(tmp_path / "i1.csv"),
+                         str(tmp_path / "i2.csv"), "--t1", "77",
+                         "--t2", "97"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("loading,qst_K,qst_kJ_mol")
+    vals = [float(r.split(",")[1]) for r in out.strip().splitlines()[1:]]
+    assert all(abs(v - qst_true) < 5.0 for v in vals)
+    with pytest.raises(ValueError):
+        analyze.qst_clausius_clapeyron(p, iso(t1, p), 77.0,
+                                       p, iso(t1, p), 77.0)
