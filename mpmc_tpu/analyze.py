@@ -1029,4 +1029,9 @@ def main(argv=None):
 
 if __name__ == "__main__":
     _pin_cpu()
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:   # `... | head` closed stdout mid-CSV
+        import os
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(0)
