@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (smoke tests; env vars "
                          "alone cannot override the axon plugin)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny shapes + interpret-mode kernels: "
+                         "validates every code path end-to-end without "
+                         "a TPU (numbers are meaningless)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -71,10 +75,14 @@ def main():
         print(json.dumps({k: v}), flush=True)
 
     K = 2048 if args.quick else 8192
+    syskw = dict(n_side=21, spacing=4.0, n_h2=256, capacity=512)
+    if args.tiny:
+        K = 32
+        syskw = dict(n_side=4, spacing=4.0, n_h2=4, capacity=8,
+                     ewald_kmax=3)
 
     # --- 1. GCMC strategies -------------------------------------------------
-    params, state, cfg, thermo = systems.mof_h2_gcmc(
-        n_side=21, spacing=4.0, n_h2=256, capacity=512)
+    params, state, cfg, thermo = systems.mof_h2_gcmc(**syskw)
     cfg = dataclasses.replace(cfg, fused_mc=True)
     state = metropolis.initialize(state, params, cfg, thermo)
 
@@ -83,7 +91,8 @@ def main():
                                                  K)[0], state, K))
 
     from mpmc_tpu.ops.pallas import mc_kernel
-    for C in ((2, 4, 8) if args.quick else (2, 4, 8, 12, 16)):
+    for C in ((2,) if args.tiny
+              else (2, 4, 8) if args.quick else (2, 4, 8, 12, 16)):
         if C > mc_kernel.MAX_MULTI_CHAINS:
             break
         states = multichain.stack_states(state, C, seed=3)
@@ -92,16 +101,18 @@ def main():
             lambda s: metropolis.run_chunk_fused_uvt_multi(
                 s, params, cfg, thermo, kc)[0], states, kc))
 
-    states128 = multichain.stack_states(state, 128, seed=4)
-    kb = 256 if args.quick else 512
-    emit("gcmc_scan_c128_agg_sps", 128 * rate(
+    c_scan = 4 if args.tiny else 128
+    states128 = multichain.stack_states(state, c_scan, seed=4)
+    kb = 8 if args.tiny else 256 if args.quick else 512
+    emit(f"gcmc_scan_c{c_scan}_agg_sps", c_scan * rate(
         lambda s: multichain.run_chunk_batched(s, params, cfg, thermo,
                                                kb)[0], states128, kb))
 
     # --- 2. NVT Ewald interleaved C-scan ------------------------------------
     cfg_n = dataclasses.replace(cfg, ensemble="nvt")
     state_n = metropolis.initialize(state, params, cfg_n, thermo)
-    for C in ((4, 16) if args.quick else (4, 8, 16)):
+    for C in ((2,) if args.tiny
+              else (4, 16) if args.quick else (4, 8, 16)):
         if C > mc_kernel.MAX_MULTI_CHAINS:
             break
         states = multichain.stack_states(state_n, C, seed=5)
@@ -112,10 +123,9 @@ def main():
 
     # --- 3. polar PCG -------------------------------------------------------
     params_p, state_p, cfg_p, thermo_p = systems.mof_h2_gcmc(
-        n_side=21, spacing=4.0, n_h2=256, capacity=512,
-        polarization=True)
+        polarization=True, **syskw)
     state_p = metropolis.initialize(state_p, params_p, cfg_p, thermo_p)
-    chunk = 32 if args.quick else 64
+    chunk = 2 if args.tiny else 32 if args.quick else 64
     st, stats = metropolis.run_chunk(state_p, params_p, cfg_p, thermo_p,
                                      chunk)
     fetch(st)
@@ -129,9 +139,9 @@ def main():
          float(np.asarray(stats.polar_iters)) / chunk)
 
     # --- 4. fused PT --------------------------------------------------------
-    R = 8
+    R = 2 if args.tiny else 8
     temps = replica.geometric_ladder(77.0, 250.0, R)
-    spr = 256 if args.quick else 1024
+    spr = 8 if args.tiny else 256 if args.quick else 1024
     cfg_t = dataclasses.replace(cfg, ensemble="nvt")
     for name, runner in (
             ("pt_fused_per_replica", replica.run_parallel_tempering_fused),
@@ -144,6 +154,9 @@ def main():
         emit(f"{name}_agg_sps",
              R * 4 * spr / (time.perf_counter() - t0))
 
+    if args.tiny:
+        print("tiny smoke complete (no MEASURE_R2.json written)")
+        return
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "MEASURE_R2.json"), "w") as f:
         json.dump(out, f, indent=1)
