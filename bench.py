@@ -313,7 +313,35 @@ def bench_pt_round():
             "method": method}
 
 
+def _backend_or_die(timeout_s=420.0):
+    """Initialize the JAX backend under a watchdog.  The axon TPU
+    platform is a tunnel; when it is down, backend init HANGS rather
+    than raising (observed 2026-08-18), which would leave the driver's
+    bench run with no output at all.  A hung init cannot be interrupted,
+    so on timeout the contract line is emitted with value 0 and the
+    process force-exits."""
+    import threading
+    devs = []
+
+    def init():
+        import jax
+        devs.append(jax.devices())
+
+    t = threading.Thread(target=init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not devs:
+        line = {"metric": "agg_mc_steps_per_sec_10k_mof_h2_gcmc_ewald",
+                "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+                "error": f"backend init hung > {timeout_s:.0f}s "
+                         "(TPU tunnel down)"}
+        print(json.dumps(line), flush=True)
+        os._exit(0)
+    print(f"# devices: {devs[0]}", file=sys.stderr, flush=True)
+
+
 def main():
+    _backend_or_die()
     results = []
     # measure every GCMC strategy on a quiet chip: batched scan chains,
     # the fused single-chain kernel, and the C=8 chain-interleaved
