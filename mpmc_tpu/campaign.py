@@ -41,9 +41,23 @@ class PointResult:
     wt_pct: float
     qst_kj_mol: float
     steps: int
+    #: multi-sorbate extras, flattened into row(): per-species loadings
+    #: ``n_<name>`` (+``_sem``), fugacities ``f_<name>``, and pairwise
+    #: adsorption selectivities ``S_<i>_<j>`` = (x_i/x_j)/(y_i/y_j)
+    extra: dict = dataclasses.field(default_factory=dict)
 
     def row(self):
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        d.update(d.pop("extra"))
+        return d
+
+    @classmethod
+    def from_row(cls, r):
+        """Inverse of row(): unknown keys go back into ``extra`` (also
+        reads pre-``extra`` manifests)."""
+        names = {f.name for f in dataclasses.fields(cls)} - {"extra"}
+        return cls(**{k: v for k, v in r.items() if k in names},
+                   extra={k: v for k, v in r.items() if k not in names})
 
 
 def _chain_obs(su, states, chains):
@@ -56,8 +70,40 @@ def _chain_obs(su, states, chains):
     return out
 
 
+def _species_stats(su, per_species, fugacities):
+    """Flattened per-species extras for a mixture point: chain-mean
+    loadings with cross-chain SEM, fugacities, and pairwise adsorption
+    selectivities S_ij = (x_i/x_j)/(y_i/y_j) (output.py's in-run
+    formula, post-point)."""
+    names = su.species_names
+    if len(names) < 2:
+        return {}
+    out = {}
+    means = {}
+    for i, nm in enumerate(names):
+        per_chain = np.array([np.mean(v) for v in per_species[nm]])
+        means[nm] = float(per_chain.mean())
+        out[f"n_{nm}"] = means[nm]
+        out[f"n_{nm}_sem"] = (float(per_chain.std(ddof=1)
+                                    / np.sqrt(len(per_chain)))
+                              if len(per_chain) > 1 else float("inf"))
+        out[f"f_{nm}"] = float(fugacities[i])
+    for i, ni in enumerate(names):
+        for j, nj in enumerate(names):
+            if j <= i:
+                continue
+            fi, fj = float(fugacities[i]), float(fugacities[j])
+            if means[nj] > 0 and fi > 0 and fj > 0:
+                out[f"S_{ni}_{nj}"] = ((means[ni] / means[nj])
+                                       / (fi / fj))
+            else:
+                out[f"S_{ni}_{nj}"] = float("nan")
+    return out
+
+
 def run_point(su, states, thermo, chains, corrtime, min_steps, max_steps,
-              target_rel_sem, equil_blocks, log=None) -> tuple:
+              target_rel_sem, equil_blocks, log=None,
+              fugacities=None) -> tuple:
     """Run one pressure point to its uncertainty target.  Returns
     (states, stats_dict)."""
     from mpmc_tpu.parallel import multichain
@@ -65,6 +111,8 @@ def run_point(su, states, thermo, chains, corrtime, min_steps, max_steps,
 
     avgs = Averages()
     chain_n: List[List[float]] = [[] for _ in range(chains)]
+    per_species = {nm: [[] for _ in range(chains)]
+                   for nm in su.species_names}
     corr = max(corrtime, 1)
     steps = 0
     block = 0
@@ -80,6 +128,8 @@ def run_point(su, states, thermo, chains, corrtime, min_steps, max_steps,
         per_chain = _chain_obs(su, states, chains)
         for c, o in enumerate(per_chain):
             chain_n[c].append(o["N"])
+            for nm in su.species_names:
+                per_species[nm][c].append(o[f"N_{nm}"])
             avgs.add(o)
         means = np.array([np.mean(v) for v in chain_n])
         n_mean = float(means.mean())
@@ -96,6 +146,10 @@ def run_point(su, states, thermo, chains, corrtime, min_steps, max_steps,
                 "n_mean": n_mean, "n_sem": n_sem, "steps": steps,
                 "wt_pct": avgs.mean("wt_pct"),
                 "qst_kj_mol": avgs.qst(float(thermo.temperature)),
+                "extra": _species_stats(
+                    su, per_species,
+                    fugacities if fugacities is not None
+                    else [float("nan")] * len(su.species_names)),
             }
 
 
@@ -129,7 +183,7 @@ def run_isotherm(job, pressures, chains=16, target_rel_sem=0.02,
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 saved = json.load(f)
-            results = [PointResult(**r) for r in saved["rows"]]
+            results = [PointResult.from_row(r) for r in saved["rows"]]
             done_pressures = [r.pressure_atm for r in results]
             if os.path.exists(states_path) and done_pressures:
                 states = ckpt.load(states_path, like=states)[0]
@@ -157,12 +211,13 @@ def run_isotherm(job, pressures, chains=16, target_rel_sem=0.02,
                                              seed=su.cfg.seed)
         states, stats = run_point(
             su, states, thermo, chains, su.cfg.corrtime, min_steps,
-            max_steps, target_rel_sem, equil_blocks, log=log)
+            max_steps, target_rel_sem, equil_blocks, log=log,
+            fugacities=fug)
         results.append(PointResult(
             pressure_atm=p_atm, fugacity_atm=float(fug[0]),
             n_mean=stats["n_mean"], n_sem=stats["n_sem"],
             wt_pct=stats["wt_pct"], qst_kj_mol=stats["qst_kj_mol"],
-            steps=stats["steps"]))
+            steps=stats["steps"], extra=stats["extra"]))
         done_pressures.append(p_atm)
         if checkpoint_dir:
             ckpt.save(states_path, states)

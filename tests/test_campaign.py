@@ -95,3 +95,60 @@ def test_write_csv(tmp_path):
     campaign.write_csv([r], str(out))
     text = out.read_text()
     assert "pressure_atm" in text and "qst_kj_mol" in text
+
+
+IDEAL2_PQR = """\
+ATOM 1 He HE 1 M 5.0 5.0 5.0 4.0026 0.0 0.0 0.0 0.0
+ATOM 2 Ne NE 2 M 15.0 15.0 15.0 20.18 0.0 0.0 0.0 0.0
+END
+"""
+
+
+def test_mixture_campaign_per_species_and_selectivity(tmp_path):
+    """Two ideal-gas sorbates at equal fugacity: each species loads to
+    f V / kT independently and the adsorption selectivity is exactly 1
+    in expectation — the mixture-campaign anchor."""
+    p = tmp_path / "mix.pqr"
+    p.write_text(IDEAL2_PQR)
+    job = input_script.parse(f"""
+ensemble uvt
+numsteps 4000
+corrtime 200
+temperature 100
+pressure 1.0
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+cutoff 8.0
+coulomb off
+rd_lrc off
+insert_probability 0.6
+max_molecules 48
+pqr_input {p}
+""")
+    rows = campaign.run_isotherm(
+        job, pressures=[1.0, 2.0], chains=8, target_rel_sem=0.04,
+        min_steps=2000, max_steps=16000, equil_blocks=2)
+    v = 20.0 ** 3
+    for r in rows:
+        ex = r.extra
+        assert set(ex) == {"n_HE", "n_HE_sem", "f_HE", "n_NE",
+                           "n_NE_sem", "f_NE", "S_HE_NE"}
+        expect = r.pressure_atm * ATM2K_A3 * v / 100.0
+        for nm in ("HE", "NE"):
+            assert ex[f"f_{nm}"] == pytest.approx(r.pressure_atm)
+            assert ex[f"n_{nm}"] == pytest.approx(
+                expect, abs=max(4 * ex[f"n_{nm}_sem"], 0.6)), (nm, r)
+        assert ex["n_HE"] + ex["n_NE"] == pytest.approx(r.n_mean,
+                                                        rel=1e-9)
+        # ideal mixture at equal fugacity: S = (n1/n2)/(f1/f2) ~ 1
+        rel = np.sqrt((ex["n_HE_sem"] / ex["n_HE"]) ** 2
+                      + (ex["n_NE_sem"] / ex["n_NE"]) ** 2)
+        assert ex["S_HE_NE"] == pytest.approx(1.0, abs=max(4 * rel, 0.1))
+    # row() flattens extras for the CSV/manifest; from_row round-trips
+    out = tmp_path / "mix.csv"
+    campaign.write_csv(rows, str(out))
+    header = out.read_text().splitlines()[0]
+    assert "S_HE_NE" in header and "n_HE" in header
+    rt = campaign.PointResult.from_row(rows[0].row())
+    assert rt == rows[0]
