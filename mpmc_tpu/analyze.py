@@ -669,6 +669,75 @@ def isotherm_fit(pressures, loadings, model="langmuir", sem=None):
             "converged": bool(fit.success)}
 
 
+def _spreading_pressure(model, params, p):
+    """Reduced spreading pressure pi(p) = integral_0^p q(p')/p' dp' for
+    a fitted isotherm model (closed form where it exists)."""
+    if p <= 0:
+        return 0.0
+    if model == "langmuir":
+        return params["qm"] * np.log1p(params["k"] * p)
+    if model == "dsl":
+        return (params["qm1"] * np.log1p(params["k1"] * p)
+                + params["qm2"] * np.log1p(params["k2"] * p))
+    from scipy.integrate import quad
+    names, fn = _ISO_MODELS[model]
+    prm = [params[k] for k in names]
+    # q(p)/p is finite at 0 (Henry law) — quad handles the endpoint
+    val, _ = quad(lambda x: fn(x, *prm) / x, 0.0, p, limit=200)
+    return float(val)
+
+
+def iast_binary(fit1, fit2, y1, p_total):
+    """Binary IAST (Myers & Prausnitz 1965): predict mixture adsorption
+    from two fitted PURE-component isotherms (isotherm_fit outputs) at
+    gas-phase mole fraction ``y1`` (component 1) and total pressure
+    ``p_total``.
+
+    Solves pi_1(P y1 / x1) = pi_2(P y2 / x2) for the adsorbed-phase
+    fraction x1 by bisection, then 1/q_T = x1/q1⁰ + x2/q2⁰.  Returns
+    dict with x1, loadings q1/q2/q_total, and the selectivity
+    S_12 = (x1/x2)/(y1/y2).  Validation anchor: two Langmuir isotherms
+    with EQUAL qm reproduce the extended-Langmuir closed form exactly
+    (tests/test_analyze.py)."""
+    if not 0.0 < y1 < 1.0:
+        raise ValueError("y1 must be in (0, 1)")
+    if p_total <= 0:
+        raise ValueError("p_total must be > 0")
+    y2 = 1.0 - y1
+    m1, pr1 = fit1["model"], fit1["params"]
+    m2, pr2 = fit2["model"], fit2["params"]
+    names1, fn1 = _ISO_MODELS[m1]
+    names2, fn2 = _ISO_MODELS[m2]
+
+    def diff(x1):
+        # pi_1 at p1^0 = P y1/x1 minus pi_2 at p2^0 = P y2/(1-x1)
+        return (_spreading_pressure(m1, pr1, p_total * y1 / x1)
+                - _spreading_pressure(m2, pr2,
+                                      p_total * y2 / (1.0 - x1)))
+
+    # diff is monotone decreasing in x1: bisect on (0, 1)
+    lo, hi = 1e-12, 1.0 - 1e-12
+    flo, fhi = diff(lo), diff(hi)
+    if not (flo > 0 > fhi or flo < 0 < fhi):
+        raise ValueError("IAST bisection bracket failed (degenerate "
+                         "isotherms?)")
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        fm = diff(mid)
+        if (fm > 0) == (flo > 0):
+            lo, flo = mid, fm
+        else:
+            hi, fhi = mid, fm
+    x1 = 0.5 * (lo + hi)
+    x2 = 1.0 - x1
+    q1_0 = fn1(p_total * y1 / x1, *[pr1[k] for k in names1])
+    q2_0 = fn2(p_total * y2 / x2, *[pr2[k] for k in names2])
+    q_t = 1.0 / (x1 / q1_0 + x2 / q2_0)
+    return {"x1": float(x1), "q1": float(x1 * q_t),
+            "q2": float(x2 * q_t), "q_total": float(q_t),
+            "selectivity": float((x1 / x2) / (y1 / y2))}
+
+
 def rdf(path, name_a="*", name_b="*", flag_a="*", flag_b="*", box=None,
         rmax=10.0, nbins=200, use_native=True):
     """(r_centers, g) from a trajectory file — native when available."""
@@ -888,6 +957,22 @@ def main(argv=None):
     pi.add_argument("--sem-column", default="",
                     help="optional per-point 1-sigma column for "
                          "weighted residuals (campaign: n_sem)")
+    pa = sub.add_parser("iast",
+                        help="binary IAST mixture prediction from two "
+                             "pure-component isotherm CSVs")
+    pa.add_argument("csv1", help="pure isotherm of component 1")
+    pa.add_argument("csv2", help="pure isotherm of component 2")
+    pa.add_argument("--y1", type=float, required=True,
+                    help="gas-phase mole fraction of component 1")
+    pa.add_argument("--pressures", type=float, nargs="+", required=True,
+                    help="total pressures to predict at")
+    pa.add_argument("--model1", default="langmuir",
+                    choices=sorted(_ISO_MODELS))
+    pa.add_argument("--model2", default="langmuir",
+                    choices=sorted(_ISO_MODELS))
+    pa.add_argument("--p-column", default="pressure_atm")
+    pa.add_argument("--q-column", default="n_mean")
+    pa.add_argument("--out", default="-", help="CSV path (default stdout)")
     pw = sub.add_parser("widom", help="Widom test-particle insertion "
                                       "(single LJ site, or a rigid "
                                       "multi-site charged template)")
@@ -972,6 +1057,20 @@ def main(argv=None):
                   ((f"{t:.6g}", f"{q:.6g}",
                     f"{q * 8.314462618e-3:.6g}")
                    for t, q in zip(th, qk)))
+    elif args.cmd == "iast":
+        f1 = isotherm_fit(_read_series(args.csv1, args.p_column),
+                          _read_series(args.csv1, args.q_column),
+                          model=args.model1)
+        f2 = isotherm_fit(_read_series(args.csv2, args.p_column),
+                          _read_series(args.csv2, args.q_column),
+                          model=args.model2)
+        rows = []
+        for pt in args.pressures:
+            r = iast_binary(f1, f2, args.y1, pt)
+            rows.append((f"{pt:g}", f"{r['q1']:.6g}", f"{r['q2']:.6g}",
+                         f"{r['q_total']:.6g}",
+                         f"{r['selectivity']:.6g}"))
+        write_csv(args.out, "p_total,q1,q2,q_total,selectivity", rows)
     elif args.cmd == "isofit":
         pp = _read_series(args.csv, args.p_column)
         qq = _read_series(args.csv, args.q_column)

@@ -660,3 +660,52 @@ def test_qst_clausius_clapeyron_recovery(tmp_path, capsys):
     with pytest.raises(ValueError):
         analyze.qst_clausius_clapeyron(p, iso(t1, p), 77.0,
                                        p, iso(t1, p), 77.0)
+
+
+def test_iast_extended_langmuir_anchor(tmp_path, capsys):
+    """Two Langmuir isotherms with EQUAL qm: IAST reduces analytically
+    to the extended-Langmuir mixture isotherm
+        q_i = qm K_i y_i P / (1 + K1 y1 P + K2 y2 P)
+    with x1 = K1 y1 / (K1 y1 + K2 y2) and S12 = K1/K2."""
+    qm, k1, k2 = 9.0, 1.3, 0.2
+    f1 = {"model": "langmuir", "params": {"qm": qm, "k": k1}}
+    f2 = {"model": "langmuir", "params": {"qm": qm, "k": k2}}
+    y1, pt = 0.3, 5.0
+    r = analyze.iast_binary(f1, f2, y1, pt)
+    a = pt * (k1 * y1 + k2 * (1 - y1))
+    assert r["x1"] == pytest.approx(k1 * y1 / (k1 * y1 + k2 * (1 - y1)),
+                                    abs=1e-10)
+    assert r["q1"] == pytest.approx(qm * k1 * y1 * pt / (1 + a),
+                                    rel=1e-9)
+    assert r["q2"] == pytest.approx(qm * k2 * (1 - y1) * pt / (1 + a),
+                                    rel=1e-9)
+    assert r["q_total"] == pytest.approx(qm * a / (1 + a), rel=1e-9)
+    assert r["selectivity"] == pytest.approx(k1 / k2, rel=1e-9)
+    # CLI: fit two synthetic pure isotherms, predict the mixture
+    p = np.geomspace(0.01, 50, 20)
+    for name, k in (("a.csv", k1), ("b.csv", k2)):
+        (tmp_path / name).write_text("pressure_atm,n_mean\n" + "\n".join(
+            f"{pi},{qm * k * pi / (1 + k * pi)}" for pi in p) + "\n")
+    assert analyze.main(["iast", str(tmp_path / "a.csv"),
+                         str(tmp_path / "b.csv"), "--y1", "0.3",
+                         "--pressures", "5.0"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "p_total,q1,q2,q_total,selectivity"
+    got = [float(v) for v in out[1].split(",")]
+    assert got[1] == pytest.approx(qm * k1 * y1 * pt / (1 + a), rel=1e-4)
+    assert got[4] == pytest.approx(k1 / k2, rel=1e-4)
+
+
+def test_iast_toth_numeric_spreading_pressure():
+    """A Tóth component exercises the numeric spreading-pressure
+    integral; sanity: selectivity falls between the two pure Henry-law
+    ratios' bounds and loadings are positive/finite."""
+    f1 = {"model": "toth", "params": {"qm": 8.0, "k": 1.1, "t": 0.7}}
+    f2 = {"model": "langmuir", "params": {"qm": 6.0, "k": 0.15}}
+    r = analyze.iast_binary(f1, f2, 0.5, 2.0)
+    assert 0 < r["x1"] < 1
+    assert r["q1"] > 0 and r["q2"] > 0
+    assert np.isfinite(r["q_total"])
+    assert r["selectivity"] > 1.0     # component 1 binds stronger
+    with pytest.raises(ValueError):
+        analyze.iast_binary(f1, f2, 1.5, 2.0)
