@@ -24,6 +24,7 @@ on one compiled step function — no recompilation between points.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from typing import List, Optional
@@ -60,13 +61,44 @@ class PointResult:
                    extra={k: v for k, v in r.items() if k not in names})
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _point_obs_device(states, params, n_species):
+    """Per-chain (N, per-species N, total energy, volume) for the whole
+    chain batch in one compiled computation.  params rides in as an
+    ARGUMENT (captured-constant operands can stall the axon compile
+    service — CLAUDE.md backend landmine)."""
+    import jax.numpy as jnp
+
+    def one(st):
+        n = st.n_molecules(params)
+        ns = jnp.stack([st.n_molecules_of(params, i)
+                        for i in range(n_species)])
+        u = st.reported_energy().total
+        vol = jnp.abs(jnp.linalg.det(st.box))
+        return n, ns, u, vol
+
+    return jax.vmap(one)(states)
+
+
 def _chain_obs(su, states, chains):
-    """Per-chain observables dicts."""
-    from mpmc_tpu.mc import run as run_mod
+    """Per-chain dicts with exactly the keys run_point consumes (N,
+    N_<species>, energy_total, wt%/density), via ONE jitted call and
+    ONE host fetch per block.  The general observables() path would
+    cost C x ~15 separate D2H round-trips per block (~30 ms each over
+    the tunneled backend, CLAUDE.md) — seconds per corrtime block at
+    C=16, all dispatch latency."""
+    from mpmc_tpu.utils.averages import sorbed_mass_obs
+    n, ns, u, vol = jax.device_get(_point_obs_device(
+        states, su.params, len(su.species_names)))
+    masses = np.array([sp.total_mass for sp in su.species], np.float64)
     out = []
     for c in range(chains):
-        st = jax.tree_util.tree_map(lambda x: x[c], states)
-        out.append(run_mod.observables(su, st))
+        o = {"N": float(n[c]), "energy_total": float(u[c])}
+        for i, nm in enumerate(su.species_names):
+            o[f"N_{nm}"] = float(ns[c, i])
+        o.update(sorbed_mass_obs(float(ns[c] @ masses), float(vol[c]),
+                                 su.frozen_mass))
+        out.append(o)
     return out
 
 
