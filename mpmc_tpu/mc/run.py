@@ -10,6 +10,7 @@ observables, writes outputs, and applies simulated-annealing decay.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import sys
 import time
 from typing import Dict, List, Optional, Tuple
@@ -227,6 +228,82 @@ def setup(job: input_script.Job,
                             if spectre_flags.get(n, False))
     return Setup(params, state, cfg, thermo, tuple(species), names,
                  frozen_mass, spectre_species)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _obs_device_batched(states, params, n_species, has_mu):
+    """Per-chain observable arrays for a whole chain batch in ONE
+    compiled computation: energy terms, volume, N, per-species N, and
+    the mean squared induced dipole.  params is an ARGUMENT, not a
+    closure (captured-constant operands can stall the axon compile
+    service — CLAUDE.md backend landmine)."""
+
+    def one(st):
+        e = st.reported_energy()
+        terms = jnp.stack([e.total, e.rd, e.lrc, e.es, e.es_real,
+                           e.es_recip, e.es_self, e.es_excl, e.polar,
+                           e.vdw])
+        vol = jnp.abs(jnp.linalg.det(st.box))
+        n = st.n_molecules(params)
+        ns = jnp.stack([st.n_molecules_of(params, i)
+                        for i in range(n_species)])
+        if has_mu:
+            pol = (params.polar > 0) & st.atom_alive(params)
+            mu2 = jnp.sum(st.mu * st.mu, axis=1)
+            mu2m = (jnp.sum(jnp.where(pol, mu2, 0.0))
+                    / jnp.maximum(jnp.sum(pol), 1))
+        else:
+            mu2m = jnp.zeros((), terms.dtype)
+        dof = jnp.sum(jnp.where(
+            st.mol_alive & ~params.mol_frozen
+            & (params.mol_species >= 0), params.mol_dof, 0.0))
+        return terms, vol, n, ns, mu2m, dof
+
+    return jax.vmap(one)(states)
+
+
+def observables_batched(su: Setup, states, n_chains: int):
+    """Per-chain observables dicts for a batched-chain state — the
+    multi-chain analog of observables() built from ONE jitted call and
+    ONE host fetch.  The naive per-chain path (tree_map slice +
+    observables() per chain) costs C x ~15 separate D2H round-trips per
+    corrtime block, ~30 ms each over the tunneled axon backend
+    (CLAUDE.md) — pure dispatch latency that would dwarf the fused MC
+    chunk itself.  Key-for-key equality with observables() is pinned by
+    tests/test_parallel.py.  Spin/rot observables are absent (the
+    chains driver refuses quantum-rotation spinflips) and
+    polar_rrms_debye is reported as 0 for a chain with no alive
+    polarizable sites (observables() omits the key then)."""
+    params = su.params
+    has_mu = states.mu is not None
+    terms, vol, n, ns, mu2m, dof = jax.device_get(_obs_device_batched(
+        states, params, len(su.species_names), has_mu))
+    masses = np.array([sp.total_mass for sp in su.species], np.float64)
+    names = ("energy_total", "energy_rd", "energy_lrc", "energy_es",
+             "energy_es_real", "energy_es_recip", "energy_es_self",
+             "energy_es_excl", "energy_polar", "energy_vdw")
+    out = []
+    for c in range(n_chains):
+        obs = {k: float(terms[c, i]) for i, k in enumerate(names)}
+        obs["volume"] = float(vol[c])
+        obs["N"] = float(n[c])
+        obs["N2"] = obs["N"] ** 2
+        obs["UN"] = obs["energy_total"] * obs["N"]
+        if su.cfg.ensemble == "nve":
+            k = float(su.thermo.nve_energy) - obs["energy_total"]
+            obs["T_kinetic"] = 2.0 * k / max(float(dof[c]), 1.0)
+        if has_mu:
+            from mpmc_tpu.constants import DEBYE_PER_EA
+            obs["polar_rrms_debye"] = float(
+                np.sqrt(mu2m[c]) * DEBYE_PER_EA)
+        total_amu = 0.0
+        for i, nm in enumerate(su.species_names):
+            obs[f"N_{nm}"] = float(ns[c, i])
+            total_amu += float(ns[c, i]) * float(masses[i])
+        obs.update(sorbed_mass_obs(total_amu, obs["volume"],
+                                   su.frozen_mass))
+        out.append(obs)
+    return out
 
 
 def observables(su: Setup, state: SimState, stats=None) -> Dict[str, float]:
@@ -652,10 +729,9 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
             states, stats = multichain.run_chunk_batched(
                 states, params, cfg, thermo, corr)
         states = multichain.initialize_batched(states, params, cfg, thermo)
-        # per-chain observables -> cross-chain mean (+ _sem spread)
-        per_chain = [observables(
-            su, jax.tree_util.tree_map(lambda x: x[c], states), None)
-            for c in range(C)]
+        # per-chain observables -> cross-chain mean (+ _sem spread);
+        # ONE jitted call + ONE host fetch for the whole batch
+        per_chain = observables_batched(su, states, C)
         obs = {k: float(np.mean([o[k] for o in per_chain]))
                for k in per_chain[0]}
         obs["N_sem_chains"] = float(np.std([o["N"] for o in per_chain])

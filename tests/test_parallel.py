@@ -579,3 +579,56 @@ pqr_input {pqr}
         job = input_script.parse(base + extra)
         with pytest.raises(ValueError, match="spinflip"):
             run_mod.run(job, log=io.StringIO())
+
+
+def test_observables_batched_matches_per_chain(tmp_path):
+    """run.observables_batched (one jitted call + one fetch for the
+    chain batch) must agree key-for-key with the per-chain
+    observables() slices — including polar (mu present) and per-species
+    loadings."""
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    from mpmc_tpu.parallel import multichain
+
+    p = tmp_path / "m.pqr"
+    p.write_text(
+        "ATOM 1 F1 MOF 1 F 1.0 1.0 1.0 20.0 0.25 0.4 60.0 3.0\n"
+        "ATOM 2 F2 MOF 1 F 5.0 5.0 5.0 20.0 -0.25 0.4 60.0 3.0\n"
+        "ATOM 3 He HE 2 M 2.5 2.5 2.5 4.0 0.0 0.2 10.0 2.6\n"
+        "ATOM 4 Xe XE 3 M 7.5 7.5 7.5 131.0 0.0 0.3 200.0 4.0\n"
+        "END\n")
+    job = input_script.parse(f"""
+ensemble uvt
+numsteps 100
+corrtime 10
+temperature 120
+pressure 2.0
+basis1 10 0 0
+basis2 0 10 0
+basis3 0 0 10
+cutoff 4.5
+coulomb cutoff
+polarization on
+polar_max_iter 12
+insert_probability 0.4
+max_molecules 6
+pqr_input {p}
+""")
+    su = run_mod.setup(job)
+    state = metropolis.initialize(su.state, su.params, su.cfg, su.thermo)
+    C = 3
+    states = multichain.stack_states(state, C, seed=11)
+    states, _ = multichain.run_chunk_batched(states, su.params, su.cfg,
+                                             su.thermo, 8)
+    states = multichain.initialize_batched(states, su.params, su.cfg,
+                                           su.thermo)
+    fast = run_mod.observables_batched(su, states, C)
+    for c in range(C):
+        st = jax.tree_util.tree_map(lambda x: x[c], states)
+        ref = run_mod.observables(su, st)
+        assert set(ref) <= set(fast[c]), (set(ref) - set(fast[c]))
+        for k, v in ref.items():
+            assert fast[c][k] == pytest.approx(v, rel=1e-12,
+                                               abs=1e-12), (c, k)
+    # chains diverged (the comparison is not vacuous)
+    assert fast[0]["energy_total"] != fast[1]["energy_total"]
