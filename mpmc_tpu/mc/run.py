@@ -262,6 +262,14 @@ def _obs_device_batched(states, params, n_species, has_mu):
     return jax.vmap(one)(states)
 
 
+@jax.jit
+def _slice_chain(states, k):
+    """Chain k's state as ONE compiled dispatch — the eager tree_map
+    slice costs one device op per leaf (~30 x ~1 ms over the tunneled
+    axon backend, every corrtime block)."""
+    return jax.tree_util.tree_map(lambda x: x[k], states)
+
+
 def observables_batched(su: Setup, states, n_chains: int):
     """Per-chain observables dicts for a batched-chain state — the
     multi-chain analog of observables() built from ONE jitted call and
@@ -655,7 +663,7 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                 swap_acc = int(np.asarray(swap_acc_dev))
         # report the base-temperature replica (wherever T0 currently lives)
         k = int(np.argmin(temps))
-        st0 = jax.tree_util.tree_map(lambda x: x[k], states)
+        st0 = _slice_chain(states, k)
         obs = observables(su, st0, None)
         obs["swap_acceptance"] = swap_acc / max(swap_att, 1)
         avgs.add(obs)
@@ -742,7 +750,7 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
                                 "spinflip")):
             obs[f"acc_{nm}"] = float(acc[i])
         avgs.add(obs)
-        st0 = jax.tree_util.tree_map(lambda x: x[0], states)
+        st0 = _slice_chain(states, 0)
         writer.log_block(int(st0.step), obs, None)
         writer.write_restart(params, st0)
         writer.write_parallel_restarts(params, states, C)
