@@ -661,10 +661,12 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
             temps = np.asarray(thermos.temperature)
             if swap_acc_dev is not None:
                 swap_acc = int(np.asarray(swap_acc_dev))
-        # report the base-temperature replica (wherever T0 currently lives)
+        # report the base-temperature replica (wherever T0 currently
+        # lives); batched observables = one jitted call + one fetch
+        # instead of ~15 scalar D2H round-trips per block
         k = int(np.argmin(temps))
         st0 = _slice_chain(states, k)
-        obs = observables(su, st0, None)
+        obs = observables_batched(su, states, R)[k]
         obs["swap_acceptance"] = swap_acc / max(swap_att, 1)
         avgs.add(obs)
         writer.log_block(int(st0.step), obs, None)
