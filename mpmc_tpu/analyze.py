@@ -396,6 +396,32 @@ def template_sites(insert_pqr):
             np.array([a.charge for a in frame.atoms]))
 
 
+def _widom_post(out, path, temperature, box):
+    """Shared Widom post-processing: (mean e, mean U e, n_frames) ->
+    mu_ex / <U>_0 / Henry-coefficient dict (single-site and template
+    paths report identically)."""
+    e_mean, ue_mean, n_frames = out
+    from mpmc_tpu.constants import ATM2K_A3
+    # metadata only (framework mass + cell): never re-parse the whole
+    # trajectory the compute kernel already scanned
+    frame0 = pqr.read_first_frame(path)
+    fw_mass = sum(a.mass for a in frame0.atoms if _flag_ok(a.flag, "F"))
+    u0 = ue_mean / e_mean if e_mean > 0 else float("nan")
+    mu_ex = (-temperature * float(np.log(e_mean)) if e_mean > 0
+             else float("inf"))
+    kh = float("nan")
+    if fw_mass > 0 and e_mean > 0:
+        b = _frame_box(frame0, box)
+        vol = abs(np.linalg.det(b))
+        # Henry's law: <N> = (f/kT) V <exp(-bU)>, f in atm
+        # (ATM2K_A3: atm -> K/A^3).  K_H [mol / (kg_framework * atm)]
+        # = (<N>/f / N_A) / (m_frame[amu] / N_A / 1000) — Avogadro
+        # cancels: 1000 * ATM2K_A3 * V * <e> / (T * m_frame).
+        kh = 1e3 * ATM2K_A3 * vol * e_mean / (temperature * fw_mass)
+    return {"boltzmann": e_mean, "mu_ex": mu_ex, "u0": u0,
+            "kh_mol_kg_atm": kh, "n_frames": n_frames}
+
+
 def widom_mol(path, insert_pqr, temperature, n_try=2000, seed=0,
               box=None, rc=10.0, use_native=True, posquat=None):
     """Rigid multi-site Widom insertion over a trajectory, template
@@ -421,20 +447,7 @@ def widom_mol(path, insert_pqr, temperature, n_try=2000, seed=0,
             posquat = np.concatenate([u[:, :3], quat], -1)
         out = widom_mol_python(pqr.read_frames(path), sx, se, ss, sq2,
                                temperature, posquat, box=box, rc=rc)
-    e_mean, ue_mean, n_frames = out
-    from mpmc_tpu.constants import ATM2K_A3
-    frame0 = pqr.read_first_frame(path)
-    fw_mass = sum(a.mass for a in frame0.atoms if _flag_ok(a.flag, "F"))
-    u0 = ue_mean / e_mean if e_mean > 0 else float("nan")
-    mu_ex = (-temperature * float(np.log(e_mean)) if e_mean > 0
-             else float("inf"))
-    kh = float("nan")
-    if fw_mass > 0 and e_mean > 0:
-        b = _frame_box(frame0, box)
-        vol = abs(np.linalg.det(b))
-        kh = 1e3 * ATM2K_A3 * vol * e_mean / (temperature * fw_mass)
-    return {"boltzmann": e_mean, "mu_ex": mu_ex, "u0": u0,
-            "kh_mol_kg_atm": kh, "n_frames": n_frames}
+    return _widom_post(out, path, temperature, box)
 
 
 def widom(path, eps, sig, temperature, n_try=2000, seed=0, box=None,
@@ -455,27 +468,7 @@ def widom(path, eps, sig, temperature, n_try=2000, seed=0, box=None,
                 0.0, 1.0, (int(n_try), 3))
         out = widom_python(pqr.read_frames(path), eps, sig, temperature,
                            frac_pos, box=box, rc=rc)
-    e_mean, ue_mean, n_frames = out
-    from mpmc_tpu.constants import ATM2K_A3
-    # metadata only (framework mass + cell): never re-parse the whole
-    # trajectory the compute kernel already scanned
-    frame0 = pqr.read_first_frame(path)
-    fw_mass = sum(a.mass for a in frame0.atoms
-                  if _flag_ok(a.flag, "F"))
-    u0 = ue_mean / e_mean if e_mean > 0 else float("nan")
-    mu_ex = (-temperature * float(np.log(e_mean)) if e_mean > 0
-             else float("inf"))
-    kh = float("nan")
-    if fw_mass > 0 and e_mean > 0:
-        b = _frame_box(frame0, box)
-        vol = abs(np.linalg.det(b))
-        # Henry's law: <N> = (f/kT) V <exp(-bU)>, f in atm
-        # (ATM2K_A3: atm -> K/A^3).  K_H [mol / (kg_framework * atm)]
-        # = (<N>/f / N_A) / (m_frame[amu] / N_A / 1000) — Avogadro
-        # cancels: 1000 * ATM2K_A3 * V * <e> / (T * m_frame).
-        kh = 1e3 * ATM2K_A3 * vol * e_mean / (temperature * fw_mass)
-    return {"boltzmann": e_mean, "mu_ex": mu_ex, "u0": u0,
-            "kh_mol_kg_atm": kh, "n_frames": n_frames}
+    return _widom_post(out, path, temperature, box)
 
 
 def loading(path, mol_name="*", flag="M", use_native=True):
@@ -647,6 +640,11 @@ def isotherm_fit(pressures, loadings, model="langmuir", sem=None):
     w = np.ones_like(y)
     if sem is not None:
         s = np.asarray(sem, np.float64).ravel()
+        if not np.all(np.isfinite(s)) or np.any(s <= 0):
+            raise ValueError(
+                "sem column has non-finite or non-positive entries "
+                "(single-chain campaigns write inf) — fix them or fit "
+                "unweighted (omit the sem column)")
         w = 1.0 / np.maximum(s, 1e-12)
     qm0 = max(float(y.max()) * 1.5, 1e-6)
     k0 = 1.0 / float(np.median(p))
@@ -1036,8 +1034,15 @@ def main(argv=None):
         write_csv(args.out, "q,sq",
                   ((f"{qi:.6f}", f"{si:.8f}") for qi, si in zip(qv, s)))
     elif args.cmd == "qst":
-        nn = _read_series(args.series, args.n_column)
-        uu = _read_series(args.series, args.u_column)
+        def col(path, name, alias):
+            # JSONL streams use N/energy_total; the energy_output CSV
+            # (io/output.py) writes n_molecules/total
+            try:
+                return _read_series(path, name)
+            except ValueError:
+                return _read_series(path, alias)
+        nn = col(args.series, args.n_column, "n_molecules")
+        uu = col(args.series, args.u_column, "total")
         k0 = int(min(max(args.skip, 0.0), 0.9) * len(nn))
         res = qst(nn[k0:], uu[k0:], args.temperature,
                   n_blocks=args.blocks)

@@ -24,7 +24,6 @@ on one compiled step function — no recompilation between points.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import json
 import os
 from typing import List, Optional
@@ -61,45 +60,12 @@ class PointResult:
                    extra={k: v for k, v in r.items() if k not in names})
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _point_obs_device(states, params, n_species):
-    """Per-chain (N, per-species N, total energy, volume) for the whole
-    chain batch in one compiled computation.  params rides in as an
-    ARGUMENT (captured-constant operands can stall the axon compile
-    service — CLAUDE.md backend landmine)."""
-    import jax.numpy as jnp
-
-    def one(st):
-        n = st.n_molecules(params)
-        ns = jnp.stack([st.n_molecules_of(params, i)
-                        for i in range(n_species)])
-        u = st.reported_energy().total
-        vol = jnp.abs(jnp.linalg.det(st.box))
-        return n, ns, u, vol
-
-    return jax.vmap(one)(states)
-
-
 def _chain_obs(su, states, chains):
-    """Per-chain dicts with exactly the keys run_point consumes (N,
-    N_<species>, energy_total, wt%/density), via ONE jitted call and
-    ONE host fetch per block.  The general observables() path would
-    cost C x ~15 separate D2H round-trips per block (~30 ms each over
-    the tunneled backend, CLAUDE.md) — seconds per corrtime block at
-    C=16, all dispatch latency."""
-    from mpmc_tpu.utils.averages import sorbed_mass_obs
-    n, ns, u, vol = jax.device_get(_point_obs_device(
-        states, su.params, len(su.species_names)))
-    masses = np.array([sp.total_mass for sp in su.species], np.float64)
-    out = []
-    for c in range(chains):
-        o = {"N": float(n[c]), "energy_total": float(u[c])}
-        for i, nm in enumerate(su.species_names):
-            o[f"N_{nm}"] = float(ns[c, i])
-        o.update(sorbed_mass_obs(float(ns[c] @ masses), float(vol[c]),
-                                 su.frozen_mass))
-        out.append(o)
-    return out
+    """Per-chain observables dicts via ONE jitted call and ONE host
+    fetch per block (run.observables_batched; the per-chain path costs
+    C x ~15 D2H round-trips over the tunneled backend, CLAUDE.md)."""
+    from mpmc_tpu.mc import run as run_mod
+    return run_mod.observables_batched(su, states, chains)
 
 
 def _species_stats(su, per_species, fugacities):
@@ -261,7 +227,14 @@ def run_isotherm(job, pressures, chains=16, target_rel_sem=0.02,
 
 def write_csv(results: List[PointResult], path: str) -> None:
     import csv
+    rows = [r.row() for r in results]
+    # union of keys, first-row order first: rows can differ (e.g. a
+    # campaign resumed from a pre-``extra`` manifest mixes plain and
+    # per-species rows)
+    fields = list(rows[0])
+    for r in rows[1:]:
+        fields.extend(k for k in r if k not in fields)
     with open(path, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(results[0].row()))
+        w = csv.DictWriter(f, fieldnames=fields, restval="")
         w.writeheader()
-        w.writerows(r.row() for r in results)
+        w.writerows(rows)

@@ -250,14 +250,16 @@ def _obs_device_batched(states, params, n_species, has_mu):
         if has_mu:
             pol = (params.polar > 0) & st.atom_alive(params)
             mu2 = jnp.sum(st.mu * st.mu, axis=1)
+            npol = jnp.sum(pol)
             mu2m = (jnp.sum(jnp.where(pol, mu2, 0.0))
-                    / jnp.maximum(jnp.sum(pol), 1))
+                    / jnp.maximum(npol, 1))
         else:
+            npol = jnp.zeros((), jnp.int32)
             mu2m = jnp.zeros((), terms.dtype)
         dof = jnp.sum(jnp.where(
             st.mol_alive & ~params.mol_frozen
             & (params.mol_species >= 0), params.mol_dof, 0.0))
-        return terms, vol, n, ns, mu2m, dof
+        return terms, vol, n, ns, mu2m, npol, dof
 
     return jax.vmap(one)(states)
 
@@ -280,12 +282,13 @@ def observables_batched(su: Setup, states, n_chains: int):
     chunk itself.  Key-for-key equality with observables() is pinned by
     tests/test_parallel.py.  Spin/rot observables are absent (the
     chains driver refuses quantum-rotation spinflips) and
-    polar_rrms_debye is reported as 0 for a chain with no alive
-    polarizable sites (observables() omits the key then)."""
+    polar_rrms_debye is omitted for a chain with no alive polarizable
+    sites, matching observables()."""
     params = su.params
     has_mu = states.mu is not None
-    terms, vol, n, ns, mu2m, dof = jax.device_get(_obs_device_batched(
-        states, params, len(su.species_names), has_mu))
+    terms, vol, n, ns, mu2m, npol, dof = jax.device_get(
+        _obs_device_batched(states, params, len(su.species_names),
+                            has_mu))
     masses = np.array([sp.total_mass for sp in su.species], np.float64)
     names = ("energy_total", "energy_rd", "energy_lrc", "energy_es",
              "energy_es_real", "energy_es_recip", "energy_es_self",
@@ -300,7 +303,9 @@ def observables_batched(su: Setup, states, n_chains: int):
         if su.cfg.ensemble == "nve":
             k = float(su.thermo.nve_energy) - obs["energy_total"]
             obs["T_kinetic"] = 2.0 * k / max(float(dof[c]), 1.0)
-        if has_mu:
+        if has_mu and int(npol[c]) > 0:
+            # omitted (not 0) when a chain has no alive polarizable
+            # sites — same semantics as observables()
             from mpmc_tpu.constants import DEBYE_PER_EA
             obs["polar_rrms_debye"] = float(
                 np.sqrt(mu2m[c]) * DEBYE_PER_EA)
@@ -742,8 +747,13 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
         # per-chain observables -> cross-chain mean (+ _sem spread);
         # ONE jitted call + ONE host fetch for the whole batch
         per_chain = observables_batched(su, states, C)
-        obs = {k: float(np.mean([o[k] for o in per_chain]))
-               for k in per_chain[0]}
+        # mean over the chains that REPORT each key (polar_rrms is
+        # omitted for chains whose polarizable sites all died)
+        all_keys = []
+        for o in per_chain:
+            all_keys.extend(k for k in o if k not in all_keys)
+        obs = {k: float(np.mean([o[k] for o in per_chain if k in o]))
+               for k in all_keys}
         obs["N_sem_chains"] = float(np.std([o["N"] for o in per_chain])
                                     / np.sqrt(max(C, 1)))
         att = np.maximum(np.asarray(stats.attempts).sum(0), 1)

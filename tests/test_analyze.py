@@ -709,3 +709,31 @@ def test_iast_toth_numeric_spreading_pressure():
     assert r["selectivity"] > 1.0     # component 1 binds stronger
     with pytest.raises(ValueError):
         analyze.iast_binary(f1, f2, 1.5, 2.0)
+
+
+def test_isofit_rejects_nonfinite_sem():
+    """Single-chain campaigns write n_sem=inf; weighting by it would
+    zero every residual and report the starting guess as converged."""
+    p = np.geomspace(0.1, 10, 8)
+    y = 5.0 * 0.5 * p / (1 + 0.5 * p)
+    with pytest.raises(ValueError, match="sem"):
+        analyze.isotherm_fit(p, y, sem=np.full_like(p, np.inf))
+    with pytest.raises(ValueError, match="sem"):
+        analyze.isotherm_fit(p, y, sem=np.zeros_like(p))
+
+
+def test_qst_cli_reads_energy_output_csv(tmp_path, capsys):
+    """The energy_output CSV header is step,...,total,n_molecules,
+    volume (io/output.py) — the qst defaults must map onto it."""
+    rng = np.random.default_rng(3)
+    nn = rng.poisson(10.0, 256).astype(float)
+    csv = tmp_path / "energy.csv"
+    csv.write_text(
+        "step,rd,lrc,es_real,es_recip,es_self,es_excl,polar,vdw,"
+        "total,n_molecules,volume\n" + "\n".join(
+            f"{i},0,0,0,0,0,0,0,0,{-300.0 * v},{v},8000"
+            for i, v in enumerate(nn)) + "\n")
+    assert analyze.main(["qst", str(csv), "-T", "77", "--blocks",
+                         "8"]) == 0
+    out = capsys.readouterr().out
+    assert "Qst (K):" in out and "377" in out

@@ -152,3 +152,19 @@ pqr_input {p}
     assert "S_HE_NE" in header and "n_HE" in header
     rt = campaign.PointResult.from_row(rows[0].row())
     assert rt == rows[0]
+
+
+def test_write_csv_mixed_rows_union_header(tmp_path):
+    """A campaign resumed from a pre-'extra' manifest mixes rows with
+    and without per-species keys: write_csv must union the headers and
+    blank the missing cells instead of raising."""
+    r_old = campaign.PointResult(1.0, 1.0, 5.0, 0.1, 0.5, 4.0, 1000)
+    r_new = campaign.PointResult(2.0, 2.0, 8.0, 0.1, 0.7, 4.0, 1000,
+                                 extra={"n_HE": 5.0, "n_NE": 3.0,
+                                        "S_HE_NE": 1.1})
+    out = tmp_path / "mixed.csv"
+    campaign.write_csv([r_old, r_new], str(out))
+    lines = out.read_text().strip().splitlines()
+    assert "S_HE_NE" in lines[0]
+    assert lines[1].endswith(",,,")        # blanks for the old row
+    assert lines[2].split(",")[-1] == "1.1"
