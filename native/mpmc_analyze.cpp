@@ -148,18 +148,31 @@ long traj_rdf(void* h, const char* name_a, const char* name_b,
             if (name_match(a->name, name_b) && flag_match(a->flag, flag_b))
                 ++overlap;
         const double r2max = rmax * rmax;
-        for (const Atom* a : sa) {
-            for (const Atom* b : sb) {
-                if (a == b) continue;
-                double d[3];
-                min_image(cell, a->x - b->x, a->y - b->y, a->z - b->z, d);
-                double r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2];
-                if (r2 < r2max) {
-                    long k = static_cast<long>(std::sqrt(r2) / dr);
-                    if (k >= nbins) k = nbins - 1;
-                    hist[k] += 1.0;
+        const long na = static_cast<long>(sa.size());
+        // per-thread histograms, merged after: counts are integral so
+        // the result is exactly the serial one in any thread order
+#pragma omp parallel if (na * static_cast<long>(sb.size()) > 100000)
+        {
+            std::vector<double> local(nbins, 0.0);
+#pragma omp for nowait
+            for (long ia = 0; ia < na; ++ia) {
+                const Atom* a = sa[ia];
+                for (const Atom* b : sb) {
+                    if (a == b) continue;
+                    double d[3];
+                    min_image(cell, a->x - b->x, a->y - b->y,
+                              a->z - b->z, d);
+                    double r2 = d[0] * d[0] + d[1] * d[1]
+                              + d[2] * d[2];
+                    if (r2 < r2max) {
+                        long k = static_cast<long>(std::sqrt(r2) / dr);
+                        if (k >= nbins) k = nbins - 1;
+                        local[k] += 1.0;
+                    }
                 }
             }
+#pragma omp critical
+            for (long k = 0; k < nbins; ++k) hist[k] += local[k];
         }
         double npairs = static_cast<double>(sa.size()) * sb.size()
                       - static_cast<double>(overlap);
@@ -406,17 +419,21 @@ long traj_widom(void* h, double eps_t, double sig_t, double beta,
         Cell cell;
         if (!frame_cell(fr, fallback_cell, &cell)) return -1;
         double fe = 0.0, fue = 0.0;
+        // pre-draw the random points serially (identical stream to the
+        // serial code), then run the trials in parallel
+        std::vector<double> drawn;
+        if (!frac_pos) {
+            drawn.resize(3 * n_try);
+            for (double& v : drawn) v = uni(rng);
+        }
+        const double* pts = frac_pos ? frac_pos : drawn.data();
+#pragma omp parallel for reduction(+:fe, fue) schedule(dynamic, 8) \
+    if (n_try * static_cast<long>(fr.atoms.size()) > 100000)
         for (long t = 0; t < n_try; ++t) {
             double f[3];
-            if (frac_pos) {
-                f[0] = frac_pos[3 * t];
-                f[1] = frac_pos[3 * t + 1];
-                f[2] = frac_pos[3 * t + 2];
-            } else {
-                f[0] = uni(rng);
-                f[1] = uni(rng);
-                f[2] = uni(rng);
-            }
+            f[0] = pts[3 * t];
+            f[1] = pts[3 * t + 1];
+            f[2] = pts[3 * t + 2];
             double p[3];
             for (int k = 0; k < 3; ++k)
                 p[k] = f[0] * cell.b[0][k] + f[1] * cell.b[1][k]
@@ -483,11 +500,22 @@ long traj_widom_mol(void* h, long n_sites, const double* site_xyz,
     const double two_pi = 2.0 * M_PI;
     double sum_e = 0.0, sum_ue = 0.0;
     long n_frames = 0;
-    std::vector<double> rot(3 * n_sites);
     for (const Frame& fr : file->frames) {
         Cell cell;
         if (!frame_cell(fr, fallback_cell, &cell)) return -1;
         double fe = 0.0, fue = 0.0;
+        // pre-draw (serially, identical stream to the serial code) so
+        // the trial loop can run in parallel; 6 uniforms per trial
+        std::vector<double> drawn;
+        if (!try_posquat) {
+            drawn.resize(6 * n_try);
+            for (double& v : drawn) v = uni(rng);
+        }
+#pragma omp parallel reduction(+:fe, fue) \
+    if (n_try * static_cast<long>(fr.atoms.size()) * n_sites > 100000)
+      {
+        std::vector<double> rot(3 * n_sites);
+#pragma omp for schedule(dynamic, 8) nowait
         for (long t = 0; t < n_try; ++t) {
             double f[3], q[4];
             if (try_posquat) {
@@ -498,9 +526,10 @@ long traj_widom_mol(void* h, long n_sites, const double* site_xyz,
                 q[0] = row[3] / n; q[1] = row[4] / n;
                 q[2] = row[5] / n; q[3] = row[6] / n;
             } else {
-                f[0] = uni(rng); f[1] = uni(rng); f[2] = uni(rng);
+                const double* u = drawn.data() + 6 * t;
+                f[0] = u[0]; f[1] = u[1]; f[2] = u[2];
                 // Shoemake uniform rotation
-                double u1 = uni(rng), u2 = uni(rng), u3 = uni(rng);
+                double u1 = u[3], u2 = u[4], u3 = u[5];
                 double s1 = std::sqrt(1.0 - u1), s2 = std::sqrt(u1);
                 q[0] = s2 * std::cos(two_pi * u3);
                 q[1] = s1 * std::sin(two_pi * u2);
@@ -552,6 +581,7 @@ long traj_widom_mol(void* h, long n_sites, const double* site_xyz,
             fe += e;
             fue += u * e;
         }
+      }
         sum_e += fe / static_cast<double>(n_try);
         sum_ue += fue / static_cast<double>(n_try);
         ++n_frames;
@@ -689,18 +719,36 @@ long traj_sq(void* h, const char* name_sel, char flag_sel,
         const long n = static_cast<long>(sel.size());
         if (n < 2) continue;
         const double w = 2.0 / static_cast<double>(n);
-        for (long i = 0; i < n; ++i) {
-            for (long j = i + 1; j < n; ++j) {
-                double d[3];
-                min_image(cell, sel[i]->x - sel[j]->x,
-                          sel[i]->y - sel[j]->y, sel[i]->z - sel[j]->z,
-                          d);
-                double r = std::sqrt(d[0] * d[0] + d[1] * d[1]
-                                     + d[2] * d[2]);
-                auto k = static_cast<size_t>(r / dr_bin);
-                if (k >= hist.size()) hist.resize(k + 1, 0.0);
-                hist[k] += w;
+        // min-image distances are bounded by half the cell-vector
+        // perimeter: preallocate per-thread histograms to that size so
+        // the parallel loop never reallocates (counts are multiples of
+        // w, so thread merge order cannot change the result)
+        double ext = 0.0;
+        for (int kk = 0; kk < 3; ++kk)
+            ext += std::sqrt(cell.b[kk][0] * cell.b[kk][0]
+                             + cell.b[kk][1] * cell.b[kk][1]
+                             + cell.b[kk][2] * cell.b[kk][2]);
+        const auto nb = static_cast<size_t>(0.5 * ext / dr_bin) + 2;
+        if (hist.size() < nb) hist.resize(nb, 0.0);
+#pragma omp parallel if (n > 512)
+        {
+            std::vector<double> local(nb, 0.0);
+#pragma omp for schedule(dynamic, 16) nowait
+            for (long i = 0; i < n; ++i) {
+                for (long j = i + 1; j < n; ++j) {
+                    double d[3];
+                    min_image(cell, sel[i]->x - sel[j]->x,
+                              sel[i]->y - sel[j]->y,
+                              sel[i]->z - sel[j]->z, d);
+                    double r = std::sqrt(d[0] * d[0] + d[1] * d[1]
+                                         + d[2] * d[2]);
+                    auto k = static_cast<size_t>(r / dr_bin);
+                    if (k >= nb) k = nb - 1;
+                    local[k] += w;
+                }
             }
+#pragma omp critical
+            for (size_t k = 0; k < nb; ++k) hist[k] += local[k];
         }
     }
     for (long k = 0; k < nq; ++k) {
