@@ -173,21 +173,26 @@ def bench_gcmc_fused_multi():
         temperature=77.0, pressure=1.0, dtype="float32")
     cfg = dataclasses.replace(cfg, fused_mc=True)
     state = metropolis.initialize(state, params, cfg, thermo)
-    C, K, reps = 8, 4096, 3
-    states = multichain.stack_states(state, C)
-    states, _ = metropolis.run_chunk_fused_uvt_multi(states, params,
-                                                     cfg, thermo, K)
-    np.asarray(states.pos)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        states, _ = metropolis.run_chunk_fused_uvt_multi(
-            states, params, cfg, thermo, K)
-    np.asarray(states.pos)
-    sps = reps * K * C / (time.perf_counter() - t0)
+    best, best_c = 0.0, 0
+    for C in (8, 16):     # race both interleave widths on real HW
+        K, reps = 4096, 3
+        states = multichain.stack_states(state, C)
+        states, _ = metropolis.run_chunk_fused_uvt_multi(states, params,
+                                                         cfg, thermo, K)
+        np.asarray(states.pos)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            states, _ = metropolis.run_chunk_fused_uvt_multi(
+                states, params, cfg, thermo, K)
+        np.asarray(states.pos)
+        sps = reps * K * C / (time.perf_counter() - t0)
+        if sps > best:
+            best, best_c = sps, C
     return {"metric":
-            "agg_mc_steps_per_sec_10k_mof_h2_gcmc_fused_interleaved_c8",
-            "value": round(sps, 2), "unit": "steps/s",
-            "vs_baseline": round(sps / BASELINES["gcmc"], 2)}
+            "agg_mc_steps_per_sec_10k_mof_h2_gcmc_fused_interleaved"
+            f"_c{best_c}",
+            "value": round(best, 2), "unit": "steps/s",
+            "vs_baseline": round(best / BASELINES["gcmc"], 2)}
 
 
 def bench_nvt_ewald():

@@ -368,16 +368,29 @@ long traj_msd(void* h, const char* mol_name, char flag_sel,
         msd_out[t] = 0.0;
         cnt_out[t] = 0;
     }
-    for (const auto& seg : segments) {
-        const long L = static_cast<long>(seg.size());
-        for (long t = 1; t <= max_lag && t < L; ++t) {
-            for (long s = 0; s + t < L; ++s) {
-                double dx = seg[s + t][0] - seg[s][0];
-                double dy = seg[s + t][1] - seg[s][1];
-                double dz = seg[s + t][2] - seg[s][2];
-                msd_out[t] += dx * dx + dy * dy + dz * dz;
-                ++cnt_out[t];
+    const long nseg = static_cast<long>(segments.size());
+#pragma omp parallel if (nseg > 8)
+    {
+        std::vector<double> lmsd(max_lag + 1, 0.0);
+        std::vector<long> lcnt(max_lag + 1, 0);
+#pragma omp for schedule(dynamic, 1) nowait
+        for (long g = 0; g < nseg; ++g) {
+            const auto& seg = segments[g];
+            const long L = static_cast<long>(seg.size());
+            for (long t = 1; t <= max_lag && t < L; ++t) {
+                for (long s = 0; s + t < L; ++s) {
+                    double dx = seg[s + t][0] - seg[s][0];
+                    double dy = seg[s + t][1] - seg[s][1];
+                    double dz = seg[s + t][2] - seg[s][2];
+                    lmsd[t] += dx * dx + dy * dy + dz * dz;
+                    ++lcnt[t];
+                }
             }
+        }
+#pragma omp critical
+        for (long t = 0; t <= max_lag; ++t) {
+            msd_out[t] += lmsd[t];
+            cnt_out[t] += lcnt[t];
         }
     }
     for (long t = 1; t <= max_lag; ++t)
@@ -662,17 +675,31 @@ long traj_orient(void* h, const char* mol_name, char flag_sel,
         c1_out[t] = c2_out[t] = 0.0;
         cnt_out[t] = 0;
     }
-    for (const auto& seg : segments) {
-        const long L = static_cast<long>(seg.size());
-        for (long t = 0; t <= max_lag && t < L; ++t) {
-            for (long s = 0; s + t < L; ++s) {
-                double dot = seg[s][0] * seg[s + t][0]
-                           + seg[s][1] * seg[s + t][1]
-                           + seg[s][2] * seg[s + t][2];
-                c1_out[t] += dot;
-                c2_out[t] += 1.5 * dot * dot - 0.5;
-                ++cnt_out[t];
+    const long nseg = static_cast<long>(segments.size());
+#pragma omp parallel if (nseg > 8)
+    {
+        std::vector<double> l1(max_lag + 1, 0.0), l2(max_lag + 1, 0.0);
+        std::vector<long> lc(max_lag + 1, 0);
+#pragma omp for schedule(dynamic, 1) nowait
+        for (long g = 0; g < nseg; ++g) {
+            const auto& seg = segments[g];
+            const long L = static_cast<long>(seg.size());
+            for (long t = 0; t <= max_lag && t < L; ++t) {
+                for (long s = 0; s + t < L; ++s) {
+                    double dot = seg[s][0] * seg[s + t][0]
+                               + seg[s][1] * seg[s + t][1]
+                               + seg[s][2] * seg[s + t][2];
+                    l1[t] += dot;
+                    l2[t] += 1.5 * dot * dot - 0.5;
+                    ++lc[t];
+                }
             }
+        }
+#pragma omp critical
+        for (long t = 0; t <= max_lag; ++t) {
+            c1_out[t] += l1[t];
+            c2_out[t] += l2[t];
+            cnt_out[t] += lc[t];
         }
     }
     for (long t = 0; t <= max_lag; ++t)
