@@ -62,6 +62,8 @@ def load() -> Optional[ctypes.CDLL]:
         return None
     lib.pqr_open.restype = ctypes.c_void_p
     lib.pqr_open.argtypes = [ctypes.c_char_p]
+    lib.pqr_open_stream.restype = ctypes.c_void_p
+    lib.pqr_open_stream.argtypes = [ctypes.c_char_p]
     lib.pqr_error.restype = ctypes.c_char_p
     lib.pqr_error.argtypes = [ctypes.c_void_p]
     lib.pqr_n_frames.restype = ctypes.c_long
@@ -137,6 +139,30 @@ def load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return load() is not None
+
+
+def _open_traj(lib, path: str, stream: bool):
+    """Trajectory handle for the single-pass analyzers: streaming
+    (constant memory — frames parse one at a time) unless the caller
+    needs the random-access API."""
+    h = (lib.pqr_open_stream if stream else lib.pqr_open)(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    return h
+
+
+def _check_analyzer(lib, h, r, path: str, what: str):
+    """Common analyzer return-code handling: -3 = parse error found
+    mid-stream (message in pqr_error), -1 = no usable cell."""
+    if r == -3:
+        err = lib.pqr_error(h)
+        raise ValueError(f"{path}: {err.decode() if err else what}")
+    if r == -1:
+        raise ValueError(f"{path}: no usable cell for {what} "
+                         "(pass box=)")
+    if r < 0:
+        raise ValueError(f"{path}: {what} failed")
+    return r
 
 
 def _fixed_names(names: List[str]) -> bytes:
@@ -304,13 +330,8 @@ def traj_rdf(path: str, name_a: str = "*", name_b: str = "*",
     lib = load()
     if lib is None:
         return None
-    h = lib.pqr_open(path.encode())
-    if not h:
-        raise FileNotFoundError(path)
+    h = _open_traj(lib, path, stream=True)
     try:
-        err = lib.pqr_error(h)
-        if err:
-            raise ValueError(f"{path}: {err.decode()}")
         gr = np.zeros(nbins, np.float64)
         r = lib.traj_rdf(
             h, name_a.encode(), name_b.encode(),
@@ -318,8 +339,7 @@ def traj_rdf(path: str, name_a: str = "*", name_b: str = "*",
             _cell_ptr(box),
             float(rmax), int(nbins),
             gr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
-        if r < 0:
-            raise ValueError(f"{path}: no usable cell for RDF (pass box=)")
+        _check_analyzer(lib, h, r, path, "RDF")
         return gr
     finally:
         lib.pqr_close(h)
@@ -334,21 +354,15 @@ def traj_density(path: str, mol_name: str = "*", flag: str = "M",
     lib = load()
     if lib is None:
         return None
-    h = lib.pqr_open(path.encode())
-    if not h:
-        raise FileNotFoundError(path)
+    h = _open_traj(lib, path, stream=True)
     try:
-        err = lib.pqr_error(h)
-        if err:
-            raise ValueError(f"{path}: {err.decode()}")
         nx, ny, nz = (int(d) for d in dims)
         grid = np.zeros((nx, ny, nz), np.float64)
         r = lib.traj_density(
             h, mol_name.encode(), (flag.encode() + b"*")[:1], nx, ny, nz,
             _cell_ptr(box),
             grid.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
-        if r < 0:
-            raise ValueError(f"{path}: no usable cell (pass box=)")
+        _check_analyzer(lib, h, r, path, "density")
         return grid, int(r)
     finally:
         lib.pqr_close(h)
@@ -389,9 +403,9 @@ def traj_msd(path: str, mol_name: str = "*", flag: str = "M", box=None,
     lib = load()
     if lib is None:
         return None
-    h = lib.pqr_open(path.encode())
-    if not h:
-        raise FileNotFoundError(path)
+    # the default max_lag needs the frame count upfront -> eager parse;
+    # an explicit max_lag streams at constant memory
+    h = _open_traj(lib, path, stream=max_lag > 0)
     try:
         err = lib.pqr_error(h)
         if err:
@@ -405,9 +419,7 @@ def traj_msd(path: str, mol_name: str = "*", flag: str = "M", box=None,
             _cell_ptr(box), int(max_lag),
             msd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
-        if r < 0:
-            raise ValueError(f"{path}: no usable cell for MSD "
-                             "(pass box=)")
+        _check_analyzer(lib, h, r, path, "MSD")
         return msd, cnt
     finally:
         lib.pqr_close(h)
@@ -425,13 +437,8 @@ def traj_widom_mol(path: str, site_xyz, site_eps, site_sig, site_q,
     if lib is None:
         return None
     from mpmc_tpu.constants import KE
-    h = lib.pqr_open(path.encode())
-    if not h:
-        raise FileNotFoundError(path)
+    h = _open_traj(lib, path, stream=True)
     try:
-        err = lib.pqr_error(h)
-        if err:
-            raise ValueError(f"{path}: {err.decode()}")
         xyz = np.ascontiguousarray(site_xyz, np.float64).reshape(-1, 3)
         s = xyz.shape[0]
         eps = np.ascontiguousarray(site_eps, np.float64).reshape(s)
@@ -451,11 +458,7 @@ def traj_widom_mol(path: str, site_xyz, site_eps, site_sig, site_q,
             1.0 / float(temperature), int(n_try),
             int(seed) & (2**64 - 1), pq, _cell_ptr(box), float(rc),
             out.ctypes.data_as(dp))
-        if r == -1:
-            raise ValueError(f"{path}: no usable cell for Widom "
-                             "(pass box=)")
-        if r < 0:
-            raise ValueError(f"{path}: traj_widom_mol failed")
+        _check_analyzer(lib, h, r, path, "Widom")
         return float(out[0]), float(out[1]), int(r)
     finally:
         lib.pqr_close(h)
@@ -469,9 +472,7 @@ def traj_orient(path: str, mol_name: str = "*", flag: str = "M",
     lib = load()
     if lib is None:
         return None
-    h = lib.pqr_open(path.encode())
-    if not h:
-        raise FileNotFoundError(path)
+    h = _open_traj(lib, path, stream=max_lag > 0)
     try:
         err = lib.pqr_error(h)
         if err:
@@ -487,9 +488,7 @@ def traj_orient(path: str, mol_name: str = "*", flag: str = "M",
             c1.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             c2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
-        if r < 0:
-            raise ValueError(f"{path}: no usable cell for orientation "
-                             "autocorrelation (pass box=)")
+        _check_analyzer(lib, h, r, path, "orientation autocorrelation")
         return c1, c2, cnt
     finally:
         lib.pqr_close(h)
@@ -502,13 +501,8 @@ def traj_sq(path: str, q, name: str = "*", flag: str = "*", box=None,
     lib = load()
     if lib is None:
         return None
-    h = lib.pqr_open(path.encode())
-    if not h:
-        raise FileNotFoundError(path)
+    h = _open_traj(lib, path, stream=True)
     try:
-        err = lib.pqr_error(h)
-        if err:
-            raise ValueError(f"{path}: {err.decode()}")
         qv = np.ascontiguousarray(q, np.float64).reshape(-1)
         sq = np.zeros(qv.size, np.float64)
         r = lib.traj_sq(
@@ -516,11 +510,7 @@ def traj_sq(path: str, q, name: str = "*", flag: str = "*", box=None,
             qv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             int(qv.size), float(dr_bin),
             sq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
-        if r == -1:
-            raise ValueError(f"{path}: no usable cell for S(q) "
-                             "(pass box=)")
-        if r < 0:
-            raise ValueError(f"{path}: traj_sq failed (q must be > 0)")
+        _check_analyzer(lib, h, r, path, "S(q)")
         return sq, int(r)
     finally:
         lib.pqr_close(h)
@@ -537,13 +527,8 @@ def traj_widom(path: str, eps: float, sig: float, temperature: float,
     lib = load()
     if lib is None:
         return None
-    h = lib.pqr_open(path.encode())
-    if not h:
-        raise FileNotFoundError(path)
+    h = _open_traj(lib, path, stream=True)
     try:
-        err = lib.pqr_error(h)
-        if err:
-            raise ValueError(f"{path}: {err.decode()}")
         fp = None
         if frac_pos is not None:
             fp = np.ascontiguousarray(frac_pos, np.float64)
@@ -556,11 +541,7 @@ def traj_widom(path: str, eps: float, sig: float, temperature: float,
             int(n_try), int(seed) & (2**64 - 1), fp, _cell_ptr(box),
             float(rc),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
-        if r == -1:
-            raise ValueError(f"{path}: no usable cell for Widom "
-                             "(pass box=)")
-        if r < 0:
-            raise ValueError(f"{path}: traj_widom failed")
+        _check_analyzer(lib, h, r, path, "Widom")
         return float(out[0]), float(out[1]), int(r)
     finally:
         lib.pqr_close(h)

@@ -132,7 +132,9 @@ long traj_rdf(void* h, const char* name_a, const char* name_b,
     double norm = 0.0;   // sum over frames of (ordered pair count) / V
     long n_frames = 0;
     std::vector<const Atom*> sa, sb;
-    for (const Frame& fr : file->frames) {
+    mpmc_native::rewind_frames(file);
+    while (const Frame* fr_p = mpmc_native::next_frame(file)) {
+        const Frame& fr = *fr_p;
         Cell cell;
         if (!frame_cell(fr, fallback_cell, &cell)) return -1;
         sa.clear();
@@ -179,6 +181,7 @@ long traj_rdf(void* h, const char* name_a, const char* name_b,
         norm += npairs / cell.volume;
         ++n_frames;
     }
+    if (!file->error.empty()) return -3;
     const double four_thirds_pi = 4.0 * M_PI / 3.0;
     for (long k = 0; k < nbins; ++k) {
         double r0 = k * dr, r1 = (k + 1) * dr;
@@ -202,7 +205,9 @@ long traj_density(void* h, const char* mol_name, char flag_sel,
     if (!file || nx <= 0 || ny <= 0 || nz <= 0) return -2;
     long n_frames = 0;
     std::map<long, std::vector<const Atom*>> mols;
-    for (const Frame& fr : file->frames) {
+    mpmc_native::rewind_frames(file);
+    while (const Frame* fr_p = mpmc_native::next_frame(file)) {
+        const Frame& fr = *fr_p;
         Cell cell;
         if (!frame_cell(fr, fallback_cell, &cell)) return -1;
         mols.clear();
@@ -251,6 +256,7 @@ long traj_density(void* h, const char* mol_name, char flag_sel,
         }
         ++n_frames;
     }
+    if (!file->error.empty()) return -3;
     return n_frames;
 }
 
@@ -288,10 +294,13 @@ static void mol_com(const Cell& cell, const std::vector<const Atom*>& atoms,
 long traj_loading(void* h, const char* mol_name, char flag_sel,
                   double* counts_out) {
     auto* file = static_cast<File*>(h);
-    if (!file || !counts_out) return -2;
+    // counts_out is sized via pqr_n_frames, unknown for a stream
+    if (!file || !counts_out || file->fp) return -2;
     long n_frames = 0;
     std::map<long, bool> seen;
-    for (const Frame& fr : file->frames) {
+    mpmc_native::rewind_frames(file);
+    while (const Frame* fr_p = mpmc_native::next_frame(file)) {
+        const Frame& fr = *fr_p;
         seen.clear();
         for (const Atom& a : fr.atoms)
             if (name_match(a.mol_name, mol_name)
@@ -299,6 +308,7 @@ long traj_loading(void* h, const char* mol_name, char flag_sel,
                 seen[a.mol_id] = true;
         counts_out[n_frames++] = static_cast<double>(seen.size());
     }
+    if (!file->error.empty()) return -3;
     return n_frames;
 }
 
@@ -323,7 +333,9 @@ long traj_msd(void* h, const char* mol_name, char flag_sel,
     std::map<long, Open> open;
     std::map<long, std::vector<const Atom*>> mols;
     long n_frames = 0;
-    for (const Frame& fr : file->frames) {
+    mpmc_native::rewind_frames(file);
+    while (const Frame* fr_p = mpmc_native::next_frame(file)) {
+        const Frame& fr = *fr_p;
         Cell cell;
         if (!frame_cell(fr, fallback_cell, &cell)) return -1;
         mols.clear();
@@ -363,6 +375,7 @@ long traj_msd(void* h, const char* mol_name, char flag_sel,
         }
         ++n_frames;
     }
+    if (!file->error.empty()) return -3;
     for (auto& kv : open) segments.push_back(std::move(kv.second.u));
     for (long t = 0; t <= max_lag; ++t) {
         msd_out[t] = 0.0;
@@ -428,7 +441,9 @@ long traj_widom(void* h, double eps_t, double sig_t, double beta,
     const double rc2 = rc * rc;
     double sum_e = 0.0, sum_ue = 0.0;
     long n_frames = 0;
-    for (const Frame& fr : file->frames) {
+    mpmc_native::rewind_frames(file);
+    while (const Frame* fr_p = mpmc_native::next_frame(file)) {
+        const Frame& fr = *fr_p;
         Cell cell;
         if (!frame_cell(fr, fallback_cell, &cell)) return -1;
         double fe = 0.0, fue = 0.0;
@@ -471,6 +486,7 @@ long traj_widom(void* h, double eps_t, double sig_t, double beta,
         sum_ue += fue / static_cast<double>(n_try);
         ++n_frames;
     }
+    if (!file->error.empty()) return -3;
     out[0] = n_frames > 0 ? sum_e / static_cast<double>(n_frames) : 0.0;
     out[1] = n_frames > 0 ? sum_ue / static_cast<double>(n_frames) : 0.0;
     return n_frames;
@@ -513,7 +529,9 @@ long traj_widom_mol(void* h, long n_sites, const double* site_xyz,
     const double two_pi = 2.0 * M_PI;
     double sum_e = 0.0, sum_ue = 0.0;
     long n_frames = 0;
-    for (const Frame& fr : file->frames) {
+    mpmc_native::rewind_frames(file);
+    while (const Frame* fr_p = mpmc_native::next_frame(file)) {
+        const Frame& fr = *fr_p;
         Cell cell;
         if (!frame_cell(fr, fallback_cell, &cell)) return -1;
         double fe = 0.0, fue = 0.0;
@@ -599,6 +617,7 @@ long traj_widom_mol(void* h, long n_sites, const double* site_xyz,
         sum_ue += fue / static_cast<double>(n_try);
         ++n_frames;
     }
+    if (!file->error.empty()) return -3;
     out[0] = n_frames > 0 ? sum_e / static_cast<double>(n_frames) : 0.0;
     out[1] = n_frames > 0 ? sum_ue / static_cast<double>(n_frames) : 0.0;
     return n_frames;
@@ -632,7 +651,9 @@ long traj_orient(void* h, const char* mol_name, char flag_sel,
     std::map<long, std::vector<Vec3>> open;
     std::map<long, std::vector<const Atom*>> mols;
     long n_frames = 0;
-    for (const Frame& fr : file->frames) {
+    mpmc_native::rewind_frames(file);
+    while (const Frame* fr_p = mpmc_native::next_frame(file)) {
+        const Frame& fr = *fr_p;
         Cell cell;
         if (!frame_cell(fr, fallback_cell, &cell)) return -1;
         mols.clear();
@@ -670,6 +691,7 @@ long traj_orient(void* h, const char* mol_name, char flag_sel,
         for (const auto& kv : axes) open[kv.first].push_back(kv.second);
         ++n_frames;
     }
+    if (!file->error.empty()) return -3;
     for (auto& kv : open) segments.push_back(std::move(kv.second));
     for (long t = 0; t <= max_lag; ++t) {
         c1_out[t] = c2_out[t] = 0.0;
@@ -734,7 +756,9 @@ long traj_sq(void* h, const char* name_sel, char flag_sel,
     std::vector<double> hist;       // sum over frames of (2/N_f) counts
     long n_frames = 0;
     std::vector<const Atom*> sel;
-    for (const Frame& fr : file->frames) {
+    mpmc_native::rewind_frames(file);
+    while (const Frame* fr_p = mpmc_native::next_frame(file)) {
+        const Frame& fr = *fr_p;
         Cell cell;
         if (!frame_cell(fr, fallback_cell, &cell)) return -1;
         sel.clear();
@@ -778,6 +802,7 @@ long traj_sq(void* h, const char* name_sel, char flag_sel,
             for (size_t k = 0; k < nb; ++k) hist[k] += local[k];
         }
     }
+    if (!file->error.empty()) return -3;
     for (long k = 0; k < nq; ++k) {
         double s = 0.0;
         for (size_t b = 0; b < hist.size(); ++b) {

@@ -4,6 +4,7 @@
 // pqr_open.  Column contract documented in mpmc_io.cpp.
 #pragma once
 
+#include <cstdio>
 #include <string>
 #include <vector>
 
@@ -30,6 +31,20 @@ struct Frame {
 struct File {
     std::vector<Frame> frames;
     std::string error;
+    // Streaming mode (pqr_open_stream): fp != nullptr, frames stays
+    // empty, and next_frame() parses one frame at a time into scratch
+    // — constant memory for multi-GB trajectories.  All analyzers are
+    // single-pass and consume frames ONLY through next_frame().
+    std::FILE* fp = nullptr;
+    Frame scratch;
+    long lineno = 0;
+    size_t cursor = 0;    // iteration position (both modes)
 };
+
+// One-pass frame iteration over either mode; nullptr at end-of-file or
+// on a parse error (distinguish via file->error).  rewind only resets
+// the eager cursor — a streaming handle is single-pass by design.
+Frame* next_frame(File* f);
+void rewind_frames(File* f);
 
 }  // namespace mpmc_native

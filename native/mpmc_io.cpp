@@ -50,20 +50,15 @@ void copy_name(char* dst, const char* src) {
     dst[kNameLen - 1] = '\0';
 }
 
-}  // namespace
-
-extern "C" {
-
-void* pqr_open(const char* path) {
-    FILE* f = std::fopen(path, "rb");
-    if (!f) return nullptr;
-    auto* file = new File();
-    Frame frame;
+// Parse the next frame from f into *out (cleared first).  Returns 1 on
+// a frame, 0 at EOF with no frame, -1 on a malformed line (error set).
+int read_one_frame(File* file, FILE* f, Frame* out) {
+    out->atoms.clear();
+    out->has_box = false;
     char line[1024];
     char* tok[24];
-    long lineno = 0;
     while (std::fgets(line, sizeof line, f)) {
-        ++lineno;
+        ++file->lineno;
         // fast-path skip: comments and blank lines
         char* s = line;
         while (*s == ' ' || *s == '\t') ++s;
@@ -73,16 +68,13 @@ void* pqr_open(const char* path) {
             int n = tokenize(line, tok, 24);
             if (n >= 7) {
                 for (int k = 0; k < 6; ++k)
-                    frame.box[k] = std::strtod(tok[k + 1], nullptr);
-                frame.has_box = true;
+                    out->box[k] = std::strtod(tok[k + 1], nullptr);
+                out->has_box = true;
             }
             continue;
         }
         if (!std::strncmp(s, "END", 3)) {   // END or ENDMDL
-            if (!frame.atoms.empty()) {
-                file->frames.push_back(std::move(frame));
-                frame = Frame();
-            }
+            if (!out->atoms.empty()) return 1;
             continue;
         }
         int n = tokenize(line, tok, 24);
@@ -93,10 +85,9 @@ void* pqr_open(const char* path) {
             char buf[128];
             std::snprintf(buf, sizeof buf,
                           "line %ld: ATOM needs >=14 fields, got %d",
-                          lineno, n);
+                          file->lineno, n);
             file->error = buf;
-            std::fclose(f);
-            return file;   // error surfaced via pqr_error()
+            return -1;
         }
         Atom a{};
         a.serial = std::strtol(tok[1], nullptr, 10);
@@ -118,10 +109,52 @@ void* pqr_open(const char* path) {
         a.c8 = n > 16 ? std::strtod(tok[16], nullptr) : 0.0;
         a.c10 = n > 17 ? std::strtod(tok[17], nullptr) : 0.0;
         a.gwp_alpha = n > 18 ? std::strtod(tok[18], nullptr) : 0.0;
-        frame.atoms.push_back(a);
+        out->atoms.push_back(a);
     }
+    return out->atoms.empty() ? 0 : 1;   // EOF flushes a trailing frame
+}
+
+}  // namespace
+
+namespace mpmc_native {
+
+Frame* next_frame(File* f) {
+    if (f->fp) {
+        if (!f->error.empty()) return nullptr;
+        int r = read_one_frame(f, f->fp, &f->scratch);
+        return r == 1 ? &f->scratch : nullptr;
+    }
+    if (f->cursor >= f->frames.size()) return nullptr;
+    return &f->frames[f->cursor++];
+}
+
+void rewind_frames(File* f) { f->cursor = 0; }
+
+}  // namespace mpmc_native
+
+extern "C" {
+
+void* pqr_open(const char* path) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return nullptr;
+    auto* file = new File();
+    Frame frame;
+    int r;
+    while ((r = read_one_frame(file, f, &frame)) == 1)
+        file->frames.push_back(std::move(frame));
     std::fclose(f);
-    if (!frame.atoms.empty()) file->frames.push_back(std::move(frame));
+    return file;   // r == -1: error surfaced via pqr_error()
+}
+
+// Streaming handle: constant-memory single-pass iteration for the
+// trajectory analyzers (next_frame above).  The random-access API
+// (pqr_n_frames/pqr_frame_data) is NOT available on this handle —
+// n_frames reports -1.
+void* pqr_open_stream(const char* path) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return nullptr;
+    auto* file = new File();
+    file->fp = f;
     return file;
 }
 
@@ -131,7 +164,9 @@ const char* pqr_error(void* h) {
 }
 
 long pqr_n_frames(void* h) {
-    return static_cast<long>(static_cast<File*>(h)->frames.size());
+    auto* file = static_cast<File*>(h);
+    if (file->fp) return -1;   // streaming: unknown until consumed
+    return static_cast<long>(file->frames.size());
 }
 
 long pqr_frame_natoms(void* h, long i) {
@@ -173,7 +208,11 @@ long pqr_frame_data(void* h, long i, double* num, long* ids, char* flags,
     return static_cast<long>(fr.size());
 }
 
-void pqr_close(void* h) { delete static_cast<File*>(h); }
+void pqr_close(void* h) {
+    auto* file = static_cast<File*>(h);
+    if (file->fp) std::fclose(file->fp);
+    delete file;
+}
 
 // Append one frame.  mode: "w" or "a".  Returns atoms written, -1 on error.
 long pqr_write_frame(const char* path, const char* mode, const char* remark,

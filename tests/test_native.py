@@ -115,3 +115,26 @@ def test_write_state_native_matches_python(tmp_path):
     fb = pqr.read_frames(p_py)[0]
     _assert_frames_equal(fa, fb, extended=False)
     assert t_nat < t_py
+
+
+def test_streaming_parse_error_surfaces(tmp_path):
+    """The analyzers stream frames (constant memory); a malformed ATOM
+    line in a LATER frame must surface as a ValueError with the line
+    number, not a silent truncation."""
+    import pytest
+    from mpmc_tpu.io import native
+    if not native.available():
+        pytest.skip("no native library")
+    p = tmp_path / "bad.pqr"
+    p.write_text(
+        "CRYST1 10 10 10 90 90 90\n"
+        "ATOM 1 Ar AR 1 M 1.0 1.0 1.0 39.9 0.0 0.0 100.0 3.4\n"
+        "END\n"
+        "CRYST1 10 10 10 90 90 90\n"
+        "ATOM 1 Ar AR 1 M 2.0\n"          # truncated
+        "END\n")
+    with pytest.raises(ValueError, match="line 5"):
+        native.traj_rdf(str(p), "AR", "AR", rmax=4.0, nbins=8)
+    # eager open surfaces the same error through pqr_error up front
+    with pytest.raises(ValueError, match="line 5"):
+        native.read_frames_arrays(str(p))
