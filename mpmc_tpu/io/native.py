@@ -64,6 +64,8 @@ def load() -> Optional[ctypes.CDLL]:
     lib.pqr_open.argtypes = [ctypes.c_char_p]
     lib.pqr_open_stream.restype = ctypes.c_void_p
     lib.pqr_open_stream.argtypes = [ctypes.c_char_p]
+    lib.pqr_stream_advance.restype = ctypes.c_long
+    lib.pqr_stream_advance.argtypes = [ctypes.c_void_p]
     lib.pqr_error.restype = ctypes.c_char_p
     lib.pqr_error.argtypes = [ctypes.c_void_p]
     lib.pqr_n_frames.restype = ctypes.c_long
@@ -173,11 +175,31 @@ def _fixed_names(names: List[str]) -> bytes:
     return bytes(out)
 
 
+def _frame_arrays(lib, h, i: int, n: int):
+    """Packed arrays for frame i (-1 = the streamed scratch frame)."""
+    num = np.empty((n, 13), np.float64)
+    ids = np.empty((n, 2), np.int64)
+    flags = ctypes.create_string_buffer(max(n, 1))
+    names = ctypes.create_string_buffer(max(_NAME_LEN * n, 1))
+    mnames = ctypes.create_string_buffer(max(_NAME_LEN * n, 1))
+    lib.pqr_frame_data(
+        h, i, num.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        flags, names, mnames)
+    box = None
+    cell = (ctypes.c_double * 6)()
+    if lib.pqr_frame_cell(h, i, cell):
+        from mpmc_tpu.ops.pbc import cell_from_abc
+        box = np.asarray(cell_from_abc(*list(cell)))
+    return {"num": num, "ids": ids, "flags": flags.raw[:n],
+            "names": names.raw[:_NAME_LEN * n],
+            "mol_names": mnames.raw[:_NAME_LEN * n], "box": box}
+
+
 def read_frames_arrays(path: str):
     """Raw per-frame arrays from the native parser (None if no library):
     list of dicts {num [n,13], ids [n,2] (serial, mol_id), flags bytes,
-    names bytes, mol_names bytes, box (3,3) or None}.  This is the
-    zero-object path large-trajectory consumers (replay) use."""
+    names bytes, mol_names bytes, box (3,3) or None}."""
     lib = load()
     if lib is None:
         return None
@@ -188,30 +210,41 @@ def read_frames_arrays(path: str):
         err = lib.pqr_error(h)
         if err:
             raise ValueError(f"{path}: {err.decode()}")
-        frames = []
-        cell = (ctypes.c_double * 6)()
-        for i in range(lib.pqr_n_frames(h)):
-            n = lib.pqr_frame_natoms(h, i)
-            num = np.empty((n, 13), np.float64)
-            ids = np.empty((n, 2), np.int64)
-            flags = ctypes.create_string_buffer(max(n, 1))
-            names = ctypes.create_string_buffer(max(_NAME_LEN * n, 1))
-            mnames = ctypes.create_string_buffer(max(_NAME_LEN * n, 1))
-            lib.pqr_frame_data(
-                h, i, num.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-                flags, names, mnames)
-            box = None
-            if lib.pqr_frame_cell(h, i, cell):
-                from mpmc_tpu.ops.pbc import cell_from_abc
-                box = np.asarray(cell_from_abc(*list(cell)))
-            frames.append({
-                "num": num, "ids": ids, "flags": flags.raw[:n],
-                "names": names.raw[:_NAME_LEN * n],
-                "mol_names": mnames.raw[:_NAME_LEN * n], "box": box})
-        return frames
+        return [_frame_arrays(lib, h, i, lib.pqr_frame_natoms(h, i))
+                for i in range(lib.pqr_n_frames(h))]
     finally:
         lib.pqr_close(h)
+
+
+def stream_frames_arrays(path: str):
+    """Generator of read_frames_arrays dicts, ONE frame in memory at a
+    time — the constant-memory path multi-GB replay runs on.  None if
+    the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+
+    def gen():
+        h = lib.pqr_open_stream(path.encode())
+        if not h:
+            raise FileNotFoundError(path)
+        try:
+            while True:
+                n = lib.pqr_stream_advance(h)
+                if n == 0:
+                    return
+                if n < 0:
+                    err = lib.pqr_error(h)
+                    raise ValueError(
+                        f"{path}: "
+                        f"{err.decode() if err else 'parse error'}")
+                yield _frame_arrays(lib, h, -1, n)
+        finally:
+            lib.pqr_close(h)
+
+    return gen()
 
 
 def frame_from_arrays(arr):

@@ -487,7 +487,9 @@ def run_replay(job: input_script.Job, log=None):
         return dest
 
     from mpmc_tpu.io import native as native_io
-    frames_arr = native_io.read_frames_arrays(job.pqr_input) \
+    # streaming generator: one frame in memory at a time (constant
+    # memory on multi-GB trajectories)
+    frames_arr = native_io.stream_frames_arrays(job.pqr_input) \
         if native_io.available() else None
     avgs = Averages()
     su = None

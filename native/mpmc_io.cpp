@@ -158,6 +158,18 @@ void* pqr_open_stream(const char* path) {
     return file;
 }
 
+// Advance a STREAMING handle to its next frame (parsed into scratch,
+// readable via pqr_frame_natoms/cell/data with i = -1).  Returns the
+// frame's atom count, 0 at EOF, -3 on a parse error (pqr_error), -2 on
+// an eager handle.
+long pqr_stream_advance(void* h) {
+    auto* file = static_cast<File*>(h);
+    if (!file->fp) return -2;
+    Frame* fr = mpmc_native::next_frame(file);
+    if (!fr) return file->error.empty() ? 0 : -3;
+    return static_cast<long>(fr->atoms.size());
+}
+
 const char* pqr_error(void* h) {
     auto* file = static_cast<File*>(h);
     return file->error.empty() ? nullptr : file->error.c_str();
@@ -169,19 +181,23 @@ long pqr_n_frames(void* h) {
     return static_cast<long>(file->frames.size());
 }
 
+static const Frame* frame_at(File* file, long i) {
+    if (i == -1) return file->fp ? &file->scratch : nullptr;
+    if (i < 0 || i >= static_cast<long>(file->frames.size()))
+        return nullptr;
+    return &file->frames[i];
+}
+
 long pqr_frame_natoms(void* h, long i) {
-    auto* file = static_cast<File*>(h);
-    if (i < 0 || i >= static_cast<long>(file->frames.size())) return -1;
-    return static_cast<long>(file->frames[i].atoms.size());
+    const Frame* fr = frame_at(static_cast<File*>(h), i);
+    return fr ? static_cast<long>(fr->atoms.size()) : -1;
 }
 
 // 1 if the frame carried a CRYST record (out = a b c alpha beta gamma).
 long pqr_frame_cell(void* h, long i, double* out) {
-    auto* file = static_cast<File*>(h);
-    if (i < 0 || i >= static_cast<long>(file->frames.size())) return 0;
-    const Frame& fr = file->frames[i];
-    if (!fr.has_box) return 0;
-    for (int k = 0; k < 6; ++k) out[k] = fr.box[k];
+    const Frame* fr = frame_at(static_cast<File*>(h), i);
+    if (!fr || !fr->has_box) return 0;
+    for (int k = 0; k < 6; ++k) out[k] = fr->box[k];
     return 1;
 }
 
@@ -189,9 +205,9 @@ long pqr_frame_cell(void* h, long i, double* out) {
 // first), ids [n,2] longs, flags [n] chars, names/mol_names [n*8] chars.
 long pqr_frame_data(void* h, long i, double* num, long* ids, char* flags,
                     char* names, char* mol_names) {
-    auto* file = static_cast<File*>(h);
-    if (i < 0 || i >= static_cast<long>(file->frames.size())) return -1;
-    const auto& fr = file->frames[i].atoms;
+    const Frame* frp = frame_at(static_cast<File*>(h), i);
+    if (!frp) return -1;
+    const auto& fr = frp->atoms;
     for (size_t k = 0; k < fr.size(); ++k) {
         const Atom& a = fr[k];
         double* r = num + 13 * k;

@@ -138,3 +138,31 @@ def test_streaming_parse_error_surfaces(tmp_path):
     # eager open surfaces the same error through pqr_error up front
     with pytest.raises(ValueError, match="line 5"):
         native.read_frames_arrays(str(p))
+
+
+def test_stream_frames_arrays_matches_eager(tmp_path):
+    """The streaming generator must yield exactly the eager list."""
+    import numpy as np
+    import pytest
+    from mpmc_tpu.io import native
+    if not native.available():
+        pytest.skip("no native library")
+    p = tmp_path / "t.pqr"
+    p.write_text(
+        "CRYST1 10 10 10 90 90 90\n"
+        "ATOM 1 Ar AR 1 M 1.0 2.0 3.0 39.9 0.1 0.0 100.0 3.4\n"
+        "ATOM 2 He HE 2 M 4.0 5.0 6.0 4.0 -0.1 0.0 10.0 2.6\n"
+        "END\n"
+        "CRYST1 12 12 12 90 90 90\n"
+        "ATOM 1 Ar AR 1 M 1.5 2.5 3.5 39.9 0.1 0.0 100.0 3.4\n"
+        "END\n")
+    eager = native.read_frames_arrays(str(p))
+    streamed = list(native.stream_frames_arrays(str(p)))
+    assert len(eager) == len(streamed) == 2
+    for a, b in zip(eager, streamed):
+        np.testing.assert_array_equal(a["num"], b["num"])
+        np.testing.assert_array_equal(a["ids"], b["ids"])
+        assert a["flags"] == b["flags"]
+        assert a["names"] == b["names"]
+        assert a["mol_names"] == b["mol_names"]
+        np.testing.assert_allclose(a["box"], b["box"])
