@@ -486,6 +486,53 @@ def run_replay(job: input_script.Job, log=None):
             dest[rows] = mol_atoms[slot][:len(rows)]
         return dest
 
+    def layout_frame(su, arr, nl):
+        """(dest row map, mol_alive) for writing this frame into su's
+        EXISTING padded slots, or None when it does not fit (unknown
+        species, species-template mismatch, counts over capacity, or a
+        changed frozen prefix).  A fitting frame relayouts with no
+        re-setup — and, crucially for GCMC trajectories whose N changes
+        almost every frame, no new array shapes and therefore no jit
+        recompile: the padded capacity only ratchets up when a frame
+        breaks the running molecule-count maximum."""
+        flags_np = np.frombuffer(arr["flags"], np.uint8) == ord("F")
+        frozen_rows = np.nonzero(flags_np)[0]
+        serials, mol_ids = arr["ids"][:, 0], arr["ids"][:, 1]
+        spec = np.asarray(su.params.mol_species)
+        mol_atoms = np.asarray(su.params.mol_atoms)
+        # frozen prefix: same atom count as at setup
+        n_frozen_prev = int(np.asarray(su.params.mol_natoms)[
+            np.asarray(su.params.mol_frozen)].sum())
+        if len(frozen_rows) != n_frozen_prev:
+            return None
+        n = len(serials)
+        dest = np.empty(n, np.int64)
+        dest[frozen_rows[np.argsort(serials[frozen_rows],
+                                    kind="stable")]] = np.arange(
+            len(frozen_rows))
+        slots_of = {i: np.nonzero(spec == i)[0]
+                    for i in range(len(su.species_names))}
+        cursor = {i: 0 for i in slots_of}
+        alive = np.asarray(su.state.mol_alive).copy()
+        alive[~np.asarray(su.params.mol_frozen)] = False
+        mov = np.nonzero(~flags_np)[0]
+        for mid in np.unique(mol_ids[mov]):
+            rows = mov[mol_ids[mov] == mid]
+            rows = rows[np.argsort(serials[rows], kind="stable")]
+            name = arr["mol_names"][rows[0] * nl:(rows[0] + 1) * nl] \
+                .split(b"\0")[0].decode()
+            if name not in su.species_names:
+                return None
+            si = su.species_names.index(name)
+            if (cursor[si] >= len(slots_of[si])
+                    or len(rows) != su.species[si].natoms):
+                return None
+            slot = slots_of[si][cursor[si]]
+            cursor[si] += 1
+            dest[rows] = mol_atoms[slot][:len(rows)]
+            alive[slot] = True
+        return dest, alive
+
     from mpmc_tpu.io import native as native_io
     # streaming generator: one frame in memory at a time (constant
     # memory on multi-GB trajectories)
@@ -495,9 +542,10 @@ def run_replay(job: input_script.Job, log=None):
     su = None
 
     if frames_arr is not None:
-        # zero-object fast path: the C parser hands packed arrays; frames
-        # whose layout (flags, mol_ids, names) matches the previous one
-        # write positions straight into the padded state
+        # zero-object fast path: the C parser hands packed arrays;
+        # same-key frames write positions straight into the padded
+        # state, and changed-topology frames relayout into the existing
+        # slots whenever they fit (layout_frame above)
         prev_key = None
         dest = None
         nl = native_io._NAME_LEN
@@ -505,14 +553,31 @@ def run_replay(job: input_script.Job, log=None):
             key = (arr["flags"], arr["ids"][:, 1].tobytes(),
                    arr["mol_names"])
             if su is None or key != prev_key:
-                su = setup(job, frame=native_io.frame_from_arrays(arr))
-                flags_np = np.frombuffer(arr["flags"],
-                                         np.uint8) == ord("F")
-                dest = dest_map(
-                    su, arr["ids"][:, 0], arr["ids"][:, 1], flags_np,
-                    lambda row: arr["mol_names"][
-                        row * nl:(row + 1) * nl].split(b"\0")[0].decode())
-                st = su.state
+                fit = (layout_frame(su, arr, nl)
+                       if su is not None else None)
+                if fit is None:
+                    su = setup(job,
+                               frame=native_io.frame_from_arrays(arr))
+                    flags_np = np.frombuffer(arr["flags"],
+                                             np.uint8) == ord("F")
+                    dest = dest_map(
+                        su, arr["ids"][:, 0], arr["ids"][:, 1],
+                        flags_np,
+                        lambda row: arr["mol_names"][
+                            row * nl:(row + 1) * nl].split(
+                                b"\0")[0].decode())
+                    st = su.state
+                else:
+                    dest, alive = fit
+                    pos = np.asarray(su.state.pos).copy()
+                    pos[dest] = arr["num"][:, :3]
+                    st = su.state.replace(
+                        pos=jnp.asarray(pos, su.cfg.jdtype),
+                        mol_alive=jnp.asarray(alive))
+                    if job.read_pqr_box and arr["box"] is not None:
+                        st = st.replace(box=jnp.asarray(
+                            arr["box"], su.cfg.jdtype))
+                    su = dataclasses.replace(su, state=st)
             else:
                 pos = np.asarray(su.state.pos).copy()
                 pos[dest] = arr["num"][:, :3]

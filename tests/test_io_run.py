@@ -580,6 +580,46 @@ pqr_input {traj}
                                a2.samples["energy_total"], rtol=1e-12)
 
 
+def test_replay_varying_n_relayout_matches_python(tmp_path,
+                                                  monkeypatch):
+    """GCMC-style trajectory whose molecule count varies per frame: the
+    native path relayouts shrinking frames into the existing padded
+    slots (capacity ratchets only on record counts) and must reproduce
+    the per-frame energies of the per-frame-setup python path."""
+    import io
+    from mpmc_tpu.io import input_script, native
+    from mpmc_tpu.mc import run as run_mod
+    rng = np.random.default_rng(4)
+    lines = []
+    for n_mol in (1, 3, 2, 3, 1, 2):     # grow, shrink, regrow, shrink
+        for i in range(n_mol):
+            p = rng.uniform(1, 11, 3)
+            lines.append(f"ATOM {i+1} Ar AR {i+1} M {p[0]:.5f} "
+                         f"{p[1]:.5f} {p[2]:.5f} 39.948 0.0 0.0 "
+                         "119.8 3.405")
+        lines.append("END")
+    traj = tmp_path / "vary.pqr"
+    traj.write_text("\n".join(lines) + "\n")
+    script = f"""
+ensemble replay
+temperature 150
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+rd_lrc off
+coulomb off
+precision float64
+pqr_input {traj}
+"""
+    a1 = run_mod.run(input_script.parse(script), log=io.StringIO())
+    assert a1.samples["N"] == [1.0, 3.0, 2.0, 3.0, 1.0, 2.0]
+    monkeypatch.setattr(native, "available", lambda: False)
+    a2 = run_mod.run(input_script.parse(script), log=io.StringIO())
+    np.testing.assert_allclose(a1.samples["energy_total"],
+                               a2.samples["energy_total"], rtol=1e-12)
+    np.testing.assert_allclose(a1.samples["N"], a2.samples["N"])
+
+
 def test_scale_charge_scales_es_energy(tmp_path):
     """scale_charge x multiplies every charge: ES terms scale by x^2."""
     p = write(str(tmp_path), "h2.pqr", H2_3SITE_PQR)
