@@ -55,7 +55,11 @@ from jax.experimental.pallas import tpu as pltpu
 from mpmc_tpu.constants import KE
 
 TJ = 1024      # column tile
-BLOCK_UNROLL = 2   # column-block fori_loop unroll (see _kernel)
+BLOCK_UNROLL = 1   # column-block fori_loop unroll (see _kernel).
+# NOTE: must stay 1 — Mosaic's scan lowering only supports unroll=1 or a
+# FULL static unroll (NotImplementedError "Got unroll=2" on real TPU,
+# 2026-08-18); interpret mode accepts any value, so CPU tests cannot
+# catch a regression here.
 MAX_SITES = 8  # supported() cap on movable-molecule size
 (ROW_X, ROW_Y, ROW_Z, ROW_EPS, ROW_SIG, ROW_Q, ROW_ALIVE,
  ROW_MASS, ROW_MOLMASS) = range(9)
@@ -426,10 +430,9 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             return (rd_a, es_a, mr_a)
 
         zb = jnp.zeros((8, 128), jnp.float32)
-        # unroll=2: lets Mosaic overlap block j+1's plane loads with
-        # block j's math (the fori_loop carry only chains through the
-        # accumulators) without the compile-time blowup of a full
-        # static unroll
+        # unroll must stay 1 (see BLOCK_UNROLL note): Mosaic rejects
+        # partial unrolls on real TPU even though interpret mode
+        # accepts them
         rd_a, es_a, mr_a = jax.lax.fori_loop(
             0, n_blk, col, (zb, zb, jnp.full((8, 128), jnp.inf,
                                              jnp.float32)),
@@ -1179,10 +1182,9 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             return (rd_a, es_a, mr_a)
 
         zb = jnp.zeros((8, 128), jnp.float32)
-        # unroll=2: lets Mosaic overlap block j+1's plane loads with
-        # block j's math (the fori_loop carry only chains through the
-        # accumulators) without the compile-time blowup of a full
-        # static unroll
+        # unroll must stay 1 (see BLOCK_UNROLL note): Mosaic rejects
+        # partial unrolls on real TPU even though interpret mode
+        # accepts them
         rd_a, es_a, mr_a = jax.lax.fori_loop(
             0, n_blk, col, (zb, zb, jnp.full((8, 128), jnp.inf,
                                              jnp.float32)),
