@@ -104,6 +104,7 @@ def run_point(su, states, thermo, chains, corrtime, min_steps, max_steps,
               fugacities=None) -> tuple:
     """Run one pressure point to its uncertainty target.  Returns
     (states, stats_dict)."""
+    from mpmc_tpu.mc import metropolis
     from mpmc_tpu.parallel import multichain
     from mpmc_tpu.utils.averages import Averages
 
@@ -114,11 +115,13 @@ def run_point(su, states, thermo, chains, corrtime, min_steps, max_steps,
     corr = max(corrtime, 1)
     steps = 0
     block = 0
+    refresh_rows = metropolis.frozen_refresh_rows(su.params, su.cfg)
     while True:
         states, _ = multichain.run_chunk_batched(
             states, su.params, su.cfg, thermo, corr)
         states = multichain.initialize_batched(
-            states, su.params, su.cfg, thermo)
+            states, su.params, su.cfg, thermo,
+            frozen_rows=refresh_rows)
         steps += corr
         block += 1
         if block <= equil_blocks:

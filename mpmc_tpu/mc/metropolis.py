@@ -1449,19 +1449,54 @@ def run_chunk(state: SimState, params: Params, cfg: RunConfig,
     return state, stats
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def frozen_refresh_rows(params: Params, cfg: RunConfig) -> int:
+    """Static row count F for the frozen-reuse fast refresh, or 0.
+
+    Returns F > 0 iff reusing ``state.e_frozen`` across a per-corrtime
+    refresh is provably safe: every frozen atom occupies a slot row < F
+    (frozen-prefix layout, so the row-restricted pair pass reproduces the
+    active split exactly), no move in the ensemble can touch a frozen
+    coordinate or the box (NPT volume moves rescale everything), and no
+    per-corrtime mechanism rewrites what the frozen terms depend on
+    (FH/FK: temperature via annealing or PT swaps; SPECTRE: charges).
+    Host-side — call once per driver, pass the result as the static
+    ``frozen_rows`` argument of ``initialize``."""
+    import numpy as np
+    if cfg.ensemble == "npt" or cfg.feynman_hibbs or cfg.feynman_kleinert:
+        return 0
+    if getattr(cfg, "spectre", False) or cfg.rd_crystal:
+        return 0
+    af = (np.asarray(params.mol_frozen)[np.asarray(params.mol_id)]
+          & np.asarray(params.atom_ok)).astype(bool)
+    n_f = int(af.sum())
+    if n_f == 0 or not af[:n_f].all():
+        return 0
+    return n_f
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frozen_rows"))
 def initialize(state: SimState, params: Params, cfg: RunConfig,
-               thermo: Thermo) -> SimState:
+               thermo: Thermo, frozen_rows: int = 0) -> SimState:
     """Full-energy refresh: recompute every cached quantity from scratch
     (run at start and every corrtime to wash out delta-accumulation error —
     the functional analog of the reference's full re-sum).
 
     ``state.energy`` holds only the *active* (sorbate-involving) part; the
     constant frozen-framework terms live in ``state.e_frozen`` so the huge
-    framework self/exclusion sums never enter the per-move accumulators."""
+    framework self/exclusion sums never enter the per-move accumulators.
+
+    ``frozen_rows`` (static, from ``frozen_refresh_rows``) enables the
+    fast refresh: the frozen-frozen sums are reused from
+    ``state.e_frozen`` and only rows >= frozen_rows re-sum — the
+    framework-dominated O(N^2) pass shrinks to O(N_sorbate * N).  Only
+    pass a non-zero value on a refresh of a state whose e_frozen is
+    already valid (never on the first initialize after build_system)."""
+    reuse = frozen_rows > 0 and state.e_frozen is not None
     e, e_frozen, aux = energy_mod.total_energy(
         state.pos, state.box, state.mol_alive, params, cfg, thermo,
-        mu0=state.mu, split_frozen=True)
+        mu0=state.mu, split_frozen=True,
+        frozen_cached=state.e_frozen if reuse else None,
+        active_row_start=frozen_rows if reuse else 0)
     # without polarization there are no dipoles to carry: dropping mu
     # from the state removes a dead [N,3] select/copy from every MC step
     mu_out = aux.get("mu", state.mu) if cfg.polarization else None

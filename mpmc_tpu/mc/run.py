@@ -679,6 +679,7 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     swap_keys = (jax.random.split(
         jax.random.PRNGKey(cfg.seed + 101),
         n_blocks * max(corr // ptf, 1)) if use_fused_multi else None)
+    refresh_rows = metropolis.frozen_refresh_rows(params, cfg)
     t0 = time.time()
     parity = 0
     n_swaps = 0
@@ -724,8 +725,9 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                         thermo_batched=True)
             swap_att += max((R - parity) // 2, 0)
             parity ^= 1
-        states = multichain.initialize_batched(states, params, cfg,
-                                               thermos, thermo_batched=True)
+        states = multichain.initialize_batched(
+            states, params, cfg, thermos, thermo_batched=True,
+            frozen_rows=refresh_rows)
         if use_fused_multi:
             # swaps happened on device: one fetch per block keeps the
             # host's ladder view (logging, base-replica pick) and the
@@ -799,6 +801,7 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
     avgs = Averages()
     corr = max(cfg.corrtime, 1)
     n_blocks = max(cfg.numsteps // corr, 1)
+    refresh_rows = metropolis.frozen_refresh_rows(params, cfg)
     t0 = time.time()
     for block in range(n_blocks):
         if use_fused:
@@ -810,7 +813,8 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
         else:
             states, stats = multichain.run_chunk_batched(
                 states, params, cfg, thermo, corr)
-        states = multichain.initialize_batched(states, params, cfg, thermo)
+        states = multichain.initialize_batched(states, params, cfg, thermo,
+                                               frozen_rows=refresh_rows)
         # per-chain observables -> cross-chain mean (+ _sem spread);
         # ONE jitted call + ONE host fetch for the whole batch
         per_chain = observables_batched(su, states, C)
@@ -945,6 +949,7 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
                   "lj/none/disp_expansion RD, "
                   "none/cutoff/wolf/ewald/gwp ES, f32) — scan path "
                   "used", file=writer.log)
+    refresh_rows = metropolis.frozen_refresh_rows(params, cfg)
     for block in range(n_blocks):
         if use_fused:
             state, stats = metropolis.run_chunk_fused(state, params, cfg,
@@ -965,7 +970,10 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             from mpmc_tpu.mc import spectre as spectre_mod
             params = spectre_mod.apply(params, spectre_idx, cfg)
             su = dataclasses.replace(su, params=params)
-        state = metropolis.initialize(state, params, cfg, thermo)  # refresh
+        # per-corrtime refresh; frozen-reuse fast path where provably
+        # safe (fr=0 under NPT/FH/FK/spectre — frozen_refresh_rows)
+        state = metropolis.initialize(state, params, cfg, thermo,
+                                      frozen_rows=refresh_rows)
         if cfg.quantum_rotation:
             from mpmc_tpu.ops import qrot
             table = qrot.free_energy_table(

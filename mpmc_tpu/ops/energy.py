@@ -16,7 +16,8 @@ from mpmc_tpu.state import EnergyBreakdown
 
 
 def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
-                 split_frozen=False):
+                 split_frozen=False, frozen_cached=None,
+                 active_row_start=0):
     """Full-system energy.
 
     Returns (EnergyBreakdown, aux) — or, with ``split_frozen``,
@@ -27,6 +28,14 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
     forever-cached frozen pairs (SURVEY.md §1 "delta energy") and what
     makes f32 accumulation numerically safe: the framework self/exclusion
     terms are orders of magnitude larger than any per-move delta.
+
+    With ``frozen_cached`` (an EnergyBreakdown; implies ``split_frozen``)
+    the constant frozen-frozen part is NOT recomputed: the pair pass is
+    restricted to rows >= ``active_row_start`` (static; every frozen atom
+    must sit below it — metropolis.frozen_refresh_rows validates the
+    layout) and ``frozen_cached`` is returned as the frozen part.  This
+    is the fast per-corrtime refresh: the huge framework self sums are
+    skipped, only sorbate-involving terms re-sum.
 
     aux carries the cached quantities the MC loop needs: structure factor
     (sk_re, sk_im), induced dipoles mu, static field e0, SCF iterations.
@@ -39,9 +48,21 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
     zero = jnp.zeros((), dtype)
     aux = {}
 
-    pt = pairs.pair_pass(pos, box, alive, params, cfg, thermo.temperature,
-                         split_frozen=split_frozen)
-    pt, pt_ff = pt if split_frozen else (pt, None)
+    reuse_ff = frozen_cached is not None
+    if reuse_ff and not split_frozen:
+        raise ValueError("frozen_cached requires split_frozen=True")
+    if reuse_ff:
+        # rows >= active_row_start triangular vs all columns = exactly
+        # the active split (>=1 non-frozen member per pair, once)
+        pt = pairs.pair_pass(pos, box, alive, params, cfg,
+                             thermo.temperature, split_frozen=False,
+                             row_start=active_row_start)
+        pt_ff = None
+    else:
+        pt = pairs.pair_pass(pos, box, alive, params, cfg,
+                             thermo.temperature,
+                             split_frozen=split_frozen)
+        pt, pt_ff = pt if split_frozen else (pt, None)
 
     rc = pairs.derived_cutoff(box, cfg)
     volume = jnp.abs(jnp.linalg.det(box))
@@ -53,10 +74,11 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
         if split_frozen:
             sc_act = pairs.lrc_self_coefficient(alive & ~atom_frozen,
                                                 params, cfg, rc)
-            sc_ff = pairs.lrc_self_coefficient(alive & atom_frozen,
-                                               params, cfg, rc)
             lrc = (pt.lrc_coeff + 0.5 * sc_act) / volume
-            lrc_ff = (pt_ff.lrc_coeff + 0.5 * sc_ff) / volume
+            if not reuse_ff:
+                sc_ff = pairs.lrc_self_coefficient(alive & atom_frozen,
+                                                   params, cfg, rc)
+                lrc_ff = (pt_ff.lrc_coeff + 0.5 * sc_ff) / volume
         else:
             sc = pairs.lrc_self_coefficient(alive, params, cfg, rc)
             lrc = (pt.lrc_coeff + 0.5 * sc) / volume
@@ -71,8 +93,9 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
         if split_frozen:
             es_self = ewald.self_energy(params.charge,
                                         alive & ~atom_frozen, alpha)
-            es_self_ff = ewald.self_energy(params.charge,
-                                           alive & atom_frozen, alpha)
+            if not reuse_ff:
+                es_self_ff = ewald.self_energy(params.charge,
+                                               alive & atom_frozen, alpha)
         else:
             es_self = ewald.self_energy(params.charge, alive, alpha)
         aux["sk_re"], aux["sk_im"] = sk_re, sk_im
@@ -81,8 +104,9 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
         if split_frozen:
             es_self = ewald.wolf_self_energy(
                 params.charge, alive & ~atom_frozen, alpha, rc)
-            es_self_ff = ewald.wolf_self_energy(
-                params.charge, alive & atom_frozen, alpha, rc)
+            if not reuse_ff:
+                es_self_ff = ewald.wolf_self_energy(
+                    params.charge, alive & atom_frozen, alpha, rc)
         else:
             es_self = ewald.wolf_self_energy(params.charge, alive, alpha, rc)
 
@@ -115,6 +139,8 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
         es_self=es_self, es_excl=pt.es_excl, polar=polar, vdw=vdw)
     if not split_frozen:
         return e, aux
+    if reuse_ff:
+        return e, frozen_cached, aux
     e_frozen = EnergyBreakdown(
         rd=pt_ff.rd, lrc=lrc_ff, es_real=pt_ff.es_real, es_recip=zero,
         es_self=es_self_ff, es_excl=pt_ff.es_excl, polar=zero, vdw=zero)

@@ -238,7 +238,8 @@ def _tile_values(r2, idx_i, params, cfg, rc, alpha, temperature,
 
 def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
                  box, box_inv, rc, alpha, temperature, triangular,
-                 split_frozen=False, row=None, mol_of_rows=None):
+                 split_frozen=False, row=None, mol_of_rows=None,
+                 tri_extra_cols=0):
     """Energy contributions of one row block [B] against all columns [N].
 
     Returns PairTerms of scalars — or, with ``split_frozen``, a tuple
@@ -251,6 +252,12 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
     ``triangular``: only count j > i (full pass); otherwise count every
     (row, col) pair once (molecule pass, where the caller guarantees rows
     and columns are disjoint molecule-wise).
+
+    ``tri_extra_cols`` (triangular mode only): additionally count columns
+    j < tri_extra_cols for every row.  Used by the row-restricted refresh
+    pass — rows start at ``row_start`` and the skipped frozen-prefix rows
+    [0, row_start) reappear as columns, so each active-frozen pair is
+    still counted exactly once (its frozen member is never a row).
     """
     B = pos_i.shape[0]
     N = pos.shape[0]
@@ -260,7 +267,10 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
     cols = jnp.arange(N)
     pair_ok = row_valid[:, None] & alive[None, :]
     if triangular:
-        pair_ok = pair_ok & (cols[None, :] > idx_i[:, None])
+        tri = cols[None, :] > idx_i[:, None]
+        if tri_extra_cols:
+            tri = tri | (cols[None, :] < tri_extra_cols)
+        pair_ok = pair_ok & tri
     if mol_of_rows is not None:
         # molecule pass: every row belongs to `mol_of_rows` — no gather
         same_mol = jnp.broadcast_to(
@@ -301,7 +311,7 @@ def _block_terms(pos_i, idx_i, row_valid, pos, alive, params, cfg,
 
 
 def pair_pass(pos, box, atom_alive, params, cfg, temperature,
-              split_frozen=False):
+              split_frozen=False, row_start=0):
     """Full-system pair terms via a lax.scan over row blocks.
 
     The triangular mask counts each (i<j) pair once; the LRC coefficient is
@@ -310,6 +320,14 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
     full ordered-pair tail sum.
 
     With ``split_frozen`` returns (active, frozen_frozen) PairTerms.
+
+    ``row_start`` (static) restricts the row scan to rows >= row_start,
+    still paired triangularly against ALL columns.  When every frozen
+    atom occupies a row < row_start (the frozen-prefix slot layout,
+    metropolis.frozen_refresh_rows), this yields exactly the ACTIVE part
+    of the split pass — every pair with at least one non-frozen member,
+    once — at (N-row_start)/N of the cost, which is what the
+    per-corrtime fast refresh uses to reuse the cached ``e_frozen``.
 
     On a TPU backend with a supported configuration this dispatches to the
     fused Pallas tile kernel (ops/pallas/pair_kernel.py); the jnp scan
@@ -325,6 +343,9 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
         cfg_es = dataclasses.replace(cfg, rd_potential="none",
                                      rd_crystal=False,
                                      cdvdw_repulsion="none")
+        if row_start:
+            raise ValueError("row-restricted pair_pass does not support "
+                             "rd_crystal (image-sum split differs)")
         base = pair_pass(pos, box, atom_alive, params, cfg_es, temperature,
                          split_frozen=split_frozen)
         cry = crystal.rd_crystal_full(pos, box, atom_alive, params, cfg,
@@ -336,13 +357,17 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
         return dataclasses.replace(base, rd=base.rd + cry)
 
     N = pos.shape[0]
-    B = min(cfg.pair_chunk, N)
-    nb = -(-N // B)
+    n_rows = N - row_start
+    if n_rows <= 0:
+        z = PairTerms.zero(pos.dtype)
+        return (z, z) if split_frozen else z
+    B = min(cfg.pair_chunk, n_rows)
+    nb = -(-n_rows // B)
     box_inv = jnp.linalg.inv(box)
     rc = derived_cutoff(box, cfg)
     alpha = derived_alpha(rc, cfg)
 
-    if cfg.use_pallas:
+    if cfg.use_pallas and not row_start:
         from mpmc_tpu.ops.pallas import pair_kernel as _pk
         if _pk.supported(cfg) and jax.default_backend() == "tpu":
             act, ff = _pk.pair_pass_pallas(pos, box, atom_alive, params,
@@ -350,12 +375,13 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
             return (act, ff) if split_frozen else act.combine(ff)
 
     def body(acc, b):
-        i0 = b * B
+        i0 = row_start + b * B
         idx = jnp.clip(i0 + jnp.arange(B), 0, N - 1)
         valid = (i0 + jnp.arange(B) < N) & atom_alive[idx]
         t = _block_terms(pos[idx], idx, valid, pos, atom_alive, params, cfg,
                          box, box_inv, rc, alpha, temperature,
-                         triangular=True, split_frozen=split_frozen)
+                         triangular=True, split_frozen=split_frozen,
+                         tri_extra_cols=row_start)
         if split_frozen:
             return (acc[0].combine(t[0]), acc[1].combine(t[1])), None
         return acc.combine(t), None

@@ -79,16 +79,24 @@ def run_chunk_batched(states: SimState, params: Params, cfg: RunConfig,
     return states, stats
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "thermo_batched"))
+@functools.partial(jax.jit, static_argnames=("cfg", "thermo_batched",
+                                             "frozen_rows"))
 def initialize_batched(states: SimState, params: Params, cfg: RunConfig,
                        thermo: Thermo,
-                       thermo_batched: bool = False) -> SimState:
+                       thermo_batched: bool = False,
+                       frozen_rows: int = 0) -> SimState:
     """Batched full-energy refresh.  Sequential over chains (lax.map):
     vmapping the O(N^2) pair pass would materialize a
     [chains, pair_chunk, N, 3] displacement tile — tens of GB at large
-    chain counts — and the refresh runs only once per corrtime."""
+    chain counts — and the refresh runs only once per corrtime.
+
+    ``frozen_rows`` (static, metropolis.frozen_refresh_rows) enables the
+    frozen-reuse fast refresh per chain — pass it only on refreshes of
+    states whose e_frozen is already valid."""
     fn = metropolis.initialize.__wrapped__   # un-jitted body
     if thermo_batched:
-        return jax.lax.map(lambda st: fn(st[0], params, cfg, st[1]),
-                           (states, thermo))
-    return jax.lax.map(lambda s: fn(s, params, cfg, thermo), states)
+        return jax.lax.map(
+            lambda st: fn(st[0], params, cfg, st[1],
+                          frozen_rows=frozen_rows), (states, thermo))
+    return jax.lax.map(lambda s: fn(s, params, cfg, thermo,
+                                    frozen_rows=frozen_rows), states)

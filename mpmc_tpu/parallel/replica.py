@@ -360,6 +360,9 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
     # per-corrtime state (cavity grids) exactly like the run loop does
     corr = max(int(cfg.corrtime), 1)
     since_refresh = 0
+    # frozen-reuse fast refresh: fused PT already refuses FH/FK (the
+    # same T-dependence that would invalidate e_frozen across swaps)
+    fr = metropolis.frozen_refresh_rows(params, cfg)
     for r in range(n_rounds):
         for i in range(R):
             states[i], _ = runner(states[i], params, cfg, thermos[i],
@@ -367,7 +370,7 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
         since_refresh += steps_per_round
         if since_refresh >= corr and r + 1 < n_rounds:
             states = [metropolis.initialize(states[i], params, cfg,
-                                            thermos[i])
+                                            thermos[i], frozen_rows=fr)
                       for i in range(R)]
             since_refresh = 0
         # swap on the ACTIVE total energy (summed in-jit by ladder_swap):
@@ -431,6 +434,7 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
     # per-corrtime state exactly like the run loop does
     corr = max(int(cfg.corrtime), 1)
     since_refresh = 0
+    fr = metropolis.frozen_refresh_rows(params, cfg)
     for r in range(n_rounds):
         states, _ = metropolis.run_chunk_fused_multi(
             states, params, cfg, thermos, steps_per_round,
@@ -438,7 +442,8 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
         since_refresh += steps_per_round
         if since_refresh >= corr and r + 1 < n_rounds:
             states = multichain.initialize_batched(
-                states, params, cfg, thermos, thermo_batched=True)
+                states, params, cfg, thermos, thermo_batched=True,
+                frozen_rows=fr)
             since_refresh = 0
         new_ts, acc = ladder_swap_batched(
             thermos.temperature, states.energy, round_keys[r], r % 2)

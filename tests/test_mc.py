@@ -433,3 +433,72 @@ pqr_input {pqr}
         _, avgs = run_mod.run(job, log=log)
         assert "T_kinetic" in avgs.samples
         assert np.all(np.isfinite(avgs.samples["T_kinetic"]))
+
+
+class TestFrozenReuseRefresh:
+    """The per-corrtime fast refresh (initialize(frozen_rows=F)) must
+    reproduce the full from-scratch refresh exactly: the row-restricted
+    pair pass covers every sorbate-involving pair once and the cached
+    e_frozen is the provably-constant remainder."""
+
+    def _system(self, **kw):
+        from mpmc_tpu.models import systems
+        return systems.mof_h2_gcmc(n_side=5, spacing=4.0, n_h2=12,
+                                   capacity=24, dtype="float64",
+                                   corrtime=64, **kw)
+
+    def test_matches_full_refresh_after_gcmc(self):
+        params, state, cfg, thermo = self._system()
+        fr = metropolis.frozen_refresh_rows(params, cfg)
+        assert fr > 0     # frozen-prefix layout holds for the MOF system
+        state = metropolis.initialize(state, params, cfg, thermo)
+        state, _ = metropolis.run_chunk(state, params, cfg, thermo, 64)
+        full = metropolis.initialize(state, params, cfg, thermo)
+        fast = metropolis.initialize(state, params, cfg, thermo,
+                                     frozen_rows=fr)
+        for f in ("rd", "lrc", "es_real", "es_recip", "es_self",
+                  "es_excl", "polar", "vdw"):
+            a, b = getattr(full.energy, f), getattr(fast.energy, f)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-9, err_msg=f)
+        # the frozen part is REUSED, not recomputed
+        for f in ("rd", "lrc", "es_real", "es_self", "es_excl"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(full.e_frozen, f)),
+                np.asarray(getattr(fast.e_frozen, f)),
+                rtol=1e-12, atol=1e-9, err_msg=f)
+        np.testing.assert_allclose(np.asarray(full.sk_re),
+                                   np.asarray(fast.sk_re), atol=1e-9)
+
+    def test_matches_full_refresh_polar(self):
+        params, state, cfg, thermo = self._system(polarization=True)
+        fr = metropolis.frozen_refresh_rows(params, cfg)
+        assert fr > 0
+        state = metropolis.initialize(state, params, cfg, thermo)
+        state, _ = metropolis.run_chunk(state, params, cfg, thermo, 32)
+        full = metropolis.initialize(state, params, cfg, thermo)
+        fast = metropolis.initialize(state, params, cfg, thermo,
+                                     frozen_rows=fr)
+        np.testing.assert_allclose(np.asarray(full.energy.total),
+                                   np.asarray(fast.energy.total),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(full.mu),
+                                   np.asarray(fast.mu), atol=1e-10)
+
+    def test_guard_refuses_unsafe_configs(self):
+        import dataclasses as dc
+        params, state, cfg, thermo = self._system()
+        assert metropolis.frozen_refresh_rows(
+            params, dc.replace(cfg, ensemble="npt")) == 0
+        assert metropolis.frozen_refresh_rows(
+            params, dc.replace(cfg, feynman_hibbs=True)) == 0
+        assert metropolis.frozen_refresh_rows(
+            params, dc.replace(cfg, feynman_kleinert=True)) == 0
+        assert metropolis.frozen_refresh_rows(
+            params, dc.replace(cfg, spectre=True)) == 0
+
+    def test_guard_refuses_no_frozen(self):
+        from mpmc_tpu.models import systems
+        params, state, cfg, thermo = systems.lj_fluid(
+            n=32, dtype="float64")
+        assert metropolis.frozen_refresh_rows(params, cfg) == 0
