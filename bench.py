@@ -299,7 +299,11 @@ def bench_pt_round():
     temps = replica.geometric_ladder(77.0, 250.0, R)
 
     def time_variant(runner, sync):
-        runner(params, state, cfg, thermo, temps, 2, spr)   # warm
+        # warm ALL 4 (parity x do_refresh) jit variants of the one-jit
+        # round (_pt_fused_round): 3 rounds covers (T,0),(T,1),(F,0);
+        # 2 rounds adds (F,1) — the last round always skips the refresh
+        runner(params, state, cfg, thermo, temps, 3, spr)
+        runner(params, state, cfg, thermo, temps, 2, spr)
         t0 = time.perf_counter()
         states, _, _ = runner(params, state, cfg, thermo, temps,
                               rounds, spr)

@@ -367,11 +367,14 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
     rc = derived_cutoff(box, cfg)
     alpha = derived_alpha(rc, cfg)
 
-    if cfg.use_pallas and not row_start:
+    if cfg.use_pallas:
         from mpmc_tpu.ops.pallas import pair_kernel as _pk
         if _pk.supported(cfg) and jax.default_backend() == "tpu":
             act, ff = _pk.pair_pass_pallas(pos, box, atom_alive, params,
-                                           cfg, rc, alpha)
+                                           cfg, rc, alpha,
+                                           row_start=row_start)
+            # row-restricted: ff slots are exact zeros (no frozen row);
+            # combine() preserves the single-output contract either way
             return (act, ff) if split_frozen else act.combine(ff)
 
     def body(acc, b):

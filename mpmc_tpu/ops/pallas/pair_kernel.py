@@ -56,33 +56,52 @@ TJ = 256   # col tile
 #                      es_excl_ff, lrc_ff, min_r2]
 N_OUT = 16   # padded lane count
 
+# accumulator rows: slots 0-7 = term sums, 8 = min_r2; padded to the
+# f32 sublane count x2.  Accumulation stays VECTORIZED: each tile
+# reduces its (TI,TJ) values only along sublanes (axis=0, cheap) into
+# (1,TJ) planes accumulated in VMEM; the single cross-lane reduction
+# happens once in the caller.  The previous per-tile scalar jnp.sum +
+# SMEM store serialized the pipeline (same lesson as the fused MC
+# kernel's 4.4x vector-accumulator win).
+ACC_ROWS = 16
+
+# packed-plane row layout: all per-atom inputs ride in ONE (PROWS, N)
+# f32 array so each tile is 2 block DMAs (row strip + col strip)
+P_X, P_Y, P_Z, P_Q, P_EPS, P_SIG, P_C6, P_C8, P_C10 = range(9)
+P_MOL, P_ALIVE, P_FROZ = 9, 10, 11
+PROWS = 16   # padded to the f32 sublane count x2
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _kernel(scal_ref, pi_ref, pj_ref, qi_ref, qj_ref, ei_ref, ej_ref,
-            si_ref, sj_ref, c6i_ref, c6j_ref, c8i_ref, c8j_ref,
-            c10i_ref, c10j_ref, mi_ref, mj_ref, ai_ref, aj_ref,
-            fi_ref, fj_ref, box_ref, binv_ref, out_ref, *, cfg, n_real):
-    ti = pl.program_id(0)
+def _kernel(scal_ref, rowb_ref, colb_ref, box_ref, binv_ref, out_ref,
+            *, cfg, n_real, row_start=0, row_tile0=0):
+    """Packed-plane tile kernel: the per-atom inputs arrive as ONE
+    (PROWS, T) block per side (row/col), so each grid step issues 2
+    block DMAs instead of 24 — per-step DMA setup latency, not
+    bandwidth, dominated the unpacked layout (~19 us/tile measured)."""
+    ti = pl.program_id(0) + row_tile0
     tj = pl.program_id(1)
 
-    @pl.when((ti == 0) & (tj == 0))
+    @pl.when((pl.program_id(0) == 0) & (tj == 0))
     def _():
-        for k in range(N_OUT):   # SMEM stores must be scalar
-            out_ref[0, k] = jnp.asarray(0.0, jnp.float32)
-        out_ref[0, 8] = jnp.asarray(jnp.inf, jnp.float32)
+        out_ref[:, :] = jnp.zeros((ACC_ROWS, TJ), jnp.float32)
+        out_ref[8:9, :] = jnp.full((1, TJ), jnp.inf, jnp.float32)
 
-    # skip tiles entirely below the diagonal (j block ends before i starts)
-    @pl.when((tj + 1) * TJ > ti * TI)
+    # skip tiles entirely below the diagonal (j block ends before i
+    # starts) — unless row-restricted, where cols < row_start count for
+    # every row (the skipped frozen-prefix rows reappear as columns)
+    @pl.when(((tj + 1) * TJ > ti * TI) | (tj * TJ < row_start))
     def _compute():
         rc = scal_ref[0, 0]
         alpha = scal_ref[0, 1]
+        ri = lambda k: rowb_ref[k, :]     # (TI,) strip, packed row k
+        cj = lambda k: colb_ref[k, :]     # (TJ,) strip
 
         # minimum-image dr for all (TI, TJ) pairs, component-wise
-        dx = [pi_ref[k, :][:, None] - pj_ref[k, :][None, :]
-              for k in range(3)]
+        dx = [ri(k)[:, None] - cj(k)[None, :] for k in range(3)]
         fr = [sum(dx[b] * binv_ref[b, a] for b in range(3))
               for a in range(3)]
         fr = [f - jnp.round(f) for f in fr]
@@ -92,33 +111,39 @@ def _kernel(scal_ref, pi_ref, pj_ref, qi_ref, qj_ref, ei_ref, ej_ref,
 
         rows = ti * TI + jax.lax.broadcasted_iota(jnp.int32, (TI, TJ), 0)
         cols = tj * TJ + jax.lax.broadcasted_iota(jnp.int32, (TI, TJ), 1)
-        alive = (ai_ref[0, :][:, None] > 0) & (aj_ref[0, :][None, :] > 0)
-        pair_ok = ((cols > rows) & (cols < n_real) & (rows < n_real)
-                   & alive)
-        same_mol = mi_ref[0, :][:, None] == mj_ref[0, :][None, :]
+        alive = (ri(P_ALIVE)[:, None] > 0) & (cj(P_ALIVE)[None, :] > 0)
+        tri = cols > rows
+        if row_start:
+            # row-restricted pass: rows < row_start are frozen-prefix
+            # rows handled as extra columns (each active-frozen pair
+            # counted once, frozen member never a row)
+            tri = (tri | (cols < row_start)) & (rows >= row_start)
+        pair_ok = tri & (cols < n_real) & (rows < n_real) & alive
+        # mol ids ride as f32 (exact below 2^24); padded slots are -1
+        # and dead, so the equality test is exact
+        same_mol = ri(P_MOL)[:, None] == cj(P_MOL)[None, :]
         inter = pair_ok & ~same_mol
         intra = pair_ok & same_mol
         act = inter & (r2 < rc * rc)
-        ff = (fi_ref[0, :][:, None] > 0) & (fj_ref[0, :][None, :] > 0)
+        ff = (ri(P_FROZ)[:, None] > 0) & (cj(P_FROZ)[None, :] > 0)
 
         r2s = jnp.where(r2 > 1e-12, r2, 1.0)
         inv_r = jax.lax.rsqrt(r2s)   # one rsqrt; VPU div/sqrt are slow
         r = r2s * inv_r
 
-        zero = jnp.zeros((), jnp.float32)
         rd_u = None
         tc = None
         if cfg.rd_potential == "lj":
             if cfg.mixing_rule == "lb":
                 # factor the geometric mean: sqrt per strip element, not
                 # per pair (sqrt(ei ej) = sqrt(ei) sqrt(ej), eps >= 0)
-                eps = (jnp.sqrt(ei_ref[0, :])[:, None]
-                       * jnp.sqrt(ej_ref[0, :])[None, :])
-                sig = 0.5 * (si_ref[0, :][:, None] + sj_ref[0, :][None, :])
+                eps = (jnp.sqrt(ri(P_EPS))[:, None]
+                       * jnp.sqrt(cj(P_EPS))[None, :])
+                sig = 0.5 * (ri(P_SIG)[:, None] + cj(P_SIG)[None, :])
             else:
                 eps, sig = lj_ops.mix(
-                    ei_ref[0, :][:, None], ej_ref[0, :][None, :],
-                    si_ref[0, :][:, None], sj_ref[0, :][None, :],
+                    ri(P_EPS)[:, None], cj(P_EPS)[None, :],
+                    ri(P_SIG)[:, None], cj(P_SIG)[None, :],
                     cfg.mixing_rule)
             s2 = (sig * sig) * (inv_r * inv_r)
             s6 = s2 * s2 * s2
@@ -129,24 +154,23 @@ def _kernel(scal_ref, pi_ref, pj_ref, qi_ref, qj_ref, ei_ref, ej_ref,
                                   "disp_expansion"):
             from mpmc_tpu.ops import potentials
             rd_u = potentials.rd_pair_energy_generic(
-                r, ei_ref[0, :][:, None], ej_ref[0, :][None, :],
-                si_ref[0, :][:, None], sj_ref[0, :][None, :],
-                c6i_ref[0, :][:, None], c6j_ref[0, :][None, :],
-                c8i_ref[0, :][:, None], c8j_ref[0, :][None, :],
-                c10i_ref[0, :][:, None], c10j_ref[0, :][None, :], cfg)
+                r, ri(P_EPS)[:, None], cj(P_EPS)[None, :],
+                ri(P_SIG)[:, None], cj(P_SIG)[None, :],
+                ri(P_C6)[:, None], cj(P_C6)[None, :],
+                ri(P_C8)[:, None], cj(P_C8)[None, :],
+                ri(P_C10)[:, None], cj(P_C10)[None, :], cfg)
             if cfg.rd_potential == "disp_expansion" and cfg.rd_lrc:
                 c6m = jnp.sqrt(jnp.maximum(
-                    c6i_ref[0, :][:, None] * c6j_ref[0, :][None, :], 0.0))
+                    ri(P_C6)[:, None] * cj(P_C6)[None, :], 0.0))
                 c8m = jnp.sqrt(jnp.maximum(
-                    c8i_ref[0, :][:, None] * c8j_ref[0, :][None, :], 0.0))
+                    ri(P_C8)[:, None] * cj(P_C8)[None, :], 0.0))
                 c10m = jnp.sqrt(jnp.maximum(
-                    c10i_ref[0, :][:, None] * c10j_ref[0, :][None, :],
-                    0.0))
+                    ri(P_C10)[:, None] * cj(P_C10)[None, :], 0.0))
                 tc = potentials.disp_tail_coefficient(c6m, c8m, c10m, rc)
 
         es_u = None
         ex_u = None
-        qq = qi_ref[0, :][:, None] * qj_ref[0, :][None, :]
+        qq = ri(P_Q)[:, None] * cj(P_Q)[None, :]
         if cfg.coulomb == "ewald":
             es_u = qq * _erfc(alpha * r) * inv_r
             ex_u = -qq * _erf(alpha * r) * inv_r
@@ -156,109 +180,116 @@ def _kernel(scal_ref, pi_ref, pj_ref, qi_ref, qj_ref, ei_ref, ej_ref,
             es_u = qq * inv_r
 
         def s(values, mask):
+            # sublane-only reduction to a (1, TJ) plane — no cross-lane
+            # ops, no scalar stores, per-tile work stays vectorized
             if values is None:
-                return zero, zero
-            return (jnp.sum(jnp.where(mask & ~ff, values, 0.0)),
-                    jnp.sum(jnp.where(mask & ff, values, 0.0)))
+                return None, None
+            return (jnp.sum(jnp.where(mask & ~ff, values, 0.0), axis=0,
+                            keepdims=True),
+                    jnp.sum(jnp.where(mask & ff, values, 0.0), axis=0,
+                            keepdims=True))
 
         rd_a, rd_f = s(rd_u, act)
         es_a, es_f = s(es_u, act)
         ex_a, ex_f = s(ex_u, intra)
         tc_a, tc_f = s(tc, inter)
-        mr2 = jnp.min(jnp.where(inter & ~ff, r2, jnp.inf))
+        mr2 = jnp.min(jnp.where(inter & ~ff, r2, jnp.inf), axis=0,
+                      keepdims=True)
 
-        out_ref[0, 0] += rd_a
-        out_ref[0, 1] += es_a
-        out_ref[0, 2] += ex_a
-        out_ref[0, 3] += tc_a
-        out_ref[0, 4] += rd_f
-        out_ref[0, 5] += es_f
-        out_ref[0, 6] += ex_f
-        out_ref[0, 7] += tc_f
-        out_ref[0, 8] = jnp.minimum(out_ref[0, 8], mr2)
+        for k, p in ((0, rd_a), (1, es_a), (2, ex_a), (3, tc_a),
+                     (4, rd_f), (5, es_f), (6, ex_f), (7, tc_f)):
+            if p is not None:
+                out_ref[k:k + 1, :] += p
+        out_ref[8:9, :] = jnp.minimum(out_ref[8:9, :], mr2)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_real", "interpret"))
+                   static_argnames=("cfg", "n_real", "interpret",
+                                    "row_start"))
 def pair_terms_tiles(pos, charge, eps, sig, c6, c8, c10, mol_id, alive,
                      frozen, box, rc, alpha, cfg, n_real,
-                     interpret=False):
+                     interpret=False, row_start=0):
     """Run the fused tile kernel; returns the 9 raw sums
     [rd, es_real(no ke), es_excl(no ke), lrc, ...ff..., min_r2].
 
     Inputs are the padded per-atom arrays; ``n_real`` (static) is the
     padded size actually scanned.  Charges are unscaled — the ke
     prefactor is applied by the caller.
+
+    ``row_start`` (static) restricts the row tiles to rows >=
+    row_start, triangular against ALL columns plus cols < row_start
+    for every row — the Pallas mirror of ops/pairs.pair_pass's
+    row-restricted fast-refresh semantics (the ff output slots are
+    exact zeros there: no frozen atom is ever a row).
     """
     f32 = jnp.float32
     n_pad = _round_up(n_real, max(TI, TJ))
+    row_tile0 = row_start // TI   # first row tile that contains a row
 
-    def pad1(x, dt=f32, fill=0):
+    def pad1(x, fill=0.0):
         x = jnp.asarray(x)
-        return jnp.pad(x.astype(dt), (0, n_pad - x.shape[0]),
-                       constant_values=fill).reshape(1, n_pad)
+        return jnp.pad(x.astype(f32), (0, n_pad - x.shape[0]),
+                       constant_values=fill)
 
-    pos_t = jnp.pad(pos.astype(f32), ((0, n_pad - pos.shape[0]), (0, 0))).T
-    q = pad1(charge)
-    e = pad1(eps)
-    s = pad1(sig)
-    c6p, c8p, c10p = pad1(c6), pad1(c8), pad1(c10)
-    m = pad1(mol_id, jnp.int32, -1)
-    a = pad1(alive, jnp.int32)
-    fz = pad1(frozen, jnp.int32)
+    # ONE packed (PROWS, n_pad) plane: 2 block DMAs per tile, not 24
+    packed = jnp.zeros((PROWS, n_pad), f32)
+    pos32 = pos.astype(f32)
+    packed = packed.at[P_X].set(pad1(pos32[:, 0]))
+    packed = packed.at[P_Y].set(pad1(pos32[:, 1]))
+    packed = packed.at[P_Z].set(pad1(pos32[:, 2]))
+    packed = packed.at[P_Q].set(pad1(charge))
+    packed = packed.at[P_EPS].set(pad1(eps))
+    packed = packed.at[P_SIG].set(pad1(sig))
+    packed = packed.at[P_C6].set(pad1(c6))
+    packed = packed.at[P_C8].set(pad1(c8))
+    packed = packed.at[P_C10].set(pad1(c10))
+    packed = packed.at[P_MOL].set(pad1(mol_id, -1.0))
+    packed = packed.at[P_ALIVE].set(pad1(alive))
+    packed = packed.at[P_FROZ].set(pad1(frozen))
     scal = jnp.stack([rc, alpha]).astype(f32).reshape(1, 2)
     box32 = box.astype(f32)
     binv = jnp.linalg.inv(box32)
 
-    grid = (n_pad // TI, n_pad // TJ)
-    row = lambda T: pl.BlockSpec((1, T), lambda i, j: (0, i),
-                                 memory_space=pltpu.VMEM)
-    col = lambda T: pl.BlockSpec((1, T), lambda i, j: (0, j),
-                                 memory_space=pltpu.VMEM)
+    grid = (n_pad // TI - row_tile0, n_pad // TJ)
     out = pl.pallas_call(
-        functools.partial(_kernel, cfg=cfg, n_real=n_real),
+        functools.partial(_kernel, cfg=cfg, n_real=n_real,
+                          row_start=row_start, row_tile0=row_tile0),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, TI), lambda i, j: (0, i),
+            pl.BlockSpec((PROWS, TI), lambda i, j: (0, i + row_tile0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TJ), lambda i, j: (0, j),
+            pl.BlockSpec((PROWS, TJ), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            row(TI), col(TJ),                          # charge
-            row(TI), col(TJ),                          # eps
-            row(TI), col(TJ),                          # sig
-            row(TI), col(TJ),                          # c6
-            row(TI), col(TJ),                          # c8
-            row(TI), col(TJ),                          # c10
-            row(TI), col(TJ),                          # mol_id
-            row(TI), col(TJ),                          # alive
-            row(TI), col(TJ),                          # frozen
             pl.BlockSpec((3, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((3, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, N_OUT), lambda i, j: (0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, N_OUT), f32),
+        out_specs=pl.BlockSpec((ACC_ROWS, TJ), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ACC_ROWS, TJ), f32),
         interpret=interpret,
-    )(scal, pos_t, pos_t, q, q, e, e, s, s, c6p, c6p, c8p, c8p,
-      c10p, c10p, m, m, a, a, fz, fz, box32, binv)
-    return out[0]
+    )(scal, packed, packed, box32, binv)
+    # the one cross-lane reduction, outside the kernel
+    return jnp.concatenate([jnp.sum(out[0:8], axis=1),
+                            jnp.min(out[8:9], axis=1)])
 
 
 def pair_pass_pallas(pos, box, atom_alive, params, cfg, rc, alpha,
-                     interpret=False):
+                     interpret=False, row_start=0):
     """PairTerms-compatible wrapper: returns (active, frozen_frozen)
     tuples of raw term dicts with the ke prefactor applied, matching
-    ops/pairs.pair_pass(split_frozen=True)."""
+    ops/pairs.pair_pass(split_frozen=True).  With ``row_start`` the ff
+    part is exact zeros and ``active`` matches the row-restricted
+    single-output pair_pass."""
     from mpmc_tpu.ops.pairs import PairTerms
     frozen = params.mol_frozen[params.mol_id]
     raw = pair_terms_tiles(
         pos, params.charge, params.eps, params.sig, params.c6, params.c8,
         params.c10, params.mol_id, atom_alive, frozen, box, rc, alpha,
-        cfg, pos.shape[0], interpret=interpret)
+        cfg, pos.shape[0], interpret=interpret, row_start=row_start)
     dtype = pos.dtype
     c = lambda x: x.astype(dtype)
     ke = jnp.asarray(KE, dtype)

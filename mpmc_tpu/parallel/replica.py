@@ -394,15 +394,45 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
     return states, final_temps, int(n_acc)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "a_max", "parity",
+                                    "frozen_rows", "do_refresh",
+                                    "interpret"))
+def _pt_fused_round(states, params, thermos, mv_start, mv_natoms, key,
+                    cfg, n_steps, a_max, parity, frozen_rows,
+                    do_refresh, interpret):
+    """ONE jitted PT round: chain-interleaved fused kernel + (optional)
+    per-corrtime batched refresh + ladder swap, composed in a single
+    XLA program.  Composing matters on the tunneled backend: feeding
+    the refresh output back into the kernel across a jit boundary was
+    measured at +29 ms/round of relayout/copy on top of the ~16 ms
+    refresh compute (MEASURE_PT_REFRESH4.json) — inside one jit XLA
+    owns the intermediate layouts and the penalty disappears."""
+    from mpmc_tpu.parallel import multichain
+
+    states, _ = metropolis._fused_chunk_nvt_multi.__wrapped__(
+        states, params, thermos, mv_start, mv_natoms, cfg, n_steps,
+        a_max, interpret, True)
+    if do_refresh:
+        states = multichain.initialize_batched(
+            states, params, cfg, thermos, thermo_batched=True,
+            frozen_rows=frozen_rows)
+    new_ts, acc = _ladder_swap_core(
+        thermos.temperature,
+        states.energy.total.astype(thermos.temperature.dtype),
+        key, parity)
+    return states, new_ts, acc
+
+
 def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
                                        temps, n_rounds: int,
                                        steps_per_round: int,
                                        seed: int = 0):
     """Single-chip PT with ALL replicas in one chain-interleaved fused
-    launch per round (mc/metropolis.run_chunk_fused_multi) — a round is
-    2 async dispatches (one kernel, one ladder_swap_batched) however
-    many replicas run, and the in-kernel interleave additionally
-    overlaps the replicas' serial per-step latency.  NVT only
+    launch per round — a round (kernel + per-corrtime refresh + ladder
+    swap) is ONE jitted dispatch (_pt_fused_round) however many
+    replicas run, and the in-kernel interleave additionally overlaps
+    the replicas' serial per-step latency.  NVT only
     (mc_kernel.supported_multi); the per-replica variant
     run_parallel_tempering_fused covers fused µVT ladders.
 
@@ -430,23 +460,30 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
     thermos = stack_thermo(thermo, temps, cfg.jdtype)
     round_keys = jax.random.split(jax.random.PRNGKey(seed + 7), n_rounds)
     n_acc = jnp.zeros((), jnp.int32)
+    # NVT never changes aliveness: the movable-molecule tables are
+    # loop constants (same host build run_chunk_fused_multi caches)
+    mv, mva, a_max, _ = mc_kernel.movable_mols(
+        params, np.asarray(states.mol_alive[0]))
+    mv_start, mv_natoms = jnp.asarray(mv), jnp.asarray(mva)
+    interpret = jax.default_backend() != "tpu"
+    mol_alive = states.mol_alive
     # per-corrtime contract: wash the f32 delta accumulation and rebuild
     # per-corrtime state exactly like the run loop does
     corr = max(int(cfg.corrtime), 1)
     since_refresh = 0
     fr = metropolis.frozen_refresh_rows(params, cfg)
     for r in range(n_rounds):
-        states, _ = metropolis.run_chunk_fused_multi(
-            states, params, cfg, thermos, steps_per_round,
-            thermo_batched=True)
         since_refresh += steps_per_round
-        if since_refresh >= corr and r + 1 < n_rounds:
-            states = multichain.initialize_batched(
-                states, params, cfg, thermos, thermo_batched=True,
-                frozen_rows=fr)
+        do_refresh = since_refresh >= corr and r + 1 < n_rounds
+        if do_refresh:
             since_refresh = 0
-        new_ts, acc = ladder_swap_batched(
-            thermos.temperature, states.energy, round_keys[r], r % 2)
+        states, new_ts, acc = _pt_fused_round(
+            states, params, thermos, mv_start, mv_natoms,
+            round_keys[r], cfg, steps_per_round, int(a_max), r % 2,
+            fr, do_refresh, interpret)
+        # NVT aliveness is constant: reattach the original arrays so
+        # downstream id-keyed host caches keep hitting
+        states = dataclasses.replace(states, mol_alive=mol_alive)
         thermos = dataclasses.replace(thermos, temperature=new_ts)
         n_acc = n_acc + acc
     return states, np.asarray(thermos.temperature), int(n_acc)

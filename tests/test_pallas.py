@@ -39,6 +39,33 @@ def test_pair_kernel_matches_jnp_lj_fluid():
     _compare(params, state, cfg, thermo, rtol=1e-5)
 
 
+def test_pair_kernel_row_restricted_matches_jnp():
+    """row_start > 0 (the frozen-reuse fast refresh): kernel rows start
+    mid-array (row_tile0 > 0 with n_side=7: 343 frozen rows > TI=256),
+    frozen-prefix rows reappear as columns, ff slots come back zero."""
+    from mpmc_tpu.mc import metropolis
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=7, n_h2=16, capacity=32, dtype="float32")
+    F = metropolis.frozen_refresh_rows(params, cfg)
+    assert F > pk.TI   # exercises the row-tile offset arithmetic
+    alive = state.atom_alive(params)
+    rc = pairs.derived_cutoff(state.box, cfg)
+    alpha = pairs.derived_alpha(rc, cfg)
+    rj = pairs.pair_pass(state.pos.astype(jnp.float32),
+                         state.box.astype(jnp.float32), alive, params,
+                         cfg, thermo.temperature, row_start=F)
+    act, ff = pk.pair_pass_pallas(state.pos, state.box, alive, params,
+                                  cfg, rc, alpha, interpret=True,
+                                  row_start=F)
+    for name in ("rd", "es_real", "es_excl", "lrc_coeff", "min_r2"):
+        a = float(getattr(rj, name))
+        b = float(getattr(act, name))
+        assert a == pytest.approx(b, rel=5e-4, abs=1e-2), (
+            f"{name}: jnp={a} pallas={b}")
+        if name != "min_r2":
+            assert float(getattr(ff, name)) == 0.0
+
+
 @pytest.mark.parametrize("rd", ["sg", "dreiding", "b14_7",
                                 "disp_expansion"])
 def test_pair_kernel_matches_jnp_rd_variants(rd):
