@@ -349,8 +349,37 @@ def _backend_or_die(timeout_s=420.0):
     print(f"# devices: {devs[0]}", file=sys.stderr, flush=True)
 
 
+def _warm_chip(seconds=8.0):
+    """Run untimed fused-kernel work until the chip/tunnel ramps.
+    Measured 2026-08-18: the FIRST variant timed in a process can
+    measure up to 2x slow (60k vs 128k agg steps/s for the identical
+    fused-PT config) — clocks/tunnel need several seconds of sustained
+    load before timings are comparable."""
+    import dataclasses
+
+    import numpy as np
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+
+    try:
+        params, state, cfg, thermo = systems.mof_h2_gcmc(
+            n_side=21, spacing=4.0, n_h2=256, capacity=512,
+            temperature=77.0, pressure=1.0, dtype="float32")
+        cfg = dataclasses.replace(cfg, fused_mc=True)
+        state = metropolis.initialize(state, params, cfg, thermo)
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < seconds:
+            state, _ = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                                      thermo, 8192)
+            np.asarray(state.energy.rd)
+    except Exception:
+        pass    # warm-up is best-effort; contenders still warm locally
+
+
 def main():
     _backend_or_die()
+    _warm_chip()
     results = []
     # measure every GCMC strategy on a quiet chip: batched scan chains,
     # the fused single-chain kernel, and the C=8 chain-interleaved

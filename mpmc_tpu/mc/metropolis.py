@@ -930,8 +930,23 @@ def _fused_chunk_nvt(state, params, thermo, mv_start, mv_natoms, cfg,
     return new_state, stats
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "a_max",
+                                    "interpret", "refresh_rows"))
+def _fused_block_nvt(state, params, thermo, mv_start, mv_natoms, cfg,
+                     n_steps, a_max, interpret, mv_slots, refresh_rows):
+    """Single-chain chunk + per-corrtime refresh in ONE jitted program
+    (see _fused_block_nvt_multi for why composing beats a boundary)."""
+    state, stats = _fused_chunk_nvt.__wrapped__(
+        state, params, thermo, mv_start, mv_natoms, cfg, n_steps, a_max,
+        interpret, mv_slots=mv_slots)
+    state = initialize.__wrapped__(state, params, cfg, thermo,
+                                   frozen_rows=refresh_rows)
+    return state, stats
+
+
 def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
-                    thermo: Thermo, n_steps: int):
+                    thermo: Thermo, n_steps: int, refresh_rows=None):
     """K Metropolis translate+rotate steps in ONE Pallas launch — the
     single-chain latency path (ops/pallas/mc_kernel.py; VERDICT r1
     item 3).  Caller must have checked mc_kernel.supported(cfg, params).
@@ -939,7 +954,10 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
     displacement-only (supported() restricts to rigid small-molecule
     NVT).  Host movable tables are cached by array identity (NVT alive
     flags never change within a run; the fetch recurs only when
-    initialize() rebuilds the state pytree)."""
+    initialize() rebuilds the state pytree).
+
+    ``refresh_rows`` (None = off): run the per-corrtime initialize
+    INSIDE the same jitted program."""
     import numpy as np
 
     from mpmc_tpu.ops.pallas import mc_kernel
@@ -953,9 +971,15 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
     mv_start, mv_natoms, a_max, mv_slots = _fused_host_cached(
         ("nvt", id(params.mol_start), id(state.mol_alive)),
         (params.mol_start, state.mol_alive), build)
-    new_state, stats = _fused_chunk_nvt(
-        state, params, thermo, mv_start, mv_natoms, cfg, n_steps, a_max,
-        jax.default_backend() != "tpu", mv_slots=mv_slots)
+    interpret = jax.default_backend() != "tpu"
+    if refresh_rows is None:
+        new_state, stats = _fused_chunk_nvt(
+            state, params, thermo, mv_start, mv_natoms, cfg, n_steps,
+            a_max, interpret, mv_slots=mv_slots)
+    else:
+        new_state, stats = _fused_block_nvt(
+            state, params, thermo, mv_start, mv_natoms, cfg, n_steps,
+            a_max, interpret, mv_slots, int(refresh_rows))
     # NVT never changes aliveness: reattach the INPUT mol_alive object
     # so the id-keyed cache above stays hot across chained chunks (a jit
     # output leaf is a FRESH buffer every call -> cache miss -> one
@@ -1031,15 +1055,43 @@ def _fused_chunk_nvt_multi(states, params, thermo, mv_start, mv_natoms,
     return new_states, stats
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "a_max",
+                                    "interpret", "thermo_batched",
+                                    "refresh_rows"))
+def _fused_block_nvt_multi(states, params, thermo, mv_start, mv_natoms,
+                           cfg, n_steps, a_max, interpret,
+                           thermo_batched, refresh_rows):
+    """Chunk + per-corrtime refresh composed in ONE jitted program —
+    feeding the refresh output back into the next chunk across a jit
+    boundary was measured at ~+29 ms/block of relayout/copy on the
+    tunneled backend (MEASURE_PT_REFRESH4.json); composed, XLA owns the
+    intermediate layouts."""
+    from mpmc_tpu.parallel import multichain
+    states, stats = _fused_chunk_nvt_multi.__wrapped__(
+        states, params, thermo, mv_start, mv_natoms, cfg, n_steps,
+        a_max, interpret, thermo_batched)
+    states = multichain.initialize_batched.__wrapped__(
+        states, params, cfg, thermo, thermo_batched=thermo_batched,
+        frozen_rows=refresh_rows)
+    return states, stats
+
+
 def run_chunk_fused_multi(states: SimState, params: Params,
                           cfg: RunConfig, thermo: Thermo, n_steps: int,
-                          thermo_batched: bool = False):
+                          thermo_batched: bool = False,
+                          refresh_rows=None):
     """K NVT steps for C stacked chains in ONE Pallas launch — the
     chain-interleaved aggregate-throughput path.  Caller must have
     checked mc_kernel.supported_multi(cfg, params) and C <=
     mc_kernel.MAX_MULTI_CHAINS.  Same (states, stats) contract as
     parallel/multichain.run_chunk_batched (leading chain dim on
-    both)."""
+    both).
+
+    ``refresh_rows`` (None = off): run the per-corrtime
+    initialize_batched refresh INSIDE the same jitted program (pass
+    metropolis.frozen_refresh_rows(params, cfg), or 0 for the full
+    split pass)."""
     import numpy as np
 
     from mpmc_tpu.ops.pallas import mc_kernel
@@ -1053,9 +1105,15 @@ def run_chunk_fused_multi(states: SimState, params: Params,
     mv_start, mv_natoms, a_max, _ = _fused_host_cached(
         ("nvt_multi", id(params.mol_start), id(states.mol_alive)),
         (params.mol_start, states.mol_alive), build)
-    new_states, stats = _fused_chunk_nvt_multi(
-        states, params, thermo, mv_start, mv_natoms, cfg, n_steps,
-        a_max, jax.default_backend() != "tpu", thermo_batched)
+    interpret = jax.default_backend() != "tpu"
+    if refresh_rows is None:
+        new_states, stats = _fused_chunk_nvt_multi(
+            states, params, thermo, mv_start, mv_natoms, cfg, n_steps,
+            a_max, interpret, thermo_batched)
+    else:
+        new_states, stats = _fused_block_nvt_multi(
+            states, params, thermo, mv_start, mv_natoms, cfg, n_steps,
+            a_max, interpret, thermo_batched, int(refresh_rows))
     # NVT never changes aliveness: reattach for the id-keyed cache
     new_states = dataclasses.replace(new_states,
                                      mol_alive=states.mol_alive)
@@ -1276,7 +1334,7 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
 
 
 def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
-                        thermo: Thermo, n_steps: int):
+                        thermo: Thermo, n_steps: int, refresh_rows=None):
     """K GCMC steps (displace | insert | delete) in ONE Pallas launch
     (ops/pallas/mc_kernel.py::run_steps_uvt) — the single-chain latency
     path for the headline µVT workload.  Caller must have checked
@@ -1313,10 +1371,31 @@ def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
         _fused_host_cached(
             ("uvt", id(params.mol_start), cfg.insert_species),
             (params.mol_start,), build))
-    return _fused_chunk_uvt(state, params, thermo, slots, slot_start,
+    interpret = jax.default_backend() != "tpu"
+    if refresh_rows is None:
+        return _fused_chunk_uvt(state, params, thermo, slots, slot_start,
+                                species_idx, tmpl, cfg, n_steps, A_list,
+                                rep_slots, interpret)
+    return _fused_block_uvt(state, params, thermo, slots, slot_start,
                             species_idx, tmpl, cfg, n_steps, A_list,
-                            rep_slots,
-                            jax.default_backend() != "tpu")
+                            rep_slots, interpret, int(refresh_rows))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "A_list",
+                                    "rep_slots", "interpret",
+                                    "refresh_rows"))
+def _fused_block_uvt(state, params, thermo, slots, slot_start,
+                     species_idx, tmpl, cfg, n_steps, A_list, rep_slots,
+                     interpret, refresh_rows):
+    """Single-chain µVT chunk + per-corrtime refresh in ONE jitted
+    program (see _fused_block_nvt_multi)."""
+    state, stats = _fused_chunk_uvt.__wrapped__(
+        state, params, thermo, slots, slot_start, species_idx, tmpl,
+        cfg, n_steps, A_list, rep_slots, interpret)
+    state = initialize.__wrapped__(state, params, cfg, thermo,
+                                   frozen_rows=refresh_rows)
+    return state, stats
 
 
 @functools.partial(jax.jit,
@@ -1394,12 +1473,15 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
 
 def run_chunk_fused_uvt_multi(states: SimState, params: Params,
                               cfg: RunConfig, thermo: Thermo,
-                              n_steps: int):
+                              n_steps: int, refresh_rows=None):
     """K GCMC steps for C stacked chains in ONE Pallas launch — the
     chain-interleaved aggregate path for the headline µVT workload.
     Caller must have checked mc_kernel.supported_uvt_multi(cfg, params)
     and C <= mc_kernel.MAX_MULTI_CHAINS; thermo is shared across chains
-    (PT µVT ladders use replica.run_parallel_tempering_fused)."""
+    (PT µVT ladders use replica.run_parallel_tempering_fused).
+
+    ``refresh_rows`` (None = off): compose the per-corrtime
+    initialize_batched refresh into the same jitted program."""
     import numpy as np
 
     from mpmc_tpu.ops.pallas import mc_kernel
@@ -1426,10 +1508,34 @@ def run_chunk_fused_uvt_multi(states: SimState, params: Params,
         _fused_host_cached(
             ("uvt", id(params.mol_start), cfg.insert_species),
             (params.mol_start,), build))
-    return _fused_chunk_uvt_multi(states, params, thermo, slots,
+    interpret = jax.default_backend() != "tpu"
+    if refresh_rows is None:
+        return _fused_chunk_uvt_multi(states, params, thermo, slots,
+                                      slot_start, species_idx, tmpl, cfg,
+                                      n_steps, A_list, rep_slots,
+                                      interpret)
+    return _fused_block_uvt_multi(states, params, thermo, slots,
                                   slot_start, species_idx, tmpl, cfg,
-                                  n_steps, A_list, rep_slots,
-                                  jax.default_backend() != "tpu")
+                                  n_steps, A_list, rep_slots, interpret,
+                                  int(refresh_rows))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "A_list",
+                                    "rep_slots", "interpret",
+                                    "refresh_rows"))
+def _fused_block_uvt_multi(states, params, thermo, slots, slot_start,
+                           species_idx, tmpl, cfg, n_steps, A_list,
+                           rep_slots, interpret, refresh_rows):
+    """µVT chunk + per-corrtime refresh in ONE jitted program (see
+    _fused_block_nvt_multi for why composing beats a jit boundary)."""
+    from mpmc_tpu.parallel import multichain
+    states, stats = _fused_chunk_uvt_multi.__wrapped__(
+        states, params, thermo, slots, slot_start, species_idx, tmpl,
+        cfg, n_steps, A_list, rep_slots, interpret)
+    states = multichain.initialize_batched.__wrapped__(
+        states, params, cfg, thermo, frozen_rows=refresh_rows)
+    return states, stats
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))

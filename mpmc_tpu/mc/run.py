@@ -804,17 +804,22 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
     refresh_rows = metropolis.frozen_refresh_rows(params, cfg)
     t0 = time.time()
     for block in range(n_blocks):
+        # fused paths: chunk + per-corrtime refresh composed in ONE
+        # jitted program (a jit boundary between them costs ~29 ms of
+        # relayout per block on the tunneled backend)
         if use_fused:
             states, stats = metropolis.run_chunk_fused_multi(
-                states, params, cfg, thermo, corr)
+                states, params, cfg, thermo, corr,
+                refresh_rows=refresh_rows)
         elif use_fused_uvt:
             states, stats = metropolis.run_chunk_fused_uvt_multi(
-                states, params, cfg, thermo, corr)
+                states, params, cfg, thermo, corr,
+                refresh_rows=refresh_rows)
         else:
             states, stats = multichain.run_chunk_batched(
                 states, params, cfg, thermo, corr)
-        states = multichain.initialize_batched(states, params, cfg, thermo,
-                                               frozen_rows=refresh_rows)
+            states = multichain.initialize_batched(
+                states, params, cfg, thermo, frozen_rows=refresh_rows)
         # per-chain observables -> cross-chain mean (+ _sem spread);
         # ONE jitted call + ONE host fetch for the whole batch
         per_chain = observables_batched(su, states, C)
@@ -950,13 +955,20 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
                   "none/cutoff/wolf/ewald/gwp ES, f32) — scan path "
                   "used", file=writer.log)
     refresh_rows = metropolis.frozen_refresh_rows(params, cfg)
+    # spectre rewrites params.charge BETWEEN chunk and refresh, so the
+    # chunk+refresh composition (one jitted program per block) is only
+    # legal without it
+    spectre_on = spectre_idx is not None and len(spectre_idx)
+    compose = (use_fused or use_fused_uvt) and not spectre_on
     for block in range(n_blocks):
         if use_fused:
-            state, stats = metropolis.run_chunk_fused(state, params, cfg,
-                                                      thermo, corr)
+            state, stats = metropolis.run_chunk_fused(
+                state, params, cfg, thermo, corr,
+                refresh_rows=refresh_rows if compose else None)
         elif use_fused_uvt:
             state, stats = metropolis.run_chunk_fused_uvt(
-                state, params, cfg, thermo, corr)
+                state, params, cfg, thermo, corr,
+                refresh_rows=refresh_rows if compose else None)
         elif use_fused_npt:
             state, stats = metropolis.run_chunk_fused_npt(
                 state, params, cfg, thermo, corr)
@@ -964,16 +976,18 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             state, stats = metropolis.run_chunk(state, params, cfg,
                                                 thermo, corr)
         steps_done += corr
-        if spectre_idx is not None and len(spectre_idx):
+        if spectre_on:
             # renormalize free charges, then let the full refresh below
             # rebuild every charge-dependent cache (mc/spectre.py)
             from mpmc_tpu.mc import spectre as spectre_mod
             params = spectre_mod.apply(params, spectre_idx, cfg)
             su = dataclasses.replace(su, params=params)
         # per-corrtime refresh; frozen-reuse fast path where provably
-        # safe (fr=0 under NPT/FH/FK/spectre — frozen_refresh_rows)
-        state = metropolis.initialize(state, params, cfg, thermo,
-                                      frozen_rows=refresh_rows)
+        # safe (fr=0 under NPT/FH/FK/spectre — frozen_refresh_rows);
+        # composed into the chunk program on the fused NVT/µVT paths
+        if not compose:
+            state = metropolis.initialize(state, params, cfg, thermo,
+                                          frozen_rows=refresh_rows)
         if cfg.quantum_rotation:
             from mpmc_tpu.ops import qrot
             table = qrot.free_energy_table(

@@ -78,6 +78,24 @@ def test_deterministic_for_fixed_key():
     np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
 
 
+def test_composed_block_matches_chunk_plus_refresh():
+    """refresh_rows=fr composes chunk + initialize into ONE jitted
+    program (run.py per-corrtime path); it must equal the two-dispatch
+    sequence."""
+    params, state, cfg, thermo = _fluid(n=32)
+    fr = metropolis.frozen_refresh_rows(params, cfg)
+    st2, stats2 = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                             100)
+    st2 = metropolis.initialize(st2, params, cfg, thermo, frozen_rows=fr)
+    st1, stats1 = metropolis.run_chunk_fused(state, params, cfg, thermo,
+                                             100, refresh_rows=fr)
+    np.testing.assert_array_equal(np.asarray(st1.pos), np.asarray(st2.pos))
+    assert float(st1.energy.total) == pytest.approx(
+        float(st2.energy.total), rel=1e-6, abs=1e-4)
+    np.testing.assert_array_equal(np.asarray(stats1.accepts),
+                                  np.asarray(stats2.accepts))
+
+
 def test_matches_jnp_reference_trajectory():
     """Bit-level trajectory check against a pure-jnp reference consuming
     the SAME uniform table (the kernel's pre-drawn-randomness design
@@ -275,6 +293,39 @@ def _mof_h2_uvt(coulomb="ewald"):
     assert mc_kernel.supported_uvt(cfg, params)
     state = metropolis.initialize(state, params, cfg, thermo)
     return params, state, cfg, thermo
+
+
+def test_uvt_composed_block_matches_chunk_plus_refresh():
+    """The µVT chunk+refresh composition (single-chain and the C-chain
+    interleaved variant) must equal the two-dispatch sequence."""
+    from mpmc_tpu.parallel import multichain
+    params, state, cfg, thermo = _mof_h2_uvt("ewald")
+    fr = metropolis.frozen_refresh_rows(params, cfg)
+    st2, _ = metropolis.run_chunk_fused_uvt(state, params, cfg, thermo,
+                                            200)
+    st2 = metropolis.initialize(st2, params, cfg, thermo, frozen_rows=fr)
+    st1, _ = metropolis.run_chunk_fused_uvt(state, params, cfg, thermo,
+                                            200, refresh_rows=fr)
+    np.testing.assert_array_equal(np.asarray(st1.mol_alive),
+                                  np.asarray(st2.mol_alive))
+    np.testing.assert_array_equal(np.asarray(st1.pos), np.asarray(st2.pos))
+    assert float(st1.energy.total) == pytest.approx(
+        float(st2.energy.total), rel=1e-6, abs=1e-4)
+    # C-chain interleaved variant
+    C = 2
+    states = multichain.stack_states(state, C)
+    sts2, _ = metropolis.run_chunk_fused_uvt_multi(states, params, cfg,
+                                                   thermo, 150)
+    sts2 = multichain.initialize_batched(sts2, params, cfg, thermo,
+                                         frozen_rows=fr)
+    sts1, _ = metropolis.run_chunk_fused_uvt_multi(states, params, cfg,
+                                                   thermo, 150,
+                                                   refresh_rows=fr)
+    np.testing.assert_array_equal(np.asarray(sts1.pos),
+                                  np.asarray(sts2.pos))
+    np.testing.assert_allclose(np.asarray(sts1.energy.total),
+                               np.asarray(sts2.energy.total),
+                               rtol=1e-6, atol=1e-4)
 
 
 @pytest.mark.parametrize("coulomb", ["none", "wolf", "ewald"])
