@@ -795,7 +795,8 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
                   f"(C={C})", file=writer.log)
         else:
             print("WARNING: fused_mc requested but unsupported for "
-                  f"chains={C} (needs C<=16 and the fused NVT/µVT "
+                  f"chains={C} (needs C<={mc_kernel.MAX_MULTI_CHAINS} "
+                  "and the fused NVT/µVT "
                   "surface minus quantum_rotation) — "
                   "batched scan path used", file=writer.log)
     avgs = Averages()

@@ -734,7 +734,12 @@ def run_steps(pos, eps, sig, charge, mass, alive, mov_start, mov_natoms,
             out_rot[2, :mv.shape[0]], out_sums[0, 4], out_sums[0, 5])
 
 
-MAX_MULTI_CHAINS = 16   # scal row 3 lane budget (betas)
+MAX_MULTI_CHAINS = 48   # per-chain scal lane budget (betas / cavity).
+                        # The multi pallas_calls raise vmem_limit_bytes
+                        # above Mosaic's default cap; 2026-08-18 µVT
+                        # C-scan on the 10.8k system: 16 -> 210k,
+                        # 24 -> 223k, 32 -> 236k, 48 -> 246k agg
+                        # steps/s, C=64 crashes the TPU compile helper
 
 
 @functools.partial(jax.jit,
@@ -792,7 +797,8 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
     betas32 = jnp.asarray(betas, f32).reshape(C)
-    scal = jnp.zeros((4, 16), f32)
+    SL = max(16, MAX_MULTI_CHAINS)   # scal lane width (>= C betas)
+    scal = jnp.zeros((4, SL), f32)
     # slot 2 must carry chain 0's beta: the kernel's n_chains == 1 path
     # reads THIS slot (a zero here would sample at beta = 0)
     for i, v in enumerate((rc, alpha, betas32[0], move_factor,
@@ -809,8 +815,10 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
                           n_pad=n_pad, n_real=n_real, a_max=a_max,
                           nk_pad=nk_pad, mv_pad=mv_pad, n_chains=C),
         grid=(1,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
         in_specs=[
-            pl.BlockSpec((4, 16), lambda _: (0, 0),
+            pl.BlockSpec((4, SL), lambda _: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(uniforms.shape, lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1547,7 +1555,8 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
     n_rows = 8 + 4 * S + 2      # + per-chain cav_n / cav_lnf rows
-    scal = jnp.zeros((n_rows, 16), f32)
+    SL = max(16, MAX_MULTI_CHAINS)   # scal lane width (>= C cav lanes)
+    scal = jnp.zeros((n_rows, SL), f32)
     for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
                            rot_factor, 0.5 * p_ins, p_ins)):
         scal = scal.at[0, i].set(jnp.asarray(v, f32))
@@ -1574,8 +1583,10 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
                           nk_pad=nk_pad, ms_pad=ms_pad, g3_pad=g3_pad,
                           n_chains=C),
         grid=(1,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
         in_specs=[
-            pl.BlockSpec((n_rows, 16), lambda _: (0, 0),
+            pl.BlockSpec((n_rows, SL), lambda _: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(uniforms.shape, lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
