@@ -1345,32 +1345,8 @@ def run_chunk_fused_uvt(state: SimState, params: Params, cfg: RunConfig,
     in-jit with the SAME helpers the scan path's b_insert/b_delete use,
     so the two paths agree term by term; the params-only slot/template
     tables are cached by array identity (one host fetch per run)."""
-    import numpy as np
-
-    from mpmc_tpu.ops.pallas import mc_kernel
-
-    def build():
-        slots, slot_start, species_idx, A_list = mc_kernel.movable_slots(
-            params, cfg.insert_species)
-        A_max = max(A_list)
-        tmpl = np.zeros((len(A_list), A_max, 3), np.float32)
-        rep_slots = []
-        for s, si in enumerate(cfg.insert_species):
-            t = np.asarray(params.species_pos[si][:A_list[s]],
-                           np.float32)
-            tmpl[s, :A_list[s]] = t
-            tmpl[s, A_list[s]:] = t[:1]     # pad rows (masked in-kernel)
-            own = slots[species_idx == s]
-            rep_slots.append((int(own[0]),
-                              int(own[1]) if len(own) >= 2 else -1))
-        return (jnp.asarray(slots), jnp.asarray(slot_start),
-                jnp.asarray(species_idx), jnp.asarray(tmpl), A_list,
-                tuple(rep_slots))
-
     slots, slot_start, species_idx, tmpl, A_list, rep_slots = (
-        _fused_host_cached(
-            ("uvt", id(params.mol_start), cfg.insert_species),
-            (params.mol_start,), build))
+        uvt_fused_tables(params, cfg))
     interpret = jax.default_backend() != "tpu"
     if refresh_rows is None:
         return _fused_chunk_uvt(state, params, thermo, slots, slot_start,
@@ -1400,16 +1376,21 @@ def _fused_block_uvt(state, params, thermo, slots, slot_start,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_steps", "A_list",
-                                    "rep_slots", "interpret"))
+                                    "rep_slots", "interpret",
+                                    "thermo_batched"))
 def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
                            species_idx, tmpl, cfg, n_steps, A_list,
-                           rep_slots, interpret):
+                           rep_slots, interpret, thermo_batched=False):
     """C-chain fused µVT chunk in ONE kernel launch
     (ops/pallas/mc_kernel.run_steps_uvt_multi).  States are a stacked
-    pytree; box/params/thermo shared across chains (aggregate mode).
-    Per-chunk per-species constants are computed once from chain 0
-    (they depend only on the shared box, thermo, and the frozen
-    framework — never on sorbate positions)."""
+    pytree; box/params shared across chains.  Per-chunk per-species
+    constants are computed once from chain 0 (they depend only on the
+    shared box, fugacities, and the frozen framework — never on sorbate
+    positions, and never on T: the fused gate excludes FH/FK).
+
+    ``thermo_batched``: thermo leaves carry a leading [C] (µVT PT
+    ladders) — per-chain betas ride into the kernel; move factors,
+    fugacities and insert_probability are shared (replica 0's)."""
     from mpmc_tpu.ops.pallas import mc_kernel
 
     C = states.pos.shape[0]
@@ -1422,8 +1403,14 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
                                                    lanes=16))(k_u)
     u = u.reshape(C * n_steps, 16)
     thr = cfg.cavity_autoreject_absolute
+    if thermo_batched:
+        thermo0 = jax.tree_util.tree_map(lambda x: x[0], thermo)
+        betas = 1.0 / thermo.temperature.reshape(C)
+    else:
+        thermo0 = thermo
+        betas = None
     d_self, d_excl, c1, cx, lnfv, kv, kcoef = _uvt_chunk_consts(
-        states.pos[0], box, params, thermo, cfg, A_list, rep_slots)
+        states.pos[0], box, params, thermo0, cfg, A_list, rep_slots)
     alive = states.mol_alive[:, params.mol_id] & params.atom_ok[None]
     sk_re = states.sk_re if cfg.coulomb == "ewald" else None
     sk_im = states.sk_im if cfg.coulomb == "ewald" else None
@@ -1432,15 +1419,15 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
             states.pos, params.eps, params.sig, params.charge,
             params.mass, alive, slot_start, species_idx,
             states.mol_alive[:, slots], tmpl, box, rc, alpha,
-            1.0 / thermo.temperature, thermo.move_factor,
-            thermo.rot_factor, thr * thr, thermo.insert_probability,
+            1.0 / thermo0.temperature, thermo0.move_factor,
+            thermo0.rot_factor, thr * thr, thermo0.insert_probability,
             lnfv, d_self, d_excl, c1, cx, u, cfg, n_steps,
             states.pos.shape[1], A_list=A_list, interpret=interpret,
             kvecs=kv, kcoef=kcoef, sk_re=sk_re, sk_im=sk_im,
             cav_open=(states.cavity_open if cfg.cavity_bias else None),
             mol_mass_atom=_fh_mol_mass_atom(params, cfg),
             c6=params.c6, c8=params.c8, c10=params.c10,
-            gwp_alpha=params.gwp_alpha))
+            gwp_alpha=params.gwp_alpha, betas=betas))
     dtype = cfg.jdtype
     d = sums.astype(dtype)
     new_energy = dataclasses.replace(
@@ -1471,17 +1458,11 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
     return new_states, stats
 
 
-def run_chunk_fused_uvt_multi(states: SimState, params: Params,
-                              cfg: RunConfig, thermo: Thermo,
-                              n_steps: int, refresh_rows=None):
-    """K GCMC steps for C stacked chains in ONE Pallas launch — the
-    chain-interleaved aggregate path for the headline µVT workload.
-    Caller must have checked mc_kernel.supported_uvt_multi(cfg, params)
-    and C <= mc_kernel.MAX_MULTI_CHAINS; thermo is shared across chains
-    (PT µVT ladders use replica.run_parallel_tempering_fused).
-
-    ``refresh_rows`` (None = off): compose the per-corrtime
-    initialize_batched refresh into the same jitted program."""
+def uvt_fused_tables(params: Params, cfg: RunConfig):
+    """Host-cached slot/template tables for the fused µVT kernels:
+    (slots, slot_start, species_idx, tmpl, A_list, rep_slots).
+    Aliveness-independent (keyed on mol_start + insert_species), so
+    drivers may fetch once and reuse across chunks/rounds."""
     import numpy as np
 
     from mpmc_tpu.ops.pallas import mc_kernel
@@ -1504,37 +1485,56 @@ def run_chunk_fused_uvt_multi(states: SimState, params: Params,
                 jnp.asarray(species_idx), jnp.asarray(tmpl), A_list,
                 tuple(rep_slots))
 
+    return _fused_host_cached(
+        ("uvt", id(params.mol_start), cfg.insert_species),
+        (params.mol_start,), build)
+
+
+def run_chunk_fused_uvt_multi(states: SimState, params: Params,
+                              cfg: RunConfig, thermo: Thermo,
+                              n_steps: int, refresh_rows=None,
+                              thermo_batched: bool = False):
+    """K GCMC steps for C stacked chains in ONE Pallas launch — the
+    chain-interleaved aggregate path for the headline µVT workload.
+    Caller must have checked mc_kernel.supported_uvt_multi(cfg, params)
+    and C <= mc_kernel.MAX_MULTI_CHAINS.
+
+    ``thermo_batched``: thermo leaves carry a leading [C] — per-chain
+    betas (µVT PT ladders); fugacities/move factors shared.
+
+    ``refresh_rows`` (None = off): compose the per-corrtime
+    initialize_batched refresh into the same jitted program."""
     slots, slot_start, species_idx, tmpl, A_list, rep_slots = (
-        _fused_host_cached(
-            ("uvt", id(params.mol_start), cfg.insert_species),
-            (params.mol_start,), build))
+        uvt_fused_tables(params, cfg))
     interpret = jax.default_backend() != "tpu"
     if refresh_rows is None:
         return _fused_chunk_uvt_multi(states, params, thermo, slots,
                                       slot_start, species_idx, tmpl, cfg,
                                       n_steps, A_list, rep_slots,
-                                      interpret)
+                                      interpret, thermo_batched)
     return _fused_block_uvt_multi(states, params, thermo, slots,
                                   slot_start, species_idx, tmpl, cfg,
                                   n_steps, A_list, rep_slots, interpret,
-                                  int(refresh_rows))
+                                  int(refresh_rows), thermo_batched)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_steps", "A_list",
                                     "rep_slots", "interpret",
-                                    "refresh_rows"))
+                                    "refresh_rows", "thermo_batched"))
 def _fused_block_uvt_multi(states, params, thermo, slots, slot_start,
                            species_idx, tmpl, cfg, n_steps, A_list,
-                           rep_slots, interpret, refresh_rows):
+                           rep_slots, interpret, refresh_rows,
+                           thermo_batched=False):
     """µVT chunk + per-corrtime refresh in ONE jitted program (see
     _fused_block_nvt_multi for why composing beats a jit boundary)."""
     from mpmc_tpu.parallel import multichain
     states, stats = _fused_chunk_uvt_multi.__wrapped__(
         states, params, thermo, slots, slot_start, species_idx, tmpl,
-        cfg, n_steps, A_list, rep_slots, interpret)
+        cfg, n_steps, A_list, rep_slots, interpret, thermo_batched)
     states = multichain.initialize_batched.__wrapped__(
-        states, params, cfg, thermo, frozen_rows=refresh_rows)
+        states, params, cfg, thermo, thermo_batched=thermo_batched,
+        frozen_rows=refresh_rows)
     return states, stats
 
 

@@ -658,17 +658,19 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     states = multichain.stack_states(state, R, seed=cfg.seed)
     thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
     rng = _np.random.default_rng(cfg.seed + 101)
-    use_fused_multi = False
+    use_fused_multi = use_fused_multi_uvt = False
     if cfg.fused_mc:
         from mpmc_tpu.ops.pallas import mc_kernel
         # FH/FK energies are T-dependent: a swap invalidates the
         # accumulated totals, and the fused path has no per-swap
         # refresh — scan path handles FH/FK ladders
-        use_fused_multi = (R <= mc_kernel.MAX_MULTI_CHAINS
-                           and mc_kernel.supported_multi(cfg, params)
-                           and not cfg.feynman_hibbs
-                           and not cfg.feynman_kleinert)
-        if use_fused_multi:
+        t_ok = (R <= mc_kernel.MAX_MULTI_CHAINS
+                and not cfg.feynman_hibbs and not cfg.feynman_kleinert)
+        use_fused_multi = t_ok and mc_kernel.supported_multi(cfg, params)
+        use_fused_multi_uvt = (t_ok and not use_fused_multi
+                               and mc_kernel.supported_uvt_multi(cfg,
+                                                                 params))
+        if use_fused_multi or use_fused_multi_uvt:
             print("fused_mc: chain-interleaved PT kernel "
                   f"(R={R}, on-device swaps)", file=writer.log)
     avgs = Averages()
@@ -678,7 +680,8 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     n_blocks = max(cfg.numsteps // corr, 1)
     swap_keys = (jax.random.split(
         jax.random.PRNGKey(cfg.seed + 101),
-        n_blocks * max(corr // ptf, 1)) if use_fused_multi else None)
+        n_blocks * max(corr // ptf, 1))
+        if use_fused_multi or use_fused_multi_uvt else None)
     refresh_rows = metropolis.frozen_refresh_rows(params, cfg)
     t0 = time.time()
     parity = 0
@@ -686,13 +689,23 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     swap_acc_dev = None
     for block in range(n_blocks):
         for _ in range(max(corr // ptf, 1)):
-            if use_fused_multi:
-                states, stats = metropolis.run_chunk_fused_multi(
-                    states, params, cfg, thermos, ptf,
-                    thermo_batched=True)
+            if use_fused_multi or use_fused_multi_uvt:
+                if use_fused_multi:
+                    states, stats = metropolis.run_chunk_fused_multi(
+                        states, params, cfg, thermos, ptf,
+                        thermo_batched=True)
+                    n_uvt_d = None
+                else:
+                    states, stats = metropolis.run_chunk_fused_uvt_multi(
+                        states, params, cfg, thermos, ptf,
+                        thermo_batched=True)
+                    # grand-canonical swap factor (beta_j/beta_i)^dN
+                    n_uvt_d = replica.movable_counts(
+                        states.mol_alive, params.mol_frozen,
+                        params.mol_species)
                 new_ts, acc_d = replica.ladder_swap_batched(
                     thermos.temperature, states.energy,
-                    swap_keys[n_swaps], parity)
+                    swap_keys[n_swaps], parity, n_mols=n_uvt_d)
                 thermos = dataclasses.replace(thermos,
                                               temperature=new_ts)
                 # device-side accumulation: a per-swap int() would be a
@@ -728,7 +741,7 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         states = multichain.initialize_batched(
             states, params, cfg, thermos, thermo_batched=True,
             frozen_rows=refresh_rows)
-        if use_fused_multi:
+        if use_fused_multi or use_fused_multi_uvt:
             # swaps happened on device: one fetch per block keeps the
             # host's ladder view (logging, base-replica pick) and the
             # swap-acceptance counter current

@@ -966,6 +966,14 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
         # per-chain cavity-bias scalars (1.0 / 0.0 when bias off)
         cav_n = scal_ref[8 + 4 * S, cc]
         cav_lnf = scal_ref[8 + 4 * S + 1, cc]
+        # per-chain beta (µVT PT ladders): the multi builder appends a
+        # betas row; the single-chain builder's scal has no such row, so
+        # gate on n_chains (all in-step uses — acceptance, the µVT
+        # ln(beta f V / (N+1)) weight — read this local)
+        if n_chains > 1:
+            beta = scal_ref[8 + 4 * S + 2, cc]
+        else:
+            beta = scal_ref[0, 2]
         # --- move type + species + slot pick -----------------------------
         u8 = u_ref[uk, 8]
         is_ins = u8 < p_half
@@ -1488,13 +1496,17 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
                         n_real, A_list, interpret=False, kvecs=None,
                         kcoef=None, sk_re=None, sk_im=None,
                         cav_open=None, mol_mass_atom=None, c6=None,
-                        c8=None, c10=None, gwp_alpha=None):
+                        c8=None, c10=None, gwp_alpha=None, betas=None):
     """C chains x K fused µVT steps in ONE launch (chain-interleaved
     _kernel_uvt).  Per-chain state: ``pos`` [C,N,3], ``alive`` [C,N],
     ``slot_alive`` [C,Ms], ``sk_re``/``sk_im`` [C,Nk]; everything else
     (params, box, thermo-derived scalars and per-species constants) is
-    shared — the aggregate-throughput contract (one T/fugacity; PT µVT
-    ladders use the per-replica launcher).  Cavity bias IS supported:
+    shared.  ``betas`` [C] (optional) gives each chain its own 1/T —
+    the µVT PT ladder path: beta enters only the acceptance and the
+    ln(beta f V/(N+1)) insert weight, never the per-species constants
+    (fugacity is per-species, shared; FH/FK are excluded by the fused
+    gate, so pair energies are T-independent).  Cavity bias IS
+    supported:
     ``cav_open`` [C, G^3] carries each chain's open-cell mask
     (per-chain planes + per-chain n_open/ln-correction SMEM lanes).
     Each chain's trajectory is bit-equal to a run_steps_uvt call with
@@ -1554,7 +1566,8 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
-    n_rows = 8 + 4 * S + 2      # + per-chain cav_n / cav_lnf rows
+    # + per-chain cav_n / cav_lnf / beta rows
+    n_rows = 8 + 4 * S + 3
     SL = max(16, MAX_MULTI_CHAINS)   # scal lane width (>= C cav lanes)
     scal = jnp.zeros((n_rows, SL), f32)
     for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
@@ -1574,6 +1587,10 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
             tmpl32[s].T)
     scal = scal.at[8 + 4 * S, :C].set(cav_ns)
     scal = scal.at[8 + 4 * S + 1, :C].set(cav_lnfs)
+    # per-chain betas (µVT PT ladders); shared beta broadcast otherwise
+    betas32 = (jnp.broadcast_to(jnp.asarray(beta, f32), (C,))
+               if betas is None else jnp.asarray(betas, f32).reshape(C))
+    scal = scal.at[8 + 4 * S + 2, :C].set(betas32)
 
     u = jnp.asarray(uniforms, f32)
 

@@ -261,6 +261,14 @@ def ladder_swap(temps, energies, key, parity, n_mols=None):
     return tuple(new_t[r] for r in range(R)), n_acc
 
 
+@jax.jit
+def movable_counts(mol_alive, mol_frozen, mol_species):
+    """Per-replica alive movable-molecule counts [R] for the µVT ladder
+    swap's grand-canonical (beta_j/beta_i)^dN factor."""
+    return jnp.sum(mol_alive & ~mol_frozen & (mol_species >= 0),
+                   axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("parity",))
 def ladder_swap_batched(temps, energy, key, parity, n_mols=None):
     """Array-interface ladder swap for the stacked-replica (multi-chain)
@@ -395,6 +403,36 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "A_list",
+                                    "rep_slots", "parity", "frozen_rows",
+                                    "do_refresh", "interpret"))
+def _pt_fused_round_uvt(states, params, thermos, slots, slot_start,
+                        species_idx, tmpl, key, cfg, n_steps, A_list,
+                        rep_slots, parity, frozen_rows, do_refresh,
+                        interpret):
+    """ONE jitted µVT PT round: chain-interleaved fused GCMC kernel with
+    per-chain betas + (optional) per-corrtime batched refresh + the
+    grand-canonical ladder swap (n_mols carries the (beta_j/beta_i)^dN
+    factor), composed in a single XLA program (see _pt_fused_round)."""
+    from mpmc_tpu.parallel import multichain
+
+    states, _ = metropolis._fused_chunk_uvt_multi.__wrapped__(
+        states, params, thermos, slots, slot_start, species_idx, tmpl,
+        cfg, n_steps, A_list, rep_slots, interpret, True)
+    if do_refresh:
+        states = multichain.initialize_batched(
+            states, params, cfg, thermos, thermo_batched=True,
+            frozen_rows=frozen_rows)
+    n = jnp.sum(states.mol_alive & ~params.mol_frozen
+                & (params.mol_species >= 0), axis=1)
+    new_ts, acc = _ladder_swap_core(
+        thermos.temperature,
+        states.energy.total.astype(thermos.temperature.dtype),
+        key, parity, n_mols=n)
+    return states, new_ts, acc
+
+
+@functools.partial(jax.jit,
                    static_argnames=("cfg", "n_steps", "a_max", "parity",
                                     "frozen_rows", "do_refresh",
                                     "interpret"))
@@ -430,18 +468,26 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
                                        seed: int = 0):
     """Single-chip PT with ALL replicas in one chain-interleaved fused
     launch per round — a round (kernel + per-corrtime refresh + ladder
-    swap) is ONE jitted dispatch (_pt_fused_round) however many
-    replicas run, and the in-kernel interleave additionally overlaps
-    the replicas' serial per-step latency.  NVT only
-    (mc_kernel.supported_multi); the per-replica variant
-    run_parallel_tempering_fused covers fused µVT ladders.
+    swap) is ONE jitted dispatch (_pt_fused_round / _pt_fused_round_uvt)
+    however many replicas run, and the in-kernel interleave additionally
+    overlaps the replicas' serial per-step latency.  NVT
+    (mc_kernel.supported_multi) and µVT (supported_uvt_multi — the
+    kernel carries per-chain betas; fugacities are shared across the
+    ladder, the reference's grand-canonical PT convention, and the swap
+    carries the (beta_j/beta_i)^dN factor via n_mols).
 
     Returns (stacked states pytree [R, ...], [R] final temps ndarray,
     total accepted swaps)."""
     from mpmc_tpu.ops.pallas import mc_kernel
     from mpmc_tpu.parallel import multichain
 
-    if not mc_kernel.supported_multi(cfg, params):
+    uvt = cfg.ensemble == "uvt"
+    if uvt:
+        if not mc_kernel.supported_uvt_multi(cfg, params):
+            raise ValueError("multi-chain fused µVT PT needs "
+                             "mc_kernel.supported_uvt_multi(cfg, "
+                             "params)")
+    elif not mc_kernel.supported_multi(cfg, params):
         raise ValueError("multi-chain fused PT needs "
                          "mc_kernel.supported_multi(cfg, params)")
     if cfg.feynman_hibbs or cfg.feynman_kleinert:
@@ -460,13 +506,18 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
     thermos = stack_thermo(thermo, temps, cfg.jdtype)
     round_keys = jax.random.split(jax.random.PRNGKey(seed + 7), n_rounds)
     n_acc = jnp.zeros((), jnp.int32)
-    # NVT never changes aliveness: the movable-molecule tables are
-    # loop constants (same host build run_chunk_fused_multi caches)
-    mv, mva, a_max, _ = mc_kernel.movable_mols(
-        params, np.asarray(states.mol_alive[0]))
-    mv_start, mv_natoms = jnp.asarray(mv), jnp.asarray(mva)
     interpret = jax.default_backend() != "tpu"
-    mol_alive = states.mol_alive
+    if uvt:
+        # aliveness-independent tables (host-cached on mol_start)
+        slots, slot_start, species_idx, tmpl, A_list, rep_slots = (
+            metropolis.uvt_fused_tables(params, cfg))
+    else:
+        # NVT never changes aliveness: the movable-molecule tables are
+        # loop constants (same host build run_chunk_fused_multi caches)
+        mv, mva, a_max, _ = mc_kernel.movable_mols(
+            params, np.asarray(states.mol_alive[0]))
+        mv_start, mv_natoms = jnp.asarray(mv), jnp.asarray(mva)
+        mol_alive = states.mol_alive
     # per-corrtime contract: wash the f32 delta accumulation and rebuild
     # per-corrtime state exactly like the run loop does
     corr = max(int(cfg.corrtime), 1)
@@ -477,13 +528,19 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
         do_refresh = since_refresh >= corr and r + 1 < n_rounds
         if do_refresh:
             since_refresh = 0
-        states, new_ts, acc = _pt_fused_round(
-            states, params, thermos, mv_start, mv_natoms,
-            round_keys[r], cfg, steps_per_round, int(a_max), r % 2,
-            fr, do_refresh, interpret)
-        # NVT aliveness is constant: reattach the original arrays so
-        # downstream id-keyed host caches keep hitting
-        states = dataclasses.replace(states, mol_alive=mol_alive)
+        if uvt:
+            states, new_ts, acc = _pt_fused_round_uvt(
+                states, params, thermos, slots, slot_start,
+                species_idx, tmpl, round_keys[r], cfg, steps_per_round,
+                A_list, rep_slots, r % 2, fr, do_refresh, interpret)
+        else:
+            states, new_ts, acc = _pt_fused_round(
+                states, params, thermos, mv_start, mv_natoms,
+                round_keys[r], cfg, steps_per_round, int(a_max), r % 2,
+                fr, do_refresh, interpret)
+            # NVT aliveness is constant: reattach the original arrays
+            # so downstream id-keyed host caches keep hitting
+            states = dataclasses.replace(states, mol_alive=mol_alive)
         thermos = dataclasses.replace(thermos, temperature=new_ts)
         n_acc = n_acc + acc
     return states, np.asarray(thermos.temperature), int(n_acc)

@@ -1246,6 +1246,70 @@ def test_multi_chain_uvt_bit_equals_single_chain(coulomb):
     assert exch > 0     # the comparison actually covered exchanges
 
 
+def test_multi_chain_uvt_pt_ladder_betas():
+    """µVT thermo_batched: per-chain betas — each chain of the
+    interleaved GCMC launch must BIT-EXACTLY equal a single-chain fused
+    GCMC run at ITS temperature with the same key (beta enters only the
+    acceptance and the ln(beta f V/(N+1)) weight; fugacities shared)."""
+    import dataclasses as dc
+    from mpmc_tpu.parallel import multichain, replica
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=8, ewald_kmax=3)
+    cfg = dc.replace(cfg, coulomb="ewald", fused_mc=True)
+    assert mc_kernel.supported_uvt_multi(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    C, K = 3, 120
+    temps = replica.geometric_ladder(70.0, 220.0, C)
+    states = multichain.stack_states(state, C, seed=13)
+    keys = np.asarray(states.key).copy()
+    thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
+    out, stats = metropolis.run_chunk_fused_uvt_multi(
+        states, params, cfg, thermos, K, thermo_batched=True)
+    exch = 0
+    for c in range(C):
+        single = dataclasses.replace(state, key=jnp.asarray(keys[c]))
+        th = dc.replace(thermo, temperature=jnp.asarray(temps[c],
+                                                        cfg.jdtype))
+        ref, rstats = metropolis.run_chunk_fused_uvt(single, params,
+                                                     cfg, th, K)
+        np.testing.assert_array_equal(np.asarray(out.pos)[c],
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(out.mol_alive)[c],
+                                      np.asarray(ref.mol_alive))
+        for term in ("rd", "es_real", "es_recip", "es_self", "es_excl",
+                     "lrc"):
+            assert float(getattr(out.energy, term)[c]) == float(
+                getattr(ref.energy, term)), (c, term)
+        exch += int(np.asarray(rstats.accepts)[metropolis.INSERT]
+                    + np.asarray(rstats.accepts)[metropolis.DELETE])
+    assert exch > 0
+
+
+def test_fused_pt_multi_uvt_round():
+    """One-launch µVT PT: the driver runs, swaps temperatures within
+    the ladder set, conserves the ladder as a multiset, and leaves every
+    replica's accumulated energy equal to a from-scratch recompute."""
+    from mpmc_tpu.parallel import multichain, replica
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=8, ewald_kmax=3, corrtime=100)
+    cfg = dataclasses.replace(cfg, coulomb="ewald", fused_mc=True)
+    R = 4
+    temps = replica.geometric_ladder(70.0, 220.0, R)
+    states, final_ts, n_acc = replica.run_parallel_tempering_fused_multi(
+        params, state, cfg, thermo, temps, n_rounds=3,
+        steps_per_round=60, seed=3)
+    np.testing.assert_allclose(np.sort(final_ts), np.sort(temps),
+                               rtol=1e-6)
+    assert n_acc >= 0
+    thermos = replica.stack_thermo(
+        thermo, np.asarray(final_ts), cfg.jdtype)
+    fresh = multichain.initialize_batched(states, params, cfg, thermos,
+                                          thermo_batched=True)
+    np.testing.assert_allclose(np.asarray(states.energy.total),
+                               np.asarray(fresh.energy.total),
+                               rtol=2e-4, atol=5e-2)
+
+
 def test_multi_chain_uvt_cavity_bias_bit_equals_single_chain():
     """Per-chain cavity-bias plumbing: chains whose positions (and
     therefore open-cell grids) have DIVERGED must each reproduce the
