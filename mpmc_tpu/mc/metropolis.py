@@ -1384,9 +1384,11 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
     """C-chain fused µVT chunk in ONE kernel launch
     (ops/pallas/mc_kernel.run_steps_uvt_multi).  States are a stacked
     pytree; box/params shared across chains.  Per-chunk per-species
-    constants are computed once from chain 0 (they depend only on the
+    constants are computed once from chain 0: they depend only on the
     shared box, fugacities, and the frozen framework — never on sorbate
-    positions, and never on T: the fused gate excludes FH/FK).
+    positions — and on T only under FH/FK, which is why thermo_batched
+    refuses FH/FK below (the in-kernel per-chain beta would disagree
+    with replica-0-derived d_excl/c1/cx).
 
     ``thermo_batched``: thermo leaves carry a leading [C] (µVT PT
     ladders) — per-chain betas ride into the kernel; move factors,
@@ -1404,6 +1406,12 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
     u = u.reshape(C * n_steps, 16)
     thr = cfg.cavity_autoreject_absolute
     if thermo_batched:
+        if cfg.feynman_hibbs or cfg.feynman_kleinert:
+            # FH/FK pair energies are T-dependent: the per-species
+            # d_excl/c1/cx constants below come from replica 0's T and
+            # would be wrong for every other chain
+            raise ValueError("thermo_batched µVT chunks do not support "
+                             "feynman_hibbs/kleinert")
         thermo0 = jax.tree_util.tree_map(lambda x: x[0], thermo)
         betas = 1.0 / thermo.temperature.reshape(C)
     else:

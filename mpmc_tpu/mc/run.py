@@ -665,6 +665,7 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         # accumulated totals, and the fused path has no per-swap
         # refresh — scan path handles FH/FK ladders
         t_ok = (R <= mc_kernel.MAX_MULTI_CHAINS
+                and mc_kernel.multi_width_ok(R, params)
                 and not cfg.feynman_hibbs and not cfg.feynman_kleinert)
         use_fused_multi = t_ok and mc_kernel.supported_multi(cfg, params)
         use_fused_multi_uvt = (t_ok and not use_fused_multi
@@ -798,7 +799,8 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
     use_fused = use_fused_uvt = False
     if cfg.fused_mc:
         from mpmc_tpu.ops.pallas import mc_kernel
-        if C <= mc_kernel.MAX_MULTI_CHAINS:
+        if (C <= mc_kernel.MAX_MULTI_CHAINS
+                and mc_kernel.multi_width_ok(C, params)):
             use_fused = mc_kernel.supported_multi(cfg, params)
             use_fused_uvt = (not use_fused
                              and mc_kernel.supported_uvt_multi(cfg,

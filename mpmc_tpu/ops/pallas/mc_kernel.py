@@ -742,6 +742,17 @@ MAX_MULTI_CHAINS = 48   # per-chain scal lane budget (betas / cavity).
                         # steps/s, C=64 crashes the TPU compile helper
 
 
+def multi_width_ok(n_chains: int, params) -> bool:
+    """Proven compile envelope for the chain-interleaved kernels: a
+    Mosaic failure at too-large C x N is a hard error, not a graceful
+    fallback, so drivers gate on measured-good points — C<=16 works up
+    to the 53.7k-atom system; C<=48 is proven at ~11k atoms (C=64
+    crashed the compile helper there).  Conservative interpolation:
+    chain-atoms <= 48 * 16384."""
+    return (n_chains <= 16
+            or n_chains * int(params.n_atoms_max) <= 48 * 16384)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_steps", "n_real", "a_max",
                                     "interpret"))

@@ -423,8 +423,8 @@ def _pt_fused_round_uvt(states, params, thermos, slots, slot_start,
         states = multichain.initialize_batched(
             states, params, cfg, thermos, thermo_batched=True,
             frozen_rows=frozen_rows)
-    n = jnp.sum(states.mol_alive & ~params.mol_frozen
-                & (params.mol_species >= 0), axis=1)
+    n = movable_counts(states.mol_alive, params.mol_frozen,
+                       params.mol_species)
     new_ts, acc = _ladder_swap_core(
         thermos.temperature,
         states.energy.total.astype(thermos.temperature.dtype),
@@ -501,6 +501,12 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
     if R > mc_kernel.MAX_MULTI_CHAINS:
         raise ValueError(f"R={R} exceeds MAX_MULTI_CHAINS="
                          f"{mc_kernel.MAX_MULTI_CHAINS}")
+    if not mc_kernel.multi_width_ok(R, params):
+        raise ValueError(
+            f"R={R} x {int(params.n_atoms_max)} atoms exceeds the "
+            "proven chain-interleave compile envelope "
+            "(mc_kernel.multi_width_ok) — use "
+            "run_parallel_tempering_fused (per-replica launches)")
     state = metropolis.initialize(state, params, cfg, thermo)
     states = multichain.stack_states(state, R, seed=seed)
     thermos = stack_thermo(thermo, temps, cfg.jdtype)
