@@ -380,6 +380,184 @@ def widom_mol_python(frames, site_xyz, site_eps, site_sig, site_q,
     return sum_e / n, sum_ue / n, n_frames
 
 
+def _half_min_width(b):
+    """Half the minimum perpendicular cell width of a 3x3 row basis —
+    the min-image validity cap (matches the native half_min_width)."""
+    b = np.asarray(b, np.float64)
+    vol = abs(np.linalg.det(b))
+    widths = [vol / np.linalg.norm(np.cross(b[(k + 1) % 3],
+                                            b[(k + 2) % 3]))
+              for k in range(3)]
+    return 0.5 * min(widths)
+
+
+def _pore_selection(frame, name, flag):
+    """(positions [na,3], radii [na]) of the sig>0 hard spheres the
+    geometry analyzers see (radius = LJ sigma / 2)."""
+    sel = [a for a in frame.atoms
+           if a.sig > 0.0 and _match(a.name, name)
+           and _flag_ok(a.flag, flag)]
+    if not sel:
+        return np.zeros((0, 3)), np.zeros(0)
+    return (np.stack([np.asarray(a.xyz, np.float64) for a in sel]),
+            np.array([0.5 * a.sig for a in sel]))
+
+
+def _d_surf(p, pa, rad, b, binv, cap):
+    """Surface distance of points p [n,3] to the hard spheres
+    (pa, rad), minimum image, clamped above by cap."""
+    if len(pa) == 0:
+        return np.full(len(p), cap)
+    d = p[:, None, :] - pa[None, :, :]
+    fr = d @ binv
+    fr -= np.round(fr)
+    d = fr @ b
+    r = np.sqrt(np.sum(d * d, -1)) - rad[None, :]
+    return np.minimum(r.min(axis=1), cap)
+
+
+def pore_python(frames, name="*", flag="F", frac_pts=None,
+                frac_ctr=None, box=None):
+    """Reference geometric pore sampling — the exact contract of the
+    native kernel (native/mpmc_analyze.cpp::traj_pore) on the FIRST
+    frame: per sample point, the surface distance d_surf (min over
+    sig>0 selected atoms of min-image distance minus sigma/2, clamped
+    to half the minimum perpendicular cell width) and the Gelb-Gubbins
+    pore radius (largest d_surf(c) over candidate centers whose sphere
+    covers the point; >= d_surf always).  Returns (d_surf, r_pore)."""
+    frame = next(iter(frames))
+    b = _frame_box(frame, box)
+    binv = np.linalg.inv(b)
+    cap = _half_min_width(b)
+    pa, rad = _pore_selection(frame, name, flag)
+    p = np.asarray(frac_pts, np.float64) @ b
+    dp = _d_surf(p, pa, rad, b, binv, cap)
+    r_out = dp.copy()
+    if frac_ctr is not None and len(frac_ctr):
+        c = np.asarray(frac_ctr, np.float64) @ b
+        cd = _d_surf(c, pa, rad, b, binv, cap)
+        # chunk the [n_points, n_centers] coverage matrix
+        for k0 in range(0, len(p), 1024):
+            pk = p[k0:k0 + 1024]
+            d = pk[:, None, :] - c[None, :, :]
+            fr = d @ binv
+            fr -= np.round(fr)
+            d = fr @ b
+            covered = np.sum(d * d, -1) <= cd[None, :] ** 2
+            best = np.where(covered, cd[None, :], -np.inf).max(axis=1)
+            blk = r_out[k0:k0 + 1024]
+            r_out[k0:k0 + 1024] = np.where((blk >= 0.0) & (best > blk),
+                                           best, blk)
+    return dp, r_out
+
+
+def asa_python(frames, name="*", flag="F", probe_sigma=0.0,
+               unit_pts=None, box=None):
+    """Reference Shrake-Rupley accessible surface area — the exact
+    contract of the native kernel (traj_asa) on the FIRST frame: each
+    selected sig>0 atom carries radius (sigma + probe_sigma)/2; test
+    points on its inflated sphere are accessible iff inside no OTHER
+    selected atom's inflated sphere (minimum image).  Returns
+    (area [A^2], cell volume [A^3], selected mass sum [amu])."""
+    frame = next(iter(frames))
+    b = _frame_box(frame, box)
+    binv = np.linalg.inv(b)
+    mass = sum(a.mass for a in frame.atoms
+               if _match(a.name, name) and _flag_ok(a.flag, flag))
+    pa, rad = _pore_selection(frame, name, flag)
+    R = rad + 0.5 * probe_sigma
+    u = np.asarray(unit_pts, np.float64)
+    area = 0.0
+    for i in range(len(pa)):
+        p = pa[i] + R[i] * u
+        d = p[:, None, :] - pa[None, :, :]
+        fr = d @ binv
+        fr -= np.round(fr)
+        d = fr @ b
+        r2 = np.sum(d * d, -1)
+        blocked = r2 < R[None, :] ** 2
+        blocked[:, i] = False
+        acc = float(np.mean(~blocked.any(axis=1)))
+        area += 4.0 * np.pi * R[i] ** 2 * acc
+    vol = abs(np.linalg.det(b))
+    return area, vol, mass
+
+
+def pore(path, name="*", flag="F", probe_sigma=0.0, n_points=20000,
+         n_centers=2000, seed=0, box=None, use_native=True,
+         frac_pts=None, frac_ctr=None, nbins=60):
+    """Geometric pore characterization of a structure (first frame) —
+    native when available.  Atoms are hard spheres of radius sigma/2;
+    the probe radius is probe_sigma/2.  Returns a dict with
+    ``void_fraction`` (fraction of cell volume where the probe CENTER
+    fits: d_surf >= r_probe), ``coverable_fraction`` (fraction inside
+    some sphere of radius >= r_probe: the Gelb-Gubbins r_pore >=
+    r_probe), the pore-size distribution (``psd_r`` bin centers,
+    ``psd`` density over probe-coverable void, ``psd_cumulative``
+    fraction of void coverable by radius >= r), ``d_max`` (largest
+    surface distance seen — the largest included-sphere radius
+    estimate), ``cap`` and ``volume``."""
+    out = None
+    if use_native and frac_pts is None and frac_ctr is None:
+        out = native.traj_pore(path, name, flag, n_points=n_points,
+                               n_centers=n_centers, seed=seed, box=box)
+    if out is None:
+        rng = np.random.default_rng(seed)
+        if frac_pts is None:
+            frac_pts = rng.uniform(0.0, 1.0, (int(n_points), 3))
+        if frac_ctr is None:
+            frac_ctr = rng.uniform(0.0, 1.0, (int(n_centers), 3))
+        out = pore_python(pqr.read_frames(path), name, flag,
+                          frac_pts=frac_pts, frac_ctr=frac_ctr, box=box)
+    d, r = out
+    frame0 = pqr.read_first_frame(path)
+    b = _frame_box(frame0, box)
+    cap = _half_min_width(b)
+    r_probe = 0.5 * float(probe_sigma)
+    void = float(np.mean(d >= r_probe))
+    coverable = float(np.mean(r >= r_probe))
+    rv = r[r >= r_probe]
+    hist, edges = np.histogram(rv, bins=nbins,
+                               range=(r_probe, max(cap, r_probe + 1e-9)),
+                               density=rv.size > 0)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    cum = (np.array([np.mean(rv >= e) for e in edges[:-1]])
+           if rv.size else np.zeros(nbins))
+    return {"void_fraction": void, "coverable_fraction": coverable,
+            "psd_r": centers, "psd": hist, "psd_cumulative": cum,
+            "d_max": float(d.max()) if len(d) else 0.0,
+            "cap": cap, "volume": float(abs(np.linalg.det(b))),
+            "n_points": int(len(d))}
+
+
+def asa(path, name="*", flag="F", probe_sigma=0.0, n_sphere=512,
+        seed=0, box=None, use_native=True, unit_pts=None):
+    """Accessible surface area of a structure (first frame) — native
+    when available.  Returns a dict with ``area_A2``, ``area_m2_g``
+    (per selected mass), ``area_m2_cm3`` (per cell volume),
+    ``volume_A3`` and ``mass_amu``."""
+    out = None
+    if use_native and unit_pts is None:
+        out = native.traj_asa(path, name, flag,
+                              probe_sigma=probe_sigma,
+                              n_sphere=n_sphere, seed=seed, box=box)
+    if out is None:
+        if unit_pts is None:
+            v = np.random.default_rng(seed).normal(
+                size=(int(n_sphere), 3))
+            unit_pts = v / np.linalg.norm(v, axis=1, keepdims=True)
+        out = asa_python(pqr.read_frames(path), name, flag,
+                         probe_sigma=probe_sigma, unit_pts=unit_pts,
+                         box=box)
+    area, vol, mass = out
+    # amu -> g: 1.66053906660e-24; A^2 -> m^2: 1e-20; A^3 -> cm^3: 1e-24
+    m2_g = area * 1e-20 / (mass * 1.66053906660e-24) if mass > 0 \
+        else float("nan")
+    m2_cm3 = area / vol * 1e4 if vol > 0 else float("nan")
+    return {"area_A2": area, "area_m2_g": m2_g, "area_m2_cm3": m2_cm3,
+            "volume_A3": vol, "mass_amu": mass}
+
+
 def template_sites(insert_pqr):
     """(site_xyz [S,3] about the mass-weighted COM, eps, sig, charge)
     from an insertion-template PQR (the GCMC insert_input deck)."""
@@ -988,7 +1166,35 @@ def main(argv=None):
                     help="insertions per frame")
     pw.add_argument("--seed", type=int, default=0)
     pw.add_argument("--rc", type=float, default=10.0, help="cutoff (A)")
-    for p in (pr, pd, pm, pl, pw, po, ps):
+    pp2 = sub.add_parser("pore",
+                         help="geometric void fraction + pore-size "
+                              "distribution (first frame)")
+    pp2.add_argument("structure", help="PQR structure / trajectory "
+                                       "(first frame is used)")
+    pp2.add_argument("--name", default="*", help="atom name selection")
+    pp2.add_argument("--flag", default="F", choices=["*", "M", "F"])
+    pp2.add_argument("--probe", type=float, default=0.0,
+                     help="probe LJ sigma (A); probe radius = sigma/2")
+    pp2.add_argument("--points", type=int, default=20000,
+                     help="volume sample points")
+    pp2.add_argument("--centers", type=int, default=2000,
+                     help="Gelb-Gubbins candidate sphere centers")
+    pp2.add_argument("--bins", type=int, default=60)
+    pp2.add_argument("--seed", type=int, default=0)
+    pp2.add_argument("--out", default="-",
+                     help="PSD CSV path (default stdout)")
+    pa2 = sub.add_parser("asa",
+                         help="accessible surface area "
+                              "(Shrake-Rupley, first frame)")
+    pa2.add_argument("structure", help="PQR structure / trajectory "
+                                       "(first frame is used)")
+    pa2.add_argument("--name", default="*", help="atom name selection")
+    pa2.add_argument("--flag", default="F", choices=["*", "M", "F"])
+    pa2.add_argument("--probe", type=float, default=3.64,
+                     help="probe LJ sigma (A; default ~N2)")
+    pa2.add_argument("--sphere-points", type=int, default=512)
+    pa2.add_argument("--seed", type=int, default=0)
+    for p in (pr, pd, pm, pl, pw, po, ps, pp2, pa2):
         p.add_argument("--no-native", action="store_true",
                        help="force the numpy reference implementation")
     args = ap.parse_args(argv)
@@ -1097,6 +1303,33 @@ def main(argv=None):
         print(f"samples: {len(s)}  mean: {s.mean():.8g}  "
               f"tau_int: {tau:.2f}  "
               f"sem(plateau): {sems[0] * np.sqrt(tau):.6g}")
+    elif args.cmd == "pore":
+        res = pore(args.structure, args.name, args.flag,
+                   probe_sigma=args.probe, n_points=args.points,
+                   n_centers=args.centers, seed=args.seed,
+                   nbins=args.bins, use_native=not args.no_native)
+        print(f"void fraction (probe centers): "
+              f"{res['void_fraction']:.6g}")
+        print(f"coverable fraction:            "
+              f"{res['coverable_fraction']:.6g}")
+        print(f"void volume (A^3):             "
+              f"{res['void_fraction'] * res['volume']:.6g} "
+              f"of {res['volume']:.6g}")
+        print(f"largest included sphere r >=   {res['d_max']:.4g} A "
+              f"(cap {res['cap']:.4g})")
+        write_csv(args.out, "r,psd,cumulative",
+                  ((f"{r:.6f}", f"{p:.8g}", f"{c:.8g}")
+                   for r, p, c in zip(res["psd_r"], res["psd"],
+                                      res["psd_cumulative"])))
+    elif args.cmd == "asa":
+        res = asa(args.structure, args.name, args.flag,
+                  probe_sigma=args.probe, n_sphere=args.sphere_points,
+                  seed=args.seed, use_native=not args.no_native)
+        print(f"accessible area: {res['area_A2']:.6g} A^2")
+        print(f"                 {res['area_m2_g']:.6g} m^2/g")
+        print(f"                 {res['area_m2_cm3']:.6g} m^2/cm^3")
+        print(f"selection mass:  {res['mass_amu']:.6g} amu; cell "
+              f"volume {res['volume_A3']:.6g} A^3")
     elif args.cmd == "widom":
         if args.insert_pqr:
             res = widom_mol(args.traj, args.insert_pqr,

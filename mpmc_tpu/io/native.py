@@ -135,6 +135,19 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_long, ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+    lib.traj_pore.restype = ctypes.c_long
+    lib.traj_pore.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char,
+        ctypes.c_long, ctypes.c_long, ctypes.c_ulonglong,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double)]
+    lib.traj_asa.restype = ctypes.c_long
+    lib.traj_asa.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char,
+        ctypes.c_double, ctypes.c_long, ctypes.c_ulonglong,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return _lib
 
@@ -545,6 +558,75 @@ def traj_sq(path: str, q, name: str = "*", flag: str = "*", box=None,
             sq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         _check_analyzer(lib, h, r, path, "S(q)")
         return sq, int(r)
+    finally:
+        lib.pqr_close(h)
+
+
+def traj_pore(path: str, name: str = "*", flag: str = "F",
+              n_points: int = 20000, n_centers: int = 2000,
+              seed: int = 0, frac_pts=None, frac_ctr=None, box=None):
+    """Native geometric pore sampling of the FIRST frame: per-point
+    surface distance d_surf and Gelb-Gubbins pore radius (largest
+    covering-sphere radius).  Returns (d_surf [n_points],
+    r_pore [n_points]); None if the library is unavailable.
+    ``frac_pts``/``frac_ctr`` fix the fractional sample/center points
+    (the cross-validation path)."""
+    lib = load()
+    if lib is None:
+        return None
+    h = _open_traj(lib, path, stream=True)
+    try:
+        dp = ctypes.POINTER(ctypes.c_double)
+
+        def pts(arr, n, what):
+            if arr is None:
+                return None
+            a = np.ascontiguousarray(arr, np.float64)
+            if a.shape != (int(n), 3):
+                raise ValueError(f"{what} must be [{n}, 3]")
+            return a.ctypes.data_as(dp)
+
+        d = np.zeros(int(n_points), np.float64)
+        rr = np.zeros(int(n_points), np.float64)
+        r = lib.traj_pore(
+            h, name.encode(), (flag.encode() + b"*")[:1],
+            int(n_points), int(n_centers), int(seed) & (2**64 - 1),
+            pts(frac_pts, n_points, "frac_pts"),
+            pts(frac_ctr, n_centers, "frac_ctr"),
+            _cell_ptr(box), d.ctypes.data_as(dp),
+            rr.ctypes.data_as(dp))
+        _check_analyzer(lib, h, r, path, "pore sampling")
+        return d, rr
+    finally:
+        lib.pqr_close(h)
+
+
+def traj_asa(path: str, name: str = "*", flag: str = "F",
+             probe_sigma: float = 0.0, n_sphere: int = 512,
+             seed: int = 0, unit_pts=None, box=None):
+    """Native Shrake-Rupley accessible surface area of the FIRST
+    frame.  Returns (area [A^2], cell volume [A^3], selected mass
+    [amu]); None if the library is unavailable.  ``unit_pts``
+    [n_sphere,3] fixes the sphere directions (cross-validation)."""
+    lib = load()
+    if lib is None:
+        return None
+    h = _open_traj(lib, path, stream=True)
+    try:
+        dp = ctypes.POINTER(ctypes.c_double)
+        up = None
+        if unit_pts is not None:
+            up = np.ascontiguousarray(unit_pts, np.float64)
+            if up.shape != (int(n_sphere), 3):
+                raise ValueError("unit_pts must be [n_sphere, 3]")
+            up = up.ctypes.data_as(dp)
+        out = np.zeros(3, np.float64)
+        r = lib.traj_asa(
+            h, name.encode(), (flag.encode() + b"*")[:1],
+            float(probe_sigma), int(n_sphere), int(seed) & (2**64 - 1),
+            up, _cell_ptr(box), out.ctypes.data_as(dp))
+        _check_analyzer(lib, h, r, path, "surface area")
+        return float(out[0]), float(out[1]), float(out[2])
     finally:
         lib.pqr_close(h)
 

@@ -111,6 +111,33 @@ inline bool flag_match(char flag, char sel) {
     return (flag == 'F') == (sel == 'F');
 }
 
+// Half the minimum perpendicular cell width — the largest radius at
+// which a minimum-image distance is unambiguous (matches
+// ops/pbc.py::half_min_width, the default-cutoff rule).
+double half_min_width(const Cell& c) {
+    double wmin = 0.0;
+    for (int k = 0; k < 3; ++k) {
+        const double* u = c.b[(k + 1) % 3];
+        const double* v = c.b[(k + 2) % 3];
+        double cx = u[1] * v[2] - u[2] * v[1];
+        double cy = u[2] * v[0] - u[0] * v[2];
+        double cz = u[0] * v[1] - u[1] * v[0];
+        double area = std::sqrt(cx * cx + cy * cy + cz * cz);
+        if (area <= 0.0) return 0.0;
+        double w = c.volume / area;
+        if (k == 0 || w < wmin) wmin = w;
+    }
+    return 0.5 * wmin;
+}
+
+// First frame of a handle (geometry analyzers characterize the input
+// structure, not the trajectory).  Returns nullptr on parse error /
+// empty file.
+const Frame* first_frame(File* file) {
+    mpmc_native::rewind_frames(file);
+    return mpmc_native::next_frame(file);
+}
+
 }  // namespace
 
 extern "C" {
@@ -816,6 +843,213 @@ long traj_sq(void* h, const char* name_sel, char flag_sel,
                         : 1.0;
     }
     return n_frames;
+}
+
+// Geometric pore characterization of the FIRST frame's selected atoms
+// (beyond-reference extension — the standard MOF screening companions
+// to the Widom/Henry machinery; cf. the reference's run-time cavity
+// grid, SURVEY.md §2 "Cavity bias", which estimates open-cavity volume
+// during a run).  Atoms are hard spheres of radius sig/2 (the LJ sigma
+// column); atoms with sig <= 0 are ignored.
+//
+// For every sample point p (n_points of them) it reports
+//   d_out[p] = min_i(|p - x_i| - sig_i/2)   surface distance, clamped
+//              above by half the minimum perpendicular cell width (the
+//              min-image validity cap; also the empty-selection value),
+//              negative when p is inside an atom;
+//   r_out[p] = Gelb-Gubbins pore radius: the largest d_surf(c) over
+//              centers c (the n_centers candidate set, plus p itself)
+//              whose fitted sphere covers p, i.e. |p - c| <= d_surf(c);
+//              equals d_out[p] when no candidate sphere covers p, so
+//              r_out >= d_out always, and r_out = d_out < 0 inside
+//              atoms.
+// Void fraction, pore-size histograms, and probe accessibility are
+// formed by the caller from (d_out, r_out): a probe of radius r_p can
+// CENTER at p iff d_out[p] >= r_p, and p lies in r_p-coverable void iff
+// r_out[p] >= r_p.
+//
+// frac_pts [n_points*3] / frac_ctr [n_centers*3]: optional fractional
+// coordinates (the cross-validation path); NULL draws uniform points
+// from a mt19937_64 seeded stream — sample points first, then centers,
+// in that documented order.  Returns 1 (frames used); -1 when the
+// first frame lacks a usable cell, -2 on bad arguments, -3 on a parse
+// error.
+long traj_pore(void* h, const char* name_sel, char flag_sel,
+               long n_points, long n_centers, unsigned long long seed,
+               const double* frac_pts, const double* frac_ctr,
+               const double* fallback_cell, double* d_out,
+               double* r_out) {
+    auto* file = static_cast<File*>(h);
+    if (!file || n_points <= 0 || n_centers < 0 || !d_out || !r_out)
+        return -2;
+    const Frame* fr = first_frame(file);
+    if (!fr) return file->error.empty() ? -2 : -3;
+    Cell cell;
+    if (!frame_cell(*fr, fallback_cell, &cell)) return -1;
+    const double cap = half_min_width(cell);
+
+    std::vector<double> ax, ay, az, ar;
+    for (const Atom& a : fr->atoms)
+        if (a.sig > 0.0 && name_match(a.name, name_sel)
+            && flag_match(a.flag, flag_sel)) {
+            ax.push_back(a.x);
+            ay.push_back(a.y);
+            az.push_back(a.z);
+            ar.push_back(0.5 * a.sig);
+        }
+    const long na = static_cast<long>(ax.size());
+
+    // serial pre-draw (identical stream regardless of thread count):
+    // sample points first, then candidate centers
+    std::mt19937_64 rng(seed);
+    std::uniform_real_distribution<double> uni(0.0, 1.0);
+    std::vector<double> pts_drawn, ctr_drawn;
+    if (!frac_pts) {
+        pts_drawn.resize(3 * n_points);
+        for (double& v : pts_drawn) v = uni(rng);
+        frac_pts = pts_drawn.data();
+    }
+    if (!frac_ctr && n_centers > 0) {
+        ctr_drawn.resize(3 * n_centers);
+        for (double& v : ctr_drawn) v = uni(rng);
+        frac_ctr = ctr_drawn.data();
+    }
+
+    auto cart = [&cell](const double* f, long t, double* p) {
+        for (int k = 0; k < 3; ++k)
+            p[k] = f[3 * t] * cell.b[0][k] + f[3 * t + 1] * cell.b[1][k]
+                 + f[3 * t + 2] * cell.b[2][k];
+    };
+    auto d_surf = [&](const double* p) {
+        double best = cap;
+        for (long i = 0; i < na; ++i) {
+            double d[3];
+            min_image(cell, p[0] - ax[i], p[1] - ay[i], p[2] - az[i], d);
+            double v = std::sqrt(d[0] * d[0] + d[1] * d[1]
+                                 + d[2] * d[2]) - ar[i];
+            if (v < best) best = v;
+        }
+        return best;
+    };
+
+    std::vector<double> cx(n_centers), cy(n_centers), cz(n_centers),
+        cd(n_centers);
+#pragma omp parallel for schedule(static) \
+    if (n_centers * (na + 1) > 20000)
+    for (long t = 0; t < n_centers; ++t) {
+        double p[3];
+        cart(frac_ctr, t, p);
+        cx[t] = p[0];
+        cy[t] = p[1];
+        cz[t] = p[2];
+        cd[t] = d_surf(p);
+    }
+#pragma omp parallel for schedule(static) \
+    if (n_points * (na + n_centers + 1) > 20000)
+    for (long t = 0; t < n_points; ++t) {
+        double p[3];
+        cart(frac_pts, t, p);
+        const double dp = d_surf(p);
+        d_out[t] = dp;
+        double best = dp;
+        if (dp >= 0.0)
+            for (long c = 0; c < n_centers; ++c) {
+                if (cd[c] <= best) continue;   // cannot improve
+                double d[3];
+                min_image(cell, p[0] - cx[c], p[1] - cy[c],
+                          p[2] - cz[c], d);
+                double r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2];
+                if (r2 <= cd[c] * cd[c]) best = cd[c];
+            }
+        r_out[t] = best;
+    }
+    return 1;
+}
+
+// Accessible surface area of the FIRST frame's selected atoms by
+// Shrake-Rupley sphere sampling (beyond-reference extension, same
+// rationale as traj_pore).  Each selected atom i with sig > 0 carries a
+// probe-inflated radius R_i = (sig_i + sig_probe)/2; n_sphere direction
+// vectors (shared by every atom) place test points p = x_i + R_i*u,
+// and p is accessible iff no OTHER selected atom j has
+// |p - x_j| < R_j (minimum image).  The area sum is
+//   ASA = sum_i 4*pi*R_i^2 * (accessible fraction of atom i).
+//
+// unit_pts [n_sphere*3]: optional unit direction vectors (the
+// cross-validation path); NULL draws isotropic Gaussian directions
+// from the seeded stream (3 normals per point, serial pre-draw).
+// out[0] = area [A^2], out[1] = cell volume [A^3], out[2] = selected
+// atoms' mass sum [amu] (sig <= 0 atoms count toward mass: they are
+// part of the framework even when they carry no LJ site).  Returns 1;
+// -1 when the first frame lacks a usable cell, -2 on bad arguments,
+// -3 on a parse error.
+long traj_asa(void* h, const char* name_sel, char flag_sel,
+              double sig_probe, long n_sphere, unsigned long long seed,
+              const double* unit_pts, const double* fallback_cell,
+              double* out) {
+    auto* file = static_cast<File*>(h);
+    if (!file || n_sphere <= 0 || sig_probe < 0.0 || !out) return -2;
+    const Frame* fr = first_frame(file);
+    if (!fr) return file->error.empty() ? -2 : -3;
+    Cell cell;
+    if (!frame_cell(*fr, fallback_cell, &cell)) return -1;
+
+    std::vector<double> ax, ay, az, aR;
+    double mass = 0.0;
+    for (const Atom& a : fr->atoms)
+        if (name_match(a.name, name_sel)
+            && flag_match(a.flag, flag_sel)) {
+            mass += a.mass;
+            if (a.sig <= 0.0) continue;
+            ax.push_back(a.x);
+            ay.push_back(a.y);
+            az.push_back(a.z);
+            aR.push_back(0.5 * (a.sig + sig_probe));
+        }
+    const long na = static_cast<long>(ax.size());
+
+    std::vector<double> dirs;
+    if (!unit_pts) {
+        dirs.resize(3 * n_sphere);
+        std::mt19937_64 rng(seed);
+        std::normal_distribution<double> gauss(0.0, 1.0);
+        for (long t = 0; t < n_sphere; ++t) {
+            double v[3] = {gauss(rng), gauss(rng), gauss(rng)};
+            double n = std::sqrt(v[0] * v[0] + v[1] * v[1]
+                                 + v[2] * v[2]);
+            if (n < 1e-12) { v[0] = 1.0; n = 1.0; }
+            for (int k = 0; k < 3; ++k) dirs[3 * t + k] = v[k] / n;
+        }
+        unit_pts = dirs.data();
+    }
+
+    double area = 0.0;
+#pragma omp parallel for reduction(+:area) schedule(dynamic, 4) \
+    if (na * n_sphere > 20000)
+    for (long i = 0; i < na; ++i) {
+        long acc = 0;
+        for (long t = 0; t < n_sphere; ++t) {
+            double p[3] = {ax[i] + aR[i] * unit_pts[3 * t],
+                           ay[i] + aR[i] * unit_pts[3 * t + 1],
+                           az[i] + aR[i] * unit_pts[3 * t + 2]};
+            bool open = true;
+            for (long j = 0; j < na; ++j) {
+                if (j == i) continue;
+                double d[3];
+                min_image(cell, p[0] - ax[j], p[1] - ay[j],
+                          p[2] - az[j], d);
+                double r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2];
+                if (r2 < aR[j] * aR[j]) { open = false; break; }
+            }
+            if (open) ++acc;
+        }
+        area += 4.0 * M_PI * aR[i] * aR[i] * static_cast<double>(acc)
+              / static_cast<double>(n_sphere);
+    }
+    out[0] = area;
+    out[1] = cell.volume;
+    out[2] = mass;
+    return 1;
 }
 
 }  // extern "C"

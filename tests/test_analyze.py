@@ -737,3 +737,131 @@ def test_qst_cli_reads_energy_output_csv(tmp_path, capsys):
                          "8"]) == 0
     out = capsys.readouterr().out
     assert "Qst (K):" in out and "377" in out
+
+
+def _sphere_struct(tmp_path, atoms_spec, box_edge=20.0,
+                   name="struct.pqr"):
+    """One-frame structure of frozen hard spheres: atoms_spec =
+    [(name, xyz, sig), ...] in a cubic box."""
+    box = np.eye(3) * box_edge
+    atoms = []
+    for k, (nm, xyz, sig) in enumerate(atoms_spec):
+        a = _atom(k + 1, nm, "MOF", k + 1, "F", xyz, mass=12.0)
+        a.sig = sig
+        atoms.append(a)
+    path = tmp_path / name
+    _write_traj(path, [atoms], box)
+    return str(path), box
+
+
+@needs_native
+def test_pore_native_matches_python(tmp_path):
+    """Shared sample/center points: the native kernel and the numpy
+    reference must agree bitwise-ish on both outputs, triclinic cell."""
+    path, box, _ = _triclinic_traj(tmp_path, n_frames=1)
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 1, (400, 3))
+    ctr = rng.uniform(0, 1, (150, 3))
+    d_n, r_n = native.traj_pore(path, "*", "*", n_points=400,
+                                n_centers=150, frac_pts=pts,
+                                frac_ctr=ctr)
+    d_p, r_p = analyze.pore_python(pqr.read_frames(path), "*", "*",
+                                   frac_pts=pts, frac_ctr=ctr)
+    np.testing.assert_allclose(d_n, d_p, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(r_n, r_p, rtol=1e-12, atol=1e-12)
+    assert np.all(r_n >= d_n - 1e-12)       # covering sphere only grows
+
+
+def test_pore_single_sphere_analytic(tmp_path):
+    """One sig=3 atom (radius 1.5) in a 20 A cube: the excluded volume
+    fraction is (4/3) pi 1.5^3 / 8000 and every surface distance is
+    |p - x| - 1.5 capped at 10."""
+    path, box = _sphere_struct(tmp_path, [("C", [10.0, 10.0, 10.0],
+                                           3.0)])
+    res = analyze.pore(path, n_points=20000, n_centers=64, seed=5,
+                       use_native=False)
+    vf_exact = 1.0 - (4.0 / 3.0) * np.pi * 1.5**3 / 8000.0
+    assert abs(res["void_fraction"] - vf_exact) < 5e-3
+    assert res["cap"] == pytest.approx(10.0)
+    assert res["d_max"] <= 10.0 + 1e-12
+    assert res["volume"] == pytest.approx(8000.0)
+
+
+@needs_native
+def test_pore_empty_selection_is_all_void(tmp_path):
+    """No frozen atoms selected -> every point sits at the cap and the
+    void fraction is exactly 1 (empty-box convention)."""
+    path, box, _ = _triclinic_traj(tmp_path, n_frames=1)
+    d, r = native.traj_pore(path, "XX", "F", n_points=64, n_centers=8,
+                            seed=1)
+    # cap from the CRYST1-roundtripped cell (the text record quantizes
+    # the triclinic basis slightly vs the exact box)
+    cap = analyze._half_min_width(
+        analyze._frame_box(pqr.read_first_frame(path), None))
+    np.testing.assert_allclose(d, cap, rtol=1e-12)
+    np.testing.assert_allclose(r, cap, rtol=1e-12)
+
+
+@needs_native
+def test_asa_isolated_atom_analytic(tmp_path):
+    """A single atom's accessible area is exactly 4 pi R^2 with
+    R = (sig + probe)/2 — native and numpy, any sample count."""
+    path, box = _sphere_struct(tmp_path, [("C", [10.0, 10.0, 10.0],
+                                           3.0)])
+    area, vol, mass = native.traj_asa(path, probe_sigma=2.0,
+                                      n_sphere=128, seed=3)
+    assert area == pytest.approx(4.0 * np.pi * 2.5**2, rel=1e-12)
+    assert vol == pytest.approx(8000.0)
+    assert mass == pytest.approx(12.0)
+    res = analyze.asa(path, probe_sigma=2.0, n_sphere=128,
+                      use_native=False)
+    assert res["area_A2"] == pytest.approx(4.0 * np.pi * 2.5**2,
+                                           rel=1e-12)
+    # 1 m^2/g sanity: area * 1e-20 / (12 amu * 1.66054e-24 g)
+    assert res["area_m2_g"] == pytest.approx(
+        res["area_A2"] * 1e-20 / (12.0 * 1.66053906660e-24), rel=1e-9)
+
+
+@needs_native
+def test_asa_native_matches_python(tmp_path):
+    """Shared sphere directions: native == numpy on an overlapping
+    cluster in a triclinic cell."""
+    path, box, _ = _triclinic_traj(tmp_path, n_frames=1)
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=(96, 3))
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+    a_n = native.traj_asa(path, "*", "*", probe_sigma=1.0, n_sphere=96,
+                          unit_pts=u)
+    a_p = analyze.asa_python(pqr.read_frames(path), "*", "*",
+                             probe_sigma=1.0, unit_pts=u)
+    np.testing.assert_allclose(a_n, a_p, rtol=1e-12)
+
+
+@needs_native
+def test_asa_buried_atom_contributes_nothing(tmp_path):
+    """An atom fully inside a larger concentric sphere adds zero area;
+    the big sphere's own surface stays fully exposed (the small
+    blocker cannot reach it)."""
+    path, box = _sphere_struct(tmp_path, [("BIG", [10.0, 10.0, 10.0],
+                                           10.0),
+                                          ("SML", [10.0, 10.0, 10.0],
+                                           3.0)])
+    area, _, _ = native.traj_asa(path, probe_sigma=0.0, n_sphere=256,
+                                 seed=2)
+    assert area == pytest.approx(4.0 * np.pi * 5.0**2, rel=1e-12)
+
+
+def test_pore_asa_cli(tmp_path, capsys):
+    path, box = _sphere_struct(tmp_path, [("C", [10.0, 10.0, 10.0],
+                                           3.0)])
+    out_csv = tmp_path / "psd.csv"
+    assert analyze.main(["pore", path, "--points", "2000", "--centers",
+                         "64", "--out", str(out_csv)]) == 0
+    text = capsys.readouterr().out
+    assert "void fraction" in text
+    lines = out_csv.read_text().splitlines()
+    assert lines[0] == "r,psd,cumulative" and len(lines) > 10
+    assert analyze.main(["asa", path, "--probe", "2.0",
+                         "--sphere-points", "64"]) == 0
+    text = capsys.readouterr().out
+    assert "m^2/g" in text and "accessible area" in text
