@@ -992,6 +992,144 @@ def blocking(series):
     return (np.asarray(sizes), sems, np.asarray(errs), tau)
 
 
+def _logsumexp(a, axis=None):
+    """log(sum(exp(a))) along axis, max-shifted for stability."""
+    a = np.asarray(a, np.float64)
+    m = np.max(a, axis=axis, keepdims=True)
+    m = np.where(np.isfinite(m), m, 0.0)
+    out = m + np.log(np.sum(np.exp(a - m), axis=axis, keepdims=True))
+    return np.squeeze(out, axis=axis) if axis is not None \
+        else float(out.reshape(()))
+
+
+def mbar_fit(betas, u_by_state, tol=1e-10, max_iter=50000):
+    """Multistate Bennett acceptance ratio over a temperature ladder
+    (Shirts & Chodera 2008): self-consistent dimensionless free
+    energies f_k of K canonical states at inverse temperatures
+    ``betas`` [K] from potential-energy samples ``u_by_state`` (list of
+    K arrays, u in K — the Boltzmann factor is exp(-beta*u)).
+
+    Assumes the POTENTIAL is temperature-independent (not valid for
+    Feynman-Hibbs / Feynman-Kleinert ladders, whose effective U depends
+    on T) and canonical sampling at each state (an NVT parallel-
+    tempering ladder qualifies: swaps preserve each state's canonical
+    distribution).  Returns a dict consumed by mbar_reweight: the
+    converged f (f[0] = 0), the concatenated samples, and the MBAR
+    log-denominator per sample."""
+    betas = np.asarray(betas, np.float64).ravel()
+    u_list = [np.asarray(u, np.float64).ravel() for u in u_by_state]
+    if len(u_list) != betas.size:
+        raise ValueError("betas and u_by_state lengths differ")
+    if any(len(u) == 0 for u in u_list):
+        raise ValueError("every state needs at least one sample")
+    n_k = np.array([len(u) for u in u_list], np.float64)
+    u_all = np.concatenate(u_list)
+    bu = betas[:, None] * u_all[None, :]          # [K, Ntot]
+    log_n = np.log(n_k)
+    f = np.zeros(betas.size)
+    for it in range(max_iter):
+        log_denom = _logsumexp((log_n + f)[:, None] - bu, axis=0)
+        f_new = -_logsumexp(-bu - log_denom[None, :], axis=1)
+        f_new = f_new - f_new[0]
+        delta = float(np.max(np.abs(f_new - f)))
+        f = f_new
+        if delta < tol:
+            break
+    log_denom = _logsumexp((log_n + f)[:, None] - bu, axis=0)
+    return {"betas": betas, "f": f, "u_all": u_all,
+            "log_denom": log_denom, "n_k": n_k,
+            "converged": delta < tol, "iterations": it + 1}
+
+
+def mbar_reweight(fit, beta, a_vals=None):
+    """Reweight MBAR samples to inverse temperature ``beta``: returns
+    {u_mean, u_var, a_mean (when ``a_vals`` [Ntot] given, aligned with
+    fit['u_all']), ess (Kish effective sample size), logZ (relative
+    dimensionless free energy -f(beta) up to the fit's constant)}."""
+    u = fit["u_all"]
+    logw = -float(beta) * u - fit["log_denom"]
+    lz = _logsumexp(logw)
+    w = np.exp(logw - lz)
+    u_mean = float(np.sum(w * u))
+    out = {"u_mean": u_mean,
+           "u_var": float(np.sum(w * (u - u_mean) ** 2)),
+           "ess": float(1.0 / np.sum(w * w)), "logZ": lz}
+    if a_vals is not None:
+        out["a_mean"] = float(np.sum(w * np.asarray(a_vals,
+                                                    np.float64).ravel()))
+    return out
+
+
+def _read_ladder(path):
+    """(temps [B,K], energy [B,K], n [B,K]) from the PT driver's
+    per-block ladder records in a JSONL stream
+    (io/output.py::log_ladder)."""
+    import json
+    temps, us, ns = [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            if "pt_temps" not in rec:
+                continue
+            temps.append(rec["pt_temps"])
+            us.append(rec["pt_energy"])
+            ns.append(rec.get("pt_N", [0.0] * len(rec["pt_temps"])))
+    if not temps:
+        raise ValueError(f"no pt_temps ladder records in {path} "
+                         "(run the PT driver with --jsonl)")
+    return (np.asarray(temps, np.float64), np.asarray(us, np.float64),
+            np.asarray(ns, np.float64))
+
+
+def pt_mbar(jsonl_path, t_grid=None, skip=0.0, n_t=50):
+    """Continuous-temperature observable curves from ONE parallel-
+    tempering run via MBAR: reads the per-block ladder records
+    (pt_temps/pt_energy/pt_N) from the run's JSONL stream, groups the
+    samples by the temperature they were recorded at (swaps permute the
+    ladder but preserve its values), fits the K-state MBAR free
+    energies, and reweights to ``t_grid`` (default: n_t points spanning
+    the ladder).  Returns {t_grid, u_mean, cv_kb (fluctuation formula
+    (<U^2>-<U>^2)/T^2 in k_B units), n_mean, ess, ladder_t, delta_f
+    (dimensionless free energies vs the coldest state), converged}.
+    Not valid for FH/FK ladders (T-dependent potential) or µVT ladders
+    (the reduced potential needs mu(T); use per-state averages
+    there)."""
+    temps, us, ns = _read_ladder(jsonl_path)
+    b0 = int(min(max(skip, 0.0), 0.9) * temps.shape[0])
+    temps, us, ns = temps[b0:], us[b0:], ns[b0:]
+    ladder = np.unique(np.round(temps.ravel(), 9))
+    if ladder.size > temps.shape[1]:
+        raise ValueError("ladder temperatures drift across blocks — "
+                         "annealing runs cannot be reweighted")
+    u_by, n_by = [], []
+    for t in ladder:
+        sel = np.abs(temps - t) < 1e-8
+        u_by.append(us[sel])
+        n_by.append(ns[sel])
+    fit = mbar_fit(1.0 / ladder, u_by)
+    n_all = np.concatenate(n_by)
+    if t_grid is None:
+        t_grid = np.linspace(ladder[0], ladder[-1], int(n_t))
+    t_grid = np.asarray(t_grid, np.float64).ravel()
+    u_mean = np.empty_like(t_grid)
+    cv = np.empty_like(t_grid)
+    n_mean = np.empty_like(t_grid)
+    ess = np.empty_like(t_grid)
+    for i, t in enumerate(t_grid):
+        r = mbar_reweight(fit, 1.0 / t, a_vals=n_all)
+        u_mean[i] = r["u_mean"]
+        cv[i] = r["u_var"] / (t * t)
+        n_mean[i] = r["a_mean"]
+        ess[i] = r["ess"]
+    return {"t_grid": t_grid, "u_mean": u_mean, "cv_kb": cv,
+            "n_mean": n_mean, "ess": ess, "ladder_t": ladder,
+            "delta_f": fit["f"], "converged": fit["converged"],
+            "samples_per_state": fit["n_k"].astype(int).tolist()}
+
+
 def _read_series(path, column):
     """A scalar column from an energy CSV (header row) or a JSONL
     observable stream."""
@@ -1166,6 +1304,23 @@ def main(argv=None):
                     help="insertions per frame")
     pw.add_argument("--seed", type=int, default=0)
     pw.add_argument("--rc", type=float, default=10.0, help="cutoff (A)")
+    pmb = sub.add_parser("mbar",
+                         help="continuous-T observables from one "
+                              "NVT parallel-tempering run (MBAR "
+                              "reweighting of the JSONL ladder "
+                              "records)")
+    pmb.add_argument("jsonl", help="PT run --jsonl stream (needs the "
+                                   "pt_temps ladder records)")
+    pmb.add_argument("--skip", type=float, default=0.0,
+                     help="equilibration fraction to drop (0-0.9)")
+    pmb.add_argument("--nt", type=int, default=50,
+                     help="temperature grid points")
+    pmb.add_argument("--tmin", type=float, default=0.0,
+                     help="grid start (default: ladder min)")
+    pmb.add_argument("--tmax", type=float, default=0.0,
+                     help="grid end (default: ladder max)")
+    pmb.add_argument("--out", default="-",
+                     help="CSV path (default stdout)")
     pp2 = sub.add_parser("pore",
                          help="geometric void fraction + pore-size "
                               "distribution (first frame)")
@@ -1303,6 +1458,26 @@ def main(argv=None):
         print(f"samples: {len(s)}  mean: {s.mean():.8g}  "
               f"tau_int: {tau:.2f}  "
               f"sem(plateau): {sems[0] * np.sqrt(tau):.6g}")
+    elif args.cmd == "mbar":
+        res = pt_mbar(args.jsonl, skip=args.skip, n_t=args.nt,
+                      t_grid=(np.linspace(args.tmin, args.tmax,
+                                          args.nt)
+                              if args.tmax > 0 else None))
+        lt = res["ladder_t"]
+        print(f"ladder: {lt.size} states, T = "
+              + " ".join(f"{t:g}" for t in lt)
+              + f"  (samples/state: {res['samples_per_state']}, "
+              f"converged: {res['converged']})")
+        print("delta_f (dimensionless, vs coldest): "
+              + " ".join(f"{v:.4f}" for v in res["delta_f"]))
+        write_csv(args.out, "T,u_mean,cv_kb,n_mean,ess",
+                  ((f"{t:.6g}", f"{u:.8g}", f"{c:.8g}", f"{n:.8g}",
+                    f"{e:.6g}")
+                   for t, u, c, n, e in zip(res["t_grid"],
+                                            res["u_mean"],
+                                            res["cv_kb"],
+                                            res["n_mean"],
+                                            res["ess"])))
     elif args.cmd == "pore":
         res = pore(args.structure, args.name, args.flag,
                    probe_sigma=args.probe, n_points=args.points,

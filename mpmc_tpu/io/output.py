@@ -67,6 +67,21 @@ class RunWriter:
             self.jsonl_f.write(json.dumps({"step": step, **obs}) + "\n")
             self.jsonl_f.flush()
 
+    def log_ladder(self, step: int, temps, obs_list):
+        """One JSONL record per PT block with the FULL ladder state —
+        per-replica temperature, potential energy, and loading — the
+        input the MBAR reweighting analyzer (analyze.py::pt_mbar)
+        consumes to turn one PT run into continuous-T observable
+        curves.  No-op without a JSONL stream."""
+        if not self.jsonl_f:
+            return
+        self.jsonl_f.write(json.dumps({
+            "step": step,
+            "pt_temps": [float(t) for t in temps],
+            "pt_energy": [o["energy_total"] for o in obs_list],
+            "pt_N": [o["N"] for o in obs_list]}) + "\n")
+        self.jsonl_f.flush()
+
     def write_restart(self, params, state):
         if self.job.pqr_restart:
             pqr_io.write_state(self.job.pqr_restart, params, state,

@@ -754,10 +754,12 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         # instead of ~15 scalar D2H round-trips per block
         k = int(np.argmin(temps))
         st0 = _slice_chain(states, k)
-        obs = observables_batched(su, states, R)[k]
+        obs_all = observables_batched(su, states, R)
+        obs = obs_all[k]
         obs["swap_acceptance"] = swap_acc / max(swap_att, 1)
         avgs.add(obs)
         writer.log_block(int(st0.step), obs, None)
+        writer.log_ladder(int(st0.step), temps, obs_all)
         writer.write_restart(params, st0)
         writer.write_parallel_restarts(params, states, R)
         writer.append_trajectory(params, st0)

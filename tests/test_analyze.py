@@ -865,3 +865,76 @@ def test_pore_asa_cli(tmp_path, capsys):
                          "--sphere-points", "64"]) == 0
     text = capsys.readouterr().out
     assert "m^2/g" in text and "accessible area" in text
+
+
+def test_mbar_harmonic_ladder_analytic():
+    """1-D harmonic mode U = x^2/2 sampled exactly at each ladder
+    state: MBAR must recover the exact dimensionless free energies
+    f_i - f_0 = (1/2) ln(beta_i/beta_0) (Z = sqrt(2 pi / beta)) and
+    reweight to an UNSAMPLED temperature with <U> = T/2 and
+    Cv/kB = 1/2."""
+    rng = np.random.default_rng(0)
+    betas = np.array([1.25, 1.0, 0.8, 0.64])
+    u_by = [0.5 * rng.normal(0.0, 1.0 / np.sqrt(b), 6000) ** 2
+            for b in betas]
+    fit = analyze.mbar_fit(betas, u_by)
+    assert fit["converged"]
+    f_exact = 0.5 * np.log(betas / betas[0])
+    np.testing.assert_allclose(fit["f"], f_exact, atol=0.03)
+    r = analyze.mbar_reweight(fit, 0.9)
+    assert abs(r["u_mean"] - 1.0 / (2 * 0.9)) < 0.02
+    assert abs(0.9 ** 2 * r["u_var"] - 0.5) < 0.05
+    assert r["ess"] > 1000.0     # interpolation keeps most samples
+
+
+def test_mbar_reweight_reproduces_sampled_state():
+    """Reweighting to a sampled beta must agree with that state's own
+    sample mean (MBAR consistency)."""
+    rng = np.random.default_rng(4)
+    betas = np.array([1.0, 0.5])
+    u_by = [0.5 * rng.normal(0.0, 1.0 / np.sqrt(b), 8000) ** 2
+            for b in betas]
+    fit = analyze.mbar_fit(betas, u_by)
+    for b, u in zip(betas, u_by):
+        r = analyze.mbar_reweight(fit, b)
+        assert abs(r["u_mean"] - u.mean()) < 0.02
+
+
+def test_mbar_validates_inputs():
+    with pytest.raises(ValueError, match="lengths"):
+        analyze.mbar_fit([1.0, 0.5], [np.ones(4)])
+    with pytest.raises(ValueError, match="sample"):
+        analyze.mbar_fit([1.0, 0.5], [np.ones(4), np.array([])])
+
+
+def test_pt_mbar_cli(tmp_path, capsys):
+    """End-to-end: synthetic PT ladder records (temps permuted across
+    blocks, Gaussian-energy model) -> mbar CLI -> CSV curves."""
+    import json
+    rng = np.random.default_rng(9)
+    ladder = np.array([80.0, 100.0, 125.0, 156.25])
+    lines = []
+    for blk in range(400):
+        perm = rng.permutation(4)
+        temps = ladder[perm]
+        # harmonic-mode model: U | T ~ (T/2) * chi2_1
+        us = 0.5 * temps * rng.normal(0.0, 1.0, 4) ** 2
+        lines.append(json.dumps({
+            "step": blk, "pt_temps": temps.tolist(),
+            "pt_energy": us.tolist(),
+            "pt_N": [2.0, 2.0, 2.0, 2.0]}))
+    path = tmp_path / "obs.jsonl"
+    path.write_text("\n".join(lines) + "\n")
+    out_csv = tmp_path / "mbar.csv"
+    assert analyze.main(["mbar", str(path), "--nt", "9",
+                         "--out", str(out_csv)]) == 0
+    text = capsys.readouterr().out
+    assert "ladder: 4 states" in text and "delta_f" in text
+    rows = out_csv.read_text().splitlines()
+    assert rows[0] == "T,u_mean,cv_kb,n_mean,ess" and len(rows) == 10
+    t, u = np.array([[float(r.split(",")[0]), float(r.split(",")[1])]
+                     for r in rows[1:]]).T
+    # harmonic model: <U>(T) = T/2 across the whole grid
+    np.testing.assert_allclose(u, t / 2.0, rtol=0.06)
+    n_mean = np.array([float(r.split(",")[3]) for r in rows[1:]])
+    np.testing.assert_allclose(n_mean, 2.0, atol=1e-9)

@@ -120,12 +120,22 @@ ptemp_freq 25
 pqr_input {pqr}
 """)
     log = io.StringIO()
-    avgs = run_mod.run(job, log=log)
+    jsonl = tmp_path / "obs.jsonl"
+    avgs = run_mod.run(job, log=log, jsonl_path=str(jsonl))
     text = log.getvalue()
     assert "parallel tempering: 4 replicas" in text
     assert "swap acceptance:" in text
     assert avgs.mean("energy_total") != 0.0
     assert 0.0 <= avgs.mean("swap_acceptance") <= 1.0
+    # the JSONL stream carries one full-ladder record per block — the
+    # MBAR reweighting input (analyze.pt_mbar)
+    from mpmc_tpu import analyze
+    temps, us, ns = analyze._read_ladder(str(jsonl))
+    assert temps.shape == (4, 4) and us.shape == (4, 4)
+    assert np.allclose(np.sort(temps, axis=1), np.sort(temps[0]))
+    res = analyze.pt_mbar(str(jsonl), n_t=5)
+    assert res["ladder_t"].size == 4 and res["converged"]
+    assert np.all(np.isfinite(res["u_mean"]))
 
 
 def test_parallel_tempering_uvt_cli_path(tmp_path):
