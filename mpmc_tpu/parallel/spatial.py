@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from mpmc_tpu.ops import ewald, pairs
+from mpmc_tpu.ops import ewald, pairs, pbc, thole
 from mpmc_tpu.ops.pairs import PairTerms
 
 AXIS = "atoms"
@@ -118,3 +118,121 @@ def recip_energy_sharded(pos, charge, alive, box, alpha, kmax,
         in_specs=(P(), P(), P(), P(), P(AXIS), P(AXIS)),
         out_specs=P(), check_vma=False)
     return f(pos, charge, alive, box, ints_j, ok_j)
+
+
+def solve_scf_sharded(pos, box, atom_alive, params, cfg, e0, mesh: Mesh,
+                      mu0=None):
+    """Thole SCF (ops/thole.solve_scf, PCG branch) with the O(N'^2)
+    dipole matvec row blocks sharded over the mesh.
+
+    The matvec is the chip-saturating term of the polarizable workload
+    (SURVEY.md §3.2 HOTTEST; CLAUDE.md: batching buys nothing at C=1),
+    so spatial sharding is the ONLY axis that scales one large
+    polarizable system across chips.  Each device evaluates the damped
+    dipole field on its round-robin row strip (rows d, d+D, ...) against
+    the full replicated dipole vector; strips meet in one psum of the
+    [N,3] field per CG iteration (~N*12 bytes over ICI — trivial next to
+    the O(N^2/D) flops).  The CG state itself stays replicated: every
+    device runs the identical scalar recurrence, so no further
+    communication is needed.
+
+    Exact same fixed point, preconditioner (Jacobi z = alpha*r), and
+    stopping criterion as the single-device solver; the only difference
+    is float summation order inside the matvec.  Returns (mu [N,3],
+    n_iter), both replicated.
+    """
+    ndev = mesh.shape[AXIS]
+    N = pos.shape[0]
+    rows_per = -(-N // ndev)
+    if mu0 is None:
+        mu0 = jnp.zeros_like(e0)
+
+    def local(pos_l, box_l, alive_l, e0_l, mu0_l):
+        d = jax.lax.axis_index(AXIS)
+        box_inv = jnp.linalg.inv(box_l)
+        rc = thole.derived_cutoff(box_l, cfg)
+        pol_ok = alive_l & (params.polar > 0)
+        mask = pol_ok[:, None]
+        inv_a = jnp.where(pol_ok,
+                          1.0 / jnp.maximum(params.polar, 1e-30),
+                          0.0)[:, None]
+        alpha_site = jnp.where(mask, params.polar[:, None], 0.0)
+        b = jnp.where(mask, e0_l, 0.0)
+        nsites = jnp.maximum(jnp.sum(pol_ok), 1)
+        tol2 = (cfg.polar_precision ** 2) * nsites * 3
+        B = min(cfg.pair_chunk, rows_per)
+        nb = -(-rows_per // B)
+
+        def tmul(x):
+            # rows d::ndev of (T x); assembled WITHOUT gather/scatter
+            # (backend landmine, CLAUDE.md): strip k lands at flat row
+            # k*ndev + d, so a [rows_per, ndev, 3] plane updated at
+            # column d reshapes straight into atom order.
+            def body(_, bk):
+                local_k = bk * B + jnp.arange(B)
+                rows = d + local_k * ndev
+                idx = jnp.clip(rows, 0, N - 1)
+                rok = (rows < N) & pol_ok[idx]
+                dr = pbc.min_image(
+                    pos_l[idx][:, None, :] - pos_l[None, :, :],
+                    box_l, box_inv)
+                r2 = jnp.sum(dr * dr, -1)
+                diag = idx[:, None] == jnp.arange(N)[None, :]
+                ok = (rok[:, None] & pol_ok[None, :] & ~diag
+                      & (r2 < rc * rc))
+                r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+                r = jnp.sqrt(r2s)
+                d1, d2 = thole._damping(r, cfg.polar_damp,
+                                        cfg.polar_damp_type)
+                inv_r3 = 1.0 / (r2s * r)
+                mdotr = jnp.einsum("nk,bnk->bn", x, dr)
+                t1 = (3.0 * d2 * mdotr * inv_r3 / r2s)[..., None] * dr
+                t2 = (d1 * inv_r3)[..., None] * x[None, :, :]
+                return None, jnp.sum(
+                    jnp.where(ok[..., None], t1 - t2, 0.0), axis=1)
+
+            _, ys = jax.lax.scan(body, None, jnp.arange(nb))
+            ys = ys.reshape(nb * B, 3)[:rows_per]
+            plane = jnp.zeros((rows_per, ndev, 3), x.dtype)
+            zero = jnp.zeros((), d.dtype)
+            plane = jax.lax.dynamic_update_slice(
+                plane, ys[:, None, :], (zero, d, zero))
+            return jax.lax.psum(plane.reshape(-1, 3)[:N], AXIS)
+
+        def amul(x):
+            x = jnp.where(mask, x, 0.0)
+            return jnp.where(mask, inv_a * x - tmul(x), 0.0)
+
+        x = jnp.where(mask, mu0_l, 0.0)
+        r = b - amul(x)
+        z = alpha_site * r
+        p = z
+        rs = jnp.sum(r * r)
+        rz = jnp.sum(r * z)
+
+        def cond(carry):
+            _x, _r, _p, rs_c, _rz, it = carry
+            return (it < cfg.polar_max_iter) & (rs_c > tol2)
+
+        def step(carry):
+            x_c, r_c, p_c, rs_c, rz_c, it = carry
+            ap = amul(p_c)
+            denom = jnp.sum(p_c * ap)
+            al = rz_c / jnp.where(jnp.abs(denom) > 1e-300, denom, 1e-300)
+            x_c = x_c + al * p_c
+            r_c = r_c - al * ap
+            z_c = alpha_site * r_c
+            rz_new = jnp.sum(r_c * z_c)
+            beta = rz_new / jnp.where(jnp.abs(rz_c) > 1e-300, rz_c,
+                                      1e-300)
+            return (x_c, r_c, z_c + beta * p_c, jnp.sum(r_c * r_c),
+                    rz_new, it + 1)
+
+        x, r, p, rs, rz, it = jax.lax.while_loop(
+            cond, step, (x, r, p, rs, rz, jnp.zeros((), jnp.int32)))
+        return jnp.where(mask, x, 0.0), it
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(), P(), P(), P(), P()),
+                      out_specs=(P(), P()), check_vma=False)
+    return f(pos, box, atom_alive, e0, mu0)

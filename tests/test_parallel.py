@@ -238,6 +238,30 @@ class TestSpatialSharding:
                                           mesh)
         assert float(e1) == pytest.approx(float(e2), rel=1e-12)
 
+    def test_solve_scf_sharded_matches_single(self, mesh8):
+        """Row-sharded Thole PCG == single-device solve_scf: same fixed
+        point, same iteration count (the recurrence is replicated; only
+        the matvec summation order differs)."""
+        from mpmc_tpu.ops import thole
+        from mpmc_tpu.parallel import spatial
+        params, state, cfg, thermo = systems.mof_h2_gcmc(
+            n_side=4, n_h2=8, capacity=16, dtype="float64",
+            polarization=True)
+        alive = state.atom_alive(params)
+        mesh = jax.sharding.Mesh(
+            np.asarray(jax.devices()[:8]), (spatial.AXIS,))
+        e0 = thole.static_field(state.pos, state.box, alive, params, cfg)
+        mu1, it1, _ = thole.solve_scf(state.pos, state.box, alive,
+                                      params, cfg, e0)
+        mu2, it2 = spatial.solve_scf_sharded(state.pos, state.box, alive,
+                                             params, cfg, e0, mesh)
+        assert int(it1) == int(it2)
+        np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2),
+                                   rtol=1e-9, atol=1e-12)
+        e_1 = thole.polar_energy(mu1, e0)
+        e_2 = thole.polar_energy(mu2, e0)
+        assert float(e_1) == pytest.approx(float(e_2), rel=1e-10)
+
 
 def test_chains_npt_cli(tmp_path):
     """Batched chains with NPT volume moves (full-pass candidate under
