@@ -86,6 +86,9 @@ class Job:
     ptemp_freq: int = 20
     n_replicas: int = 0      # PT ladder size (0 -> one per device)
     chains: int = 1          # vmapped chains per device (our extension)
+    spatial_devices: int = 0  # shard O(N^2)/recip/SCF passes of
+    #                           `ensemble te` over this many mesh
+    #                           devices (our extension; parallel/spatial)
     free_volume: float = 0.0
     # replay extras (SURVEY §2 "Replay": calc_pressure via
     # volume-perturbation virial estimate [M])
@@ -360,6 +363,8 @@ def parse(text: str) -> Job:
             job.n_replicas = int(float(v0))
         elif key == "chains":
             job.chains = int(float(v0))
+        elif key == "spatial_devices":
+            job.spatial_devices = int(float(v0))
         # --- surface scan / fitting
         elif key == "surf_min":
             job.surf_min = float(v0)

@@ -385,9 +385,27 @@ def run_te(job: input_script.Job, log=None):
     """ensemble te: one energy() call + per-term printout
     (SURVEY.md §2 "Single point" — the parity workhorse)."""
     su = setup(job)
-    e, _ = energy_mod.total_energy(
-        su.state.pos, su.state.box, su.state.mol_alive, su.params, su.cfg,
-        su.thermo)
+    if job.spatial_devices > 1:
+        # multi-chip single point: O(N^2) pair matrix, Ewald k-table,
+        # and polar SCF matvec row-sharded over the mesh
+        # (parallel/spatial.total_energy_sharded)
+        import jax
+        from mpmc_tpu.parallel import spatial
+        devs = jax.devices()[:job.spatial_devices]
+        if len(devs) < job.spatial_devices:
+            raise ValueError(
+                f"spatial_devices {job.spatial_devices} but only "
+                f"{len(jax.devices())} devices available")
+        mesh = jax.sharding.Mesh(np.array(devs), (spatial.AXIS,))
+        e, _ = spatial.total_energy_sharded(
+            su.state.pos, su.state.box, su.state.mol_alive, su.params,
+            su.cfg, su.thermo, mesh)
+        print(f"spatial sharding: {job.spatial_devices} devices",
+              file=log or sys.stdout)
+    else:
+        e, _ = energy_mod.total_energy(
+            su.state.pos, su.state.box, su.state.mol_alive, su.params,
+            su.cfg, su.thermo)
     output_io.print_energy_report(e, file=log)
     if job.polarizability_tensor:
         from mpmc_tpu.ops import thole

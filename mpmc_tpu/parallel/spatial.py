@@ -120,6 +120,123 @@ def recip_energy_sharded(pos, charge, alive, box, alpha, kmax,
     return f(pos, charge, alive, box, ints_j, ok_j)
 
 
+def static_field_sharded(pos, box, atom_alive, params, cfg, mesh: Mesh):
+    """Damped direct-cutoff static field E0 (ops/thole.static_field_direct)
+    with target-row strips sharded over the mesh; one [N,3] psum."""
+    ndev = mesh.shape[AXIS]
+    N = pos.shape[0]
+    rows_per = -(-N // ndev)
+
+    def local(pos_l, box_l, alive_l):
+        d = jax.lax.axis_index(AXIS)
+        box_inv = jnp.linalg.inv(box_l)
+        rc = pairs.derived_cutoff(box_l, cfg)
+        B = min(cfg.pair_chunk, rows_per)
+        nb = -(-rows_per // B)
+
+        def body(_, bk):
+            local_k = bk * B + jnp.arange(B)
+            rows = d + local_k * ndev
+            idx = jnp.clip(rows, 0, N - 1)
+            rok = (rows < N) & alive_l[idx]
+            dr = pbc.min_image(pos_l[idx][:, None, :] - pos_l[None, :, :],
+                               box_l, box_inv)
+            r2 = jnp.sum(dr * dr, -1)
+            ok = (rok[:, None] & alive_l[None, :]
+                  & (params.mol_id[idx][:, None]
+                     != params.mol_id[None, :])
+                  & (r2 < rc * rc))
+            r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+            r = jnp.sqrt(r2s)
+            d1, _ = thole._damping(r, cfg.polar_damp, cfg.polar_damp_type)
+            coef = jnp.where(ok, params.charge[None, :] * d1 / (r2s * r),
+                             0.0)
+            return None, jnp.einsum("bn,bnk->bk", coef, dr)
+
+        _, ys = jax.lax.scan(body, None, jnp.arange(nb))
+        ys = ys.reshape(nb * B, 3)[:rows_per]
+        plane = jnp.zeros((rows_per, ndev, 3), pos_l.dtype)
+        zero = jnp.zeros((), d.dtype)
+        plane = jax.lax.dynamic_update_slice(plane, ys[:, None, :],
+                                             (zero, d, zero))
+        return jax.lax.psum(plane.reshape(-1, 3)[:N], AXIS)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
+                      out_specs=P(), check_vma=False)
+    return f(pos, box, atom_alive)
+
+
+def te_supported(cfg) -> bool:
+    """Static gate for total_energy_sharded: every O(N^2)/O(N*K) pass of
+    the config must have a sharded implementation.  cdvdw needs a dense
+    eigensolve (no sharded variant); the Ewald/Wolf static-field
+    variants keep their single-device path for E0 (the SCF itself still
+    shards), so only cdvdw falls back entirely."""
+    return not cfg.cdvdw
+
+
+def total_energy_sharded(pos, box, mol_alive, params, cfg, thermo,
+                         mesh: Mesh):
+    """Single-point full-system energy with the O(N^2) pair matrix, the
+    Ewald k-table, and the polar SCF matvec sharded over the mesh —
+    the multi-chip `ensemble te` path (input option ``spatial_devices``).
+
+    Matches ops/energy.total_energy's non-split path term by term
+    (EnergyBreakdown); communication is one scalar psum for the pair
+    terms, one for the recip sum, and one [N,3] psum per CG iteration.
+    Per-move MC deltas deliberately stay single-device: they are O(A*N)
+    and latency-bound, so collective latency would dominate (SURVEY.md
+    §5 "long-context analog" — sharding is for full-pass recomputes).
+    """
+    from mpmc_tpu.state import EnergyBreakdown
+
+    if not te_supported(cfg):
+        from mpmc_tpu.ops import energy as energy_mod
+        return energy_mod.total_energy(pos, box, mol_alive, params, cfg,
+                                       thermo)
+    dtype = pos.dtype
+    alive = mol_alive[params.mol_id] & params.atom_ok
+    zero = jnp.zeros((), dtype)
+    aux = {}
+
+    pt = pair_pass_sharded(pos, box, alive, params, cfg,
+                           thermo.temperature, mesh)
+    rc = pairs.derived_cutoff(box, cfg)
+    volume = jnp.abs(jnp.linalg.det(box))
+
+    lrc = zero
+    if cfg.rd_potential in ("lj", "disp_expansion") and cfg.rd_lrc:
+        sc = pairs.lrc_self_coefficient(alive, params, cfg, rc)
+        lrc = (pt.lrc_coeff + 0.5 * sc) / volume
+
+    es_recip = zero
+    es_self = zero
+    if cfg.coulomb == "ewald":
+        alpha = pairs.derived_alpha(rc, cfg)
+        es_recip = recip_energy_sharded(pos, params.charge, alive, box,
+                                        alpha, cfg.ewald_kmax, mesh)
+        es_self = ewald.self_energy(params.charge, alive, alpha)
+    elif cfg.coulomb == "wolf":
+        alpha = pairs.derived_alpha(rc, cfg)
+        es_self = ewald.wolf_self_energy(params.charge, alive, alpha, rc)
+
+    polar = zero
+    if cfg.polarization:
+        if cfg.polar_ewald or cfg.polar_wolf:
+            e0 = thole.static_field(pos, box, alive, params, cfg)
+        else:
+            e0 = static_field_sharded(pos, box, alive, params, cfg, mesh)
+        mu, n_iter = solve_scf_sharded(pos, box, alive, params, cfg, e0,
+                                       mesh)
+        polar = thole.polar_energy(mu, e0)
+        aux["mu"], aux["e0"], aux["polar_iters"] = mu, e0, n_iter
+
+    e = EnergyBreakdown(rd=pt.rd, lrc=lrc, es_real=pt.es_real,
+                        es_recip=es_recip, es_self=es_self,
+                        es_excl=pt.es_excl, polar=polar, vdw=zero)
+    return e, aux
+
+
 def solve_scf_sharded(pos, box, atom_alive, params, cfg, e0, mesh: Mesh,
                       mu0=None):
     """Thole SCF (ops/thole.solve_scf, PCG branch) with the O(N'^2)

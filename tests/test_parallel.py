@@ -262,6 +262,56 @@ class TestSpatialSharding:
         e_2 = thole.polar_energy(mu2, e0)
         assert float(e_1) == pytest.approx(float(e_2), rel=1e-10)
 
+    @pytest.mark.parametrize("polar", [False, True])
+    def test_total_energy_sharded_matches_single(self, mesh8, polar):
+        """Multi-chip `ensemble te`: every term of the sharded
+        full-system energy matches ops/energy.total_energy."""
+        from mpmc_tpu.ops import energy as energy_mod
+        from mpmc_tpu.parallel import spatial
+        params, state, cfg, thermo = systems.mof_h2_gcmc(
+            n_side=4, n_h2=8, capacity=16, dtype="float64",
+            polarization=polar)
+        mesh = jax.sharding.Mesh(
+            np.asarray(jax.devices()[:8]), (spatial.AXIS,))
+        e1, _ = energy_mod.total_energy(
+            state.pos, state.box, state.mol_alive, params, cfg, thermo)
+        e2, _ = spatial.total_energy_sharded(
+            state.pos, state.box, state.mol_alive, params, cfg, thermo,
+            mesh)
+        for f in ("rd", "lrc", "es_real", "es_recip", "es_self",
+                  "es_excl", "polar", "vdw", "total"):
+            v1, v2 = float(getattr(e1, f)), float(getattr(e2, f))
+            assert v1 == pytest.approx(v2, rel=1e-9, abs=1e-10), f
+
+    def test_te_cli_spatial_devices(self, tmp_path, mesh8):
+        """`ensemble te` + `spatial_devices 8` runs the sharded path and
+        reports the same per-term energies as the single-device run."""
+        import io
+        from mpmc_tpu.io import input_script
+        from mpmc_tpu.mc import run as run_mod
+        pqr = tmp_path / "ar2.pqr"
+        pqr.write_text(   # neutral dipole molecule + LJ atom
+            "ATOM 1 A D 1 M 0.0 0.0 0.0 20.0 0.3 0.0 119.8 3.405\n"
+            "ATOM 2 B D 1 M 1.1 0.0 0.0 20.0 -0.3 0.0 119.8 3.405\n"
+            "ATOM 3 Ar AR 2 M 3.9 0.0 0.0 39.948 0.0 0.0 119.8 3.405\n"
+            "END\n")
+        base = f"""
+ensemble te
+temperature 150
+basis1 15 0 0
+basis2 0 15 0
+basis3 0 0 15
+precision float64
+pqr_input {pqr}
+"""
+        e1 = run_mod.run(input_script.parse(base), log=io.StringIO())
+        log = io.StringIO()
+        e2 = run_mod.run(input_script.parse(
+            base + "spatial_devices 8\n"), log=log)
+        assert "spatial sharding: 8 devices" in log.getvalue()
+        assert float(e1.total) == pytest.approx(float(e2.total),
+                                                rel=1e-10)
+
 
 def test_chains_npt_cli(tmp_path):
     """Batched chains with NPT volume moves (full-pass candidate under
