@@ -993,7 +993,7 @@ def run_chunk_fused(state: SimState, params: Params, cfg: RunConfig,
                                     "interpret", "thermo_batched"))
 def _fused_chunk_nvt_multi(states, params, thermo, mv_start, mv_natoms,
                            cfg, n_steps, a_max, interpret,
-                           thermo_batched):
+                           thermo_batched, mv_slots=None):
     """C-chain fused NVT chunk in ONE kernel launch
     (ops/pallas/mc_kernel.run_steps_multi): all chains' planes live in
     VMEM together and each in-kernel step advances every chain, giving
@@ -1001,16 +1001,20 @@ def _fused_chunk_nvt_multi(states, params, thermo, mv_start, mv_natoms,
     are a stacked pytree (parallel/multichain.stack_states); box,
     params and aliveness are shared across chains (the NVT contract).
     ``thermo_batched``: thermo.temperature carries a leading [C] (PT
-    ladders); move factors are shared (replica 0's)."""
+    ladders); move factors are shared (replica 0's).  ``mv_slots``:
+    only under cfg.quantum_rotation — per-chain rot_f/spin ride into
+    the kernel as per-chain 3-row groups, flipped spins scatter back."""
     from mpmc_tpu.ops.pallas import mc_kernel
 
+    sf = cfg.quantum_rotation
     C = states.pos.shape[0]
     box = states.box[0]
     rc = pairs.derived_cutoff(box, cfg)
     alpha = pairs.derived_alpha(rc, cfg)
     ks = jax.vmap(jax.random.split)(states.key)        # [C,2,2]
     key_next, k_u = ks[:, 0], ks[:, 1]
-    u = jax.vmap(lambda k: mc_kernel.draw_uniforms(k, n_steps))(k_u)
+    u = jax.vmap(lambda k: mc_kernel.draw_uniforms(
+        k, n_steps, lanes=16 if sf else 8))(k_u)
     u = u.reshape(C * n_steps, u.shape[-1])
     thr = cfg.cavity_autoreject_absolute
     kv, kcoef = _fused_ktable(box, cfg, alpha)
@@ -1018,19 +1022,29 @@ def _fused_chunk_nvt_multi(states, params, thermo, mv_start, mv_natoms,
         betas = 1.0 / thermo.temperature.reshape(C)
         mf = thermo.move_factor.reshape(-1)[0]
         rotf = thermo.rot_factor.reshape(-1)[0]
+        p_spin = (thermo.spinflip_probability.reshape(-1)[0] if sf
+                  else 0.0)
     else:
         betas = jnp.broadcast_to(1.0 / thermo.temperature, (C,))
         mf = thermo.move_factor
         rotf = thermo.rot_factor
+        p_spin = thermo.spinflip_probability if sf else 0.0
+    if sf:
+        rot_mov = states.rot_f[:, mv_slots].astype(jnp.float32)
+        spin_mov = jax.vmap(
+            lambda s: s.reshape(-1, 1)[mv_slots][:, 0])(states.spin)
+    else:
+        rot_mov = spin_mov = None
     alive = states.mol_alive[0][params.mol_id] & params.atom_ok
     sk_re = states.sk_re if cfg.coulomb == "ewald" else None
     sk_im = states.sk_im if cfg.coulomb == "ewald" else None
-    new_pos, sums, sk_re2, sk_im2 = mc_kernel.run_steps_multi(
+    new_pos, sums, sk_re2, sk_im2, spin_new = mc_kernel.run_steps_multi(
         states.pos, params.eps, params.sig, params.charge, params.mass,
         alive, mv_start, mv_natoms, box, rc, alpha, betas, mf, rotf,
         thr * thr, u, cfg, n_steps, states.pos.shape[1], a_max=a_max,
         interpret=interpret, kvecs=kv, kcoef=kcoef, sk_re=sk_re,
-        sk_im=sk_im, mol_mass_atom=_fh_mol_mass_atom(params, cfg),
+        sk_im=sk_im, rot_f=rot_mov, spin=spin_mov, p_spin=p_spin,
+        mol_mass_atom=_fh_mol_mass_atom(params, cfg),
         c6=params.c6, c8=params.c8, c10=params.c10,
         gwp_alpha=params.gwp_alpha)
     dtype = cfg.jdtype
@@ -1044,11 +1058,22 @@ def _fused_chunk_nvt_multi(states, params, thermo, mv_start, mv_natoms,
         n_steps)
     acc = jnp.zeros((C, N_MOVE_TYPES), jnp.int32).at[:, DISPLACE].set(
         sums[:, 3].astype(jnp.int32))
+    if sf:
+        # the displace slot over-counted by the spinflip carve-out
+        att_sp = sums[:, 5].astype(jnp.int32)
+        att = (att.at[:, DISPLACE].add(-att_sp)
+               .at[:, SPINFLIP].add(att_sp))
+        acc = acc.at[:, SPINFLIP].add(sums[:, 4].astype(jnp.int32))
     stats = MCStats(attempts=att, accepts=acc,
                     polar_iters=jnp.zeros((C,), jnp.int32))
     new_states = states.replace(pos=new_pos, energy=new_energy,
                                 key=key_next,
                                 step=states.step + n_steps)
+    if sf:
+        new_spin = jax.vmap(lambda s, sn: s.reshape(-1, 1).at[mv_slots]
+                            .set((sn > 0.5).astype(s.dtype)[:, None])
+                            .reshape(s.shape))(states.spin, spin_new)
+        new_states = new_states.replace(spin=new_spin)
     if cfg.coulomb == "ewald":
         new_states = new_states.replace(sk_re=sk_re2.astype(dtype),
                                         sk_im=sk_im2.astype(dtype))
@@ -1061,7 +1086,7 @@ def _fused_chunk_nvt_multi(states, params, thermo, mv_start, mv_natoms,
                                     "refresh_rows"))
 def _fused_block_nvt_multi(states, params, thermo, mv_start, mv_natoms,
                            cfg, n_steps, a_max, interpret,
-                           thermo_batched, refresh_rows):
+                           thermo_batched, refresh_rows, mv_slots=None):
     """Chunk + per-corrtime refresh composed in ONE jitted program —
     feeding the refresh output back into the next chunk across a jit
     boundary was measured at ~+29 ms/block of relayout/copy on the
@@ -1070,7 +1095,7 @@ def _fused_block_nvt_multi(states, params, thermo, mv_start, mv_natoms,
     from mpmc_tpu.parallel import multichain
     states, stats = _fused_chunk_nvt_multi.__wrapped__(
         states, params, thermo, mv_start, mv_natoms, cfg, n_steps,
-        a_max, interpret, thermo_batched)
+        a_max, interpret, thermo_batched, mv_slots=mv_slots)
     states = multichain.initialize_batched.__wrapped__(
         states, params, cfg, thermo, thermo_batched=thermo_batched,
         frozen_rows=refresh_rows)
@@ -1102,18 +1127,21 @@ def run_chunk_fused_multi(states: SimState, params: Params,
         return (jnp.asarray(mv), jnp.asarray(mva), int(am),
                 jnp.asarray(slots))
 
-    mv_start, mv_natoms, a_max, _ = _fused_host_cached(
+    mv_start, mv_natoms, a_max, mv_slots = _fused_host_cached(
         ("nvt_multi", id(params.mol_start), id(states.mol_alive)),
         (params.mol_start, states.mol_alive), build)
+    if not cfg.quantum_rotation:
+        mv_slots = None   # keep the jit cache key stable for non-sf
     interpret = jax.default_backend() != "tpu"
     if refresh_rows is None:
         new_states, stats = _fused_chunk_nvt_multi(
             states, params, thermo, mv_start, mv_natoms, cfg, n_steps,
-            a_max, interpret, thermo_batched)
+            a_max, interpret, thermo_batched, mv_slots=mv_slots)
     else:
         new_states, stats = _fused_block_nvt_multi(
             states, params, thermo, mv_start, mv_natoms, cfg, n_steps,
-            a_max, interpret, thermo_batched, int(refresh_rows))
+            a_max, interpret, thermo_batched, int(refresh_rows),
+            mv_slots=mv_slots)
     # NVT never changes aliveness: reattach for the id-keyed cache
     new_states = dataclasses.replace(new_states,
                                      mol_alive=states.mol_alive)

@@ -272,6 +272,55 @@ def _slice_chain(states, k):
     return jax.tree_util.tree_map(lambda x: x[k], states)
 
 
+def _qrot_init_batched(su: Setup, states, temps, lmax: int):
+    """Per-chain spin/rot_f initialization for the batched drivers
+    (chains N, parallel tempering).  Chains start from the SAME
+    configuration, so ONE eigensolve set serves every chain; the
+    per-chain F tables evaluate it at each chain's temperature.
+    Returns (states, per-chain eigs caches)."""
+    from mpmc_tpu.ops import qrot
+    cfg, params = su.cfg, su.params
+    C = int(states.pos.shape[0])
+    qr_rng = np.random.default_rng(cfg.seed + 977)
+    # normal-H2 initial mixture per chain: 3:1 ortho:para (decorrelated
+    # across chains; same convention as the single-chain driver)
+    spins0 = (qr_rng.random((C, int(params.n_mols_max))) < 0.75
+              ).astype(np.int32)
+    st0 = _slice_chain(states, 0)
+    eigs0 = qrot.eigen_tables(
+        st0.pos, st0.box, st0.atom_alive(params), st0.mol_alive, params,
+        cfg, su.thermo, list(su.species), lmax=lmax)
+    tables = np.stack([
+        qrot.table_from_eigs(eigs0, params.n_mols_max, t) for t in temps])
+    states = states.replace(spin=jnp.asarray(spins0),
+                            rot_f=jnp.asarray(tables, cfg.jdtype))
+    return states, [eigs0] * C
+
+
+def _qrot_refresh_batched(su: Setup, states, temps, lmax: int):
+    """Per-corrtime hindered-rotor refresh for batched drivers:
+    eigensolves at each chain's CURRENT positions and temperature →
+    ([C,M,2] rot_f, per-chain eigs caches).  Host-level by design
+    (numpy eigensolves over a spherical-harmonic basis, ops/qrot.py) —
+    the same cadence and staleness contract as the single-chain
+    driver's per-corrtime refresh."""
+    from mpmc_tpu.ops import qrot
+    cfg, params = su.cfg, su.params
+    C = int(states.pos.shape[0])
+    tables, eigs_all = [], []
+    for c in range(C):
+        st = _slice_chain(states, c)
+        th = su.thermo.replace(
+            temperature=jnp.asarray(temps[c], cfg.jdtype))
+        eigs = qrot.eigen_tables(
+            st.pos, st.box, st.atom_alive(params), st.mol_alive, params,
+            cfg, th, list(su.species), lmax=lmax)
+        eigs_all.append(eigs)
+        tables.append(qrot.table_from_eigs(eigs, params.n_mols_max,
+                                           temps[c]))
+    return np.stack(tables), eigs_all
+
+
 def observables_batched(su: Setup, states, n_chains: int):
     """Per-chain observables dicts for a batched-chain state — the
     multi-chain analog of observables() built from ONE jitted call and
@@ -280,10 +329,8 @@ def observables_batched(su: Setup, states, n_chains: int):
     corrtime block, ~30 ms each over the tunneled axon backend
     (CLAUDE.md) — pure dispatch latency that would dwarf the fused MC
     chunk itself.  Key-for-key equality with observables() is pinned by
-    tests/test_parallel.py.  Spin/rot observables are absent (the
-    chains driver refuses quantum-rotation spinflips) and
-    polar_rrms_debye is omitted for a chain with no alive polarizable
-    sites, matching observables()."""
+    tests/test_parallel.py.  polar_rrms_debye is omitted for a chain
+    with no alive polarizable sites, matching observables()."""
     params = su.params
     has_mu = states.mu is not None
     terms, vol, n, ns, mu2m, npol, dof = jax.device_get(
@@ -316,6 +363,22 @@ def observables_batched(su: Setup, states, n_chains: int):
         obs.update(sorbed_mass_obs(total_amu, obs["volume"],
                                    su.frozen_mass))
         out.append(obs)
+    if states.spin is not None and states.rot_f is not None:
+        # quantum-rotation spin observables (same keys/semantics as
+        # observables()): three extra fetches, only when qrot is on
+        spin_h, rotf_h, alive_h = jax.device_get(
+            (states.spin, states.rot_f, states.mol_alive))
+        mask0 = (~np.asarray(params.mol_frozen)
+                 & (np.asarray(params.mol_species) >= 0)
+                 & (np.asarray(params.mol_natoms) >= 2))
+        for c in range(n_chains):
+            am = np.asarray(alive_h[c]) & mask0
+            if am.any():
+                sp_c = np.asarray(spin_h[c])[am].astype(int)
+                ft = np.asarray(rotf_h[c])[am]
+                out[c]["ortho_fraction"] = float(sp_c.mean())
+                out[c]["energy_qrot"] = float(
+                    ft[np.arange(len(sp_c)), sp_c].mean())
     return out
 
 
@@ -652,12 +715,6 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
 
     su = setup(job)
     cfg, params, thermo = su.cfg, su.params, su.thermo
-    if metropolis.spinflip_active(cfg):
-        # rot_f free-energy tables are temperature-dependent per-chain
-        # state this driver neither builds nor refreshes across ladder
-        # swaps — single-chain runs (chains 1) support spinflips
-        raise ValueError("parallel tempering does not support "
-                         "quantum_rotation spinflip moves")
     if cfg.ensemble == "nve":
         # Ray's microcanonical acceptance never reads the temperature a
         # ladder would swap — every replica would sample the identical
@@ -676,15 +733,23 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     states = multichain.stack_states(state, R, seed=cfg.seed)
     thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
     rng = _np.random.default_rng(cfg.seed + 101)
+    qrot_eigs = None
+    if metropolis.spinflip_active(cfg):
+        # per-replica spin/rot_f state: the eigensolves are cached so a
+        # temperature swap rebuilds each replica's F table at its new T
+        # WITHOUT re-solving (ops/qrot.eigen_tables)
+        states, qrot_eigs = _qrot_init_batched(
+            su, states, temps, job.quantum_rotation_level_max)
     use_fused_multi = use_fused_multi_uvt = False
     if cfg.fused_mc:
         from mpmc_tpu.ops.pallas import mc_kernel
-        # FH/FK energies are T-dependent: a swap invalidates the
-        # accumulated totals, and the fused path has no per-swap
-        # refresh — scan path handles FH/FK ladders
+        # FH/FK energies and rot_f spinflip tables are T-dependent: a
+        # swap invalidates them, and the fused one-launch round has no
+        # per-swap refresh — scan path handles those ladders
         t_ok = (R <= mc_kernel.MAX_MULTI_CHAINS
                 and mc_kernel.multi_width_ok(R, params)
-                and not cfg.feynman_hibbs and not cfg.feynman_kleinert)
+                and not cfg.feynman_hibbs and not cfg.feynman_kleinert
+                and qrot_eigs is None)
         use_fused_multi = t_ok and mc_kernel.supported_multi(cfg, params)
         use_fused_multi_uvt = (t_ok and not use_fused_multi
                                and mc_kernel.supported_uvt_multi(cfg,
@@ -755,11 +820,31 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                     states = multichain.initialize_batched(
                         states, params, cfg, thermos,
                         thermo_batched=True)
+                if qrot_eigs is not None:
+                    # rot_f is T-dependent too: rebuild each replica's
+                    # (F_para, F_ortho) from its CACHED eigensolves at
+                    # its possibly-new temperature — cheap Boltzmann
+                    # sums, no new eigensolves (ops/qrot.table_from_eigs)
+                    from mpmc_tpu.ops import qrot
+                    tables = _np.stack([
+                        qrot.table_from_eigs(qrot_eigs[r],
+                                             params.n_mols_max, temps[r])
+                        for r in range(R)])
+                    states = states.replace(
+                        rot_f=jnp.asarray(tables, cfg.jdtype))
             swap_att += max((R - parity) // 2, 0)
             parity ^= 1
         states = multichain.initialize_batched(
             states, params, cfg, thermos, thermo_batched=True,
             frozen_rows=refresh_rows)
+        if qrot_eigs is not None:
+            # per-corrtime hindered-rotor refresh at each replica's
+            # current positions AND temperature (same staleness
+            # contract as the single-chain driver)
+            tables, qrot_eigs = _qrot_refresh_batched(
+                su, states, temps, job.quantum_rotation_level_max)
+            states = states.replace(rot_f=jnp.asarray(tables,
+                                                      cfg.jdtype))
         if use_fused_multi or use_fused_multi_uvt:
             # swaps happened on device: one fetch per block keeps the
             # host's ladder view (logging, base-replica pick) and the
@@ -802,11 +887,6 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
 
     su = setup(job)
     cfg, params, thermo = su.cfg, su.params, su.thermo
-    if metropolis.spinflip_active(cfg):
-        # per-chain rot_f tables are state this driver does not build
-        # or refresh — run quantum-rotation spinflips single-chain
-        raise ValueError("chains N does not support quantum_rotation "
-                         "spinflip moves (use chains 1)")
     writer = output_io.RunWriter(job, su.species_names, log=log,
                                  jsonl_path=jsonl_path)
     C = job.chains
@@ -816,6 +896,13 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
               "single-chain driver (chains 1)", file=writer.log)
     state = metropolis.initialize(su.state, params, cfg, thermo)
     states = multichain.stack_states(state, C, seed=cfg.seed)
+    qrot_on = metropolis.spinflip_active(cfg)
+    if qrot_on:
+        # per-chain spin/rot_f state; the eigs caches are rebuilt per
+        # corrtime, so the returned caches are not kept here
+        states, _ = _qrot_init_batched(
+            su, states, [float(thermo.temperature)] * C,
+            job.quantum_rotation_level_max)
     use_fused = use_fused_uvt = False
     if cfg.fused_mc:
         from mpmc_tpu.ops.pallas import mc_kernel
@@ -831,8 +918,7 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
         else:
             print("WARNING: fused_mc requested but unsupported for "
                   f"chains={C} (needs C<={mc_kernel.MAX_MULTI_CHAINS} "
-                  "and the fused NVT/µVT "
-                  "surface minus quantum_rotation) — "
+                  "and the fused NVT/µVT surface) — "
                   "batched scan path used", file=writer.log)
     avgs = Averages()
     corr = max(cfg.corrtime, 1)
@@ -856,6 +942,13 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
                 states, params, cfg, thermo, corr)
             states = multichain.initialize_batched(
                 states, params, cfg, thermo, frozen_rows=refresh_rows)
+        if qrot_on:
+            # per-corrtime hindered-rotor refresh (tracks annealing T)
+            tables, _ = _qrot_refresh_batched(
+                su, states, [float(thermo.temperature)] * C,
+                job.quantum_rotation_level_max)
+            states = states.replace(rot_f=jnp.asarray(tables,
+                                                      cfg.jdtype))
         # per-chain observables -> cross-chain mean (+ _sem spread);
         # ONE jitted call + ONE host fetch for the whole batch
         per_chain = observables_batched(su, states, C)

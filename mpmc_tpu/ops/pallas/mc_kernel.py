@@ -236,7 +236,10 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
     ew = cfg.coulomb == "ewald"
     sf = cfg.quantum_rotation       # in-kernel spinflip moves
     nve = cfg.ensemble == "nve"     # Ray microcanonical acceptance
-    assert n_chains == 1 or not (sf or nve)
+    # sf IS allowed multi-chain: the rot table stacks per-chain 3-row
+    # groups (chain c's rows [3c, 3c+3)).  NVE stays single-chain (the
+    # kinetic reservoir k_init is one scalar lane).
+    assert n_chains == 1 or not nve
     rc = scal_ref[0, 0]
     alpha = scal_ref[0, 1]
     beta0 = scal_ref[0, 2]
@@ -302,7 +305,7 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
             # the dataflow stays branch-free.
             is_spin = u_ref[uk, 8] < p_spin
             fpair = 1.0 - is_spin.astype(jnp.float32)
-            rwin = rot_ref[pl.dslice(0, 3), pl.dslice(mt0, 128)]
+            rwin = rot_ref[pl.dslice(3 * cc, 3), pl.dslice(mt0, 128)]
             rlane = jax.lax.broadcasted_iota(jnp.int32, (3, 128), 1)
             rrow = jax.lax.broadcasted_iota(jnp.int32, (3, 128), 0)
             rsel = rlane == (m - mt0)
@@ -514,12 +517,12 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
                 [sr + accf * dsr, si + accf * dsi], axis=0)
 
         if sf:
-            # commit the flip into the rot table's spin row
-            srow = rot_ref[pl.dslice(2, 1), :]
+            # commit the flip into this chain's spin row
+            srow = rot_ref[pl.dslice(3 * cc + 2, 1), :]
             slane = jax.lax.broadcasted_iota(jnp.int32, (1, mv_pad), 1)
             srow = jnp.where((slane == m) & accept & is_spin,
                              1.0 - srow, srow)
-            rot_ref[pl.dslice(2, 1), :] = srow
+            rot_ref[pl.dslice(3 * cc + 2, 1), :] = srow
             fsp = is_spin.astype(jnp.float32)
             acc_sp = acc_sp + accept.astype(jnp.float32) * fsp
             att_sp = att_sp + fsp
@@ -745,12 +748,16 @@ MAX_MULTI_CHAINS = 48   # per-chain scal lane budget (betas / cavity).
 def multi_width_ok(n_chains: int, params) -> bool:
     """Proven compile envelope for the chain-interleaved kernels: a
     Mosaic failure at too-large C x N is a hard error, not a graceful
-    fallback, so drivers gate on measured-good points — C<=16 works up
-    to the 53.7k-atom system; C<=48 is proven at ~11k atoms (C=64
-    crashed the compile helper there).  Conservative interpolation:
-    chain-atoms <= 48 * 16384."""
+    fallback, so drivers gate on measured-good points — C<=24 works up
+    to the 53.7k-atom system (C=32 crashed the compile helper there,
+    MEASURE_LARGE_C.json); C<=48 is proven at ~11k atoms (C=56 is a
+    hard VMEM OOM, C=64 crashed the compile helper).  Conservative
+    interpolation between the proven points: chain-atoms <= 48 *
+    16384."""
+    n = int(params.n_atoms_max)
     return (n_chains <= 16
-            or n_chains * int(params.n_atoms_max) <= 48 * 16384)
+            or (n_chains <= 24 and n <= 53728)
+            or n_chains * n <= 48 * 16384)
 
 
 @functools.partial(jax.jit,
@@ -760,7 +767,8 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
                     mov_natoms, box, rc, alpha, betas, move_factor,
                     rot_factor, thr2, uniforms, cfg, n_steps, n_real,
                     a_max=1, interpret=False, kvecs=None, kcoef=None,
-                    sk_re=None, sk_im=None, mol_mass_atom=None,
+                    sk_re=None, sk_im=None, rot_f=None, spin=None,
+                    p_spin=0.0, mol_mass_atom=None,
                     c6=None, c8=None, c10=None, gwp_alpha=None):
     """C chains x K fused NVT steps in ONE launch (chain-interleaved
     _kernel; see its n_chains note).  ``pos`` [C,N,3], ``betas`` [C]
@@ -769,13 +777,16 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
     a run_steps call with its own [K, lanes] table), ``sk_re``/
     ``sk_im`` [C, Nk] under ewald.  Params/box/movable tables are
     shared across chains (same system, same aliveness — the NVT
-    contract).  quantum_rotation is NOT supported here (supported()
-    spinflip needs the per-chain rot table; use C=1).  Returns
-    (new_pos [C,N,3], sums [C,6] = (d_rd, d_es, d_rec, n_acc_disp, 0,
-    0) per chain, sk_re' [C,Nk], sk_im')."""
+    contract).  For cfg.quantum_rotation pass ``rot_f`` [C,Mv,2],
+    ``spin`` [C,Mv] and the shared scalar ``p_spin`` (the move-type
+    probabilities are ladder-shared, run_steps semantics otherwise) —
+    each chain's 3-row rot group is per-chain kernel state.  Returns
+    (new_pos [C,N,3], sums [C,6] = (d_rd, d_es, d_rec, n_acc_disp,
+    n_acc_spinflip, n_att_spinflip) per chain, sk_re' [C,Nk], sk_im',
+    spin' [C,Mv] f32)."""
     f32 = jnp.float32
     C = pos.shape[0]
-    assert C <= MAX_MULTI_CHAINS and not cfg.quantum_rotation
+    assert C <= MAX_MULTI_CHAINS
     n_pad = max(2 * TJ, _round_up(n_real, TJ))
     R = n_pad // 128
     ew = cfg.coulomb == "ewald"
@@ -803,7 +814,15 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
     mv_pad = _round_up(max(mv.shape[0], 1), 128)
     tbl = jnp.stack([jnp.pad(mv, (0, mv_pad - mv.shape[0])),
                      jnp.pad(na, (0, mv_pad - na.shape[0]))])
-    rot = jnp.zeros((3, mv_pad), f32)
+    if cfg.quantum_rotation:
+        pad_mv = mv_pad - mv.shape[0]
+        rot = jnp.concatenate([jnp.stack([
+            jnp.pad(jnp.asarray(rot_f[c, :, 0], f32), (0, pad_mv)),
+            jnp.pad(jnp.asarray(rot_f[c, :, 1], f32), (0, pad_mv)),
+            jnp.pad(jnp.asarray(spin[c], f32), (0, pad_mv))])
+            for c in range(C)])
+    else:
+        rot = jnp.zeros((3 * C, mv_pad), f32)
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
@@ -813,7 +832,7 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
     # slot 2 must carry chain 0's beta: the kernel's n_chains == 1 path
     # reads THIS slot (a zero here would sample at beta = 0)
     for i, v in enumerate((rc, alpha, betas32[0], move_factor,
-                           mv.shape[0], thr2, rot_factor, 0.0)):
+                           mv.shape[0], thr2, rot_factor, p_spin)):
         scal = scal.at[0, i].set(jnp.asarray(v, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
@@ -821,7 +840,7 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
 
     u = jnp.asarray(uniforms, f32)
 
-    out_data, out_sums, out_sk, _ = pl.pallas_call(
+    out_data, out_sums, out_sk, out_rot = pl.pallas_call(
         functools.partial(_kernel, cfg=cfg, n_steps=n_steps,
                           n_pad=n_pad, n_real=n_real, a_max=a_max,
                           nk_pad=nk_pad, mv_pad=mv_pad, n_chains=C),
@@ -837,7 +856,7 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, mv_pad), lambda _: (0, 0),
+            pl.BlockSpec((3 * C, mv_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C * nq * R, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -851,14 +870,14 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((C * 2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, mv_pad), lambda _: (0, 0),
+            pl.BlockSpec((3 * C, mv_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C * nq * R, 128), f32),
             jax.ShapeDtypeStruct((C, 8), f32),
             jax.ShapeDtypeStruct((C * 2 * Rk, 128), f32),
-            jax.ShapeDtypeStruct((3, mv_pad), f32),
+            jax.ShapeDtypeStruct((3 * C, mv_pad), f32),
         ],
         input_output_aliases={5: 0, 6: 2, 4: 3},
         interpret=interpret,
@@ -868,8 +887,9 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
                          planes[:, ROW_Y, :n_real],
                          planes[:, ROW_Z, :n_real]], axis=2)
     out_sk2 = out_sk.reshape(C, 2, nk_pad)
+    spin_out = out_rot.reshape(C, 3, mv_pad)[:, 2, :mv.shape[0]]
     return (new_pos.astype(pos.dtype), out_sums[:, :6],
-            out_sk2[:, 0, :nk], out_sk2[:, 1, :nk])
+            out_sk2[:, 0, :nk], out_sk2[:, 1, :nk], spin_out)
 
 
 def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
@@ -1719,12 +1739,11 @@ def supported(cfg, params) -> bool:
 
 def supported_multi(cfg, params) -> bool:
     """Static gate for the chain-interleaved multi-chain NVT path
-    (run_steps_multi): the NVT kernel surface minus quantum_rotation
-    (the spinflip rot table is per-chain state the shared-table layout
-    does not carry) and minus NVE (the kinetic reservoir is per-chain
-    state)."""
-    return (supported(cfg, params) and cfg.ensemble == "nvt"
-            and not cfg.quantum_rotation)
+    (run_steps_multi): the NVT kernel surface minus NVE (the kinetic
+    reservoir is one scalar lane, i.e. per-chain state the scal row
+    does not carry).  quantum_rotation IS supported: each chain's
+    rot_f/spin rows ride in as a per-chain 3-row group."""
+    return supported(cfg, params) and cfg.ensemble == "nvt"
 
 
 def supported_npt(cfg, params) -> bool:

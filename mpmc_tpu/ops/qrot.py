@@ -148,31 +148,52 @@ def symmetry_free_energies(evals, l_of, temperature) -> Tuple[float, float]:
     return f(0), f(1)
 
 
+def eigen_tables(pos, box, atom_alive, mol_alive, params, cfg, thermo,
+                 species_list, lmax: int = 4):
+    """{mol: (evals, l_of)} hindered-rotor eigensolves for every alive
+    movable linear rotor — the position-dependent part of the spinflip
+    cache.  The explicit temperature enters only the Boltzmann sums in
+    table_from_eigs, so a parallel-tempering temperature swap can
+    rebuild rot_f from these WITHOUT new eigensolves (the potential
+    surface itself keeps the per-corrtime staleness contract)."""
+    M = int(params.n_mols_max)
+    eigs = {}
+    alive_m = np.asarray(mol_alive)
+    spec = np.asarray(params.mol_species)
+    frozen = np.asarray(params.mol_frozen)
+    natoms = np.asarray(params.mol_natoms)
+    for m in range(M):
+        sidx = int(spec[m])
+        if not alive_m[m] or frozen[m] or sidx < 0 or natoms[m] < 2:
+            continue
+        try:
+            eigs[m] = rotational_levels(
+                pos, box, atom_alive, params, cfg, thermo.temperature, m,
+                species_list[sidx], lmax=lmax)
+        except ValueError:
+            continue   # zero moment of inertia: not a rotor
+    return eigs
+
+
+def table_from_eigs(eigs, n_mols: int, temperature) -> np.ndarray:
+    """[M,2] (F_para, F_ortho) [K] from cached eigensolves at the given
+    temperature (zeros for non-rotor slots)."""
+    table = np.zeros((int(n_mols), 2), np.float64)
+    t = float(temperature)
+    for m, (evals, l_of) in eigs.items():
+        table[m] = symmetry_free_energies(evals, l_of, t)
+    return table
+
+
 def free_energy_table(pos, box, atom_alive, mol_alive, params, cfg,
                       thermo, species_list, lmax: int = 4) -> np.ndarray:
     """[M,2] table of (F_para, F_ortho) [K] for every alive movable
     linear rotor (zeros elsewhere) — the per-corrtime cache behind the
     per-step spinflip move (SURVEY.md §2 "Moves / checkpoint")."""
-    M = int(params.n_mols_max)
-    table = np.zeros((M, 2), np.float64)
-    alive_m = np.asarray(mol_alive)
-    spec = np.asarray(params.mol_species)
-    frozen = np.asarray(params.mol_frozen)
-    natoms = np.asarray(params.mol_natoms)
-    t = float(thermo.temperature)
-    for m in range(M):
-        sidx = int(spec[m])
-        if not alive_m[m] or frozen[m] or sidx < 0 or natoms[m] < 2:
-            continue
-        sp = species_list[sidx]
-        try:
-            evals, l_of = rotational_levels(
-                pos, box, atom_alive, params, cfg, thermo.temperature, m,
-                sp, lmax=lmax)
-        except ValueError:
-            continue   # zero moment of inertia: not a rotor
-        table[m] = symmetry_free_energies(evals, l_of, t)
-    return table
+    eigs = eigen_tables(pos, box, atom_alive, mol_alive, params, cfg,
+                        thermo, species_list, lmax=lmax)
+    return table_from_eigs(eigs, int(params.n_mols_max),
+                           thermo.temperature)
 
 
 def spinflip_sweep(pos, box, atom_alive, params, cfg, thermo, species_list,

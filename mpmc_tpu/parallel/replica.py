@@ -211,6 +211,13 @@ def run_parallel_tempering(params, state, cfg, thermo, temps,
     R = mesh.shape[AXIS]
     if len(temps) != R:
         raise ValueError(f"{len(temps)} temperatures for {R} mesh slots")
+    if metropolis.spinflip_active(cfg):
+        # per-replica rot_f tables need host-side eigensolve refreshes
+        # the fully on-device mesh rounds cannot perform — the
+        # host-swap driver (mc/run.run_mc_pt) supports spinflip ladders
+        raise ValueError("mesh parallel tempering does not support "
+                         "quantum_rotation spinflip moves — use the "
+                         "single-chip PT driver (run_mc_pt)")
 
     state = metropolis.initialize(state, params, cfg, thermo)
     states = stack_states(state, R, seed=seed)

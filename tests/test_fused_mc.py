@@ -1204,6 +1204,44 @@ def test_multi_chain_pt_ladder_betas():
     assert accs.sum() > 0
 
 
+def test_multi_chain_spinflip_bit_equals_single_chain():
+    """Each chain of a C=3 interleaved launch with quantum-rotation
+    spinflips must reproduce BIT-EXACTLY the single-chain fused path
+    run with the same key and ITS OWN rot_f/spin tables — the
+    per-chain 3-row rot groups are chain state like S(k)."""
+    params, state, cfg, thermo = _h2_qrot_nvt(dF=80.0, p_spin=0.3)
+    assert mc_kernel.supported_multi(cfg, params)
+    C, K = 3, 120
+    states = _multi_states(state, params, cfg, thermo, C)
+    M = params.mol_species.shape[0]
+    rng = np.random.default_rng(3)
+    rot_c = np.zeros((C, M, 2), np.float32)
+    rot_c[:, :, 1] = 40.0 + 60.0 * rng.random((C, M))
+    spin_c = (rng.random((C, M)) < 0.5).astype(np.int32)
+    states = states.replace(rot_f=jnp.asarray(rot_c),
+                            spin=jnp.asarray(spin_c))
+    keys = np.asarray(states.key).copy()
+    out, stats = metropolis.run_chunk_fused_multi(states, params, cfg,
+                                                  thermo, K)
+    att = np.asarray(stats.attempts)
+    acc = np.asarray(stats.accepts)
+    assert int(att[:, metropolis.SPINFLIP].sum()) > 0
+    assert (att[:, metropolis.DISPLACE]
+            + att[:, metropolis.SPINFLIP] == K).all()
+    for c in range(C):
+        single = dataclasses.replace(
+            state, key=jnp.asarray(keys[c]),
+            rot_f=jnp.asarray(rot_c[c]), spin=jnp.asarray(spin_c[c]))
+        ref, rstats = metropolis.run_chunk_fused(single, params, cfg,
+                                                 thermo, K)
+        np.testing.assert_array_equal(np.asarray(out.pos)[c],
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(out.spin)[c],
+                                      np.asarray(ref.spin))
+        np.testing.assert_array_equal(acc[c], np.asarray(rstats.accepts))
+        assert float(out.energy.rd[c]) == float(ref.energy.rd)
+
+
 @pytest.mark.parametrize("coulomb", ["wolf", "ewald"])
 def test_multi_chain_uvt_bit_equals_single_chain(coulomb):
     """Each chain of a C=3 interleaved µVT launch must reproduce

@@ -636,33 +636,21 @@ def test_pt_and_chains_reject_spinflip_moves():
                    steps_per_round=4)
 
 
-def test_pt_and_chains_cli_reject_spinflip(tmp_path):
-    import io
+def test_mesh_pt_rejects_spinflip():
+    """The fully on-device mesh PT rounds cannot host-refresh the
+    T-dependent rot_f tables — run_parallel_tempering must refuse with
+    a clear error (the host-swap CLI driver run_mc_pt DOES support
+    spinflip ladders; tests/test_qrot.py exercises it end to end)."""
+    import dataclasses
 
-    from mpmc_tpu.io import input_script
-    from mpmc_tpu.mc import run as run_mod
-    pqr = tmp_path / "h2.pqr"
-    pqr.write_text(
-        "ATOM 1 H2G H2 1 M 3.0 3.0 3.0 0.0 0.0 0.0 34.2 2.96\n"
-        "ATOM 2 H2E H2 1 M 3.0 3.0 3.371 1.008 0.0 0.0 0.0 0.0\n"
-        "ATOM 3 H2E H2 1 M 3.0 3.0 2.629 1.008 0.0 0.0 0.0 0.0\n"
-        "END\n")
-    base = f"""
-ensemble nvt
-numsteps 200
-corrtime 100
-temperature 40
-basis1 12 0 0
-basis2 0 12 0
-basis3 0 0 12
-quantum_rotation on
-precision float64
-pqr_input {pqr}
-"""
-    for extra in ("parallel_tempering on\nn_replicas 2\n", "chains 2\n"):
-        job = input_script.parse(base + extra)
-        with pytest.raises(ValueError, match="spinflip"):
-            run_mod.run(job, log=io.StringIO())
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=8, ewald_kmax=3, dtype="float32")
+    c = dataclasses.replace(cfg, ensemble="nvt", coulomb="wolf",
+                            quantum_rotation=True)
+    with pytest.raises(ValueError, match="spinflip"):
+        replica.run_parallel_tempering(params, state, c, thermo,
+                                       [100.0] * 2, n_rounds=1,
+                                       steps_per_round=4)
 
 
 def test_observables_batched_matches_per_chain(tmp_path):

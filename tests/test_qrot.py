@@ -294,3 +294,90 @@ def test_spinflip_staleness_quantified():
     # steps.  If this regresses past 0.3 the caching contract changed;
     # if it hits ~0 the test lost its teeth (system no longer hindered).
     assert 0.005 < bias < 0.3, bias
+
+
+# ---------------------------------------------------------------------------
+# Batched drivers: chains N and parallel tempering with spinflips
+# ---------------------------------------------------------------------------
+
+def test_table_from_eigs_swap_rebuild_identity():
+    """The PT swap-time rebuild (cached eigensolves -> F tables at a NEW
+    temperature) must equal a from-scratch free_energy_table at that
+    temperature whenever the potential surface is T-independent (no
+    FH/FK) — the identity run_mc_pt relies on after every ladder
+    swap."""
+    import types
+    sp, params, state, cfg = h2_system(box_len=30.0, with_frozen=True)
+    th1 = types.SimpleNamespace(temperature=77.0)
+    th2 = types.SimpleNamespace(temperature=150.0)
+    eigs = qrot.eigen_tables(
+        state.pos, state.box, state.atom_alive(params), state.mol_alive,
+        params, cfg, th1, [sp], lmax=3)
+    rebuilt = qrot.table_from_eigs(eigs, params.n_mols_max, 150.0)
+    fresh = qrot.free_energy_table(
+        state.pos, state.box, state.atom_alive(params), state.mol_alive,
+        params, cfg, th2, [sp], lmax=3)
+    np.testing.assert_allclose(rebuilt, fresh, rtol=1e-12, atol=1e-12)
+    # and the table really is T-dependent (the rebuild is not a no-op)
+    t1 = qrot.table_from_eigs(eigs, params.n_mols_max, 77.0)
+    assert np.max(np.abs(t1 - rebuilt)) > 1e-3
+
+
+def _h2_deck(tmp_path, extra, numsteps=1500, temperature=40):
+    d = 0.371
+    pqr = tmp_path / "h2.pqr"
+    pqr.write_text(
+        "ATOM 1 H2G H2 1 M 10.0 10.0 10.0 0.0 -0.93634 0.0 34.2 2.96\n"
+        f"ATOM 2 H2E H2 1 M 10.0 10.0 {10 + d} 1.008 0.46817 0.0 0.0 0.0\n"
+        f"ATOM 3 H2E H2 1 M 10.0 10.0 {10 - d} 1.008 0.46817 0.0 0.0 0.0\n"
+        "END\n")
+    from mpmc_tpu.io import input_script
+    return input_script.parse(f"""
+ensemble nvt
+numsteps {numsteps}
+corrtime 250
+temperature {temperature}
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+coulomb off
+rd_lrc off
+precision float64
+quantum_rotation on
+quantum_rotation_level_max 3
+spinflip_probability 0.3
+pqr_input {pqr}
+""" + extra)
+
+
+def test_quantum_rotation_chains_cli(tmp_path):
+    """chains N + quantum_rotation: per-chain spin/rot_f state on the
+    batched scan path — cross-chain mean ortho fraction relaxes toward
+    para at 40 K, same physics as the single-chain CLI test."""
+    import io
+    from mpmc_tpu.mc import run as run_mod
+    job = _h2_deck(tmp_path, "chains 3\n")
+    log = io.StringIO()
+    _, avgs = run_mod.run(job, log=log)
+    assert "ortho_fraction" in avgs.samples
+    assert "energy_qrot" in avgs.samples
+    assert np.mean(avgs.samples["ortho_fraction"][2:]) < 0.4
+    assert avgs.mean("acc_spinflip") >= 0.0
+
+
+def test_quantum_rotation_parallel_tempering_cli(tmp_path):
+    """Parallel tempering + quantum_rotation spinflips (scan path):
+    per-replica rot_f tables follow the ladder — rebuilt from cached
+    eigensolves at every temperature swap, eigensolves refreshed per
+    corrtime.  The reported (base-T) replica must relax toward para."""
+    import io
+    from mpmc_tpu.mc import run as run_mod
+    job = _h2_deck(tmp_path,
+                   "parallel_tempering on\nn_replicas 3\n"
+                   "max_temperature 120\nptemp_freq 125\n",
+                   numsteps=1500)
+    log = io.StringIO()
+    avgs = run_mod.run(job, log=log)
+    assert "ortho_fraction" in avgs.samples
+    assert "swap_acceptance" in avgs.samples
+    assert np.mean(avgs.samples["ortho_fraction"][2:]) < 0.45
