@@ -1307,6 +1307,7 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
     function cost ~40-50 ms/chunk on the tunneled backend)."""
     from mpmc_tpu.ops.pallas import mc_kernel
 
+    sf = cfg.quantum_rotation
     rc = pairs.derived_cutoff(state.box, cfg)
     alpha = pairs.derived_alpha(rc, cfg)
     key_next, k_u = jax.random.split(state.key)
@@ -1314,8 +1315,17 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
     thr = cfg.cavity_autoreject_absolute
     d_self, d_excl, c1, cx, lnfv, kv, kcoef = _uvt_chunk_consts(
         state.pos, state.box, params, thermo, cfg, A_list, rep_slots)
+    if sf:
+        # slot-order rot_f/spin tables (2-D gathers, backend landmine)
+        rot_mov = state.rot_f[slots].astype(jnp.float32)
+        spin_mov = state.spin.reshape(-1, 1)[slots][:, 0]
+        p_spin = thermo.spinflip_probability
+    else:
+        rot_mov = spin_mov = None
+        p_spin = 0.0
 
-    new_pos, slot_alive, sums, sk_re, sk_im = mc_kernel.run_steps_uvt(
+    (new_pos, slot_alive, sums, sk_re, sk_im,
+     spin_new) = mc_kernel.run_steps_uvt(
         state.pos, params.eps, params.sig, params.charge, params.mass,
         state.atom_alive(params), slot_start,
         species_idx, state.mol_alive[slots], tmpl, state.box, rc,
@@ -1325,6 +1335,7 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
         A_list=A_list, interpret=interpret,
         kvecs=kv, kcoef=kcoef, sk_re=state.sk_re, sk_im=state.sk_im,
         cav_open=state.cavity_open if cfg.cavity_bias else None,
+        rot_f=rot_mov, spin=spin_mov, p_spin=p_spin,
         mol_mass_atom=_fh_mol_mass_atom(params, cfg),
         c6=params.c6, c8=params.c8, c10=params.c10,
         gwp_alpha=params.gwp_alpha)
@@ -1345,16 +1356,23 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
         attempts=stats.attempts
         .at[DISPLACE].add(att[0].astype(jnp.int32))
         .at[INSERT].add(att[1].astype(jnp.int32))
-        .at[DELETE].add(att[2].astype(jnp.int32)),
+        .at[DELETE].add(att[2].astype(jnp.int32))
+        .at[SPINFLIP].add(sums[13].astype(jnp.int32)),
         accepts=stats.accepts
         .at[DISPLACE].add(acc[0].astype(jnp.int32))
         .at[INSERT].add(acc[1].astype(jnp.int32))
-        .at[DELETE].add(acc[2].astype(jnp.int32)),
+        .at[DELETE].add(acc[2].astype(jnp.int32))
+        .at[SPINFLIP].add(sums[12].astype(jnp.int32)),
         polar_iters=stats.polar_iters)
     new_alive = state.mol_alive.at[slots].set(slot_alive)
     new_state = state.replace(pos=new_pos, mol_alive=new_alive,
                               energy=new_energy, key=key_next,
                               step=state.step + n_steps)
+    if sf:
+        new_spin = state.spin.reshape(-1, 1).at[slots].set(
+            (spin_new > 0.5).astype(state.spin.dtype)[:, None]
+        ).reshape(state.spin.shape)
+        new_state = new_state.replace(spin=new_spin)
     if cfg.coulomb == "ewald":
         new_state = new_state.replace(sk_re=sk_re.astype(dtype),
                                       sk_im=sk_im.astype(dtype))
@@ -1447,10 +1465,19 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
         betas = None
     d_self, d_excl, c1, cx, lnfv, kv, kcoef = _uvt_chunk_consts(
         states.pos[0], box, params, thermo0, cfg, A_list, rep_slots)
+    sf = cfg.quantum_rotation
+    if sf:
+        rot_mov = states.rot_f[:, slots].astype(jnp.float32)
+        spin_mov = jax.vmap(
+            lambda s: s.reshape(-1, 1)[slots][:, 0])(states.spin)
+        p_spin = thermo0.spinflip_probability
+    else:
+        rot_mov = spin_mov = None
+        p_spin = 0.0
     alive = states.mol_alive[:, params.mol_id] & params.atom_ok[None]
     sk_re = states.sk_re if cfg.coulomb == "ewald" else None
     sk_im = states.sk_im if cfg.coulomb == "ewald" else None
-    new_pos, slot_alive, sums, sk_re2, sk_im2 = (
+    new_pos, slot_alive, sums, sk_re2, sk_im2, spin_new = (
         mc_kernel.run_steps_uvt_multi(
             states.pos, params.eps, params.sig, params.charge,
             params.mass, alive, slot_start, species_idx,
@@ -1461,6 +1488,7 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
             states.pos.shape[1], A_list=A_list, interpret=interpret,
             kvecs=kv, kcoef=kcoef, sk_re=sk_re, sk_im=sk_im,
             cav_open=(states.cavity_open if cfg.cavity_bias else None),
+            rot_f=rot_mov, spin=spin_mov, p_spin=p_spin,
             mol_mass_atom=_fh_mol_mass_atom(params, cfg),
             c6=params.c6, c8=params.c8, c10=params.c10,
             gwp_alpha=params.gwp_alpha, betas=betas))
@@ -1477,17 +1505,24 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
     att = (jnp.zeros((C, N_MOVE_TYPES), jnp.int32)
            .at[:, DISPLACE].set(sums[:, 9].astype(jnp.int32))
            .at[:, INSERT].set(sums[:, 10].astype(jnp.int32))
-           .at[:, DELETE].set(sums[:, 11].astype(jnp.int32)))
+           .at[:, DELETE].set(sums[:, 11].astype(jnp.int32))
+           .at[:, SPINFLIP].set(sums[:, 13].astype(jnp.int32)))
     acc = (jnp.zeros((C, N_MOVE_TYPES), jnp.int32)
            .at[:, DISPLACE].set(sums[:, 6].astype(jnp.int32))
            .at[:, INSERT].set(sums[:, 7].astype(jnp.int32))
-           .at[:, DELETE].set(sums[:, 8].astype(jnp.int32)))
+           .at[:, DELETE].set(sums[:, 8].astype(jnp.int32))
+           .at[:, SPINFLIP].set(sums[:, 12].astype(jnp.int32)))
     stats = MCStats(attempts=att, accepts=acc,
                     polar_iters=jnp.zeros((C,), jnp.int32))
     new_alive = states.mol_alive.at[:, slots].set(slot_alive)
     new_states = states.replace(pos=new_pos, mol_alive=new_alive,
                                 energy=new_energy, key=key_next,
                                 step=states.step + n_steps)
+    if sf:
+        new_spin = jax.vmap(lambda s, sn: s.reshape(-1, 1).at[slots]
+                            .set((sn > 0.5).astype(s.dtype)[:, None])
+                            .reshape(s.shape))(states.spin, spin_new)
+        new_states = new_states.replace(spin=new_spin)
     if cfg.coulomb == "ewald":
         new_states = new_states.replace(sk_re=sk_re2.astype(dtype),
                                         sk_im=sk_im2.astype(dtype))

@@ -893,9 +893,9 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
 
 
 def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
-                data_in_ref, sk_in_ref, data_ref, out_ref, sk_ref,
-                tbl_ref, *, cfg, n_steps, n_pad, n_real, A_list, nk_pad,
-                ms_pad, g3_pad, n_chains=1):
+                data_in_ref, sk_in_ref, rot_in_ref, data_ref, out_ref,
+                sk_ref, tbl_ref, rot_ref, *, cfg, n_steps, n_pad, n_real,
+                A_list, nk_pad, ms_pad, g3_pad, n_chains=1):
     """Fused µVT (GCMC) step loop: displace | insert | delete per step.
 
     Differences from the NVT ``_kernel``: the movable-slot table carries
@@ -932,12 +932,24 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
     The open-cell grid refreshes per corrtime (initialize), the same
     staleness contract as the scan path.
 
+    Spinflip (``cfg.quantum_rotation``): lane 11 carves the move out
+    BEFORE the insert/delete/displace split, mirroring the scan path's
+    outer spinflip draw (mc/metropolis.make_branch_picker).  The picked
+    slot comes from the displace pool (all alive movables); the pair
+    pass and S(k) delta run fully masked (has_old = has_new = False),
+    du is replaced by the cached rotor free-energy difference read off
+    the per-chain 3-row rot group (f_para/f_ortho/spin in SLOT lanes),
+    and an accept only flips the spin row — positions, aliveness and
+    every energy accumulator stay untouched, exactly like the scan
+    path's b_spinflip (denergy = 0, bias-only acceptance).
+
     Data layout is the same sublane-packed (R,128)-plane scheme as the
     NVT ``_kernel`` (full-vreg block math, 16-row molecule windows,
     vector energy accumulators reduced once per step)."""
-    del tbl_in_ref, data_in_ref, sk_in_ref
+    del tbl_in_ref, data_in_ref, sk_in_ref, rot_in_ref
     ew = cfg.coulomb == "ewald"
     cb = cfg.cavity_bias
+    sf = cfg.quantum_rotation       # in-kernel spinflip moves
     # cavity bias under n_chains > 1: the open-cell grid is per-chain
     # state (each chain's positions close different cells), so cav_ref
     # stacks C [Rg,128] planes and cav_n/cav_lnf live in per-chain SMEM
@@ -956,6 +968,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
     rotf = scal_ref[0, 5]
     p_half = scal_ref[0, 6]         # 0.5 * insert_probability
     p_ins = scal_ref[0, 7]          # insert_probability
+    p_spin = scal_ref[0, 8]         # P(spinflip) (0 when sf off)
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
     # per-species SMEM tables (rows 3-7 + S cx rows + 3S template rows)
@@ -989,7 +1002,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
 
     def chain_step(cc, k, carry):
         (d_rd, d_es, d_rec, d_slf, d_exc, d_lrc,
-         acc_d, acc_i, acc_x, att_d, att_i, att_x) = carry
+         acc_d, acc_i, acc_x, att_d, att_i, att_x,
+         acc_s, att_s) = carry
         co = cc * nq * R            # chain's data-plane row offset
         cs = cc * 2 * Rk            # chain's S(k) row offset
         ct = cc * 4                 # chain's slot-table row offset
@@ -1007,9 +1021,15 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             beta = scal_ref[0, 2]
         # --- move type + species + slot pick -----------------------------
         u8 = u_ref[uk, 8]
-        is_ins = u8 < p_half
-        is_del = (~is_ins) & (u8 < p_ins)
-        is_disp = u8 >= p_ins
+        if sf:
+            # outer spinflip carve (lane 11) before the base pick —
+            # make_branch_picker semantics
+            is_spin = u_ref[uk, 11] < p_spin
+        else:
+            is_spin = jnp.zeros((), bool)
+        is_ins = (u8 < p_half) & ~is_spin
+        is_del = (u8 >= p_half) & (u8 < p_ins) & ~is_spin
+        is_disp = (u8 >= p_ins) & ~is_spin
         fins = is_ins.astype(jnp.float32)
         fdel = is_del.astype(jnp.float32)
 
@@ -1056,7 +1076,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             na_i = jnp.int32(A)
         else:
             sp_disp = jnp.sum(jnp.where(sel_slot, spec_v, 0.0))
-            spf = jnp.where(is_disp, sp_disp, suf)
+            spf = jnp.where(is_disp | is_spin, sp_disp, suf)
             na = sp_sel(spf, natoms_s)
             na_i = na.astype(jnp.int32)
         # per-site validity (species may have fewer than A sites)
@@ -1176,8 +1196,22 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                             for c in range(3)])
 
         # --- one old+new column pass for all three branches --------------
-        has_old = ~is_ins
-        has_new = ~is_del
+        # (spinflip masks BOTH passes: no pair or S(k) deltas)
+        has_old = ~is_ins & ~is_spin
+        has_new = ~is_del & ~is_spin
+
+        if sf:
+            # cached rotor free-energy difference at the picked slot
+            # (per-chain 3-row rot group, slot lanes)
+            ro = 3 * cc
+
+            def rpick(r):
+                return jnp.sum(jnp.where(
+                    sel_slot, rot_ref[pl.dslice(ro + r, 1), :], 0.0))
+
+            f_para, f_ortho, s_cur = rpick(0), rpick(1), rpick(2)
+            d_f = jnp.where(s_cur > 0.5, f_para - f_ortho,
+                            f_ortho - f_para)
 
         def col(jt, acc):
             rd_a, es_a, mr_a = acc
@@ -1283,6 +1317,11 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             dlrc = (fins * (c1 + cx_dot)
                     - fdel * (c1 + cx_dot - cx_self))
         du = drd + des + drec + dslf + dexc + dlrc
+        if sf:
+            # spinflip: every pair/LRC/self delta above is 0 by the
+            # has_old/has_new masks and sgn = 0; the move's only energy
+            # is the rotor free-energy difference
+            du = jnp.where(is_spin, d_f, du)
         lnfv = sp_sel(spf, lnfv_s)
         lnb = (fins * (lnfv + jnp.log(beta)
                        - jnp.log(n_s + 1.0))
@@ -1299,6 +1338,9 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             reject = reject | (is_ins & (cav_n < 0.5))
         accept = ((jnp.log(jnp.maximum(u_ref[uk, 4], 1e-38))
                    < lnb - beta * du) & ~reject)
+        # spinflip accepts touch ONLY the spin row — never positions,
+        # aliveness, the slot table, or the energy accumulators
+        acc_pos = accept & ~is_spin if sf else accept
 
         # unconditional blended stores (see the NVT kernel note)
         alive_val = 1.0 - fdel
@@ -1308,27 +1350,36 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             for a in range(A):
                 sel = (asel[a] if uniform_A
                        else asel[a] & valid[a])
-                w = jnp.where(sel & ~is_del & accept, new[a][ci], w)
+                w = jnp.where(sel & ~is_del & acc_pos, new[a][ci], w)
             data_ref[pl.dslice(pl.multiple_of(co + q * R + rw0, 8),
                                16), :] = w
         w = wal
         for a in range(A):
             sel = (asel[a] if uniform_A
                    else asel[a] & valid[a])
-            w = jnp.where(sel & accept, alive_val, w)
+            w = jnp.where(sel & acc_pos, alive_val, w)
         data_ref[pl.dslice(
             pl.multiple_of(co + ROW_ALIVE * R + rw0, 8), 16), :] = w
         # slot-table alive flag (no-op for displace)
-        row2 = jnp.where(sel_slot & accept, 1.0 - fdel, alive_v)
+        row2 = jnp.where(sel_slot & acc_pos, 1.0 - fdel, alive_v)
         tbl_ref[pl.dslice(ct + 2, 1), pl.dslice(0, ms_pad)] = row2
 
         if ew:
-            accf = accept.astype(jnp.float32)
+            accf = acc_pos.astype(jnp.float32)
             sk_ref[pl.dslice(cs, 2 * Rk), :] = jnp.concatenate(
                 [sr + accf * dsr, si + accf * dsi], axis=0)
 
-        af = accept.astype(jnp.float32)
+        if sf:
+            # commit the flip into this chain's spin row
+            srow = rot_ref[pl.dslice(ro + 2, 1), :]
+            srow = jnp.where(sel_slot & accept & is_spin,
+                             1.0 - srow, srow)
+            rot_ref[pl.dslice(ro + 2, 1), :] = srow
+
+        af = acc_pos.astype(jnp.float32)
         fdsp = is_disp.astype(jnp.float32)
+        fsp = is_spin.astype(jnp.float32)
+        afs = accept.astype(jnp.float32)
         # where, NOT af-multiply, for the energy deltas: a rejected
         # trial's pair energy can be inf (deep-core overlap overflows
         # the f32 LJ/dispersion sums — a uniform-position µVT insert
@@ -1341,7 +1392,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                 d_slf + sel(dslf), d_exc + sel(dexc),
                 d_lrc + sel(dlrc),
                 acc_d + af * fdsp, acc_i + af * fins, acc_x + af * fdel,
-                att_d + fdsp, att_i + fins, att_x + fdel)
+                att_d + fdsp, att_i + fins, att_x + fdel,
+                acc_s + afs * fsp, att_s + fsp)
 
     def step(k, carry):
         # all chains' steps per iteration (see the NVT _kernel note)
@@ -1350,9 +1402,9 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
 
     z = jnp.zeros((), jnp.float32)
     outs = jax.lax.fori_loop(0, n_steps, step,
-                             (((z,) * 12),) * n_chains)
+                             (((z,) * 14),) * n_chains)
     for cc in range(n_chains):
-        for i in range(12):
+        for i in range(14):
             out_ref[cc, i] = outs[cc][i]
 
 
@@ -1389,13 +1441,15 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                   move_factor, rot_factor, thr2, p_ins, lnfv, d_self,
                   d_excl, c1, cx, uniforms, cfg, n_steps, n_real, A_list,
                   interpret=False, kvecs=None, kcoef=None, sk_re=None,
-                  sk_im=None, cav_open=None, mol_mass_atom=None,
+                  sk_im=None, cav_open=None, rot_f=None, spin=None,
+                  p_spin=0.0, mol_mass_atom=None,
                   c6=None, c8=None, c10=None, gwp_alpha=None):
-    """K fused µVT steps (displace | insert | delete).  Returns
-    (new_pos [N,3], new_slot_alive [Ms] bool, sums [12], sk_re',
-    sk_im') where sums = (d_rd, d_es_real, d_es_recip, d_es_self,
-    d_es_excl, d_lrc, acc_disp, acc_ins, acc_del, att_disp, att_ins,
-    att_del).  ``slot_start``/``slot_species``/``slot_alive``: [Ms]
+    """K fused µVT steps (displace | insert | delete | spinflip).
+    Returns (new_pos [N,3], new_slot_alive [Ms] bool, sums [14],
+    sk_re', sk_im', spin' [Ms] f32) where sums = (d_rd, d_es_real,
+    d_es_recip, d_es_self, d_es_excl, d_lrc, acc_disp, acc_ins,
+    acc_del, att_disp, att_ins, att_del, acc_spin, att_spin).
+    ``slot_start``/``slot_species``/``slot_alive``: [Ms]
     first atom row, insert-species index (0..S-1) and alive flag of
     EVERY movable slot; ``A_list``: static per-species site counts
     (S = len); ``tmpl``: [S, max(A_list), 3] COM-centered species
@@ -1407,7 +1461,11 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     c1[s] + sum_t cx[s,t]*N_t).  For cfg.cavity_bias pass ``cav_open``
     ([G^3] bool open-cell mask, frozen for the chunk): inserts then
     propose inside open cells with the matching ln(n_open/G^3)
-    acceptance correction (kernel docstring)."""
+    acceptance correction (kernel docstring).  For
+    cfg.quantum_rotation pass ``rot_f`` [Ms,2] (F_para, F_ortho in
+    SLOT order), ``spin`` [Ms] and the scalar ``p_spin`` — inserted
+    molecules keep their slot's stale spin/rot_f rows until the next
+    per-corrtime refresh, the scan path's b_spinflip contract."""
     f32 = jnp.float32
     S = len(A_list)
     A = max(A_list)
@@ -1443,13 +1501,18 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                      padm(slot_species, fill=-1.0),
                      padm(slot_alive.astype(f32)),
                      padm(jnp.ones((ms,), f32))])
+    if cfg.quantum_rotation:
+        rot = jnp.stack([padm(rot_f[:, 0]), padm(rot_f[:, 1]),
+                         padm(spin)])
+    else:
+        rot = jnp.zeros((3, ms_pad), f32)
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
     n_rows = 8 + 4 * S + 2      # + per-chain cav_n / cav_lnf rows
     scal = jnp.zeros((n_rows, 16), f32)
     for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
-                           rot_factor, 0.5 * p_ins, p_ins)):
+                           rot_factor, 0.5 * p_ins, p_ins, p_spin)):
         scal = scal.at[0, i].set(jnp.asarray(v, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
@@ -1468,7 +1531,7 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
 
     u = jnp.asarray(uniforms, f32)
 
-    out_data, out_sums, out_sk, out_tbl = pl.pallas_call(
+    out_data, out_sums, out_sk, out_tbl, out_rot = pl.pallas_call(
         functools.partial(_kernel_uvt, cfg=cfg, n_steps=n_steps,
                           n_pad=n_pad, n_real=n_real, A_list=A_list,
                           nk_pad=nk_pad, ms_pad=ms_pad, g3_pad=g3_pad),
@@ -1488,6 +1551,8 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ms_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((nq * R, 128), lambda _: (0, 0),
@@ -1498,23 +1563,27 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ms_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nq * R, 128), f32),
             jax.ShapeDtypeStruct((1, 16), f32),
             jax.ShapeDtypeStruct((2 * Rk, 128), f32),
             jax.ShapeDtypeStruct((4, ms_pad), f32),
+            jax.ShapeDtypeStruct((3, ms_pad), f32),
         ],
-        input_output_aliases={5: 0, 6: 2, 4: 3},
+        input_output_aliases={5: 0, 6: 2, 4: 3, 7: 4},
         interpret=interpret,
-    )(scal, u, ktab, cav, tbl, data, sk)
+    )(scal, u, ktab, cav, tbl, data, sk, rot)
     planes = out_data.reshape(nq, n_pad)
     new_pos = jnp.stack([planes[ROW_X, :n_real],
                          planes[ROW_Y, :n_real],
                          planes[ROW_Z, :n_real]], axis=1)
     out_sk2 = out_sk.reshape(2, nk_pad)
     return (new_pos.astype(pos.dtype), out_tbl[2, :ms] > 0.5,
-            out_sums[0, :12], out_sk2[0, :nk], out_sk2[1, :nk])
+            out_sums[0, :14], out_sk2[0, :nk], out_sk2[1, :nk],
+            out_rot[2, :ms])
 
 
 @functools.partial(jax.jit,
@@ -1526,7 +1595,8 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
                         d_self, d_excl, c1, cx, uniforms, cfg, n_steps,
                         n_real, A_list, interpret=False, kvecs=None,
                         kcoef=None, sk_re=None, sk_im=None,
-                        cav_open=None, mol_mass_atom=None, c6=None,
+                        cav_open=None, rot_f=None, spin=None,
+                        p_spin=0.0, mol_mass_atom=None, c6=None,
                         c8=None, c10=None, gwp_alpha=None, betas=None):
     """C chains x K fused µVT steps in ONE launch (chain-interleaved
     _kernel_uvt).  Per-chain state: ``pos`` [C,N,3], ``alive`` [C,N],
@@ -1542,8 +1612,10 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
     (per-chain planes + per-chain n_open/ln-correction SMEM lanes).
     Each chain's trajectory is bit-equal to a run_steps_uvt call with
     its own [K,16] uniform block (chain c's step k at row c*K + k).
-    Returns (new_pos [C,N,3], new_slot_alive [C,Ms] bool, sums [C,12],
-    sk_re' [C,Nk], sk_im')."""
+    For cfg.quantum_rotation pass ``rot_f`` [C,Ms,2], ``spin`` [C,Ms]
+    and the shared scalar ``p_spin`` (per-chain 3-row rot groups, slot
+    order).  Returns (new_pos [C,N,3], new_slot_alive [C,Ms] bool,
+    sums [C,14], sk_re' [C,Nk], sk_im', spin' [C,Ms] f32)."""
     f32 = jnp.float32
     C = pos.shape[0]
     assert C <= MAX_MULTI_CHAINS
@@ -1594,6 +1666,12 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
                     padm(slot_species, fill=-1.0),
                     padm(slot_alive[c].astype(f32)),
                     padm(jnp.ones((ms,), f32))]) for c in range(C)])
+    if cfg.quantum_rotation:
+        rot = jnp.concatenate([jnp.stack([
+            padm(rot_f[c, :, 0]), padm(rot_f[c, :, 1]),
+            padm(spin[c])]) for c in range(C)])
+    else:
+        rot = jnp.zeros((3 * C, ms_pad), f32)
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
@@ -1602,7 +1680,7 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
     SL = max(16, MAX_MULTI_CHAINS)   # scal lane width (>= C cav lanes)
     scal = jnp.zeros((n_rows, SL), f32)
     for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
-                           rot_factor, 0.5 * p_ins, p_ins)):
+                           rot_factor, 0.5 * p_ins, p_ins, p_spin)):
         scal = scal.at[0, i].set(jnp.asarray(v, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
@@ -1625,7 +1703,7 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
 
     u = jnp.asarray(uniforms, f32)
 
-    out_data, out_sums, out_sk, out_tbl = pl.pallas_call(
+    out_data, out_sums, out_sk, out_tbl, out_rot = pl.pallas_call(
         functools.partial(_kernel_uvt, cfg=cfg, n_steps=n_steps,
                           n_pad=n_pad, n_real=n_real, A_list=A_list,
                           nk_pad=nk_pad, ms_pad=ms_pad, g3_pad=g3_pad,
@@ -1648,6 +1726,8 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C * 2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C, ms_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((C * nq * R, 128), lambda _: (0, 0),
@@ -1658,16 +1738,19 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C * 4, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C, ms_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C * nq * R, 128), f32),
             jax.ShapeDtypeStruct((C, 16), f32),
             jax.ShapeDtypeStruct((C * 2 * Rk, 128), f32),
             jax.ShapeDtypeStruct((C * 4, ms_pad), f32),
+            jax.ShapeDtypeStruct((3 * C, ms_pad), f32),
         ],
-        input_output_aliases={5: 0, 6: 2, 4: 3},
+        input_output_aliases={5: 0, 6: 2, 4: 3, 7: 4},
         interpret=interpret,
-    )(scal, u, ktab, cav, tbl, data, sk)
+    )(scal, u, ktab, cav, tbl, data, sk, rot)
     planes = out_data.reshape(C, nq, n_pad)
     new_pos = jnp.stack([planes[:, ROW_X, :n_real],
                          planes[:, ROW_Y, :n_real],
@@ -1675,17 +1758,21 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
     out_tbl2 = out_tbl.reshape(C, 4, ms_pad)
     out_sk2 = out_sk.reshape(C, 2, nk_pad)
     return (new_pos.astype(pos.dtype), out_tbl2[:, 2, :ms] > 0.5,
-            out_sums[:, :12], out_sk2[:, 0, :nk], out_sk2[:, 1, :nk])
+            out_sums[:, :14], out_sk2[:, 0, :nk], out_sk2[:, 1, :nk],
+            out_rot.reshape(C, 3, ms_pad)[:, 2, :ms])
 
 
 def draw_uniforms(key, n_steps, lanes=8):
     """[K, lanes] uniform table.  Lanes 0-7: 0 slot pick, 1-3
     displacement (µVT insert: fractional COM), 4 acceptance coin, 5-7
     rotation axis z / azimuth / angle (µVT insert: Shoemake quaternion
-    u1/u2/u3).  Lane 8 (µVT, lanes=16): move-type draw; lane 9:
+    u1/u2/u3).  Lane 8: NVT spinflip carve-out (lanes=16 under
+    cfg.quantum_rotation) / µVT move-type draw (lanes=16); lane 9:
     insert/delete species pick (consumed only when S > 1); lane 10:
     cavity-bias open-cell pick (consumed only under cfg.cavity_bias,
-    when lanes 1-3 become the in-cell fractional position)."""
+    when lanes 1-3 become the in-cell fractional position); lane 11:
+    µVT spinflip carve-out (consumed only under
+    cfg.quantum_rotation)."""
     return jax.random.uniform(key, (n_steps, lanes), jnp.float32)
 
 
@@ -1774,10 +1861,11 @@ def supported_uvt(cfg, params) -> bool:
     movable slot belongs to one of them, so the per-molecule
     self/exclusion/LRC deltas are per-species constants).  Cavity bias
     IS supported: the per-corrtime open-cell grid rides into VMEM as a
-    rank->cell-id list (see _kernel_uvt docstring)."""
+    rank->cell-id list (see _kernel_uvt docstring).  quantum_rotation
+    IS supported when every insert species is a rotor (natoms >= 2):
+    spinflips run in-kernel against the slot-order rot_f table."""
     if not (cfg.ensemble == "uvt"
             and 1 <= len(cfg.insert_species) <= MAX_SPECIES
-            and not cfg.quantum_rotation
             and _supported_physics(cfg)):
         return False
     frozen = np.asarray(params.mol_frozen)
@@ -1793,6 +1881,8 @@ def supported_uvt(cfg, params) -> bool:
             return False
         if not (a == a[0]).all() or int(a[0]) > MAX_SITES:
             return False
+        if cfg.quantum_rotation and int(a[0]) < 2:
+            return False    # monatomic species are not rotors
     return True
 
 

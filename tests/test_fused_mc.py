@@ -764,9 +764,16 @@ def test_spinflip_gate():
     p1, s1, c1, t1 = systems.lj_fluid(n=16, dtype="float32")
     assert not mc_kernel.supported(
         dataclasses.replace(c1, quantum_rotation=True), p1)
-    # the uvt/npt kernels have no spinflip branch
     assert not mc_kernel.supported_uvt(
-        dataclasses.replace(cfg, ensemble="uvt"), params)
+        dataclasses.replace(c1, ensemble="uvt", insert_species=(0,),
+                            quantum_rotation=True), p1)
+    # the uvt kernel DOES carry a spinflip branch (rotor species)
+    assert mc_kernel.supported_uvt(
+        dataclasses.replace(cfg, ensemble="uvt",
+                            insert_species=(0,)), params)
+    # the npt kernel has none
+    assert not mc_kernel.supported_npt(
+        dataclasses.replace(cfg, ensemble="npt"), params)
 
 
 def test_spinflip_pure_flip_chunk():
@@ -817,6 +824,124 @@ def test_spinflip_ortho_para_equilibrium():
         float(fresh.energy.rd), rel=2e-4, abs=5e-2)
     assert float(st.energy.es_real) == pytest.approx(
         float(fresh.energy.es_real), rel=2e-4, abs=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel spinflip in the fused µVT kernel
+# ---------------------------------------------------------------------------
+
+def _h2_qrot_uvt(dF=100.0, p_spin=0.5, n_h2=8, coulomb="wolf"):
+    """GCMC MOF+H2 with a hand-set slot-order rot_f table (F_para = 0,
+    F_ortho = dF) — same controlled-physics setup as _h2_qrot_nvt but
+    on the µVT surface (insert/delete/displace/spinflip)."""
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=n_h2, capacity=2 * n_h2, ewald_kmax=3)
+    cfg = dataclasses.replace(cfg, coulomb=coulomb, fused_mc=True,
+                              quantum_rotation=True)
+    thermo = thermo.replace(
+        spinflip_probability=jnp.asarray(p_spin, jnp.float32))
+    state = metropolis.initialize(state, params, cfg, thermo)
+    M = params.mol_species.shape[0]
+    rot_f = np.zeros((M, 2), np.float32)
+    rot_f[:, 1] = dF
+    state = state.replace(rot_f=jnp.asarray(rot_f),
+                          spin=jnp.zeros(M, jnp.int32))
+    return params, state, cfg, thermo
+
+
+def test_uvt_spinflip_pure_flip_chunk():
+    """p_spin = 1: every µVT step is a spinflip — positions, aliveness,
+    S(k) and every energy term must be BIT-identical; only spins and
+    the SPINFLIP stats move."""
+    params, state, cfg, thermo = _h2_qrot_uvt(dF=50.0, p_spin=1.0,
+                                              coulomb="ewald")
+    assert mc_kernel.supported_uvt(cfg, params)
+    slots = np.asarray(metropolis.uvt_fused_tables(params, cfg)[0])
+    alive = np.asarray(state.mol_alive)[slots]
+    st = state
+    flipped_seen = 0
+    for _ in range(3):   # a single chunk end can be all-para (~3.5%)
+        st, stats = metropolis.run_chunk_fused_uvt(st, params, cfg,
+                                                   thermo, 200)
+        np.testing.assert_array_equal(np.asarray(st.pos),
+                                      np.asarray(state.pos))
+        np.testing.assert_array_equal(np.asarray(st.mol_alive),
+                                      np.asarray(state.mol_alive))
+        np.testing.assert_array_equal(np.asarray(st.sk_re),
+                                      np.asarray(state.sk_re))
+        assert float(st.energy.total) == float(state.energy.total)
+        att = np.asarray(stats.attempts)
+        acc = np.asarray(stats.accepts)
+        assert att[metropolis.SPINFLIP] == 200
+        assert (att[metropolis.DISPLACE] == att[metropolis.INSERT]
+                == att[metropolis.DELETE] == 0)
+        assert 0 < acc[metropolis.SPINFLIP] < 200
+        flipped_seen += int(np.asarray(st.spin)[slots][alive].sum())
+    assert flipped_seen > 0
+
+
+def test_uvt_spinflip_mixed_bookkeeping():
+    """Mixed insert/delete/displace/spinflip µVT chain: accumulated
+    per-term deltas must match a recompute of the final configuration,
+    attempts partition the chunk, and exchanges really happened."""
+    params, state, cfg, thermo = _h2_qrot_uvt(dF=80.0, p_spin=0.25)
+    assert mc_kernel.supported_uvt(cfg, params)
+    K = 500
+    st, stats = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                               thermo, K)
+    att = np.asarray(stats.attempts)
+    acc = np.asarray(stats.accepts)
+    assert att.sum() == K
+    assert att[metropolis.SPINFLIP] > 0
+    assert acc[metropolis.INSERT] + acc[metropolis.DELETE] > 0
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    for term in ("rd", "es_real", "lrc"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+
+
+def test_multi_chain_uvt_spinflip_bit_equals_single_chain():
+    """Each chain of a C=3 interleaved µVT launch with spinflips must
+    reproduce BIT-EXACTLY the single-chain fused GCMC run with the same
+    key and ITS OWN rot_f/spin tables."""
+    from mpmc_tpu.parallel import multichain
+    params, state, cfg, thermo = _h2_qrot_uvt(dF=60.0, p_spin=0.3,
+                                              n_h2=4)
+    assert mc_kernel.supported_uvt_multi(cfg, params)
+    C, K = 3, 150
+    states = multichain.stack_states(state, C, seed=6)
+    M = params.mol_species.shape[0]
+    rng = np.random.default_rng(9)
+    rot_c = np.zeros((C, M, 2), np.float32)
+    rot_c[:, :, 1] = 30.0 + 70.0 * rng.random((C, M))
+    spin_c = (rng.random((C, M)) < 0.5).astype(np.int32)
+    states = states.replace(rot_f=jnp.asarray(rot_c),
+                            spin=jnp.asarray(spin_c))
+    keys = np.asarray(states.key).copy()
+    out, stats = metropolis.run_chunk_fused_uvt_multi(states, params,
+                                                      cfg, thermo, K)
+    att = np.asarray(stats.attempts)
+    assert int(att[:, metropolis.SPINFLIP].sum()) > 0
+    assert int(att.sum()) == C * K
+    for c in range(C):
+        single = dataclasses.replace(
+            state, key=jnp.asarray(keys[c]),
+            rot_f=jnp.asarray(rot_c[c]), spin=jnp.asarray(spin_c[c]))
+        ref, rstats = metropolis.run_chunk_fused_uvt(single, params,
+                                                     cfg, thermo, K)
+        np.testing.assert_array_equal(np.asarray(out.pos)[c],
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(out.mol_alive)[c],
+                                      np.asarray(ref.mol_alive))
+        np.testing.assert_array_equal(np.asarray(out.spin)[c],
+                                      np.asarray(ref.spin))
+        np.testing.assert_array_equal(np.asarray(stats.attempts)[c],
+                                      np.asarray(rstats.attempts))
+        np.testing.assert_array_equal(np.asarray(stats.accepts)[c],
+                                      np.asarray(rstats.accepts))
+        for term in ("rd", "es_real", "lrc"):
+            assert float(getattr(out.energy, term)[c]) == float(
+                getattr(ref.energy, term)), (c, term)
 
 
 # ---------------------------------------------------------------------------
@@ -1587,7 +1712,7 @@ def test_uvt_overlap_insert_keeps_accumulators_finite():
     u[0, 4] = 0.5                       # coin (inf du rejects anyway)
     slots, start, spidx, A_list = mc_kernel.movable_slots(params, (0,))
     one = np.zeros((1,), np.float32)
-    new_pos, slot_alive, sums, _, _ = mc_kernel.run_steps_uvt(
+    new_pos, slot_alive, sums, _, _, _ = mc_kernel.run_steps_uvt(
         state.pos, params.eps, params.sig, params.charge, params.mass,
         state.atom_alive(params), start, spidx,
         np.asarray(state.mol_alive)[np.asarray(slots)],

@@ -381,3 +381,30 @@ def test_quantum_rotation_parallel_tempering_cli(tmp_path):
     assert "ortho_fraction" in avgs.samples
     assert "swap_acceptance" in avgs.samples
     assert np.mean(avgs.samples["ortho_fraction"][2:]) < 0.45
+
+
+def test_quantum_rotation_uvt_fused_cli(tmp_path):
+    """GCMC + quantum_rotation on the fused µVT kernel (the flagship
+    quantum-H2 sorption shape): insert/delete/displace/spinflip in one
+    Pallas program, rot_f refreshed per corrtime.  Para must still win
+    at 40 K and exchanges must actually happen."""
+    import io
+    from mpmc_tpu.mc import run as run_mod
+    job = _h2_deck(tmp_path, """ensemble uvt
+pressure 0.5
+insert_probability 0.3
+max_molecules 6
+fused_mc on
+precision float32
+""", numsteps=1500)
+    log = io.StringIO()
+    _, avgs = run_mod.run(job, log=log)
+    # the single-chain driver only logs on fused-gate FAILURE
+    assert "WARNING: fused_mc requested" not in log.getvalue()
+    assert "ortho_fraction" in avgs.samples
+    assert avgs.mean("acc_spinflip") > 0.0     # flips attempted+accepted
+    assert avgs.mean("acc_insert") > 0.0       # exchanges really ran
+    # with O(1) molecules the per-block ortho fraction is a 0/1
+    # indicator — only a weak para preference is statistically safe
+    # here (the NVT CLI test pins the relaxation physics tightly)
+    assert np.mean(avgs.samples["ortho_fraction"]) <= 0.75
