@@ -297,6 +297,26 @@ def _qrot_init_batched(su: Setup, states, temps, lmax: int):
     return states, [eigs0] * C
 
 
+def _qrot_stack_levels(eigs_list, params, lmax: int):
+    """Stack per-replica eigensolve caches into device level arrays
+    ([R,M,L] levels / parity / valid) for the fused PT rounds' in-jit
+    per-swap rot_f rebuild (ops/qrot.free_energies_from_levels)."""
+    from mpmc_tpu.ops import qrot
+    M = int(params.n_mols_max)
+    lv, pr, va = zip(*(qrot.level_arrays(e, M, lmax) for e in eigs_list))
+    return (jnp.asarray(np.stack(lv)), jnp.asarray(np.stack(pr)),
+            jnp.asarray(np.stack(va)))
+
+
+@jax.jit
+def _qrot_tables_batched(levels, par, valid, temps):
+    """[R,M,2] rot_f tables from stacked level arrays at per-replica
+    temperatures — ONE dispatch per parallel-tempering swap round."""
+    from mpmc_tpu.ops import qrot
+    return jax.vmap(qrot.free_energies_from_levels)(levels, par, valid,
+                                                    temps)
+
+
 def _qrot_refresh_batched(su: Setup, states, temps, lmax: int):
     """Per-corrtime hindered-rotor refresh for batched drivers:
     eigensolves at each chain's CURRENT positions and temperature →
@@ -743,13 +763,17 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     use_fused_multi = use_fused_multi_uvt = False
     if cfg.fused_mc:
         from mpmc_tpu.ops.pallas import mc_kernel
-        # FH/FK energies and rot_f spinflip tables are T-dependent: a
-        # swap invalidates them, and the fused one-launch round has no
-        # per-swap refresh — scan path handles those ladders
+        # FH/FK pair energies are T-dependent with no cheap on-device
+        # rebuild: a swap invalidates the accumulated totals, so those
+        # ladders stay on the scan path.  Spinflip rot_f tables are ALSO
+        # T-dependent, but factor as cached eigensolves x Boltzmann sums
+        # (ops/qrot.eigen_tables docstring) — the fused rounds rebuild
+        # per-replica F(T) IN-JIT after every on-device swap
+        # (qrot.free_energies_from_levels), keeping the scan path's
+        # staleness contract with zero extra host syncs
         t_ok = (R <= mc_kernel.MAX_MULTI_CHAINS
                 and mc_kernel.multi_width_ok(R, params)
-                and not cfg.feynman_hibbs and not cfg.feynman_kleinert
-                and qrot_eigs is None)
+                and not cfg.feynman_hibbs and not cfg.feynman_kleinert)
         use_fused_multi = t_ok and mc_kernel.supported_multi(cfg, params)
         use_fused_multi_uvt = (t_ok and not use_fused_multi
                                and mc_kernel.supported_uvt_multi(cfg,
@@ -757,6 +781,10 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         if use_fused_multi or use_fused_multi_uvt:
             print("fused_mc: chain-interleaved PT kernel "
                   f"(R={R}, on-device swaps)", file=writer.log)
+    qrot_levels = None
+    if qrot_eigs is not None and (use_fused_multi or use_fused_multi_uvt):
+        qrot_levels = _qrot_stack_levels(
+            qrot_eigs, params, job.quantum_rotation_level_max)
     avgs = Averages()
     swap_acc, swap_att = 0, 0
     corr = max(cfg.corrtime, 1)
@@ -792,6 +820,13 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                     swap_keys[n_swaps], parity, n_mols=n_uvt_d)
                 thermos = dataclasses.replace(thermos,
                                               temperature=new_ts)
+                if qrot_levels is not None:
+                    # per-swap rot_f rebuild at the possibly-new temps
+                    # from each replica's CACHED eigensolves — pure-jnp
+                    # Boltzmann sums, one async dispatch, no host sync
+                    states = states.replace(
+                        rot_f=_qrot_tables_batched(
+                            *qrot_levels, new_ts).astype(cfg.jdtype))
                 # device-side accumulation: a per-swap int() would be a
                 # ~30 ms blocking D2H on the tunneled backend; the block
                 # boundary fetches it once below
@@ -837,6 +872,14 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         states = multichain.initialize_batched(
             states, params, cfg, thermos, thermo_batched=True,
             frozen_rows=refresh_rows)
+        if use_fused_multi or use_fused_multi_uvt:
+            # swaps happened on device: one fetch per block keeps the
+            # host's ladder view (logging, base-replica pick, the qrot
+            # eigensolve refresh below) and the swap-acceptance counter
+            # current
+            temps = np.asarray(thermos.temperature)
+            if swap_acc_dev is not None:
+                swap_acc = int(np.asarray(swap_acc_dev))
         if qrot_eigs is not None:
             # per-corrtime hindered-rotor refresh at each replica's
             # current positions AND temperature (same staleness
@@ -845,13 +888,9 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                 su, states, temps, job.quantum_rotation_level_max)
             states = states.replace(rot_f=jnp.asarray(tables,
                                                       cfg.jdtype))
-        if use_fused_multi or use_fused_multi_uvt:
-            # swaps happened on device: one fetch per block keeps the
-            # host's ladder view (logging, base-replica pick) and the
-            # swap-acceptance counter current
-            temps = np.asarray(thermos.temperature)
-            if swap_acc_dev is not None:
-                swap_acc = int(np.asarray(swap_acc_dev))
+            if qrot_levels is not None:
+                qrot_levels = _qrot_stack_levels(
+                    qrot_eigs, params, job.quantum_rotation_level_max)
         # report the base-temperature replica (wherever T0 currently
         # lives); batched observables = one jitted call + one fetch
         # instead of ~15 scalar D2H round-trips per block

@@ -185,6 +185,56 @@ def table_from_eigs(eigs, n_mols: int, temperature) -> np.ndarray:
     return table
 
 
+def level_arrays(eigs, n_mols: int, lmax: int):
+    """Array form of an ``eigen_tables`` cache for ON-DEVICE F(T)
+    rebuilds: (levels [M,L] f64, parity [M,L] int32, valid [M,L] bool)
+    with L = (lmax+1)^2 padded lanes.  Rows absent from ``eigs``
+    (non-rotor slots) are all-invalid — ``free_energies_from_levels``
+    maps them to the same zeros ``table_from_eigs`` leaves."""
+    L = (int(lmax) + 1) ** 2
+    M = int(n_mols)
+    levels = np.zeros((M, L), np.float64)
+    par = np.zeros((M, L), np.int32)
+    valid = np.zeros((M, L), bool)
+    for m, (evals, l_of) in eigs.items():
+        n = min(len(evals), L)
+        levels[m, :n] = np.asarray(evals)[:n]
+        par[m, :n] = np.asarray(l_of)[:n] % 2
+        valid[m, :n] = True
+    return levels, par, valid
+
+
+def free_energies_from_levels(levels, par, valid, temperature):
+    """Pure-jnp ``table_from_eigs``: [M,2] (F_para, F_ortho) [K] from the
+    ``level_arrays`` form at the given (traced) temperature.
+
+    This is the per-swap parallel-tempering rebuild (SURVEY.md §2
+    "Quantum rotation" + "Parallel tempering"): a temperature swap keeps
+    each replica's configuration — and therefore its cached hindered-rotor
+    eigensolves — and only re-evaluates the Boltzmann sums at the new T,
+    so the rebuild can ride INSIDE the fused one-launch PT round instead
+    of forcing a host sync (ops/qrot.table_from_eigs is its host-numpy
+    twin; test_qrot pins the two equal)."""
+    t = jnp.asarray(temperature, levels.dtype)
+
+    def f(p):
+        sel = valid & (par == p)
+        e = jnp.where(sel, levels, jnp.inf)
+        e0 = jnp.min(e, axis=1)                      # inf when no levels
+        has = jnp.isfinite(e0)
+        z = jnp.sum(jnp.where(sel, jnp.exp(-(levels
+                                             - jnp.where(has, e0, 0.0)
+                                             [:, None]) / t), 0.0),
+                    axis=1)
+        fp = e0 - t * jnp.log(jnp.maximum(z, 1e-300))
+        return jnp.where(has, fp, jnp.inf)
+
+    f_para, f_ortho = f(0), f(1)
+    has_rotor = jnp.any(valid, axis=1)
+    return jnp.where(has_rotor[:, None],
+                     jnp.stack([f_para, f_ortho], axis=1), 0.0)
+
+
 def free_energy_table(pos, box, atom_alive, mol_alive, params, cfg,
                       thermo, species_list, lmax: int = 4) -> np.ndarray:
     """[M,2] table of (F_para, F_ortho) [K] for every alive movable

@@ -342,10 +342,13 @@ def run_parallel_tempering_fused(params, state, cfg, thermo, temps,
         raise ValueError("fused PT does not support T-dependent "
                          "pair energies (feynman_hibbs/kleinert)")
     if metropolis.spinflip_active(cfg):
-        # rot_f tables are T-dependent per-replica state this driver
-        # neither builds nor refreshes across swaps
+        # rot_f tables are T-dependent per-replica state this low-level
+        # driver neither builds nor refreshes across swaps — the CLI PT
+        # driver (mc/run.run_mc_pt) runs spinflip ladders on the fused
+        # one-launch round with in-jit per-swap rot_f rebuilds
+        # (ops/qrot.free_energies_from_levels)
         raise ValueError("fused PT does not support quantum_rotation "
-                         "spinflip moves")
+                         "spinflip moves — use run_mc_pt")
     if cfg.ensemble == "nve":
         # Ray's microcanonical acceptance never reads the temperature a
         # ladder would swap — a "PT" run would report swap acceptances
@@ -502,8 +505,10 @@ def run_parallel_tempering_fused_multi(params, state, cfg, thermo,
                          "kleinert (T-dependent energies vs swapped "
                          "ladders)")
     if metropolis.spinflip_active(cfg):
+        # see run_parallel_tempering_fused: run_mc_pt owns spinflip
+        # ladders (per-swap in-jit rot_f rebuilds)
         raise ValueError("fused PT does not support quantum_rotation "
-                         "spinflip moves (T-dependent rot_f tables)")
+                         "spinflip moves — use run_mc_pt")
     R = len(temps)
     if R > mc_kernel.MAX_MULTI_CHAINS:
         raise ValueError(f"R={R} exceeds MAX_MULTI_CHAINS="

@@ -323,6 +323,32 @@ def test_table_from_eigs_swap_rebuild_identity():
     assert np.max(np.abs(t1 - rebuilt)) > 1e-3
 
 
+def test_free_energies_from_levels_matches_host():
+    """The on-device F(T) rebuild (level_arrays +
+    free_energies_from_levels, the fused-PT per-swap path) must match
+    the host table_from_eigs at every temperature — same Boltzmann
+    sums, array form."""
+    import types
+
+    import jax
+
+    sp, params, state, cfg = h2_system(box_len=30.0, with_frozen=True)
+    th = types.SimpleNamespace(temperature=77.0)
+    eigs = qrot.eigen_tables(
+        state.pos, state.box, state.atom_alive(params), state.mol_alive,
+        params, cfg, th, [sp], lmax=3)
+    lv, pr, va = qrot.level_arrays(eigs, params.n_mols_max, 3)
+    fn = jax.jit(qrot.free_energies_from_levels)
+    for t in (40.0, 77.0, 150.0):
+        host = qrot.table_from_eigs(eigs, params.n_mols_max, t)
+        dev = np.asarray(fn(lv, pr, va, t))
+        np.testing.assert_allclose(dev, host, rtol=1e-12, atol=1e-12)
+    # non-rotor (empty) rows map to the same zeros
+    lv0, pr0, va0 = qrot.level_arrays({}, 3, 2)
+    np.testing.assert_array_equal(np.asarray(fn(lv0, pr0, va0, 50.0)),
+                                  np.zeros((3, 2)))
+
+
 def _h2_deck(tmp_path, extra, numsteps=1500, temperature=40):
     d = 0.371
     pqr = tmp_path / "h2.pqr"
@@ -408,3 +434,48 @@ precision float32
     # indicator — only a weak para preference is statistically safe
     # here (the NVT CLI test pins the relaxation physics tightly)
     assert np.mean(avgs.samples["ortho_fraction"]) <= 0.75
+
+
+def test_quantum_rotation_pt_fused_cli(tmp_path):
+    """Parallel tempering + quantum_rotation on the FUSED one-launch
+    round (chain-interleaved kernel, on-device swaps): per-replica rot_f
+    rebuilt in-jit from cached eigensolves after every swap
+    (qrot.free_energies_from_levels).  Same physics assertions as the
+    scan-path PT test, plus proof the fused kernel actually ran."""
+    import io
+    from mpmc_tpu.mc import run as run_mod
+    job = _h2_deck(tmp_path,
+                   "parallel_tempering on\nn_replicas 3\n"
+                   "max_temperature 120\nptemp_freq 125\n"
+                   "fused_mc on\nprecision float32\n",
+                   numsteps=1500)
+    log = io.StringIO()
+    avgs = run_mod.run(job, log=log)
+    assert "chain-interleaved PT kernel" in log.getvalue()
+    assert "ortho_fraction" in avgs.samples
+    assert "swap_acceptance" in avgs.samples
+    # chains start 3:1 ortho — relaxing toward para PROVES spinflips
+    # were attempted and accepted in the fused kernel
+    assert np.mean(avgs.samples["ortho_fraction"][2:]) < 0.45
+    assert avgs.mean("swap_acceptance") > 0.0
+
+
+def test_quantum_rotation_pt_fused_uvt_cli(tmp_path):
+    """Grand-canonical PT ladder + quantum_rotation on the fused
+    one-launch µVT round: insert/delete/displace/spinflip per step,
+    on-device (beta_j/beta_i)^dN swaps, in-jit per-swap rot_f rebuild."""
+    import io
+    from mpmc_tpu.mc import run as run_mod
+    job = _h2_deck(tmp_path,
+                   "ensemble uvt\npressure 0.5\ninsert_probability 0.3\n"
+                   "max_molecules 6\n"
+                   "parallel_tempering on\nn_replicas 3\n"
+                   "max_temperature 120\nptemp_freq 125\n"
+                   "fused_mc on\nprecision float32\n",
+                   numsteps=1500)
+    log = io.StringIO()
+    avgs = run_mod.run(job, log=log)
+    assert "chain-interleaved PT kernel" in log.getvalue()
+    assert np.mean(avgs.samples["ortho_fraction"][2:]) < 0.45
+    assert avgs.mean("swap_acceptance") > 0.0
+    assert avgs.mean("N") > 0.0
