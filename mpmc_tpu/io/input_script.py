@@ -86,6 +86,9 @@ class Job:
     ptemp_freq: int = 20
     n_replicas: int = 0      # PT ladder size (0 -> one per device)
     chains: int = 1          # vmapped chains per device (our extension)
+    chain_devices: int = 0   # split the chain batch C/D per device over
+    #                          a jax.sharding.Mesh (our extension; the
+    #                          dp axis — parallel/multichain *_sharded)
     spatial_devices: int = 0  # shard O(N^2)/recip/SCF passes of
     #                           `ensemble te` over this many mesh
     #                           devices (our extension; parallel/spatial)
@@ -363,6 +366,8 @@ def parse(text: str) -> Job:
             job.n_replicas = int(float(v0))
         elif key == "chains":
             job.chains = int(float(v0))
+        elif key == "chain_devices":
+            job.chain_devices = int(float(v0))
         elif key == "spatial_devices":
             job.spatial_devices = int(float(v0))
         # --- surface scan / fitting

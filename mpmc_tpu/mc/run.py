@@ -942,11 +942,25 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
         states, _ = _qrot_init_batched(
             su, states, [float(thermo.temperature)] * C,
             job.quantum_rotation_level_max)
+    mesh = None
+    c_loc = C
+    if job.chain_devices > 1:
+        # dp axis: C/D chains per device over a 1-D mesh; every chunk,
+        # refresh and fused launch below runs shard_mapped (the
+        # reference's MPI-rank independence, one device = D ranks)
+        mesh = multichain.chain_mesh(job.chain_devices)
+        if C % job.chain_devices:
+            raise ValueError(f"chains {C} not divisible by "
+                             f"chain_devices {job.chain_devices}")
+        c_loc = C // job.chain_devices
+        states = multichain.shard_chains(states, mesh)
+        print(f"chain sharding: {job.chain_devices} devices x "
+              f"{c_loc} chains", file=writer.log)
     use_fused = use_fused_uvt = False
     if cfg.fused_mc:
         from mpmc_tpu.ops.pallas import mc_kernel
-        if (C <= mc_kernel.MAX_MULTI_CHAINS
-                and mc_kernel.multi_width_ok(C, params)):
+        if (c_loc <= mc_kernel.MAX_MULTI_CHAINS
+                and mc_kernel.multi_width_ok(c_loc, params)):
             use_fused = mc_kernel.supported_multi(cfg, params)
             use_fused_uvt = (not use_fused
                              and mc_kernel.supported_uvt_multi(cfg,
@@ -956,7 +970,8 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
                   f"(C={C})", file=writer.log)
         else:
             print("WARNING: fused_mc requested but unsupported for "
-                  f"chains={C} (needs C<={mc_kernel.MAX_MULTI_CHAINS} "
+                  f"chains={c_loc}/device (needs "
+                  f"C<={mc_kernel.MAX_MULTI_CHAINS} "
                   "and the fused NVT/µVT surface) — "
                   "batched scan path used", file=writer.log)
     avgs = Averages()
@@ -969,13 +984,30 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
         # jitted program (a jit boundary between them costs ~29 ms of
         # relayout per block on the tunneled backend)
         if use_fused:
-            states, stats = metropolis.run_chunk_fused_multi(
-                states, params, cfg, thermo, corr,
-                refresh_rows=refresh_rows)
+            if mesh is not None:
+                states, stats = multichain.run_chunk_fused_multi_sharded(
+                    states, params, cfg, thermo, corr, mesh,
+                    refresh_rows=refresh_rows)
+            else:
+                states, stats = metropolis.run_chunk_fused_multi(
+                    states, params, cfg, thermo, corr,
+                    refresh_rows=refresh_rows)
         elif use_fused_uvt:
-            states, stats = metropolis.run_chunk_fused_uvt_multi(
-                states, params, cfg, thermo, corr,
-                refresh_rows=refresh_rows)
+            if mesh is not None:
+                states, stats = (
+                    multichain.run_chunk_fused_uvt_multi_sharded(
+                        states, params, cfg, thermo, corr, mesh,
+                        refresh_rows=refresh_rows))
+            else:
+                states, stats = metropolis.run_chunk_fused_uvt_multi(
+                    states, params, cfg, thermo, corr,
+                    refresh_rows=refresh_rows)
+        elif mesh is not None:
+            states, stats = multichain.run_chunk_batched_sharded(
+                states, params, cfg, thermo, corr, mesh)
+            states = multichain.initialize_batched_sharded(
+                states, params, cfg, thermo, mesh,
+                frozen_rows=refresh_rows)
         else:
             states, stats = multichain.run_chunk_batched(
                 states, params, cfg, thermo, corr)

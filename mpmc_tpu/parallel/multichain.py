@@ -100,3 +100,189 @@ def initialize_batched(states: SimState, params: Params, cfg: RunConfig,
                           frozen_rows=frozen_rows), (states, thermo))
     return jax.lax.map(lambda s: fn(s, params, cfg, thermo,
                                     frozen_rows=frozen_rows), states)
+
+
+# ---------------------------------------------------------------------------
+# Multi-device chain sharding (``chain_devices N``)
+# ---------------------------------------------------------------------------
+# The dp (data-parallel) axis of the rebuild: C independent chains split
+# C/D per device over a 1-D jax.sharding.Mesh.  Chains never communicate
+# (the reference's MPI ranks are fully independent too, SURVEY.md §2
+# "MPI layer"), so every wrapper below is an embarrassingly-parallel
+# shard_map — no collectives; cross-chain observable reduction happens
+# on the host once per corrtime, exactly like the single-device driver.
+
+AXIS = "chains"
+
+
+def chain_mesh(n_devices: int):
+    """1-D device mesh for chain sharding (first n_devices devices)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    devs = jax.devices()[:n_devices]
+    if len(devs) < n_devices:
+        raise ValueError(f"chain_devices {n_devices} but only "
+                         f"{len(jax.devices())} devices visible")
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def shard_chains(states: SimState, mesh) -> SimState:
+    """Place a stacked-chain state with the chain axis split over the
+    mesh (every SimState leaf carries a leading [C] after
+    stack_states)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    C = int(states.pos.shape[0])
+    D = mesh.shape[AXIS]
+    if C % D:
+        raise ValueError(f"chains {C} not divisible by "
+                         f"chain_devices {D}")
+    return jax.device_put(states, NamedSharding(mesh, P(AXIS)))
+
+
+def _spec_tuple(n_rep):
+    from jax.sharding import PartitionSpec as P
+    return (P(AXIS),) + (P(),) * n_rep
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_scan_fn(mesh, cfg, n_steps):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(st, params, thermo):
+        return run_chunk_batched.__wrapped__(st, params, cfg, thermo,
+                                             n_steps)
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=_spec_tuple(2),
+                             out_specs=(P(AXIS), P(AXIS)),
+                             check_vma=False))
+
+
+def run_chunk_batched_sharded(states, params, cfg, thermo, n_steps,
+                              mesh):
+    """``run_chunk_batched`` over a chain-sharded state: each device
+    advances its local C/D chains with the identical shared move-type
+    schedule (the chunk key depends only on cfg.seed and the step
+    counter, equal across shards), so per-chain trajectories are
+    BIT-identical to the unsharded batch."""
+    return _sharded_scan_fn(mesh, cfg, n_steps)(states, params, thermo)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_init_fn(mesh, cfg, frozen_rows):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(st, params, thermo):
+        return initialize_batched.__wrapped__(st, params, cfg, thermo,
+                                              frozen_rows=frozen_rows)
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=_spec_tuple(2),
+                             out_specs=P(AXIS), check_vma=False))
+
+
+def initialize_batched_sharded(states, params, cfg, thermo, mesh,
+                               frozen_rows: int = 0):
+    """Per-corrtime refresh over the mesh: the unsharded version is a
+    sequential lax.map over ALL chains (deliberately, for pair-tile
+    memory); sharding turns that into D concurrent maps of C/D
+    chains."""
+    return _sharded_init_fn(mesh, cfg, int(frozen_rows))(states, params,
+                                                         thermo)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_nvt_fn(mesh, cfg, n_steps, a_max, interpret, refresh_rows,
+                    has_sf):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(st, params, thermo, mv_start, mv_natoms, *sf_args):
+        mv_slots = sf_args[0] if has_sf else None
+        if refresh_rows is None:
+            return metropolis._fused_chunk_nvt_multi.__wrapped__(
+                st, params, thermo, mv_start, mv_natoms, cfg, n_steps,
+                a_max, interpret, False, mv_slots=mv_slots)
+        return metropolis._fused_block_nvt_multi.__wrapped__(
+            st, params, thermo, mv_start, mv_natoms, cfg, n_steps,
+            a_max, interpret, False, refresh_rows, mv_slots=mv_slots)
+
+    n_rep = 4 + (1 if has_sf else 0)
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=_spec_tuple(n_rep),
+                             out_specs=(P(AXIS), P(AXIS)),
+                             check_vma=False))
+
+
+def run_chunk_fused_multi_sharded(states, params, cfg, thermo, n_steps,
+                                  mesh, refresh_rows=None):
+    """Chain-interleaved fused NVT kernel per device over the mesh:
+    each device runs ONE Pallas launch advancing its local C/D chains
+    (+ the composed per-corrtime refresh when ``refresh_rows`` is set).
+    Raises the interleave ceiling from MAX_MULTI_CHAINS to
+    MAX_MULTI_CHAINS * n_devices total chains.  Gates
+    (mc_kernel.supported_multi, multi_width_ok) apply to the LOCAL
+    width C/D."""
+    import dataclasses
+
+    import numpy as np
+
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    def build():
+        mv, mva, am, slots = mc_kernel.movable_mols(
+            params, np.asarray(states.mol_alive[0]))
+        return (jnp.asarray(mv), jnp.asarray(mva), int(am),
+                jnp.asarray(slots))
+
+    mv_start, mv_natoms, a_max, mv_slots = metropolis._fused_host_cached(
+        ("nvt_multi", id(params.mol_start), id(states.mol_alive)),
+        (params.mol_start, states.mol_alive), build)
+    interpret = jax.default_backend() != "tpu"
+    rr = None if refresh_rows is None else int(refresh_rows)
+    sf = bool(cfg.quantum_rotation)
+    fn = _sharded_nvt_fn(mesh, cfg, n_steps, int(a_max), interpret, rr,
+                         sf)
+    args = (mv_slots,) if sf else ()
+    new_states, stats = fn(states, params, thermo, mv_start, mv_natoms,
+                           *args)
+    # NVT never changes aliveness: reattach for the id-keyed cache
+    new_states = dataclasses.replace(new_states,
+                                     mol_alive=states.mol_alive)
+    return new_states, stats
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_uvt_fn(mesh, cfg, n_steps, A_list, rep_slots, interpret,
+                    refresh_rows):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(st, params, thermo, slots, slot_start, species_idx, tmpl):
+        if refresh_rows is None:
+            return metropolis._fused_chunk_uvt_multi.__wrapped__(
+                st, params, thermo, slots, slot_start, species_idx,
+                tmpl, cfg, n_steps, A_list, rep_slots, interpret, False)
+        return metropolis._fused_block_uvt_multi.__wrapped__(
+            st, params, thermo, slots, slot_start, species_idx, tmpl,
+            cfg, n_steps, A_list, rep_slots, interpret, refresh_rows,
+            False)
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=_spec_tuple(6),
+                             out_specs=(P(AXIS), P(AXIS)),
+                             check_vma=False))
+
+
+def run_chunk_fused_uvt_multi_sharded(states, params, cfg, thermo,
+                                      n_steps, mesh, refresh_rows=None):
+    """Chain-interleaved fused µVT (GCMC) kernel per device over the
+    mesh — one launch per device advances its local C/D chains (see
+    run_chunk_fused_multi_sharded)."""
+    slots, slot_start, species_idx, tmpl, A_list, rep_slots = (
+        metropolis.uvt_fused_tables(params, cfg))
+    interpret = jax.default_backend() != "tpu"
+    rr = None if refresh_rows is None else int(refresh_rows)
+    fn = _sharded_uvt_fn(mesh, cfg, n_steps, A_list, rep_slots,
+                         interpret, rr)
+    return fn(states, params, thermo, slots, slot_start, species_idx,
+              tmpl)

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from mpmc_tpu.mc import metropolis
 from mpmc_tpu.models import systems
 from mpmc_tpu.ops import pairs as pairs_mod
-from mpmc_tpu.parallel import replica
+from mpmc_tpu.parallel import multichain, replica
 
 
 @pytest.fixture(scope="module")
@@ -704,3 +704,98 @@ pqr_input {p}
                                                abs=1e-12), (c, k)
     # chains diverged (the comparison is not vacuous)
     assert fast[0]["energy_total"] != fast[1]["energy_total"]
+
+
+class TestChainSharding:
+    """chain_devices N: the dp axis — C chains split C/D per device
+    over a 1-D mesh (parallel/multichain *_sharded).  Chains are
+    independent and the shared move-type schedule depends only on
+    (seed, step), so sharding must be BIT-exact vs the single-device
+    batch on every path."""
+
+    def test_scan_path_bit_exact(self):
+        params, state, cfg, thermo = systems.mof_h2_gcmc(
+            n_side=3, n_h2=8, capacity=16, ewald_kmax=3,
+            dtype="float64")
+        state = metropolis.initialize(state, params, cfg, thermo)
+        states = multichain.stack_states(state, 8, seed=3)
+        a, sa = multichain.run_chunk_batched(states, params, cfg,
+                                             thermo, 40)
+        mesh = multichain.chain_mesh(4)
+        sh = multichain.shard_chains(states, mesh)
+        b, sb = multichain.run_chunk_batched_sharded(
+            sh, params, cfg, thermo, 40, mesh)
+        np.testing.assert_array_equal(np.asarray(a.pos),
+                                      np.asarray(b.pos))
+        np.testing.assert_array_equal(np.asarray(a.energy.total),
+                                      np.asarray(b.energy.total))
+        np.testing.assert_array_equal(np.asarray(sa.accepts),
+                                      np.asarray(sb.accepts))
+        a2 = multichain.initialize_batched(a, params, cfg, thermo)
+        b2 = multichain.initialize_batched_sharded(b, params, cfg,
+                                                   thermo, mesh)
+        np.testing.assert_array_equal(np.asarray(a2.energy.total),
+                                      np.asarray(b2.energy.total))
+
+    def test_fused_nvt_bit_exact(self):
+        import dataclasses
+        from mpmc_tpu.ops.pallas import mc_kernel
+        p1, s1, c1, t1 = systems.lj_fluid(n=64, dtype="float32")
+        c1 = dataclasses.replace(c1, fused_mc=True)
+        s1 = metropolis.initialize(s1, p1, c1, t1)
+        assert mc_kernel.supported_multi(c1, p1)
+        st1 = multichain.stack_states(s1, 8, seed=5)
+        a1, sa1 = metropolis.run_chunk_fused_multi(st1, p1, c1, t1, 80)
+        mesh = multichain.chain_mesh(4)
+        sh1 = multichain.shard_chains(st1, mesh)
+        b1, sb1 = multichain.run_chunk_fused_multi_sharded(
+            sh1, p1, c1, t1, 80, mesh)
+        np.testing.assert_array_equal(np.asarray(a1.pos),
+                                      np.asarray(b1.pos))
+        np.testing.assert_array_equal(np.asarray(a1.energy.total),
+                                      np.asarray(b1.energy.total))
+        np.testing.assert_array_equal(np.asarray(sa1.accepts),
+                                      np.asarray(sb1.accepts))
+
+    def test_chain_devices_cli_matches_unsharded(self, tmp_path):
+        """chains 6 / chain_devices 3 through the CLI: identical
+        averages to the single-device run (bit-exact trajectories)."""
+        import io
+        from mpmc_tpu.io import input_script
+        from mpmc_tpu.mc import run as run_mod
+        pqr = tmp_path / "ar.pqr"
+        pqr.write_text(
+            "ATOM 1 Ar AR 1 M 3.0 3.0 3.0 39.948 0.0 0.0 119.8 3.405\n"
+            "ATOM 2 Ar AR 2 M 9.0 9.0 9.0 39.948 0.0 0.0 119.8 3.405\n"
+            "END\n")
+        deck = f"""
+ensemble uvt
+numsteps 300
+corrtime 100
+temperature 150
+pressure 40
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+insert_probability 0.5
+chains 6
+precision float64
+pqr_input {pqr}
+"""
+        log1, log2 = io.StringIO(), io.StringIO()
+        _, avgs1 = run_mod.run(input_script.parse(deck), log=log1)
+        _, avgs2 = run_mod.run(
+            input_script.parse(deck + "chain_devices 3\n"), log=log2)
+        assert "chain sharding: 3 devices x 2 chains" in log2.getvalue()
+        for k in ("N", "energy_total", "acc_displace", "acc_insert"):
+            np.testing.assert_array_equal(avgs1.samples[k],
+                                          avgs2.samples[k]), k
+
+    def test_indivisible_chains_raise(self):
+        params, state, cfg, thermo = systems.lj_fluid(n=16,
+                                                      dtype="float64")
+        state = metropolis.initialize(state, params, cfg, thermo)
+        states = multichain.stack_states(state, 6)
+        mesh = multichain.chain_mesh(4)
+        with pytest.raises(ValueError, match="divisible"):
+            multichain.shard_chains(states, mesh)
