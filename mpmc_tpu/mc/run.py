@@ -760,6 +760,24 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         # WITHOUT re-solving (ops/qrot.eigen_tables)
         states, qrot_eigs = _qrot_init_batched(
             su, states, temps, job.quantum_rotation_level_max)
+    mesh = None
+    r_loc = R
+    if job.chain_devices > 1:
+        # dp axis over the PT ladder: R/D replicas per device — every
+        # chunk/refresh below runs shard_mapped with the per-replica
+        # thermos sharded alongside (thermo_batched in_specs); the
+        # ladder swap stays a global [R] op (GSPMD inserts the
+        # cross-shard exchange).  Raises the fused-interleave PT ceiling
+        # to MAX_MULTI_CHAINS * n_devices replicas.
+        if R % job.chain_devices:
+            raise ValueError(f"n_replicas {R} not divisible by "
+                             f"chain_devices {job.chain_devices}")
+        mesh = multichain.chain_mesh(job.chain_devices)
+        r_loc = R // job.chain_devices
+        states = multichain.shard_chains(states, mesh)
+        thermos = multichain.shard_batched(thermos, mesh)
+        print(f"chain sharding: {job.chain_devices} devices x "
+              f"{r_loc} replicas", file=writer.log)
     use_fused_multi = use_fused_multi_uvt = False
     if cfg.fused_mc:
         from mpmc_tpu.ops.pallas import mc_kernel
@@ -771,8 +789,8 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         # per-replica F(T) IN-JIT after every on-device swap
         # (qrot.free_energies_from_levels), keeping the scan path's
         # staleness contract with zero extra host syncs
-        t_ok = (R <= mc_kernel.MAX_MULTI_CHAINS
-                and mc_kernel.multi_width_ok(R, params)
+        t_ok = (r_loc <= mc_kernel.MAX_MULTI_CHAINS
+                and mc_kernel.multi_width_ok(r_loc, params)
                 and not cfg.feynman_hibbs and not cfg.feynman_kleinert)
         use_fused_multi = t_ok and mc_kernel.supported_multi(cfg, params)
         use_fused_multi_uvt = (t_ok and not use_fused_multi
@@ -803,14 +821,27 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         for _ in range(max(corr // ptf, 1)):
             if use_fused_multi or use_fused_multi_uvt:
                 if use_fused_multi:
-                    states, stats = metropolis.run_chunk_fused_multi(
-                        states, params, cfg, thermos, ptf,
-                        thermo_batched=True)
+                    if mesh is not None:
+                        states, stats = (
+                            multichain.run_chunk_fused_multi_sharded(
+                                states, params, cfg, thermos, ptf, mesh,
+                                thermo_batched=True))
+                    else:
+                        states, stats = metropolis.run_chunk_fused_multi(
+                            states, params, cfg, thermos, ptf,
+                            thermo_batched=True)
                     n_uvt_d = None
                 else:
-                    states, stats = metropolis.run_chunk_fused_uvt_multi(
-                        states, params, cfg, thermos, ptf,
-                        thermo_batched=True)
+                    if mesh is not None:
+                        states, stats = (
+                            multichain.run_chunk_fused_uvt_multi_sharded(
+                                states, params, cfg, thermos, ptf, mesh,
+                                thermo_batched=True))
+                    else:
+                        states, stats = (
+                            metropolis.run_chunk_fused_uvt_multi(
+                                states, params, cfg, thermos, ptf,
+                                thermo_batched=True))
                     # grand-canonical swap factor (beta_j/beta_i)^dN
                     n_uvt_d = replica.movable_counts(
                         states.mol_alive, params.mol_frozen,
@@ -834,9 +865,14 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                                 else swap_acc_dev + acc_d)
                 n_swaps += 1
             else:
-                states, stats = multichain.run_chunk_batched(
-                    states, params, cfg, thermos, ptf,
-                    thermo_batched=True)
+                if mesh is not None:
+                    states, stats = multichain.run_chunk_batched_sharded(
+                        states, params, cfg, thermos, ptf, mesh,
+                        thermo_batched=True)
+                else:
+                    states, stats = multichain.run_chunk_batched(
+                        states, params, cfg, thermos, ptf,
+                        thermo_batched=True)
                 energies = np.asarray(states.energy.total)
                 # µVT ladders carry the grand-canonical
                 # (beta_j/beta_i)^dN swap factor (replica.host_swap)
@@ -849,12 +885,19 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                                                rng, n_mols=n_uvt)
                 swap_acc += acc
                 thermos = replica.stack_thermo(thermo, temps, cfg.jdtype)
+                if mesh is not None:
+                    thermos = multichain.shard_batched(thermos, mesh)
                 if cfg.feynman_hibbs or cfg.feynman_kleinert:
                     # FH/FK energies are T-dependent: refresh caches
                     # after a swap
-                    states = multichain.initialize_batched(
-                        states, params, cfg, thermos,
-                        thermo_batched=True)
+                    if mesh is not None:
+                        states = multichain.initialize_batched_sharded(
+                            states, params, cfg, thermos, mesh,
+                            thermo_batched=True)
+                    else:
+                        states = multichain.initialize_batched(
+                            states, params, cfg, thermos,
+                            thermo_batched=True)
                 if qrot_eigs is not None:
                     # rot_f is T-dependent too: rebuild each replica's
                     # (F_para, F_ortho) from its CACHED eigensolves at
@@ -869,9 +912,14 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
                         rot_f=jnp.asarray(tables, cfg.jdtype))
             swap_att += max((R - parity) // 2, 0)
             parity ^= 1
-        states = multichain.initialize_batched(
-            states, params, cfg, thermos, thermo_batched=True,
-            frozen_rows=refresh_rows)
+        if mesh is not None:
+            states = multichain.initialize_batched_sharded(
+                states, params, cfg, thermos, mesh,
+                thermo_batched=True, frozen_rows=refresh_rows)
+        else:
+            states = multichain.initialize_batched(
+                states, params, cfg, thermos, thermo_batched=True,
+                frozen_rows=refresh_rows)
         if use_fused_multi or use_fused_multi_uvt:
             # swaps happened on device: one fetch per block keeps the
             # host's ladder view (logging, base-replica pick, the qrot

@@ -126,74 +126,91 @@ def chain_mesh(n_devices: int):
     return Mesh(np.array(devs), (AXIS,))
 
 
+def shard_batched(tree, mesh):
+    """Place any replica-stacked pytree (leading [C] on every leaf —
+    stack_states states, stack_thermo PT ladders) with the chain axis
+    split over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.device_put(tree, NamedSharding(mesh, P(AXIS)))
+
+
 def shard_chains(states: SimState, mesh) -> SimState:
     """Place a stacked-chain state with the chain axis split over the
     mesh (every SimState leaf carries a leading [C] after
     stack_states)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
     C = int(states.pos.shape[0])
     D = mesh.shape[AXIS]
     if C % D:
         raise ValueError(f"chains {C} not divisible by "
                          f"chain_devices {D}")
-    return jax.device_put(states, NamedSharding(mesh, P(AXIS)))
+    return shard_batched(states, mesh)
 
 
-def _spec_tuple(n_rep):
+def _spec_tuple(n_rep, thermo_batched=False):
+    """(states, params, thermo, *replicated) in_specs: states sharded
+    over AXIS, params replicated, thermo sharded only when its leaves
+    carry the chain dim (PT ladders), trailing tables replicated."""
     from jax.sharding import PartitionSpec as P
-    return (P(AXIS),) + (P(),) * n_rep
+    th = P(AXIS) if thermo_batched else P()
+    return (P(AXIS), P(), th) + (P(),) * (n_rep - 2)
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_scan_fn(mesh, cfg, n_steps):
+def _sharded_scan_fn(mesh, cfg, n_steps, thermo_batched):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def local(st, params, thermo):
-        return run_chunk_batched.__wrapped__(st, params, cfg, thermo,
-                                             n_steps)
+        return run_chunk_batched.__wrapped__(
+            st, params, cfg, thermo, n_steps,
+            thermo_batched=thermo_batched)
 
-    return jax.jit(shard_map(local, mesh=mesh, in_specs=_spec_tuple(2),
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=_spec_tuple(2, thermo_batched),
                              out_specs=(P(AXIS), P(AXIS)),
                              check_vma=False))
 
 
 def run_chunk_batched_sharded(states, params, cfg, thermo, n_steps,
-                              mesh):
+                              mesh, thermo_batched=False):
     """``run_chunk_batched`` over a chain-sharded state: each device
     advances its local C/D chains with the identical shared move-type
     schedule (the chunk key depends only on cfg.seed and the step
     counter, equal across shards), so per-chain trajectories are
     BIT-identical to the unsharded batch."""
-    return _sharded_scan_fn(mesh, cfg, n_steps)(states, params, thermo)
+    return _sharded_scan_fn(mesh, cfg, n_steps, thermo_batched)(
+        states, params, thermo)
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_init_fn(mesh, cfg, frozen_rows):
+def _sharded_init_fn(mesh, cfg, frozen_rows, thermo_batched):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def local(st, params, thermo):
-        return initialize_batched.__wrapped__(st, params, cfg, thermo,
-                                              frozen_rows=frozen_rows)
+        return initialize_batched.__wrapped__(
+            st, params, cfg, thermo, thermo_batched=thermo_batched,
+            frozen_rows=frozen_rows)
 
-    return jax.jit(shard_map(local, mesh=mesh, in_specs=_spec_tuple(2),
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=_spec_tuple(2, thermo_batched),
                              out_specs=P(AXIS), check_vma=False))
 
 
 def initialize_batched_sharded(states, params, cfg, thermo, mesh,
-                               frozen_rows: int = 0):
+                               frozen_rows: int = 0,
+                               thermo_batched=False):
     """Per-corrtime refresh over the mesh: the unsharded version is a
     sequential lax.map over ALL chains (deliberately, for pair-tile
     memory); sharding turns that into D concurrent maps of C/D
     chains."""
-    return _sharded_init_fn(mesh, cfg, int(frozen_rows))(states, params,
-                                                         thermo)
+    return _sharded_init_fn(mesh, cfg, int(frozen_rows),
+                            thermo_batched)(states, params, thermo)
 
 
 @functools.lru_cache(maxsize=64)
 def _sharded_nvt_fn(mesh, cfg, n_steps, a_max, interpret, refresh_rows,
-                    has_sf):
+                    has_sf, thermo_batched):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -202,20 +219,22 @@ def _sharded_nvt_fn(mesh, cfg, n_steps, a_max, interpret, refresh_rows,
         if refresh_rows is None:
             return metropolis._fused_chunk_nvt_multi.__wrapped__(
                 st, params, thermo, mv_start, mv_natoms, cfg, n_steps,
-                a_max, interpret, False, mv_slots=mv_slots)
+                a_max, interpret, thermo_batched, mv_slots=mv_slots)
         return metropolis._fused_block_nvt_multi.__wrapped__(
             st, params, thermo, mv_start, mv_natoms, cfg, n_steps,
-            a_max, interpret, False, refresh_rows, mv_slots=mv_slots)
+            a_max, interpret, thermo_batched, refresh_rows,
+            mv_slots=mv_slots)
 
     n_rep = 4 + (1 if has_sf else 0)
     return jax.jit(shard_map(local, mesh=mesh,
-                             in_specs=_spec_tuple(n_rep),
+                             in_specs=_spec_tuple(n_rep, thermo_batched),
                              out_specs=(P(AXIS), P(AXIS)),
                              check_vma=False))
 
 
 def run_chunk_fused_multi_sharded(states, params, cfg, thermo, n_steps,
-                                  mesh, refresh_rows=None):
+                                  mesh, refresh_rows=None,
+                                  thermo_batched=False):
     """Chain-interleaved fused NVT kernel per device over the mesh:
     each device runs ONE Pallas launch advancing its local C/D chains
     (+ the composed per-corrtime refresh when ``refresh_rows`` is set).
@@ -242,7 +261,7 @@ def run_chunk_fused_multi_sharded(states, params, cfg, thermo, n_steps,
     rr = None if refresh_rows is None else int(refresh_rows)
     sf = bool(cfg.quantum_rotation)
     fn = _sharded_nvt_fn(mesh, cfg, n_steps, int(a_max), interpret, rr,
-                         sf)
+                         sf, thermo_batched)
     args = (mv_slots,) if sf else ()
     new_states, stats = fn(states, params, thermo, mv_start, mv_natoms,
                            *args)
@@ -254,7 +273,7 @@ def run_chunk_fused_multi_sharded(states, params, cfg, thermo, n_steps,
 
 @functools.lru_cache(maxsize=64)
 def _sharded_uvt_fn(mesh, cfg, n_steps, A_list, rep_slots, interpret,
-                    refresh_rows):
+                    refresh_rows, thermo_batched):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -262,19 +281,22 @@ def _sharded_uvt_fn(mesh, cfg, n_steps, A_list, rep_slots, interpret,
         if refresh_rows is None:
             return metropolis._fused_chunk_uvt_multi.__wrapped__(
                 st, params, thermo, slots, slot_start, species_idx,
-                tmpl, cfg, n_steps, A_list, rep_slots, interpret, False)
+                tmpl, cfg, n_steps, A_list, rep_slots, interpret,
+                thermo_batched)
         return metropolis._fused_block_uvt_multi.__wrapped__(
             st, params, thermo, slots, slot_start, species_idx, tmpl,
             cfg, n_steps, A_list, rep_slots, interpret, refresh_rows,
-            False)
+            thermo_batched)
 
-    return jax.jit(shard_map(local, mesh=mesh, in_specs=_spec_tuple(6),
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=_spec_tuple(6, thermo_batched),
                              out_specs=(P(AXIS), P(AXIS)),
                              check_vma=False))
 
 
 def run_chunk_fused_uvt_multi_sharded(states, params, cfg, thermo,
-                                      n_steps, mesh, refresh_rows=None):
+                                      n_steps, mesh, refresh_rows=None,
+                                      thermo_batched=False):
     """Chain-interleaved fused µVT (GCMC) kernel per device over the
     mesh — one launch per device advances its local C/D chains (see
     run_chunk_fused_multi_sharded)."""
@@ -283,6 +305,6 @@ def run_chunk_fused_uvt_multi_sharded(states, params, cfg, thermo,
     interpret = jax.default_backend() != "tpu"
     rr = None if refresh_rows is None else int(refresh_rows)
     fn = _sharded_uvt_fn(mesh, cfg, n_steps, A_list, rep_slots,
-                         interpret, rr)
+                         interpret, rr, thermo_batched)
     return fn(states, params, thermo, slots, slot_start, species_idx,
               tmpl)

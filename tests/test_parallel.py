@@ -791,6 +791,49 @@ pqr_input {pqr}
             np.testing.assert_array_equal(avgs1.samples[k],
                                           avgs2.samples[k]), k
 
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_pt_chain_devices_cli_matches_unsharded(self, tmp_path,
+                                                    fused):
+        """parallel_tempering + chain_devices 2: the PT ladder sharded
+        R/D per device (thermos sharded alongside, thermo_batched
+        in_specs) must reproduce the single-device ladder exactly —
+        scan path and fused chain-interleaved path both."""
+        import io
+        from mpmc_tpu.io import input_script
+        from mpmc_tpu.mc import run as run_mod
+        pqr = tmp_path / "ar.pqr"
+        pqr.write_text(
+            "ATOM 1 Ar AR 1 M 3.0 3.0 3.0 39.948 0.0 0.0 119.8 3.405\n"
+            "ATOM 2 Ar AR 2 M 9.0 9.0 9.0 39.948 0.0 0.0 119.8 3.405\n"
+            "ATOM 3 Ar AR 3 M 3.0 9.0 3.0 39.948 0.0 0.0 119.8 3.405\n"
+            "END\n")
+        deck = f"""
+ensemble nvt
+numsteps 200
+corrtime 100
+ptemp_freq 50
+temperature 100
+parallel_tempering on
+n_replicas 4
+max_temperature 300
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+precision {'float32' if fused else 'float64'}
+{'fused_mc on' if fused else ''}
+pqr_input {pqr}
+"""
+        log1, log2 = io.StringIO(), io.StringIO()
+        avgs1 = run_mod.run(input_script.parse(deck), log=log1)
+        avgs2 = run_mod.run(
+            input_script.parse(deck + "chain_devices 2\n"), log=log2)
+        assert "chain sharding: 2 devices x 2 replicas" in log2.getvalue()
+        if fused:
+            assert "chain-interleaved PT kernel" in log2.getvalue()
+        for k in ("energy_total", "swap_acceptance"):
+            np.testing.assert_array_equal(avgs1.samples[k],
+                                          avgs2.samples[k]), k
+
     def test_indivisible_chains_raise(self):
         params, state, cfg, thermo = systems.lj_fluid(n=16,
                                                       dtype="float64")
