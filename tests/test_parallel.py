@@ -834,6 +834,50 @@ pqr_input {pqr}
             np.testing.assert_array_equal(avgs1.samples[k],
                                           avgs2.samples[k]), k
 
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_pt_uvt_chain_devices_matches_unsharded(self, tmp_path,
+                                                    fused):
+        """µVT PT + chain_devices: the grand-canonical ladder swap reads
+        per-replica molecule counts off the SHARDED alive mask
+        (replica.movable_counts under GSPMD) — sharded == unsharded on
+        both the scan (host_swap) and fused (one-launch) paths."""
+        import io
+        from mpmc_tpu.io import input_script
+        from mpmc_tpu.mc import run as run_mod
+        pqr = tmp_path / "ar.pqr"
+        pqr.write_text(
+            "ATOM 1 Ar AR 1 M 3.0 3.0 3.0 39.948 0.0 0.0 119.8 3.405\n"
+            "ATOM 2 Ar AR 2 M 9.0 9.0 9.0 39.948 0.0 0.0 119.8 3.405\n"
+            "END\n")
+        deck = f"""
+ensemble uvt
+numsteps 200
+corrtime 100
+ptemp_freq 50
+temperature 150
+pressure 40
+insert_probability 0.5
+parallel_tempering on
+n_replicas 4
+max_temperature 450
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+precision {'float32' if fused else 'float64'}
+{'fused_mc on' if fused else ''}
+pqr_input {pqr}
+"""
+        log1, log2 = io.StringIO(), io.StringIO()
+        avgs1 = run_mod.run(input_script.parse(deck), log=log1)
+        avgs2 = run_mod.run(
+            input_script.parse(deck + "chain_devices 2\n"), log=log2)
+        assert "chain sharding: 2 devices x 2 replicas" in log2.getvalue()
+        if fused:
+            assert "chain-interleaved PT kernel" in log2.getvalue()
+        for k in ("N", "energy_total", "swap_acceptance"):
+            np.testing.assert_array_equal(avgs1.samples[k],
+                                          avgs2.samples[k]), k
+
     def test_indivisible_chains_raise(self):
         params, state, cfg, thermo = systems.lj_fluid(n=16,
                                                       dtype="float64")
