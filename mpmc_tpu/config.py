@@ -33,6 +33,14 @@ class RunConfig:
     # --- cutoffs / cell
     cutoff: Optional[float] = None   # None -> half min perpendicular width
     wrapall: bool = True
+    # Derived, not a user option: the basis is exactly diagonal
+    # (orthorhombic).  Set automatically by mc/run.setup() from the
+    # resolved basis and by the models/systems.py builders; the fused
+    # Pallas kernels' min-image then drops the exact-zero triclinic
+    # cross terms (12 VPU ops vs 36 per pair — BIT-identical results,
+    # since IEEE x + 0.0 == x).  Isotropic NPT volume scaling preserves
+    # diagonality.  False is always safe (general path).
+    ortho_box: bool = False
 
     # --- repulsion-dispersion (SURVEY §2.9 "RD")
     rd_potential: str = "lj"       # lj | sg | dreiding | b14_7 | disp_expansion | none

@@ -154,7 +154,12 @@ def setup(job: input_script.Job,
                    for i, n in enumerate(names)}
     initial_pos = {i: v for i, v in initial_pos.items() if v is not None}
 
-    cfg = dataclasses.replace(job.cfg, insert_species=insert_species)
+    b = np.asarray(basis, np.float64)
+    cfg = dataclasses.replace(
+        job.cfg, insert_species=insert_species,
+        # exactly-diagonal basis -> fused kernels take the cheap 1-D
+        # min-image path (config.RunConfig.ortho_box)
+        ortho_box=bool(np.all(b == np.diag(np.diag(b)))))
     params, state = build_system(
         job.basis, frozen_pos=frozen_pos, frozen_params=fp,
         species=tuple(species), capacity=tuple(capacity),

@@ -109,7 +109,7 @@ def lj_fluid(n: int = 256, density: float = 0.0212, temperature=120.0,
     box_len = (n / density) ** (1.0 / 3.0)
     sp = lj_atom()
     cfg = RunConfig(ensemble="nvt", rd_potential="lj", coulomb="none",
-                    dtype=dtype, seed=seed)
+                    ortho_box=True, dtype=dtype, seed=seed)
     params, state = build_system(
         np.eye(3) * box_len, species=(sp,), capacity=(n,),
         initial_counts=(n,), dtype=cfg.jdtype, seed=seed)
@@ -143,7 +143,7 @@ def mof_h2_ch4_gcmc(n_side: int = 6, spacing: float = 4.0,
     }
     cfg = RunConfig(
         ensemble="uvt", rd_potential="lj", coulomb="ewald",
-        ewald_kmax=ewald_kmax, insert_species=(0, 1),
+        ewald_kmax=ewald_kmax, insert_species=(0, 1), ortho_box=True,
         cavity_autoreject_absolute=1.0, corrtime=corrtime, dtype=dtype,
         seed=seed)
     params, state = build_system(
@@ -182,7 +182,8 @@ def mof_h2_gcmc(n_side: int = 8, spacing: float = 4.0, n_h2: int = 64,
     cfg = RunConfig(
         ensemble="uvt", rd_potential="lj", coulomb="ewald",
         ewald_kmax=ewald_kmax, polarization=polarization,
-        insert_species=(0,), cavity_autoreject_absolute=1.0,
+        insert_species=(0,), ortho_box=True,
+        cavity_autoreject_absolute=1.0,
         corrtime=corrtime, dtype=dtype, seed=seed)
     params, state = build_system(
         np.eye(3) * box_len, frozen_pos=fpos, frozen_params=fp,

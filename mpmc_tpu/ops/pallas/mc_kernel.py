@@ -405,6 +405,21 @@ def _kernel(scal_ref, u_ref, tbl_ref, ktab_ref, rot_in_ref, data_in_ref,
                   & ((lin < start) | (lin >= start + n_at)))
 
             def mimg(dx, dy, dz):
+                if cfg.ortho_box:
+                    # diagonal basis: drop the exact-zero cross terms
+                    # (12 VPU ops vs 36 — min-image is ~half the
+                    # pair-pass flops, MEASURE_STEP_SPLIT.json).
+                    # BIT-identical to the general path below: the
+                    # dropped terms are IEEE +/-0.0 adds (x + 0.0 == x),
+                    # so the scan-path bookkeeping contract is untouched
+                    # even on r^-12-amplified core pairs.  A rewrite
+                    # that also skips the frac round-trip
+                    # (d - L*round(d/L)) is NOT bit-safe: its ulp
+                    # differences blow up ~1e7x on jammed cores.
+                    fr = [d * binv[a][a]
+                          for a, d in enumerate((dx, dy, dz))]
+                    fr = [f - jnp.round(f) for f in fr]
+                    return [fr[a] * box[a][a] for a in range(3)]
                 fr = [dx * binv[0][a] + dy * binv[1][a] + dz * binv[2][a]
                       for a in range(3)]
                 fr = [f - jnp.round(f) for f in fr]
@@ -1233,6 +1248,14 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                   & ((lin < start) | (lin >= start + na_i)))
 
             def mimg(dx, dy, dz):
+                if cfg.ortho_box:
+                    # diagonal basis: drop the exact-zero cross terms —
+                    # BIT-identical to the general path (see the NVT
+                    # kernel's mimg)
+                    fr = [d * binv[a][a]
+                          for a, d in enumerate((dx, dy, dz))]
+                    fr = [f - jnp.round(f) for f in fr]
+                    return [fr[a] * box[a][a] for a in range(3)]
                 fr = [dx * binv[0][a] + dy * binv[1][a]
                       + dz * binv[2][a] for a in range(3)]
                 fr = [f - jnp.round(f) for f in fr]

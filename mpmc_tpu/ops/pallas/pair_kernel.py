@@ -100,13 +100,21 @@ def _kernel(scal_ref, rowb_ref, colb_ref, box_ref, binv_ref, out_ref,
         ri = lambda k: rowb_ref[k, :]     # (TI,) strip, packed row k
         cj = lambda k: colb_ref[k, :]     # (TJ,) strip
 
-        # minimum-image dr for all (TI, TJ) pairs, component-wise
+        # minimum-image dr for all (TI, TJ) pairs, component-wise.
+        # cfg.ortho_box: drop the exact-zero triclinic cross terms —
+        # BIT-identical (IEEE x + 0.0 == x), 1/3 the min-image ops
+        # (see mc_kernel._kernel mimg)
         dx = [ri(k)[:, None] - cj(k)[None, :] for k in range(3)]
-        fr = [sum(dx[b] * binv_ref[b, a] for b in range(3))
-              for a in range(3)]
-        fr = [f - jnp.round(f) for f in fr]
-        dr = [sum(fr[a] * box_ref[a, b] for a in range(3))
-              for b in range(3)]
+        if cfg.ortho_box:
+            fr = [dx[a] * binv_ref[a, a] for a in range(3)]
+            fr = [f - jnp.round(f) for f in fr]
+            dr = [fr[a] * box_ref[a, a] for a in range(3)]
+        else:
+            fr = [sum(dx[b] * binv_ref[b, a] for b in range(3))
+                  for a in range(3)]
+            fr = [f - jnp.round(f) for f in fr]
+            dr = [sum(fr[a] * box_ref[a, b] for a in range(3))
+                  for b in range(3)]
         r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
 
         rows = ti * TI + jax.lax.broadcasted_iota(jnp.int32, (TI, TJ), 0)
@@ -343,9 +351,17 @@ def _mol_kernel(scal_ref, rowd_ref, pj_ref, qj_ref, ej_ref, sj_ref,
     # c6,c8,c10 replicated across lanes; lane slice [:, :1] -> columns
     fld = lambda k: rowd_ref[k * A_PAD:(k + 1) * A_PAD, 0:1]   # [A_PAD,1]
     dx = [fld(k) - pj_ref[k, :][None, :] for k in range(3)]
-    fr = [sum(dx[b] * binv_ref[b, a] for b in range(3)) for a in range(3)]
-    fr = [f - jnp.round(f) for f in fr]
-    dr = [sum(fr[a] * box_ref[a, b] for a in range(3)) for b in range(3)]
+    if cfg.ortho_box:
+        # diagonal basis: bit-identical cross-term skip (see _kernel)
+        fr = [dx[a] * binv_ref[a, a] for a in range(3)]
+        fr = [f - jnp.round(f) for f in fr]
+        dr = [fr[a] * box_ref[a, a] for a in range(3)]
+    else:
+        fr = [sum(dx[b] * binv_ref[b, a] for b in range(3))
+              for a in range(3)]
+        fr = [f - jnp.round(f) for f in fr]
+        dr = [sum(fr[a] * box_ref[a, b] for a in range(3))
+              for b in range(3)]
     r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
 
     cols = tj * MOL_TJ + jax.lax.broadcasted_iota(jnp.int32,

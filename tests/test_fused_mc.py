@@ -48,6 +48,41 @@ def test_supported_gate():
     assert not mc_kernel.supported(c2, p2)      # uvt
 
 
+def test_ortho_box_min_image_bit_identical():
+    """cfg.ortho_box drops the exact-zero triclinic cross terms in the
+    kernels' min-image (12 ops vs 36) — trajectories, accumulated
+    energies and acceptance counts must be BIT-identical to the general
+    path on a diagonal box, even on a jammed fluid whose r^-12 cores
+    amplify any ulp-level formula change ~1e7x (a d - L*round(d/L)
+    rewrite fails this test by ~K-scale drift)."""
+    params, state, cfg, thermo = _fluid(n=48)
+    res = {}
+    for ortho in (False, True):
+        c = dataclasses.replace(cfg, ortho_box=ortho)
+        st, stats = metropolis.run_chunk_fused(state, params, c, thermo,
+                                               300)
+        res[ortho] = (np.asarray(st.pos), float(st.energy.rd),
+                      int(stats.accepts[0]))
+    np.testing.assert_array_equal(res[False][0], res[True][0])
+    assert res[False][1] == res[True][1]
+    assert res[False][2] == res[True][2]
+    # µVT kernel too (insert/delete paths share the col pass)
+    params, state, cfg, thermo = systems.mof_h2_gcmc(n_side=4, n_h2=8,
+                                                     capacity=16)
+    cfg = dataclasses.replace(cfg, fused_mc=True)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    res = {}
+    for ortho in (False, True):
+        c = dataclasses.replace(cfg, ortho_box=ortho)
+        st, _ = metropolis.run_chunk_fused_uvt(state, params, c, thermo,
+                                               300)
+        res[ortho] = (np.asarray(st.pos), float(st.energy.total),
+                      int(np.asarray(st.mol_alive).sum()))
+    np.testing.assert_array_equal(res[False][0], res[True][0])
+    assert res[False][1] == res[True][1]
+    assert res[False][2] == res[True][2]
+
+
 @pytest.mark.parametrize("coulomb,charges", [("none", False),
                                              ("cutoff", True),
                                              ("wolf", True)])
