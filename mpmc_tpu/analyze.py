@@ -1025,20 +1025,35 @@ def mbar_fit(betas, u_by_state, tol=1e-10, max_iter=50000):
     n_k = np.array([len(u) for u in u_list], np.float64)
     u_all = np.concatenate(u_list)
     bu = betas[:, None] * u_all[None, :]          # [K, Ntot]
+    f, log_denom, converged, its = _mbar_core(bu, n_k, tol=tol,
+                                              max_iter=max_iter)
+    return {"betas": betas, "f": f, "u_all": u_all,
+            "log_denom": log_denom, "n_k": n_k,
+            "converged": converged, "iterations": its}
+
+
+def _mbar_core(u_kn, n_k, tol=1e-10, max_iter=50000):
+    """Self-consistent MBAR solve over an arbitrary reduced-potential
+    matrix ``u_kn`` [K states x Ntot pooled samples] (Shirts & Chodera
+    2008 eq. 11-13): the state definition lives entirely in u_kn, so
+    the same core serves canonical ladders (u = beta_k U) and
+    grand-canonical ones (u = beta U - sum_s N_s ln(beta f_ks V)).
+    Returns (f [K] with f[0]=0, log_denom [Ntot], converged, iters)."""
+    u_kn = np.asarray(u_kn, np.float64)
+    n_k = np.asarray(n_k, np.float64).ravel()
     log_n = np.log(n_k)
-    f = np.zeros(betas.size)
+    f = np.zeros(u_kn.shape[0])
+    delta = np.inf
     for it in range(max_iter):
-        log_denom = _logsumexp((log_n + f)[:, None] - bu, axis=0)
-        f_new = -_logsumexp(-bu - log_denom[None, :], axis=1)
+        log_denom = _logsumexp((log_n + f)[:, None] - u_kn, axis=0)
+        f_new = -_logsumexp(-u_kn - log_denom[None, :], axis=1)
         f_new = f_new - f_new[0]
         delta = float(np.max(np.abs(f_new - f)))
         f = f_new
         if delta < tol:
             break
-    log_denom = _logsumexp((log_n + f)[:, None] - bu, axis=0)
-    return {"betas": betas, "f": f, "u_all": u_all,
-            "log_denom": log_denom, "n_k": n_k,
-            "converged": delta < tol, "iterations": it + 1}
+    log_denom = _logsumexp((log_n + f)[:, None] - u_kn, axis=0)
+    return f, log_denom, delta < tol, it + 1
 
 
 def mbar_reweight(fit, beta, a_vals=None):
@@ -1128,6 +1143,181 @@ def pt_mbar(jsonl_path, t_grid=None, skip=0.0, n_t=50):
             "n_mean": n_mean, "ess": ess, "ladder_t": ladder,
             "delta_f": fit["f"], "converged": fit["converged"],
             "samples_per_state": fit["n_k"].astype(int).tolist()}
+
+
+def _read_gc_run(path):
+    """One GCMC run's (meta, U [n], N [n], per-species N dict) from its
+    JSONL stream: the ``run_meta`` header (io/output.py::log_meta)
+    defines the state (T, per-species fugacities), the per-corrtime
+    block records carry the instantaneous samples."""
+    import json
+    meta = None
+    us, ns = [], []
+    nsp = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            if "run_meta" in rec:
+                meta = rec["run_meta"]
+                continue
+            if "pt_temps" in rec:
+                continue
+            if "energy_total" in rec and "N" in rec:
+                us.append(float(rec["energy_total"]))
+                ns.append(float(rec["N"]))
+                for k, v in rec.items():
+                    if k.startswith("N_"):
+                        nsp.setdefault(k[2:], []).append(float(v))
+    if meta is None:
+        raise ValueError(
+            f"{path}: no run_meta header record — re-run with --jsonl "
+            "on a current build (io/output.py writes the header), or "
+            "pass states explicitly via gcmc_mbar(..., fugacities=)")
+    if not us:
+        raise ValueError(f"{path}: no observable block records")
+    return (meta, np.asarray(us, np.float64), np.asarray(ns, np.float64),
+            {k: np.asarray(v, np.float64) for k, v in nsp.items()})
+
+
+def gcmc_mbar(paths, skip=0.0, f_grid=None, n_f=50, fugacities=None,
+              temperature=None):
+    """Continuous-fugacity isotherm from K separate GCMC runs at the
+    same temperature via grand-canonical MBAR reweighting: the K runs
+    (e.g. a campaign's pressure points) are pooled and reweighted to a
+    fugacity grid, giving <N>(f), <U>(f), and a continuous-pressure
+    isosteric heat from the fluctuation formula — the histogram-
+    reweighting workflow the reference's users run by hand on top of
+    per-point output files (SURVEY.md §2 "Averages/observables";
+    beyond-reference analyzer like pt_mbar).
+
+    The grand-canonical reduced potential at state k is
+    u_k(x) = beta U(x) - sum_s N_s(x) ln f_ks  (the beta V / Lambda^3 /
+    N! factors are state-independent at fixed T,V and cancel in MBAR).
+    Mixtures reweight along the composition ray of the first run.
+
+    ``paths``: JSONL streams, each with a run_meta header (T and
+    per-species fugacities are read from the stream; override with
+    ``fugacities`` [K][S] + ``temperature``).  ``skip``: equilibration
+    fraction dropped per run.  Returns {f_grid [atm], n_mean, u_mean,
+    var_n, qst_kj_mol, ess, n_species {name: curve}, ladder_f,
+    delta_f (dimensionless grand-potential differences vs state 0),
+    converged, samples_per_state, temperature, composition}."""
+    if len(paths) < 2:
+        raise ValueError("gcmc_mbar needs >= 2 runs (states) to bridge")
+    runs = [_read_gc_run(p) for p in paths]
+    metas = [r[0] for r in runs]
+    if temperature is None:
+        temps = [m.get("temperature") for m in metas]
+        if any(t is None for t in temps):
+            raise ValueError("a run_meta lacks temperature — pass "
+                             "temperature= explicitly")
+        temperature = float(temps[0])
+        if max(abs(t - temperature) for t in temps) > 1e-6 * temperature:
+            raise ValueError(f"runs are at different temperatures "
+                             f"{temps} — GC reweighting needs one T "
+                             "(use pt_mbar for T ladders)")
+    for m in metas:
+        if m.get("ensemble", "uvt") != "uvt":
+            raise ValueError(f"ensemble {m.get('ensemble')!r} run in "
+                             "the input — gcmc_mbar reweights uVT runs")
+    beta = 1.0 / float(temperature)
+    species = metas[0].get("species", [])
+    if fugacities is not None:
+        fug = np.asarray(fugacities, np.float64)
+        if fug.ndim == 1:
+            fug = fug[:, None]
+        if not species:
+            species = [f"sp{j}" for j in range(fug.shape[1])]
+    else:
+        try:
+            fug = np.asarray([m["fugacities"] for m in metas],
+                             np.float64)
+        except KeyError:
+            raise ValueError("a run_meta lacks fugacities — pass "
+                             "fugacities= explicitly")
+        for m in metas:
+            if m.get("species", species) != species:
+                raise ValueError("runs have different species lists")
+    # sorbates = species with a nonzero fugacity anywhere in the ladder
+    sorb = [j for j in range(fug.shape[1]) if fug[:, j].max() > 0.0]
+    if not sorb:
+        raise ValueError("no species has a nonzero fugacity")
+    if (fug[:, sorb] <= 0.0).any():
+        raise ValueError("a sorbate has fugacity 0 in one run — that "
+                         "state forbids the others' samples (ln f "
+                         "diverges); drop the run or the species")
+    # per-sample per-sorbate loadings; single-sorbate runs may predate
+    # per-species N_<name> columns -> fall back to the total N
+    u_parts, n_parts = [], []
+    nsp_parts = {species[j]: [] for j in sorb}
+    n_k = []
+    for meta, us, ns, nsp in runs:
+        k0 = int(min(max(skip, 0.0), 0.9) * len(us))
+        us, ns = us[k0:], ns[k0:]
+        u_parts.append(us)
+        n_parts.append(ns)
+        n_k.append(len(us))
+        for j in sorb:
+            nm = species[j]
+            if nm in nsp:
+                nsp_parts[nm].append(np.asarray(nsp[nm][k0:]))
+            elif len(sorb) == 1:
+                nsp_parts[nm].append(ns)
+            else:
+                raise ValueError(f"run lacks per-species N_{nm} "
+                                 "records needed for a mixture")
+    u_all = np.concatenate(u_parts)
+    n_all = np.concatenate(n_parts)
+    ns_all = np.stack([np.concatenate(nsp_parts[species[j]])
+                       for j in sorb])            # [S, Ntot]
+    n_k = np.asarray(n_k, np.float64)
+    lnf = np.log(fug[:, sorb])                    # [K, S]
+    u_kn = beta * u_all[None, :] - lnf @ ns_all   # [K, Ntot]
+    f, log_denom, converged, its = _mbar_core(u_kn, n_k)
+    # composition ray from state 0 (checked against the others)
+    f_tot_ladder = fug[:, sorb].sum(axis=1)
+    y = fug[0, sorb] / f_tot_ladder[0]
+    comp = fug[:, sorb] / f_tot_ladder[:, None]
+    comp_ok = bool(np.max(np.abs(comp - y[None, :])) < 1e-6)
+    if f_grid is None:
+        f_grid = np.geomspace(f_tot_ladder.min(), f_tot_ladder.max(),
+                              int(n_f))
+    f_grid = np.asarray(f_grid, np.float64).ravel()
+    n_mean = np.empty_like(f_grid)
+    u_mean = np.empty_like(f_grid)
+    var_n = np.empty_like(f_grid)
+    qst = np.empty_like(f_grid)
+    ess = np.empty_like(f_grid)
+    n_species = {species[j]: np.empty_like(f_grid) for j in sorb}
+    nt_all = ns_all.sum(axis=0)                   # total sorbate count
+    for i, ft in enumerate(f_grid):
+        lnft = np.log(y * ft)                     # [S]
+        u_t = beta * u_all - lnft @ ns_all
+        logw = -u_t - log_denom
+        logw -= _logsumexp(logw)
+        w = np.exp(logw)
+        nm_ = float(np.sum(w * nt_all))
+        um_ = float(np.sum(w * u_all))
+        vn_ = float(np.sum(w * (nt_all - nm_) ** 2))
+        cov = float(np.sum(w * (u_all - um_) * (nt_all - nm_)))
+        n_mean[i], u_mean[i], var_n[i] = nm_, um_, vn_
+        qst[i] = ((temperature - cov / vn_) * 8.314462618e-3
+                  if vn_ > 0 else float("nan"))
+        ess[i] = float(1.0 / np.sum(w * w))
+        for s_i, j in enumerate(sorb):
+            n_species[species[j]][i] = float(np.sum(w * ns_all[s_i]))
+    return {"f_grid": f_grid, "n_mean": n_mean, "u_mean": u_mean,
+            "var_n": var_n, "qst_kj_mol": qst, "ess": ess,
+            "n_species": n_species, "ladder_f": f_tot_ladder,
+            "delta_f": f, "converged": converged, "iterations": its,
+            "samples_per_state": n_k.astype(int).tolist(),
+            "temperature": float(temperature),
+            "composition": {species[j]: float(y[s_i])
+                            for s_i, j in enumerate(sorb)},
+            "composition_matched": comp_ok}
 
 
 def _read_series(path, column):
@@ -1321,6 +1511,24 @@ def main(argv=None):
                      help="grid end (default: ladder max)")
     pmb.add_argument("--out", default="-",
                      help="CSV path (default stdout)")
+    pgc = sub.add_parser("gcmc-mbar",
+                         help="continuous-fugacity isotherm + Qst "
+                              "from K separate GCMC runs at one T "
+                              "(grand-canonical MBAR over the runs' "
+                              "JSONL streams)")
+    pgc.add_argument("jsonl", nargs="+",
+                     help=">=2 GCMC run --jsonl streams (run_meta "
+                          "headers define each state)")
+    pgc.add_argument("--skip", type=float, default=0.0,
+                     help="equilibration fraction to drop (0-0.9)")
+    pgc.add_argument("--nf", type=int, default=50,
+                     help="fugacity grid points (geometric)")
+    pgc.add_argument("--fmin", type=float, default=0.0,
+                     help="grid start (atm; default: ladder min)")
+    pgc.add_argument("--fmax", type=float, default=0.0,
+                     help="grid end (atm; default: ladder max)")
+    pgc.add_argument("--out", default="-",
+                     help="CSV path (default stdout)")
     pp2 = sub.add_parser("pore",
                          help="geometric void fraction + pore-size "
                               "distribution (first frame)")
@@ -1458,6 +1666,32 @@ def main(argv=None):
         print(f"samples: {len(s)}  mean: {s.mean():.8g}  "
               f"tau_int: {tau:.2f}  "
               f"sem(plateau): {sems[0] * np.sqrt(tau):.6g}")
+    elif args.cmd == "gcmc-mbar":
+        res = gcmc_mbar(args.jsonl, skip=args.skip, n_f=args.nf,
+                        f_grid=(np.geomspace(args.fmin, args.fmax,
+                                             args.nf)
+                                if args.fmax > 0 else None))
+        lf = res["ladder_f"]
+        print(f"ladder: {lf.size} states at T={res['temperature']:g}, "
+              "f_total = " + " ".join(f"{v:g}" for v in lf)
+              + f"  (samples/state: {res['samples_per_state']}, "
+              f"converged: {res['converged']})")
+        if not res["composition_matched"]:
+            print("WARNING: run compositions differ — the grid follows "
+                  "the FIRST run's composition ray")
+        print("delta_f (dimensionless grand potential, vs state 0): "
+              + " ".join(f"{v:.4f}" for v in res["delta_f"]))
+        sp_names = sorted(res["n_species"])
+        hdr = "f_atm,n_mean,u_mean,var_n,qst_kJ_mol,ess" + "".join(
+            f",n_{nm}" for nm in sp_names)
+        write_csv(args.out, hdr,
+                  ((f"{ft:.6g}", f"{n:.8g}", f"{u:.8g}", f"{v:.8g}",
+                    f"{q:.6g}", f"{e:.6g}",
+                    *(f"{res['n_species'][nm][i]:.8g}"
+                      for nm in sp_names))
+                   for i, (ft, n, u, v, q, e) in enumerate(zip(
+                       res["f_grid"], res["n_mean"], res["u_mean"],
+                       res["var_n"], res["qst_kj_mol"], res["ess"]))))
     elif args.cmd == "mbar":
         res = pt_mbar(args.jsonl, skip=args.skip, n_t=args.nt,
                       t_grid=(np.linspace(args.tmin, args.tmax,

@@ -67,6 +67,34 @@ class RunWriter:
             self.jsonl_f.write(json.dumps({"step": step, **obs}) + "\n")
             self.jsonl_f.flush()
 
+    def log_meta(self, *, ensemble=None, temperature=None, pressure=None,
+                 fugacities=None, volume=None, n_chains=None):
+        """Self-describing run header: ONE ``run_meta`` JSONL record
+        written before any observable blocks, carrying the state
+        definition (ensemble, T [K], P [atm], per-species fugacities
+        [atm], cell volume [A^3]).  The reweighting analyzers
+        (analyze.gcmc_mbar) read the thermodynamic state of each run
+        from its own stream instead of requiring it on the command
+        line.  No-op without a JSONL stream."""
+        if not self.jsonl_f:
+            return
+        meta = {"species": list(self.species_names)}
+        if ensemble is not None:
+            meta["ensemble"] = str(ensemble)
+        if temperature is not None:
+            meta["temperature"] = float(temperature)
+        if pressure is not None:
+            meta["pressure"] = float(pressure)
+        if fugacities is not None:
+            meta["fugacities"] = [float(f) for f in np.asarray(fugacities)
+                                  .ravel()]
+        if volume is not None:
+            meta["volume"] = float(volume)
+        if n_chains is not None:
+            meta["n_chains"] = int(n_chains)
+        self.jsonl_f.write(json.dumps({"run_meta": meta}) + "\n")
+        self.jsonl_f.flush()
+
     def log_ladder(self, step: int, temps, obs_list):
         """One JSONL record per PT block with the FULL ladder state —
         per-replica temperature, potential energy, and loading — the

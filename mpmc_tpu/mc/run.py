@@ -751,6 +751,10 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     temps = replica.geometric_ladder(job.temperature, t_max, R)
     writer = output_io.RunWriter(job, su.species_names, log=log,
                                  jsonl_path=jsonl_path)
+    writer.log_meta(ensemble=cfg.ensemble, temperature=job.temperature,
+                    pressure=job.pressure, fugacities=thermo.fugacity,
+                    volume=float(np.abs(np.linalg.det(
+                        np.asarray(su.state.box)))), n_chains=R)
     print(f"parallel tempering: {R} replicas, T = "
           + " ".join(f"{t:.2f}" for t in temps), file=writer.log)
 
@@ -981,6 +985,10 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
     cfg, params, thermo = su.cfg, su.params, su.thermo
     writer = output_io.RunWriter(job, su.species_names, log=log,
                                  jsonl_path=jsonl_path)
+    writer.log_meta(ensemble=cfg.ensemble, temperature=job.temperature,
+                    pressure=job.pressure, fugacities=thermo.fugacity,
+                    volume=float(np.abs(np.linalg.det(
+                        np.asarray(su.state.box)))), n_chains=job.chains)
     C = job.chains
     print(f"batched chains: {C}", file=writer.log)
     if cfg.spectre:
@@ -1144,6 +1152,10 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
     thermo = su.thermo
     writer = output_io.RunWriter(job, su.species_names, log=log,
                                  jsonl_path=jsonl_path)
+    writer.log_meta(ensemble=cfg.ensemble, temperature=job.temperature,
+                    pressure=job.pressure, fugacities=thermo.fugacity,
+                    volume=float(np.abs(np.linalg.det(
+                        np.asarray(su.state.box)))))
     if job.unknown_options:
         print(f"WARNING: unknown options ignored: {job.unknown_options}",
               file=writer.log)

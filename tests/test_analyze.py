@@ -938,3 +938,94 @@ def test_pt_mbar_cli(tmp_path, capsys):
     np.testing.assert_allclose(u, t / 2.0, rtol=0.06)
     n_mean = np.array([float(r.split(",")[3]) for r in rows[1:]])
     np.testing.assert_allclose(n_mean, 2.0, atol=1e-9)
+
+
+def _gc_jsonl(path, temperature, fugacity, n_samples, seed, eps_bind,
+              species=("MOF", "H2"), n_chains=None):
+    """Synthetic GCMC run stream with a run_meta header: the exactly
+    solvable lattice-gas model U = -eps_bind * N, whose grand-canonical
+    occupancy is Poisson with lambda(f) = c * f * exp(eps_bind/T)
+    (c absorbs the state-independent beta*V/Lambda^3 factors)."""
+    import json
+    rng = np.random.default_rng(seed)
+    lam = 5.0 * fugacity * np.exp(eps_bind / temperature)
+    lines = [json.dumps({"run_meta": {
+        "species": list(species), "ensemble": "uvt",
+        "temperature": temperature, "pressure": fugacity,
+        "fugacities": [0.0, fugacity], "volume": 1000.0}})]
+    for i in range(n_samples):
+        n = int(rng.poisson(lam))
+        lines.append(json.dumps({
+            "step": (i + 1) * 10, "energy_total": -eps_bind * n,
+            "N": float(n), f"N_{species[1]}": float(n)}))
+    path.write_text("\n".join(lines) + "\n")
+    return lam
+
+
+def test_gcmc_mbar_lattice_gas_exact(tmp_path):
+    """Grand-canonical MBAR over three fugacity states of the
+    U = -eps*N lattice gas recovers the analytic <N>(f) = c f e^{eps/T}
+    curve, the exact Qst = T + eps, Poisson var(N) = <N>, and the
+    grand-potential differences ln(Xi_k/Xi_0) = lambda_k - lambda_0."""
+    T, eps = 77.0, 120.0
+    fs = [0.05, 0.2, 0.8]
+    paths = []
+    lams = {}
+    for i, f in enumerate(fs):
+        p = tmp_path / f"run{i}.jsonl"
+        lams[f] = _gc_jsonl(p, T, f, 4000, 100 + i, eps)
+        paths.append(str(p))
+    res = analyze.gcmc_mbar(paths, n_f=9)
+    assert res["converged"] and res["temperature"] == T
+    # endpoints + interior of the grid against the analytic isotherm
+    lam_exact = 5.0 * res["f_grid"] * np.exp(eps / T)
+    np.testing.assert_allclose(res["n_mean"], lam_exact, rtol=0.05)
+    # Poisson: var(N) = <N>
+    np.testing.assert_allclose(res["var_n"], res["n_mean"], rtol=0.12)
+    # fluctuation-formula Qst: U = -eps*N => qst = (T + eps) * R
+    np.testing.assert_allclose(
+        res["qst_kj_mol"], (T + eps) * 8.314462618e-3, rtol=1e-6)
+    # delta_f = -(ln Xi_k - ln Xi_0) = -(lambda_k - lambda_0)
+    lam_k = np.array([lams[f] for f in fs])
+    np.testing.assert_allclose(res["delta_f"], -(lam_k - lam_k[0]),
+                               atol=0.35)
+    # per-species curve == total for the single sorbate
+    np.testing.assert_allclose(res["n_species"]["H2"], res["n_mean"])
+
+
+def test_gcmc_mbar_validates_states(tmp_path):
+    p1 = tmp_path / "a.jsonl"
+    p2 = tmp_path / "b.jsonl"
+    _gc_jsonl(p1, 77.0, 0.1, 50, 1, 50.0)
+    with pytest.raises(ValueError, match=">= 2 runs"):
+        analyze.gcmc_mbar([str(p1)])
+    _gc_jsonl(p2, 90.0, 0.4, 50, 2, 50.0)
+    with pytest.raises(ValueError, match="different temperatures"):
+        analyze.gcmc_mbar([str(p1), str(p2)])
+    # no header record at all
+    p3 = tmp_path / "c.jsonl"
+    p3.write_text('{"step": 1, "energy_total": 0.0, "N": 1.0}\n')
+    with pytest.raises(ValueError, match="run_meta"):
+        analyze.gcmc_mbar([str(p1), str(p3)])
+
+
+def test_gcmc_mbar_cli(tmp_path, capsys):
+    paths = []
+    for i, f in enumerate([0.1, 0.4]):
+        p = tmp_path / f"run{i}.jsonl"
+        _gc_jsonl(p, 77.0, f, 800, 7 + i, 80.0)
+        paths.append(str(p))
+    out_csv = tmp_path / "iso.csv"
+    assert analyze.main(["gcmc-mbar", *paths, "--nf", "7",
+                         "--out", str(out_csv)]) == 0
+    text = capsys.readouterr().out
+    assert "ladder: 2 states at T=77" in text and "delta_f" in text
+    rows = out_csv.read_text().splitlines()
+    assert rows[0] == ("f_atm,n_mean,u_mean,var_n,qst_kJ_mol,ess,n_H2"
+                       ) and len(rows) == 8
+    fcol = np.array([float(r.split(",")[0]) for r in rows[1:]])
+    ncol = np.array([float(r.split(",")[1]) for r in rows[1:]])
+    # isotherm is linear in f for the lattice gas; check monotone +
+    # 4x span between the endpoints (f spans 0.1 -> 0.4)
+    assert np.all(np.diff(fcol) > 0) and np.all(np.diff(ncol) > 0)
+    np.testing.assert_allclose(ncol[-1] / ncol[0], 4.0, rtol=0.1)

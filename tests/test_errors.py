@@ -162,7 +162,11 @@ pqr_input {pqr}
 """)
     run_mod.run(job, log=io.StringIO(), jsonl_path=str(out))
     rows = [json.loads(l) for l in out.read_text().splitlines()]
-    assert len(rows) == 3
+    assert len(rows) == 4
+    meta = rows.pop(0)["run_meta"]    # self-describing header record
+    assert meta["ensemble"] == "nvt"
+    assert meta["temperature"] == 150.0
+    assert abs(meta["volume"] - 1000.0) < 1e-9
     for r in rows:
         for key in ("step", "energy_total", "energy_rd", "N", "volume",
                     "acc_displace"):
