@@ -1241,14 +1241,10 @@ def gcmc_mbar(paths, skip=0.0, f_grid=None, n_f=50, fugacities=None,
         for m in metas:
             if m.get("species", species) != species:
                 raise ValueError("runs have different species lists")
-    # sorbates = species with a nonzero fugacity anywhere in the ladder
+    # sorbate candidates = species with a nonzero fugacity anywhere
     sorb = [j for j in range(fug.shape[1]) if fug[:, j].max() > 0.0]
     if not sorb:
         raise ValueError("no species has a nonzero fugacity")
-    if (fug[:, sorb] <= 0.0).any():
-        raise ValueError("a sorbate has fugacity 0 in one run — that "
-                         "state forbids the others' samples (ln f "
-                         "diverges); drop the run or the species")
     # per-sample per-sorbate loadings; single-sorbate runs may predate
     # per-species N_<name> columns -> fall back to the total N
     u_parts, n_parts = [], []
@@ -1271,8 +1267,21 @@ def gcmc_mbar(paths, skip=0.0, f_grid=None, n_f=50, fugacities=None,
                                  "records needed for a mixture")
     u_all = np.concatenate(u_parts)
     n_all = np.concatenate(n_parts)
-    ns_all = np.stack([np.concatenate(nsp_parts[species[j]])
-                       for j in sorb])            # [S, Ntot]
+    ns_cand = {species[j]: np.concatenate(nsp_parts[species[j]])
+               for j in sorb}
+    # drop constant-loading species (e.g. a frozen framework listed
+    # with the default f = P): a constant N_s contributes only a
+    # state-constant to u_kn — identical MBAR weights — but would
+    # pollute the grand-potential differences with -N_s ln(f_k/f_0)
+    sorb = [j for j in sorb if ns_cand[species[j]].var() > 0.0]
+    if not sorb:
+        raise ValueError("no sorbate's loading varies across the "
+                         "pooled samples — nothing to reweight")
+    if (fug[:, sorb] <= 0.0).any():
+        raise ValueError("a sorbate has fugacity 0 in one run — that "
+                         "state forbids the others' samples (ln f "
+                         "diverges); drop the run or the species")
+    ns_all = np.stack([ns_cand[species[j]] for j in sorb])  # [S, Ntot]
     n_k = np.asarray(n_k, np.float64)
     lnf = np.log(fug[:, sorb])                    # [K, S]
     u_kn = beta * u_all[None, :] - lnf @ ns_all   # [K, Ntot]

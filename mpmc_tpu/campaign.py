@@ -8,9 +8,13 @@ becomes one restartable driver:
 
 - each pressure point runs C vmapped GCMC chains on one chip;
 - the point stops when the cross-chain standard error of <N> falls
-  under ``target_rel_sem`` (chains are independent, so the chain-spread
-  SEM is an honest, autocorrelation-free uncertainty) or at
-  ``max_steps``;
+  under ``target_rel_sem`` (the chain-spread SEM needs no
+  autocorrelation analysis) or at ``max_steps``.  Caveat: batched
+  chains share the move-TYPE schedule (parallel/multichain design), so
+  a common fluctuation component is invisible to the chain spread and
+  the true error can exceed the SEM by a small factor at short run
+  lengths — tighten target_rel_sem rather than trusting 1x SEM for
+  publication-grade error bars;
 - successive points warm-start from the previous pressure's final
   chain states (sorption ladders equilibrate far faster than fresh
   starts);
@@ -101,9 +105,11 @@ def _species_stats(su, per_species, fugacities):
 
 def run_point(su, states, thermo, chains, corrtime, min_steps, max_steps,
               target_rel_sem, equil_blocks, log=None,
-              fugacities=None) -> tuple:
+              fugacities=None, sample_sink=None) -> tuple:
     """Run one pressure point to its uncertainty target.  Returns
-    (states, stats_dict)."""
+    (states, stats_dict).  ``sample_sink``: optional open text file —
+    one JSON record per (block, chain) sample (instantaneous U and
+    per-species N), the per-point stream analyze.gcmc_mbar consumes."""
     from mpmc_tpu.mc import metropolis
     from mpmc_tpu.parallel import multichain
     from mpmc_tpu.utils.averages import Averages
@@ -132,6 +138,12 @@ def run_point(su, states, thermo, chains, corrtime, min_steps, max_steps,
             for nm in su.species_names:
                 per_species[nm][c].append(o[f"N_{nm}"])
             avgs.add(o)
+            if sample_sink is not None:
+                rec = {"step": steps, "chain": c,
+                       "energy_total": o["energy_total"], "N": o["N"]}
+                rec.update({f"N_{nm}": o[f"N_{nm}"]
+                            for nm in su.species_names})
+                sample_sink.write(json.dumps(rec) + "\n")
         means = np.array([np.mean(v) for v in chain_n])
         n_mean = float(means.mean())
         n_sem = float(means.std(ddof=1) / np.sqrt(chains)) \
@@ -157,13 +169,19 @@ def run_point(su, states, thermo, chains, corrtime, min_steps, max_steps,
 def run_isotherm(job, pressures, chains=16, target_rel_sem=0.02,
                  min_steps=2000, max_steps=50000, equil_blocks=2,
                  checkpoint_dir: Optional[str] = None, log=None,
-                 warm_start=True) -> List[PointResult]:
+                 warm_start=True,
+                 samples_dir: Optional[str] = None) -> List[PointResult]:
     """Sweep ``pressures`` (atm) and return one PointResult per point.
 
     With ``checkpoint_dir``, completed points are recorded in
     ``manifest.json`` and the batched chain states in ``states.npz``;
     rerunning the same campaign resumes after the last completed
     pressure.
+
+    With ``samples_dir``, every point writes ``point_NNN.jsonl`` — a
+    run_meta header plus one record per (block, chain) sample — ready
+    for ``analyze.py gcmc-mbar`` to reweight the whole campaign into a
+    continuous-fugacity isotherm/Qst curve.
     """
     from mpmc_tpu.io import checkpoint as ckpt
     from mpmc_tpu.mc import metropolis
@@ -192,7 +210,9 @@ def run_isotherm(job, pressures, chains=16, target_rel_sem=0.02,
                     print(f"resuming: {len(results)} points done",
                           file=log, flush=True)
 
-    for p_atm in pressures:
+    if samples_dir:
+        os.makedirs(samples_dir, exist_ok=True)
+    for p_i, p_atm in enumerate(pressures):
         if any(abs(p_atm - d) < 1e-12 for d in done_pressures):
             continue
         jb = dataclasses.replace(job, pressure=p_atm)
@@ -210,10 +230,27 @@ def run_isotherm(job, pressures, chains=16, target_rel_sem=0.02,
         if not warm_start:
             states = multichain.stack_states(state, chains,
                                              seed=su.cfg.seed)
-        states, stats = run_point(
-            su, states, thermo, chains, su.cfg.corrtime, min_steps,
-            max_steps, target_rel_sem, equil_blocks, log=log,
-            fugacities=fug)
+        sink = None
+        if samples_dir:
+            sink = open(os.path.join(samples_dir,
+                                     f"point_{p_i:03d}.jsonl"), "w")
+            sink.write(json.dumps({"run_meta": {
+                "species": list(su.species_names),
+                "ensemble": str(su.cfg.ensemble),
+                "temperature": float(jb.temperature),
+                "pressure": float(p_atm),
+                "fugacities": [float(v) for v in fug],
+                "volume": float(abs(np.linalg.det(
+                    np.asarray(su.state.box)))),
+                "n_chains": int(chains)}}) + "\n")
+        try:
+            states, stats = run_point(
+                su, states, thermo, chains, su.cfg.corrtime, min_steps,
+                max_steps, target_rel_sem, equil_blocks, log=log,
+                fugacities=fug, sample_sink=sink)
+        finally:
+            if sink is not None:
+                sink.close()
         results.append(PointResult(
             pressure_atm=p_atm, fugacity_atm=float(fug[0]),
             n_mean=stats["n_mean"], n_sem=stats["n_sem"],

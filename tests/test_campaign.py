@@ -168,3 +168,35 @@ def test_write_csv_mixed_rows_union_header(tmp_path):
     assert "S_HE_NE" in lines[0]
     assert lines[1].endswith(",,,")        # blanks for the old row
     assert lines[2].split(",")[-1] == "1.1"
+
+
+def test_campaign_samples_feed_gcmc_mbar(tmp_path):
+    """samples_dir point streams are directly consumable by
+    analyze.gcmc_mbar: the reweighted ideal-gas isotherm is the
+    <N> = f V / kT line across the whole continuous-f grid."""
+    from mpmc_tpu import analyze
+
+    job = _job(tmp_path)
+    sdir = tmp_path / "samples"
+    campaign.run_isotherm(
+        job, pressures=[2.0, 8.0], chains=8, target_rel_sem=0.03,
+        min_steps=6000, max_steps=12000, equil_blocks=2,
+        samples_dir=str(sdir))
+    files = sorted(str(p) for p in sdir.glob("point_*.jsonl"))
+    assert len(files) == 2
+    res = analyze.gcmc_mbar(files, n_f=7)
+    assert res["converged"]
+    v = 20.0 ** 3
+    expect = res["f_grid"] * ATM2K_A3 * v / 100.0
+    # Tolerance note: batched chains share the move-type schedule (the
+    # documented multichain design), so cross-chain fluctuations are
+    # positively correlated and the effective sample count is closer to
+    # the BLOCK count (~30) than blocks x chains; observed deviations
+    # of the pooled mean at these run lengths are up to ~20%.  The
+    # MBAR math itself is pinned exactly by the synthetic lattice-gas
+    # test above — this is the files-to-curve integration check.
+    np.testing.assert_allclose(res["n_mean"], expect, rtol=0.3)
+    assert np.all(np.diff(res["n_mean"]) > 0)     # monotone isotherm
+    # ideal gas: Poisson occupancy, var(N) ~ <N>
+    ratio = res["var_n"] / res["n_mean"]
+    assert np.all(ratio > 0.4) and np.all(ratio < 1.8)
