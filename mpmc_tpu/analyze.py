@@ -135,6 +135,72 @@ def loading_python(frames, mol_name="*", flag="M"):
     return np.asarray(out)
 
 
+def cluster_python(frames, mol_name="*", flag="M", rc=4.0, box=None,
+                   max_size=64):
+    """Reference COM cluster statistics — the exact contract of the
+    native kernel (traj_cluster): per frame, molecules whose COM
+    min-image distance is < rc are merged into connected components
+    (union-find); returns (series [n_frames, 3] = cluster count / mean
+    size / largest-cluster fraction, pooled size histogram [max_size],
+    cluster size s in bin min(s, max_size) - 1).  Sorbate aggregation
+    diagnostics: pore-filling shows up as the largest-cluster fraction
+    climbing toward 1 along an isotherm."""
+    series = []
+    hist = np.zeros(int(max_size))
+    for frame in frames:
+        b = _frame_box(frame, box)
+        binv = np.linalg.inv(b)
+        mols = {}
+        for a in frame.atoms:
+            if _match(a.mol_name, mol_name) and _flag_ok(a.flag, flag):
+                mols.setdefault(a.mol_id, []).append(a)
+        coms = []
+        for mid in sorted(mols):
+            atoms = mols[mid]
+            r0 = np.asarray(atoms[0].xyz, np.float64)
+            d = np.stack([np.asarray(a.xyz, np.float64) - r0
+                          for a in atoms])
+            fr = d @ binv
+            fr -= np.round(fr)
+            d = fr @ b
+            m = np.array([a.mass for a in atoms])
+            coms.append(r0 + (m[:, None] * d).sum(0) / m.sum()
+                        if m.sum() > 0 else r0 + d.mean(0))
+        n_m = len(coms)
+        if n_m == 0:
+            series.append((0.0, 0.0, 0.0))
+            continue
+        p = np.stack(coms)
+        d = p[:, None, :] - p[None, :, :]
+        fr = d @ binv
+        fr -= np.round(fr)
+        d = fr @ b
+        adj = (d * d).sum(-1) < rc * rc
+        parent = list(range(n_m))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(n_m):
+            for j in range(i + 1, n_m):
+                if adj[i, j]:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[ri] = rj
+        sizes = {}
+        for i in range(n_m):
+            r = find(i)
+            sizes[r] = sizes.get(r, 0) + 1
+        sl = list(sizes.values())
+        for s in sl:
+            hist[min(s, int(max_size)) - 1] += 1
+        series.append((float(len(sl)), n_m / len(sl), max(sl) / n_m))
+    return np.asarray(series, np.float64), hist
+
+
 def msd_python(frames, mol_name="*", flag="M", box=None, max_lag=0):
     """Reference mean-square COM displacement vs frame lag — the exact
     contract of the native kernel: per-molecule COM series unwrapped by
@@ -657,6 +723,20 @@ def loading(path, mol_name="*", flag="M", use_native=True):
     if counts is None:
         counts = loading_python(pqr.read_frames(path), mol_name, flag)
     return counts
+
+
+def cluster(path, mol_name="*", flag="M", rc=4.0, box=None, max_size=64,
+            use_native=True):
+    """(series [n_frames, 3], size histogram [max_size]) of COM
+    connected-component clusters — native when available."""
+    res = None
+    if use_native:
+        res = native.traj_cluster(path, mol_name, flag, rc=rc, box=box,
+                                  max_size=max_size)
+    if res is None:
+        res = cluster_python(pqr.read_frames(path), mol_name, flag,
+                             rc=rc, box=box, max_size=max_size)
+    return res
 
 
 def msd(path, mol_name="*", flag="M", box=None, max_lag=0,
@@ -1406,6 +1486,20 @@ def main(argv=None):
     pl.add_argument("--mol", default="*", help="molecule name selection")
     pl.add_argument("--flag", default="M", choices=["*", "M", "F"])
     pl.add_argument("--out", default="-", help="CSV path (default stdout)")
+    pcl = sub.add_parser("cluster",
+                         help="sorbate COM cluster statistics per "
+                              "frame (connected components under a "
+                              "min-image cutoff)")
+    pcl.add_argument("traj")
+    pcl.add_argument("--mol", default="*", help="molecule name selection")
+    pcl.add_argument("--flag", default="M", choices=["*", "M", "F"])
+    pcl.add_argument("--rc", type=float, default=4.0,
+                     help="COM bonding cutoff (A)")
+    pcl.add_argument("--max-size", type=int, default=64,
+                     help="histogram bins (size >= max-size pools in "
+                          "the last bin)")
+    pcl.add_argument("--out", default="-", help="CSV path (default "
+                                                "stdout)")
     pb = sub.add_parser("blocking",
                         help="Flyvbjerg-Petersen error analysis of an "
                              "energy-CSV / JSONL observable column")
@@ -1566,7 +1660,7 @@ def main(argv=None):
                      help="probe LJ sigma (A; default ~N2)")
     pa2.add_argument("--sphere-points", type=int, default=512)
     pa2.add_argument("--seed", type=int, default=0)
-    for p in (pr, pd, pm, pl, pw, po, ps, pp2, pa2):
+    for p in (pr, pd, pm, pl, pw, po, ps, pp2, pa2, pcl):
         p.add_argument("--no-native", action="store_true",
                        help="force the numpy reference implementation")
     args = ap.parse_args(argv)
@@ -1611,6 +1705,24 @@ def main(argv=None):
                    use_native=not args.no_native)
         write_csv(args.out, "q,sq",
                   ((f"{qi:.6f}", f"{si:.8f}") for qi, si in zip(qv, s)))
+    elif args.cmd == "cluster":
+        series, hist = cluster(args.traj, args.mol, args.flag,
+                               rc=args.rc, max_size=args.max_size,
+                               use_native=not args.no_native)
+        write_csv(args.out, "frame,n_clusters,mean_size,largest_fraction",
+                  ((i, f"{r[0]:g}", f"{r[1]:.6g}", f"{r[2]:.6g}")
+                   for i, r in enumerate(series)))
+        nz = np.nonzero(hist)[0]
+        if nz.size:
+            print("pooled cluster-size histogram (size: count):")
+            for s in nz:
+                tag = f"{s + 1}" if s + 1 < args.max_size \
+                    else f">={args.max_size}"
+                print(f"  {tag}: {int(hist[s])}")
+        if len(series):
+            print(f"frames: {len(series)}  "
+                  f"<clusters/frame>: {series[:, 0].mean():.3f}  "
+                  f"<largest fraction>: {series[:, 2].mean():.4f}")
     elif args.cmd == "qst":
         def col(path, name, alias):
             # JSONL streams use N/energy_total; the energy_output CSV

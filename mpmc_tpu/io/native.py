@@ -148,6 +148,12 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_long, ctypes.c_ulonglong,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double)]
+    lib.traj_cluster.restype = ctypes.c_long
+    lib.traj_cluster.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return _lib
 
@@ -658,5 +664,36 @@ def traj_widom(path: str, eps: float, sig: float, temperature: float,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         _check_analyzer(lib, h, r, path, "Widom")
         return float(out[0]), float(out[1]), int(r)
+    finally:
+        lib.pqr_close(h)
+
+
+def traj_cluster(path: str, mol_name: str = "*", flag: str = "M",
+                 rc: float = 4.0, box=None, max_size: int = 64):
+    """Native COM cluster statistics per frame (union-find connected
+    components under the min-image cutoff ``rc``).  Returns
+    (series [n_frames, 3] = n_clusters / mean size / largest fraction,
+    hist [max_size] pooled cluster-size counts); None if the library is
+    unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    h = lib.pqr_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        err = lib.pqr_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        nf = max(int(lib.pqr_n_frames(h)), 1)
+        series = np.zeros((nf, 3), np.float64)
+        hist = np.zeros(int(max_size), np.float64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        r = lib.traj_cluster(
+            h, mol_name.encode(), (flag.encode() + b"*")[:1],
+            float(rc), _cell_ptr(box), int(max_size),
+            series.ctypes.data_as(dp), hist.ctypes.data_as(dp))
+        _check_analyzer(lib, h, r, path, "cluster analysis")
+        return series[:int(r)], hist
     finally:
         lib.pqr_close(h)

@@ -983,6 +983,83 @@ long traj_pore(void* h, const char* name_sel, char flag_sel,
 // part of the framework even when they carry no LJ site).  Returns 1;
 // -1 when the first frame lacks a usable cell, -2 on bad arguments,
 // -3 on a parse error.
+// Connected-component cluster statistics of selected-molecule COMs:
+// two molecules bond when their COM min-image distance is < rc
+// (union-find over the O(M^2) pair graph; M = sorbate molecules per
+// frame, typically a few hundred).  Per frame, 3 numbers go to
+// series_out [n_frames*3]: cluster count, mean cluster size, and the
+// largest cluster's fraction of the selected molecules; the pooled
+// cluster-size histogram goes to hist_out [max_size] (a cluster of
+// size s increments bin min(s, max_size) - 1; caller zero-inits).
+// Returns frames processed; -1 if a frame lacks a usable cell, -2 on
+// bad arguments, -3 on a parse error.
+long traj_cluster(void* h, const char* mol_name, char flag_sel,
+                  double rc, const double* fallback_cell,
+                  long max_size, double* series_out, double* hist_out) {
+    auto* file = static_cast<File*>(h);
+    if (!file || rc <= 0.0 || max_size <= 0) return -2;
+    const double rc2 = rc * rc;
+    long n_frames = 0;
+    std::map<long, std::vector<const Atom*>> mols;
+    std::vector<double> coms;
+    std::vector<long> parent, csize;
+    mpmc_native::rewind_frames(file);
+    while (const Frame* fr_p = mpmc_native::next_frame(file)) {
+        const Frame& fr = *fr_p;
+        Cell cell;
+        if (!frame_cell(fr, fallback_cell, &cell)) return -1;
+        mols.clear();
+        for (const Atom& a : fr.atoms)
+            if (name_match(a.mol_name, mol_name)
+                && flag_match(a.flag, flag_sel))
+                mols[a.mol_id].push_back(&a);
+        const long m = static_cast<long>(mols.size());
+        coms.resize(3 * m);
+        long i = 0;
+        for (const auto& kv : mols)
+            mol_com(cell, kv.second, &coms[3 * i++]);
+        parent.resize(m);
+        for (long k = 0; k < m; ++k) parent[k] = k;
+        // path-halving find
+        auto find = [&](long x) {
+            while (parent[x] != x) {
+                parent[x] = parent[parent[x]];
+                x = parent[x];
+            }
+            return x;
+        };
+        for (long a = 0; a < m; ++a)
+            for (long b = a + 1; b < m; ++b) {
+                double d[3];
+                min_image(cell, coms[3 * a] - coms[3 * b],
+                          coms[3 * a + 1] - coms[3 * b + 1],
+                          coms[3 * a + 2] - coms[3 * b + 2], d);
+                if (d[0] * d[0] + d[1] * d[1] + d[2] * d[2] < rc2) {
+                    long ra = find(a), rb = find(b);
+                    if (ra != rb) parent[ra] = rb;
+                }
+            }
+        csize.assign(m, 0);
+        for (long k = 0; k < m; ++k) ++csize[find(k)];
+        long n_cl = 0, largest = 0;
+        for (long k = 0; k < m; ++k)
+            if (csize[k] > 0) {
+                ++n_cl;
+                if (csize[k] > largest) largest = csize[k];
+                long bin = csize[k] < max_size ? csize[k] : max_size;
+                hist_out[bin - 1] += 1.0;
+            }
+        series_out[3 * n_frames] = static_cast<double>(n_cl);
+        series_out[3 * n_frames + 1] =
+            n_cl > 0 ? static_cast<double>(m) / n_cl : 0.0;
+        series_out[3 * n_frames + 2] =
+            m > 0 ? static_cast<double>(largest) / m : 0.0;
+        ++n_frames;
+    }
+    if (!file->error.empty()) return -3;
+    return n_frames;
+}
+
 long traj_asa(void* h, const char* name_sel, char flag_sel,
               double sig_probe, long n_sphere, unsigned long long seed,
               const double* unit_pts, const double* fallback_cell,

@@ -1029,3 +1029,62 @@ def test_gcmc_mbar_cli(tmp_path, capsys):
     # 4x span between the endpoints (f spans 0.1 -> 0.4)
     assert np.all(np.diff(fcol) > 0) and np.all(np.diff(ncol) > 0)
     np.testing.assert_allclose(ncol[-1] / ncol[0], 4.0, rtol=0.1)
+
+
+def _cluster_frame(tmp_path, box_l=14.0):
+    """Known cluster topology incl. a PBC-straddling pair: molecules
+    1+2 bond directly, molecule 3 bonds to 1 ACROSS the boundary
+    (min-image 0.8 A), molecule 4 is isolated."""
+    atoms = [
+        _atom(1, "He", "HE", 1, "M", [0.5, 1.0, 1.0]),
+        _atom(2, "He", "HE", 2, "M", [2.0, 1.0, 1.0]),
+        _atom(3, "He", "HE", 3, "M", [13.7, 1.0, 1.0]),
+        _atom(4, "He", "HE", 4, "M", [8.0, 8.0, 8.0]),
+    ]
+    path = tmp_path / "clu.pqr"
+    _write_traj(path, [atoms], box_l * np.eye(3))
+    return str(path)
+
+
+def test_cluster_analytic_pbc(tmp_path):
+    path = _cluster_frame(tmp_path)
+    for use_native in (False, True):
+        series, hist = analyze.cluster(path, "HE", "M", rc=2.0,
+                                       max_size=8,
+                                       use_native=use_native)
+        assert series.shape == (1, 3), use_native
+        n_cl, mean_sz, frac = series[0]
+        assert n_cl == 2 and mean_sz == pytest.approx(2.0), use_native
+        assert frac == pytest.approx(3.0 / 4.0), use_native
+        # one size-3 cluster + one singleton
+        assert hist[0] == 1 and hist[2] == 1 and hist.sum() == 2
+    # below the bonding cutoff everything is a singleton
+    series, hist = analyze.cluster(path, "HE", "M", rc=0.5, max_size=8,
+                                   use_native=False)
+    assert series[0][0] == 4 and series[0][2] == pytest.approx(0.25)
+
+
+@needs_native
+def test_cluster_native_matches_python(tmp_path):
+    path, box, _ = _triclinic_traj(tmp_path)
+    for rc in (2.5, 5.0):
+        s_py, h_py = analyze.cluster(path, "*", "M", rc=rc,
+                                     max_size=16, use_native=False)
+        s_nat, h_nat = analyze.cluster(path, "*", "M", rc=rc,
+                                       max_size=16, use_native=True)
+        np.testing.assert_allclose(s_nat, s_py, rtol=0, atol=1e-12)
+        np.testing.assert_array_equal(h_nat, h_py)
+
+
+def test_cluster_cli(tmp_path, capsys):
+    path = _cluster_frame(tmp_path)
+    out_csv = tmp_path / "clu.csv"
+    assert analyze.main(["cluster", path, "--mol", "HE", "--rc", "2.0",
+                         "--max-size", "8", "--out",
+                         str(out_csv)]) == 0
+    text = capsys.readouterr().out
+    assert "pooled cluster-size histogram" in text
+    assert "<largest fraction>: 0.75" in text
+    rows = out_csv.read_text().splitlines()
+    assert rows[0] == "frame,n_clusters,mean_size,largest_fraction"
+    assert rows[1].startswith("0,2,2,0.75")
