@@ -1156,11 +1156,12 @@ def mbar_reweight(fit, beta, a_vals=None):
 
 
 def _read_ladder(path):
-    """(temps [B,K], energy [B,K], n [B,K]) from the PT driver's
-    per-block ladder records in a JSONL stream
-    (io/output.py::log_ladder)."""
+    """(temps [B,K], energy [B,K], n [B,K], fug [B,K] or None) from the
+    PT driver's per-block ladder records in a JSONL stream
+    (io/output.py::log_ladder).  fug is present only for fixed-T
+    fugacity-ladder runs (pt_fugacity)."""
     import json
-    temps, us, ns = [], [], []
+    temps, us, ns, fs = [], [], [], []
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -1172,11 +1173,17 @@ def _read_ladder(path):
             temps.append(rec["pt_temps"])
             us.append(rec["pt_energy"])
             ns.append(rec.get("pt_N", [0.0] * len(rec["pt_temps"])))
+            if "pt_fug" in rec:
+                fs.append(rec["pt_fug"])
     if not temps:
         raise ValueError(f"no pt_temps ladder records in {path} "
                          "(run the PT driver with --jsonl)")
+    if fs and len(fs) != len(temps):
+        raise ValueError(f"{path}: only some ladder records carry "
+                         "pt_fug — mixed-run stream?")
     return (np.asarray(temps, np.float64), np.asarray(us, np.float64),
-            np.asarray(ns, np.float64))
+            np.asarray(ns, np.float64),
+            np.asarray(fs, np.float64) if fs else None)
 
 
 def pt_mbar(jsonl_path, t_grid=None, skip=0.0, n_t=50):
@@ -1192,7 +1199,11 @@ def pt_mbar(jsonl_path, t_grid=None, skip=0.0, n_t=50):
     Not valid for FH/FK ladders (T-dependent potential) or µVT ladders
     (the reduced potential needs mu(T); use per-state averages
     there)."""
-    temps, us, ns = _read_ladder(jsonl_path)
+    temps, us, ns, fugs = _read_ladder(jsonl_path)
+    if fugs is not None:
+        raise ValueError("this stream is a fixed-T fugacity-ladder run "
+                         "(pt_fug records) — use pt_gcmc_mbar / the "
+                         "gcmc-mbar --ladder CLI")
     b0 = int(min(max(skip, 0.0), 0.9) * temps.shape[0])
     temps, us, ns = temps[b0:], us[b0:], ns[b0:]
     ladder = np.unique(np.round(temps.ravel(), 9))
@@ -1223,6 +1234,99 @@ def pt_mbar(jsonl_path, t_grid=None, skip=0.0, n_t=50):
             "n_mean": n_mean, "ess": ess, "ladder_t": ladder,
             "delta_f": fit["f"], "converged": fit["converged"],
             "samples_per_state": fit["n_k"].astype(int).tolist()}
+
+
+def _gc_curves(temperature, u_all, nt_all, log_denom, f_grid, y=None,
+               ns_all=None):
+    """Grand-canonical reweighting curves over a total-fugacity grid
+    from pooled samples + MBAR log-denominators: the target reduced
+    potential at total fugacity F is u(x) = beta U(x) - sum_s N_s(x)
+    ln(y_s F) (composition ray ``y``; with y/ns_all omitted, a single
+    sorbate with N = nt_all).  Returns per-grid-point n_mean, u_mean,
+    var_n, fluctuation-formula qst [kJ/mol], Kish ESS, and (when
+    ns_all [S, Ntot] is given) per-species loading curves."""
+    beta = 1.0 / float(temperature)
+    f_grid = np.asarray(f_grid, np.float64).ravel()
+    n_mean = np.empty_like(f_grid)
+    u_mean = np.empty_like(f_grid)
+    var_n = np.empty_like(f_grid)
+    qst = np.empty_like(f_grid)
+    ess = np.empty_like(f_grid)
+    per_species = (np.empty((ns_all.shape[0], f_grid.size))
+                   if ns_all is not None else None)
+    for i, ft in enumerate(f_grid):
+        if ns_all is not None and y is not None:
+            u_t = beta * u_all - np.log(y * ft) @ ns_all
+        else:
+            u_t = beta * u_all - np.log(ft) * nt_all
+        logw = -u_t - log_denom
+        logw -= _logsumexp(logw)
+        w = np.exp(logw)
+        nm_ = float(np.sum(w * nt_all))
+        um_ = float(np.sum(w * u_all))
+        vn_ = float(np.sum(w * (nt_all - nm_) ** 2))
+        cov = float(np.sum(w * (u_all - um_) * (nt_all - nm_)))
+        n_mean[i], u_mean[i], var_n[i] = nm_, um_, vn_
+        qst[i] = ((temperature - cov / vn_) * 8.314462618e-3
+                  if vn_ > 0 else float("nan"))
+        ess[i] = float(1.0 / np.sum(w * w))
+        if per_species is not None:
+            for s_i in range(ns_all.shape[0]):
+                per_species[s_i, i] = float(np.sum(w * ns_all[s_i]))
+    return {"n_mean": n_mean, "u_mean": u_mean, "var_n": var_n,
+            "qst_kj_mol": qst, "ess": ess, "per_species": per_species}
+
+
+def pt_gcmc_mbar(jsonl_path, f_grid=None, skip=0.0, n_f=50):
+    """Continuous-pressure isotherm + Qst(f) from ONE fixed-T
+    fugacity-ladder PT run (mc/run.run_mc_pt_fug): reads the per-block
+    ladder records (pt_fug/pt_energy/pt_N) from the run's JSONL
+    stream, groups samples by the rung they were recorded at (swaps
+    permute the ladder but preserve its values), fits grand-canonical
+    MBAR over the K rungs (u_k = beta U - N ln f_k), and reweights to
+    ``f_grid``.  The single-run analog of gcmc_mbar over separate
+    campaign points.  Returns {f_grid, n_mean, u_mean, var_n,
+    qst_kj_mol, ess, ladder_f, delta_f, converged, samples_per_state,
+    temperature}."""
+    temps, us, ns, fugs = _read_ladder(jsonl_path)
+    if fugs is None:
+        raise ValueError(f"{jsonl_path}: no pt_fug ladder records — "
+                         "this is not a pt_fugacity run (temperature "
+                         "ladders reweight with pt_mbar)")
+    t0_ = temps.ravel()
+    if np.max(np.abs(t0_ - t0_[0])) > 1e-9 * abs(t0_[0]):
+        raise ValueError("fugacity-ladder records carry varying "
+                         "temperatures — cannot reweight")
+    temperature = float(t0_[0])
+    b0 = int(min(max(skip, 0.0), 0.9) * fugs.shape[0])
+    us, ns, fugs = us[b0:], ns[b0:], fugs[b0:]
+    ladder = np.unique(np.round(fugs.ravel(), 12))
+    if ladder.size > fugs.shape[1]:
+        raise ValueError("ladder fugacities drift across blocks — "
+                         "cannot group samples by rung")
+    u_by, n_by = [], []
+    for fv in ladder:
+        sel = np.abs(fugs - fv) < 1e-10 * max(fv, 1.0)
+        u_by.append(us[sel])
+        n_by.append(ns[sel])
+    beta = 1.0 / temperature
+    u_all = np.concatenate(u_by)
+    n_all = np.concatenate(n_by)
+    n_k = np.asarray([len(u) for u in u_by], np.float64)
+    u_kn = (beta * u_all[None, :]
+            - np.log(ladder)[:, None] * n_all[None, :])
+    f, log_denom, converged, its = _mbar_core(u_kn, n_k)
+    if f_grid is None:
+        f_grid = np.geomspace(ladder[0], ladder[-1], int(n_f))
+    f_grid = np.asarray(f_grid, np.float64).ravel()
+    curves = _gc_curves(temperature, u_all, n_all, log_denom, f_grid)
+    return {"f_grid": f_grid, "n_mean": curves["n_mean"],
+            "u_mean": curves["u_mean"], "var_n": curves["var_n"],
+            "qst_kj_mol": curves["qst_kj_mol"], "ess": curves["ess"],
+            "ladder_f": ladder, "delta_f": f, "converged": converged,
+            "iterations": its,
+            "samples_per_state": n_k.astype(int).tolist(),
+            "temperature": temperature}
 
 
 def _read_gc_run(path):
@@ -1375,31 +1479,14 @@ def gcmc_mbar(paths, skip=0.0, f_grid=None, n_f=50, fugacities=None,
         f_grid = np.geomspace(f_tot_ladder.min(), f_tot_ladder.max(),
                               int(n_f))
     f_grid = np.asarray(f_grid, np.float64).ravel()
-    n_mean = np.empty_like(f_grid)
-    u_mean = np.empty_like(f_grid)
-    var_n = np.empty_like(f_grid)
-    qst = np.empty_like(f_grid)
-    ess = np.empty_like(f_grid)
-    n_species = {species[j]: np.empty_like(f_grid) for j in sorb}
     nt_all = ns_all.sum(axis=0)                   # total sorbate count
-    for i, ft in enumerate(f_grid):
-        lnft = np.log(y * ft)                     # [S]
-        u_t = beta * u_all - lnft @ ns_all
-        logw = -u_t - log_denom
-        logw -= _logsumexp(logw)
-        w = np.exp(logw)
-        nm_ = float(np.sum(w * nt_all))
-        um_ = float(np.sum(w * u_all))
-        vn_ = float(np.sum(w * (nt_all - nm_) ** 2))
-        cov = float(np.sum(w * (u_all - um_) * (nt_all - nm_)))
-        n_mean[i], u_mean[i], var_n[i] = nm_, um_, vn_
-        qst[i] = ((temperature - cov / vn_) * 8.314462618e-3
-                  if vn_ > 0 else float("nan"))
-        ess[i] = float(1.0 / np.sum(w * w))
-        for s_i, j in enumerate(sorb):
-            n_species[species[j]][i] = float(np.sum(w * ns_all[s_i]))
-    return {"f_grid": f_grid, "n_mean": n_mean, "u_mean": u_mean,
-            "var_n": var_n, "qst_kj_mol": qst, "ess": ess,
+    curves = _gc_curves(float(temperature), u_all, nt_all, log_denom,
+                        f_grid, y=y, ns_all=ns_all)
+    n_species = {species[j]: curves["per_species"][s_i]
+                 for s_i, j in enumerate(sorb)}
+    return {"f_grid": f_grid, "n_mean": curves["n_mean"],
+            "u_mean": curves["u_mean"], "var_n": curves["var_n"],
+            "qst_kj_mol": curves["qst_kj_mol"], "ess": curves["ess"],
             "n_species": n_species, "ladder_f": f_tot_ladder,
             "delta_f": f, "converged": converged, "iterations": its,
             "samples_per_state": n_k.astype(int).tolist(),
@@ -1621,7 +1708,12 @@ def main(argv=None):
                               "JSONL streams)")
     pgc.add_argument("jsonl", nargs="+",
                      help=">=2 GCMC run --jsonl streams (run_meta "
-                          "headers define each state)")
+                          "headers define each state), or ONE "
+                          "pt_fugacity ladder stream with --ladder")
+    pgc.add_argument("--ladder", action="store_true",
+                     help="input is one fixed-T fugacity-ladder PT "
+                          "run (pt_fugacity on): reweight its pt_fug "
+                          "ladder records instead of separate runs")
     pgc.add_argument("--skip", type=float, default=0.0,
                      help="equilibration fraction to drop (0-0.9)")
     pgc.add_argument("--nf", type=int, default=50,
@@ -1788,10 +1880,19 @@ def main(argv=None):
               f"tau_int: {tau:.2f}  "
               f"sem(plateau): {sems[0] * np.sqrt(tau):.6g}")
     elif args.cmd == "gcmc-mbar":
-        res = gcmc_mbar(args.jsonl, skip=args.skip, n_f=args.nf,
-                        f_grid=(np.geomspace(args.fmin, args.fmax,
-                                             args.nf)
-                                if args.fmax > 0 else None))
+        grid = (np.geomspace(args.fmin, args.fmax, args.nf)
+                if args.fmax > 0 else None)
+        if args.ladder:
+            if len(args.jsonl) != 1:
+                raise SystemExit("--ladder takes exactly one "
+                                 "pt_fugacity run stream")
+            res = pt_gcmc_mbar(args.jsonl[0], skip=args.skip,
+                               n_f=args.nf, f_grid=grid)
+            res["n_species"] = {}
+            res["composition_matched"] = True
+        else:
+            res = gcmc_mbar(args.jsonl, skip=args.skip, n_f=args.nf,
+                            f_grid=grid)
         lf = res["ladder_f"]
         print(f"ladder: {lf.size} states at T={res['temperature']:g}, "
               "f_total = " + " ".join(f"{v:g}" for v in lf)

@@ -85,6 +85,8 @@ class Job:
     max_temperature: float = 0.0
     ptemp_freq: int = 20
     n_replicas: int = 0      # PT ladder size (0 -> one per device)
+    pt_fugacity: bool = False   # PT ladder axis = fugacity at fixed T
+    max_pressure: float = 0.0   # fugacity-ladder top (atm)
     chains: int = 1          # vmapped chains per device (our extension)
     chain_devices: int = 0   # split the chain batch C/D per device over
     #                          a jax.sharding.Mesh (our extension; the
@@ -360,6 +362,10 @@ def parse(text: str) -> Job:
             job.parallel_tempering = _onoff(v0)
         elif key == "max_temperature":
             job.max_temperature = float(v0)
+        elif key == "pt_fugacity":
+            job.pt_fugacity = _onoff(v0)
+        elif key == "max_pressure":
+            job.max_pressure = float(v0)
         elif key == "ptemp_freq":
             job.ptemp_freq = int(float(v0))
         elif key == "n_replicas":

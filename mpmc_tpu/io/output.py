@@ -95,19 +95,23 @@ class RunWriter:
         self.jsonl_f.write(json.dumps({"run_meta": meta}) + "\n")
         self.jsonl_f.flush()
 
-    def log_ladder(self, step: int, temps, obs_list):
+    def log_ladder(self, step: int, temps, obs_list, fugacities=None):
         """One JSONL record per PT block with the FULL ladder state —
         per-replica temperature, potential energy, and loading — the
-        input the MBAR reweighting analyzer (analyze.py::pt_mbar)
-        consumes to turn one PT run into continuous-T observable
-        curves.  No-op without a JSONL stream."""
+        input the MBAR reweighting analyzers (analyze.py::pt_mbar,
+        pt_gcmc_mbar) consume to turn one PT run into continuous-T (or,
+        with ``fugacities`` [R] from a fixed-T fugacity ladder,
+        continuous-pressure) observable curves.  No-op without a JSONL
+        stream."""
         if not self.jsonl_f:
             return
-        self.jsonl_f.write(json.dumps({
-            "step": step,
-            "pt_temps": [float(t) for t in temps],
-            "pt_energy": [o["energy_total"] for o in obs_list],
-            "pt_N": [o["N"] for o in obs_list]}) + "\n")
+        rec = {"step": step,
+               "pt_temps": [float(t) for t in temps],
+               "pt_energy": [o["energy_total"] for o in obs_list],
+               "pt_N": [o["N"] for o in obs_list]}
+        if fugacities is not None:
+            rec["pt_fug"] = [float(f) for f in fugacities]
+        self.jsonl_f.write(json.dumps(rec) + "\n")
         self.jsonl_f.flush()
 
     def write_restart(self, params, state):

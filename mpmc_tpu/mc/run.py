@@ -973,6 +973,120 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
     return avgs
 
 
+def run_mc_pt_fug(job: input_script.Job, log=None, jsonl_path=None):
+    """Fixed-T FUGACITY-ladder parallel tempering (`pt_fugacity on`):
+    R grand-canonical replicas at the SAME temperature, each at one
+    rung of a geometric fugacity ladder from the job pressure to
+    ``max_pressure``; neighbor swaps exchange fugacity rows with
+    ln P = (N_i - N_j) ln(F_j / F_i) — the beta-equal limit of the
+    general µVT swap rule (replica.host_swap_fugacity).  High-pressure
+    rungs shuttle configurations into the slow low-pressure chains,
+    and the per-block ladder records (pt_fug) from ONE run feed
+    analyze.pt_gcmc_mbar -> a continuous-pressure isotherm + Qst(f)
+    curve.  Beyond the reference (its PT swaps temperature only,
+    SURVEY.md §2 "Parallel tempering"); runs the batched scan path
+    (per-replica fugacities ride in the Thermo pytree — the fused
+    interleaved kernel currently takes one shared lnfv)."""
+    import numpy as _np
+
+    from mpmc_tpu.parallel import multichain, replica
+
+    su = setup(job)
+    cfg, params, thermo = su.cfg, su.params, su.thermo
+    if cfg.ensemble != "uvt" or not cfg.insert_species:
+        raise ValueError("pt_fugacity needs ensemble uvt with an "
+                         "insertable sorbate (the ladder axis is the "
+                         "grand-canonical fugacity)")
+    if job.pressure <= 0:
+        raise ValueError("pt_fugacity needs pressure > 0 (the ladder "
+                         "base rung)")
+    R = job.n_replicas or max(len(jax.devices()), 4)
+    p_max = job.max_pressure or 10.0 * job.pressure
+    if p_max <= job.pressure:
+        raise ValueError(f"max_pressure {p_max} must exceed the base "
+                         f"pressure {job.pressure}")
+    scales = np.geomspace(1.0, p_max / job.pressure, R)
+    base = np.asarray(thermo.fugacity, np.float64)
+    fug_rows = scales[:, None] * base[None, :]
+    writer = output_io.RunWriter(job, su.species_names, log=log,
+                                 jsonl_path=jsonl_path)
+    writer.log_meta(ensemble=cfg.ensemble, temperature=job.temperature,
+                    pressure=job.pressure, fugacities=thermo.fugacity,
+                    volume=float(np.abs(np.linalg.det(
+                        np.asarray(su.state.box)))), n_chains=R)
+    print(f"fugacity-ladder PT: {R} replicas at T={job.temperature}, "
+          "F_total = "
+          + " ".join(f"{v:.4g}" for v in fug_rows.sum(axis=1)),
+          file=writer.log)
+
+    state = metropolis.initialize(su.state, params, cfg, thermo)
+    states = multichain.stack_states(state, R, seed=cfg.seed)
+    thermos = replica.stack_thermo_fugacity(thermo, fug_rows, cfg.jdtype)
+    rng = _np.random.default_rng(cfg.seed + 103)
+    qrot_eigs = None
+    temps_const = [float(job.temperature)] * R
+    if metropolis.spinflip_active(cfg):
+        states, qrot_eigs = _qrot_init_batched(
+            su, states, temps_const, job.quantum_rotation_level_max)
+    avgs = Averages()
+    swap_acc, swap_att = 0, 0
+    corr = max(cfg.corrtime, 1)
+    ptf = max(min(job.ptemp_freq, corr), 1)
+    n_blocks = max(cfg.numsteps // corr, 1)
+    refresh_rows = metropolis.frozen_refresh_rows(params, cfg)
+    t0 = time.time()
+    parity = 0
+    for block in range(n_blocks):
+        for _ in range(max(corr // ptf, 1)):
+            states, stats = multichain.run_chunk_batched(
+                states, params, cfg, thermos, ptf, thermo_batched=True)
+            n_mov = np.asarray(
+                states.mol_alive
+                & ~np.asarray(params.mol_frozen)
+                & (np.asarray(params.mol_species) >= 0)).sum(axis=-1)
+            fug_rows, acc = replica.host_swap_fugacity(
+                fug_rows, n_mov, parity, rng)
+            swap_acc += acc
+            swap_att += max((R - parity) // 2, 0)
+            parity ^= 1
+            thermos = dataclasses.replace(
+                thermos, fugacity=jnp.asarray(fug_rows, cfg.jdtype))
+            # no energy/rot_f refresh needed: beta is shared, so a
+            # fugacity swap changes acceptance rules only — cached
+            # energies and rotor tables stay valid (FH/FK included)
+        states = multichain.initialize_batched(
+            states, params, cfg, thermos, thermo_batched=True,
+            frozen_rows=refresh_rows)
+        if qrot_eigs is not None:
+            tables, qrot_eigs = _qrot_refresh_batched(
+                su, states, temps_const, job.quantum_rotation_level_max)
+            states = states.replace(rot_f=jnp.asarray(tables,
+                                                      cfg.jdtype))
+        # report the base-pressure rung (wherever it currently lives)
+        f_tot = fug_rows.sum(axis=1)
+        k = int(np.argmin(f_tot))
+        st0 = _slice_chain(states, k)
+        obs_all = observables_batched(su, states, R)
+        obs = obs_all[k]
+        obs["swap_acceptance"] = swap_acc / max(swap_att, 1)
+        avgs.add(obs)
+        writer.log_block(int(st0.step), obs, None)
+        writer.log_ladder(int(st0.step), temps_const, obs_all,
+                          fugacities=f_tot)
+        writer.write_restart(params, st0)
+        writer.write_parallel_restarts(params, states, R)
+        writer.append_trajectory(params, st0)
+    wall = time.time() - t0
+    steps_done = n_blocks * corr
+    writer.final_averages(avgs, float(job.temperature))
+    print(f"swap acceptance: {swap_acc}/{swap_att}", file=writer.log)
+    print(f"steps/sec: {steps_done * R / max(wall, 1e-9):.2f} aggregate "
+          f"({R} replicas x {steps_done} steps in {wall:.2f}s)",
+          file=writer.log)
+    writer.close()
+    return avgs
+
+
 def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
     """Many independent chains batched on-device (``chains N``): the
     replica-throughput production mode — observables are averaged across
@@ -1135,6 +1249,8 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
 
 def run_mc(job: input_script.Job, log=None, jsonl_path=None):
     """The main MC loop (ensemble nvt/uvt/npt/nve)."""
+    if job.pt_fugacity:     # implies parallel tempering (fugacity axis)
+        return run_mc_pt_fug(job, log=log, jsonl_path=jsonl_path)
     if job.parallel_tempering:
         return run_mc_pt(job, log=log, jsonl_path=jsonl_path)
     if job.chains > 1:

@@ -69,6 +69,43 @@ def stack_thermo(thermo: Thermo, temps, dtype) -> Thermo:
         batched, temperature=jnp.asarray(np.asarray(temps), dtype))
 
 
+def stack_thermo_fugacity(thermo: Thermo, fug_rows, dtype) -> Thermo:
+    """Replicate Thermo across replicas with a per-replica FUGACITY
+    ladder at one shared temperature (fixed-T grand-canonical expanded
+    ensemble — 'pressure parallel tempering').  ``fug_rows`` is [R, S]
+    per-replica per-species fugacities, normally one composition ray
+    scaled by a geometric ladder."""
+    rows = np.asarray(fug_rows, np.float64)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (rows.shape[0],) + x.shape),
+        thermo)
+    return dataclasses.replace(batched,
+                               fugacity=jnp.asarray(rows, dtype))
+
+
+def host_swap_fugacity(fug_rows, n_mols, parity: int,
+                       rng) -> Tuple[np.ndarray, int]:
+    """Host-side neighbor FUGACITY swap for a fixed-T grand-canonical
+    ladder.  With beta shared, the general µVT swap rule
+    ln P = (b_i - b_j)(U_i - U_j) + sum_s (N_si - N_sj) ln(f_sj / f_si)
+    loses its energy term, and with every species scaled by the same
+    ladder ratio the species sum collapses onto the TOTAL movable
+    count: ln P = (N_i - N_j) ln(F_j / F_i) with F the row sum.
+    Swaps the full per-species fugacity row between partners.  Returns
+    (fug_rows [R, S], accepted count)."""
+    fugs = np.array(fug_rows, np.float64)
+    tot = fugs.sum(axis=1)
+    n = np.asarray(n_mols, np.float64)
+    n_acc = 0
+    for lo in range(parity, fugs.shape[0] - 1, 2):
+        ln_p = ((n[lo] - n[lo + 1])
+                * np.log(tot[lo + 1] / tot[lo]))
+        if np.log(rng.random()) < ln_p:
+            fugs[[lo, lo + 1]] = fugs[[lo + 1, lo]]
+            n_acc += 1
+    return fugs, n_acc
+
+
 def host_swap(temps, energies, parity: int, rng,
               n_mols=None) -> Tuple[np.ndarray, int]:
     """Host-side neighbor temperature swap for single-device PT (replicas

@@ -130,7 +130,7 @@ pqr_input {pqr}
     # the JSONL stream carries one full-ladder record per block — the
     # MBAR reweighting input (analyze.pt_mbar)
     from mpmc_tpu import analyze
-    temps, us, ns = analyze._read_ladder(str(jsonl))
+    temps, us, ns, _ = analyze._read_ladder(str(jsonl))
     assert temps.shape == (4, 4) and us.shape == (4, 4)
     assert np.allclose(np.sort(temps, axis=1), np.sort(temps[0]))
     res = analyze.pt_mbar(str(jsonl), n_t=5)
@@ -886,3 +886,90 @@ pqr_input {pqr}
         mesh = multichain.chain_mesh(4)
         with pytest.raises(ValueError, match="divisible"):
             multichain.shard_chains(states, mesh)
+
+
+def test_host_swap_fugacity_rule():
+    """ln P = (N_i - N_j) ln(F_j / F_i): equal loadings swap freely,
+    and rows are exchanged whole (the ladder multiset is conserved)."""
+    rng = np.random.default_rng(5)
+    rows = np.array([[1.0, 0.5], [2.0, 1.0], [4.0, 2.0], [8.0, 4.0]])
+    # equal N -> ln_p = 0 -> every attempted pair swaps (log u < 0 a.s.)
+    out, acc = replica.host_swap_fugacity(rows, [3, 3, 3, 3], 0, rng)
+    assert acc == 2
+    np.testing.assert_allclose(out[0], rows[1])
+    np.testing.assert_allclose(out[1], rows[0])
+    np.testing.assert_allclose(out[2], rows[3])
+    # multiset conserved over many randomized rounds
+    cur = rows.copy()
+    n = rng.integers(0, 20, size=4)
+    for p in (0, 1, 0, 1, 0):
+        cur, _ = replica.host_swap_fugacity(cur, n, p, rng)
+    np.testing.assert_allclose(np.sort(cur.sum(axis=1)),
+                               np.sort(rows.sum(axis=1)))
+
+
+def test_pt_fugacity_ladder_ideal_gas(tmp_path):
+    """Fugacity-ladder PT through the input-script surface: ideal-gas
+    rungs must each hold their own <N> = f V / kT line (swaps preserve
+    every rung's grand-canonical distribution), and one run's pt_fug
+    ladder records reweight into a continuous linear isotherm
+    (analyze.pt_gcmc_mbar)."""
+    import io
+    from mpmc_tpu import analyze
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "he.pqr"
+    pqr.write_text(
+        "ATOM 1 He HE 1 M 5.0 5.0 5.0 4.0026 0.0 0.0 0.0 0.0\nEND\n")
+    job = input_script.parse(f"""
+ensemble uvt
+numsteps 6000
+corrtime 300
+temperature 100
+pressure 2.0
+max_pressure 16.0
+pt_fugacity on
+n_replicas 4
+ptemp_freq 75
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+cutoff 8.0
+coulomb off
+rd_lrc off
+insert_probability 0.6
+max_molecules 96
+precision float64
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    jsonl = tmp_path / "obs.jsonl"
+    avgs = run_mod.run(job, log=log, jsonl_path=str(jsonl))
+    text = log.getvalue()
+    assert "fugacity-ladder PT: 4 replicas" in text
+    assert "swap acceptance:" in text
+    assert 0.0 < avgs.mean("swap_acceptance") <= 1.0
+    temps, us, ns, fugs = analyze._read_ladder(str(jsonl))
+    assert fugs is not None and fugs.shape == ns.shape
+    # the ladder multiset is conserved under swaps
+    np.testing.assert_allclose(
+        np.sort(fugs, axis=1),
+        np.broadcast_to(np.sort(fugs[0]), fugs.shape))
+    v, T = 20.0 ** 3, 100.0
+    # per-rung sampled means vs the ideal line (correlated-noise
+    # tolerance — see test_campaign's note on shared-schedule chains)
+    skip = 1
+    for fv in np.sort(fugs[0]):
+        sel = np.abs(fugs[skip:] - fv) < 1e-9
+        mean_n = ns[skip:][sel].mean()
+        expect = fv * ATM2K_A3 * v / T
+        assert mean_n == pytest.approx(expect, rel=0.35), fv
+    res = analyze.pt_gcmc_mbar(str(jsonl), n_f=6, skip=0.2)
+    assert res["converged"] and res["temperature"] == T
+    expect = res["f_grid"] * ATM2K_A3 * v / T
+    np.testing.assert_allclose(res["n_mean"], expect, rtol=0.35)
+    assert np.all(np.diff(res["n_mean"]) > 0)
+    # a temperature-ladder reweight must refuse this stream
+    with pytest.raises(ValueError, match="pt_gcmc_mbar"):
+        analyze.pt_mbar(str(jsonl))
