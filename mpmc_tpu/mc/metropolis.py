@@ -1437,8 +1437,10 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
     with replica-0-derived d_excl/c1/cx).
 
     ``thermo_batched``: thermo leaves carry a leading [C] (µVT PT
-    ladders) — per-chain betas ride into the kernel; move factors,
-    fugacities and insert_probability are shared (replica 0's)."""
+    ladders) — per-chain betas AND per-chain ln(f_s V) tables ride into
+    the kernel (temperature ladders broadcast one fugacity row,
+    fixed-T fugacity ladders one temperature); move factors and
+    insert_probability are shared (replica 0's)."""
     from mpmc_tpu.ops.pallas import mc_kernel
 
     C = states.pos.shape[0]
@@ -1460,9 +1462,19 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
                              "feynman_hibbs/kleinert")
         thermo0 = jax.tree_util.tree_map(lambda x: x[0], thermo)
         betas = 1.0 / thermo.temperature.reshape(C)
+        # per-chain ln(f_s V): fugacity enters ONLY the insert/delete
+        # acceptance (never d_self/d_excl/c1/cx), so fugacity-ladder
+        # chains (pt_fugacity) share every other constant.  Same
+        # formula as _uvt_chunk_consts so a shared-fugacity batch is
+        # bit-identical to the shared row
+        volume = jnp.abs(jnp.linalg.det(box))
+        sp_cols = jnp.asarray(cfg.insert_species, jnp.int32)
+        f_cs = thermo.fugacity[:, sp_cols] * ATM2K_A3
+        lnfvs = jnp.log(jnp.maximum(f_cs * volume, 1e-300))
     else:
         thermo0 = thermo
         betas = None
+        lnfvs = None
     d_self, d_excl, c1, cx, lnfv, kv, kcoef = _uvt_chunk_consts(
         states.pos[0], box, params, thermo0, cfg, A_list, rep_slots)
     sf = cfg.quantum_rotation
@@ -1491,7 +1503,7 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
             rot_f=rot_mov, spin=spin_mov, p_spin=p_spin,
             mol_mass_atom=_fh_mol_mass_atom(params, cfg),
             c6=params.c6, c8=params.c8, c10=params.c10,
-            gwp_alpha=params.gwp_alpha, betas=betas))
+            gwp_alpha=params.gwp_alpha, betas=betas, lnfvs=lnfvs))
     dtype = cfg.jdtype
     d = sums.astype(dtype)
     new_energy = dataclasses.replace(

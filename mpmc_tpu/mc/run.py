@@ -984,9 +984,11 @@ def run_mc_pt_fug(job: input_script.Job, log=None, jsonl_path=None):
     and the per-block ladder records (pt_fug) from ONE run feed
     analyze.pt_gcmc_mbar -> a continuous-pressure isotherm + Qst(f)
     curve.  Beyond the reference (its PT swaps temperature only,
-    SURVEY.md §2 "Parallel tempering"); runs the batched scan path
-    (per-replica fugacities ride in the Thermo pytree — the fused
-    interleaved kernel currently takes one shared lnfv)."""
+    SURVEY.md §2 "Parallel tempering").  Runs the chain-interleaved
+    fused µVT kernel when the config qualifies (per-chain ln(f_s V)
+    tables ride into the kernel, swaps exchange fugacity rows ON
+    DEVICE — replica.ladder_swap_fugacity_batched); otherwise the
+    batched scan path with host swaps."""
     import numpy as _np
 
     from mpmc_tpu.parallel import multichain, replica
@@ -1028,35 +1030,81 @@ def run_mc_pt_fug(job: input_script.Job, log=None, jsonl_path=None):
     if metropolis.spinflip_active(cfg):
         states, qrot_eigs = _qrot_init_batched(
             su, states, temps_const, job.quantum_rotation_level_max)
+    use_fused = False
+    if cfg.fused_mc:
+        from mpmc_tpu.ops.pallas import mc_kernel
+        # the chain-interleaved µVT kernel takes per-chain ln(f_s V)
+        # tables (run_steps_uvt_multi lnfvs), so the whole fugacity
+        # ladder advances in ONE launch with on-device row swaps —
+        # no host sync per round.  FH/FK stay on the scan path (the
+        # thermo_batched chunk refuses them; T is shared here but the
+        # gate is structural).  rot_f is T-only, so fugacity swaps
+        # never invalidate it (no per-swap rebuild needed).
+        use_fused = (R <= mc_kernel.MAX_MULTI_CHAINS
+                     and mc_kernel.multi_width_ok(R, params)
+                     and not cfg.feynman_hibbs
+                     and not cfg.feynman_kleinert
+                     and mc_kernel.supported_uvt_multi(cfg, params))
+        if use_fused:
+            print(f"fused_mc: chain-interleaved fugacity-ladder kernel "
+                  f"(R={R}, on-device swaps)", file=writer.log)
     avgs = Averages()
     swap_acc, swap_att = 0, 0
     corr = max(cfg.corrtime, 1)
     ptf = max(min(job.ptemp_freq, corr), 1)
     n_blocks = max(cfg.numsteps // corr, 1)
     refresh_rows = metropolis.frozen_refresh_rows(params, cfg)
+    sp_ids = tuple(int(s) for s in cfg.insert_species)
+    swap_keys = (jax.random.split(jax.random.PRNGKey(cfg.seed + 103),
+                                  n_blocks * max(corr // ptf, 1))
+                 if use_fused else None)
+    swap_acc_dev = None
+    n_swaps = 0
     t0 = time.time()
     parity = 0
     for block in range(n_blocks):
         for _ in range(max(corr // ptf, 1)):
-            states, stats = multichain.run_chunk_batched(
-                states, params, cfg, thermos, ptf, thermo_batched=True)
-            n_mov = np.asarray(
-                states.mol_alive
-                & ~np.asarray(params.mol_frozen)
-                & (np.asarray(params.mol_species) >= 0)).sum(axis=-1)
-            fug_rows, acc = replica.host_swap_fugacity(
-                fug_rows, n_mov, parity, rng)
-            swap_acc += acc
+            if use_fused:
+                states, stats = metropolis.run_chunk_fused_uvt_multi(
+                    states, params, cfg, thermos, ptf,
+                    thermo_batched=True)
+                counts = replica.movable_counts_per_species(
+                    states.mol_alive, params.mol_frozen,
+                    params.mol_species, sp_ids)
+                new_f, acc_d = replica.ladder_swap_fugacity_batched(
+                    thermos.fugacity, counts, swap_keys[n_swaps],
+                    parity, sp_ids)
+                thermos = dataclasses.replace(thermos, fugacity=new_f)
+                swap_acc_dev = (acc_d if swap_acc_dev is None
+                                else swap_acc_dev + acc_d)
+                n_swaps += 1
+            else:
+                states, stats = multichain.run_chunk_batched(
+                    states, params, cfg, thermos, ptf,
+                    thermo_batched=True)
+                n_mov = np.asarray(
+                    states.mol_alive
+                    & ~np.asarray(params.mol_frozen)
+                    & (np.asarray(params.mol_species) >= 0)).sum(axis=-1)
+                fug_rows, acc = replica.host_swap_fugacity(
+                    fug_rows, n_mov, parity, rng)
+                swap_acc += acc
+                thermos = dataclasses.replace(
+                    thermos, fugacity=jnp.asarray(fug_rows, cfg.jdtype))
             swap_att += max((R - parity) // 2, 0)
             parity ^= 1
-            thermos = dataclasses.replace(
-                thermos, fugacity=jnp.asarray(fug_rows, cfg.jdtype))
             # no energy/rot_f refresh needed: beta is shared, so a
             # fugacity swap changes acceptance rules only — cached
             # energies and rotor tables stay valid (FH/FK included)
         states = multichain.initialize_batched(
             states, params, cfg, thermos, thermo_batched=True,
             frozen_rows=refresh_rows)
+        if use_fused:
+            # swaps happened on device: one fetch per block keeps the
+            # host's ladder view and swap counter current
+            fug_rows = np.asarray(thermos.fugacity, np.float64)
+            if swap_acc_dev is not None:
+                swap_acc = int(np.asarray(swap_acc_dev))
         if qrot_eigs is not None:
             tables, qrot_eigs = _qrot_refresh_batched(
                 su, states, temps_const, job.quantum_rotation_level_max)

@@ -1034,6 +1034,16 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             beta = scal_ref[8 + 4 * S + 2, cc]
         else:
             beta = scal_ref[0, 2]
+        # per-chain ln(f_s V) (fixed-T fugacity-ladder PT): the multi
+        # builder ALWAYS appends S per-chain lnfv rows after the betas
+        # row; shared-fugacity callers broadcast one row into every
+        # lane, so reading the per-chain lane is bit-identical to the
+        # shared row-4 table the single-chain kernel keeps using
+        if n_chains > 1:
+            lnfv_s_c = [scal_ref[8 + 4 * S + 3 + s, cc]
+                        for s in range(S)]
+        else:
+            lnfv_s_c = lnfv_s
         # --- move type + species + slot pick -----------------------------
         u8 = u_ref[uk, 8]
         if sf:
@@ -1345,7 +1355,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
             # has_old/has_new masks and sgn = 0; the move's only energy
             # is the rotor free-energy difference
             du = jnp.where(is_spin, d_f, du)
-        lnfv = sp_sel(spf, lnfv_s)
+        lnfv = sp_sel(spf, lnfv_s_c)
         lnb = (fins * (lnfv + jnp.log(beta)
                        - jnp.log(n_s + 1.0))
                + fdel * (jnp.log(jnp.maximum(n_s, 1e-30))
@@ -1620,7 +1630,8 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
                         kcoef=None, sk_re=None, sk_im=None,
                         cav_open=None, rot_f=None, spin=None,
                         p_spin=0.0, mol_mass_atom=None, c6=None,
-                        c8=None, c10=None, gwp_alpha=None, betas=None):
+                        c8=None, c10=None, gwp_alpha=None, betas=None,
+                        lnfvs=None):
     """C chains x K fused µVT steps in ONE launch (chain-interleaved
     _kernel_uvt).  Per-chain state: ``pos`` [C,N,3], ``alive`` [C,N],
     ``slot_alive`` [C,Ms], ``sk_re``/``sk_im`` [C,Nk]; everything else
@@ -1629,8 +1640,12 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
     the µVT PT ladder path: beta enters only the acceptance and the
     ln(beta f V/(N+1)) insert weight, never the per-species constants
     (fugacity is per-species, shared; FH/FK are excluded by the fused
-    gate, so pair energies are T-independent).  Cavity bias IS
-    supported:
+    gate, so pair energies are T-independent).  ``lnfvs`` [C, S]
+    (optional) gives each chain its own per-species ln(f_s V) table —
+    the fixed-T fugacity-ladder PT path (pt_fugacity): fugacity enters
+    ONLY the insert/delete acceptance, never the pair energies or the
+    d_self/d_excl/c1/cx constants, so per-chain rungs share everything
+    else.  Cavity bias IS supported:
     ``cav_open`` [C, G^3] carries each chain's open-cell mask
     (per-chain planes + per-chain n_open/ln-correction SMEM lanes).
     Each chain's trajectory is bit-equal to a run_steps_uvt call with
@@ -1698,8 +1713,8 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
-    # + per-chain cav_n / cav_lnf / beta rows
-    n_rows = 8 + 4 * S + 3
+    # + per-chain cav_n / cav_lnf / beta rows + S per-chain lnfv rows
+    n_rows = 8 + 4 * S + 3 + S
     SL = max(16, MAX_MULTI_CHAINS)   # scal lane width (>= C cav lanes)
     scal = jnp.zeros((n_rows, SL), f32)
     for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
@@ -1723,6 +1738,15 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
     betas32 = (jnp.broadcast_to(jnp.asarray(beta, f32), (C,))
                if betas is None else jnp.asarray(betas, f32).reshape(C))
     scal = scal.at[8 + 4 * S + 2, :C].set(betas32)
+    # per-chain ln(f_s V) rows (fugacity-ladder PT); shared-fugacity
+    # callers broadcast row 4's exact f32 values into every lane, so
+    # the kernel's per-chain read is bit-identical to the shared table
+    lnfvs32 = (jnp.broadcast_to(jnp.asarray(lnfv, f32).reshape(1, S),
+                                (C, S))
+               if lnfvs is None
+               else jnp.asarray(lnfvs, f32).reshape(C, S))
+    for s in range(S):
+        scal = scal.at[8 + 4 * S + 3 + s, :C].set(lnfvs32[:, s])
 
     u = jnp.asarray(uniforms, f32)
 

@@ -56,7 +56,7 @@ def _damping(r, lam, kind):
 
 def _kernel(scal_ref, pi_ref, pj_ref, srcj_ref, oki_ref, okj_ref,
             mi_ref, mj_ref, box_ref, binv_ref, out_ref, *,
-            mode, damp_kind, n_real):
+            mode, damp_kind, n_real, ortho=False):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
@@ -68,9 +68,22 @@ def _kernel(scal_ref, pi_ref, pj_ref, srcj_ref, oki_ref, okj_ref,
     lam = scal_ref[0, 1]
 
     dx = [pi_ref[k, :][:, None] - pj_ref[k, :][None, :] for k in range(3)]
-    fr = [sum(dx[b] * binv_ref[b, a] for b in range(3)) for a in range(3)]
-    fr = [f - jnp.round(f) for f in fr]
-    dr = [sum(fr[a] * box_ref[a, b] for a in range(3)) for b in range(3)]
+    if ortho:
+        # diagonal basis: drop the exact-zero triclinic cross terms —
+        # per-pair displacements are bit-identical (IEEE x + 0.0 == x),
+        # 1/3 the min-image ops (same fast path as pair_kernel._kernel
+        # / mc_kernel mimg).  The summed field may still reassociate at
+        # ulp level: the branch changes the HLO ahead of the tile
+        # reduction, and the compiler may fuse that sum differently.
+        fr = [dx[a] * binv_ref[a, a] for a in range(3)]
+        fr = [f - jnp.round(f) for f in fr]
+        dr = [fr[a] * box_ref[a, a] for a in range(3)]
+    else:
+        fr = [sum(dx[b] * binv_ref[b, a] for b in range(3))
+              for a in range(3)]
+        fr = [f - jnp.round(f) for f in fr]
+        dr = [sum(fr[a] * box_ref[a, b] for a in range(3))
+              for b in range(3)]
     r2 = dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2]
 
     rows = ti * TI + jax.lax.broadcasted_iota(jnp.int32, (TI, TJ), 0)
@@ -111,9 +124,9 @@ def _kernel(scal_ref, pi_ref, pj_ref, srcj_ref, oki_ref, okj_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "damp_kind", "n_real",
-                                             "interpret"))
+                                             "interpret", "ortho"))
 def _field(pos, src, ok_i, ok_j, mol_id, box, rc, lam, mode, damp_kind,
-           n_real, interpret=False):
+           n_real, interpret=False, ortho=False):
     f32 = jnp.float32
     n_pad = _round_up(n_real, max(TI, TJ))
 
@@ -144,7 +157,7 @@ def _field(pos, src, ok_i, ok_j, mol_id, box, rc, lam, mode, damp_kind,
                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, mode=mode, damp_kind=damp_kind,
-                          n_real=n_real),
+                          n_real=n_real, ortho=ortho),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2), lambda i, j: (0, 0),
@@ -167,17 +180,19 @@ def _field(pos, src, ok_i, ok_j, mol_id, box, rc, lam, mode, damp_kind,
 
 
 def charge_field(pos, box, site_ok, charge, mol_id, rc, lam, damp_kind,
-                 interpret=False):
+                 interpret=False, ortho=False):
     """Damped intermolecular static field [N,3] (pallas)."""
     return _field(pos, charge, site_ok, site_ok, mol_id, box, rc, lam,
-                  "charge", damp_kind, pos.shape[0], interpret=interpret)
+                  "charge", damp_kind, pos.shape[0], interpret=interpret,
+                  ortho=ortho)
 
 
 def dipole_field(pos, box, site_ok, mu, mol_id, rc, lam, damp_kind,
-                 interpret=False):
+                 interpret=False, ortho=False):
     """(T mu) matvec [N,3] (pallas)."""
     return _field(pos, mu, site_ok, site_ok, mol_id, box, rc, lam,
-                  "dipole", damp_kind, pos.shape[0], interpret=interpret)
+                  "dipole", damp_kind, pos.shape[0], interpret=interpret,
+                  ortho=ortho)
 
 
 def supported(cfg) -> bool:

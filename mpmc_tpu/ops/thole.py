@@ -149,7 +149,8 @@ def static_field_direct(pos, box, atom_alive, params, cfg, chunk=None):
         return _tk.charge_field(pos, box, atom_alive, params.charge,
                                 params.mol_id, rc,
                                 jnp.asarray(cfg.polar_damp, pos.dtype),
-                                cfg.polar_damp_type).astype(pos.dtype)
+                                cfg.polar_damp_type,
+                                ortho=cfg.ortho_box).astype(pos.dtype)
     N = pos.shape[0]
     B = min(chunk or cfg.pair_chunk, N)
     nb = -(-N // B)
@@ -451,7 +452,8 @@ def dipole_matvec(pos, box, atom_alive, params, cfg, mu, chunk=None):
                                 jnp.where(pol_ok[:, None], mu, 0.0),
                                 params.mol_id, rc,
                                 jnp.asarray(cfg.polar_damp, pos.dtype),
-                                cfg.polar_damp_type).astype(pos.dtype)
+                                cfg.polar_damp_type,
+                                ortho=cfg.ortho_box).astype(pos.dtype)
     N = pos.shape[0]
     B = min(chunk or cfg.pair_chunk, N)
     nb = -(-N // B)

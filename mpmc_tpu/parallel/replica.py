@@ -305,6 +305,49 @@ def ladder_swap(temps, energies, key, parity, n_mols=None):
     return tuple(new_t[r] for r in range(R)), n_acc
 
 
+@functools.partial(jax.jit, static_argnames=("sp_ids",))
+def movable_counts_per_species(mol_alive, mol_frozen, mol_species,
+                               sp_ids):
+    """Per-replica per-species alive movable counts [R, S] for the
+    fugacity-ladder swap (``sp_ids`` = cfg.insert_species)."""
+    mov = mol_alive & ~mol_frozen
+    return jnp.stack([jnp.sum(mov & (mol_species == s), axis=-1)
+                      for s in sp_ids], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("parity", "sp_ids"))
+def ladder_swap_fugacity_batched(fug, counts, key, parity, sp_ids):
+    """On-device neighbor FUGACITY swap for a fixed-T grand-canonical
+    ladder (the fused pt_fugacity path, run.run_mc_pt_fug).  General
+    per-species rule: with beta shared, exchanging configurations
+    between rungs i and j accepts with
+        ln P = sum_s (N_si - N_sj) ln(f_sj / f_si)
+    (host_swap_fugacity's total-N rule is the common-composition-ray
+    special case; the ATM2K_A3*V factors cancel in the ratio so raw
+    atm fugacities are fine).  ``fug`` [R, n_species] full thermo
+    fugacity rows — swapped whole; ``counts`` [R, S] per-replica alive
+    counts of each insertable species (``sp_ids`` column order);
+    shared coin per pair exactly like _ladder_swap_core.  Returns
+    ([R, n_species] new rows, accepted count)."""
+    fug = jnp.asarray(fug)
+    R = fug.shape[0]
+    i = jnp.arange(R)
+    hi = parity + 2 * ((R - parity) // 2)
+    in_pair = (i >= parity) & (i < hi)
+    left = in_pair & (((i - parity) % 2) == 0)
+    partner = jnp.where(in_pair, jnp.where(left, i + 1, i - 1), i)
+    cols = jnp.asarray(sp_ids)
+    lnf = jnp.log(jnp.maximum(fug[:, cols], 1e-300))
+    n = counts.astype(fug.dtype)
+    ln_p = jnp.sum((n - n[partner]) * (lnf[partner] - lnf), axis=-1)
+    pair_lo = jnp.minimum(i, partner)
+    u = jax.random.uniform(key, (R,), fug.dtype)[pair_lo]
+    accept = in_pair & (jnp.log(jnp.maximum(u, 1e-300)) < ln_p)
+    new_f = jnp.where(accept[:, None], fug[partner], fug)
+    n_acc = jnp.sum(accept.astype(jnp.int32)) // 2
+    return new_f, n_acc
+
+
 @jax.jit
 def movable_counts(mol_alive, mol_frozen, mol_species):
     """Per-replica alive movable-molecule counts [R] for the µVT ladder

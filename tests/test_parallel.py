@@ -908,6 +908,42 @@ def test_host_swap_fugacity_rule():
                                np.sort(rows.sum(axis=1)))
 
 
+def test_ladder_swap_fugacity_batched_rule():
+    """On-device fugacity swap: equal per-species counts give ln_p = 0
+    (every attempted pair swaps), rows are exchanged whole, the ladder
+    multiset is conserved, and the general per-species rule matches a
+    hand-computed ln P for one known pair."""
+    import jax
+    import jax.numpy as jnp
+    rows = jnp.asarray([[1.0, 0.5], [2.0, 1.0], [4.0, 2.0],
+                        [8.0, 4.0]], jnp.float64)
+    sp = (0, 1)
+    eq = jnp.full((4, 2), 3.0, jnp.float64)
+    key = jax.random.PRNGKey(3)
+    out, acc = replica.ladder_swap_fugacity_batched(rows, eq, key, 0, sp)
+    assert int(acc) == 2
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(rows)[1])
+    np.testing.assert_allclose(np.asarray(out)[1], np.asarray(rows)[0])
+    np.testing.assert_allclose(np.asarray(out)[2], np.asarray(rows)[3])
+    # multiset conserved over randomized rounds with unequal counts
+    cur = rows
+    counts = jnp.asarray(np.random.default_rng(9).integers(
+        0, 12, size=(4, 2)), jnp.float64)
+    for i, p in enumerate((0, 1, 0, 1, 0)):
+        cur, _ = replica.ladder_swap_fugacity_batched(
+            cur, counts, jax.random.PRNGKey(50 + i), p, sp)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(cur).sum(axis=1)),
+        np.sort(np.asarray(rows).sum(axis=1)))
+    # a strongly downhill pair must swap: N high where f low
+    steep = jnp.asarray([[1e-6, 1e-6], [10.0, 10.0]], jnp.float64)
+    n2 = jnp.asarray([[40.0, 40.0], [0.0, 0.0]], jnp.float64)
+    out2, acc2 = replica.ladder_swap_fugacity_batched(
+        steep, n2, jax.random.PRNGKey(0), 0, sp)
+    assert int(acc2) == 1
+    np.testing.assert_allclose(np.asarray(out2)[0], np.asarray(steep)[1])
+
+
 def test_pt_fugacity_ladder_ideal_gas(tmp_path):
     """Fugacity-ladder PT through the input-script surface: ideal-gas
     rungs must each hold their own <N> = f V / kT line (swaps preserve
@@ -973,3 +1009,56 @@ pqr_input {pqr}
     # a temperature-ladder reweight must refuse this stream
     with pytest.raises(ValueError, match="pt_gcmc_mbar"):
         analyze.pt_mbar(str(jsonl))
+
+
+def test_pt_fugacity_fused_dispatch(tmp_path):
+    """`pt_fugacity on` + `fused_mc` dispatches the chain-interleaved
+    µVT kernel with per-chain lnfv rows and ON-DEVICE fugacity swaps
+    (run.run_mc_pt_fug fused branch).  The ladder multiset must survive
+    the device swaps, and loading must order with the rung (physics
+    parity with the scan driver is covered by
+    test_pt_fugacity_ladder_ideal_gas + the kernel bit-exactness test
+    in test_fused_mc)."""
+    import io
+    from mpmc_tpu import analyze
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    pqr = tmp_path / "he.pqr"
+    pqr.write_text(
+        "ATOM 1 He HE 1 M 5.0 5.0 5.0 4.0026 0.0 0.0 0.0 0.0\nEND\n")
+    job = input_script.parse(f"""
+ensemble uvt
+numsteps 1200
+corrtime 300
+temperature 100
+pressure 2.0
+max_pressure 16.0
+pt_fugacity on
+fused_mc on
+n_replicas 4
+ptemp_freq 150
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+cutoff 8.0
+coulomb off
+rd_lrc off
+insert_probability 0.6
+max_molecules 96
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    jsonl = tmp_path / "obs.jsonl"
+    run_mod.run(job, log=log, jsonl_path=str(jsonl))
+    text = log.getvalue()
+    assert "fused_mc: chain-interleaved fugacity-ladder kernel" in text
+    assert "swap acceptance:" in text
+    temps, us, ns, fugs = analyze._read_ladder(str(jsonl))
+    assert fugs is not None
+    np.testing.assert_allclose(
+        np.sort(fugs, axis=1),
+        np.broadcast_to(np.sort(fugs[0]), fugs.shape))
+    # higher rung -> more molecules on time-average across blocks
+    order = np.argsort(fugs, axis=1)
+    n_sorted = np.take_along_axis(ns, order, axis=1)
+    assert n_sorted[1:, -1].mean() > n_sorted[1:, 0].mean()
