@@ -1525,6 +1525,115 @@ def _read_series(path, column):
     return np.asarray(vals)
 
 
+def tmmc_lnpi(c):
+    """Macrostate log-probabilities lnΠ(N) from a TMMC collection matrix.
+
+    ``c`` is [K, 4]: per-macrostate (n_ins_attempts, Σ a_ins,
+    n_del_attempts, Σ a_del) — each µVT insert/delete attempt adds its
+    acceptance PROBABILITY, not the realized accept
+    (mc/metropolis.make_step_fn; io/output.write_tmmc).  Detailed
+    balance of the sampled chain gives
+        lnΠ(N+1) − lnΠ(N) = ln P(N→N+1) − ln P(N+1→N)
+                          = ln ā_ins(N) − ln ā_del(N+1),
+    where ā is the conditional mean acceptance probability of attempts
+    from macrostate N; the insert/delete selection probabilities cancel
+    because make_branch_picker splits them exactly 50/50.  Normalizing
+    per attempt type (instead of per row) removes the move-type-mix
+    sampling noise: on the ideal gas the links are exact to machine
+    precision after any number of steps (tests/test_tmmc.py).  The chain
+    is followed over the contiguous window (starting at the lowest
+    macrostate with insert statistics) where both links have data;
+    outside it lnΠ is NaN.  Returns lnΠ normalized to max 0.
+    """
+    c = np.asarray(c, np.float64)
+    a_up = np.where(c[:, 0] > 0, c[:, 1] / np.maximum(c[:, 0], 1.0), 0.0)
+    a_dn = np.where(c[:, 2] > 0, c[:, 3] / np.maximum(c[:, 2], 1.0), 0.0)
+    K = c.shape[0]
+    lnpi = np.full(K, np.nan)
+    starts = [i for i in range(K - 1) if a_up[i] > 0 and a_dn[i + 1] > 0]
+    if not starts:
+        raise ValueError("collection matrix has no connected N→N+1 link "
+                         "(no insert/delete statistics yet)")
+    i0 = starts[0]
+    lnpi[i0] = 0.0
+    for i in range(i0, K - 1):
+        if a_up[i] <= 0 or a_dn[i + 1] <= 0:
+            break
+        lnpi[i + 1] = lnpi[i] + np.log(a_up[i]) - np.log(a_dn[i + 1])
+    return lnpi - np.nanmax(lnpi)
+
+
+def tmmc_eta(c):
+    """Flat-histogram bias η(N) = −lnΠ̂(N) from a collection matrix
+    (RunConfig.tmmc_bias), with rows outside the resolved window filled
+    by the nearest resolved value (flat extension — the walker is drawn
+    toward, not shoved past, the frontier where statistics exist).
+    None while no N→N+1 link is resolved yet."""
+    try:
+        lnpi = tmmc_lnpi(c)
+    except ValueError:
+        return None
+    eta = -lnpi
+    idx = np.flatnonzero(np.isfinite(eta))
+    eta[:idx[0]] = eta[idx[0]]
+    eta[idx[-1] + 1:] = eta[idx[-1]]
+    return np.nan_to_num(eta, nan=float(np.nanmax(eta)))
+
+
+def tmmc_reweight(lnpi, f_sim, f_target):
+    """(⟨N⟩, var N, edge probability) of the macrostate distribution
+    reweighted from the sampled fugacity to ``f_target``:
+    lnΠ'(N) = lnΠ(N) + N ln(f_target/f_sim) (grand-canonical identity —
+    only the activity ratio enters).  ``edge`` is the probability mass on
+    the outermost resolved macrostates: large edge means the target
+    distribution leaks outside the sampled window (truncation bias)."""
+    lnpi = np.asarray(lnpi, np.float64)
+    ok = np.isfinite(lnpi)
+    n = np.flatnonzero(ok).astype(np.float64)
+    w = lnpi[ok] + n * (np.log(f_target) - np.log(f_sim))
+    w -= w.max()
+    p = np.exp(w)
+    p /= p.sum()
+    mean = float((n * p).sum())
+    var = float((((n - mean) ** 2) * p).sum())
+    return mean, var, float(p[0] + p[-1])
+
+
+def tmmc_load(paths):
+    """Load + sum same-state TMMC collection files (io/output.write_tmmc).
+    Returns (C summed, metadata of the first file).  Summing is valid
+    only for runs at identical (T, fugacity, volume) — enforced."""
+    import json as _json
+    metas, cs = [], []
+    for p in paths:
+        with open(p) as f:
+            rec = _json.load(f)
+        if rec.get("format") != "mpmc_tpu.tmmc.v1":
+            raise ValueError(f"{p}: not a mpmc_tpu tmmc file")
+        metas.append(rec)
+        cs.append(np.asarray(rec["c"], np.float64))
+    m0 = metas[0]
+    for p, m in zip(paths[1:], metas[1:]):
+        for k in ("temperature", "fugacities_atm", "volume_a3"):
+            if not np.allclose(m[k], m0[k], rtol=1e-10):
+                raise ValueError(
+                    f"{p}: {k}={m[k]} differs from {paths[0]}'s "
+                    f"{m0[k]} — collection matrices only sum at the "
+                    "same thermodynamic state")
+        if m["c"] and len(m["c"]) != len(m0["c"]):
+            raise ValueError(f"{p}: matrix size mismatch")
+    return sum(cs), m0
+
+
+def tmmc_isotherm(c, f_sim, f_targets):
+    """[(f, ⟨N⟩, var N, edge mass)] rows from one collection matrix —
+    the single-run continuous-fugacity isotherm (the TMMC counterpart of
+    ``gcmc_mbar``; exact in the sampled window)."""
+    lnpi = tmmc_lnpi(c)
+    return [(float(f),) + tmmc_reweight(lnpi, f_sim, f)
+            for f in f_targets]
+
+
 def _pin_cpu():
     """Host-side analysis never needs an accelerator, and the PQR cell
     conversion touches jnp — pin the CPU backend so the standalone CLI
@@ -1741,6 +1850,25 @@ def main(argv=None):
     pp2.add_argument("--seed", type=int, default=0)
     pp2.add_argument("--out", default="-",
                      help="PSD CSV path (default stdout)")
+    ptm = sub.add_parser("tmmc",
+                         help="transition-matrix lnΠ(N) + reweighted "
+                              "continuous-fugacity isotherm from one "
+                              "GCMC run (tmmc on)")
+    ptm.add_argument("files", nargs="+",
+                     help="tmmc.json collection files (tmmc_output; "
+                          "same-state files are summed)")
+    ptm.add_argument("--fugacities", default="",
+                     help="comma list of target fugacities (atm); "
+                          "default: geometric grid spanning "
+                          "fmin x..fmax x the run fugacity")
+    ptm.add_argument("--nf", type=int, default=21,
+                     help="grid points for the default geometric grid")
+    ptm.add_argument("--fmin-ratio", type=float, default=0.1)
+    ptm.add_argument("--fmax-ratio", type=float, default=10.0)
+    ptm.add_argument("--out", default="-",
+                     help="isotherm CSV path (default stdout)")
+    ptm.add_argument("--lnpi-out", default=None,
+                     help="also write the lnΠ(N) curve as CSV")
     pa2 = sub.add_parser("asa",
                          help="accessible surface area "
                               "(Shrake-Rupley, first frame)")
@@ -1879,6 +2007,37 @@ def main(argv=None):
         print(f"samples: {len(s)}  mean: {s.mean():.8g}  "
               f"tau_int: {tau:.2f}  "
               f"sem(plateau): {sems[0] * np.sqrt(tau):.6g}")
+    elif args.cmd == "tmmc":
+        c, meta = tmmc_load(args.files)
+        f_sim = float(sum(meta["fugacities_atm"]))
+        if f_sim <= 0:
+            raise SystemExit("run metadata has no positive fugacity")
+        if args.fugacities:
+            targets = [float(v) for v in args.fugacities.split(",")]
+        else:
+            targets = np.geomspace(args.fmin_ratio * f_sim,
+                                   args.fmax_ratio * f_sim, args.nf)
+        lnpi = tmmc_lnpi(c)
+        ok = np.isfinite(lnpi)
+        n_att = int(c[:, 0].sum() + c[:, 2].sum())
+        print(f"collection: {n_att:d} insert/delete attempts, "
+              "resolved window "
+              f"N = {np.flatnonzero(ok).min()}..{np.flatnonzero(ok).max()}"
+              f" of 0..{len(lnpi) - 1}  (T={meta['temperature']:g} K, "
+              f"f_sim={f_sim:g} atm)")
+        rows = tmmc_isotherm(c, f_sim, targets)
+        for f, n, v, edge in rows:
+            if edge > 1e-6:
+                print(f"WARNING: f={f:g} atm puts {edge:.2e} probability "
+                      "mass at the window edge — extend the run or "
+                      "sample nearer this fugacity")
+        write_csv(args.out, "f_atm,n_mean,var_n,edge_mass",
+                  ((f"{f:.6g}", f"{n:.8g}", f"{v:.8g}", f"{e:.3g}")
+                   for f, n, v, e in rows))
+        if args.lnpi_out:
+            write_csv(args.lnpi_out, "n,lnpi",
+                      ((i, f"{lnpi[i]:.8g}")
+                       for i in np.flatnonzero(ok)))
     elif args.cmd == "gcmc-mbar":
         grid = (np.geomspace(args.fmin, args.fmax, args.nf)
                 if args.fmax > 0 else None)

@@ -153,6 +153,27 @@ class RunConfig:
     cavity_bias: bool = False
     cavity_grid: int = 10
     cavity_radius: float = 2.5
+    # transition-matrix MC collection (SURVEY §2 "MC main loop" family;
+    # our documented extension — single-run flat-window isotherms): every
+    # µVT insert/delete attempt accumulates its acceptance probability
+    # into C[N, (n_ins, Σa_ins, n_del, Σa_del)]; ``analyze tmmc`` turns
+    # the matrix into lnΠ(N)
+    # and reweights to any fugacity.  Scan path only (the fused µVT gate
+    # refuses it); requires exactly one insert species and no
+    # polar_delayed (the two-stage acceptance has no closed-form
+    # per-attempt probability — enforced in io/input_script).
+    tmmc: bool = False
+    # flat-histogram sampling on top of tmmc: the chain's insert/delete
+    # acceptance is multiplied by exp(η(N') − η(N)) with η = −lnΠ̂
+    # rebuilt from the collection matrix every corrtime (Thermo.tmmc_eta
+    # — a pytree leaf, so the per-corrtime update does not recompile).
+    # The COLLECTION stays unbiased (the classic TMMC loop: bias changes
+    # where the chain walks, never the estimator), so lnΠ stays exact
+    # while the walker diffuses across free-energy barriers in N.
+    # Caveat: raw ⟨N⟩/⟨U⟩ block averages from a biased run are
+    # bias-weighted — read the isotherm from ``analyze tmmc`` instead
+    # (run.py prints a warning).
+    tmmc_bias: bool = False
 
     # --- precision / performance
     # framework cell lists (ops/celllist.py, our documented extension —
@@ -217,6 +238,10 @@ class Thermo:
     # NVE: fixed total (kinetic + potential) energy [K] for Ray's
     # microcanonical acceptance (the ``total_energy`` option)
     nve_energy: jax.Array = None
+    # flat-histogram TMMC bias η(N) [n_mols_max+1] (RunConfig.tmmc_bias):
+    # None until the first per-corrtime rebuild resolves a lnΠ window
+    # (the None→array transition recompiles once, like state.mu)
+    tmmc_eta: jax.Array = None
 
     @classmethod
     def make(cls, temperature=298.0, pressure=1.0, fugacity=(),

@@ -61,6 +61,10 @@ class Job:
     polarizability_tensor: bool = False
     checkpoint_output: Optional[str] = None   # exact-resume extension
     checkpoint_input: Optional[str] = None
+    # transition-matrix MC collection output (extension; RunConfig.tmmc):
+    # JSON with the C[N, stay/up/down] matrix + run metadata, consumed by
+    # ``analyze tmmc``
+    tmmc_output: Optional[str] = None
     # quantum rotation (SURVEY §2.9 "Quantum")
     quantum_rotation_level_max: int = 4
     # quantum vibration: stretch fundamental [cm^-1] for sorbate species
@@ -207,6 +211,12 @@ def parse(text: str) -> Job:
             job.max_molecules = int(float(v0))
         elif key == "cell_list":   # our extension: framework cell lists
             cfg_kw["cell_list"] = _onoff(v0)
+        elif key == "tmmc":   # our extension: transition-matrix MC
+            cfg_kw["tmmc"] = _onoff(v0) if vals else True
+        elif key == "tmmc_bias":   # flat-histogram sampling (implies tmmc)
+            cfg_kw["tmmc_bias"] = _onoff(v0) if vals else True
+        elif key == "tmmc_output":
+            job.tmmc_output = v0
         elif key in ("precision", "dtype"):   # our extension: f32|f64
             d = v0.lower()
             cfg_kw["dtype"] = ("float64" if d in ("f64", "float64", "double")
@@ -445,7 +455,24 @@ def parse(text: str) -> Job:
         if set(basis_rows) != {0, 1, 2}:
             raise ValueError("need all of basis1, basis2, basis3")
         job.basis = np.stack([basis_rows[i] for i in range(3)])
+    if cfg_kw.get("tmmc_bias") and not cfg_kw.get("tmmc"):
+        cfg_kw["tmmc"] = True      # tmmc_bias implies collection
     job.cfg = RunConfig(**cfg_kw)
+    if job.cfg.tmmc:
+        if job.cfg.ensemble != "uvt":
+            raise ValueError("tmmc requires ensemble uvt (the collection "
+                             "matrix is over the molecule-count macrostate)")
+        if job.parallel_tempering or job.pt_fugacity:
+            raise ValueError(
+                "tmmc with parallel tempering is unsupported (one "
+                "collection matrix per thermodynamic state — use "
+                "separate runs, or pt_fugacity + 'analyze gcmc-mbar "
+                "--ladder' for ladder reweighting)")
+        if job.cfg.polar_delayed:
+            raise ValueError(
+                "tmmc with polar_delayed is unsupported: the two-stage "
+                "delayed acceptance has no closed-form per-attempt "
+                "probability to collect (use full-SCF polarization)")
     return job
 
 

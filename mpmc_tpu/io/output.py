@@ -218,6 +218,32 @@ class RunWriter:
                 f.close()
 
 
+def write_tmmc(path: str, c: np.ndarray, *, temperature: float,
+               fugacities, volume: float, species) -> str:
+    """Write a TMMC collection matrix + the run metadata ``analyze tmmc``
+    needs to reweight it (RunConfig.tmmc; our documented extension to the
+    reference's µVT driver — SURVEY §2 "MC main loop").
+
+    ``c`` is [cap+1, 4]: per-macrostate (n_ins_attempts, Σ a_ins,
+    n_del_attempts, Σ a_del) acceptance-probability statistics.
+    Same-state matrices from independent runs may be summed before
+    analysis.
+    """
+    rec = {
+        "format": "mpmc_tpu.tmmc.v1",
+        "temperature": float(temperature),
+        "fugacities_atm": [float(f) for f in fugacities],
+        "volume_a3": float(volume),
+        "species": list(species),
+        "columns": ["n_insert_attempts", "sum_acc_insert",
+                    "n_delete_attempts", "sum_acc_delete"],
+        "c": np.asarray(c, np.float64).tolist(),
+    }
+    with open(path, "w") as f:
+        json.dump(rec, f)
+    return path
+
+
 def print_energy_report(e, file: Optional[TextIO] = None):
     """Single-point (ensemble te) per-term breakdown — the parity workhorse
     (SURVEY.md §2 "Single point")."""

@@ -609,6 +609,20 @@ def make_step_fn(params: Params, cfg: RunConfig):
         branches = branches + [b_spinflip]
     pick_branch, branch_ids = make_branch_picker(cfg)
 
+    # transition-matrix MC collection (RunConfig.tmmc): every µVT step
+    # adds the attempt's acceptance PROBABILITY (not the realized
+    # accept) to C[N, stay/up/down] at the pre-move macrostate N — the
+    # classic low-variance TMMC estimator.  Insert/delete are branch
+    # indices 1/2 in the µVT table above (static).
+    tmmc_on = (cfg.tmmc and cfg.ensemble == "uvt"
+               and len(cfg.insert_species) == 1)
+    if tmmc_on and pol_da:
+        raise ValueError(
+            "tmmc with polar_delayed is unsupported: the two-stage "
+            "delayed acceptance has no closed-form per-attempt "
+            "probability to collect (run full-SCF polarization instead)")
+    tmmc_sp = cfg.insert_species[0] if tmmc_on else -1
+
     # ------------------------------------------------------------------ step
     def step(state: SimState, stats: MCStats, thermo: Thermo,
              move_t=None):
@@ -715,6 +729,22 @@ def make_step_fn(params: Params, cfg: RunConfig):
                 -jnp.inf)
         else:
             ln_acc = cand.ln_bias - du / thermo.temperature
+        # flat-histogram TMMC bias (cfg.tmmc_bias): the CHAIN accepts
+        # with ln_acc + η(N') − η(N), the COLLECTION below records the
+        # unbiased probability — bias moves the walker, never the
+        # estimator
+        ln_eff = ln_acc
+        if tmmc_on:
+            n_cur = jnp.sum(state.mol_alive
+                            & (params.mol_species == tmmc_sp))
+            if cfg.tmmc_bias and thermo.tmmc_eta is not None:
+                d_n = ((t == 1).astype(jnp.int32)
+                       - (t == 2).astype(jnp.int32))
+                n_to = jnp.clip(n_cur + d_n, 0,
+                                thermo.tmmc_eta.shape[0] - 1)
+                ln_eff = ln_acc + (thermo.tmmc_eta[n_to]
+                                   - thermo.tmmc_eta[n_cur]).astype(dtype)
+
         if pol_da:
             # stage 2: proposal bias and every non-polar term cancelled
             # in stage 1; only the exact-vs-surrogate polar difference
@@ -724,7 +754,28 @@ def make_step_fn(params: Params, cfg: RunConfig):
                              < -(d_polar - d_surr) / thermo.temperature)
         else:
             u = jax.random.uniform(k_acc, dtype=dtype)
-            accept = (~cand.hard_reject) & (jnp.log(u) < ln_acc)
+            accept = (~cand.hard_reject) & (jnp.log(u) < ln_eff)
+
+        if tmmc_on:
+            # conditional-mean collection: per-type attempt counts and
+            # acceptance-probability sums, so the move-type-selection
+            # randomness divides out of P(N->N±1) (make_branch_picker
+            # splits insert_probability EXACTLY 50/50 between insert and
+            # delete, so the selection factors cancel in the lnΠ links —
+            # analyze.tmmc_lnpi relies on that symmetry)
+            tdt = state.tmmc_c.dtype
+            a_pr = jnp.where(
+                cand.hard_reject, jnp.zeros((), tdt),
+                jnp.exp(jnp.minimum(ln_acc, 0.0)).astype(tdt))
+            is_i = (t == 1).astype(tdt)
+            is_d = (t == 2).astype(tdt)
+            new_tmmc = (state.tmmc_c
+                        .at[n_cur, 0].add(is_i)
+                        .at[n_cur, 1].add(is_i * a_pr)
+                        .at[n_cur, 2].add(is_d)
+                        .at[n_cur, 3].add(is_d * a_pr))
+        else:
+            new_tmmc = state.tmmc_c
 
         new_energy = state.energy.add(cand.denergy)
         if cfg.polarization:
@@ -787,6 +838,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
             cache_rd=new_cache_rd,
             cache_es=new_cache_es,
             cache_lrc=new_cache_lrc,
+            tmmc_c=new_tmmc,
         )
         gid = branch_ids[t]
         new_stats = MCStats(
@@ -1707,9 +1759,19 @@ def initialize(state: SimState, params: Params, cfg: RunConfig,
                 cfg, thermo.temperature)
     else:
         c_rd = c_es = c_lrc = None
+    # TMMC collection matrix: allocate once (first initialize); later
+    # refreshes must NOT reset it — it is an accumulated statistic
+    tmmc_c = state.tmmc_c
+    if cfg.tmmc and tmmc_c is None:
+        # rows = total molecule-slot count + 1 (static shape; an upper
+        # bound on the species capacity — unreachable rows stay zero and
+        # tmmc_lnpi's connected-window walk never enters them); columns =
+        # (n_ins_attempts, Σ a_ins, n_del_attempts, Σ a_del)
+        tmmc_c = jnp.zeros((params.n_mols_max + 1, 4), cfg.jdtype)
     return state.replace(
         energy=e, e_frozen=e_frozen,
         sk_re=aux.get("sk_re"), sk_im=aux.get("sk_im"),
         mu=mu_out, e0=aux.get("e0"), r_pol=aux.get("r_pol"),
         cavity_open=cavity_open,
-        cache_rd=c_rd, cache_es=c_es, cache_lrc=c_lrc)
+        cache_rd=c_rd, cache_es=c_es, cache_lrc=c_lrc,
+        tmmc_c=tmmc_c)

@@ -146,6 +146,10 @@ def setup(job: input_script.Job,
                    for sp in species]
 
     insert_species = tuple(names.index(n) for n in insert_names)
+    if job.cfg.tmmc and len(insert_species) != 1:
+        raise ValueError(
+            "tmmc requires exactly one insert species (the collection "
+            f"matrix is over a scalar macrostate N); got {insert_names}")
     counts = [len(instances[n]) for n in names]
     capacity = [c + (job.max_molecules if i in insert_species else 0)
                 for i, c in enumerate(counts)]
@@ -1277,6 +1281,15 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
                 rot_factor=jnp.asarray(
                     np.clip(float(thermo.rot_factor) * scale, 1e-3,
                             np.pi), cfg.jdtype))
+        if cfg.tmmc_bias and states.tmmc_c is not None:
+            # shared bias from the chain-summed collection (all chains
+            # sample the same state, so their statistics pool)
+            from mpmc_tpu import analyze as analyze_mod
+            eta = analyze_mod.tmmc_eta(
+                np.asarray(states.tmmc_c).sum(axis=0))
+            if eta is not None:
+                thermo = thermo.replace(
+                    tmmc_eta=jnp.asarray(eta, cfg.jdtype))
         if job.simulated_annealing:
             new_t = max(float(thermo.temperature)
                         * job.simulated_annealing_schedule,
@@ -1285,6 +1298,17 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
                 temperature=jnp.asarray(new_t, cfg.jdtype))
     wall = time.time() - t0
     steps_done = n_blocks * corr
+    if cfg.tmmc and states.tmmc_c is not None:
+        # independent chains at the same (T, f): collection matrices sum
+        path = output_io.write_tmmc(
+            job.tmmc_output or "tmmc.json",
+            np.asarray(states.tmmc_c).sum(axis=0),
+            temperature=float(thermo.temperature),
+            fugacities=[float(f) for f in np.asarray(thermo.fugacity)],
+            volume=float(np.abs(np.linalg.det(np.asarray(st0.box)))),
+            species=su.species_names)
+        print(f"tmmc collection matrix ({C} chains summed) written to "
+              f"{path}", file=writer.log)
     writer.final_averages(avgs, float(thermo.temperature),
                           fugacities=np.asarray(thermo.fugacity))
     print(f"steps/sec: {steps_done * C / max(wall, 1e-9):.2f} aggregate "
@@ -1323,6 +1347,10 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
     if job.unknown_options:
         print(f"WARNING: unknown options ignored: {job.unknown_options}",
               file=writer.log)
+    if cfg.tmmc_bias:
+        print("tmmc_bias: flat-histogram sampling — raw block averages "
+              "are bias-weighted; read the isotherm from 'analyze tmmc' "
+              "on the collection matrix", file=writer.log)
     state = metropolis.initialize(su.state, params, cfg, thermo)
     if job.frozen_output:
         # framework-only PQR, written once (SURVEY §2.9 "I/O")
@@ -1472,6 +1500,15 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             thermo = thermo.replace(
                 move_factor=jnp.asarray(new_mf, cfg.jdtype),
                 rot_factor=jnp.asarray(new_rf, cfg.jdtype))
+        if cfg.tmmc_bias and state.tmmc_c is not None:
+            # rebuild the flat-histogram bias from the accumulated
+            # collection matrix (the collection itself stays unbiased,
+            # so this never perturbs the lnΠ estimator)
+            from mpmc_tpu import analyze as analyze_mod
+            eta = analyze_mod.tmmc_eta(np.asarray(state.tmmc_c))
+            if eta is not None:
+                thermo = thermo.replace(
+                    tmmc_eta=jnp.asarray(eta, cfg.jdtype))
         if job.simulated_annealing:
             new_t = max(float(thermo.temperature)
                         * job.simulated_annealing_schedule,
@@ -1483,6 +1520,15 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         path = job.histogram_output or "histogram.dx"
         hist.write_dx(path)
         print(f"population histogram written to {path}", file=writer.log)
+    if cfg.tmmc and state.tmmc_c is not None:
+        path = output_io.write_tmmc(
+            job.tmmc_output or "tmmc.json", np.asarray(state.tmmc_c),
+            temperature=float(thermo.temperature),
+            fugacities=[float(f) for f in np.asarray(thermo.fugacity)],
+            volume=float(np.abs(np.linalg.det(np.asarray(state.box)))),
+            species=su.species_names)
+        print(f"tmmc collection matrix written to {path}",
+              file=writer.log)
     if job.pqr_output:
         pqr_io.write_state(job.pqr_output, params, state, su.species_names,
                            remark=f"final step {int(np.asarray(state.step))}")

@@ -1838,6 +1838,9 @@ def _supported_physics(cfg) -> bool:
             # of the LJ derivatives only
             and not (cfg.feynman_kleinert and cfg.rd_potential != "lj")
             and not (cfg.feynman_hibbs and cfg.rd_potential != "lj")
+            # TMMC collection lives in the scan path's per-step update
+            # (metropolis.make_step_fn) — no in-kernel analog
+            and not cfg.tmmc
             and not cfg.polarization and not cfg.cdvdw
             and cfg.cdvdw_repulsion == "none"
             # rd_lrc IS allowed: NVT tail coefficients are

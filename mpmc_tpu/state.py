@@ -175,6 +175,12 @@ class SimState:
     cache_rd: Optional[jax.Array] = None
     cache_es: Optional[jax.Array] = None
     cache_lrc: Optional[jax.Array] = None
+    # transition-matrix MC collection matrix [cap+1, 4] (RunConfig.tmmc):
+    # per-macrostate (n_ins_attempts, Σ a_ins, n_del_attempts, Σ a_del)
+    # acceptance-probability statistics; allocated by
+    # metropolis.initialize, updated every µVT step, never reset by
+    # refreshes (it is a statistic, not a cache).  None unless cfg.tmmc.
+    tmmc_c: Optional[jax.Array] = None
 
     def atom_alive(self, params: Params):
         return self.mol_alive[params.mol_id] & params.atom_ok

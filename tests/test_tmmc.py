@@ -1,0 +1,254 @@
+"""Transition-matrix MC (RunConfig.tmmc — our documented single-run
+isotherm extension to the reference's µVT driver, SURVEY §2 "MC main
+loop" family).
+
+The ideal gas is the exactness anchor: its insert/delete acceptance
+probabilities are deterministic functions of the macrostate alone
+(a_ins = min(1, fV/kT/(N+1)), a_del = min(1, N·kT/fV)), so every
+collection-matrix row is an exact multiple of those probabilities and
+the TMMC lnΠ links reproduce the Poisson distribution to machine
+precision after ANY number of steps — far stronger than a statistical
+histogram test.
+"""
+import io
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import atom_species
+from mpmc_tpu.analyze import tmmc_isotherm, tmmc_lnpi, tmmc_load, \
+    tmmc_reweight
+from mpmc_tpu.config import RunConfig, Thermo
+from mpmc_tpu.constants import ATM2K_A3
+from mpmc_tpu.mc import metropolis
+from mpmc_tpu.state import build_system
+
+
+def _ideal_gas_tmmc(L=20.0, T=300.0, cap=40, n0=5, target_n=8.0,
+                    steps=3000, seed=3):
+    f_atm = target_n * T / L ** 3 / ATM2K_A3
+    sp = atom_species("He", eps=0.0, sig=0.0, charge=0.0, mass=4.0)
+    params, state = build_system(L * np.eye(3), species=(sp,),
+                                 capacity=(cap,), initial_counts=(n0,),
+                                 dtype=jnp.float64, seed=seed)
+    cfg = RunConfig(ensemble="uvt", rd_potential="none", coulomb="none",
+                    rd_lrc=False, dtype="float64", insert_species=(0,),
+                    tmmc=True)
+    thermo = Thermo.make(temperature=T, fugacity=(f_atm,),
+                         insert_probability=0.5, move_factor=1.0,
+                         rot_factor=0.1, n_species=1, dtype=jnp.float64)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    state, _ = metropolis.run_chunk(state, params, cfg, thermo, steps)
+    return state, params, cfg, thermo, f_atm
+
+
+def test_tmmc_ideal_gas_lnpi_exact():
+    """lnΠ(N+1) − lnΠ(N) = ln(fV/kT/(N+1)) to machine precision: the
+    collection matrix stores exact acceptance probabilities, not
+    realized accept counts."""
+    L, T = 20.0, 300.0
+    state, params, cfg, thermo, f_atm = _ideal_gas_tmmc(L=L, T=T)
+    c = np.asarray(state.tmmc_c)
+    # every insert/delete attempt lands in exactly one counter
+    n_att = c[:, 0].sum() + c[:, 2].sum()
+    assert 0 < n_att <= 3000 and n_att == int(n_att)
+    lnpi = tmmc_lnpi(c)
+    idx = np.flatnonzero(np.isfinite(lnpi))
+    assert idx.size >= 8       # a real window around <N> = 8
+    fv_kt = f_atm * ATM2K_A3 * L ** 3 / T
+    d = lnpi[idx[1:]] - lnpi[idx[:-1]]
+    np.testing.assert_allclose(d, np.log(fv_kt / idx[1:]),
+                               rtol=0, atol=1e-12)
+
+
+def _poisson_window_moments(lam, window):
+    """Exact (mean, var) of a Poisson(lam) truncated to the macrostate
+    window — what TMMC reweighting must return when its lnΠ links are
+    exact (the resolved window IS the support it can see)."""
+    from math import lgamma
+    n = np.asarray(window, np.float64)
+    w = n * np.log(lam) - np.array([lgamma(v + 1.0) for v in n])
+    w -= w.max()
+    p = np.exp(w)
+    p /= p.sum()
+    mean = float((n * p).sum())
+    return mean, float((((n - mean) ** 2) * p).sum())
+
+
+def test_tmmc_reweight_recovers_ideal_isotherm():
+    """Reweighting lnΠ to other fugacities reproduces the ideal-gas
+    isotherm ⟨N⟩(f') = f'V/kT — to MACHINE precision against the
+    window-truncated Poisson (the links are exact, so the only deviation
+    from f'V/kT is the tail mass outside the resolved window, which the
+    edge diagnostic reports)."""
+    L, T = 20.0, 300.0
+    state, params, cfg, thermo, f_atm = _ideal_gas_tmmc(
+        L=L, T=T, steps=6000)
+    c = np.asarray(state.tmmc_c)
+    window = np.flatnonzero(np.isfinite(tmmc_lnpi(c)))
+    fv_kt = f_atm * ATM2K_A3 * L ** 3 / T
+    for ratio in (0.5, 1.0, 1.5):
+        rows = tmmc_isotherm(c, f_atm, [ratio * f_atm])
+        f, mean, var, edge = rows[0]
+        want_m, want_v = _poisson_window_moments(ratio * fv_kt, window)
+        assert mean == pytest.approx(want_m, abs=1e-9)
+        assert var == pytest.approx(want_v, abs=1e-9)
+        if ratio <= 1.0:
+            # inside the well-sampled range the window tail is small and
+            # the physical isotherm comes back; beyond it the edge
+            # diagnostic is the contract (truncation is reported, not
+            # hidden)
+            assert mean == pytest.approx(ratio * fv_kt, abs=0.5)
+        else:
+            assert edge > 1e-6 or mean == pytest.approx(ratio * fv_kt,
+                                                        abs=0.5)
+
+
+def test_tmmc_refresh_preserves_collection():
+    """Per-corrtime initialize() must not reset the accumulated matrix
+    (it is a statistic, not a cache)."""
+    state, params, cfg, thermo, _ = _ideal_gas_tmmc(steps=500)
+    before = np.asarray(state.tmmc_c).sum()
+    assert before > 0
+    state = metropolis.initialize(state, params, cfg, thermo)
+    assert np.asarray(state.tmmc_c).sum() == pytest.approx(before)
+    state, _ = metropolis.run_chunk(state, params, cfg, thermo, 250)
+    assert np.asarray(state.tmmc_c).sum() > before
+
+
+def test_tmmc_gates():
+    """Static gates: fused µVT refuses tmmc; non-uvt input scripts and
+    polar_delayed are rejected at parse; multi-species at setup."""
+    import dataclasses
+
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    state, params, cfg, thermo, _ = _ideal_gas_tmmc(steps=1)
+    assert not mc_kernel.supported_uvt(
+        dataclasses.replace(cfg, fused_mc=True), params)
+    with pytest.raises(ValueError, match="requires ensemble uvt"):
+        input_script.parse("ensemble nvt\ntmmc on\n")
+    with pytest.raises(ValueError, match="polar_delayed"):
+        input_script.parse("ensemble uvt\ntmmc on\npolar_delayed on\n"
+                           "polarization on\n")
+
+
+def test_tmmc_cli_roundtrip(tmp_path):
+    """tmmc on → tmmc.json → ``analyze tmmc`` CSV isotherm: the ideal-gas
+    ⟨N⟩(f) line comes back from one run."""
+    from mpmc_tpu.analyze import main as analyze_main
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+
+    L, T, target_n = 14.0, 150.0, 6.0
+    f_atm = target_n * T / L ** 3 / ATM2K_A3
+    pqr = tmp_path / "he.pqr"
+    pqr.write_text(
+        "ATOM 1 He HE 1 M 3.0 3.0 3.0 4.0 0.0 0.0 0.0 0.0\nEND\n")
+    out = tmp_path / "run.tmmc.json"
+    job = input_script.parse(f"""
+ensemble uvt
+numsteps 4000
+corrtime 500
+temperature {T}
+fugacities {f_atm}
+basis1 {L} 0 0
+basis2 0 {L} 0
+basis3 0 0 {L}
+insert_probability 0.5
+rd_lrc off
+coulomb off
+precision float64
+max_molecules 30
+tmmc on
+tmmc_output {out}
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    run_mod.run(job, log=log)
+    assert "tmmc collection matrix written" in log.getvalue()
+    c, meta = tmmc_load([str(out)])
+    assert meta["temperature"] == pytest.approx(T)
+    assert c[:, 0].sum() + c[:, 2].sum() > 1000   # ~half the 4000 steps
+    csv = tmp_path / "iso.csv"
+    analyze_main(["tmmc", str(out), "--fugacities",
+                  f"{0.5 * f_atm},{f_atm}", "--out", str(csv),
+                  "--lnpi-out", str(tmp_path / "lnpi.csv")])
+    rows = [ln.split(",") for ln in
+            csv.read_text().strip().splitlines()[1:]]
+    fv_kt = f_atm * ATM2K_A3 * L ** 3 / T
+    window = np.flatnonzero(np.isfinite(tmmc_lnpi(c)))
+    for row, ratio in zip(rows, (0.5, 1.0)):
+        want_m, _ = _poisson_window_moments(ratio * fv_kt, window)
+        assert float(row[1]) == pytest.approx(want_m, abs=1e-6)
+    assert float(rows[1][1]) == pytest.approx(fv_kt, abs=0.5)
+    assert (tmp_path / "lnpi.csv").exists()
+
+
+def test_tmmc_bias_widens_window_and_keeps_links_exact(tmp_path):
+    """Flat-histogram sampling (tmmc_bias): η = −lnΠ̂ rebuilt each
+    corrtime pushes the walker across the macrostate range (window much
+    wider than the unbiased Poisson visits), while the collection stays
+    UNBIASED — the ideal-gas lnΠ links remain exact to machine
+    precision.  This is the defining invariant of the TMMC loop: bias
+    changes where the chain walks, never the estimator."""
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+
+    L, T, target_n = 14.0, 150.0, 4.0
+    f_atm = target_n * T / L ** 3 / ATM2K_A3
+    pqr = tmp_path / "he.pqr"
+    pqr.write_text(
+        "ATOM 1 He HE 1 M 3.0 3.0 3.0 4.0 0.0 0.0 0.0 0.0\nEND\n")
+    out = tmp_path / "b.tmmc.json"
+    job = input_script.parse(f"""
+ensemble uvt
+numsteps 8000
+corrtime 250
+temperature {T}
+fugacities {f_atm}
+basis1 {L} 0 0
+basis2 0 {L} 0
+basis3 0 0 {L}
+insert_probability 0.6
+rd_lrc off
+coulomb off
+precision float64
+max_molecules 24
+tmmc_bias on
+tmmc_output {out}
+pqr_input {pqr}
+""")
+    assert job.cfg.tmmc     # tmmc_bias implies collection
+    log = io.StringIO()
+    run_mod.run(job, log=log)
+    assert "flat-histogram" in log.getvalue()
+    c, _ = tmmc_load([str(out)])
+    lnpi = tmmc_lnpi(c)
+    idx = np.flatnonzero(np.isfinite(lnpi))
+    # Poisson(4) essentially never reaches N=15 unbiased
+    # (P ~ 1e-6/attempt); the flat walker must
+    assert idx.max() >= 15
+    fv_kt = f_atm * ATM2K_A3 * L ** 3 / T
+    d = lnpi[idx[1:]] - lnpi[idx[:-1]]
+    np.testing.assert_allclose(d, np.log(fv_kt / idx[1:]),
+                               rtol=0, atol=1e-12)
+
+
+def test_tmmc_sum_rejects_mismatched_states(tmp_path):
+    from mpmc_tpu.io import output as output_io
+
+    c = np.zeros((5, 4))
+    p1 = output_io.write_tmmc(str(tmp_path / "a.json"), c,
+                              temperature=100.0, fugacities=[1.0],
+                              volume=1000.0, species=["He"])
+    p2 = output_io.write_tmmc(str(tmp_path / "b.json"), c,
+                              temperature=120.0, fugacities=[1.0],
+                              volume=1000.0, species=["He"])
+    with pytest.raises(ValueError, match="same thermodynamic state"):
+        tmmc_load([p1, p2])
+    summed, _ = tmmc_load([p1, p1])
+    assert summed.shape == (5, 4)
