@@ -1541,24 +1541,43 @@ def tmmc_lnpi(c):
     per attempt type (instead of per row) removes the move-type-mix
     sampling noise: on the ideal gas the links are exact to machine
     precision after any number of steps (tests/test_tmmc.py).  The chain
-    is followed over the contiguous window (starting at the lowest
-    macrostate with insert statistics) where both links have data;
-    outside it lnΠ is NaN.  Returns lnΠ normalized to max 0.
+    is followed over one contiguous window where both links have data;
+    outside it lnΠ is NaN.  Summed matrices from independent runs
+    (tmmc_load) can carry several DISCONNECTED fragments — the fragment
+    holding the most insert/delete attempts is the one followed (the
+    others cannot be stitched to it without a bridging link), with a
+    warning when more than one exists.  Returns lnΠ normalized to max 0.
     """
     c = np.asarray(c, np.float64)
     a_up = np.where(c[:, 0] > 0, c[:, 1] / np.maximum(c[:, 0], 1.0), 0.0)
     a_dn = np.where(c[:, 2] > 0, c[:, 3] / np.maximum(c[:, 2], 1.0), 0.0)
     K = c.shape[0]
     lnpi = np.full(K, np.nan)
-    starts = [i for i in range(K - 1) if a_up[i] > 0 and a_dn[i + 1] > 0]
-    if not starts:
+    linked = [a_up[i] > 0 and a_dn[i + 1] > 0 for i in range(K - 1)]
+    if not any(linked):
         raise ValueError("collection matrix has no connected N→N+1 link "
                          "(no insert/delete statistics yet)")
-    i0 = starts[0]
+    # maximal runs of consecutive links -> candidate windows [i0, i1]
+    frags, i = [], 0
+    while i < K - 1:
+        if linked[i]:
+            j = i
+            while j < K - 1 and linked[j]:
+                j += 1
+            frags.append((i, j))    # rows i..j inclusive
+            i = j
+        i += 1
+    if len(frags) > 1:
+        import warnings
+        warnings.warn(
+            f"TMMC collection has {len(frags)} disconnected N-windows "
+            f"({', '.join(f'{a}..{b}' for a, b in frags)}); following the "
+            "best-sampled one — extend runs to bridge the gaps",
+            stacklevel=2)
+    i0, i1 = max(frags,
+                 key=lambda ab: c[ab[0]:ab[1] + 1, [0, 2]].sum())
     lnpi[i0] = 0.0
-    for i in range(i0, K - 1):
-        if a_up[i] <= 0 or a_dn[i + 1] <= 0:
-            break
+    for i in range(i0, i1):
         lnpi[i + 1] = lnpi[i] + np.log(a_up[i]) - np.log(a_dn[i + 1])
     return lnpi - np.nanmax(lnpi)
 
@@ -1614,8 +1633,11 @@ def tmmc_load(paths):
         cs.append(np.asarray(rec["c"], np.float64))
     m0 = metas[0]
     for p, m in zip(paths[1:], metas[1:]):
-        for k in ("temperature", "fugacities_atm", "volume_a3"):
-            if not np.allclose(m[k], m0[k], rtol=1e-10):
+        for k in ("temperature", "fugacities_atm", "volume_a3",
+                  "f_sim_atm"):
+            if k not in m0:
+                continue        # legacy v1 file without the field
+            if not np.allclose(m.get(k, m0[k]), m0[k], rtol=1e-10):
                 raise ValueError(
                     f"{p}: {k}={m[k]} differs from {paths[0]}'s "
                     f"{m0[k]} — collection matrices only sum at the "
@@ -2009,7 +2031,17 @@ def main(argv=None):
               f"sem(plateau): {sems[0] * np.sqrt(tau):.6g}")
     elif args.cmd == "tmmc":
         c, meta = tmmc_load(args.files)
-        f_sim = float(sum(meta["fugacities_atm"]))
+        # the activity ratio reweights ONLY the insert species' N — a
+        # second movable species' fugacity must not enter f_sim.  Older
+        # v1 files lack the field; fall back to the total with a warning.
+        if "f_sim_atm" in meta:
+            f_sim = float(meta["f_sim_atm"])
+        else:
+            f_sim = float(sum(meta["fugacities_atm"]))
+            if len([f for f in meta["fugacities_atm"] if f > 0]) > 1:
+                print("WARNING: legacy tmmc file without f_sim_atm and "
+                      "multiple positive fugacities — using their sum; "
+                      "re-run to record the insert species' fugacity")
         if f_sim <= 0:
             raise SystemExit("run metadata has no positive fugacity")
         if args.fugacities:

@@ -473,6 +473,12 @@ def parse(text: str) -> Job:
                 "tmmc with polar_delayed is unsupported: the two-stage "
                 "delayed acceptance has no closed-form per-attempt "
                 "probability to collect (use full-SCF polarization)")
+        if job.simulated_annealing:
+            raise ValueError(
+                "tmmc with simulated_annealing is unsupported: the "
+                "collection matrix would pool attempts across the "
+                "temperature schedule while its metadata records one T "
+                "(reweighting needs a single thermodynamic state)")
     return job
 
 

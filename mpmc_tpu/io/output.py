@@ -219,7 +219,8 @@ class RunWriter:
 
 
 def write_tmmc(path: str, c: np.ndarray, *, temperature: float,
-               fugacities, volume: float, species) -> str:
+               fugacities, volume: float, species,
+               insert_species: int) -> str:
     """Write a TMMC collection matrix + the run metadata ``analyze tmmc``
     needs to reweight it (RunConfig.tmmc; our documented extension to the
     reference's µVT driver — SURVEY §2 "MC main loop").
@@ -228,11 +229,18 @@ def write_tmmc(path: str, c: np.ndarray, *, temperature: float,
     n_del_attempts, Σ a_del) acceptance-probability statistics.
     Same-state matrices from independent runs may be summed before
     analysis.
+
+    ``insert_species`` is the species index the µVT insert/delete channel
+    acts on (the TMMC gate admits exactly one); ``f_sim_atm`` records its
+    fugacity alone — a second movable non-insert species may carry its
+    own fugacity, which must NOT enter the N-reweighting activity ratio.
     """
     rec = {
         "format": "mpmc_tpu.tmmc.v1",
         "temperature": float(temperature),
         "fugacities_atm": [float(f) for f in fugacities],
+        "insert_species": int(insert_species),
+        "f_sim_atm": float(fugacities[insert_species]),
         "volume_a3": float(volume),
         "species": list(species),
         "columns": ["n_insert_attempts", "sum_acc_insert",

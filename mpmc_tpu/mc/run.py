@@ -1205,6 +1205,10 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
     corr = max(cfg.corrtime, 1)
     n_blocks = max(cfg.numsteps // corr, 1)
     refresh_rows = metropolis.frozen_refresh_rows(params, cfg)
+    # chain-summed TMMC host accumulator (f64, flushed per corrtime —
+    # see the single-chain driver note); all chains sample one state so
+    # their collection statistics pool
+    tmmc_host = 0.0
     t0 = time.time()
     for block in range(n_blocks):
         # fused paths: chunk + per-corrtime refresh composed in ONE
@@ -1281,12 +1285,16 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
                 rot_factor=jnp.asarray(
                     np.clip(float(thermo.rot_factor) * scale, 1e-3,
                             np.pi), cfg.jdtype))
-        if cfg.tmmc_bias and states.tmmc_c is not None:
+        if cfg.tmmc and states.tmmc_c is not None:
+            tmmc_host = tmmc_host + np.asarray(
+                states.tmmc_c, np.float64).sum(axis=0)
+            states = states.replace(
+                tmmc_c=jnp.zeros_like(states.tmmc_c))
+        if cfg.tmmc_bias and np.ndim(tmmc_host):
             # shared bias from the chain-summed collection (all chains
             # sample the same state, so their statistics pool)
             from mpmc_tpu import analyze as analyze_mod
-            eta = analyze_mod.tmmc_eta(
-                np.asarray(states.tmmc_c).sum(axis=0))
+            eta = analyze_mod.tmmc_eta(tmmc_host)
             if eta is not None:
                 thermo = thermo.replace(
                     tmmc_eta=jnp.asarray(eta, cfg.jdtype))
@@ -1298,15 +1306,16 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
                 temperature=jnp.asarray(new_t, cfg.jdtype))
     wall = time.time() - t0
     steps_done = n_blocks * corr
-    if cfg.tmmc and states.tmmc_c is not None:
+    if cfg.tmmc and np.ndim(tmmc_host):
         # independent chains at the same (T, f): collection matrices sum
         path = output_io.write_tmmc(
             job.tmmc_output or "tmmc.json",
-            np.asarray(states.tmmc_c).sum(axis=0),
+            tmmc_host,
             temperature=float(thermo.temperature),
             fugacities=[float(f) for f in np.asarray(thermo.fugacity)],
             volume=float(np.abs(np.linalg.det(np.asarray(st0.box)))),
-            species=su.species_names)
+            species=su.species_names,
+            insert_species=cfg.insert_species[0])
         print(f"tmmc collection matrix ({C} chains summed) written to "
               f"{path}", file=writer.log)
     writer.final_averages(avgs, float(thermo.temperature),
@@ -1358,6 +1367,11 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         pqr_io.write(job.frozen_output, frame.frozen,
                      remark="frozen framework")
     avgs = Averages()
+    # TMMC host-side float64 accumulator: the device collection matrix is
+    # flushed into it (and zeroed) every corrtime so the f32 on-device
+    # sums never approach the 2^24 increment ceiling on long production
+    # runs (r2 advisor finding); 0.0 broadcasts to the matrix on first use
+    tmmc_host = 0.0
     # quantum rotation: spinflip is a per-step MC move driven by cached
     # hindered-rotor free energies, refreshed at every corrtime
     # (SURVEY.md §2 "Quantum rotation" / "Moves / checkpoint").
@@ -1376,7 +1390,9 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
                               rot_f=jnp.asarray(table, cfg.jdtype))
     if job.checkpoint_input:
         from mpmc_tpu.io import checkpoint as ckpt
-        state, avgs, _ = ckpt.load(job.checkpoint_input, state)
+        state, avgs, _ckpt_extra = ckpt.load(job.checkpoint_input, state)
+        if "tmmc_host" in _ckpt_extra:
+            tmmc_host = np.asarray(_ckpt_extra["tmmc_host"], np.float64)
         print(f"resumed exactly from {job.checkpoint_input} at step "
               f"{int(np.asarray(state.step))}", file=writer.log)
     hist = None
@@ -1483,9 +1499,16 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
                    & ~np.asarray(params.mol_frozen)
                    & (np.asarray(params.mol_species) >= 0))
             hist.add(coms[sel])
+        if cfg.tmmc and state.tmmc_c is not None:
+            # flush to host f64 each corrtime (per-block f32 sums stay
+            # far below the 2^24 ceiling; the running total is exact)
+            tmmc_host = tmmc_host + np.asarray(state.tmmc_c, np.float64)
+            state = state.replace(tmmc_c=jnp.zeros_like(state.tmmc_c))
         if job.checkpoint_output:
             from mpmc_tpu.io import checkpoint as ckpt
-            ckpt.save(job.checkpoint_output, state, avgs)
+            ckpt.save(job.checkpoint_output, state, avgs,
+                      extra=({"tmmc_host": np.asarray(tmmc_host).tolist()}
+                             if cfg.tmmc else None))
         if job.adapt_moves:
             # nudge displacement/rotation sizes toward ~50% acceptance
             # (reference's move_factor/rot_factor adaptation, SURVEY §2
@@ -1500,12 +1523,12 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             thermo = thermo.replace(
                 move_factor=jnp.asarray(new_mf, cfg.jdtype),
                 rot_factor=jnp.asarray(new_rf, cfg.jdtype))
-        if cfg.tmmc_bias and state.tmmc_c is not None:
+        if cfg.tmmc_bias and np.ndim(tmmc_host):
             # rebuild the flat-histogram bias from the accumulated
             # collection matrix (the collection itself stays unbiased,
             # so this never perturbs the lnΠ estimator)
             from mpmc_tpu import analyze as analyze_mod
-            eta = analyze_mod.tmmc_eta(np.asarray(state.tmmc_c))
+            eta = analyze_mod.tmmc_eta(tmmc_host)
             if eta is not None:
                 thermo = thermo.replace(
                     tmmc_eta=jnp.asarray(eta, cfg.jdtype))
@@ -1520,13 +1543,14 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         path = job.histogram_output or "histogram.dx"
         hist.write_dx(path)
         print(f"population histogram written to {path}", file=writer.log)
-    if cfg.tmmc and state.tmmc_c is not None:
+    if cfg.tmmc and np.ndim(tmmc_host):
         path = output_io.write_tmmc(
-            job.tmmc_output or "tmmc.json", np.asarray(state.tmmc_c),
+            job.tmmc_output or "tmmc.json", tmmc_host,
             temperature=float(thermo.temperature),
             fugacities=[float(f) for f in np.asarray(thermo.fugacity)],
             volume=float(np.abs(np.linalg.det(np.asarray(state.box)))),
-            species=su.species_names)
+            species=su.species_names,
+            insert_species=cfg.insert_species[0])
         print(f"tmmc collection matrix written to {path}",
               file=writer.log)
     if job.pqr_output:

@@ -244,11 +244,117 @@ def test_tmmc_sum_rejects_mismatched_states(tmp_path):
     c = np.zeros((5, 4))
     p1 = output_io.write_tmmc(str(tmp_path / "a.json"), c,
                               temperature=100.0, fugacities=[1.0],
-                              volume=1000.0, species=["He"])
+                              volume=1000.0, species=["He"],
+                              insert_species=0)
     p2 = output_io.write_tmmc(str(tmp_path / "b.json"), c,
                               temperature=120.0, fugacities=[1.0],
-                              volume=1000.0, species=["He"])
+                              volume=1000.0, species=["He"],
+                              insert_species=0)
     with pytest.raises(ValueError, match="same thermodynamic state"):
         tmmc_load([p1, p2])
     summed, _ = tmmc_load([p1, p1])
     assert summed.shape == (5, 4)
+
+
+def test_tmmc_lnpi_follows_best_sampled_fragment():
+    """Summed matrices from independent runs can carry disconnected
+    N-windows; lnΠ must follow the one with the most attempts (r2
+    advisor) and warn about the others."""
+    c = np.zeros((12, 4))
+    # small fragment at N=1..2 (20 attempts), big one at N=6..9 (600)
+    for i, att in ((1, 10.0), (6, 100.0), (7, 100.0), (8, 100.0)):
+        c[i, 0] = att
+        c[i, 1] = 0.5 * att
+    for i, att in ((2, 10.0), (7, 100.0), (8, 100.0), (9, 100.0)):
+        c[i, 2] = att
+        c[i, 3] = 0.25 * att
+    with pytest.warns(UserWarning, match="disconnected"):
+        lnpi = tmmc_lnpi(c)
+    ok = np.flatnonzero(np.isfinite(lnpi))
+    assert ok.min() == 6 and ok.max() == 9
+    # each link = ln(0.5) - ln(0.25) = ln 2
+    assert np.allclose(np.diff(lnpi[6:10]), np.log(2.0), atol=1e-12)
+
+
+def test_tmmc_f_sim_records_insert_species(tmp_path):
+    """write_tmmc records the INSERT species' fugacity as f_sim_atm —
+    a co-movable species' fugacity must not shift the reweighting
+    activity ratio (r2 advisor)."""
+    from mpmc_tpu.io import output as output_io
+
+    c = np.zeros((5, 4))
+    p = output_io.write_tmmc(str(tmp_path / "t.json"), c,
+                             temperature=100.0, fugacities=[2.0, 5.0],
+                             volume=1000.0, species=["H2", "CO2"],
+                             insert_species=0)
+    _, meta = tmmc_load([p])
+    assert meta["f_sim_atm"] == 2.0
+    assert meta["insert_species"] == 0
+
+
+def test_tmmc_rejects_simulated_annealing():
+    """tmmc pools one collection matrix at one T; an annealing schedule
+    would silently mix temperatures (r2 advisor) — parse-time error."""
+    from mpmc_tpu.io.input_script import parse
+
+    with pytest.raises(ValueError, match="simulated_annealing"):
+        parse("""
+ensemble uvt
+temperature 150
+pressure 1.0
+numsteps 100
+corrtime 10
+tmmc on
+simulated_annealing on
+simulated_annealing_schedule 0.99
+pqr_input x.pqr
+""")
+
+
+def test_tmmc_run_driver_host_flush(tmp_path):
+    """End-to-end run_mc with tmmc: the device collection is flushed to
+    a host float64 accumulator every corrtime (r2 advisor — the f32
+    device sums would saturate at 2^24 on production runs), so the
+    written matrix must equal the sum over all blocks and retain the
+    ideal-gas link exactness."""
+    import json
+
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+
+    pqr_p = str(tmp_path / "he.pqr")
+    with open(pqr_p, "w") as f:
+        f.write("ATOM 1 He HEL 1 M 10.0 10.0 10.0 4.0026 0.0 0.0 "
+                "0.0 0.0\nEND\n")
+    out_p = str(tmp_path / "tmmc.json")
+    job = input_script.parse(f"""
+ensemble uvt
+temperature 300
+free_volume 8000
+fugacities 0.3
+numsteps 600
+corrtime 100
+move_factor 1.0
+insert_probability 0.5
+rd_only off
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+pqr_input {pqr_p}
+tmmc on
+tmmc_output {out_p}
+""")
+    job.cfg = __import__("dataclasses").replace(
+        job.cfg, rd_potential="none", coulomb="none", rd_lrc=False,
+        dtype="float64")
+    run_mod.run_mc(job, log=io.StringIO())
+    with open(out_p) as f:
+        rec = json.load(f)
+    c = np.asarray(rec["c"])
+    assert rec["f_sim_atm"] == pytest.approx(0.3)
+    n_att = c[:, 0].sum() + c[:, 2].sum()
+    # ~half of 600 steps are insert/delete attempts; every one must
+    # survive the per-corrtime flushes (6 blocks summed exactly)
+    assert 150 < n_att < 450 and n_att == int(n_att)
+    lnpi = tmmc_lnpi(c)
+    assert np.isfinite(lnpi).sum() >= 2
