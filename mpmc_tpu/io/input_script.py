@@ -130,6 +130,12 @@ _IGNORED = {"cuda", "polar_self", "polar_rrms",
 _ENSEMBLES = {"uvt", "nvt", "npt", "nve", "te", "total_energy", "surf",
               "surf_fit", "surf_multi_fit", "replay"}
 
+# corrtime above which stale cached rotor free energies carry a
+# measured spinflip-acceptance bias worth warning about (the bias is
+# ~0.13 at 200 steps on a deliberately hot/dense system —
+# tests/test_qrot.py::test_spinflip_staleness_quantified)
+SPINFLIP_CORRTIME_BOUND = 200
+
 
 def parse(text: str) -> Job:
     """Parse an input script (string contents)."""
@@ -479,6 +485,21 @@ def parse(text: str) -> Job:
                 "collection matrix would pool attempts across the "
                 "temperature schedule while its metadata records one T "
                 "(reweighting needs a single thermodynamic state)")
+    if (job.spinflip_probability > 0.0 and job.cfg.quantum_rotation
+            and job.cfg.corrtime > SPINFLIP_CORRTIME_BOUND):
+        # self-enforcing staleness contract (r2 verdict item 7): rotor
+        # free energies refresh per corrtime while molecules move every
+        # step, and the measured acceptance bias reaches ~0.13 after
+        # 200 un-refreshed steps on a hot dense system
+        # (tests/test_qrot.py::test_spinflip_staleness_quantified)
+        import warnings
+        warnings.warn(
+            f"spinflip with corrtime {job.cfg.corrtime} > "
+            f"{SPINFLIP_CORRTIME_BOUND}: the cached rotor free "
+            "energies go stale between refreshes (measured flip-"
+            "acceptance bias ~0.13 after 200 un-refreshed steps — "
+            "test_spinflip_staleness_quantified); lower corrtime to "
+            "tighten the bound")
     return job
 
 

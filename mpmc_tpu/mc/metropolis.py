@@ -1377,7 +1377,7 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
         p_spin = 0.0
 
     (new_pos, slot_alive, sums, sk_re, sk_im,
-     spin_new) = mc_kernel.run_steps_uvt(
+     spin_new, d_tm) = mc_kernel.run_steps_uvt(
         state.pos, params.eps, params.sig, params.charge, params.mass,
         state.atom_alive(params), slot_start,
         species_idx, state.mol_alive[slots], tmpl, state.box, rc,
@@ -1390,7 +1390,8 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
         rot_f=rot_mov, spin=spin_mov, p_spin=p_spin,
         mol_mass_atom=_fh_mol_mass_atom(params, cfg),
         c6=params.c6, c8=params.c8, c10=params.c10,
-        gwp_alpha=params.gwp_alpha)
+        gwp_alpha=params.gwp_alpha,
+        tmmc_eta=(thermo.tmmc_eta if cfg.tmmc_bias else None))
     dtype = cfg.jdtype
     d = sums.astype(dtype)
     new_energy = dataclasses.replace(
@@ -1420,6 +1421,14 @@ def _fused_chunk_uvt(state, params, thermo, slots, slot_start,
     new_state = state.replace(pos=new_pos, mol_alive=new_alive,
                               energy=new_energy, key=key_next,
                               step=state.step + n_steps)
+    if cfg.tmmc:
+        # accumulate the chunk's in-kernel collection delta (macrostate
+        # rows beyond the slot capacity are structurally zero)
+        K = state.tmmc_c.shape[0]
+        add = (d_tm[:K] if d_tm.shape[0] >= K
+               else jnp.pad(d_tm, ((0, K - d_tm.shape[0]), (0, 0))))
+        new_state = new_state.replace(
+            tmmc_c=state.tmmc_c + add.astype(state.tmmc_c.dtype))
     if sf:
         new_spin = state.spin.reshape(-1, 1).at[slots].set(
             (spin_new > 0.5).astype(state.spin.dtype)[:, None]
@@ -1541,7 +1550,7 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
     alive = states.mol_alive[:, params.mol_id] & params.atom_ok[None]
     sk_re = states.sk_re if cfg.coulomb == "ewald" else None
     sk_im = states.sk_im if cfg.coulomb == "ewald" else None
-    new_pos, slot_alive, sums, sk_re2, sk_im2, spin_new = (
+    new_pos, slot_alive, sums, sk_re2, sk_im2, spin_new, d_tm = (
         mc_kernel.run_steps_uvt_multi(
             states.pos, params.eps, params.sig, params.charge,
             params.mass, alive, slot_start, species_idx,
@@ -1555,7 +1564,8 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
             rot_f=rot_mov, spin=spin_mov, p_spin=p_spin,
             mol_mass_atom=_fh_mol_mass_atom(params, cfg),
             c6=params.c6, c8=params.c8, c10=params.c10,
-            gwp_alpha=params.gwp_alpha, betas=betas, lnfvs=lnfvs))
+            gwp_alpha=params.gwp_alpha, betas=betas, lnfvs=lnfvs,
+            tmmc_eta=(thermo0.tmmc_eta if cfg.tmmc_bias else None)))
     dtype = cfg.jdtype
     d = sums.astype(dtype)
     new_energy = dataclasses.replace(
@@ -1582,6 +1592,13 @@ def _fused_chunk_uvt_multi(states, params, thermo, slots, slot_start,
     new_states = states.replace(pos=new_pos, mol_alive=new_alive,
                                 energy=new_energy, key=key_next,
                                 step=states.step + n_steps)
+    if cfg.tmmc:
+        K = states.tmmc_c.shape[1]
+        add = (d_tm[:, :K] if d_tm.shape[1] >= K
+               else jnp.pad(d_tm,
+                            ((0, 0), (0, K - d_tm.shape[1]), (0, 0))))
+        new_states = new_states.replace(
+            tmmc_c=states.tmmc_c + add.astype(states.tmmc_c.dtype))
     if sf:
         new_spin = jax.vmap(lambda s, sn: s.reshape(-1, 1).at[slots]
                             .set((sn > 0.5).astype(s.dtype)[:, None])

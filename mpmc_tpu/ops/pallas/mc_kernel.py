@@ -907,10 +907,11 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
             out_sk2[:, 0, :nk], out_sk2[:, 1, :nk], spin_out)
 
 
-def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
+def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, eta_ref, tbl_in_ref,
                 data_in_ref, sk_in_ref, rot_in_ref, data_ref, out_ref,
-                sk_ref, tbl_ref, rot_ref, *, cfg, n_steps, n_pad, n_real,
-                A_list, nk_pad, ms_pad, g3_pad, n_chains=1):
+                sk_ref, tbl_ref, rot_ref, tm_ref, *, cfg, n_steps, n_pad,
+                n_real, A_list, nk_pad, ms_pad, g3_pad, tm_pad,
+                n_chains=1):
     """Fused µVT (GCMC) step loop: displace | insert | delete per step.
 
     Differences from the NVT ``_kernel``: the movable-slot table carries
@@ -958,12 +959,29 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
     every energy accumulator stay untouched, exactly like the scan
     path's b_spinflip (denergy = 0, bias-only acceptance).
 
+    TMMC (``cfg.tmmc``, single insert species by the parse-time gate):
+    every insert/delete attempt adds (1, a) to the per-macrostate
+    collection rows at N = pre-move alive count, where a is the
+    UNBIASED acceptance probability min(1, exp(lnb − βΔU)) (0 on a
+    hard reject) — the scan path's conditional-mean estimator
+    (mc/metropolis.make_step_fn).  The accumulators live in ``tm_ref``
+    ([n_chains·4·Rt, 128] rank-major planes: per chain the 4 groups
+    n_ins / Σa_ins / n_del / Σa_del of Rt rows each, macrostate N at
+    plane offset N), zeroed at kernel start so each chunk returns its
+    own deltas (the driver accumulates into state.tmmc_c and the run
+    loop host-flushes in f64).  Under ``cfg.tmmc_bias`` the acceptance
+    (NOT the collection) adds η(N') − η(N) read from the ``eta_ref``
+    plane — bias moves the walker, never the estimator.
+
     Data layout is the same sublane-packed (R,128)-plane scheme as the
     NVT ``_kernel`` (full-vreg block math, 16-row molecule windows,
     vector energy accumulators reduced once per step)."""
     del tbl_in_ref, data_in_ref, sk_in_ref, rot_in_ref
     ew = cfg.coulomb == "ewald"
     cb = cfg.cavity_bias
+    tm = cfg.tmmc                   # in-kernel TMMC collection
+    tm_bias = cfg.tmmc_bias
+    Rt = tm_pad // 128
     sf = cfg.quantum_rotation       # in-kernel spinflip moves
     # cavity bias under n_chains > 1: the open-cell grid is per-chain
     # state (each chain's positions close different cells), so cav_ref
@@ -1369,8 +1387,45 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
                                  & (mr2 < thr2)))
         if cb:
             reject = reject | (is_ins & (cav_n < 0.5))
+        ln_t = lnb - beta * du          # unbiased log-acceptance
+        if tm:
+            n_int = n_s.astype(jnp.int32)   # pre-move macrostate
+        if tm_bias:
+            # flat-histogram walker bias η(N') − η(N) (scan path's
+            # thermo.tmmc_eta term); η is a per-chunk constant plane
+            lin_t = (jax.lax.broadcasted_iota(jnp.int32, (Rt, 128), 0)
+                     * 128
+                     + jax.lax.broadcasted_iota(jnp.int32, (Rt, 128), 1))
+            eta_pl = eta_ref[pl.dslice(0, Rt), :]
+            eta_cur = jnp.sum(jnp.where(lin_t == n_int, eta_pl, 0.0))
+            n_to = jnp.clip(n_int + is_ins.astype(jnp.int32)
+                            - is_del.astype(jnp.int32), 0, tm_pad - 1)
+            eta_to = jnp.sum(jnp.where(lin_t == n_to, eta_pl, 0.0))
+            ln_eff = ln_t + (eta_to - eta_cur)
+        else:
+            ln_eff = ln_t
         accept = ((jnp.log(jnp.maximum(u_ref[uk, 4], 1e-38))
-                   < lnb - beta * du) & ~reject)
+                   < ln_eff) & ~reject)
+        if tm:
+            # TMMC collection: one blended RMW of this chain's 4-group
+            # block; displace/spinflip steps add exact zeros (fins =
+            # fdel = 0).  a is the UNBIASED probability (kernel
+            # docstring); exp(-inf) underflows cleanly to 0 on the
+            # deep-core rejects that make du = inf
+            a_pr = jnp.where(reject, np.float32(0.0),
+                             jnp.exp(jnp.minimum(ln_t, 0.0)))
+            r4 = jax.lax.broadcasted_iota(jnp.int32, (4 * Rt, 128), 0)
+            grp = r4 // Rt
+            lin4 = ((r4 % Rt) * 128
+                    + jax.lax.broadcasted_iota(jnp.int32,
+                                               (4 * Rt, 128), 1))
+            incv = jnp.where(grp == 0, fins,
+                             jnp.where(grp == 1, fins * a_pr,
+                                       jnp.where(grp == 2, fdel,
+                                                 fdel * a_pr)))
+            blk = tm_ref[pl.dslice(cc * 4 * Rt, 4 * Rt), :]
+            tm_ref[pl.dslice(cc * 4 * Rt, 4 * Rt), :] = blk + jnp.where(
+                lin4 == n_int, incv, 0.0)
         # spinflip accepts touch ONLY the spin row — never positions,
         # aliveness, the slot table, or the energy accumulators
         acc_pos = accept & ~is_spin if sf else accept
@@ -1433,6 +1488,11 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, tbl_in_ref,
         return tuple(chain_step(cc, k, carry[cc])
                      for cc in range(n_chains))
 
+    # the collection output starts from zero every chunk (pallas output
+    # buffers are uninitialized; the driver owns the running total)
+    tm_rows = n_chains * 4 * Rt if tm else 1
+    tm_ref[pl.dslice(0, tm_rows), :] = jnp.zeros((tm_rows, 128),
+                                                 jnp.float32)
     z = jnp.zeros((), jnp.float32)
     outs = jax.lax.fori_loop(0, n_steps, step,
                              (((z,) * 14),) * n_chains)
@@ -1466,6 +1526,26 @@ def _pack_cav(cav_open, cfg):
     return lst.reshape(g3_pad // 128, 128), cav_n, cav_lnf, g3_pad
 
 
+def _pack_tmmc(tmmc_eta, ms, cfg):
+    """(η bias plane [Rt,128], tm_pad) for the in-kernel TMMC support:
+    macrostates 0..ms (one insert species — the parse gate), η padded
+    with its last resolved value semantics already applied by
+    analyze.tmmc_eta (zeros = no bias / bias not yet resolved).
+    ([1,128] zero dummy when tmmc is off.)"""
+    f32 = jnp.float32
+    if not cfg.tmmc:
+        return jnp.zeros((1, 128), f32), 128
+    tm_pad = _round_up(ms + 1, 128)
+    if tmmc_eta is None:
+        eta = jnp.zeros((tm_pad,), f32)
+    else:
+        e = jnp.asarray(tmmc_eta, f32)
+        K = e.shape[0]
+        eta = (e[:tm_pad] if K >= tm_pad
+               else jnp.pad(e, (0, tm_pad - K), mode="edge"))
+    return eta.reshape(tm_pad // 128, 128), tm_pad
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_steps", "n_real", "A_list",
                                     "interpret"))
@@ -1476,12 +1556,16 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                   interpret=False, kvecs=None, kcoef=None, sk_re=None,
                   sk_im=None, cav_open=None, rot_f=None, spin=None,
                   p_spin=0.0, mol_mass_atom=None,
-                  c6=None, c8=None, c10=None, gwp_alpha=None):
+                  c6=None, c8=None, c10=None, gwp_alpha=None,
+                  tmmc_eta=None):
     """K fused µVT steps (displace | insert | delete | spinflip).
     Returns (new_pos [N,3], new_slot_alive [Ms] bool, sums [14],
-    sk_re', sk_im', spin' [Ms] f32) where sums = (d_rd, d_es_real,
-    d_es_recip, d_es_self, d_es_excl, d_lrc, acc_disp, acc_ins,
-    acc_del, att_disp, att_ins, att_del, acc_spin, att_spin).
+    sk_re', sk_im', spin' [Ms] f32, d_tmmc) where sums = (d_rd,
+    d_es_real, d_es_recip, d_es_self, d_es_excl, d_lrc, acc_disp,
+    acc_ins, acc_del, att_disp, att_ins, att_del, acc_spin, att_spin)
+    and d_tmmc is the chunk's [tm_pad, 4] collection-matrix DELTA under
+    cfg.tmmc (None otherwise; kernel docstring).  ``tmmc_eta``: [K']
+    flat-histogram bias table for cfg.tmmc_bias (None = zero bias).
     ``slot_start``/``slot_species``/``slot_alive``: [Ms]
     first atom row, insert-species index (0..S-1) and alive flag of
     EVERY movable slot; ``A_list``: static per-species site counts
@@ -1503,6 +1587,7 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
     S = len(A_list)
     A = max(A_list)
     cav, cav_n, cav_lnf, g3_pad = _pack_cav(cav_open, cfg)
+    eta, tm_pad = _pack_tmmc(tmmc_eta, slot_start.shape[0], cfg)
     # n_pad >= 2048 so the kernel's 16-row molecule windows fit (R>=16)
     n_pad = max(2 * TJ, _round_up(n_real, TJ))
     R = n_pad // 128
@@ -1564,10 +1649,13 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
 
     u = jnp.asarray(uniforms, f32)
 
-    out_data, out_sums, out_sk, out_tbl, out_rot = pl.pallas_call(
+    tm_rows = 4 * (tm_pad // 128) if cfg.tmmc else 1
+    (out_data, out_sums, out_sk, out_tbl, out_rot,
+     out_tm) = pl.pallas_call(
         functools.partial(_kernel_uvt, cfg=cfg, n_steps=n_steps,
                           n_pad=n_pad, n_real=n_real, A_list=A_list,
-                          nk_pad=nk_pad, ms_pad=ms_pad, g3_pad=g3_pad),
+                          nk_pad=nk_pad, ms_pad=ms_pad, g3_pad=g3_pad,
+                          tm_pad=tm_pad),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((n_rows, 16), lambda _: (0, 0),
@@ -1577,6 +1665,8 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
             pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g3_pad // 128, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm_pad // 128, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1598,6 +1688,8 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm_rows, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nq * R, 128), f32),
@@ -1605,18 +1697,20 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
             jax.ShapeDtypeStruct((2 * Rk, 128), f32),
             jax.ShapeDtypeStruct((4, ms_pad), f32),
             jax.ShapeDtypeStruct((3, ms_pad), f32),
+            jax.ShapeDtypeStruct((tm_rows, 128), f32),
         ],
-        input_output_aliases={5: 0, 6: 2, 4: 3, 7: 4},
+        input_output_aliases={6: 0, 7: 2, 5: 3, 8: 4},
         interpret=interpret,
-    )(scal, u, ktab, cav, tbl, data, sk, rot)
+    )(scal, u, ktab, cav, eta, tbl, data, sk, rot)
     planes = out_data.reshape(nq, n_pad)
     new_pos = jnp.stack([planes[ROW_X, :n_real],
                          planes[ROW_Y, :n_real],
                          planes[ROW_Z, :n_real]], axis=1)
     out_sk2 = out_sk.reshape(2, nk_pad)
+    d_tm = (out_tm.reshape(4, tm_pad).T if cfg.tmmc else None)
     return (new_pos.astype(pos.dtype), out_tbl[2, :ms] > 0.5,
             out_sums[0, :14], out_sk2[0, :nk], out_sk2[1, :nk],
-            out_rot[2, :ms])
+            out_rot[2, :ms], d_tm)
 
 
 @functools.partial(jax.jit,
@@ -1631,7 +1725,7 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
                         cav_open=None, rot_f=None, spin=None,
                         p_spin=0.0, mol_mass_atom=None, c6=None,
                         c8=None, c10=None, gwp_alpha=None, betas=None,
-                        lnfvs=None):
+                        lnfvs=None, tmmc_eta=None):
     """C chains x K fused µVT steps in ONE launch (chain-interleaved
     _kernel_uvt).  Per-chain state: ``pos`` [C,N,3], ``alive`` [C,N],
     ``slot_alive`` [C,Ms], ``sk_re``/``sk_im`` [C,Nk]; everything else
@@ -1653,10 +1747,15 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
     For cfg.quantum_rotation pass ``rot_f`` [C,Ms,2], ``spin`` [C,Ms]
     and the shared scalar ``p_spin`` (per-chain 3-row rot groups, slot
     order).  Returns (new_pos [C,N,3], new_slot_alive [C,Ms] bool,
-    sums [C,14], sk_re' [C,Nk], sk_im', spin' [C,Ms] f32)."""
+    sums [C,14], sk_re' [C,Nk], sk_im', spin' [C,Ms] f32, d_tmmc
+    [C, tm_pad, 4] per-chain collection deltas under cfg.tmmc — the
+    η bias table (``tmmc_eta``) is SHARED across chains, matching the
+    chains driver's chain-summed bias rebuild)."""
     f32 = jnp.float32
     C = pos.shape[0]
     assert C <= MAX_MULTI_CHAINS
+    eta, tm_pad = _pack_tmmc(tmmc_eta, slot_start.shape[0], cfg)
+    tm_rows = 4 * (tm_pad // 128) if cfg.tmmc else 1
     if cfg.cavity_bias:
         packs = [_pack_cav(cav_open[c], cfg) for c in range(C)]
         g3_pad = packs[0][3]
@@ -1750,11 +1849,12 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
 
     u = jnp.asarray(uniforms, f32)
 
-    out_data, out_sums, out_sk, out_tbl, out_rot = pl.pallas_call(
+    (out_data, out_sums, out_sk, out_tbl, out_rot,
+     out_tm) = pl.pallas_call(
         functools.partial(_kernel_uvt, cfg=cfg, n_steps=n_steps,
                           n_pad=n_pad, n_real=n_real, A_list=A_list,
                           nk_pad=nk_pad, ms_pad=ms_pad, g3_pad=g3_pad,
-                          n_chains=C),
+                          tm_pad=tm_pad, n_chains=C),
         grid=(1,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2 ** 20),
@@ -1766,6 +1866,8 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
             pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C * (g3_pad // 128), 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm_pad // 128, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C * 4, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1787,6 +1889,9 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * C, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * tm_rows if cfg.tmmc else 1, 128),
+                         lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C * nq * R, 128), f32),
@@ -1794,19 +1899,23 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
             jax.ShapeDtypeStruct((C * 2 * Rk, 128), f32),
             jax.ShapeDtypeStruct((C * 4, ms_pad), f32),
             jax.ShapeDtypeStruct((3 * C, ms_pad), f32),
+            jax.ShapeDtypeStruct((C * tm_rows if cfg.tmmc else 1, 128),
+                                 f32),
         ],
-        input_output_aliases={5: 0, 6: 2, 4: 3, 7: 4},
+        input_output_aliases={6: 0, 7: 2, 5: 3, 8: 4},
         interpret=interpret,
-    )(scal, u, ktab, cav, tbl, data, sk, rot)
+    )(scal, u, ktab, cav, eta, tbl, data, sk, rot)
     planes = out_data.reshape(C, nq, n_pad)
     new_pos = jnp.stack([planes[:, ROW_X, :n_real],
                          planes[:, ROW_Y, :n_real],
                          planes[:, ROW_Z, :n_real]], axis=2)
     out_tbl2 = out_tbl.reshape(C, 4, ms_pad)
     out_sk2 = out_sk.reshape(C, 2, nk_pad)
+    d_tm = (out_tm.reshape(C, 4, tm_pad).transpose(0, 2, 1)
+            if cfg.tmmc else None)
     return (new_pos.astype(pos.dtype), out_tbl2[:, 2, :ms] > 0.5,
             out_sums[:, :14], out_sk2[:, 0, :nk], out_sk2[:, 1, :nk],
-            out_rot.reshape(C, 3, ms_pad)[:, 2, :ms])
+            out_rot.reshape(C, 3, ms_pad)[:, 2, :ms], d_tm)
 
 
 def draw_uniforms(key, n_steps, lanes=8):
@@ -1838,9 +1947,6 @@ def _supported_physics(cfg) -> bool:
             # of the LJ derivatives only
             and not (cfg.feynman_kleinert and cfg.rd_potential != "lj")
             and not (cfg.feynman_hibbs and cfg.rd_potential != "lj")
-            # TMMC collection lives in the scan path's per-step update
-            # (metropolis.make_step_fn) — no in-kernel analog
-            and not cfg.tmmc
             and not cfg.polarization and not cfg.cdvdw
             and cfg.cdvdw_repulsion == "none"
             # rd_lrc IS allowed: NVT tail coefficients are
@@ -1860,6 +1966,8 @@ def supported(cfg, params) -> bool:
     the same kernel with the kinetic-reservoir acceptance and the
     spinflip carve-out excluded (spinflip_active forbids it there)."""
     if not (cfg.ensemble in ("nvt", "nve") and _supported_physics(cfg)):
+        return False
+    if cfg.tmmc:    # µVT-only (parse gate); in-kernel only in _kernel_uvt
         return False
     if cfg.ensemble == "nve" and cfg.quantum_rotation:
         return False
@@ -1892,7 +2000,7 @@ def supported_npt(cfg, params) -> bool:
     when everything is movable (same gate the scan path's b_volume
     documents)."""
     if not (cfg.ensemble == "npt" and _supported_physics(cfg)
-            and not cfg.quantum_rotation):
+            and not cfg.quantum_rotation and not cfg.tmmc):
         return False
     frozen = np.asarray(params.mol_frozen)
     if frozen.any():
@@ -1917,6 +2025,11 @@ def supported_uvt(cfg, params) -> bool:
     if not (cfg.ensemble == "uvt"
             and 1 <= len(cfg.insert_species) <= MAX_SPECIES
             and _supported_physics(cfg)):
+        return False
+    # TMMC collection runs in-kernel (per-macrostate planes + η bias),
+    # but only over a scalar macrostate — one insert species (the
+    # parse-time gate; re-checked for direct API users)
+    if cfg.tmmc and len(cfg.insert_species) != 1:
         return False
     frozen = np.asarray(params.mol_frozen)
     spec = np.asarray(params.mol_species)

@@ -1793,7 +1793,7 @@ def test_uvt_overlap_insert_keeps_accumulators_finite():
     u[0, 4] = 0.5                       # coin (inf du rejects anyway)
     slots, start, spidx, A_list = mc_kernel.movable_slots(params, (0,))
     one = np.zeros((1,), np.float32)
-    new_pos, slot_alive, sums, _, _, _ = mc_kernel.run_steps_uvt(
+    new_pos, slot_alive, sums, _, _, _, _ = mc_kernel.run_steps_uvt(
         state.pos, params.eps, params.sig, params.charge, params.mass,
         state.atom_alive(params), start, spidx,
         np.asarray(state.mol_alive)[np.asarray(slots)],
@@ -1839,3 +1839,137 @@ def test_nvt_overlap_trial_keeps_accumulators_finite():
     assert float(n_acc) == 0.0
     np.testing.assert_array_equal(np.asarray(new_pos),
                                   np.asarray(state.pos, np.float32))
+
+
+# --------------------------------------------------------------------------
+# TMMC in the fused µVT kernel (r2 verdict item 2)
+
+
+def _ideal_gas_uvt_tmmc(target_n=8.0, cap=40, n0=5, bias=False):
+    from helpers import atom_species
+
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.state import build_system
+
+    L, T = 20.0, 300.0
+    f_atm = target_n * T / L ** 3 / ATM2K_A3
+    sp = atom_species("He", eps=0.0, sig=0.0, charge=0.0, mass=4.0)
+    params, state = build_system(L * np.eye(3), species=(sp,),
+                                 capacity=(cap,), initial_counts=(n0,),
+                                 dtype=jnp.float32, seed=11)
+    cfg = RunConfig(ensemble="uvt", rd_potential="none", coulomb="none",
+                    rd_lrc=False, dtype="float32", insert_species=(0,),
+                    fused_mc=True, tmmc=True, tmmc_bias=bias)
+    thermo = Thermo.make(temperature=T, fugacity=(f_atm,),
+                         insert_probability=0.5, move_factor=1.0,
+                         rot_factor=0.1, n_species=1, dtype=jnp.float32)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    fv_kt = f_atm * ATM2K_A3 * L ** 3 / T
+    return params, state, cfg, thermo, fv_kt
+
+
+def test_uvt_tmmc_fused_gate():
+    params, state, cfg, thermo, _ = _ideal_gas_uvt_tmmc()
+    assert mc_kernel.supported_uvt(cfg, params)
+    # NVT/NPT fused paths still refuse tmmc (µVT-only collection)
+    assert not mc_kernel.supported(
+        dataclasses.replace(cfg, ensemble="nvt", insert_species=()),
+        params)
+
+
+def test_uvt_tmmc_fused_ideal_gas_rows_exact():
+    """In-kernel collection on the ideal gas: each resolved row's mean
+    acceptance probability equals the analytic a_ins(N) / a_del(N)
+    (deterministic functions of N alone), so the fused collection is
+    exact up to f32 accumulation — the scan path's exactness contract
+    (test_tmmc_ideal_gas_lnpi_exact) carried onto the kernel."""
+    params, state, cfg, thermo, fv_kt = _ideal_gas_uvt_tmmc()
+    st, stats = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                               thermo, 3000)
+    c = np.asarray(st.tmmc_c, np.float64)
+    att = np.asarray(stats.attempts)
+    # every insert/delete attempt landed in exactly one counter row
+    assert c[:, 0].sum() == att[metropolis.INSERT]
+    assert c[:, 2].sum() == att[metropolis.DELETE]
+    assert att[metropolis.INSERT] + att[metropolis.DELETE] > 1000
+    for n in range(c.shape[0]):
+        if c[n, 0] > 0:
+            a = min(1.0, fv_kt / (n + 1.0))
+            assert c[n, 1] / c[n, 0] == pytest.approx(a, rel=5e-5), n
+        if c[n, 2] > 0 and n > 0:
+            a = min(1.0, n / fv_kt)
+            assert c[n, 3] / c[n, 2] == pytest.approx(a, rel=5e-5), n
+    from mpmc_tpu.analyze import tmmc_lnpi
+    lnpi = tmmc_lnpi(c)
+    idx = np.flatnonzero(np.isfinite(lnpi))
+    assert idx.size >= 6
+    for i in idx[:-1]:
+        expect = np.log(fv_kt / (i + 1.0))
+        assert lnpi[i + 1] - lnpi[i] == pytest.approx(expect, abs=1e-4)
+
+
+def test_uvt_tmmc_fused_multi_bit_equals_single_chain():
+    """Each chain of a C=2 interleaved tmmc launch must produce the
+    BIT-exact collection delta of the single-chain kernel driven with
+    that chain's uniform block."""
+    from mpmc_tpu.ops.pallas.mc_kernel import draw_uniforms
+
+    params, state, cfg, thermo, _ = _ideal_gas_uvt_tmmc()
+    slots, slot_start, species_idx, tmpl, A_list, rep_slots = (
+        metropolis.uvt_fused_tables(params, cfg))
+    C, K = 2, 300
+    key = jax.random.PRNGKey(7)
+    u = jnp.concatenate([draw_uniforms(jax.random.fold_in(key, c), K,
+                                       lanes=16) for c in range(C)])
+    alive_at = state.atom_alive(params)
+    common = dict(cfg=cfg, n_steps=K, n_real=state.pos.shape[0],
+                  A_list=A_list, interpret=True)
+    singles = []
+    for c in range(C):
+        out = mc_kernel.run_steps_uvt(
+            state.pos, params.eps, params.sig, params.charge,
+            params.mass, alive_at, slot_start, species_idx,
+            state.mol_alive[slots], tmpl, state.box, 9.0, 0.0,
+            1.0 / 300.0, 1.0, 0.1, 0.0, 0.5,
+            jnp.log(jnp.asarray([800.0], jnp.float32)),
+            jnp.zeros((1,), jnp.float32), jnp.zeros((1,), jnp.float32),
+            jnp.zeros((1,), jnp.float32),
+            jnp.zeros((1, 1), jnp.float32),
+            u[c * K:(c + 1) * K], **common)
+        singles.append(np.asarray(out[6]))
+    outs = mc_kernel.run_steps_uvt_multi(
+        jnp.stack([state.pos] * C), params.eps, params.sig,
+        params.charge, params.mass, jnp.stack([alive_at] * C),
+        slot_start, species_idx, jnp.stack([state.mol_alive[slots]] * C),
+        tmpl, state.box, 9.0, 0.0, 1.0 / 300.0, 1.0, 0.1, 0.0, 0.5,
+        jnp.log(jnp.asarray([800.0], jnp.float32)),
+        jnp.zeros((1,), jnp.float32), jnp.zeros((1,), jnp.float32),
+        jnp.zeros((1,), jnp.float32), jnp.zeros((1, 1), jnp.float32),
+        u, **common)
+    d_tm = np.asarray(outs[6])
+    for c in range(C):
+        np.testing.assert_array_equal(d_tm[c], singles[c])
+    assert d_tm.sum() > 0
+
+
+def test_uvt_tmmc_bias_fused_shifts_walker_not_estimator():
+    """cfg.tmmc_bias in-kernel: an η table favoring high N must drag
+    the walker above the unbiased Poisson mean, while the COLLECTED
+    per-row acceptance probabilities stay the unbiased analytic values
+    (bias moves the walker, never the estimator)."""
+    params, state, cfg, thermo, fv_kt = _ideal_gas_uvt_tmmc(bias=True)
+    # acceptance gains η(N') − η(N) (scan-path rule): an η INCREASING
+    # in N rewards inserts — tilted stationary dist Π(N)e^{0.9N},
+    # a Poisson with λ' = 8·e^0.9 ≈ 19.7
+    eta = 0.9 * np.arange(41, dtype=np.float64)
+    thermo_b = thermo.replace(
+        tmmc_eta=jnp.asarray(eta, cfg.jdtype))
+    st, _ = metropolis.run_chunk_fused_uvt(state, params, cfg,
+                                           thermo_b, 2500)
+    n_end = int(np.asarray(st.mol_alive).sum())
+    assert n_end > 13        # unbiased Poisson mean is 8, sd ~2.8
+    c = np.asarray(st.tmmc_c, np.float64)
+    for n in range(c.shape[0]):
+        if c[n, 0] > 0:
+            a = min(1.0, fv_kt / (n + 1.0))
+            assert c[n, 1] / c[n, 0] == pytest.approx(a, rel=5e-5), n

@@ -479,3 +479,32 @@ def test_quantum_rotation_pt_fused_uvt_cli(tmp_path):
     assert np.mean(avgs.samples["ortho_fraction"][2:]) < 0.45
     assert avgs.mean("swap_acceptance") > 0.0
     assert avgs.mean("N") > 0.0
+
+
+def test_spinflip_staleness_guard_warns_at_parse():
+    """r2 verdict item 7: the documented staleness contract is
+    self-enforcing — corrtime beyond the measured-bias bound with
+    spinflips on warns at parse time, citing the quantifying test."""
+    import warnings
+
+    import pytest
+
+    from mpmc_tpu.io.input_script import parse, SPINFLIP_CORRTIME_BOUND
+
+    base = """
+ensemble nvt
+temperature 77
+numsteps 1000
+corrtime {corr}
+quantum_rotation on
+spinflip_probability 0.1
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+pqr_input x.pqr
+"""
+    with pytest.warns(UserWarning, match="stale"):
+        parse(base.format(corr=SPINFLIP_CORRTIME_BOUND + 1))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        parse(base.format(corr=SPINFLIP_CORRTIME_BOUND))
