@@ -33,6 +33,7 @@ class RunWriter:
                 "total,n_molecules,volume\n")
         self.jsonl_f = open(jsonl_path, "w") if jsonl_path else None
         self._wrote_traj_header = False
+        self._wrote_ptraj_header = False
 
     def log_block(self, step: int, obs: Dict[str, float], stats=None):
         e = obs
@@ -144,6 +145,24 @@ class RunWriter:
                                remark=f"frame step {int(state.step)}",
                                wrap=self.job.cfg.wrapall)
             self._wrote_traj_header = True
+
+    def append_parallel_trajectories(self, params, states, n: int):
+        """One trajectory PQR per replica/chain beyond chain 0:
+        <traj_output>-rK (gated on ``parallel_restarts``, the same
+        per-rank-files switch as the restarts — the reference keeps one
+        output stream per MPI rank, SURVEY §2 "MPI layer")."""
+        if not (self.job.traj_output and self.job.parallel_restarts):
+            return
+        import jax as _jax
+        mode = "w" if not self._wrote_ptraj_header else "a"
+        for k in range(1, n):
+            st = _jax.tree_util.tree_map(lambda x: x[k], states)
+            pqr_io.write_state(f"{self.job.traj_output}-r{k}", params,
+                               st, self.species_names, mode=mode,
+                               remark=f"frame replica {k} step "
+                                      f"{int(st.step)}",
+                               wrap=self.job.cfg.wrapall)
+        self._wrote_ptraj_header = True
 
     def write_dipoles(self, params, state):
         """dipole_output / field_output: induced dipoles [Debye] and static

@@ -281,6 +281,40 @@ def _slice_chain(states, k):
     return jax.tree_util.tree_map(lambda x: x[k], states)
 
 
+def _hist_make(job, box):
+    """Population histogram for a multi-chain/replica driver, or None
+    when not requested (the single-chain driver builds its own)."""
+    if not (job.pop_histogram or job.histogram_output):
+        return None
+    from mpmc_tpu.utils.histogram import PopulationHistogram
+    return PopulationHistogram(np.asarray(box), job.hist_resolution)
+
+
+def _hist_accumulate(hist, states, params, n):
+    """Bin every chain/replica's movable COMs into one shared histogram
+    — the reference's cross-rank MPI_Reduce of per-rank population
+    histograms to rank 0 (SURVEY §2 "Histogram",
+    update_root_histogram): each rank (here: chain or ladder rung)
+    contributes its per-corrtime binning to a single grid."""
+    from mpmc_tpu.state import all_molecule_coms
+    coms = np.asarray(jax.vmap(
+        lambda p: all_molecule_coms(p, params))(states.pos))
+    alive = np.asarray(states.mol_alive)
+    base = (~np.asarray(params.mol_frozen)
+            & (np.asarray(params.mol_species) >= 0))
+    for c in range(n):
+        hist.add(coms[c][alive[c] & base])
+
+
+def _hist_finish(hist, job, n, writer, what="chains"):
+    if hist is None:
+        return
+    path = job.histogram_output or "histogram.dx"
+    hist.write_dx(path)
+    print(f"population histogram ({n} {what} reduced) written to "
+          f"{path}", file=writer.log)
+
+
 def _qrot_init_batched(su: Setup, states, temps, lmax: int):
     """Per-chain spin/rot_f initialization for the batched drivers
     (chains N, parallel tempering).  Chains start from the SAME
@@ -826,6 +860,9 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         n_blocks * max(corr // ptf, 1))
         if use_fused_multi or use_fused_multi_uvt else None)
     refresh_rows = metropolis.frozen_refresh_rows(params, cfg)
+    # cross-replica population histogram (reference MPI_Reduce analog:
+    # every ladder rung bins, exactly like ranks — _hist_accumulate)
+    hist = _hist_make(job, su.state.box)
     t0 = time.time()
     parity = 0
     n_swaps = 0
@@ -966,8 +1003,12 @@ def run_mc_pt(job: input_script.Job, log=None, jsonl_path=None):
         writer.write_restart(params, st0)
         writer.write_parallel_restarts(params, states, R)
         writer.append_trajectory(params, st0)
+        writer.append_parallel_trajectories(params, states, R)
+        if hist is not None:
+            _hist_accumulate(hist, states, params, R)
     wall = time.time() - t0
     steps_done = n_blocks * corr
+    _hist_finish(hist, job, R, writer, what="replicas")
     writer.final_averages(avgs, float(np.min(temps)))
     print(f"swap acceptance: {swap_acc}/{swap_att}", file=writer.log)
     print(f"steps/sec: {steps_done * R / max(wall, 1e-9):.2f} aggregate "
@@ -1064,6 +1105,7 @@ def run_mc_pt_fug(job: input_script.Job, log=None, jsonl_path=None):
                  if use_fused else None)
     swap_acc_dev = None
     n_swaps = 0
+    hist = _hist_make(job, su.state.box)
     t0 = time.time()
     parity = 0
     for block in range(n_blocks):
@@ -1128,8 +1170,12 @@ def run_mc_pt_fug(job: input_script.Job, log=None, jsonl_path=None):
         writer.write_restart(params, st0)
         writer.write_parallel_restarts(params, states, R)
         writer.append_trajectory(params, st0)
+        writer.append_parallel_trajectories(params, states, R)
+        if hist is not None:
+            _hist_accumulate(hist, states, params, R)
     wall = time.time() - t0
     steps_done = n_blocks * corr
+    _hist_finish(hist, job, R, writer, what="replicas")
     writer.final_averages(avgs, float(job.temperature))
     print(f"swap acceptance: {swap_acc}/{swap_att}", file=writer.log)
     print(f"steps/sec: {steps_done * R / max(wall, 1e-9):.2f} aggregate "
@@ -1209,6 +1255,9 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
     # see the single-chain driver note); all chains sample one state so
     # their collection statistics pool
     tmmc_host = 0.0
+    # population histogram reduced over ALL chains (the reference
+    # MPI-reduces per-rank histograms to rank 0 — _hist_accumulate)
+    hist = _hist_make(job, states.box[0])
     t0 = time.time()
     for block in range(n_blocks):
         # fused paths: chunk + per-corrtime refresh composed in ONE
@@ -1274,6 +1323,9 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
         writer.write_restart(params, st0)
         writer.write_parallel_restarts(params, states, C)
         writer.append_trajectory(params, st0)
+        writer.append_parallel_trajectories(params, states, C)
+        if hist is not None:
+            _hist_accumulate(hist, states, params, C)
         if job.adapt_moves:
             scale = float(np.clip(
                 np.sqrt(max(obs["acc_displace"], 1e-3) / 0.5), 0.5, 2.0))
@@ -1306,6 +1358,7 @@ def run_mc_chains(job: input_script.Job, log=None, jsonl_path=None):
                 temperature=jnp.asarray(new_t, cfg.jdtype))
     wall = time.time() - t0
     steps_done = n_blocks * corr
+    _hist_finish(hist, job, C, writer)
     if cfg.tmmc and np.ndim(tmmc_host):
         # independent chains at the same (T, f): collection matrices sum
         path = output_io.write_tmmc(

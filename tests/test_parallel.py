@@ -1062,3 +1062,76 @@ pqr_input {pqr}
     order = np.argsort(fugs, axis=1)
     n_sorted = np.take_along_axis(ns, order, axis=1)
     assert n_sorted[1:, -1].mean() > n_sorted[1:, 0].mean()
+
+
+def test_chains_histogram_reduced_over_all_chains(tmp_path):
+    """r2 verdict item 4: `pop_histogram` + `chains C` bins EVERY
+    chain's movable COMs (the reference's MPI_Reduce of per-rank
+    histograms to rank 0), and `parallel_restarts` adds per-chain
+    trajectory streams next to the per-chain restarts."""
+    import io
+    import os
+
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+    from mpmc_tpu.mc.run import _hist_accumulate
+    from mpmc_tpu.parallel import multichain
+    from mpmc_tpu.utils.histogram import PopulationHistogram
+
+    # unit-level: a stacked C-chain state bins C x n_alive COMs
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=5, capacity=8, dtype="float64")
+    states = multichain.stack_states(state, 3)
+    hist = PopulationHistogram(np.asarray(state.box), 2.0)
+    _hist_accumulate(hist, states, params, 3)
+    assert hist.counts.sum() == 3 * 5
+    assert hist.n_frames == 3
+
+    # CLI-level: chains + pop_histogram writes one reduced .dx; with
+    # parallel_restarts the trajectory gets per-chain -rK streams
+    pqr = tmp_path / "ar.pqr"
+    pqr.write_text(
+        "ATOM 1 Ar AR 1 M 3.0 3.0 3.0 39.948 0.0 0.0 119.8 3.405\n"
+        "ATOM 2 Ar AR 2 M 9.0 9.0 9.0 39.948 0.0 0.0 119.8 3.405\nEND\n")
+    dx = tmp_path / "pop.dx"
+    traj = tmp_path / "traj.pqr"
+    rst = tmp_path / "restart.pqr"
+    job = input_script.parse(f"""
+ensemble nvt
+numsteps 200
+corrtime 100
+temperature 150
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+chains 3
+precision float64
+pop_histogram on
+histogram_output {dx}
+traj_output {traj}
+pqr_restart {rst}
+parallel_restarts on
+pqr_input {pqr}
+""")
+    log = io.StringIO()
+    run_mod.run(job, log=log)
+    assert "3 chains reduced" in log.getvalue()
+    txt = dx.read_text()
+    assert "gridpositions" in txt or os.path.getsize(dx) > 0
+    # NVT, 2 movables, 3 chains, 2 blocks: normalized total = mean
+    # population per frame = 2 (frames = chains x blocks — a chain-0-
+    # only binning with the same frame count would read 2/3)
+    vals = []
+    in_data = False
+    for line in txt.splitlines():
+        if line.startswith("object 3"):
+            in_data = True
+            continue
+        if in_data:
+            if line.startswith(("attribute", "object")):
+                break
+            vals.extend(float(v) for v in line.split())
+    assert sum(vals) == pytest.approx(2.0, abs=1e-4)   # dx %.6g text
+    for k in (1, 2):
+        assert os.path.exists(f"{traj}-r{k}")
+        assert os.path.exists(f"{rst}-r{k}")
