@@ -190,11 +190,14 @@ def setup(job: input_script.Job,
         # (SPECTRE exempt: its mobile free charges are individually
         # non-neutral by construction and the per-corrtime
         # renormalization governs the total — mc/spectre.py)
-        # the recip sum silently omits the uniform-background correction
-        # a charged cell needs (SURVEY §2 "Ewald electrostatics") — detect
-        # instead of silently producing a gauge-dependent energy.  The
-        # insertable-species check matters because GCMC inserts of a
-        # charged template would de-neutralize an initially neutral cell.
+        # Non-neutral cells are handled CORRECTLY since r3: the
+        # uniform-background (jellium) correction -pi Q^2/(2 a^2 V)
+        # rides in es_self (ops/ewald.background_correction) and the
+        # scan path carries the quadratic insert/delete delta
+        # (metropolis._background_delta).  The explicit opt-in stays: a
+        # net charge is usually an input mistake, and the jellium
+        # convention (tinfoil + compensating background) should be a
+        # deliberate choice.
         q = np.asarray(params.charge, np.float64)
         alive = np.asarray(state.atom_alive(params))
         net = float(np.sum(np.where(alive, q, 0.0)))
@@ -203,15 +206,19 @@ def setup(job: input_script.Job,
             for s in insert_species]
         bad = max(abs(x) for x in nets)
         if bad > 1e-3:
-            msg = (f"Ewald with a non-neutral cell: |sum q| = {bad:.6g} e "
-                   "(cell or insertable species); the uniform-background "
-                   "correction is not implemented, so the energy is "
-                   "gauge-dependent. Set allow_charged_cell to proceed.")
             if cfg.allow_charged_cell:
                 import warnings
-                warnings.warn(msg)
+                warnings.warn(
+                    f"Ewald with a non-neutral cell: |sum q| = "
+                    f"{bad:.6g} e — applying the uniform-background "
+                    "(jellium) correction; energies follow the "
+                    "tinfoil + compensating-background convention")
             else:
-                raise ValueError(msg)
+                raise ValueError(
+                    f"Ewald with a non-neutral cell: |sum q| = "
+                    f"{bad:.6g} e (cell or insertable species). Set "
+                    "allow_charged_cell to compute it in the jellium "
+                    "convention (uniform neutralizing background).")
 
     # fugacities: explicit list > per-species EoS > ideal (f = P)
     nsp = max(len(species), 1)

@@ -90,14 +90,20 @@ def total_energy(pos, box, mol_alive, params, cfg, thermo, mu0=None,
         alpha = pairs.derived_alpha(rc, cfg)
         es_recip, (sk_re, sk_im) = ewald.recip_energy(
             pos, params.charge, alive, box, alpha, cfg)
+        # charged-cell jellium correction (zero when neutral).  Lives in
+        # the ACTIVE slot: quadratic in the TOTAL alive charge, so it is
+        # not separable into frozen + active parts, and it must be
+        # re-evaluated when a charged species' count changes
+        bg = ewald.background_correction(params.charge, alive, alpha,
+                                         volume)
         if split_frozen:
             es_self = ewald.self_energy(params.charge,
-                                        alive & ~atom_frozen, alpha)
+                                        alive & ~atom_frozen, alpha) + bg
             if not reuse_ff:
                 es_self_ff = ewald.self_energy(params.charge,
                                                alive & atom_frozen, alpha)
         else:
-            es_self = ewald.self_energy(params.charge, alive, alpha)
+            es_self = ewald.self_energy(params.charge, alive, alpha) + bg
         aux["sk_re"], aux["sk_im"] = sk_re, sk_im
     elif cfg.coulomb == "wolf":
         alpha = pairs.derived_alpha(rc, cfg)

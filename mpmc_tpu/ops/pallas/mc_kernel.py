@@ -2046,6 +2046,18 @@ def supported_uvt(cfg, params) -> bool:
             return False
         if cfg.quantum_rotation and int(a[0]) < 2:
             return False    # monatomic species are not rotors
+        if cfg.coulomb == "ewald":
+            # a charged template changes the cell's net charge per
+            # insert/delete: the jellium-background delta is quadratic
+            # in Q (metropolis._background_delta), which the kernel's
+            # per-species constant tables cannot carry — scan path
+            m0 = int(np.flatnonzero(mov & (spec == si))[0])
+            qnet = float(np.where(
+                (np.asarray(params.mol_id) == m0)
+                & np.asarray(params.atom_ok),
+                np.asarray(params.charge), 0.0).sum())
+            if abs(qnet) > 1e-6:
+                return False
     return True
 
 

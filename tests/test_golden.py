@@ -35,7 +35,12 @@ GOLDEN = {
         "lrc": -177.65717627845785,
         "es_real": 77.45832899430759,
         "es_recip": 67689.2952006656,
-        "es_self": -567577.8457907247,
+        # es_self regenerated r3: the n_side=3 framework has an ODD
+        # alternating-charge count (net Q = -0.3 e), and the charged-
+        # cell jellium correction -ke pi Q^2/(2 a^2 V) = -40.176 K now
+        # rides in es_self (ops/ewald.background_correction) — the
+        # pre-r3 value was the gauge-dependent bare sum
+        "es_self": -567618.0215387235,
         "es_excl": 495824.93506123725,
         "polar": -2.041417681448245,
         "vdw": 0.0,
