@@ -211,6 +211,7 @@ def bench_gcmc_fused_multi():
     cfg = dataclasses.replace(cfg, fused_mc=True)
     state = metropolis.initialize(state, params, cfg, thermo)
     best, best_c = 0.0, 0
+    widths = {}
     for C in (16, 32, 48):   # race interleave widths on real HW
         try:
             K, reps = 4096, 3
@@ -225,15 +226,20 @@ def bench_gcmc_fused_multi():
             np.asarray(states.pos)
             sps = reps * K * C / (time.perf_counter() - t0)
         except Exception:
+            widths[f"c{C}"] = "error"
             continue     # compile-service timeout / Mosaic failure at
                          # this width — keep the best surviving C
+        widths[f"c{C}"] = round(sps, 2)
         if sps > best:
             best, best_c = sps, C
     return {"metric":
             "agg_mc_steps_per_sec_10k_mof_h2_gcmc_fused_interleaved"
             f"_c{best_c}",
             "value": round(best, 2), "unit": "steps/s",
-            "vs_baseline": round(best / BASELINES["gcmc"], 2)}
+            "vs_baseline": round(best / BASELINES["gcmc"], 2),
+            # the losing widths, so round-over-round winner flips are
+            # interpretable (r2 verdict item 5)
+            "widths": widths}
 
 
 def bench_nvt_ewald():
@@ -457,6 +463,30 @@ def _warm_chip(seconds=8.0):
         pass    # warm-up is best-effort; contenders still warm locally
 
 
+def _repeat(fn, n):
+    """Run a bench n times; report the BEST (throughput racing) plus
+    n_repeats and the value spread, so cross-round comparisons can be
+    read against the documented up-to-2x chip/tunnel variance
+    (r2 verdict item 5; CLAUDE.md benchmark-order landmine)."""
+    rows, err = [], None
+    for _ in range(n):
+        try:
+            rows.append(fn())
+        except Exception:
+            err = traceback.format_exc(limit=1).splitlines()[-1]
+    if not rows:
+        return {"metric": fn.__name__, "error": err}
+    vals = [r["value"] for r in rows]
+    best = dict(max(rows, key=lambda r: r["value"]))
+    best["n_repeats"] = len(rows)
+    if len(rows) > 1:
+        best["spread"] = {
+            "min": round(min(vals), 2), "max": round(max(vals), 2),
+            "values": [round(v, 2) for v in vals],
+            "metrics": [r["metric"] for r in rows]}
+    return best
+
+
 def main():
     _backend_or_die()
     _warm_chip()
@@ -464,22 +494,16 @@ def main():
     # measure every GCMC strategy on a quiet chip: batched scan chains,
     # the fused single-chain kernel, and the C=8 chain-interleaved
     # fused aggregate; the BEST is the headline (all run the identical
-    # 10.8k-atom MOF+H2+Ewald µVT workload)
+    # 10.8k-atom MOF+H2+Ewald µVT workload).  The fused contenders
+    # repeat twice: the winner flip between interleave widths across
+    # rounds was pure run-to-run variance (r2 verdict item 5)
     contenders = []
-    for fn in (bench_gcmc, bench_gcmc_fused, bench_gcmc_fused_multi):
-        try:
-            contenders.append(fn())
-        except Exception:
-            contenders.append({"metric": fn.__name__, "error":
-                               traceback.format_exc(
-                                   limit=1).splitlines()[-1]})
+    for fn, n in ((bench_gcmc, 1), (bench_gcmc_fused, 2),
+                  (bench_gcmc_fused_multi, 2)):
+        contenders.append(_repeat(fn, n))
     for fn in (bench_lj_nvt, bench_lj_nvt_fused, bench_nvt_ewald,
                bench_polar_gcmc, bench_pt_round, bench_pt_uvt_round):
-        try:
-            row = fn()
-        except Exception:
-            row = {"metric": fn.__name__, "error":
-                   traceback.format_exc(limit=1).splitlines()[-1]}
+        row = _repeat(fn, 1)
         results.append(row)
         print(json.dumps(row), flush=True)
     ranked = sorted(contenders, key=lambda r: r.get("value", 0.0))
