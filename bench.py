@@ -315,13 +315,35 @@ def bench_polar_gcmc():
         np.asarray(st.energy.rd)
         return 3 * chunk / (time.perf_counter() - t0)
 
+    def time_pda():
+        import dataclasses as _dc
+
+        from mpmc_tpu.ops.pallas import mc_kernel
+        c = _dc.replace(cfg, polar_delayed=True, fused_mc=True)
+        if not mc_kernel.supported_uvt_polar_da(c, params):
+            return 0.0
+        K = 512
+        st, _ = metropolis.run_chunk_fused_uvt_polar_da(
+            state, params, c, thermo, K)
+        np.asarray(st.energy.rd)
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(3):
+            st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+                st, params, c, thermo, K)
+            n += int(np.asarray(stats.attempts).sum())
+        np.asarray(st.energy.rd)
+        return n / (time.perf_counter() - t0)
+
     # race plain Metropolis against delayed acceptance (polar_delayed:
     # zodid stage-1 filter, SCF only for survivors — same stationary
     # distribution, test_thole.py)
     sps_plain = time_cfg(cfg)
     sps_da = time_cfg(dataclasses.replace(cfg, polar_delayed=True))
+    sps_pda = time_pda()
     sps, method = max((sps_plain, "metropolis"),
-                      (sps_da, "delayed_acceptance"))
+                      (sps_da, "delayed_acceptance"),
+                      (sps_pda, "fused_stage1_delayed_acceptance"))
     return {"metric": "mc_steps_per_sec_10k_mof_h2_polar_gcmc_thole_scf",
             "value": round(sps, 2), "unit": "steps/s",
             "vs_baseline": round(sps / BASELINES["polar_gcmc"], 2),

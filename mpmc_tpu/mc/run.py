@@ -1472,7 +1472,7 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             params, su.spectre_species)
         print(f"spectre: {len(spectre_idx)} free-charge sites",
               file=writer.log)
-    use_fused = use_fused_uvt = use_fused_npt = False
+    use_fused = use_fused_uvt = use_fused_npt = use_fused_pda = False
     if cfg.fused_mc:
         from mpmc_tpu.ops.pallas import mc_kernel
         use_fused = mc_kernel.supported(cfg, params)
@@ -1480,7 +1480,11 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
                          and mc_kernel.supported_uvt(cfg, params))
         use_fused_npt = (not (use_fused or use_fused_uvt)
                          and mc_kernel.supported_npt(cfg, params))
-        if not (use_fused or use_fused_uvt or use_fused_npt):
+        use_fused_pda = mc_kernel.supported_uvt_polar_da(cfg, params)
+        if use_fused_pda:
+            print("fused_mc: polar delayed-acceptance stage-1 kernel "
+                  "(exact SCF stage 2 per survivor)", file=writer.log)
+        elif not (use_fused or use_fused_uvt or use_fused_npt):
             print("WARNING: fused_mc requested but unsupported for this "
                   "configuration (needs rigid <=8-site NVT/NVE / "
                   "frameworkless NPT or <=8-species µVT, "
@@ -1494,7 +1498,10 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
     spectre_on = spectre_idx is not None and len(spectre_idx)
     compose = (use_fused or use_fused_uvt) and not spectre_on
     for block in range(n_blocks):
-        if use_fused:
+        if use_fused_pda:
+            state, stats = metropolis.run_chunk_fused_uvt_polar_da(
+                state, params, cfg, thermo, corr)
+        elif use_fused:
             state, stats = metropolis.run_chunk_fused(
                 state, params, cfg, thermo, corr,
                 refresh_rows=refresh_rows if compose else None)

@@ -1918,6 +1918,617 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
             out_rot.reshape(C, 3, ms_pad)[:, 2, :ms], d_tm)
 
 
+# --------------------------------------------------------------------------
+# Fused polar delayed-acceptance stage 1 (r2 verdict item 1, route b).
+#
+# Under polarization + polar_delayed, 80-90% of µVT steps die at the
+# Christen-Fox stage-1 filter (zodid surrogate) and change NOTHING —
+# measured r3: of the 1.17 ms/step delayed-acceptance budget on the
+# 10.8k bench system, 0.57 ms was scan-path proposal machinery and only
+# 0.60 ms the survivors' CG matvecs.  Because stage-1 rejections leave
+# the state untouched, a kernel that only PROPOSES and FILTERS needs no
+# stores at all: it re-proposes from the same resident planes each step,
+# evaluates du (pair + S(k) + self/excl/LRC) AND the zodid surrogate
+# delta d* in one pass, and freezes at the first stage-1 survivor,
+# emitting that candidate's full record.  The XLA driver then runs the
+# exact SCF stage 2 for the one survivor with the SAME helpers the scan
+# path uses (thole.field_delta / residual_delta / solve_scf), so the
+# sampled distribution is identical to the scan path's delayed
+# acceptance (exact w.r.t. the SCF target).
+
+PDA_SEG = 16    # steps per stage-1 kernel launch: E[steps to survivor]
+                # is ~1/s ~ 5-9, so most launches freeze mid-segment;
+                # the frozen tail burns ~4 us/step of masked pair passes
+
+
+def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, tbl_ref, data_ref,
+                    sk_ref, rec_ref, *, cfg, n_steps, n_pad, n_real,
+                    A_list, nk_pad, ms_pad):
+    """Propose-and-filter µVT kernel for polar delayed acceptance.
+
+    Read-only: proposes displace|insert|delete from the resident state
+    each step (same pick/placement math as ``_kernel_uvt``), computes
+    the non-polar delta du, the reciprocal-space delta against the
+    cached S(k), and the zodid surrogate delta
+
+        d* = -ke/2 [ sum_j alpha_j (|E0_j + dE_j|^2 - |E0_j|^2)
+                     + sum_a alpha_a |E_new_a|^2  (has_new)
+                     - sum_a alpha_a |E0_old_a|^2 (has_old) ],
+
+    where dE_j is the damped charge-field delta of the moved sites at
+    every other alive site (thole.field_delta tile (a)) and E_new_a the
+    field at the trial rows (tile (b)) — accumulated INSIDE the same
+    column pass that computes the pair energies, reusing its min-image
+    displacements.  Stage 1 accepts with ln u1 < lnb - beta (du + d*);
+    the kernel then FREEZES (live = 0): later steps propose nothing and
+    count nothing.  Output ``rec_ref`` [8,16] SMEM:
+
+      row 0: n_done, hit, mtype (0/1/2 disp/ins/del), slot_idx (movable-
+             slot order), species, u2 (stage-2 coin, lane 12),
+             att_disp, att_ins, att_del, d_surr, lnb
+      row 1: drd, des_real, drec, dslf, dexcl, dlrc
+      rows 2-4: trial rows x/y/z in lanes 0..A-1
+
+    E0 planes ride at rows nq..nq+2 and alpha (params.polar) at nq+3.
+    """
+    ew = cfg.coulomb == "ewald"
+    S = len(A_list)
+    A = max(A_list)
+    uniform_A = len(set(A_list)) == 1
+    rc = scal_ref[0, 0]
+    alpha = scal_ref[0, 1]
+    beta = scal_ref[0, 2]
+    mf = scal_ref[0, 3]
+    thr2 = scal_ref[0, 4]
+    rotf = scal_ref[0, 5]
+    p_half = scal_ref[0, 6]
+    p_ins = scal_ref[0, 7]
+    lam = scal_ref[0, 9]            # polar_damp
+    box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
+    binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
+    natoms_s = [scal_ref[3, s] for s in range(S)]
+    lnfv_s = [scal_ref[4, s] for s in range(S)]
+    d_self_s = [scal_ref[5, s] for s in range(S)]
+    d_excl_s = [scal_ref[6, s] for s in range(S)]
+    c1_s = [scal_ref[7, s] for s in range(S)]
+    cx = [[scal_ref[8 + s, t] for t in range(S)] for s in range(S)]
+    tmpl_s = [[[scal_ref[8 + S + 3 * s + c, a] for c in range(3)]
+               for a in range(A)] for s in range(S)]
+
+    nq = _n_rows(cfg)
+    ROW_E0 = nq                     # 3 rows
+    ROW_POL = nq + 3
+    R = n_pad // 128
+    n_blk = n_pad // TJ
+    Rk = nk_pad // 128
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+    two_pi = np.float32(2.0 * np.pi)
+    half_ke = np.float32(0.5 * KE)
+    de = cfg.rd_potential == "disp_expansion"
+    gw = cfg.coulomb == "gwp"
+    fh = _needs_molmass(cfg)
+
+    def sp_sel(spf, table):
+        if S == 1:
+            return table[0]
+        out = table[0]
+        for s in range(1, S):
+            out = jnp.where(spf == np.float32(s), table[s], out)
+        return out
+
+    def damp1(r, r2s):
+        # d1 of ops/thole._damping (charge-field damping only)
+        if cfg.polar_damp_type == "none":
+            return jnp.ones_like(r)
+        if cfg.polar_damp_type == "linear":
+            u = jnp.minimum(r / lam, 1.0)
+            u3 = u * u * u
+            return 4.0 * u3 - 3.0 * u3 * u
+        x = lam * r
+        e = jnp.exp(-x)
+        return 1.0 - e * (1.0 + x + 0.5 * x * x)
+
+    def chain_step(k, carry):
+        (live, n_done, att, rec, rrows) = carry
+        uk = k
+        # --- move pick (no spinflip/cavity on this surface) -----------
+        u8 = u_ref[uk, 8]
+        is_ins = u8 < p_half
+        is_del = (u8 >= p_half) & (u8 < p_ins)
+        is_disp = u8 >= p_ins
+        fins = is_ins.astype(jnp.float32)
+        fdel = is_del.astype(jnp.float32)
+
+        tb_start = tbl_ref[pl.dslice(0, 1), pl.dslice(0, ms_pad)]
+        spec_v = tbl_ref[pl.dslice(1, 1), pl.dslice(0, ms_pad)]
+        alive_v = tbl_ref[pl.dslice(2, 1), pl.dslice(0, ms_pad)]
+        valid_v = tbl_ref[pl.dslice(3, 1), pl.dslice(0, ms_pad)]
+        if S == 1:
+            n_vec = [jnp.sum(alive_v)]
+            n_alive = n_vec[0]
+            n_free = jnp.sum(valid_v) - n_alive
+            wv = jnp.where(is_ins, valid_v - alive_v, alive_v)
+            cnt = jnp.where(is_ins, n_free, n_alive)
+            n_s = n_alive
+            suf = np.float32(0.0)
+        else:
+            su = jnp.minimum((u_ref[uk, 9] * np.float32(S)).astype(
+                jnp.int32), S - 1)
+            suf = su.astype(jnp.float32)
+            sel_sp = (spec_v == suf).astype(jnp.float32)
+            n_vec = [jnp.sum(alive_v * (spec_v == np.float32(s)).astype(
+                jnp.float32)) for s in range(S)]
+            n_s = sp_sel(suf, n_vec)
+            free_s = jnp.sum((valid_v - alive_v) * sel_sp)
+            wv = jnp.where(is_ins, (valid_v - alive_v) * sel_sp,
+                           jnp.where(is_del, alive_v * sel_sp, alive_v))
+            cnt = jnp.where(is_ins, free_s,
+                            jnp.where(is_del, n_s, sum(n_vec)))
+        j = jnp.minimum(jnp.floor(u_ref[uk, 0] * cnt), cnt - 1.0)
+        ir = jax.lax.broadcasted_iota(jnp.int32, (ms_pad, ms_pad), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (ms_pad, ms_pad), 1)
+        tri = (ir <= ic).astype(jnp.float32)
+        rank = jnp.dot(wv, tri, preferred_element_type=jnp.float32)
+        sel_slot = (wv > 0) & (rank == j + 1.0)
+        start = jnp.sum(jnp.where(sel_slot, tb_start, 0.0)).astype(
+            jnp.int32)
+        lin_ms = jax.lax.broadcasted_iota(jnp.int32, (1, ms_pad), 1)
+        slot_idx = jnp.sum(jnp.where(sel_slot,
+                                     lin_ms.astype(jnp.float32), 0.0))
+        if S == 1:
+            spf = suf
+            na_i = jnp.int32(A)
+        else:
+            sp_disp = jnp.sum(jnp.where(sel_slot, spec_v, 0.0))
+            spf = jnp.where(is_disp, sp_disp, suf)
+            na = sp_sel(spf, natoms_s)
+            na_i = na.astype(jnp.int32)
+        if uniform_A:
+            valid = [True] * A
+        else:
+            valid = [jnp.asarray(a, jnp.int32) < na_i for a in range(A)]
+
+        # --- slot window loads ---------------------------------------
+        rw0 = pl.multiple_of(
+            jnp.minimum((start // TJ) * 8, jnp.int32(R - 16)), 8)
+
+        def wload(q):
+            return data_ref[pl.dslice(
+                pl.multiple_of(q * R + rw0, 8), 16), :]
+
+        asel = [(sub16 == (start + a) // 128 - rw0)
+                & (lane16 == (start + a) % 128) for a in range(A)]
+
+        def wpick(win, a):
+            return jnp.sum(jnp.where(asel[a], win, 0.0))
+
+        wx, wy, wz = wload(ROW_X), wload(ROW_Y), wload(ROW_Z)
+        old = [[wpick(w, a) for w in (wx, wy, wz)] for a in range(A)]
+        eps_i = [wpick(wload(ROW_EPS), a) for a in range(A)]
+        sig_i = [wpick(wload(ROW_SIG), a) for a in range(A)]
+        q_i = [wpick(wload(ROW_Q), a) for a in range(A)]
+        disp_i = ([(wpick(wload(ROW_C6), a), wpick(wload(ROW_C8), a),
+                    wpick(wload(ROW_C10), a)) for a in range(A)]
+                  if de else [None] * A)
+        gwp_i = ([wpick(wload(_row_gwp(cfg)), a) for a in range(A)]
+                 if gw else [None] * A)
+        pol_i = [wpick(wload(ROW_POL), a) for a in range(A)]
+        e0_old = [[wpick(wload(ROW_E0 + c), a) for c in range(3)]
+                  for a in range(A)]
+        tmpl = [[sp_sel(spf, [tmpl_s[s][a][c] for s in range(S)])
+                 for c in range(3)] for a in range(A)]
+
+        # --- trial rows (same math as _kernel_uvt) -------------------
+        disp = [(2.0 * u_ref[uk, 1 + c] - 1.0) * mf for c in range(3)]
+        fr_ins = [u_ref[uk, 1], u_ref[uk, 2], u_ref[uk, 3]]
+        com_new = [fr_ins[0] * box[0][c] + fr_ins[1] * box[1][c]
+                   + fr_ins[2] * box[2][c] for c in range(3)]
+        msum = None
+        if A > 1 or fh:
+            wm = wload(ROW_MASS)
+            mass = [wpick(wm, a) if uniform_A
+                    else jnp.where(valid[a], wpick(wm, a), 0.0)
+                    for a in range(A)]
+            msum = sum(mass)
+        if A == 1:
+            new = [[jnp.where(is_ins, com_new[c], old[0][c] + disp[c])
+                    for c in range(3)]]
+        else:
+            com = [sum(mass[a] * old[a][c] for a in range(A))
+                   / jnp.maximum(msum, 1e-30) for c in range(3)]
+            az = 2.0 * u_ref[uk, 5] - 1.0
+            aphi = two_pi * u_ref[uk, 6]
+            s = jnp.sqrt(jnp.maximum(1.0 - az * az, 0.0))
+            ax, ay = s * jnp.cos(aphi), s * jnp.sin(aphi)
+            ang = u_ref[uk, 7] * rotf
+            ca, sa = jnp.cos(ang), jnp.sin(ang)
+            omc = 1.0 - ca
+            Rd = [[ca + ax * ax * omc, ax * ay * omc - az * sa,
+                   ax * az * omc + ay * sa],
+                  [ay * ax * omc + az * sa, ca + ay * ay * omc,
+                   ay * az * omc - ax * sa],
+                  [az * ax * omc - ay * sa, az * ay * omc + ax * sa,
+                   ca + az * az * omc]]
+            sq1 = jnp.sqrt(jnp.maximum(1.0 - u_ref[uk, 5], 0.0))
+            sq2 = jnp.sqrt(jnp.maximum(u_ref[uk, 5], 0.0))
+            th1, th2 = two_pi * u_ref[uk, 6], two_pi * u_ref[uk, 7]
+            qx, qy = sq1 * jnp.sin(th1), sq1 * jnp.cos(th1)
+            qz, qw = sq2 * jnp.sin(th2), sq2 * jnp.cos(th2)
+            Ri = [[1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+                   2 * (qx * qz + qy * qw)],
+                  [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+                   2 * (qy * qz - qx * qw)],
+                  [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+                   1 - 2 * (qx * qx + qy * qy)]]
+            Rm = [[jnp.where(is_ins, Ri[c][d], Rd[c][d])
+                   for d in range(3)] for c in range(3)]
+            t = [jnp.where(is_ins, com_new[c], com[c] + disp[c])
+                 for c in range(3)]
+            new = []
+            for a in range(A):
+                rel = [jnp.where(is_ins, tmpl[a][d], old[a][d] - com[d])
+                       for d in range(3)]
+                new.append([t[c] + sum(Rm[c][d] * rel[d]
+                                       for d in range(3))
+                            for c in range(3)])
+
+        has_old = ~is_ins
+        has_new = ~is_del
+        f_old = has_old.astype(jnp.float32)
+        f_new = has_new.astype(jnp.float32)
+
+        # --- one column pass: pair terms + field deltas --------------
+        def col(jt, acc):
+            rd_a, es_a, mr_a, ds_a, en = acc
+            r0 = pl.multiple_of(jt * 8, 8)
+
+            def plane(q):
+                return data_ref[pl.dslice(
+                    pl.multiple_of(q * R + r0, 8), 8), :]
+
+            px, py, pz = plane(ROW_X), plane(ROW_Y), plane(ROW_Z)
+            eps_j, sig_j = plane(ROW_EPS), plane(ROW_SIG)
+            q_j, alive_j = plane(ROW_Q), plane(ROW_ALIVE)
+            mm_j = plane(ROW_MOLMASS) if fh else None
+            disp_j = ((plane(ROW_C6), plane(ROW_C8), plane(ROW_C10))
+                      if de else None)
+            gwp_j = plane(_row_gwp(cfg)) if gw else None
+            pol_j = plane(ROW_POL)
+            e0x, e0y = plane(ROW_E0), plane(ROW_E0 + 1)
+            e0z = plane(ROW_E0 + 2)
+            lin = jt * TJ + sub8 * 128 + lane8
+            ok = ((alive_j > 0) & (lin < n_real)
+                  & ((lin < start) | (lin >= start + na_i)))
+
+            def mimg(dx, dy, dz):
+                if cfg.ortho_box:
+                    fr = [d * binv[a][a]
+                          for a, d in enumerate((dx, dy, dz))]
+                    fr = [f - jnp.round(f) for f in fr]
+                    return [fr[a] * box[a][a] for a in range(3)]
+                fr = [dx * binv[0][a] + dy * binv[1][a]
+                      + dz * binv[2][a] for a in range(3)]
+                fr = [f - jnp.round(f) for f in fr]
+                return [fr[0] * box[0][b] + fr[1] * box[1][b]
+                        + fr[2] * box[2][b] for b in range(3)]
+
+            dEx = jnp.zeros((8, 128), jnp.float32)
+            dEy = jnp.zeros((8, 128), jnp.float32)
+            dEz = jnp.zeros((8, 128), jnp.float32)
+            for a in range(A):
+                ok_a = ok if uniform_A else ok & valid[a]
+                do = mimg(old[a][0] - px, old[a][1] - py,
+                          old[a][2] - pz)
+                dn = mimg(new[a][0] - px, new[a][1] - py,
+                          new[a][2] - pz)
+                r_o, e_o, _ = _pair_terms(
+                    do[0], do[1], do[2], eps_j, sig_j, q_j,
+                    ok_a & has_old, eps_i[a], sig_i[a], q_i[a], rc,
+                    alpha, cfg, mm_i=msum, mm_j=mm_j, beta=beta,
+                    disp_i=disp_i[a], disp_j=disp_j,
+                    gwp_i=gwp_i[a], gwp_j=gwp_j)
+                r_n, e_n, m2 = _pair_terms(
+                    dn[0], dn[1], dn[2], eps_j, sig_j, q_j,
+                    ok_a & has_new, eps_i[a], sig_i[a], q_i[a], rc,
+                    alpha, cfg, mm_i=msum, mm_j=mm_j, beta=beta,
+                    disp_i=disp_i[a], disp_j=disp_j,
+                    gwp_i=gwp_i[a], gwp_j=gwp_j)
+                rd_a = rd_a + (r_n - r_o)
+                es_a = es_a + (e_n - e_o)
+                mr_a = jnp.minimum(mr_a, m2)
+                # damped charge-field of the moved site (tile (a) of
+                # thole.field_delta: dr points toward the TARGET j, so
+                # negate the pair-pass displacements) and the field AT
+                # the trial row (tile (b): dn points toward the row)
+                r2o = do[0] * do[0] + do[1] * do[1] + do[2] * do[2]
+                r2n = dn[0] * dn[0] + dn[1] * dn[1] + dn[2] * dn[2]
+                in_o = ok_a & has_old & (r2o < rc * rc)
+                in_n = ok_a & has_new & (r2n < rc * rc)
+                r2os = jnp.where(r2o > 1e-12, r2o, 1.0)
+                r2ns = jnp.where(r2n > 1e-12, r2n, 1.0)
+                iro = jax.lax.rsqrt(r2os)
+                irn = jax.lax.rsqrt(r2ns)
+                d1o = damp1(r2os * iro, r2os)
+                d1n = damp1(r2ns * irn, r2ns)
+                co = jnp.where(in_o,
+                               q_i[a] * d1o * iro * iro * iro, 0.0)
+                cn = jnp.where(in_n,
+                               q_i[a] * d1n * irn * irn * irn, 0.0)
+                # source at j: dE_j = q_a d1 (r_j - r_a)/r^3
+                dEx = dEx - cn * dn[0] + co * do[0]
+                dEy = dEy - cn * dn[1] + co * do[1]
+                dEz = dEz - cn * dn[2] + co * do[2]
+                # field at trial row a from column charges q_j
+                cj = jnp.where(in_n, q_j * d1n * irn * irn * irn, 0.0)
+                en[a] = (en[a][0] + cj * dn[0], en[a][1] + cj * dn[1],
+                         en[a][2] + cj * dn[2])
+            # others' zodid delta for this block (alpha gated by alive)
+            al = jnp.where((alive_j > 0) & ok, pol_j, 0.0)
+            ds_a = ds_a + al * (2.0 * (e0x * dEx + e0y * dEy
+                                       + e0z * dEz)
+                                + dEx * dEx + dEy * dEy + dEz * dEz)
+            return (rd_a, es_a, mr_a, ds_a, en)
+
+        zb = jnp.zeros((8, 128), jnp.float32)
+        en0 = [(zb, zb, zb) for _ in range(A)]
+        rd_a, es_a, mr_a, ds_a, en = jax.lax.fori_loop(
+            0, n_blk, col,
+            (zb, zb, jnp.full((8, 128), jnp.inf, jnp.float32), zb, en0),
+            unroll=BLOCK_UNROLL)
+        drd = jnp.sum(rd_a)
+        des = KE * jnp.sum(es_a)
+        mr2 = jnp.min(mr_a)
+        # zodid: others + the moved molecule's own rows
+        z_others = jnp.sum(ds_a)
+        z_new = sum(jnp.where(valid[a] if not uniform_A else True,
+                              pol_i[a] * (jnp.sum(en[a][0]) ** 2
+                                          + jnp.sum(en[a][1]) ** 2
+                                          + jnp.sum(en[a][2]) ** 2),
+                              0.0)
+                    for a in range(A))
+        z_old = sum(jnp.where(valid[a] if not uniform_A else True,
+                              pol_i[a] * (e0_old[a][0] ** 2
+                                          + e0_old[a][1] ** 2
+                                          + e0_old[a][2] ** 2), 0.0)
+                    for a in range(A))
+        d_surr = -half_ke * (z_others + f_new * z_new - f_old * z_old)
+
+        # --- k-space S(k) delta (read-only) --------------------------
+        if ew:
+            kx = ktab_ref[pl.dslice(0, Rk), :]
+            ky = ktab_ref[pl.dslice(Rk, Rk), :]
+            kz = ktab_ref[pl.dslice(2 * Rk, Rk), :]
+            kc = ktab_ref[pl.dslice(3 * Rk, Rk), :]
+            dsr = jnp.zeros((Rk, 128), jnp.float32)
+            dsi = jnp.zeros((Rk, 128), jnp.float32)
+            for a in range(A):
+                qa = (q_i[a] if uniform_A
+                      else jnp.where(valid[a], q_i[a], 0.0))
+                to = kx * old[a][0] + ky * old[a][1] + kz * old[a][2]
+                tn = kx * new[a][0] + ky * new[a][1] + kz * new[a][2]
+                dsr = dsr + qa * (f_new * jnp.cos(tn)
+                                  - f_old * jnp.cos(to))
+                dsi = dsi + qa * (f_new * jnp.sin(tn)
+                                  - f_old * jnp.sin(to))
+            sr = sk_ref[pl.dslice(0, Rk), :]
+            si = sk_ref[pl.dslice(Rk, Rk), :]
+            drec = jnp.sum(kc * ((2.0 * sr + dsr) * dsr
+                                 + (2.0 * si + dsi) * dsi))
+        else:
+            drec = jnp.zeros((), jnp.float32)
+
+        # --- constants + stage-1 acceptance --------------------------
+        sgn = fins - fdel
+        dslf = sgn * sp_sel(spf, d_self_s)
+        dexc = sgn * sp_sel(spf, d_excl_s)
+        c1 = sp_sel(spf, c1_s)
+        if S == 1:
+            c2 = cx[0][0]
+            dlrc = (fins * (c1 + c2 * n_s)
+                    - fdel * (c1 + c2 * (n_s - 1.0)))
+        else:
+            cx_dot = sp_sel(spf, [sum(cx[s][t] * n_vec[t]
+                                      for t in range(S))
+                                  for s in range(S)])
+            cx_self = sp_sel(spf, [cx[s][s] for s in range(S)])
+            dlrc = (fins * (c1 + cx_dot)
+                    - fdel * (c1 + cx_dot - cx_self))
+        du = drd + des + drec + dslf + dexc + dlrc
+        lnfv = sp_sel(spf, lnfv_s)
+        lnb = (fins * (lnfv + jnp.log(beta)
+                       - jnp.log(n_s + 1.0))
+               + fdel * (jnp.log(jnp.maximum(n_s, 1e-30))
+                         - jnp.log(beta) - lnfv))
+        reject = ((cnt < 0.5) | ((thr2 > 0.0) & has_new
+                                 & (mr2 < thr2)))
+        acc1 = ((jnp.log(jnp.maximum(u_ref[uk, 4], 1e-38))
+                 < lnb - beta * (du + d_surr)) & ~reject)
+
+        # --- freeze + record -----------------------------------------
+        lv = live > 0.5
+        hit = lv & acc1
+        hf = hit.astype(jnp.float32)
+        kp = 1.0 - hf
+        mtype = fins + 2.0 * fdel
+        new_rec = [
+            rec[0] * kp + hf * mtype,
+            rec[1] * kp + hf * slot_idx,
+            rec[2] * kp + hf * spf,
+            rec[3] * kp + hf * u_ref[uk, 12],
+            rec[4] * kp + hf * d_surr,
+            rec[5] * kp + hf * lnb,
+            rec[6] * kp + hf * drd,
+            rec[7] * kp + hf * des,
+            rec[8] * kp + hf * drec,
+            rec[9] * kp + hf * dslf,
+            rec[10] * kp + hf * dexc,
+            rec[11] * kp + hf * dlrc,
+            jnp.maximum(rec[12], hf),          # hit flag (sticky)
+        ]
+        new_rrows = [[rrows[a][c] * kp + hf * new[a][c]
+                      for c in range(3)] for a in range(A)]
+        lvf = live
+        att2 = (att[0] + lvf * is_disp.astype(jnp.float32),
+                att[1] + lvf * fins, att[2] + lvf * fdel)
+        return (live * (1.0 - acc1.astype(jnp.float32)),
+                n_done + lvf, att2, new_rec, new_rrows)
+
+    z = jnp.zeros((), jnp.float32)
+    rec0 = [z] * 13
+    rrows0 = [[z, z, z] for _ in range(A)]
+    live, n_done, att, rec, rrows = jax.lax.fori_loop(
+        0, n_steps, chain_step, (jnp.float32(1.0), z, (z, z, z),
+                                 rec0, rrows0))
+    rec_ref[0, 0] = n_done
+    rec_ref[0, 1] = rec[12]
+    rec_ref[0, 2] = rec[0]
+    rec_ref[0, 3] = rec[1]
+    rec_ref[0, 4] = rec[2]
+    rec_ref[0, 5] = rec[3]
+    rec_ref[0, 6] = att[0]
+    rec_ref[0, 7] = att[1]
+    rec_ref[0, 8] = att[2]
+    rec_ref[0, 9] = rec[4]
+    rec_ref[0, 10] = rec[5]
+    for i in range(6):
+        rec_ref[1, i] = rec[6 + i]
+    for c in range(3):
+        for a in range(A):
+            rec_ref[2 + c, a] = rrows[a][c]
+        for a in range(A, 16):
+            rec_ref[2 + c, a] = z
+    for i in range(11, 16):
+        rec_ref[0, i] = z
+    for i in range(6, 16):
+        rec_ref[1, i] = z
+    for r in range(5, 8):
+        for i in range(16):
+            rec_ref[r, i] = z
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "n_real", "A_list",
+                                    "interpret"))
+def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
+                      slot_species, slot_alive, tmpl, box, rc, alpha,
+                      beta, move_factor, rot_factor, thr2, p_ins, lnfv,
+                      d_self, d_excl, c1, cx, uniforms, cfg, n_steps,
+                      n_real, A_list, e0, polar, polar_damp,
+                      interpret=False, kvecs=None, kcoef=None,
+                      sk_re=None, sk_im=None, mol_mass_atom=None,
+                      c6=None, c8=None, c10=None, gwp_alpha=None):
+    """Stage-1 segment of the fused polar delayed acceptance: up to K
+    propose-and-filter µVT steps from a FIXED state (kernel docstring).
+    Returns the [8,16] record block (f32).  ``e0`` [N,3] is the cached
+    static field, ``polar`` [N] the site polarizabilities."""
+    f32 = jnp.float32
+    S = len(A_list)
+    A = max(A_list)
+    n_pad = max(2 * TJ, _round_up(n_real, TJ))
+    R = n_pad // 128
+    ew = cfg.coulomb == "ewald"
+    ktab, nk, nk_pad, padk = _pack_ktab(kvecs, kcoef, cfg)
+    Rk = nk_pad // 128
+    sk = (jnp.stack([padk(sk_re), padk(sk_im)]) if ew
+          else jnp.zeros((2, nk_pad), f32)).reshape(2 * Rk, 128)
+
+    nq, data, pad1 = _pack_param_planes(
+        eps, sig, charge, mass, cfg, n_pad, mol_mass_atom=mol_mass_atom,
+        c6=c6, c8=c8, c10=c10, gwp_alpha=gwp_alpha)
+    data = data.at[ROW_X, :n_real].set(pos[:, 0].astype(f32))
+    data = data.at[ROW_Y, :n_real].set(pos[:, 1].astype(f32))
+    data = data.at[ROW_Z, :n_real].set(pos[:, 2].astype(f32))
+    data = data.at[ROW_ALIVE].set(pad1(alive.astype(f32)))
+    extra = jnp.zeros((4, n_pad), f32)
+    for c in range(3):
+        extra = extra.at[c, :n_real].set(e0[:, c].astype(f32))
+    extra = extra.at[3].set(pad1(polar))
+    data = jnp.concatenate([data, extra]).reshape((nq + 4) * R, 128)
+
+    ms = slot_start.shape[0]
+    ms_pad = _round_up(max(ms, 1), 128)
+
+    def padm(x, fill=0.0):
+        x = jnp.asarray(x).astype(f32)
+        return jnp.pad(x, (0, ms_pad - x.shape[0]), constant_values=fill)
+
+    tbl = jnp.stack([padm(slot_start),
+                     padm(slot_species, fill=-1.0),
+                     padm(slot_alive.astype(f32)),
+                     padm(jnp.ones((ms,), f32))])
+
+    box32 = jnp.asarray(box, f32)
+    binv = jnp.linalg.inv(box32)
+    n_rows = 8 + 4 * S
+    scal = jnp.zeros((n_rows, 16), f32)
+    for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
+                           rot_factor, 0.5 * p_ins, p_ins)):
+        scal = scal.at[0, i].set(jnp.asarray(v, f32))
+    scal = scal.at[0, 9].set(jnp.asarray(polar_damp, f32))
+    scal = scal.at[1, :9].set(box32.reshape(-1))
+    scal = scal.at[2, :9].set(binv.reshape(-1))
+    scal = scal.at[3, :S].set(jnp.asarray(A_list, f32))
+    scal = scal.at[4, :S].set(jnp.asarray(lnfv, f32).reshape(S))
+    scal = scal.at[5, :S].set(jnp.asarray(d_self, f32).reshape(S))
+    scal = scal.at[6, :S].set(jnp.asarray(d_excl, f32).reshape(S))
+    scal = scal.at[7, :S].set(jnp.asarray(c1, f32).reshape(S))
+    scal = scal.at[8:8 + S, :S].set(jnp.asarray(cx, f32).reshape(S, S))
+    tmpl32 = jnp.asarray(tmpl, f32).reshape(S, A, 3)
+    for s in range(S):
+        scal = scal.at[8 + S + 3 * s:8 + S + 3 * s + 3, :A].set(
+            tmpl32[s].T)
+
+    u = jnp.asarray(uniforms, f32)
+
+    rec = pl.pallas_call(
+        functools.partial(_kernel_uvt_pda, cfg=cfg, n_steps=n_steps,
+                          n_pad=n_pad, n_real=n_real, A_list=A_list,
+                          nk_pad=nk_pad, ms_pad=ms_pad),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((n_rows, 16), lambda _: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_steps, 16), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, ms_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(((nq + 4) * R, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * Rk, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 16), lambda _: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 16), f32),
+        interpret=interpret,
+    )(scal, u, ktab, tbl, data, sk)
+    return rec
+
+
+def supported_uvt_polar_da(cfg, params) -> bool:
+    """Static gate for the fused polar delayed-acceptance path: the µVT
+    structural surface (one-to-MAX_SPECIES rigid insert species) with
+    polarization + polar_delayed on the DIRECT damped static field
+    (thole.field_delta_supported), CG solver (warm-startable stage 2),
+    no cavity bias / spinflip / TMMC (not carried by the propose-and-
+    filter kernel), f32."""
+    import dataclasses as _dc
+    if not (cfg.polarization and cfg.polar_delayed
+            and cfg.polar_solver == "cg"
+            and cfg.polar_damp_type in ("exponential", "linear", "none")
+            and not cfg.polar_ewald and not cfg.polar_wolf
+            and not cfg.cavity_bias and not cfg.quantum_rotation
+            and not cfg.tmmc and not cfg.cdvdw):
+        return False
+    cfg_np = _dc.replace(cfg, polarization=False)
+    return supported_uvt(cfg_np, params)
+
+
 def draw_uniforms(key, n_steps, lanes=8):
     """[K, lanes] uniform table.  Lanes 0-7: 0 slot pick, 1-3
     displacement (µVT insert: fractional COM), 4 acceptance coin, 5-7

@@ -1973,3 +1973,134 @@ def test_uvt_tmmc_bias_fused_shifts_walker_not_estimator():
         if c[n, 0] > 0:
             a = min(1.0, fv_kt / (n + 1.0))
             assert c[n, 1] / c[n, 0] == pytest.approx(a, rel=5e-5), n
+
+
+# --------------------------------------------------------------------------
+# Fused polar delayed acceptance (r2 verdict item 1, route b)
+
+
+def _polar_mof(n_side=3, n_h2=6, capacity=10):
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=n_side, n_h2=n_h2, capacity=capacity, polarization=True)
+    cfg = dataclasses.replace(cfg, polar_delayed=True, fused_mc=True)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    return params, state, cfg, thermo
+
+
+def test_pda_gate():
+    params, state, cfg, thermo = _polar_mof()
+    assert mc_kernel.supported_uvt_polar_da(cfg, params)
+    # full-SCF (no delayed acceptance) stays on the scan path
+    assert not mc_kernel.supported_uvt_polar_da(
+        dataclasses.replace(cfg, polar_delayed=False), params)
+    # Ewald-summed static field has no O(A N) delta: scan path
+    assert not mc_kernel.supported_uvt_polar_da(
+        dataclasses.replace(cfg, polar_ewald=True), params)
+    assert not mc_kernel.supported_uvt_polar_da(
+        dataclasses.replace(cfg, cavity_bias=True), params)
+
+
+def test_pda_bookkeeping_matches_full_recompute():
+    """Fused stage-1 + exact stage-2 chunk: every accumulated per-term
+    delta (incl. the SCF polar energy and the S(k) commit) must match a
+    from-scratch recompute of the final configuration."""
+    params, state, cfg, thermo = _polar_mof()
+    st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+        state, params, cfg, thermo, 200)
+    att = np.asarray(stats.attempts)
+    acc = np.asarray(stats.accepts)
+    # the chunk may overshoot by < PDA_SEG state-invariant rejections
+    assert 200 <= att.sum() < 200 + mc_kernel.PDA_SEG
+    assert int(st.step) - int(state.step) == att.sum()
+    assert acc.sum() > 0
+    assert int(stats.polar_iters) > 0       # stage-2 SCF really ran
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    for term in ("rd", "lrc", "es_real", "es_recip", "es_self",
+                 "es_excl", "polar"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+    np.testing.assert_allclose(np.asarray(st.sk_re),
+                               np.asarray(fresh.sk_re),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_pda_d_surr_matches_jnp_reference():
+    """The in-kernel zodid surrogate delta must match the jnp reference
+    (thole.field_delta + zodid_energy) for the exact recorded candidate
+    — the sharp parity check on the new in-pass field accumulation."""
+    from mpmc_tpu.ops import thole
+
+    params, state, cfg, thermo = _polar_mof()
+    slots, slot_start, species_idx, tmpl, A_list, rep_slots = (
+        metropolis.uvt_fused_tables(params, cfg))
+    d_self, d_excl, c1, cx, lnfv, kv, kcoef = (
+        metropolis._uvt_chunk_consts(state.pos, state.box, params,
+                                     thermo, cfg, A_list, rep_slots))
+    rc = float(np.asarray(
+        __import__("mpmc_tpu.ops.pairs", fromlist=["pairs"])
+        .derived_cutoff(state.box, cfg)))
+    A = max(A_list)
+    alive = state.atom_alive(params)
+    rng = np.random.default_rng(0)
+    for trial in range(6):
+        u = np.asarray(rng.uniform(0.0, 1.0, (1, 16)), np.float32)
+        u[0, 4] = 1e-30        # stage-1 coin: always survive
+        u[0, 8] = [0.1, 0.6, 0.9][trial % 3]   # ins / del / disp
+        rec = np.asarray(mc_kernel.run_steps_uvt_pda(
+            state.pos, params.eps, params.sig, params.charge,
+            params.mass, alive, slot_start, species_idx,
+            state.mol_alive[slots], tmpl, state.box, rc, 0.35,
+            1.0 / float(thermo.temperature),
+            float(thermo.move_factor), float(thermo.rot_factor), 1.0,
+            float(thermo.insert_probability), lnfv, d_self, d_excl,
+            c1, cx, jnp.asarray(u), cfg, 1, state.pos.shape[0],
+            A_list=A_list, e0=state.e0, polar=params.polar,
+            polar_damp=cfg.polar_damp, interpret=True,
+            kvecs=kv, kcoef=kcoef, sk_re=state.sk_re,
+            sk_im=state.sk_im))
+        if rec[0, 1] < 0.5:
+            continue           # hard reject (overlap/empty pool)
+        mt = int(rec[0, 2])
+        slot_idx = int(rec[0, 3])
+        mol = int(np.asarray(slots)[slot_idx])
+        rows = jnp.asarray(rec[2:5, :A].T, cfg.jdtype)
+        natoms = int(np.asarray(params.mol_natoms)[mol])
+        A_cap = params.max_atoms_per_mol
+        rows_full = jnp.broadcast_to(rows[0], (A_cap, 3))
+        rows_full = rows_full.at[:A].set(rows)
+        rows_full = jnp.where(
+            (jnp.arange(A_cap) < natoms)[:, None], rows_full,
+            rows_full[0])
+        e0n = thole.field_delta(
+            state.pos, state.box, alive, params, cfg,
+            jnp.asarray(mol), state.e0,
+            new_rows=None if mt == 2 else rows_full,
+            insert=(mt == 1), delete=(mt == 2))
+        alive_new = (state.mol_alive.at[mol].set(mt != 2)
+                     if mt else state.mol_alive)
+        alive_c = alive_new[params.mol_id] & params.atom_ok
+        d_ref = (thole.zodid_energy(e0n, alive_c, params)
+                 - thole.zodid_energy(state.e0, alive, params))
+        assert float(rec[0, 9]) == pytest.approx(
+            float(d_ref), rel=5e-4, abs=5e-3), (trial, mt)
+
+
+def test_pda_stage1_statistics_match_scan(tmp_path):
+    """CLI-level dispatch + coarse statistical agreement: the fused DA
+    path's per-move acceptance rates and mean loading track the scan
+    delayed-acceptance path on the same system (same target
+    distribution; different RNG streams, so generous tolerances)."""
+    params, state, cfg, thermo = _polar_mof(n_side=3, n_h2=6,
+                                            capacity=12)
+    st_f, stats_f = metropolis.run_chunk_fused_uvt_polar_da(
+        state, params, cfg, thermo, 700)
+    st_s, stats_s = metropolis.run_chunk(state, params, cfg, thermo,
+                                         700)
+    att_f = np.asarray(stats_f.attempts).astype(float)
+    att_s = np.asarray(stats_s.attempts).astype(float)
+    acc_f = np.asarray(stats_f.accepts).sum() / att_f.sum()
+    acc_s = np.asarray(stats_s.accepts).sum() / att_s.sum()
+    assert abs(acc_f - acc_s) < 0.08
+    n_f = int(np.asarray(st_f.mol_alive).sum())
+    n_s = int(np.asarray(st_s.mol_alive).sum())
+    assert abs(n_f - n_s) <= 6
