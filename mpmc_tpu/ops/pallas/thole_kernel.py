@@ -30,7 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 # matvec (rsqrt form).  Short output strips with wide source tiles win:
 # the [8, TI] accumulator stays cheap while the j-loop amortizes.
 # TJ > 1024 stalled the axon compile service (CLAUDE.md landmine).
-TI = 128
+# r3 re-scan (chained-call timing): 256x1024 beat 128x1024 in both
+# same-process orderings (2.00 vs 2.94 and 2.20 vs 2.37 ms) — the
+# matvec is VPU-bound, so the margin is ~5-25% depending on chip state.
+TI = 256
 TJ = 1024
 
 
