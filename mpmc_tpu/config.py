@@ -185,6 +185,14 @@ class RunConfig:
     cell_list: bool = False
     dtype: str = "float32"         # float32 | float64
     pair_chunk: int = 512          # row-block size for O(N^2) passes
+    # In-loop spatial sharding (r2 verdict item 3): ("axis name", D)
+    # when the MC step runs under a shard_map over a D-device mesh with
+    # REPLICATED state — ops/pairs.mol_pair_pass slices its column axis
+    # per device and psums the scalars, pair_pass round-robins its row
+    # blocks, so the per-move O(A N) and per-refresh O(N^2) passes cost
+    # 1/D per device (parallel/spatial.run_chunk_spatial).  Static, so
+    # sharded and unsharded traces never share a jit cache entry.
+    spatial_axis: Optional[Tuple[str, int]] = None
     # use the fused Pallas tile kernel for full pair passes when the
     # backend is TPU and the configuration is supported (f32, LJ/none RD,
     # ewald/wolf/cutoff/none ES, no FH) — see ops/pallas/pair_kernel.py

@@ -96,8 +96,10 @@ class Job:
     #                          a jax.sharding.Mesh (our extension; the
     #                          dp axis — parallel/multichain *_sharded)
     spatial_devices: int = 0  # shard O(N^2)/recip/SCF passes of
-    #                           `ensemble te` over this many mesh
-    #                           devices (our extension; parallel/spatial)
+    #                           `ensemble te` — and, r3, the MC step's
+    #                           own pair passes (replicated state,
+    #                           psum-reduced scalars) — over this many
+    #                           mesh devices (parallel/spatial)
     free_volume: float = 0.0
     # replay extras (SURVEY §2 "Replay": calc_pressure via
     # volume-perturbation virial estimate [M])

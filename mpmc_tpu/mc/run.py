@@ -1491,14 +1491,42 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
                   "lj/none/disp_expansion RD, "
                   "none/cutoff/wolf/ewald/gwp ES, f32) — scan path "
                   "used", file=writer.log)
+    spatial_mesh = None
+    if job.spatial_devices > 1 and cfg.ensemble in ("nvt", "uvt", "npt",
+                                                    "nve"):
+        # in-loop spatial sharding of the scan-path MC step: state
+        # replicated, O(A N)/O(N^2) pair passes split over the mesh
+        # (parallel/spatial.run_chunk_spatial — r2 verdict item 3)
+        from mpmc_tpu.parallel import spatial
+        if not spatial.mc_supported(cfg):
+            raise ValueError(
+                "spatial_devices with this configuration is "
+                "unsupported in the MC loop (needs the scan-path jnp "
+                "surface: no polarization/cdvdw/cell_list/rd_crystal/"
+                "mol_cache/spectre)")
+        devs = jax.devices()[:job.spatial_devices]
+        if len(devs) < job.spatial_devices:
+            raise ValueError(
+                f"spatial_devices {job.spatial_devices} but only "
+                f"{len(jax.devices())} devices available")
+        spatial_mesh = jax.sharding.Mesh(np.array(devs),
+                                         (spatial.AXIS,))
+        print(f"spatial MC step: {job.spatial_devices} devices "
+              "(replicated state, sharded pair passes)",
+              file=writer.log)
     refresh_rows = metropolis.frozen_refresh_rows(params, cfg)
     # spectre rewrites params.charge BETWEEN chunk and refresh, so the
     # chunk+refresh composition (one jitted program per block) is only
     # legal without it
     spectre_on = spectre_idx is not None and len(spectre_idx)
-    compose = (use_fused or use_fused_uvt) and not spectre_on
+    compose = (use_fused or use_fused_uvt) and not spectre_on \
+        and spatial_mesh is None
     for block in range(n_blocks):
-        if use_fused_pda:
+        if spatial_mesh is not None:
+            from mpmc_tpu.parallel import spatial
+            state, stats = spatial.run_chunk_spatial(
+                state, params, cfg, thermo, corr, spatial_mesh)
+        elif use_fused_pda:
             state, stats = metropolis.run_chunk_fused_uvt_polar_da(
                 state, params, cfg, thermo, corr)
         elif use_fused:
@@ -1525,7 +1553,12 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         # per-corrtime refresh; frozen-reuse fast path where provably
         # safe (fr=0 under NPT/FH/FK/spectre — frozen_refresh_rows);
         # composed into the chunk program on the fused NVT/µVT paths
-        if not compose:
+        if spatial_mesh is not None:
+            from mpmc_tpu.parallel import spatial
+            state = spatial.initialize_spatial(
+                state, params, cfg, thermo, spatial_mesh,
+                frozen_rows=refresh_rows)
+        elif not compose:
             state = metropolis.initialize(state, params, cfg, thermo,
                                           frozen_rows=refresh_rows)
         if cfg.quantum_rotation:

@@ -367,7 +367,7 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
     rc = derived_cutoff(box, cfg)
     alpha = derived_alpha(rc, cfg)
 
-    if cfg.use_pallas:
+    if cfg.use_pallas and cfg.spatial_axis is None:
         from mpmc_tpu.ops.pallas import pair_kernel as _pk
         if _pk.supported(cfg) and jax.default_backend() == "tpu":
             act, ff = _pk.pair_pass_pallas(pos, box, atom_alive, params,
@@ -391,6 +391,21 @@ def pair_pass(pos, box, atom_alive, params, cfg, temperature,
 
     z = PairTerms.zero(pos.dtype)
     init = (z, z) if split_frozen else z
+    if cfg.spatial_axis is not None:
+        # round-robin row blocks across the mesh (the triangular mask's
+        # load balance trick from parallel/spatial.py): device d runs
+        # blocks d, d+D, ...; out-of-range blocks fall out via the
+        # valid mask, and the per-device partials meet in one psum
+        axis, ndev = cfg.spatial_axis
+        d = jax.lax.axis_index(axis)
+        nb_l = -(-nb // ndev)
+        acc, _ = jax.lax.scan(
+            lambda a, bl: body(a, d + bl * ndev), init,
+            jnp.arange(nb_l))
+        if split_frozen:
+            return (_spatial_combine(acc[0], axis),
+                    _spatial_combine(acc[1], axis))
+        return _spatial_combine(acc, axis)
     acc, _ = jax.lax.scan(body, init, jnp.arange(nb))
     return acc
 
@@ -426,6 +441,16 @@ def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol,
     rc = derived_cutoff(box, cfg)
     alpha = derived_alpha(rc, cfg)
 
+    if cfg.spatial_axis is not None:
+        # in-loop column sharding (config.RunConfig.spatial_axis): this
+        # trace runs inside a shard_map with replicated state; each
+        # device evaluates the moved rows against ITS column strip and
+        # the scalars meet in one psum (min_r2 in one pmin) — identical
+        # on every device, so the replicated chains stay in lockstep
+        return _mol_pair_pass_spatial(pos, box, atom_alive, params, cfg,
+                                      temperature, mol, row_pos,
+                                      box_inv, rc, alpha)
+
     # Opt-in only: the fused delta kernel reduces HBM traffic for a
     # single large chain, but under vmapped multi-chain batching the
     # sequential pallas grid is ~3x slower than the batched VPU ops the
@@ -453,6 +478,68 @@ def mol_pair_pass(pos, box, atom_alive, params, cfg, temperature, mol,
                         box, box_inv, rc, alpha, temperature,
                         triangular=False, row=mol_row_params(params, mol),
                         mol_of_rows=mol)
+
+
+def _spatial_combine(t: PairTerms, axis: str) -> PairTerms:
+    """psum the scalar sums / pmin the overlap tracker of a device-local
+    PairTerms (spatial_axis contract)."""
+    return PairTerms(
+        rd=jax.lax.psum(t.rd, axis),
+        es_real=jax.lax.psum(t.es_real, axis),
+        es_excl=jax.lax.psum(t.es_excl, axis),
+        lrc_coeff=jax.lax.psum(t.lrc_coeff, axis),
+        min_r2=jax.lax.pmin(t.min_r2, axis))
+
+
+def _slice_atom_axis(params, pos, alive, start, nl):
+    """(params', pos', alive') with every per-ATOM array replaced by a
+    padded dynamic_slice [nl] starting at ``start`` (traced).  Padding
+    rows arrive dead (alive False, mol_id sentinel), so tail overlap of
+    the last strip contributes nothing."""
+    n = pos.shape[0]
+    pad = nl * ((n + nl - 1) // nl) - n
+
+    def sl(x, fill=0.0):
+        xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                     constant_values=fill)
+        return jax.lax.dynamic_slice_in_dim(xp, start, nl, axis=0)
+
+    p2 = dataclasses.replace(
+        params,
+        charge=sl(params.charge), mass=sl(params.mass),
+        polar=sl(params.polar), eps=sl(params.eps), sig=sl(params.sig),
+        omega=sl(params.omega), c6=sl(params.c6), c8=sl(params.c8),
+        c10=sl(params.c10), gwp_alpha=sl(params.gwp_alpha),
+        mol_id=sl(params.mol_id, fill=-1),
+        atom_ok=sl(params.atom_ok, fill=False))
+    return p2, sl(pos), sl(alive, fill=False)
+
+
+def _mol_pair_pass_spatial(pos, box, atom_alive, params, cfg,
+                           temperature, mol, row_pos, box_inv, rc,
+                           alpha):
+    """Column-sharded molecule delta pass (see mol_pair_pass): each
+    device processes columns [d nl, (d+1) nl) of the padded atom axis
+    against the (replicated) moved rows, then the PairTerms combine
+    with one psum/pmin.  cell lists / rd_crystal / the pallas delta
+    kernel are unsupported under spatial_axis (run_chunk_spatial
+    gate)."""
+    from mpmc_tpu.state import mol_rows as _mr
+    axis, ndev = cfg.spatial_axis
+    n = pos.shape[0]
+    nl = -(-n // ndev)
+    d = jax.lax.axis_index(axis)
+    na = params.mol_natoms[mol]
+    valid = jnp.arange(params.max_atoms_per_mol) < na
+    rows = _mr(pos, params, mol) if row_pos is None else row_pos
+    row = mol_row_params(params, mol)
+    p2, pos_l, alive_l = _slice_atom_axis(params, pos, atom_alive,
+                                          d * nl, nl)
+    col_alive = alive_l & (p2.mol_id != mol)
+    t = _block_terms(rows, None, valid, pos_l, col_alive, p2, cfg,
+                     box, box_inv, rc, alpha, temperature,
+                     triangular=False, row=row, mol_of_rows=mol)
+    return _spatial_combine(t, axis)
 
 
 def intra_terms(pos, box, params, cfg, mol, row_pos=None):

@@ -353,3 +353,81 @@ def solve_scf_sharded(pos, box, atom_alive, params, cfg, e0, mesh: Mesh,
                       in_specs=(P(), P(), P(), P(), P()),
                       out_specs=(P(), P()), check_vma=False)
     return f(pos, box, atom_alive, e0, mu0)
+
+
+# --------------------------------------------------------------------------
+# In-loop spatial sharding of the MC step itself (r2 verdict item 3):
+# state REPLICATED, per-move O(A N) column pass and per-refresh O(N^2)
+# row pass sharded over the mesh (config.RunConfig.spatial_axis —
+# ops/pairs.mol_pair_pass / pair_pass read the flag and psum).  Every
+# device draws the identical RNG stream and sees identical psum-reduced
+# scalars, so the replicated chains stay in lockstep; communication is a
+# handful of scalars per MC step over ICI.  This is what takes one HUGE
+# system past the single-chip VMEM envelope the fused kernels hit at
+# ~54k atoms (MEASURE_C64.json) — per-device pass cost drops to 1/D.
+
+
+def mc_supported(cfg) -> bool:
+    """Static gate for the spatially-sharded MC step: the scan-path jnp
+    pass surface without per-move machinery that holds whole-system
+    caches outside the sharded passes."""
+    return (not cfg.polarization and not cfg.cdvdw
+            and not cfg.cell_list and not cfg.rd_crystal
+            and not cfg.mol_cache and not cfg.spectre
+            and cfg.ensemble in ("nvt", "uvt", "npt", "nve"))
+
+
+def _spatial_cfg(cfg, mesh):
+    import dataclasses
+    ax = mesh.axis_names[0]
+    return dataclasses.replace(
+        cfg, spatial_axis=(ax, int(mesh.shape[ax])),
+        use_pallas=False, pallas_delta=False, fused_mc=False)
+
+
+@functools.lru_cache(maxsize=64)
+def _chunk_fn(mesh, cfg, n_steps):
+    from jax import shard_map
+    from mpmc_tpu.mc import metropolis
+
+    def local(state, params, thermo):
+        return metropolis.run_chunk.__wrapped__(state, params, cfg,
+                                                thermo, n_steps)
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(), P(), P()),
+                             out_specs=(P(), P()), check_vma=False))
+
+
+@functools.lru_cache(maxsize=64)
+def _init_fn(mesh, cfg, frozen_rows):
+    from jax import shard_map
+    from mpmc_tpu.mc import metropolis
+
+    def local(state, params, thermo):
+        return metropolis.initialize.__wrapped__(
+            state, params, cfg, thermo, frozen_rows=frozen_rows)
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(), P(), P()),
+                             out_specs=P(), check_vma=False))
+
+
+def run_chunk_spatial(state, params, cfg, thermo, n_steps, mesh):
+    """``metropolis.run_chunk`` with the pair passes sharded over the
+    mesh (see module note).  Caller must have checked mc_supported;
+    bit-level results differ from the unsharded path only by psum
+    reassociation of the pair sums."""
+    if not mc_supported(cfg):
+        raise ValueError("spatially-sharded MC step unsupported for "
+                         "this configuration (parallel/spatial."
+                         "mc_supported)")
+    return _chunk_fn(mesh, _spatial_cfg(cfg, mesh), int(n_steps))(
+        state, params, thermo)
+
+
+def initialize_spatial(state, params, cfg, thermo, mesh, frozen_rows=0):
+    """Per-corrtime full refresh with the O(N^2) pair pass row-sharded
+    over the mesh (the in-loop analog of total_energy_sharded)."""
+    return _init_fn(mesh, _spatial_cfg(cfg, mesh), int(frozen_rows))(
+        state, params, thermo)

@@ -1135,3 +1135,61 @@ pqr_input {pqr}
     for k in (1, 2):
         assert os.path.exists(f"{traj}-r{k}")
         assert os.path.exists(f"{rst}-r{k}")
+
+
+class TestSpatialMCStep:
+    """r2 verdict item 3: the MC step itself sharded over the mesh
+    (state replicated, pair passes split, psum-reduced scalars)."""
+
+    def test_chunk_matches_unsharded(self, mesh8):
+        from mpmc_tpu.parallel import spatial
+
+        params, state, cfg, thermo = systems.mof_h2_gcmc(
+            n_side=4, n_h2=8, capacity=16, dtype="float64")
+        assert spatial.mc_supported(cfg)
+        state = metropolis.initialize(state, params, cfg, thermo)
+        st_u, stats_u = metropolis.run_chunk(state, params, cfg, thermo,
+                                             150)
+        st_s, stats_s = spatial.run_chunk_spatial(state, params, cfg,
+                                                  thermo, 150, mesh8)
+        # identical RNG + psum-reduced scalars: same trajectory (f64
+        # reassociation only)
+        np.testing.assert_array_equal(np.asarray(st_u.mol_alive),
+                                      np.asarray(st_s.mol_alive))
+        np.testing.assert_allclose(np.asarray(st_s.pos),
+                                   np.asarray(st_u.pos), atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(stats_u.attempts),
+                                      np.asarray(stats_s.attempts))
+        np.testing.assert_array_equal(np.asarray(stats_u.accepts),
+                                      np.asarray(stats_s.accepts))
+        assert float(st_s.energy.total) == pytest.approx(
+            float(st_u.energy.total), rel=1e-10, abs=1e-8)
+
+    def test_bookkeeping_and_sharded_refresh(self, mesh8):
+        from mpmc_tpu.parallel import spatial
+
+        params, state, cfg, thermo = systems.mof_h2_gcmc(
+            n_side=4, n_h2=8, capacity=16, dtype="float64")
+        state = metropolis.initialize(state, params, cfg, thermo)
+        st, stats = spatial.run_chunk_spatial(state, params, cfg,
+                                              thermo, 200, mesh8)
+        assert np.asarray(stats.accepts).sum() > 0
+        fr = metropolis.frozen_refresh_rows(params, cfg)
+        fresh = spatial.initialize_spatial(st, params, cfg, thermo,
+                                           mesh8, frozen_rows=fr)
+        for term in ("rd", "es_real", "es_recip", "es_self", "es_excl",
+                     "lrc"):
+            assert float(getattr(st.energy, term)) == pytest.approx(
+                float(getattr(fresh.energy, term)), rel=1e-9,
+                abs=1e-9), term
+
+    def test_gate(self):
+        from mpmc_tpu.parallel import spatial
+        import dataclasses as _dc
+
+        params, state, cfg, thermo = systems.mof_h2_gcmc(
+            n_side=3, n_h2=4, capacity=6, dtype="float64")
+        assert spatial.mc_supported(cfg)
+        assert not spatial.mc_supported(
+            _dc.replace(cfg, polarization=True))
+        assert not spatial.mc_supported(_dc.replace(cfg, cell_list=True))
