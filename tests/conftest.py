@@ -37,3 +37,22 @@ import pytest  # noqa: E402
 def _clear_jax_caches_between_modules():
     yield
     jax.clear_caches()
+
+
+# r3: the bound above stopped sufficing once test_fused_mc grew past ~75
+# tests of Pallas-interpret programs — the segfault moved INSIDE the
+# module (observed at the fused-polar-DA while_loop compile, which
+# passes in isolation).  Add a within-module bound: drop caches every
+# N tests.  Within-module jit reuse mostly spans a handful of
+# neighboring tests sharing a helper, so the recompile cost is small
+# next to the stability win.
+_CLEAR_EVERY = 40
+_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_periodically():
+    yield
+    _counter["n"] += 1
+    if _counter["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
