@@ -1,19 +1,27 @@
 """Per-piece timing of the polarizable GCMC step on the bench config
-(BASELINE config 4: n_side=21 MOF + H2, Thole SCF) — r3 verdict item 1
-groundwork: where do the 6.55 ms (full SCF) / 1.2 ms (delayed
-acceptance) actually go?
+(BASELINE config 4: n_side=21 MOF + H2, Thole SCF) — the r3 decomposition
+that motivated the fused stage-1 delayed acceptance.
 
-Pieces timed as ONE-dispatch jits, interleaved, synced with
-np.asarray fetches (CLAUDE.md benchmark rules):
-  - dipole_matvec            (the CG workhorse, O(N'^2) Pallas)
-  - static_field (full)      (per-refresh; delta path per step is O(A N))
-  - solve_scf cold           (mu0=0: iteration count + time)
-  - solve_scf warm           (mu0=mu: the per-step shape)
-  - run_chunk full-SCF       (per-step all-in)
-  - run_chunk delayed        (per-step all-in)
+MEASUREMENT RULES (hard-won, CLAUDE.md):
+- time CHAINED in-jit applications (fori_loop over k calls, one
+  np.asarray fetch) and difference two k values — a single [10.8k,3]
+  D2H costs ~30 ms flat on the tunneled backend and swamps everything;
+- warm run_chunk with the SAME n_steps you will time (a mismatch
+  compiles inside the window: 54 ms/step artifacts).
+
+r3 numbers (v5e-class, 2026-08-20): dipole matvec 2.46 ms/application
+(VPU-bound, ~62% of peak; batch efficiency ~1.0 so chains don't help),
+full static field 1.49 ms, non-polar scan µVT step 0.38 ms; full-SCF
+1.86 iters/step; delayed acceptance 1.17 ms/step = 0.60 survivor
+matvecs + 0.57 scan machinery (the part the fused stage-1 removes);
+fused PDA path 0.56-0.66 ms/step = 1,500-1,800 steps/s.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/measure_polar_parts.py
 """
+import dataclasses
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -23,17 +31,6 @@ from mpmc_tpu.mc import metropolis
 from mpmc_tpu.models import systems
 from mpmc_tpu.ops import thole
 
-import dataclasses
-
-
-def timeit(fn, n=10, warm=3):
-    for _ in range(warm):
-        fn()
-    t0 = time.perf_counter()
-    for _ in range(n):
-        fn()
-    return (time.perf_counter() - t0) / n
-
 
 def main():
     params, state, cfg, thermo = systems.mof_h2_gcmc(
@@ -41,57 +38,61 @@ def main():
         polarization=True)
     state = metropolis.initialize(state, params, cfg, thermo)
     alive = state.atom_alive(params)
-    n_pol = int(np.asarray(alive & (params.polar > 0)).sum())
-    out = {"n_atoms": int(state.pos.shape[0]), "n_polar": n_pol}
+    out = {"n_atoms": int(state.pos.shape[0]),
+           "n_polar": int(np.asarray(alive & (params.polar > 0)).sum())}
+    print("init done", flush=True)
 
-    mv = jax.jit(lambda mu: thole.dipole_matvec(
-        state.pos, state.box, alive, params, cfg, mu))
-    mu = state.mu
-    out["matvec_ms"] = timeit(
-        lambda: np.asarray(mv(mu))) * 1e3
+    @partial(jax.jit, static_argnames=("k",))
+    def mv_k(mu, k):
+        def body(i, m):
+            return thole.dipole_matvec(state.pos, state.box, alive,
+                                       params, cfg, m) * 0.999
+        return jax.lax.fori_loop(0, k, body, mu)
 
-    sf = jax.jit(lambda p: thole.static_field(
-        p, state.box, alive, params, cfg))
-    out["static_field_full_ms"] = timeit(
-        lambda: np.asarray(sf(state.pos))) * 1e3
+    def wall(fn, x, k, reps=4):
+        np.asarray(fn(x, k))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(fn(x, k))
+        return (time.perf_counter() - t0) / reps
 
-    solve_cold = jax.jit(lambda e0: thole.solve_scf(
-        state.pos, state.box, alive, params, cfg, e0)[:2])
-    solve_warm = jax.jit(lambda e0, m, r: thole.solve_scf(
-        state.pos, state.box, alive, params, cfg, e0, mu0=m, r0=r)[:2])
-    e0 = state.e0
-    mu_c, it_c = solve_cold(e0)
-    out["scf_cold_iters"] = int(it_c)
-    out["scf_cold_ms"] = timeit(
-        lambda: np.asarray(solve_cold(e0)[0])) * 1e3
-    r0 = jnp.zeros_like(mu)    # converged seed: near-zero residual
-    out["scf_warm_seeded_ms"] = timeit(
-        lambda: np.asarray(solve_warm(e0, mu, r0)[0])) * 1e3
+    w8, w24 = wall(mv_k, state.mu, 8), wall(mv_k, state.mu, 24)
+    out["matvec_ms"] = (w24 - w8) / 16 * 1e3
+    print("matvec_ms", out["matvec_ms"], flush=True)
 
+    # full vs delayed vs fused-PDA step costs (warm == timed n_steps)
     chunk = 64
-    for name, c in (("full_scf", cfg),
-                    ("delayed", dataclasses.replace(cfg,
-                                                    polar_delayed=True))):
-        st, _ = metropolis.run_chunk(state, params, c, thermo, chunk)
+
+    def step_cost(c, runner, n=chunk, reps=3):
+        st, _ = runner(state, c, n)
         np.asarray(st.energy.rd)
-        t = timeit(lambda c=c, s0=state: (
-            np.asarray(metropolis.run_chunk(s0, params, c, thermo,
-                                            chunk)[0].energy.rd)), n=3,
-            warm=1)
-        out[f"step_{name}_ms"] = t / chunk * 1e3
-        out[f"steps_per_s_{name}"] = chunk / t
-    # mean iters under the two paths
-    st, stats = metropolis.run_chunk(state, params, cfg, thermo, 256)
-    out["iters_per_step_full"] = float(np.asarray(stats.polar_iters)
-                                       / 256.0)
-    cd = dataclasses.replace(cfg, polar_delayed=True)
-    st, stats = metropolis.run_chunk(state, params, cd, thermo, 256)
-    out["iters_per_step_delayed"] = float(np.asarray(stats.polar_iters)
-                                          / 256.0)
-    # stage-1 survival proxy: acceptance counts
-    out["acc_rate"] = float(np.asarray(stats.accepts).sum()
-                            / np.asarray(stats.attempts).sum())
-    print(json.dumps(out, indent=1))
+        t0 = time.perf_counter()
+        stq, stats = st, None
+        for _ in range(reps):
+            stq, stats = runner(stq, c, n)
+        np.asarray(stq.energy.rd)
+        att = (float(np.asarray(stats.attempts).sum())
+               if stats is not None else reps * n)
+        return (time.perf_counter() - t0) / max(att, 1) * 1e3, stats
+
+    scan = lambda st, c, n: metropolis.run_chunk(st, params, c, thermo,
+                                                 n)
+    out["full_ms_per_step"], st_f = step_cost(cfg, scan)
+    out["iters_per_step_full"] = (
+        float(np.asarray(st_f.polar_iters)) / chunk)
+    cfg_da = dataclasses.replace(cfg, polar_delayed=True)
+    out["delayed_ms_per_step"], st_d = step_cost(cfg_da, scan)
+    out["iters_per_step_delayed"] = (
+        float(np.asarray(st_d.polar_iters)) / chunk)
+    cfg_pda = dataclasses.replace(cfg, polar_delayed=True,
+                                  fused_mc=True)
+    from mpmc_tpu.ops.pallas import mc_kernel
+    if mc_kernel.supported_uvt_polar_da(cfg_pda, params):
+        pda = lambda st, c, n: metropolis.run_chunk_fused_uvt_polar_da(
+            st, params, c, thermo, n)
+        out["pda_ms_per_step"], _ = step_cost(cfg_pda, pda, n=512)
+        out["pda_steps_per_s"] = 1e3 / out["pda_ms_per_step"]
+    print(json.dumps(out, indent=1), flush=True)
     with open("MEASURE_POLAR_PARTS.json", "w") as f:
         json.dump(out, f, indent=1)
 
