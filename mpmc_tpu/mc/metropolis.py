@@ -1669,11 +1669,21 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
 def run_chunk_fused_uvt_polar_da(state: SimState, params: Params,
                                  cfg: RunConfig, thermo: Thermo,
                                  n_steps: int):
-    """~n_steps polar delayed-acceptance GCMC steps with the stage-1
-    filter running in the fused propose-and-filter Pallas kernel and
-    the exact SCF stage 2 applied per survivor (see _fused_chunk_uvt_pda
-    — the flagship polarizable-GCMC throughput path).  Caller must have
-    checked mc_kernel.supported_uvt_polar_da(cfg, params)."""
+    """~n_steps polar delayed-acceptance steps with the stage-1 filter
+    running in the fused propose-and-filter Pallas kernel and the exact
+    SCF stage 2 applied per survivor (see _fused_chunk_uvt_pda — the
+    flagship polarizable-GCMC throughput path).  ``ensemble nvt`` runs
+    the same kernel in the all-displace limit
+    (mc_kernel.pda_effective_cfg; insert_probability 0 draws only
+    displacements).  Caller must have checked
+    mc_kernel.supported_uvt_polar_da(cfg, params)."""
+    from mpmc_tpu.ops.pallas import mc_kernel
+    if cfg.ensemble == "nvt":
+        # the all-displace limit: the kernel must never draw an
+        # insert/delete even if the thermo carries a µVT probability
+        thermo = thermo.replace(
+            insert_probability=jnp.zeros_like(thermo.insert_probability))
+    cfg = mc_kernel.pda_effective_cfg(cfg, params)
     slots, slot_start, species_idx, tmpl, A_list, rep_slots = (
         uvt_fused_tables(params, cfg))
     interpret = jax.default_backend() != "tpu"

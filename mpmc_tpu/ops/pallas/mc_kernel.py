@@ -2510,13 +2510,34 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
     return rec
 
 
+def pda_effective_cfg(cfg, params):
+    """The cfg the fused polar-DA kernel path actually runs: µVT
+    surface.  ``ensemble nvt`` maps onto the same kernel with
+    insert_probability 0 (the all-displace limit — every movable
+    species becomes a nominal insert species so the slot tables
+    build); µVT passes through.  Returns None when the ensemble has no
+    mapping."""
+    import dataclasses as _dc
+    if cfg.ensemble == "uvt":
+        return cfg
+    if cfg.ensemble == "nvt":
+        spec = np.asarray(params.mol_species)
+        mov = ~np.asarray(params.mol_frozen) & (spec >= 0)
+        if not mov.any():
+            return None
+        ins = tuple(sorted({int(s) for s in spec[mov]}))
+        return _dc.replace(cfg, ensemble="uvt", insert_species=ins)
+    return None
+
+
 def supported_uvt_polar_da(cfg, params) -> bool:
     """Static gate for the fused polar delayed-acceptance path: the µVT
-    structural surface (one-to-MAX_SPECIES rigid insert species) with
-    polarization + polar_delayed on the DIRECT damped static field
-    (thole.field_delta_supported), CG solver (warm-startable stage 2),
-    no cavity bias / spinflip / TMMC (not carried by the propose-and-
-    filter kernel), f32."""
+    structural surface (one-to-MAX_SPECIES rigid insert species) — or
+    NVT, which runs the same kernel in the all-displace limit
+    (pda_effective_cfg) — with polarization + polar_delayed on the
+    DIRECT damped static field (thole.field_delta_supported), CG solver
+    (warm-startable stage 2), no cavity bias / spinflip / TMMC (not
+    carried by the propose-and-filter kernel), f32."""
     import dataclasses as _dc
     if not (cfg.polarization and cfg.polar_delayed
             and cfg.polar_solver == "cg"
@@ -2525,8 +2546,11 @@ def supported_uvt_polar_da(cfg, params) -> bool:
             and not cfg.cavity_bias and not cfg.quantum_rotation
             and not cfg.tmmc and not cfg.cdvdw):
         return False
-    cfg_np = _dc.replace(cfg, polarization=False)
-    return supported_uvt(cfg_np, params)
+    cfg_eff = pda_effective_cfg(cfg, params)
+    if cfg_eff is None:
+        return False
+    return supported_uvt(_dc.replace(cfg_eff, polarization=False),
+                         params)
 
 
 def draw_uniforms(key, n_steps, lanes=8):

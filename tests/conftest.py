@@ -56,3 +56,51 @@ def _clear_jax_caches_periodically():
     _counter["n"] += 1
     if _counter["n"] % _CLEAR_EVERY == 0:
         jax.clear_caches()
+
+
+# --- two-tier suite (r2 verdict item 8) ------------------------------------
+# The full suite is ~46 min on the 1-core build box (418 tests,
+# --durations run 2026-08-20).  Tests measured >= ~20 s — long
+# statistical chains and the C-chain bit-exactness batteries — are
+# marked `slow` at collection from this list and EXCLUDED by the
+# default `pytest tests/` run (pyproject addopts -m "not slow";
+# default tier ~29 min).  Run the slow tier with
+#     python -m pytest tests/ -m slow
+# (CLI -m overrides the ini default; `-m ""` runs everything).
+# Names are base names — parametrized variants inherit the mark.
+_SLOW_TESTS = {
+    "test_npt_pressure_self_consistency",
+    "test_nvt_pressure_matches_second_virial",
+    "test_fused_pt_multi_chain",
+    "test_multi_chain_uvt_cavity_bias_bit_equals_single_chain",
+    "test_uvt_composed_block_matches_chunk_plus_refresh",
+    "test_fused_pt_multi_uvt_round",
+    "test_h2_isotherm_ladder_deck",
+    "test_pda_stage1_statistics_match_scan",
+    "test_two_process_pt_matches_single_process",
+    "test_multi_chain_uvt_multisorbate_gate_and_run",
+    "test_pt_uvt_chain_devices_matches_unsharded",
+    "test_batched_chains_with_polar_delta_field",
+    "test_scan_path_bit_exact",
+    "test_ortho_box_min_image_bit_identical",
+    "test_multi_chain_uvt_bit_equals_single_chain",
+    "test_multi_chain_uvt_spinflip_bit_equals_single_chain",
+    "test_observables_batched_matches_per_chain",
+    "test_pda_bookkeeping_matches_full_recompute",
+    "test_uvt_matches_scan_equilibrium",
+    "test_pt_chain_devices_cli_matches_unsharded",
+    "test_multi_chain_bit_equals_single_chain",
+    "test_delayed_acceptance_same_equilibrium",
+    "test_pt_round_runs_and_preserves_ladder",
+    "test_matches_full_refresh_polar",
+    "test_quantum_rotation_pt_fused_uvt_cli",
+    "test_quantum_rotation_pt_fused_cli",
+    "test_field_delta_matches_full_rebuild_over_gcmc_chunk",
+    "test_fused_pt_single_chip",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        if it.name.split("[")[0] in _SLOW_TESTS:
+            it.add_marker(pytest.mark.slow)

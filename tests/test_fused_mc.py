@@ -2104,3 +2104,29 @@ def test_pda_stage1_statistics_match_scan(tmp_path):
     n_f = int(np.asarray(st_f.mol_alive).sum())
     n_s = int(np.asarray(st_s.mol_alive).sum())
     assert abs(n_f - n_s) <= 6
+
+
+def test_pda_nvt_all_displace_limit():
+    """ensemble nvt runs the same stage-1 kernel with
+    insert_probability 0 (pda_effective_cfg): attempts are pure
+    displacements, bookkeeping matches a recompute, and the SCF stage 2
+    really runs for survivors."""
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=10, polarization=True)
+    cfg = dataclasses.replace(cfg, ensemble="nvt", polar_delayed=True,
+                              fused_mc=True, insert_species=())
+    assert mc_kernel.supported_uvt_polar_da(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+        state, params, cfg, thermo, 200)
+    att = np.asarray(stats.attempts)
+    assert att[metropolis.INSERT] == att[metropolis.DELETE] == 0
+    assert att[metropolis.DISPLACE] >= 200
+    assert np.asarray(stats.accepts).sum() > 0
+    assert int(stats.polar_iters) > 0
+    np.testing.assert_array_equal(np.asarray(st.mol_alive),
+                                  np.asarray(state.mol_alive))
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    for term in ("rd", "es_real", "es_recip", "polar"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
