@@ -85,6 +85,13 @@ class RunConfig:
     # CG typically converges in 2-4 iterations per MC move at 1e-6.
     # 0 -> fixed polar_max_iter iterations.
     polar_precision: float = 1e-6
+    # "residual" (default, the tighter [M] deviation): stop on the RMS
+    # field residual per component, polar_precision in e/A^2-field
+    # units.  "dipole": the REFERENCE's rule — stop on the RMS dipole
+    # CHANGE per iteration, polar_precision in DEBYE (SURVEY §2 "Thole
+    # iterative solvers" [L unit]); same fixed point, typically fewer
+    # iterations at the same nominal value.
+    polar_precision_mode: str = "residual"   # residual | dipole
     polar_damp_type: str = "exponential"   # exponential | linear | none
     polar_damp: float = 2.1304
     polar_ewald: bool = False      # full-Ewald static field (else damped direct)

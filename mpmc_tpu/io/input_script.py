@@ -295,6 +295,12 @@ def parse(text: str) -> Job:
             cfg_kw["polar_max_iter"] = int(float(v0))
         elif key == "polar_precision":
             cfg_kw["polar_precision"] = float(v0)
+        elif key == "polar_precision_mode":
+            m = v0.lower()
+            if m not in ("residual", "dipole"):
+                raise ValueError("polar_precision_mode must be "
+                                 "'residual' or 'dipole'")
+            cfg_kw["polar_precision_mode"] = m
         elif key == "polar_damp":
             cfg_kw["polar_damp"] = float(v0)
         elif key == "polar_damp_type":

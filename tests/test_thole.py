@@ -496,3 +496,66 @@ def test_delayed_acceptance_same_equilibrium():
     m_d, e_d = run_means(cfg_da, 12)
     tol = 5.0 * float(np.hypot(e_p, e_d))
     assert abs(m_p - m_d) < max(tol, 0.05 * abs(m_p))
+
+
+def test_polar_precision_mode_dipole_same_fixed_point():
+    """polar_precision_mode 'dipole' (the reference's per-iteration RMS
+    dipole-change rule, polar_precision in Debye) converges to the same
+    SCF fixed point as the residual rule — fewer-or-equal iterations at
+    a physically matched threshold, energies agreeing within the
+    stopping tolerance."""
+    import dataclasses
+
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.ops import thole
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=8, polarization=True,
+        dtype="float64")
+    alive = state.atom_alive(params)
+    e0 = thole.static_field(state.pos, state.box, alive, params, cfg)
+    mu_r, it_r, _ = thole.solve_scf(state.pos, state.box, alive, params,
+                                    cfg, e0)
+    cfg_d = dataclasses.replace(cfg, polar_precision_mode="dipole",
+                                polar_precision=1e-5)   # Debye
+    mu_d, it_d, _ = thole.solve_scf(state.pos, state.box, alive, params,
+                                    cfg_d, e0)
+    assert int(it_d) >= 1
+    u_r = float(thole.polar_energy(mu_r, e0))
+    u_d = float(thole.polar_energy(mu_d, e0))
+    assert u_d == pytest.approx(u_r, rel=1e-5)
+    # a looser Debye threshold never takes more iterations (on this
+    # weakly-polarized system the converged dipoles are ~1e-2 D RMS, so
+    # a 1e-2 D threshold may legitimately stop at zero — the
+    # reference's rule would too; only monotonicity is contractual)
+    cfg_loose = dataclasses.replace(cfg_d, polar_precision=1e-3)
+    mu_l, it_l, _ = thole.solve_scf(state.pos, state.box, alive, params,
+                                    cfg_loose, e0)
+    assert int(it_l) <= int(it_d)
+
+
+def test_polar_precision_mode_parses():
+    from mpmc_tpu.io.input_script import parse
+
+    job = parse("""
+ensemble te
+temperature 300
+polarization on
+polar_precision_mode dipole
+polar_precision 0.001
+basis1 10 0 0
+basis2 0 10 0
+basis3 0 0 10
+pqr_input x.pqr
+""")
+    assert job.cfg.polar_precision_mode == "dipole"
+    with pytest.raises(ValueError, match="polar_precision_mode"):
+        parse("""
+ensemble te
+temperature 300
+polar_precision_mode bogus
+basis1 10 0 0
+basis2 0 10 0
+basis3 0 0 10
+pqr_input x.pqr
+""")
