@@ -127,10 +127,10 @@ class RunWriter:
         reference's per-MPI-rank parallel_restarts, SURVEY §2)."""
         if not (self.job.pqr_restart and self.job.parallel_restarts):
             return
-        import jax as _jax
+        from mpmc_tpu.state import slice_chain
         base = self.job.pqr_restart
         for k in range(n):
-            st = _jax.tree_util.tree_map(lambda x: x[k], states)
+            st = slice_chain(states, k)
             pqr_io.write_state(f"{base}-r{k}", params, st,
                                self.species_names,
                                remark=f"restart replica {k} step "
@@ -153,10 +153,10 @@ class RunWriter:
         output stream per MPI rank, SURVEY §2 "MPI layer")."""
         if not (self.job.traj_output and self.job.parallel_restarts):
             return
-        import jax as _jax
+        from mpmc_tpu.state import slice_chain
         mode = "w" if not self._wrote_ptraj_header else "a"
         for k in range(1, n):
-            st = _jax.tree_util.tree_map(lambda x: x[k], states)
+            st = slice_chain(states, k)
             pqr_io.write_state(f"{self.job.traj_output}-r{k}", params,
                                st, self.species_names, mode=mode,
                                remark=f"frame replica {k} step "

@@ -282,10 +282,10 @@ def _obs_device_batched(states, params, n_species, has_mu):
 
 @jax.jit
 def _slice_chain(states, k):
-    """Chain k's state as ONE compiled dispatch — the eager tree_map
-    slice costs one device op per leaf (~30 x ~1 ms over the tunneled
-    axon backend, every corrtime block)."""
-    return jax.tree_util.tree_map(lambda x: x[k], states)
+    """Chain k's state (state.slice_chain — shared with the per-replica
+    output writers)."""
+    from mpmc_tpu.state import slice_chain
+    return slice_chain(states, k)
 
 
 def _hist_make(job, box):

@@ -980,7 +980,10 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, eta_ref, tbl_in_ref,
     ew = cfg.coulomb == "ewald"
     cb = cfg.cavity_bias
     tm = cfg.tmmc                   # in-kernel TMMC collection
-    tm_bias = cfg.tmmc_bias
+    # bias requires collection: the parse gate forces tmmc on with
+    # tmmc_bias, but a direct-API cfg(tmmc=False, tmmc_bias=True) must
+    # not reach the η branch (it reads the tm-only macrostate n_int)
+    tm_bias = cfg.tmmc_bias and tm
     Rt = tm_pad // 128
     sf = cfg.quantum_rotation       # in-kernel spinflip moves
     # cavity bias under n_chains > 1: the open-cell grid is per-chain
@@ -1938,7 +1941,10 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
 
 PDA_SEG = 16    # steps per stage-1 kernel launch: E[steps to survivor]
                 # is ~1/s ~ 5-9, so most launches freeze mid-segment;
-                # the frozen tail burns ~4 us/step of masked pair passes
+                # the frozen tail burns ~4 us/step of masked pair
+                # passes.  r3 TPU scan on the bench config:
+                # 8/16/32 -> 1244/1387/1389 steps/s — 16 and 32 tie,
+                # 8 pays too many launches; keep 16 (smaller program)
 
 
 def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, tbl_ref, data_ref,

@@ -554,8 +554,8 @@ def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None, r0=None):
     # per-sweep delta.
     dip_mode = cfg.polar_precision_mode == "dipole"
     if dip_mode:
-        DEBYE = 0.20819434          # e*A per Debye
-        tol2 = ((cfg.polar_precision * DEBYE) ** 2) * nsites * 3
+        from mpmc_tpu.constants import DEBYE_PER_EA
+        tol2 = ((cfg.polar_precision / DEBYE_PER_EA) ** 2) * nsites * 3
     alpha_site = jnp.where(mask, params.polar[:, None], 0.0)
     x = jnp.where(mask, mu0, 0.0) if mu0 is not None else jnp.zeros_like(e0)
     r = jnp.where(mask, r0, 0.0) if r0 is not None else b - amul(x)

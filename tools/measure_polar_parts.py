@@ -67,12 +67,14 @@ def main():
         st, _ = runner(state, c, n)
         np.asarray(st.energy.rd)
         t0 = time.perf_counter()
-        stq, stats = st, None
+        stq, stats, att = st, None, 0.0
         for _ in range(reps):
             stq, stats = runner(stq, c, n)
+            # MCStats restarts per chunk: accumulate EVERY rep's
+            # attempts (dividing by only the last chunk's count would
+            # inflate ms/step by reps)
+            att += float(np.asarray(stats.attempts).sum())
         np.asarray(stq.energy.rd)
-        att = (float(np.asarray(stats.attempts).sum())
-               if stats is not None else reps * n)
         return (time.perf_counter() - t0) / max(att, 1) * 1e3, stats
 
     scan = lambda st, c, n: metropolis.run_chunk(st, params, c, thermo,
