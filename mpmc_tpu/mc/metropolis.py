@@ -1629,6 +1629,7 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
             interpret=interpret, kvecs=kv, kcoef=kcoef,
             sk_re=state.sk_re, sk_im=state.sk_im, e0=state.e0,
             polar=params.polar, polar_damp=cfg.polar_damp,
+            cav_open=(state.cavity_open if cfg.cavity_bias else None),
             mol_mass_atom=_fh_mol_mass_atom(params, cfg),
             c6=params.c6, c8=params.c8, c10=params.c10,
             gwp_alpha=params.gwp_alpha)

@@ -1947,9 +1947,9 @@ PDA_SEG = 16    # steps per stage-1 kernel launch: E[steps to survivor]
                 # 8 pays too many launches; keep 16 (smaller program)
 
 
-def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, tbl_ref, data_ref,
-                    sk_ref, rec_ref, *, cfg, n_steps, n_pad, n_real,
-                    A_list, nk_pad, ms_pad):
+def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
+                    data_ref, sk_ref, rec_ref, *, cfg, n_steps, n_pad,
+                    n_real, A_list, nk_pad, ms_pad, g3_pad):
     """Propose-and-filter µVT kernel for polar delayed acceptance.
 
     Read-only: proposes displace|insert|delete from the resident state
@@ -1976,8 +1976,13 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, tbl_ref, data_ref,
       rows 2-4: trial rows x/y/z in lanes 0..A-1
 
     E0 planes ride at rows nq..nq+2 and alpha (params.polar) at nq+3.
+    Cavity bias (cfg.cavity_bias) is carried exactly like _kernel_uvt:
+    inserts propose inside a uniformly-picked open cell (per-chunk
+    rank->cell-id list in cav_ref), lnb gains the ±ln(n_open/G³)
+    correction, and an empty grid hard-rejects inserts.
     """
     ew = cfg.coulomb == "ewald"
+    cb = cfg.cavity_bias
     S = len(A_list)
     A = max(A_list)
     uniform_A = len(set(A_list)) == 1
@@ -2000,6 +2005,8 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, tbl_ref, data_ref,
     cx = [[scal_ref[8 + s, t] for t in range(S)] for s in range(S)]
     tmpl_s = [[[scal_ref[8 + S + 3 * s + c, a] for c in range(3)]
                for a in range(A)] for s in range(S)]
+    cav_n = scal_ref[8 + 4 * S, 0]
+    cav_lnf = scal_ref[8 + 4 * S, 1]
 
     nq = _n_rows(cfg)
     ROW_E0 = nq                     # 3 rows
@@ -2129,7 +2136,28 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, tbl_ref, data_ref,
 
         # --- trial rows (same math as _kernel_uvt) -------------------
         disp = [(2.0 * u_ref[uk, 1 + c] - 1.0) * mf for c in range(3)]
-        fr_ins = [u_ref[uk, 1], u_ref[uk, 2], u_ref[uk, 3]]
+        if cb:
+            # cavity-biased insert COM: rank j among the n_open open
+            # cells (lane 10), then uniform inside that cell — mirrors
+            # _kernel_uvt / moves.pick_random_true + cell_com
+            g = np.float32(cfg.cavity_grid)
+            Rg = g3_pad // 128
+            jc = jnp.minimum(jnp.floor(u_ref[uk, 10] * cav_n),
+                             cav_n - 1.0)
+            ling = (jax.lax.broadcasted_iota(jnp.int32, (Rg, 128), 0)
+                    * 128
+                    + jax.lax.broadcasted_iota(jnp.int32, (Rg, 128), 1)
+                    ).astype(jnp.float32)
+            cell = jnp.sum(jnp.where(
+                ling == jc, cav_ref[pl.dslice(0, Rg), :], 0.0))
+            ci = jnp.floor(cell / (g * g))
+            rem = cell - ci * g * g
+            cj = jnp.floor(rem / g)
+            ck = rem - cj * g
+            fr_ins = [(ci + u_ref[uk, 1]) / g, (cj + u_ref[uk, 2]) / g,
+                      (ck + u_ref[uk, 3]) / g]
+        else:
+            fr_ins = [u_ref[uk, 1], u_ref[uk, 2], u_ref[uk, 3]]
         com_new = [fr_ins[0] * box[0][c] + fr_ins[1] * box[1][c]
                    + fr_ins[2] * box[2][c] for c in range(3)]
         msum = None
@@ -2348,8 +2376,12 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, tbl_ref, data_ref,
                        - jnp.log(n_s + 1.0))
                + fdel * (jnp.log(jnp.maximum(n_s, 1e-30))
                          - jnp.log(beta) - lnfv))
+        if cb:
+            lnb = lnb + sgn * cav_lnf
         reject = ((cnt < 0.5) | ((thr2 > 0.0) & has_new
                                  & (mr2 < thr2)))
+        if cb:
+            reject = reject | (is_ins & (cav_n < 0.5))
         acc1 = ((jnp.log(jnp.maximum(u_ref[uk, 4], 1e-38))
                  < lnb - beta * (du + d_surr)) & ~reject)
 
@@ -2424,15 +2456,19 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
                       d_self, d_excl, c1, cx, uniforms, cfg, n_steps,
                       n_real, A_list, e0, polar, polar_damp,
                       interpret=False, kvecs=None, kcoef=None,
-                      sk_re=None, sk_im=None, mol_mass_atom=None,
+                      sk_re=None, sk_im=None, cav_open=None,
+                      mol_mass_atom=None,
                       c6=None, c8=None, c10=None, gwp_alpha=None):
     """Stage-1 segment of the fused polar delayed acceptance: up to K
     propose-and-filter µVT steps from a FIXED state (kernel docstring).
     Returns the [8,16] record block (f32).  ``e0`` [N,3] is the cached
-    static field, ``polar`` [N] the site polarizabilities."""
+    static field, ``polar`` [N] the site polarizabilities; for
+    cfg.cavity_bias pass ``cav_open`` ([G^3] bool open-cell mask,
+    frozen for the chunk)."""
     f32 = jnp.float32
     S = len(A_list)
     A = max(A_list)
+    cav, cav_n, cav_lnf, g3_pad = _pack_cav(cav_open, cfg)
     n_pad = max(2 * TJ, _round_up(n_real, TJ))
     R = n_pad // 128
     ew = cfg.coulomb == "ewald"
@@ -2468,7 +2504,7 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
-    n_rows = 8 + 4 * S
+    n_rows = 8 + 4 * S + 1      # + cav_n/cav_lnf row
     scal = jnp.zeros((n_rows, 16), f32)
     for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
                            rot_factor, 0.5 * p_ins, p_ins)):
@@ -2486,13 +2522,15 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
     for s in range(S):
         scal = scal.at[8 + S + 3 * s:8 + S + 3 * s + 3, :A].set(
             tmpl32[s].T)
+    scal = scal.at[8 + 4 * S, 0].set(cav_n)
+    scal = scal.at[8 + 4 * S, 1].set(cav_lnf)
 
     u = jnp.asarray(uniforms, f32)
 
     rec = pl.pallas_call(
         functools.partial(_kernel_uvt_pda, cfg=cfg, n_steps=n_steps,
                           n_pad=n_pad, n_real=n_real, A_list=A_list,
-                          nk_pad=nk_pad, ms_pad=ms_pad),
+                          nk_pad=nk_pad, ms_pad=ms_pad, g3_pad=g3_pad),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((n_rows, 16), lambda _: (0, 0),
@@ -2500,6 +2538,8 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
             pl.BlockSpec((n_steps, 16), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * Rk, 128), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g3_pad // 128, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -2512,7 +2552,7 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((8, 16), f32),
         interpret=interpret,
-    )(scal, u, ktab, tbl, data, sk)
+    )(scal, u, ktab, cav, tbl, data, sk)
     return rec
 
 
@@ -2542,14 +2582,15 @@ def supported_uvt_polar_da(cfg, params) -> bool:
     NVT, which runs the same kernel in the all-displace limit
     (pda_effective_cfg) — with polarization + polar_delayed on the
     DIRECT damped static field (thole.field_delta_supported), CG solver
-    (warm-startable stage 2), no cavity bias / spinflip / TMMC (not
-    carried by the propose-and-filter kernel), f32."""
+    (warm-startable stage 2), cavity bias supported (same open-cell
+    plane as _kernel_uvt), no spinflip / TMMC (not carried by the
+    propose-and-filter kernel), f32."""
     import dataclasses as _dc
     if not (cfg.polarization and cfg.polar_delayed
             and cfg.polar_solver == "cg"
             and cfg.polar_damp_type in ("exponential", "linear", "none")
             and not cfg.polar_ewald and not cfg.polar_wolf
-            and not cfg.cavity_bias and not cfg.quantum_rotation
+            and not cfg.quantum_rotation
             and not cfg.tmmc and not cfg.cdvdw):
         return False
     cfg_eff = pda_effective_cfg(cfg, params)

@@ -1996,8 +1996,11 @@ def test_pda_gate():
     # Ewald-summed static field has no O(A N) delta: scan path
     assert not mc_kernel.supported_uvt_polar_da(
         dataclasses.replace(cfg, polar_ewald=True), params)
-    assert not mc_kernel.supported_uvt_polar_da(
+    # cavity bias IS carried (r3): same open-cell plane as _kernel_uvt
+    assert mc_kernel.supported_uvt_polar_da(
         dataclasses.replace(cfg, cavity_bias=True), params)
+    assert not mc_kernel.supported_uvt_polar_da(
+        dataclasses.replace(cfg, quantum_rotation=True), params)
 
 
 def test_pda_bookkeeping_matches_full_recompute():
@@ -2130,3 +2133,39 @@ def test_pda_nvt_all_displace_limit():
     for term in ("rd", "es_real", "es_recip", "polar"):
         assert float(getattr(st.energy, term)) == pytest.approx(
             float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+
+
+def test_pda_cavity_bias_bookkeeping_and_open_cells():
+    """Polar delayed acceptance + cavity bias on the stage-1 kernel:
+    bookkeeping (incl. polar) matches a recompute, and every accepted
+    insert's COM lies in a cell open in the chunk's grid."""
+    from mpmc_tpu.state import all_molecule_coms
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=4, capacity=12, polarization=True, pressure=20.0)
+    cfg = dataclasses.replace(cfg, polar_delayed=True, fused_mc=True,
+                              cavity_bias=True, cavity_grid=5,
+                              cavity_radius=2.0)
+    assert mc_kernel.supported_uvt_polar_da(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    g = cfg.cavity_grid
+    open_mask = np.asarray(state.cavity_open)
+    assert 0 < open_mask.sum() < g ** 3
+    alive0 = np.asarray(state.mol_alive).copy()
+    st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+        state, params, cfg, thermo, 400)
+    acc = np.asarray(stats.accepts)
+    assert acc.sum() > 0
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    for term in ("rd", "es_real", "es_recip", "polar"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+    new_mols = np.where(np.asarray(st.mol_alive) & ~alive0)[0]
+    if len(new_mols):
+        coms = np.asarray(all_molecule_coms(st.pos, params))
+        binv = np.linalg.inv(np.asarray(st.box))
+        for m in new_mols:
+            frac = coms[m] @ binv % 1.0
+            ijk = np.minimum((frac * g).astype(int), g - 1)
+            cell = ijk[0] * g * g + ijk[1] * g + ijk[2]
+            assert open_mask[cell], (m, cell)
