@@ -523,9 +523,12 @@ def main():
     for fn, n in ((bench_gcmc, 1), (bench_gcmc_fused, 2),
                   (bench_gcmc_fused_multi, 2)):
         contenders.append(_repeat(fn, n))
-    for fn in (bench_lj_nvt, bench_lj_nvt_fused, bench_nvt_ewald,
-               bench_polar_gcmc, bench_pt_round, bench_pt_uvt_round):
-        row = _repeat(fn, 1)
+    # the PT rounds historically show the widest cross-run swings
+    # (78k/103k/138k across r2-r3 records): repeat those too
+    for fn, n in ((bench_lj_nvt, 1), (bench_lj_nvt_fused, 1),
+                  (bench_nvt_ewald, 1), (bench_polar_gcmc, 1),
+                  (bench_pt_round, 2), (bench_pt_uvt_round, 2)):
+        row = _repeat(fn, n)
         results.append(row)
         print(json.dumps(row), flush=True)
     ranked = sorted(contenders, key=lambda r: r.get("value", 0.0))
