@@ -1502,8 +1502,9 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             raise ValueError(
                 "spatial_devices with this configuration is "
                 "unsupported in the MC loop (needs the scan-path jnp "
-                "surface: no polarization/cdvdw/cell_list/rd_crystal/"
-                "mol_cache/spectre)")
+                "surface: no cdvdw/cell_list/rd_crystal/mol_cache/"
+                "spectre; polarization only on the direct damped "
+                "field, not polar_ewald/polar_wolf)")
         devs = jax.devices()[:job.spatial_devices]
         if len(devs) < job.spatial_devices:
             raise ValueError(

@@ -135,8 +135,39 @@ def static_field_wolf(pos, box, atom_alive, params, cfg, chunk=None):
 def _use_pallas(cfg):
     if not cfg.use_pallas:
         return False
+    if cfg.spatial_axis is not None:
+        return False    # sharded rows run the jnp scan (below)
     from mpmc_tpu.ops.pallas import thole_kernel as _tk
     return _tk.supported(cfg) and jax.default_backend() == "tpu"
+
+
+def _rowblock_scan(body, N, B, nb, dtype, cfg):
+    """Run a target-row-block pass (``body(_, b) -> (None, [B,3])``)
+    either as the plain lax.scan stack, or — under
+    cfg.spatial_axis (parallel/spatial.run_chunk_spatial: replicated
+    state inside a shard_map) — with the row blocks round-robined
+    across the mesh and the per-device partial [N,3] outputs
+    reassembled by ONE psum (each row is computed by exactly one
+    device, the rest contribute zeros)."""
+    if cfg.spatial_axis is None:
+        _, ys = jax.lax.scan(body, None, jnp.arange(nb))
+        return ys.reshape(nb * B, 3)[:N]
+    axis, ndev = cfg.spatial_axis
+    d = jax.lax.axis_index(axis)
+    nb_l = -(-nb // ndev)
+
+    def body2(acc, bl):
+        b = d + bl * ndev
+        i0c = jnp.minimum(b, nb - 1) * B
+        _, out = body(None, b)
+        cur = jax.lax.dynamic_slice(acc, (i0c, 0), (B, 3))
+        acc = jax.lax.dynamic_update_slice(
+            acc, jnp.where(b < nb, out, cur), (i0c, 0))
+        return acc, None
+
+    acc0 = jnp.zeros((nb * B, 3), dtype)
+    acc, _ = jax.lax.scan(body2, acc0, jnp.arange(nb_l))
+    return jax.lax.psum(acc[:N], axis)
 
 
 def static_field_direct(pos, box, atom_alive, params, cfg, chunk=None):
@@ -174,8 +205,7 @@ def static_field_direct(pos, box, atom_alive, params, cfg, chunk=None):
         coef = jnp.where(ok, params.charge[None, :] * d1 / (r2s * r), 0.0)
         return None, jnp.einsum("bn,bnk->bk", coef, dr)
 
-    _, ys = jax.lax.scan(body, None, jnp.arange(nb))
-    return ys.reshape(nb * B, 3)[:N]
+    return _rowblock_scan(body, N, B, nb, pos.dtype, cfg)
 
 
 def field_delta_supported(cfg) -> bool:
@@ -481,8 +511,7 @@ def dipole_matvec(pos, box, atom_alive, params, cfg, mu, chunk=None):
         contrib = jnp.where(ok[..., None], t1 - t2, 0.0)
         return None, jnp.sum(contrib, axis=1)
 
-    _, ys = jax.lax.scan(body, None, jnp.arange(nb))
-    return ys.reshape(nb * B, 3)[:N]
+    return _rowblock_scan(body, N, B, nb, pos.dtype, cfg)
 
 
 def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None, r0=None):

@@ -370,8 +370,15 @@ def solve_scf_sharded(pos, box, atom_alive, params, cfg, e0, mesh: Mesh,
 def mc_supported(cfg) -> bool:
     """Static gate for the spatially-sharded MC step: the scan-path jnp
     pass surface without per-move machinery that holds whole-system
-    caches outside the sharded passes."""
-    return (not cfg.polarization and not cfg.cdvdw
+    caches outside the sharded passes.  Polarization IS supported on
+    the DIRECT damped field (r3): thole.static_field_direct and
+    dipole_matvec round-robin their target-row blocks across the mesh
+    and reassemble with one [N,3] psum per application
+    (thole._rowblock_scan), so the SCF's O(N'^2) matvec — the
+    hallmark-workload bottleneck — also costs 1/D per device."""
+    if cfg.polarization and (cfg.polar_ewald or cfg.polar_wolf):
+        return False    # k-space / shifted fields keep the full pass
+    return (not cfg.cdvdw
             and not cfg.cell_list and not cfg.rd_crystal
             and not cfg.mol_cache and not cfg.spectre
             and cfg.ensemble in ("nvt", "uvt", "npt", "nve"))

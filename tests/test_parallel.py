@@ -1190,6 +1190,36 @@ class TestSpatialMCStep:
         params, state, cfg, thermo = systems.mof_h2_gcmc(
             n_side=3, n_h2=4, capacity=6, dtype="float64")
         assert spatial.mc_supported(cfg)
+        # polarization IS carried (r3) on the direct damped field only
+        assert spatial.mc_supported(_dc.replace(cfg, polarization=True))
         assert not spatial.mc_supported(
-            _dc.replace(cfg, polarization=True))
+            _dc.replace(cfg, polarization=True, polar_ewald=True))
         assert not spatial.mc_supported(_dc.replace(cfg, cell_list=True))
+
+
+def test_spatial_mc_step_polar_matches_unsharded(mesh8):
+    """r3: the spatially-sharded MC step carries POLARIZATION on the
+    direct damped field — static_field/dipole_matvec row blocks
+    round-robin across the mesh (thole._rowblock_scan) — and must
+    reproduce the unsharded trajectory (identical accepts, f64 psum
+    reassociation only)."""
+    from mpmc_tpu.parallel import spatial
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=5, capacity=8, polarization=True,
+        dtype="float64")
+    assert spatial.mc_supported(cfg)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    st_u, stats_u = metropolis.run_chunk(state, params, cfg, thermo, 60)
+    st_s, stats_s = spatial.run_chunk_spatial(state, params, cfg,
+                                              thermo, 60, mesh8)
+    np.testing.assert_array_equal(np.asarray(stats_u.accepts),
+                                  np.asarray(stats_s.accepts))
+    np.testing.assert_allclose(np.asarray(st_s.pos),
+                               np.asarray(st_u.pos), atol=1e-9)
+    assert float(st_s.energy.polar) == pytest.approx(
+        float(st_u.energy.polar), rel=1e-9, abs=1e-9)
+    # sharded refresh closes the loop on the polar bookkeeping
+    fresh = spatial.initialize_spatial(st_s, params, cfg, thermo, mesh8)
+    assert float(st_s.energy.polar) == pytest.approx(
+        float(fresh.energy.polar), rel=1e-8, abs=1e-8)
