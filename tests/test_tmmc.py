@@ -409,3 +409,65 @@ tmmc_output {out_p}
         if c[n, 0] > 0:
             a = min(1.0, fv_kt / (n + 1.0))
             assert c[n, 1] / c[n, 0] == pytest.approx(a, rel=5e-5), n
+
+
+def test_tmmc_checkpoint_resume_exact(tmp_path):
+    """The host-side f64 TMMC accumulator rides checkpoints via the
+    `extra` dict: a 600-step run checkpointed and resumed for 300 more
+    must write the BIT-identical collection matrix of a straight
+    900-step run (the exact-resume contract extended to tmmc_host)."""
+    import json
+
+    from mpmc_tpu.io import input_script
+    from mpmc_tpu.mc import run as run_mod
+
+    pqr_p = str(tmp_path / "he.pqr")
+    with open(pqr_p, "w") as f:
+        f.write("ATOM 1 He HEL 1 M 10.0 10.0 10.0 4.0026 0.0 0.0 "
+                "0.0 0.0\nEND\n")
+
+    def deck(n, extra=""):
+        return f"""
+ensemble uvt
+temperature 300
+fugacities 0.3
+numsteps {n}
+corrtime 300
+move_factor 1.0
+insert_probability 0.5
+basis1 20 0 0
+basis2 0 20 0
+basis3 0 0 20
+pqr_input {pqr_p}
+tmmc on
+{extra}
+"""
+
+    import dataclasses as _dc
+
+    def fixed(job):
+        job.cfg = _dc.replace(job.cfg, rd_potential="none",
+                              coulomb="none", rd_lrc=False,
+                              dtype="float64")
+        return job
+
+    # straight 900
+    j = fixed(input_script.parse(deck(
+        900, f"tmmc_output {tmp_path}/straight.json")))
+    run_mod.run_mc(j, log=io.StringIO())
+    # 600 with checkpoint, then resume 300
+    j = fixed(input_script.parse(deck(
+        600, f"tmmc_output {tmp_path}/part1.json\n"
+             f"checkpoint_output {tmp_path}/ck.npz")))
+    run_mod.run_mc(j, log=io.StringIO())
+    j = fixed(input_script.parse(deck(
+        300, f"tmmc_output {tmp_path}/resumed.json\n"
+             f"checkpoint_input {tmp_path}/ck.npz")))
+    run_mod.run_mc(j, log=io.StringIO())
+
+    c_straight = np.asarray(json.load(
+        open(f"{tmp_path}/straight.json"))["c"])
+    c_resumed = np.asarray(json.load(
+        open(f"{tmp_path}/resumed.json"))["c"])
+    assert c_straight[:, 0].sum() + c_straight[:, 2].sum() > 200
+    np.testing.assert_array_equal(c_resumed, c_straight)
