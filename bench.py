@@ -344,10 +344,43 @@ def bench_polar_gcmc():
     sps, method = max((sps_plain, "metropolis"),
                       (sps_da, "delayed_acceptance"),
                       (sps_pda, "fused_stage1_delayed_acceptance"))
-    return {"metric": "mc_steps_per_sec_10k_mof_h2_polar_gcmc_thole_scf",
-            "value": round(sps, 2), "unit": "steps/s",
-            "vs_baseline": round(sps / BASELINES["polar_gcmc"], 2),
-            "method": method}
+    row = {"metric": "mc_steps_per_sec_10k_mof_h2_polar_gcmc_thole_scf",
+           "value": round(sps, 2), "unit": "steps/s",
+           "vs_baseline": round(sps / BASELINES["polar_gcmc"], 2),
+           "method": method}
+    # informational: the same fused DA path under the REFERENCE's OWN
+    # convergence rule (per-iteration RMS dipole change, 1e-3 Debye —
+    # its typical production setting; docs/options.md
+    # polar_precision_mode).  The headline above keeps OUR stricter
+    # residual-1e-6 default; this field shows the apples-to-apples
+    # number at reference-parity convergence semantics (r3: ~4.4k
+    # steps/s, 0.01 CG iters/step).
+    try:
+        import dataclasses as _dc
+
+        from mpmc_tpu.mc import metropolis as _m
+        from mpmc_tpu.ops.pallas import mc_kernel as _k
+        cfg_ref = _dc.replace(cfg, polar_delayed=True, fused_mc=True,
+                              polar_precision_mode="dipole",
+                              polar_precision=1e-3)
+        if _k.supported_uvt_polar_da(cfg_ref, params):
+            K = 512
+            st = _m.initialize(state, params, cfg_ref, thermo)
+            st, _ = _m.run_chunk_fused_uvt_polar_da(st, params, cfg_ref,
+                                                    thermo, K)
+            np.asarray(st.energy.rd)
+            t0 = time.perf_counter()
+            n = 0
+            for _ in range(3):
+                st, stats = _m.run_chunk_fused_uvt_polar_da(
+                    st, params, cfg_ref, thermo, K)
+                n += int(np.asarray(stats.attempts).sum())
+            np.asarray(st.energy.rd)
+            row["ref_stopping_rule_steps_per_s"] = round(
+                n / (time.perf_counter() - t0), 2)
+    except Exception:
+        pass
+    return row
 
 
 def bench_pt_round():
