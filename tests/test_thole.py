@@ -559,3 +559,121 @@ basis2 0 10 0
 basis3 0 0 10
 pqr_input x.pqr
 """)
+
+
+def _polar_gcmc_chain_stats(cfg, state0, params, thermo_, n_blocks,
+                            block, drift_cfg=None):
+    """Run a polar GCMC chain in per-corrtime blocks under ``cfg``;
+    return (per-block arrays: n_mols, u_pol, gc acceptance rate) and —
+    when ``drift_cfg`` (a tight-residual config) is given — the max
+    carried-dipole / carried-energy drift vs an exactly-converged solve
+    at the same configurations, measured at every block end BEFORE the
+    refresh (the warm-start drift bound of r3 verdict item 1a)."""
+    import jax
+
+    from mpmc_tpu.constants import DEBYE_PER_EA
+    from mpmc_tpu.mc import metropolis
+
+    st = metropolis.initialize(state0, params, cfg, thermo_)
+    ns, us, accs = [], [], []
+    max_mu_drift_debye, max_u_drift_k = 0.0, 0.0
+    for _ in range(n_blocks):
+        st, stats = metropolis.run_chunk(st, params, cfg, thermo_, block)
+        ns.append(float(jnp.sum(st.mol_alive
+                                & (params.mol_species == 0))))
+        us.append(float(st.energy.polar))
+        a = np.asarray(stats.attempts)[1:3].sum()
+        accs.append(np.asarray(stats.accepts)[1:3].sum() / max(a, 1))
+        if drift_cfg is not None:
+            alive = st.atom_alive(params)
+            e0 = thole.static_field(st.pos, st.box, alive, params,
+                                    drift_cfg)
+            mu_x, _, _ = thole.solve_scf(st.pos, st.box, alive, params,
+                                         drift_cfg, e0)
+            pol_ok = np.asarray(alive & (params.polar > 0))
+            d = np.asarray(st.mu - mu_x)[pol_ok]
+            rms = float(np.sqrt((d * d).sum(-1).mean())) * DEBYE_PER_EA
+            max_mu_drift_debye = max(max_mu_drift_debye, rms)
+            u_x = float(thole.polar_energy(mu_x, e0))
+            max_u_drift_k = max(max_u_drift_k,
+                                abs(float(st.energy.polar) - u_x))
+        st = metropolis.initialize(st, params, cfg, thermo_)
+    return (np.asarray(ns), np.asarray(us), np.asarray(accs),
+            max_mu_drift_debye, max_u_drift_k)
+
+
+def test_dipole_mode_gcmc_observable_parity():
+    """Sampling accuracy of the reference-parity stopping rule (r3
+    verdict item 1a): polar GCMC under ``polar_precision_mode dipole``
+    @1e-3 Debye (the bench's ref_stopping_rule operating point) vs the
+    residual-1e-6 default — <N>, <U_pol>, and the insert/delete
+    acceptance rate agree within blocked error bars, and the carried
+    warm-start dipoles / polar energy never drift from an
+    exactly-converged solve by more than the stopping rule's own scale
+    (so the loose rule's bias is bounded, not just statistically
+    invisible)."""
+    import dataclasses
+
+    from mpmc_tpu.models import systems
+
+    params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=12, polarization=True,
+        dtype="float64")
+    cfg = dataclasses.replace(cfg, use_pallas=False, polar_delayed=True,
+                              polar_precision=1e-6)
+    cfg_dip = dataclasses.replace(cfg, polar_precision_mode="dipole",
+                                  polar_precision=1e-3)
+    tight = dataclasses.replace(cfg, polar_precision=1e-10)
+
+    n_blocks, block, burn = 14, 150, 2
+    n_r, u_r, a_r, _, _ = _polar_gcmc_chain_stats(
+        cfg, state, params, thermo_, n_blocks, block)
+    n_d, u_d, a_d, mu_drift, u_drift = _polar_gcmc_chain_stats(
+        cfg_dip, state, params, thermo_, n_blocks, block,
+        drift_cfg=tight)
+
+    def close(x, y, abs_floor):
+        mx, my = x[burn:].mean(), y[burn:].mean()
+        ex = x[burn:].std(ddof=1) / np.sqrt(len(x) - burn)
+        ey = y[burn:].std(ddof=1) / np.sqrt(len(y) - burn)
+        assert abs(mx - my) < max(5.0 * float(np.hypot(ex, ey)),
+                                  abs_floor), (mx, my, ex, ey)
+
+    close(n_r, n_d, 0.5)
+    close(u_r, u_d, 0.05 * max(abs(u_r.mean()), 1e-3))
+    close(a_r, a_d, 0.05)
+    # drift bounds: the rule stops on 1e-3 D RMS *change per CG
+    # update*; the accumulated absolute error must stay the same order
+    # (a few multiples), and the energy bias far below kT = 77 K so the
+    # acceptance-probability error exp(-dU_err/T) is ~1.
+    assert mu_drift < 5e-3, mu_drift
+    assert u_drift < 1.0, u_drift
+
+
+def test_dipole_mode_drift_bounded_larger_system():
+    """The RMS-dilution concern at scale (r3 verdict item 1a): the
+    dipole-change rule averages over ALL polarizable sites, so on a
+    large framework a local move's pending update can fall below the
+    1e-3 D RMS gate while the local dipoles are individually
+    unconverged.  On a ~1k-framework system (sqrt(N) dilution ~6x the
+    small test), a GCMC chain's carried dipoles and polar energy must
+    stay within the same bounds vs exactly-converged solves at the
+    same configurations."""
+    import dataclasses
+
+    from mpmc_tpu.models import systems
+
+    params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+        n_side=10, n_h2=24, capacity=48, polarization=True,
+        dtype="float64", corrtime=100)
+    cfg = dataclasses.replace(cfg, use_pallas=False, polar_delayed=True,
+                              polar_precision_mode="dipole",
+                              polar_precision=1e-3)
+    tight = dataclasses.replace(cfg, polar_precision_mode="residual",
+                                polar_precision=1e-10)
+    _, _, _, mu_drift, u_drift = _polar_gcmc_chain_stats(
+        cfg, state, params, thermo_, n_blocks=4, block=100,
+        drift_cfg=tight)
+    assert mu_drift < 5e-3, mu_drift
+    # kT = 77 K; bias in the carried energy stays orders below it
+    assert u_drift < 1.0, u_drift
