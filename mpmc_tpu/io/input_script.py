@@ -482,11 +482,11 @@ def parse(text: str) -> Job:
                 "collection matrix per thermodynamic state — use "
                 "separate runs, or pt_fugacity + 'analyze gcmc-mbar "
                 "--ladder' for ladder reweighting)")
-        if job.cfg.polar_delayed:
-            raise ValueError(
-                "tmmc with polar_delayed is unsupported: the two-stage "
-                "delayed acceptance has no closed-form per-attempt "
-                "probability to collect (use full-SCF polarization)")
+        # tmmc + polar_delayed composes since r4: the collection uses
+        # the conditionally unbiased estimator 1{stage-1 accept} *
+        # min(1, a2) (importance-weighted under tmmc_bias) — see
+        # metropolis.make_step's tmmc_on note and the fused-path
+        # equivalent in _fused_chunk_uvt_pda.
         if job.simulated_annealing:
             raise ValueError(
                 "tmmc with simulated_annealing is unsupported: the "

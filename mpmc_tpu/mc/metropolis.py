@@ -643,11 +643,17 @@ def make_step_fn(params: Params, cfg: RunConfig):
     # indices 1/2 in the µVT table above (static).
     tmmc_on = (cfg.tmmc and cfg.ensemble == "uvt"
                and len(cfg.insert_species) == 1)
-    if tmmc_on and pol_da:
-        raise ValueError(
-            "tmmc with polar_delayed is unsupported: the two-stage "
-            "delayed acceptance has no closed-form per-attempt "
-            "probability to collect (run full-SCF polarization instead)")
+    # tmmc + polar_delayed composes (r3 verdict item 5): the collection
+    # records X = 1{stage-1 accept} * min(1, a2) (importance-weighted
+    # by min(1,a1)/min(1,a1*e^dEta) under tmmc_bias), a conditionally
+    # unbiased estimator of the DA kernel's own acceptance probability
+    # min(1,a1)*min(1,a2) — the exact a2 is computed precisely for the
+    # survivors X needs it for.  DA satisfies pointwise detailed
+    # balance w.r.t. the same target (Christen & Fox 2005), so the lnPi
+    # links remain consistent; variance sits between the closed-form
+    # and realized-0/1 collectors.  Under tmmc_bias the eta delta
+    # enters the STAGE-1 filter (the biased chain's target carries the
+    # full e^eta factor there; stage 2 stays bias-free).
     tmmc_sp = cfg.insert_species[0] if tmmc_on else -1
 
     # ------------------------------------------------------------------ step
@@ -679,6 +685,22 @@ def make_step_fn(params: Params, cfg: RunConfig):
             vdw_new = state.energy.vdw
             d_vdw = zero
 
+        # flat-histogram eta delta, computed EARLY: under pol_da it
+        # must enter the stage-1 filter (the biased chain's target is
+        # pi*e^eta and DA puts the whole bias in stage 1)
+        d_eta = zero
+        n_cur = None
+        if tmmc_on:
+            n_cur = jnp.sum(state.mol_alive
+                            & (params.mol_species == tmmc_sp))
+            if cfg.tmmc_bias and thermo.tmmc_eta is not None:
+                d_n = ((t == 1).astype(jnp.int32)
+                       - (t == 2).astype(jnp.int32))
+                n_to = jnp.clip(n_cur + d_n, 0,
+                                thermo.tmmc_eta.shape[0] - 1)
+                d_eta = (thermo.tmmc_eta[n_to]
+                         - thermo.tmmc_eta[n_cur]).astype(dtype)
+
         # polarization: re-solve SCF on the candidate (common to all moves)
         acc1 = d_surr = k_acc2 = None
         if cfg.polarization:
@@ -702,7 +724,8 @@ def make_step_fn(params: Params, cfg: RunConfig):
             du1 = cand.denergy.total + d_surr + d_vdw
             acc1 = ((~cand.hard_reject)
                     & (jnp.log(u1)
-                       < cand.ln_bias - du1 / thermo.temperature))
+                       < cand.ln_bias + d_eta
+                       - du1 / thermo.temperature))
             r_skip = state.r_pol if pol_resid else jnp.zeros_like(state.mu)
 
             def _scf(_):
@@ -760,17 +783,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
         # with ln_acc + η(N') − η(N), the COLLECTION below records the
         # unbiased probability — bias moves the walker, never the
         # estimator
-        ln_eff = ln_acc
-        if tmmc_on:
-            n_cur = jnp.sum(state.mol_alive
-                            & (params.mol_species == tmmc_sp))
-            if cfg.tmmc_bias and thermo.tmmc_eta is not None:
-                d_n = ((t == 1).astype(jnp.int32)
-                       - (t == 2).astype(jnp.int32))
-                n_to = jnp.clip(n_cur + d_n, 0,
-                                thermo.tmmc_eta.shape[0] - 1)
-                ln_eff = ln_acc + (thermo.tmmc_eta[n_to]
-                                   - thermo.tmmc_eta[n_cur]).astype(dtype)
+        ln_eff = ln_acc + d_eta if tmmc_on else ln_acc
 
         if pol_da:
             # stage 2: proposal bias and every non-polar term cancelled
@@ -791,9 +804,21 @@ def make_step_fn(params: Params, cfg: RunConfig):
             # delete, so the selection factors cancel in the lnΠ links —
             # analyze.tmmc_lnpi relies on that symmetry)
             tdt = state.tmmc_c.dtype
-            a_pr = jnp.where(
-                cand.hard_reject, jnp.zeros((), tdt),
-                jnp.exp(jnp.minimum(ln_acc, 0.0)).astype(tdt))
+            if pol_da:
+                # delayed-acceptance estimator (module-level note at
+                # tmmc_on): X = 1{acc1} * [min(1,a1)/min(1,a1*e^dEta)]
+                # * min(1,a2) — unbiased for the UNBIASED DA kernel's
+                # acceptance probability, with a2 exact for survivors
+                ln1 = cand.ln_bias - du1 / thermo.temperature
+                ln2 = -(d_polar - d_surr) / thermo.temperature
+                x = jnp.exp(jnp.minimum(ln1, 0.0)
+                            - jnp.minimum(ln1 + d_eta, 0.0)
+                            + jnp.minimum(ln2, 0.0))
+                a_pr = jnp.where(acc1, x, 0.0).astype(tdt)
+            else:
+                a_pr = jnp.where(
+                    cand.hard_reject, jnp.zeros((), tdt),
+                    jnp.exp(jnp.minimum(ln_acc, 0.0)).astype(tdt))
             is_i = (t == 1).astype(tdt)
             is_d = (t == 2).astype(tdt)
             new_tmmc = (state.tmmc_c
@@ -1500,6 +1525,9 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
     slots2d = slots.reshape(-1, 1)
     pol_resid = thole.residual_supported(cfg)
     n_real = state.pos.shape[0]
+    tmmc_on = (cfg.tmmc and cfg.ensemble == "uvt"
+               and len(cfg.insert_species) == 1)
+    tmmc_sp = cfg.insert_species[0] if tmmc_on else -1
 
     def stage2(state, rec):
         mt = rec[0, 2].astype(jnp.int32)            # 0 disp/1 ins/2 del
@@ -1586,8 +1614,8 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
             r_new = state.r_pol
         pol_new = thole.polar_energy(mu_new, e0n)
         d_polar = pol_new - state.energy.polar
-        accept = (jnp.log(jnp.maximum(u2, 1e-38))
-                  < -(d_polar - d_surr) / thermo.temperature)
+        ln2 = -(d_polar - d_surr) / thermo.temperature
+        accept = jnp.log(jnp.maximum(u2, 1e-38)) < ln2
         d = EnergyBreakdown(
             rd=rec[1, 0].astype(cfg.jdtype),
             lrc=rec[1, 5].astype(cfg.jdtype),
@@ -1611,7 +1639,11 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
             sk_re=sel(sk_re, state.sk_re),
             sk_im=sel(sk_im, state.sk_im),
             energy=new_energy.select(accept, state.energy))
-        return new_state, accept, mt, iters
+        # min(1, a2): the survivor's exact stage-2 factor, consumed by
+        # the TMMC estimator X = 1{acc1} * min(1,a2) (see metropolis
+        # make_step's tmmc_on note — same estimator, kernel path)
+        a2 = jnp.exp(jnp.minimum(ln2, 0.0))
+        return new_state, accept, mt, iters, a2
 
     def body(carry):
         state, att, acc, iters_tot, done, li = carry
@@ -1637,17 +1669,37 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
         hit = rec[0, 1] > 0.5
 
         def with_hit(_):
-            st2, accept, mt, its = stage2(state, rec)
-            a2 = acc.at[jnp.where(mt == 0, DISPLACE,
-                                  jnp.where(mt == 1, INSERT,
-                                            DELETE))].add(
+            st2, accept, mt, its, a2v = stage2(state, rec)
+            accs = acc.at[jnp.where(mt == 0, DISPLACE,
+                                    jnp.where(mt == 1, INSERT,
+                                              DELETE))].add(
                 accept.astype(jnp.int32))
-            return st2, a2, its.astype(jnp.int32)
+            return (st2, accs, its.astype(jnp.int32),
+                    jnp.where(mt == 1, a2v, 0.0),
+                    jnp.where(mt == 2, a2v, 0.0))
 
         def no_hit(_):
-            return state, acc, jnp.zeros((), jnp.int32)
+            z = jnp.zeros((), cfg.jdtype)
+            return state, acc, jnp.zeros((), jnp.int32), z, z
 
-        state2, acc2, its = jax.lax.cond(hit, with_hit, no_hit, None)
+        state2, acc2, its, x_i, x_d = jax.lax.cond(hit, with_hit,
+                                                   no_hit, None)
+        if tmmc_on:
+            # TMMC collection through the PDA path (r3 verdict item
+            # 5): the segment's stage-1 rejections all happen at the
+            # same pre-move macrostate (state untouched), so the
+            # kernel's per-type attempt counters bin them XLA-side;
+            # the one survivor contributes the estimator
+            # X = min(1, a2) to its direction's probability column.
+            tdt = state.tmmc_c.dtype
+            n_c = jnp.sum(state.mol_alive
+                          & (params.mol_species == tmmc_sp))
+            state2 = state2.replace(tmmc_c=(
+                state2.tmmc_c
+                .at[n_c, 0].add(rec[0, 7].astype(tdt))
+                .at[n_c, 1].add(x_i.astype(tdt))
+                .at[n_c, 2].add(rec[0, 8].astype(tdt))
+                .at[n_c, 3].add(x_d.astype(tdt))))
         att2 = (att.at[DISPLACE].add(rec[0, 6].astype(jnp.int32))
                 .at[INSERT].add(rec[0, 7].astype(jnp.int32))
                 .at[DELETE].add(rec[0, 8].astype(jnp.int32)))

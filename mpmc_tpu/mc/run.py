@@ -1484,6 +1484,16 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
         if use_fused_pda:
             print("fused_mc: polar delayed-acceptance stage-1 kernel "
                   "(exact SCF stage 2 per survivor)", file=writer.log)
+        elif cfg.polarization and cfg.polar_delayed:
+            # r3 verdict item 5: a refusal must state the fallback cost
+            print("WARNING: polar_delayed requested but the fused "
+                  "stage-1 kernel refuses this combination (it needs "
+                  "the direct damped field + CG solver and no "
+                  "spinflip/tmmc_bias/cdvdw) — the scan-path delayed "
+                  "acceptance runs instead (measured on the 10.8k "
+                  "polar bench: ~0.7k steps/s scan-DA vs ~1.4-1.8k "
+                  "fused-PDA; full-SCF scan is ~0.12k)",
+                  file=writer.log)
         elif not (use_fused or use_fused_uvt or use_fused_npt):
             print("WARNING: fused_mc requested but unsupported for this "
                   "configuration (needs rigid <=8-site NVT/NVE / "

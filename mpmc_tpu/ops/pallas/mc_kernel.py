@@ -2583,15 +2583,20 @@ def supported_uvt_polar_da(cfg, params) -> bool:
     (pda_effective_cfg) — with polarization + polar_delayed on the
     DIRECT damped static field (thole.field_delta_supported), CG solver
     (warm-startable stage 2), cavity bias supported (same open-cell
-    plane as _kernel_uvt), no spinflip / TMMC (not carried by the
-    propose-and-filter kernel), f32."""
+    plane as _kernel_uvt).  TMMC COLLECTION composes (r3 verdict item
+    5): the driver bins the segment's stage-1 rejections from the
+    kernel's per-type attempt counters and adds the survivor's exact
+    min(1,a2) estimator (_fused_chunk_uvt_pda) — no kernel planes
+    needed.  Refused: spinflip, cdvdw, and tmmc_BIAS (the eta delta
+    would have to enter the in-kernel stage-1 coin; the scan path
+    carries that composition instead), f32."""
     import dataclasses as _dc
     if not (cfg.polarization and cfg.polar_delayed
             and cfg.polar_solver == "cg"
             and cfg.polar_damp_type in ("exponential", "linear", "none")
             and not cfg.polar_ewald and not cfg.polar_wolf
             and not cfg.quantum_rotation
-            and not cfg.tmmc and not cfg.cdvdw):
+            and not cfg.tmmc_bias and not cfg.cdvdw):
         return False
     cfg_eff = pda_effective_cfg(cfg, params)
     if cfg_eff is None:
