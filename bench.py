@@ -447,14 +447,20 @@ def bench_polar_gcmc():
 
 
 def bench_polar_ref_rule():
-    """First-class metric (r3 verdict item 1b): the fused polar DA path
-    under the REFERENCE's OWN convergence rule (per-iteration RMS
-    dipole change, ``polar_precision_mode dipole`` at its typical
-    production 1e-3 Debye; docs/options.md).  The headline polar metric
-    keeps OUR stricter residual-1e-6 default; this row is the
-    apples-to-apples number at reference-parity convergence semantics.
-    Its sampling accuracy vs the residual path is validated by
-    tests/test_thole.py::test_dipole_mode_gcmc_observable_parity."""
+    """First-class metric (r3 verdict items 1b/1c): the fused polar DA
+    path under the REFERENCE's convergence rule (per-iteration RMS
+    dipole change, ``polar_precision_mode dipole``) at the
+    ACCURACY-VALIDATED tolerance 3e-4 Debye.  The r4 drift measurement
+    (MEASURE_DIPOLE_TOL.json; tests/test_thole.py dipole-mode tests)
+    found the reference's typical production 1e-3 setting biases the
+    carried polar energy by ~5.5 K on a 1k-site system (RMS dilution:
+    the rule averages a local update over all sites), while 3e-4
+    bounds the drift at 0.063 K << kT — so 3e-4 is the tightest-speed
+    point whose sampling accuracy is demonstrated, and the headline of
+    this row.  The reference-typical 1e-3 speed is reported alongside
+    as a labeled field (speed-only; accuracy caveat quantified in
+    docs/performance.md).  The main polar metric keeps OUR stricter
+    residual-1e-6 default."""
     import dataclasses
 
     import numpy as np
@@ -466,28 +472,34 @@ def bench_polar_ref_rule():
     params, state, cfg, thermo = systems.mof_h2_gcmc(
         n_side=21, spacing=4.0, n_h2=256, capacity=512,
         polarization=True)
-    cfg = dataclasses.replace(cfg, polar_delayed=True, fused_mc=True,
-                              polar_precision_mode="dipole",
-                              polar_precision=1e-3)
-    assert mc_kernel.supported_uvt_polar_da(cfg, params)
-    K = 512
-    st = metropolis.initialize(state, params, cfg, thermo)
-    st, _ = metropolis.run_chunk_fused_uvt_polar_da(st, params, cfg,
-                                                    thermo, K)
-    np.asarray(st.energy.rd)
-    t0 = time.perf_counter()
-    n = 0
-    for _ in range(3):
-        st, stats = metropolis.run_chunk_fused_uvt_polar_da(
-            st, params, cfg, thermo, K)
-        n += int(np.asarray(stats.attempts).sum())
-    np.asarray(st.energy.rd)
-    sps = n / (time.perf_counter() - t0)
+
+    def speed(tol):
+        c = dataclasses.replace(cfg, polar_delayed=True, fused_mc=True,
+                                polar_precision_mode="dipole",
+                                polar_precision=tol)
+        assert mc_kernel.supported_uvt_polar_da(c, params)
+        K = 512
+        st = metropolis.initialize(state, params, c, thermo)
+        st, _ = metropolis.run_chunk_fused_uvt_polar_da(st, params, c,
+                                                        thermo, K)
+        np.asarray(st.energy.rd)
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(3):
+            st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+                st, params, c, thermo, K)
+            n += int(np.asarray(stats.attempts).sum())
+        np.asarray(st.energy.rd)
+        return n / (time.perf_counter() - t0)
+
+    sps = speed(3e-4)
+    sps_1e3 = speed(1e-3)
     return {"metric":
             "mc_steps_per_sec_10k_mof_h2_polar_gcmc_ref_stopping_rule",
             "value": round(sps, 2), "unit": "steps/s",
             "vs_baseline": round(sps / BASELINES["polar_gcmc"], 2),
-            "method": "fused_pda_dipole_mode_1e-3_debye"}
+            "method": "fused_pda_dipole_mode_3e-4_debye_validated",
+            "ref_typical_1e-3_steps_per_s": round(sps_1e3, 2)}
 
 
 def bench_pt_round():

@@ -652,13 +652,16 @@ def test_dipole_mode_gcmc_observable_parity():
 
 def test_dipole_mode_drift_bounded_larger_system():
     """The RMS-dilution concern at scale (r3 verdict item 1a): the
-    dipole-change rule averages over ALL polarizable sites, so on a
-    large framework a local move's pending update can fall below the
-    1e-3 D RMS gate while the local dipoles are individually
-    unconverged.  On a ~1k-framework system (sqrt(N) dilution ~6x the
-    small test), a GCMC chain's carried dipoles and polar energy must
-    stay within the same bounds vs exactly-converged solves at the
-    same configurations."""
+    dipole-change rule averages a LOCAL move's pending update over ALL
+    polarizable sites, so on a large framework it can stop while the
+    local dipoles are individually unconverged — and the polar-energy
+    error sums First-order-coherently over sites.  Measured on this
+    ~1k-framework system (MEASURE_DIPOLE_TOL.json, r4): the
+    reference-typical 1e-3 Debye setting drifts U_pol by up to 5.5 K
+    (~7% acceptance distortion at 77 K), which is why the bench's
+    validated reference-rule operating point is 3e-4 Debye — asserted
+    here to bound at 0.063 K measured (0.5 K gate), with dipole drift
+    at the rule's own scale."""
     import dataclasses
 
     from mpmc_tpu.models import systems
@@ -668,12 +671,12 @@ def test_dipole_mode_drift_bounded_larger_system():
         dtype="float64", corrtime=100)
     cfg = dataclasses.replace(cfg, use_pallas=False, polar_delayed=True,
                               polar_precision_mode="dipole",
-                              polar_precision=1e-3)
+                              polar_precision=3e-4)
     tight = dataclasses.replace(cfg, polar_precision_mode="residual",
                                 polar_precision=1e-10)
     _, _, _, mu_drift, u_drift = _polar_gcmc_chain_stats(
         cfg, state, params, thermo_, n_blocks=4, block=100,
         drift_cfg=tight)
-    assert mu_drift < 5e-3, mu_drift
+    assert mu_drift < 1.5e-3, mu_drift
     # kT = 77 K; bias in the carried energy stays orders below it
-    assert u_drift < 1.0, u_drift
+    assert u_drift < 0.5, u_drift
