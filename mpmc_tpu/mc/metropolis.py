@@ -1528,8 +1528,9 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
     tmmc_on = (cfg.tmmc and cfg.ensemble == "uvt"
                and len(cfg.insert_species) == 1)
     tmmc_sp = cfg.insert_species[0] if tmmc_on else -1
+    sf = cfg.quantum_rotation       # in-kernel spinflip carve (r4)
 
-    def stage2(state, rec):
+    def stage2_full(state, rec):
         mt = rec[0, 2].astype(jnp.int32)            # 0 disp/1 ins/2 del
         slot_idx = rec[0, 3].astype(jnp.int32)
         u2 = rec[0, 5]
@@ -1643,7 +1644,28 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
         # the TMMC estimator X = 1{acc1} * min(1,a2) (see metropolis
         # make_step's tmmc_on note — same estimator, kernel path)
         a2 = jnp.exp(jnp.minimum(ln2, 0.0))
-        return new_state, accept, mt, iters, a2
+        return new_state, accept, mt, iters.astype(jnp.int32), a2
+
+    def stage2(state, rec):
+        if not sf:
+            return stage2_full(state, rec)
+        mt = rec[0, 2].astype(jnp.int32)
+
+        def spin_path(_):
+            # a spinflip survivor: stage 1 already ran the FULL
+            # b_spinflip acceptance in-kernel (du := d_f); no geometry
+            # changed, so d_polar == d_surr == 0 and stage 2 accepts —
+            # apply the flip to the rotor's spin row only
+            slot_idx = rec[0, 3].astype(jnp.int32)
+            mol = slots2d[slot_idx][0]
+            s_cur = state.spin[mol]
+            st2 = state.replace(
+                spin=state.spin.at[mol].set(1 - s_cur))
+            return (st2, jnp.ones((), bool), mt,
+                    jnp.zeros((), jnp.int32), jnp.ones((), cfg.jdtype))
+
+        return jax.lax.cond(mt == 3, spin_path,
+                            lambda _: stage2_full(state, rec), None)
 
     def body(carry):
         state, att, acc, iters_tot, done, li = carry
@@ -1664,15 +1686,23 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
             cav_open=(state.cavity_open if cfg.cavity_bias else None),
             mol_mass_atom=_fh_mol_mass_atom(params, cfg),
             c6=params.c6, c8=params.c8, c10=params.c10,
-            gwp_alpha=params.gwp_alpha)
+            gwp_alpha=params.gwp_alpha,
+            # slot-order rot tables re-gathered per segment: accepted
+            # flips update state.spin in stage 2
+            rot_f=(state.rot_f[slots].astype(jnp.float32) if sf
+                   else None),
+            spin=(state.spin.reshape(-1, 1)[slots][:, 0] if sf
+                  else None),
+            p_spin=(thermo.spinflip_probability if sf else 0.0))
         n_done = rec[0, 0]
         hit = rec[0, 1] > 0.5
 
         def with_hit(_):
             st2, accept, mt, its, a2v = stage2(state, rec)
-            accs = acc.at[jnp.where(mt == 0, DISPLACE,
-                                    jnp.where(mt == 1, INSERT,
-                                              DELETE))].add(
+            accs = acc.at[jnp.where(
+                mt == 0, DISPLACE,
+                jnp.where(mt == 1, INSERT,
+                          jnp.where(mt == 2, DELETE, SPINFLIP)))].add(
                 accept.astype(jnp.int32))
             return (st2, accs, its.astype(jnp.int32),
                     jnp.where(mt == 1, a2v, 0.0),
@@ -1702,7 +1732,8 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
                 .at[n_c, 3].add(x_d.astype(tdt))))
         att2 = (att.at[DISPLACE].add(rec[0, 6].astype(jnp.int32))
                 .at[INSERT].add(rec[0, 7].astype(jnp.int32))
-                .at[DELETE].add(rec[0, 8].astype(jnp.int32)))
+                .at[DELETE].add(rec[0, 8].astype(jnp.int32))
+                .at[SPINFLIP].add(rec[0, 11].astype(jnp.int32)))
         state2 = state2.replace(step=state2.step
                                 + n_done.astype(state2.step.dtype))
         return (state2, att2, acc2, iters_tot + its,

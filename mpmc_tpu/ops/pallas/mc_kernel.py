@@ -1983,6 +1983,7 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
     """
     ew = cfg.coulomb == "ewald"
     cb = cfg.cavity_bias
+    sf = cfg.quantum_rotation       # in-kernel spinflip carve (r4)
     S = len(A_list)
     A = max(A_list)
     uniform_A = len(set(A_list)) == 1
@@ -1994,6 +1995,7 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
     rotf = scal_ref[0, 5]
     p_half = scal_ref[0, 6]
     p_ins = scal_ref[0, 7]
+    p_spin = scal_ref[0, 8]         # P(spinflip) (0 when sf off)
     lam = scal_ref[0, 9]            # polar_damp
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
@@ -2047,13 +2049,19 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
     def chain_step(k, carry):
         (live, n_done, att, rec, rrows) = carry
         uk = k
-        # --- move pick (no spinflip/cavity on this surface) -----------
+        # --- move pick (outer spinflip carve on lane 11, mirroring
+        # _kernel_uvt / make_branch_picker; cavity rides lane 10) ------
         u8 = u_ref[uk, 8]
-        is_ins = u8 < p_half
-        is_del = (u8 >= p_half) & (u8 < p_ins)
-        is_disp = u8 >= p_ins
+        if sf:
+            is_spin = u_ref[uk, 11] < p_spin
+        else:
+            is_spin = jnp.zeros((), bool)
+        is_ins = (u8 < p_half) & ~is_spin
+        is_del = (u8 >= p_half) & (u8 < p_ins) & ~is_spin
+        is_disp = (u8 >= p_ins) & ~is_spin
         fins = is_ins.astype(jnp.float32)
         fdel = is_del.astype(jnp.float32)
+        fspin = is_spin.astype(jnp.float32)
 
         tb_start = tbl_ref[pl.dslice(0, 1), pl.dslice(0, ms_pad)]
         spec_v = tbl_ref[pl.dslice(1, 1), pl.dslice(0, ms_pad)]
@@ -2096,13 +2104,23 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
             na_i = jnp.int32(A)
         else:
             sp_disp = jnp.sum(jnp.where(sel_slot, spec_v, 0.0))
-            spf = jnp.where(is_disp, sp_disp, suf)
+            spf = jnp.where(is_disp | is_spin, sp_disp, suf)
             na = sp_sel(spf, natoms_s)
             na_i = na.astype(jnp.int32)
         if uniform_A:
             valid = [True] * A
         else:
             valid = [jnp.asarray(a, jnp.int32) < na_i for a in range(A)]
+        if sf:
+            # picked rotor's cached free energies + spin state (tbl
+            # rows 4-6); d_f = F[1-s] - F[s] (b_spinflip semantics)
+            f_par_v = tbl_ref[pl.dslice(4, 1), pl.dslice(0, ms_pad)]
+            f_ort_v = tbl_ref[pl.dslice(5, 1), pl.dslice(0, ms_pad)]
+            spin_v = tbl_ref[pl.dslice(6, 1), pl.dslice(0, ms_pad)]
+            f_p = jnp.sum(jnp.where(sel_slot, f_par_v, 0.0))
+            f_o = jnp.sum(jnp.where(sel_slot, f_ort_v, 0.0))
+            s_cur = jnp.sum(jnp.where(sel_slot, spin_v, 0.0))
+            d_f = jnp.where(s_cur > 0.5, f_p - f_o, f_o - f_p)
 
         # --- slot window loads ---------------------------------------
         rw0 = pl.multiple_of(
@@ -2209,8 +2227,11 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
                                        for d in range(3))
                             for c in range(3)])
 
-        has_old = ~is_ins
-        has_new = ~is_del
+        # spinflip proposes no geometry change: both pair passes, the
+        # S(k) delta and every field/zodid tile mask out, so du and
+        # d_surr come out exactly 0 and du := d_f below
+        has_old = ~is_ins & ~is_spin
+        has_new = ~is_del & ~is_spin
         f_old = has_old.astype(jnp.float32)
         f_new = has_new.astype(jnp.float32)
 
@@ -2371,6 +2392,8 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
             dlrc = (fins * (c1 + cx_dot)
                     - fdel * (c1 + cx_dot - cx_self))
         du = drd + des + drec + dslf + dexc + dlrc
+        if sf:
+            du = jnp.where(is_spin, d_f, du)
         lnfv = sp_sel(spf, lnfv_s)
         lnb = (fins * (lnfv + jnp.log(beta)
                        - jnp.log(n_s + 1.0))
@@ -2390,7 +2413,7 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
         hit = lv & acc1
         hf = hit.astype(jnp.float32)
         kp = 1.0 - hf
-        mtype = fins + 2.0 * fdel
+        mtype = fins + 2.0 * fdel + 3.0 * fspin
         new_rec = [
             rec[0] * kp + hf * mtype,
             rec[1] * kp + hf * slot_idx,
@@ -2410,7 +2433,8 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
                       for c in range(3)] for a in range(A)]
         lvf = live
         att2 = (att[0] + lvf * is_disp.astype(jnp.float32),
-                att[1] + lvf * fins, att[2] + lvf * fdel)
+                att[1] + lvf * fins, att[2] + lvf * fdel,
+                att[3] + lvf * fspin)
         return (live * (1.0 - acc1.astype(jnp.float32)),
                 n_done + lvf, att2, new_rec, new_rrows)
 
@@ -2418,7 +2442,7 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
     rec0 = [z] * 13
     rrows0 = [[z, z, z] for _ in range(A)]
     live, n_done, att, rec, rrows = jax.lax.fori_loop(
-        0, n_steps, chain_step, (jnp.float32(1.0), z, (z, z, z),
+        0, n_steps, chain_step, (jnp.float32(1.0), z, (z, z, z, z),
                                  rec0, rrows0))
     rec_ref[0, 0] = n_done
     rec_ref[0, 1] = rec[12]
@@ -2438,7 +2462,8 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
             rec_ref[2 + c, a] = rrows[a][c]
         for a in range(A, 16):
             rec_ref[2 + c, a] = z
-    for i in range(11, 16):
+    rec_ref[0, 11] = att[3]         # spinflip attempts (sf only)
+    for i in range(12, 16):
         rec_ref[0, i] = z
     for i in range(6, 16):
         rec_ref[1, i] = z
@@ -2458,13 +2483,18 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
                       interpret=False, kvecs=None, kcoef=None,
                       sk_re=None, sk_im=None, cav_open=None,
                       mol_mass_atom=None,
-                      c6=None, c8=None, c10=None, gwp_alpha=None):
+                      c6=None, c8=None, c10=None, gwp_alpha=None,
+                      rot_f=None, spin=None, p_spin=0.0):
     """Stage-1 segment of the fused polar delayed acceptance: up to K
     propose-and-filter µVT steps from a FIXED state (kernel docstring).
     Returns the [8,16] record block (f32).  ``e0`` [N,3] is the cached
     static field, ``polar`` [N] the site polarizabilities; for
     cfg.cavity_bias pass ``cav_open`` ([G^3] bool open-cell mask,
-    frozen for the chunk)."""
+    frozen for the chunk).  For cfg.quantum_rotation pass ``rot_f``
+    [Ms,2]/``spin`` [Ms] in slot order + the scalar ``p_spin`` — the
+    lane-11 spinflip carve proposes a flip whose stage-1 test is the
+    full b_spinflip acceptance (du := d_f, d_surr = 0) and whose
+    stage-2 is trivially exact (no geometry change)."""
     f32 = jnp.float32
     S = len(A_list)
     A = max(A_list)
@@ -2497,10 +2527,15 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
         x = jnp.asarray(x).astype(f32)
         return jnp.pad(x, (0, ms_pad - x.shape[0]), constant_values=fill)
 
-    tbl = jnp.stack([padm(slot_start),
-                     padm(slot_species, fill=-1.0),
-                     padm(slot_alive.astype(f32)),
-                     padm(jnp.ones((ms,), f32))])
+    tbl_rows = [padm(slot_start),
+                padm(slot_species, fill=-1.0),
+                padm(slot_alive.astype(f32)),
+                padm(jnp.ones((ms,), f32))]
+    if cfg.quantum_rotation:
+        tbl_rows += [padm(jnp.asarray(rot_f[:, 0], f32)),
+                     padm(jnp.asarray(rot_f[:, 1], f32)),
+                     padm(jnp.asarray(spin, f32))]
+    tbl = jnp.stack(tbl_rows)
 
     box32 = jnp.asarray(box, f32)
     binv = jnp.linalg.inv(box32)
@@ -2509,6 +2544,7 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
     for i, v in enumerate((rc, alpha, beta, move_factor, thr2,
                            rot_factor, 0.5 * p_ins, p_ins)):
         scal = scal.at[0, i].set(jnp.asarray(v, f32))
+    scal = scal.at[0, 8].set(jnp.asarray(p_spin, f32))
     scal = scal.at[0, 9].set(jnp.asarray(polar_damp, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
@@ -2541,7 +2577,7 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g3_pad // 128, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, ms_pad), lambda _: (0, 0),
+            pl.BlockSpec((tbl.shape[0], ms_pad), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(((nq + 4) * R, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -2587,15 +2623,18 @@ def supported_uvt_polar_da(cfg, params) -> bool:
     5): the driver bins the segment's stage-1 rejections from the
     kernel's per-type attempt counters and adds the survivor's exact
     min(1,a2) estimator (_fused_chunk_uvt_pda) — no kernel planes
-    needed.  Refused: spinflip, cdvdw, and tmmc_BIAS (the eta delta
-    would have to enter the in-kernel stage-1 coin; the scan path
-    carries that composition instead), f32."""
+    needed.  Spinflip composes too (r4): the lane-11 carve's stage-1
+    test IS the full b_spinflip acceptance (no geometry change, so
+    d_surr = 0 exactly and stage 2 is trivial); structural rotor
+    conditions delegate to supported_uvt.  Refused: cdvdw and
+    tmmc_BIAS (the eta delta would have to enter the in-kernel
+    stage-1 coin; the scan path carries that composition instead),
+    f32."""
     import dataclasses as _dc
     if not (cfg.polarization and cfg.polar_delayed
             and cfg.polar_solver == "cg"
             and cfg.polar_damp_type in ("exponential", "linear", "none")
             and not cfg.polar_ewald and not cfg.polar_wolf
-            and not cfg.quantum_rotation
             and not cfg.tmmc_bias and not cfg.cdvdw):
         return False
     cfg_eff = pda_effective_cfg(cfg, params)

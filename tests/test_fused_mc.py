@@ -1999,8 +1999,15 @@ def test_pda_gate():
     # cavity bias IS carried (r3): same open-cell plane as _kernel_uvt
     assert mc_kernel.supported_uvt_polar_da(
         dataclasses.replace(cfg, cavity_bias=True), params)
-    assert not mc_kernel.supported_uvt_polar_da(
+    # spinflip composes since r4 (lane-11 carve; stage 2 trivial)
+    assert mc_kernel.supported_uvt_polar_da(
         dataclasses.replace(cfg, quantum_rotation=True), params)
+    # tmmc COLLECTION composes (r4); tmmc_bias still refuses (eta
+    # would have to enter the in-kernel stage-1 coin)
+    assert mc_kernel.supported_uvt_polar_da(
+        dataclasses.replace(cfg, tmmc=True), params)
+    assert not mc_kernel.supported_uvt_polar_da(
+        dataclasses.replace(cfg, tmmc=True, tmmc_bias=True), params)
 
 
 def test_pda_bookkeeping_matches_full_recompute():
