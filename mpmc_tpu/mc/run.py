@@ -1489,7 +1489,7 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             print("WARNING: polar_delayed requested but the fused "
                   "stage-1 kernel refuses this combination (it needs "
                   "the direct damped field + CG solver and no "
-                  "spinflip/tmmc_bias/cdvdw) — the scan-path delayed "
+                  "tmmc_bias/cdvdw) — the scan-path delayed "
                   "acceptance runs instead (measured on the 10.8k "
                   "polar bench: ~0.7k steps/s scan-DA vs ~1.4-1.8k "
                   "fused-PDA; full-SCF scan is ~0.12k)",

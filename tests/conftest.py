@@ -36,7 +36,8 @@ import pytest  # noqa: E402
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     yield
-    jax.clear_caches()
+    if os.environ.get("MPMC_NO_CACHE_CLEAR") != "1":
+        jax.clear_caches()
 
 
 # r3: the bound above stopped sufficing once test_fused_mc grew past ~75
@@ -49,12 +50,17 @@ def _clear_jax_caches_between_modules():
 _CLEAR_EVERY = 40
 _counter = {"n": 0}
 
+# r4 escape hatch for the segfault repro harness (docs/segfault.md):
+# MPMC_NO_CACHE_CLEAR=1 disables BOTH cache-clear bounds so the
+# original crash conditions can be reproduced deliberately.
+_NO_CLEAR = os.environ.get("MPMC_NO_CACHE_CLEAR") == "1"
+
 
 @pytest.fixture(autouse=True)
 def _clear_jax_caches_periodically():
     yield
     _counter["n"] += 1
-    if _counter["n"] % _CLEAR_EVERY == 0:
+    if not _NO_CLEAR and _counter["n"] % _CLEAR_EVERY == 0:
         jax.clear_caches()
 
 

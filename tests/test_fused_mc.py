@@ -2176,3 +2176,94 @@ def test_pda_cavity_bias_bookkeeping_and_open_cells():
             ijk = np.minimum((frac * g).astype(int), g - 1)
             cell = ijk[0] * g * g + ijk[1] * g + ijk[2]
             assert open_mask[cell], (m, cell)
+
+
+def _h2_qrot_polar_pda(dF=50.0, p_spin=1.0, spin0=0):
+    """Polarizable GCMC MOF+H2 with quantum_rotation + polar_delayed:
+    the r4 PDA x spinflip composition harness (hand-set slot-order
+    rot_f so the test controls d_f directly, as _h2_qrot_uvt)."""
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=12, ewald_kmax=3, polarization=True)
+    cfg = dataclasses.replace(cfg, fused_mc=True, quantum_rotation=True,
+                              polar_delayed=True)
+    thermo = thermo.replace(
+        spinflip_probability=jnp.asarray(p_spin, jnp.float32))
+    state = metropolis.initialize(state, params, cfg, thermo)
+    M = params.mol_species.shape[0]
+    rot_f = np.zeros((M, 2), np.float32)
+    rot_f[:, 1] = dF
+    state = state.replace(rot_f=jnp.asarray(rot_f),
+                          spin=jnp.full((M,), spin0, jnp.int32))
+    return params, state, cfg, thermo
+
+
+def test_pda_spinflip_pure_flip_chunk():
+    """p_spin = 1 through the PDA kernel: every attempt is a spinflip
+    survivor-or-reject; positions, aliveness, S(k), dipoles and every
+    energy term must be BIT-identical (no geometry moved), only spins
+    and SPINFLIP stats change."""
+    params, state, cfg, thermo = _h2_qrot_polar_pda(dF=50.0, p_spin=1.0)
+    assert mc_kernel.supported_uvt_polar_da(cfg, params)
+    st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+        state, params, cfg, thermo, 200)
+    np.testing.assert_array_equal(np.asarray(st.pos),
+                                  np.asarray(state.pos))
+    np.testing.assert_array_equal(np.asarray(st.mol_alive),
+                                  np.asarray(state.mol_alive))
+    np.testing.assert_array_equal(np.asarray(st.sk_re),
+                                  np.asarray(state.sk_re))
+    np.testing.assert_array_equal(np.asarray(st.mu),
+                                  np.asarray(state.mu))
+    assert float(st.energy.total) == float(state.energy.total)
+    att = np.asarray(stats.attempts)
+    acc = np.asarray(stats.accepts)
+    assert att[metropolis.SPINFLIP] >= 200
+    assert (att[metropolis.DISPLACE] == att[metropolis.INSERT]
+            == att[metropolis.DELETE] == 0)
+    assert 0 < acc[metropolis.SPINFLIP] <= att[metropolis.SPINFLIP]
+    assert int(np.asarray(st.spin).sum()) != int(
+        np.asarray(state.spin).sum())
+
+
+def test_pda_spinflip_one_way_at_large_dF():
+    """dF = 800 K >> T = 77 K: starting all-ortho, every ortho->para
+    flip accepts (d_f = -dF) and back-flips are ~exp(-dF/T) ~ 3e-5 —
+    the chain must end with every ALIVE rotor para (deterministic up
+    to ~1e-2 tail), exercising both the accept and reject spin paths
+    in the PDA kernel's stage-1 coin."""
+    params, state, cfg, thermo = _h2_qrot_polar_pda(dF=800.0,
+                                                    p_spin=1.0, spin0=1)
+    assert mc_kernel.supported_uvt_polar_da(cfg, params)
+    st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+        state, params, cfg, thermo, 300)
+    alive = np.asarray(st.mol_alive)
+    spins = np.asarray(st.spin)
+    mov = ~np.asarray(params.mol_frozen) & (
+        np.asarray(params.mol_species) >= 0)
+    assert (spins[alive & mov] == 0).all()
+    acc = np.asarray(stats.accepts)
+    att = np.asarray(stats.attempts)
+    # exactly one accepted flip per initially-ortho alive rotor (plus
+    # ~0 back-flips at 3e-5 each)
+    assert acc[metropolis.SPINFLIP] == (alive & mov).sum()
+    assert att[metropolis.SPINFLIP] > acc[metropolis.SPINFLIP]
+
+
+def test_pda_spinflip_mixed_bookkeeping():
+    """Mixed displace/insert/delete/spinflip polar-DA chain: carried
+    energies (incl. the SCF polar term) must re-ground to a fresh
+    initialize, attempts partition the chunk, and both exchanges and
+    flips really happened."""
+    params, state, cfg, thermo = _h2_qrot_polar_pda(dF=30.0, p_spin=0.3)
+    assert mc_kernel.supported_uvt_polar_da(cfg, params)
+    st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+        state, params, cfg, thermo, 300)
+    att = np.asarray(stats.attempts)
+    assert att[metropolis.SPINFLIP] > 0
+    assert att[metropolis.INSERT] + att[metropolis.DELETE] > 0
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    assert float(st.energy.polar) == pytest.approx(
+        float(fresh.energy.polar), rel=2e-4, abs=5e-2)
+    for term in ("rd", "es_real", "lrc"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
