@@ -698,6 +698,20 @@ def main():
         headline.update(value=0.0, unit="steps/s",   # tunnel): keep the
                         vs_baseline=0.0)             # one-line contract
     results.append(headline)
+    # MFU/roofline accounting for the hot kernels (r3 verdict item 4):
+    # measured by tools/measure_roofline.py (microbenchmarked practical
+    # peaks + documented flops models); embedded here so every
+    # BENCH_FULL carries the utilization numbers alongside the speeds
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(
+                __file__)), "MEASURE_ROOFLINE.json")) as f:
+            roof = json.load(f)
+        results.append({"metric": "kernel_roofline_pct_peak",
+                        "peaks": {k: roof[k] for k in roof
+                                  if k != "kernels"},
+                        "kernels": roof.get("kernels", {})})
+    except Exception:
+        pass
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
         json.dump(results, f, indent=1)
