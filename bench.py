@@ -450,17 +450,15 @@ def bench_polar_ref_rule():
     """First-class metric (r3 verdict items 1b/1c): the fused polar DA
     path under the REFERENCE's convergence rule (per-iteration RMS
     dipole change, ``polar_precision_mode dipole``) at the
-    ACCURACY-VALIDATED tolerance 3e-4 Debye.  The r4 drift measurement
-    (MEASURE_DIPOLE_TOL.json; tests/test_thole.py dipole-mode tests)
-    found the reference's typical production 1e-3 setting biases the
-    carried polar energy by ~5.5 K on a 1k-site system (RMS dilution:
-    the rule averages a local update over all sites), while 3e-4
-    bounds the drift at 0.063 K << kT — so 3e-4 is the tightest-speed
-    point whose sampling accuracy is demonstrated, and the headline of
-    this row.  The reference-typical 1e-3 speed is reported alongside
-    as a labeled field (speed-only; accuracy caveat quantified in
-    docs/performance.md).  The main polar metric keeps OUR stricter
-    residual-1e-6 default."""
+    BENCH-SIZE-VALIDATED tolerance 1e-4 Debye.  The r4 drift
+    calibration at three system sizes (MEASURE_DIPOLE_TOL*.json;
+    docs/performance.md r4) showed the rule is size-INCONSISTENT: on
+    this 10.8k-site system the reference-typical 1e-3 setting biases
+    the carried U_pol by 198.7 K (~2.6 kT) and 3e-4 by 14.1 K, while
+    1e-4 matches the residual-1e-6 fixed point (drift 0.0018 K).  The
+    looser points' speeds are reported as labeled fields with their
+    measured drifts — speed purchased with size-growing energy bias,
+    not claimed as validated performance."""
     import dataclasses
 
     import numpy as np
@@ -492,14 +490,17 @@ def bench_polar_ref_rule():
         np.asarray(st.energy.rd)
         return n / (time.perf_counter() - t0)
 
-    sps = speed(3e-4)
-    sps_1e3 = speed(1e-3)
+    sps = speed(1e-4)
     return {"metric":
             "mc_steps_per_sec_10k_mof_h2_polar_gcmc_ref_stopping_rule",
             "value": round(sps, 2), "unit": "steps/s",
             "vs_baseline": round(sps / BASELINES["polar_gcmc"], 2),
-            "method": "fused_pda_dipole_mode_3e-4_debye_validated",
-            "ref_typical_1e-3_steps_per_s": round(sps_1e3, 2)}
+            "method": "fused_pda_dipole_mode_1e-4_debye_validated",
+            "speed_only_unvalidated": {
+                "dipole_3e-4_steps_per_s": round(speed(3e-4), 2),
+                "dipole_3e-4_u_pol_drift_K_bench_size": 14.06,
+                "ref_typical_1e-3_steps_per_s": round(speed(1e-3), 2),
+                "ref_typical_1e-3_u_pol_drift_K_bench_size": 198.75}}
 
 
 def bench_pt_round():

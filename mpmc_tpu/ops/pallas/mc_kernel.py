@@ -2441,9 +2441,24 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
     z = jnp.zeros((), jnp.float32)
     rec0 = [z] * 13
     rrows0 = [[z, z, z] for _ in range(A)]
-    live, n_done, att, rec, rrows = jax.lax.fori_loop(
-        0, n_steps, chain_step, (jnp.float32(1.0), z, (z, z, z, z),
-                                 rec0, rrows0))
+    # early exit at the freeze (r4): post-survivor steps propose and
+    # count nothing but still burned full masked pair passes under
+    # fori_loop — a while_loop stops at the survivor instead.  Frozen
+    # steps consumed only their own uniform rows, so skipping them is
+    # bit-exact for the produced record.
+    def _cond(carry):
+        k, live, *_ = carry
+        return (k < n_steps) & (live > 0.5)
+
+    def _body(carry):
+        k, live, n_done, att, rec, rrows = carry
+        live, n_done, att, rec, rrows = chain_step(
+            k, (live, n_done, att, rec, rrows))
+        return (k + 1, live, n_done, att, rec, rrows)
+
+    _, live, n_done, att, rec, rrows = jax.lax.while_loop(
+        _cond, _body, (jnp.int32(0), jnp.float32(1.0), z, (z, z, z, z),
+                       rec0, rrows0))
     rec_ref[0, 0] = n_done
     rec_ref[0, 1] = rec[12]
     rec_ref[0, 2] = rec[0]

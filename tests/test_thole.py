@@ -658,10 +658,13 @@ def test_dipole_mode_drift_bounded_larger_system():
     error sums First-order-coherently over sites.  Measured on this
     ~1k-framework system (MEASURE_DIPOLE_TOL.json, r4): the
     reference-typical 1e-3 Debye setting drifts U_pol by up to 5.5 K
-    (~7% acceptance distortion at 77 K), which is why the bench's
-    validated reference-rule operating point is 3e-4 Debye — asserted
-    here to bound at 0.063 K measured (0.5 K gate), with dipole drift
-    at the rule's own scale."""
+    (~7% acceptance distortion at 77 K) — and at the 10.8k bench size
+    1e-3 drifts 198.7 K and 3e-4 drifts 14.1 K (size-inconsistent
+    rule; MEASURE_DIPOLE_TOL_BENCH.json), which is why the bench's
+    validated reference-rule point is 1e-4 Debye.  This regression
+    gate asserts the 1k-site calibration point: 3e-4 bounds at
+    0.063 K measured (0.5 K gate), with dipole drift at the rule's
+    own scale."""
     import dataclasses
 
     from mpmc_tpu.models import systems

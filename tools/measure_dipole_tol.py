@@ -42,9 +42,12 @@ def main():
             n_side=21, spacing=4.0, n_h2=256, capacity=512,
             polarization=True, dtype="float64", corrtime=40)
         blocks, blk = 2, 40
-        tols = (1e-3, 3e-4)
+        tols = ((1e-4,) if "--tol-1e-4" in sys.argv
+                else (1e-3, 3e-4))
         sysname = "mof_h2_gcmc n_side=21 (bench size, 9261 framework)"
-        fname = "MEASURE_DIPOLE_TOL_BENCH.json"
+        fname = ("MEASURE_DIPOLE_TOL_BENCH2.json"
+                 if "--tol-1e-4" in sys.argv
+                 else "MEASURE_DIPOLE_TOL_BENCH.json")
     else:
         params, state, cfg0, thermo_ = systems.mof_h2_gcmc(
             n_side=10, n_h2=24, capacity=48, polarization=True,

@@ -43,25 +43,28 @@ def _wall(fn, *args, reps=4):
 
 
 def measure_peaks(out):
-    """Practical chip peaks: f32 FMA, exp(), HBM stream."""
-    M = 8 * 1024 * 1024        # 32 MB f32 operand
+    """Practical chip peaks: f32 FMA, exp(), HBM stream, MXU bf16.
+
+    Tunnel discipline: every jitted prober returns a SCALAR (D2H of a
+    large array costs seconds over the axon tunnel and swamped the
+    k-differencing in the first version of this tool — the in-jit
+    reduction runs once per call in both k points, so it cancels in
+    the (w_hi - w_lo) difference)."""
+    M = 8 * 1024 * 1024        # 32 MB f32 operand (VMEM-resident loop)
 
     @partial(jax.jit, static_argnames=("k",))
     def fma_k(x, k):
         def body(i, a):
             return a * np.float32(1.0000001) + np.float32(1e-9)
-        return jax.lax.fori_loop(0, k, body, x)
+        return jnp.sum(jax.lax.fori_loop(0, k, body, x))
 
     @partial(jax.jit, static_argnames=("k",))
     def exp_k(x, k):
         def body(i, a):
             return jnp.exp(a * np.float32(1e-8))
-        return jax.lax.fori_loop(0, k, body, x)
+        return jnp.sum(jax.lax.fori_loop(0, k, body, x))
 
     x = jnp.ones((M,), jnp.float32)
-    w64, w192 = _wall(fma_k, x, 64), _wall(fma_k, x, 192)
-    flops = 2.0 * M * 128 / (w192 - w64)
-    out["vpu_fma_peak_tflops"] = round(flops / 1e12, 3)
     w8, w24 = _wall(exp_k, x, 8), _wall(exp_k, x, 24)
     out["vpu_exp_peak_gops"] = round(M * 16 / (w24 - w8) / 1e9, 2)
 
@@ -72,13 +75,13 @@ def measure_peaks(out):
     def stream_k(x, k):
         def body(i, a):
             return a * np.float32(0.9999999)
-        return jax.lax.fori_loop(0, k, body, x)
+        return jnp.sum(jax.lax.fori_loop(0, k, body, x))
 
     xb = jnp.ones((B,), jnp.float32)
     w2, w6 = _wall(stream_k, xb, 2), _wall(stream_k, xb, 6)
     out["hbm_stream_gbps"] = round(2.0 * 4.0 * B / (w6 - w2) / 1e9, 1)
 
-    # MXU anchor: bf16 matmul
+    # MXU anchor: bf16 matmul chain
     K = 8192
 
     @partial(jax.jit, static_argnames=("k",))
@@ -86,14 +89,27 @@ def measure_peaks(out):
         def body(i, acc):
             return jax.lax.dot(acc, b,
                                precision=jax.lax.Precision.DEFAULT)
-        return jax.lax.fori_loop(0, k, body, a)
+        return jnp.sum(jax.lax.fori_loop(0, k, body, a)
+                       .astype(jnp.float32))
 
     a = jnp.ones((K, K), jnp.bfloat16)
     w2m, w6m = _wall(mm_k, a, a, 2), _wall(mm_k, a, a, 6)
     out["mxu_bf16_peak_tflops"] = round(
         2.0 * K ** 3 * 4 / (w6m - w2m) / 1e12, 1)
-    for k in ("vpu_fma_peak_tflops", "vpu_exp_peak_gops",
-              "hbm_stream_gbps", "mxu_bf16_peak_tflops"):
+    # VPU f32 anchor: a direct FMA micro-probe is not measurable over
+    # the tunnel (elementwise loops are HBM/latency-bound at 32 MB and
+    # noise-bound at VMEM sizes), so derive it from the MEASURED MXU
+    # rate: clock = mxu_tflops / (4 MXUs x 128x128 x 2), VPU = 8x128
+    # lanes x 2 FMA flops x 2 issue x clock.  At the 197-TF spec this
+    # gives 3.6 TF; the anchor scales with the chip's real clock state.
+    clock_ghz = out["mxu_bf16_peak_tflops"] * 1e12 / (4 * 128 * 128
+                                                      * 2) / 1e9
+    out["vpu_f32_peak_tflops_derived"] = round(
+        8 * 128 * 2 * 2 * clock_ghz * 1e9 / 1e12, 2)
+    out["clock_ghz_from_mxu"] = round(clock_ghz, 2)
+    for k in ("vpu_exp_peak_gops", "hbm_stream_gbps",
+              "mxu_bf16_peak_tflops", "vpu_f32_peak_tflops_derived",
+              "clock_ghz_from_mxu"):
         print(json.dumps({k: out[k]}), flush=True)
 
 
@@ -120,7 +136,7 @@ def main():
         def body(i, m):
             return thole.dipole_matvec(state.pos, state.box, alive,
                                        params, cfg, m) * 0.999
-        return jax.lax.fori_loop(0, k, body, mu)
+        return jnp.sum(jax.lax.fori_loop(0, k, body, mu))
 
     w8, w24 = _wall(mv_k, state.mu, 8), _wall(mv_k, state.mu, 24)
     t_mv = (w24 - w8) / 16
@@ -132,39 +148,49 @@ def main():
         "model": "N_pad*N_pol pairs x 56 flop-equiv (45 raw)",
         "flop_equiv_tflops": round(fe / t_mv / 1e12, 3),
         "pct_vpu_peak": round(100 * fe / t_mv / 1e12
-                              / out["vpu_fma_peak_tflops"], 1),
+                              / out["vpu_f32_peak_tflops_derived"], 1),
         "raw_pct_vpu_peak": round(100 * raw / t_mv / 1e12
-                                  / out["vpu_fma_peak_tflops"], 1)}
+                                  / out["vpu_f32_peak_tflops_derived"], 1)}
 
     # ---- restricted Pallas pair pass (refresh) ----------------------
-    F = metropolis.frozen_refresh_rows(params, cfg)
-
-    @partial(jax.jit, static_argnames=("k",))
-    def refresh_k(st, k):
-        def body(i, s):
-            return metropolis.initialize.__wrapped__(
-                s, params, cfg, thermo, frozen_rows=F)
-        return jax.lax.fori_loop(0, k, body, st)
-
-    w2, w6 = _wall(refresh_k, state, 2), _wall(refresh_k, state, 6)
-    t_rf = (w6 - w2) / 4
-    n = state.pos.shape[0]
-    pairs = (n - F) * n
-    fe_r = pairs * 44.0
-    kernels["restricted_pair_refresh"] = {
-        "ms": round(t_rf * 1e3, 3), "rows": int(n - F),
-        "model": "(N-F)*N pairs x 44 flop-equiv (whole refresh "
-                 "program incl. recip + field, pair-pass dominated)",
-        "flop_equiv_tflops": round(fe_r / t_rf / 1e12, 3),
-        "pct_vpu_peak": round(100 * fe_r / t_rf / 1e12
-                              / out["vpu_fma_peak_tflops"], 1)}
-
-    # ---- fused µVT interleaved (headline) ---------------------------
+    # measured on the NON-polar f32 bench config (the polar config's
+    # initialize includes the SCF solve, which is not the pair pass
+    # this row tracks); scalar-reduced return per the tunnel rule
     params2, state2, cfg2, thermo2 = systems.mof_h2_gcmc(
         n_side=21, spacing=4.0, n_h2=256, capacity=512,
         temperature=77.0, pressure=1.0, dtype="float32")
     cfg2 = dataclasses.replace(cfg2, fused_mc=True)
     st2 = metropolis.initialize(state2, params2, cfg2, thermo2)
+    F = metropolis.frozen_refresh_rows(params2, cfg2)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def refresh_k(st, k):
+        def body(i, s):
+            # defeat LICM: initialize() does not write pos, so a
+            # loop-invariant pos lets XLA hoist the whole pair pass
+            # out of the while loop (measured: 30x-too-fast slope);
+            # the where() makes pos formally depend on i (never taken)
+            s = s.replace(pos=jnp.where(i < 0, 0.0, s.pos))
+            return metropolis.initialize.__wrapped__(
+                s, params2, cfg2, thermo2, frozen_rows=F)
+        fin = jax.lax.fori_loop(0, k, body, st)
+        return fin.energy.rd + fin.energy.es_real + jnp.sum(fin.sk_re)
+
+    w2, w10 = (_wall(refresh_k, st2, 2, reps=6),
+               _wall(refresh_k, st2, 10, reps=6))
+    t_rf = (w10 - w2) / 8
+    n = st2.pos.shape[0]
+    pairs = (n - F) * n
+    fe_r = pairs * 44.0
+    kernels["restricted_pair_refresh"] = {
+        "ms": round(t_rf * 1e3, 3), "rows": int(n - F),
+        "model": "(N-F)*N pairs x 44 flop-equiv (whole refresh "
+                 "program incl. recip, pair-pass dominated)",
+        "flop_equiv_tflops": round(fe_r / t_rf / 1e12, 3),
+        "pct_vpu_peak": round(100 * fe_r / t_rf / 1e12
+                              / out["vpu_f32_peak_tflops_derived"], 1)}
+
+    # ---- fused µVT interleaved (headline) ---------------------------
     C, K = 48, 4096
     states = multichain.stack_states(st2, C)
     states, _ = metropolis.run_chunk_fused_uvt_multi(
@@ -185,7 +211,7 @@ def main():
                  "delta; VMEM-resident (HBM~0) -> latency-bound",
         "flop_equiv_tflops": round(fe_s * agg / 1e12, 3),
         "pct_vpu_peak": round(100 * fe_s * agg / 1e12
-                              / out["vpu_fma_peak_tflops"], 1)}
+                              / out["vpu_f32_peak_tflops_derived"], 1)}
 
     out["kernels"] = kernels
     print(json.dumps({"kernels": kernels}, indent=1), flush=True)
