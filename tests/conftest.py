@@ -75,6 +75,32 @@ def _clear_jax_caches_periodically():
 # (CLI -m overrides the ini default; `-m ""` runs everything).
 # Names are base names — parametrized variants inherit the mark.
 _SLOW_TESTS = {
+    # r4 trim (verdict item 8, durations run 2026-08-20, quiet box):
+    # combo/CLI-level tests whose mechanisms keep an API-level or
+    # base-variant test in the default tier.  Further trimming toward
+    # the ~18-min goal would remove UNIQUE per-feature coverage (the
+    # tail is hundreds of 3-9 s bookkeeping tests), which the same
+    # verdict item forbids — landed at ~22 min / 378 tests.
+    "test_dipole_mode_gcmc_observable_parity",
+    "test_spatial_mc_step_polar_matches_unsharded",
+    "test_pda_cavity_bias_bookkeeping_and_open_cells",
+    "test_pda_spinflip_pure_flip_chunk",
+    "test_pda_spinflip_one_way_at_large_dF",
+    "test_multi_chain_uvt_pt_ladder_betas",
+    "test_residual_mode_bookkeeping_over_gcmc_chunk",
+    "test_tmmc_polar_delayed_fused_run_driver",
+    "test_multi_chain_spinflip_bit_equals_single_chain",
+    "test_pt_fugacity_fused_dispatch",
+    "test_h2_quantum_fk_deck",
+    "test_multichain_matches_physics",
+    "test_chains_option_cli",
+    "test_chains_npt_cli",
+    "test_quantum_rotation_uvt_fused_cli",
+    "test_quantum_rotation_chains_cli",
+    "test_run_mc_pt_uses_fused_multi_kernel",
+    "test_co2_n2_separation_deck",
+    "test_h2_sorption_deck",
+    "test_chain_devices_cli_matches_unsharded",
     "test_npt_pressure_self_consistency",
     "test_nvt_pressure_matches_second_virial",
     "test_fused_pt_multi_chain",
