@@ -373,13 +373,11 @@ def make_step_fn(params: Params, cfg: RunConfig):
             sk_re, sk_im, d_recip = state.sk_re, state.sk_im, zero
         d = eb(rd=d_rd, es_real=d_es, es_recip=d_recip)
         reject = (cnt == 0) | _overlap_r2(new_min_r2, cfg, dtype)
-        e0_d = (thole.field_delta(state.pos, state.box, alive, params,
-                                  cfg, mol, state.e0, new_rows=new_rows)
-                if pol_delta else None)
-        r0_d = (thole.residual_delta(state.pos, state.box, alive, params,
-                                     cfg, mol, state.mu, state.r_pol,
-                                     state.e0, e0_d, new_rows=new_rows)
-                if pol_resid else None)
+        e0_d, r0_d = (thole.move_deltas(
+            state.pos, state.box, alive, params, cfg, mol, state.e0,
+            state.mu, state.r_pol, new_rows=new_rows,
+            with_residual=pol_resid)
+            if pol_delta else (None, None))
         return Candidate(new_pos, state.box, state.mol_alive, sk_re, sk_im,
                          d, zero, reject, mol=mol.astype(jnp.int32),
                          rows=new_rows if row_level else None,
@@ -469,17 +467,11 @@ def make_step_fn(params: Params, cfg: RunConfig):
             - jnp.log(thermo.temperature * (n_s + 1.0)) + cav_bias
         reject = ((free == 0) | _overlap_r2(inter_min_r2, cfg, dtype)
                   | cav_reject)
-        e0_d = (thole.field_delta(state.pos, state.box,
-                                  state.atom_alive(params), params, cfg,
-                                  slot, state.e0, new_rows=rows,
-                                  insert=True)
-                if pol_delta else None)
-        r0_d = (thole.residual_delta(state.pos, state.box,
-                                     state.atom_alive(params), params,
-                                     cfg, slot, state.mu, state.r_pol,
-                                     state.e0, e0_d, new_rows=rows,
-                                     insert=True)
-                if pol_resid else None)
+        e0_d, r0_d = (thole.move_deltas(
+            state.pos, state.box, state.atom_alive(params), params,
+            cfg, slot, state.e0, state.mu, state.r_pol, new_rows=rows,
+            insert=True, with_residual=pol_resid)
+            if pol_delta else (None, None))
         return Candidate(new_pos, state.box, new_alive_mol, sk_re, sk_im,
                          d, ln_bias.astype(dtype), reject,
                          mol=slot.astype(jnp.int32),
@@ -547,15 +539,11 @@ def make_step_fn(params: Params, cfg: RunConfig):
                 jnp.log(jnp.maximum(n_open.astype(dtype), 1e-30))
                 - jnp.log(g3))
         reject = cnt == 0
-        e0_d = (thole.field_delta(state.pos, state.box,
-                                  state.atom_alive(params), params, cfg,
-                                  slot, state.e0, delete=True)
-                if pol_delta else None)
-        r0_d = (thole.residual_delta(state.pos, state.box,
-                                     state.atom_alive(params), params,
-                                     cfg, slot, state.mu, state.r_pol,
-                                     state.e0, e0_d, delete=True)
-                if pol_resid else None)
+        e0_d, r0_d = (thole.move_deltas(
+            state.pos, state.box, state.atom_alive(params), params,
+            cfg, slot, state.e0, state.mu, state.r_pol, delete=True,
+            with_residual=pol_resid)
+            if pol_delta else (None, None))
         return Candidate(None if row_level else state.pos, state.box,
                          new_alive_mol, sk_re, sk_im,
                          d, ln_bias.astype(dtype), reject,
@@ -1548,13 +1536,10 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
         ew = cfg.coulomb == "ewald"
 
         def br_disp(_):
-            e0n = thole.field_delta(state.pos, state.box, alive_o,
-                                    params, cfg, mol, state.e0,
-                                    new_rows=rows)
-            r0 = (thole.residual_delta(
+            e0n, r0 = thole.move_deltas(
                 state.pos, state.box, alive_o, params, cfg, mol,
-                state.mu, state.r_pol, state.e0, e0n, new_rows=rows)
-                if pol_resid else None)
+                state.e0, state.mu, state.r_pol, new_rows=rows,
+                with_residual=pol_resid)
             if ew:
                 d_re, d_im = _mol_sf_delta(state.pos, rows, state.box,
                                            params, cfg, mol)
@@ -1568,13 +1553,10 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
             return (new_pos, state.mol_alive, e0n, r0, sk_re, sk_im)
 
         def br_ins(_):
-            e0n = thole.field_delta(state.pos, state.box, alive_o,
-                                    params, cfg, mol, state.e0,
-                                    new_rows=rows, insert=True)
-            r0 = (thole.residual_delta(
+            e0n, r0 = thole.move_deltas(
                 state.pos, state.box, alive_o, params, cfg, mol,
-                state.mu, state.r_pol, state.e0, e0n, new_rows=rows,
-                insert=True) if pol_resid else None)
+                state.e0, state.mu, state.r_pol, new_rows=rows,
+                insert=True, with_residual=pol_resid)
             if ew:
                 n_re, n_im = _mol_sf_rows(rows, state.box, params, cfg,
                                           mol)
@@ -1589,13 +1571,10 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
                     r0, sk_re, sk_im)
 
         def br_del(_):
-            e0n = thole.field_delta(state.pos, state.box, alive_o,
-                                    params, cfg, mol, state.e0,
-                                    delete=True)
-            r0 = (thole.residual_delta(
+            e0n, r0 = thole.move_deltas(
                 state.pos, state.box, alive_o, params, cfg, mol,
-                state.mu, state.r_pol, state.e0, e0n, delete=True)
-                if pol_resid else None)
+                state.e0, state.mu, state.r_pol, delete=True,
+                with_residual=pol_resid)
             if ew:
                 o_re, o_im = _mol_structure_factor(state.pos, state.box,
                                                    params, cfg, mol)

@@ -280,6 +280,141 @@ def field_delta(pos, box, atom_alive, params, cfg, mol, e0,
     return _mru(e0_new, params, mol, rows_field)
 
 
+def move_deltas(pos, box, atom_alive, params, cfg, mol, e0, mu, r_old,
+                new_rows=None, insert=False, delete=False,
+                with_residual=True):
+    """Fused field_delta + residual_delta (r4, r5-candidate #1): one
+    shared pass per displacement tile.  The two functions' tiles use
+    IDENTICAL min-image displacements — tile (a): the moved molecule's
+    ± rows against every other site (charge sources for the field,
+    dipole sources for the residual); tile (b): every other site
+    against the molecule's trial rows (charge field at the rows;
+    dipole field at the rows, sign-flipped) — so dr/r²/√/damping are
+    computed once instead of twice, plus a tiny [A,A] self-block for
+    the residual.  Per-tile summation axes match the sequential
+    functions (f64 equality test ``test_move_deltas_matches_
+    sequential``).  Returns (e0_new, r0_new) — r0_new is None when
+    ``with_residual`` is False."""
+    from mpmc_tpu.state import mol_rows as _mr
+    from mpmc_tpu.state import mol_rows_update as _mru
+    dtype = pos.dtype
+    box_inv = jnp.linalg.inv(box)
+    rc = derived_cutoff(box, cfg)
+    A = params.max_atoms_per_mol
+    valid = jnp.arange(A) < params.mol_natoms[mol]
+    q_rows = jnp.where(valid, _mr(params.charge, params, mol), 0.0)
+    old_rows = _mr(pos, params, mol)
+    mu_rows = (jnp.where(valid[:, None], _mr(mu, params, mol), 0.0)
+               if with_residual else None)
+    pol_site = params.polar > 0
+    pol_rows = valid & (_mr(params.polar, params, mol) > 0)
+    other = atom_alive & (params.mol_id != mol)
+    other_pol = other & pol_site
+
+    if delete:
+        src_pos, src_q, src_ok = old_rows, -q_rows, valid
+        src_mu = -mu_rows if with_residual else None
+    elif insert:
+        src_pos, src_q, src_ok = new_rows, q_rows, valid
+        src_mu = None            # inserted molecules carry mu = 0
+    else:
+        src_pos = jnp.concatenate([new_rows, old_rows])
+        src_q = jnp.concatenate([q_rows, -q_rows])
+        src_ok = jnp.concatenate([valid, valid])
+        src_mu = (jnp.concatenate([mu_rows, -mu_rows])
+                  if with_residual else None)
+
+    # ---- tile (a): moved rows as sources vs every site --------------
+    dr = pbc_ops.min_image(pos[None, :, :] - src_pos[:, None, :],
+                           box, box_inv)                   # [S,N,3]
+    r2 = jnp.sum(dr * dr, -1)
+    in_rc = r2 < rc * rc
+    r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+    r = jnp.sqrt(r2s)
+    d1, d2 = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
+    ok_f = src_ok[:, None] & other[None, :] & in_rc
+    coef = jnp.where(ok_f, src_q[:, None] * d1 / (r2s * r), 0.0)
+    e0_new = e0 + jnp.einsum("sn,snk->nk", coef, dr)
+
+    # ---- tile (b): the field/dipole field at the trial rows ---------
+    if delete:
+        rows_field = jnp.zeros((A, 3), dtype)
+    else:
+        drr = pbc_ops.min_image(new_rows[:, None, :] - pos[None, :, :],
+                                box, box_inv)              # [A,N,3]
+        r2b = jnp.sum(drr * drr, -1)
+        in_rcb = r2b < rc * rc
+        r2bs = jnp.where(r2b > 1e-12, r2b, 1.0)
+        rb = jnp.sqrt(r2bs)
+        d1b, d2b = _damping(rb, cfg.polar_damp, cfg.polar_damp_type)
+        okb = valid[:, None] & other[None, :] & in_rcb
+        cb = jnp.where(okb, params.charge[None, :] * d1b / (r2bs * rb),
+                       0.0)
+        rows_field = jnp.einsum("an,ank->ak", cb, drr)
+    cur = _mr(e0_new, params, mol)
+    rows_field = jnp.where(valid[:, None], rows_field.astype(dtype),
+                           cur)
+    e0_out = _mru(e0_new, params, mol, rows_field)
+    if not with_residual:
+        return e0_out, None
+
+    # ---- residual: r0' = r_old + (b' - b) + (T' - T) mu -------------
+    rr = r_old + jnp.where(other_pol[:, None], e0_out - e0, 0.0)
+    if src_mu is not None:
+        okm = (src_ok[:, None] & other_pol[None, :] & in_rc
+               & (r2 > 1e-12))
+        inv_r3 = 1.0 / (r2s * r)
+        mdotr = jnp.einsum("sk,snk->sn", src_mu, dr)
+        c1 = jnp.where(okm, 3.0 * d2 * mdotr * inv_r3 / r2s, 0.0)
+        c2 = jnp.where(okm, d1 * inv_r3, 0.0)
+        rr = rr + (jnp.einsum("sn,snk->nk", c1, dr)
+                   - jnp.einsum("sn,sk->nk", c2, src_mu))
+
+    if delete:
+        rows_r = jnp.zeros((A, 3), dtype)
+    else:
+        # dipole field at the trial rows from every other site: tile
+        # (b)'s displacements flipped toward the rows (dr_b already
+        # points toward the rows: new_rows - pos)
+        okbp = (valid[:, None] & other_pol[None, :] & in_rcb
+                & (r2b > 1e-12))
+        inv_r3b = 1.0 / (r2bs * rb)
+        mu_oth = jnp.where(other_pol[:, None], mu, 0.0)
+        mdotr_b = jnp.einsum("nk,ank->an", mu_oth, drr)
+        c1b = jnp.where(okbp, 3.0 * d2b * mdotr_b * inv_r3b / r2bs, 0.0)
+        c2b = jnp.where(okbp, d1b * inv_r3b, 0.0)
+        e_rows = (jnp.einsum("an,ank->ak", c1b, drr)
+                  - jnp.einsum("an,nk->ak", c2b, mu_oth))
+        # the [A,A] self-block: the molecule's own (trial) rows as
+        # dipole sources at each other's positions
+        dra = pbc_ops.min_image(
+            new_rows[None, :, :] - new_rows[:, None, :], box, box_inv)
+        r2a = jnp.sum(dra * dra, -1)
+        diag = jnp.eye(A, dtype=bool)
+        oka = (pol_rows[:, None] & valid[None, :] & ~diag
+               & (r2a < rc * rc) & (r2a > 1e-12))
+        r2as = jnp.where(r2a > 1e-12, r2a, 1.0)
+        ra = jnp.sqrt(r2as)
+        d1a, d2a = _damping(ra, cfg.polar_damp, cfg.polar_damp_type)
+        inv_r3a = 1.0 / (r2as * ra)
+        mdotr_a = jnp.einsum("sk,sak->sa", mu_rows, dra)
+        c1a = jnp.where(oka, 3.0 * d2a * mdotr_a * inv_r3a / r2as, 0.0)
+        c2a = jnp.where(oka, d1a * inv_r3a, 0.0)
+        e_rows = e_rows + (jnp.einsum("sa,sak->ak", c1a, dra)
+                           - jnp.einsum("sa,sk->ak", c2a, mu_rows))
+        inv_a = jnp.where(
+            pol_rows,
+            1.0 / jnp.maximum(_mr(params.polar, params, mol), 1e-30),
+            0.0)
+        rows_r = (jnp.where(valid[:, None],
+                            _mr(e0_out, params, mol), 0.0)
+                  - inv_a[:, None] * mu_rows + e_rows)
+        rows_r = jnp.where(pol_rows[:, None], rows_r, 0.0)
+    cur_r = _mr(rr, params, mol)
+    rows_r = jnp.where(valid[:, None], rows_r.astype(dtype), cur_r)
+    return e0_out, _mru(rr, params, mol, rows_r)
+
+
 def residual_supported(cfg) -> bool:
     """Static gate for the O(A N) analytic initial CG residual: needs the
     delta static field (direct damping) and the CG solver (the residual

@@ -683,3 +683,57 @@ def test_dipole_mode_drift_bounded_larger_system():
     assert mu_drift < 1.5e-3, mu_drift
     # kT = 77 K; bias in the carried energy stays orders below it
     assert u_drift < 0.5, u_drift
+
+
+def test_move_deltas_matches_sequential():
+    """The fused move_deltas (one shared pass per displacement tile)
+    must reproduce field_delta + residual_delta to f64 roundoff for
+    every move type (r4; the per-survivor stage-2 cost lever)."""
+    import dataclasses
+
+    import jax
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.state import mol_rows
+
+    params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=12, polarization=True,
+        dtype="float64")
+    cfg = dataclasses.replace(cfg, use_pallas=False)
+    state = metropolis.initialize(state, params, cfg, thermo_)
+    alive = state.atom_alive(params)
+    mol = int(np.asarray(params.mol_frozen).argmin())
+    rows = mol_rows(state.pos, params, mol) + jnp.asarray(
+        [[0.3, -0.2, 0.15]])
+    # a dead slot for the insert case
+    dead = int(np.asarray(~state.mol_alive
+                          & (params.mol_species == 0)).argmax())
+    rows_ins = jnp.broadcast_to(jnp.asarray([4.1, 5.2, 6.3]),
+                                mol_rows(state.pos, params, dead).shape)
+
+    for kw in ({"new_rows": rows},
+               {"new_rows": rows_ins, "insert": True, "_mol": dead},
+               {"delete": True}):
+        m = kw.pop("_mol", mol)
+        e0_ref = thole.field_delta(state.pos, state.box, alive, params,
+                                   cfg, m, state.e0, **kw)
+        r_ref = thole.residual_delta(state.pos, state.box, alive,
+                                     params, cfg, m, state.mu,
+                                     state.r_pol, state.e0, e0_ref,
+                                     **kw)
+        e0_f, r_f = thole.move_deltas(state.pos, state.box, alive,
+                                      params, cfg, m, state.e0,
+                                      state.mu, state.r_pol, **kw)
+        np.testing.assert_allclose(np.asarray(e0_f), np.asarray(e0_ref),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_ref),
+                                   rtol=0, atol=1e-12)
+        # and without the residual
+        e0_only, r_none = thole.move_deltas(
+            state.pos, state.box, alive, params, cfg, m, state.e0,
+            None, None, with_residual=False, **kw)
+        assert r_none is None
+        np.testing.assert_allclose(np.asarray(e0_only),
+                                   np.asarray(e0_ref), rtol=0,
+                                   atol=1e-12)
