@@ -24,7 +24,8 @@ def _shrunk(path, tmp_path, steps=600, corr=200, f64=True):
         elif t and t[0] in ("pqr_input",):
             line = f"pqr_input {os.path.join(EXAMPLES, os.path.basename(t[1]))}"
         elif t and t[0] in ("pqr_restart", "traj_output",
-                            "histogram_output", "checkpoint_output"):
+                            "histogram_output", "checkpoint_output",
+                            "tmmc_output"):
             line = f"{t[0]} {tmp_path / os.path.basename(t[1])}"
         out.append(line)
     if f64:
@@ -75,3 +76,25 @@ def test_co2_n2_separation_deck(tmp_path):
     log = io.StringIO()
     run_mod.run(job, log=log)
     assert "N_CO2" in log.getvalue()
+
+
+def test_h2_polar_tmmc_deck(tmp_path):
+    """The r4 polar-GCMC + TMMC composition deck runs AS SHIPPED (f32):
+    the fused PDA kernel filters, survivors pay the exact SCF, and the
+    collection matrix records the DA estimator — one run, usable by
+    `analyze tmmc`."""
+    import json
+
+    job = _shrunk(os.path.join(EXAMPLES, "h2_polar_tmmc.inp"), tmp_path,
+                  f64=False)
+    assert (job.cfg.polar_delayed and job.cfg.tmmc
+            and job.cfg.fused_mc and job.cfg.polarization)
+    log = io.StringIO()
+    su, avgs = run_mod.run(job, log=log)
+    assert "polar delayed-acceptance stage-1 kernel" in log.getvalue()
+    assert np.isfinite(avgs.mean("energy_total"))
+    with open(tmp_path / "tmmc_polar.json") as f:
+        rec = json.load(f)
+    c = np.asarray(rec["c"])
+    assert c[:, 0].sum() + c[:, 2].sum() > 100
+    assert (c[:, 1] <= c[:, 0] + 1e-6).all()
