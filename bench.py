@@ -490,17 +490,71 @@ def bench_polar_ref_rule():
         np.asarray(st.energy.rd)
         return n / (time.perf_counter() - t0)
 
+    # bench-size U_pol drifts come from the committed calibration
+    # artifact (MEASURE_DIPOLE_TOL_BENCH.json, tools/measure_dipole_
+    # tol.py), not hand-copied constants (r4 advisor): if the artifact
+    # is missing or lacks a tolerance point, the speed-only field is
+    # omitted rather than emitted with a stale drift label.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(
+                __file__)), "MEASURE_DIPOLE_TOL_BENCH.json")) as f:
+            _tolcal = json.load(f)
+    except OSError:
+        _tolcal = {}
+
+    def _speed_only(tol, key):
+        d = _tolcal.get(key, {}).get("max_u_pol_drift_K")
+        if d is None:
+            return None
+        return round(speed(tol), 2), round(d, 2)
+
+    def drift_check(tol, n_steps=192):
+        """Self-enforcing accuracy gate at BENCH size (r4 verdict item
+        3 follow-up): run a short dipole-rule chain, then solve the
+        SAME final configuration to the residual-1e-6 fixed point —
+        the U_pol gap IS the stopping-rule drift the r4 calibration
+        measured.  A kernel change that reintroduces size-dependent
+        drift fails this row loudly instead of rotting the label."""
+        from mpmc_tpu.ops import thole
+        c = dataclasses.replace(cfg, polar_delayed=True, fused_mc=True,
+                                polar_precision_mode="dipole",
+                                polar_precision=tol)
+        st = metropolis.initialize(state, params, c, thermo)
+        st, _ = metropolis.run_chunk_fused_uvt_polar_da(st, params, c,
+                                                        thermo, n_steps)
+        c_ref = dataclasses.replace(c, polar_precision_mode="residual",
+                                    polar_precision=1e-6)
+        alive = st.atom_alive(params)
+        mu_ref, _, _ = thole.solve_scf(st.pos, st.box, alive, params,
+                                       c_ref, st.e0, mu0=st.mu)
+        u_run = float(np.asarray(thole.polar_energy(st.mu, st.e0)))
+        u_ref = float(np.asarray(thole.polar_energy(mu_ref, st.e0)))
+        return abs(u_run - u_ref)
+
     sps = speed(1e-4)
+    drift_k = drift_check(1e-4)
+    gate_k = 0.5            # calibrated point measured 0.0018 K; the
+    # retired 1e-3 point drifts ~199 K — a regression trips this hard
+    validated = drift_k < gate_k
+    unval = {}
+    so = _speed_only(3e-4, "dipole_0.0003")
+    if so:
+        unval["dipole_3e-4_steps_per_s"] = so[0]
+        unval["dipole_3e-4_u_pol_drift_K_bench_size"] = so[1]
+    so = _speed_only(1e-3, "dipole_0.001")
+    if so:
+        unval["ref_typical_1e-3_steps_per_s"] = so[0]
+        unval["ref_typical_1e-3_u_pol_drift_K_bench_size"] = so[1]
     return {"metric":
             "mc_steps_per_sec_10k_mof_h2_polar_gcmc_ref_stopping_rule",
             "value": round(sps, 2), "unit": "steps/s",
             "vs_baseline": round(sps / BASELINES["polar_gcmc"], 2),
-            "method": "fused_pda_dipole_mode_1e-4_debye_validated",
-            "speed_only_unvalidated": {
-                "dipole_3e-4_steps_per_s": round(speed(3e-4), 2),
-                "dipole_3e-4_u_pol_drift_K_bench_size": 14.06,
-                "ref_typical_1e-3_steps_per_s": round(speed(1e-3), 2),
-                "ref_typical_1e-3_u_pol_drift_K_bench_size": 198.75}}
+            "method": ("fused_pda_dipole_mode_1e-4_debye_validated"
+                       if validated else
+                       "fused_pda_dipole_mode_1e-4_VALIDATION_FAILED"),
+            "u_pol_drift_K_measured": round(drift_k, 4),
+            "drift_gate_K": gate_k,
+            "speed_only_unvalidated": unval}
 
 
 def bench_pt_round():

@@ -1531,8 +1531,14 @@ def tmmc_lnpi(c):
     ``c`` is [K, 4]: per-macrostate (n_ins_attempts, Σ a_ins,
     n_del_attempts, Σ a_del) — each µVT insert/delete attempt adds its
     acceptance PROBABILITY, not the realized accept
-    (mc/metropolis.make_step_fn; io/output.write_tmmc).  Detailed
-    balance of the sampled chain gives
+    (mc/metropolis.make_step_fn; io/output.write_tmmc).  Exception:
+    under polar delayed acceptance (polar_delayed) the entry is the
+    estimator X = 1{stage-1 accept}·min(1,a2) (importance-weighted
+    under tmmc_bias) — unbiased for the DA kernel's acceptance
+    probability but a realized-indicator × probability product, so the
+    machine-precision links below hold only in expectation on PDA runs
+    (make_step_fn's tmmc_on note; r4 advisor).  Detailed balance of
+    the sampled chain gives
         lnΠ(N+1) − lnΠ(N) = ln P(N→N+1) − ln P(N+1→N)
                           = ln ā_ins(N) − ln ā_del(N+1),
     where ā is the conditional mean acceptance probability of attempts

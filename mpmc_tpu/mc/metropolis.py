@@ -146,6 +146,15 @@ def _overlap(pt, cfg, dtype):
     return _overlap_r2(pt.min_r2, cfg, dtype)
 
 
+def _pol_sk(state: SimState, cfg):
+    """Cached pre-move structure factor for the polar_ewald field delta
+    (thole.move_deltas ``sk``) — available whenever the energy path
+    maintains S(k); None otherwise (move_deltas recomputes)."""
+    if cfg.coulomb == "ewald":
+        return (state.sk_re, state.sk_im)
+    return None
+
+
 def _recip_delta(state: SimState, cfg, d_re, d_im):
     """New (sk, es_recip delta) after adding (d_re, d_im) to S(k)."""
     new_re = state.sk_re + d_re
@@ -376,7 +385,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
         e0_d, r0_d = (thole.move_deltas(
             state.pos, state.box, alive, params, cfg, mol, state.e0,
             state.mu, state.r_pol, new_rows=new_rows,
-            with_residual=pol_resid)
+            with_residual=pol_resid, sk=_pol_sk(state, cfg))
             if pol_delta else (None, None))
         return Candidate(new_pos, state.box, state.mol_alive, sk_re, sk_im,
                          d, zero, reject, mol=mol.astype(jnp.int32),
@@ -470,7 +479,8 @@ def make_step_fn(params: Params, cfg: RunConfig):
         e0_d, r0_d = (thole.move_deltas(
             state.pos, state.box, state.atom_alive(params), params,
             cfg, slot, state.e0, state.mu, state.r_pol, new_rows=rows,
-            insert=True, with_residual=pol_resid)
+            insert=True, with_residual=pol_resid,
+            sk=_pol_sk(state, cfg))
             if pol_delta else (None, None))
         return Candidate(new_pos, state.box, new_alive_mol, sk_re, sk_im,
                          d, ln_bias.astype(dtype), reject,
@@ -542,7 +552,7 @@ def make_step_fn(params: Params, cfg: RunConfig):
         e0_d, r0_d = (thole.move_deltas(
             state.pos, state.box, state.atom_alive(params), params,
             cfg, slot, state.e0, state.mu, state.r_pol, delete=True,
-            with_residual=pol_resid)
+            with_residual=pol_resid, sk=_pol_sk(state, cfg))
             if pol_delta else (None, None))
         return Candidate(None if row_level else state.pos, state.box,
                          new_alive_mol, sk_re, sk_im,
@@ -1516,7 +1526,15 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
     tmmc_on = (cfg.tmmc and cfg.ensemble == "uvt"
                and len(cfg.insert_species) == 1)
     tmmc_sp = cfg.insert_species[0] if tmmc_on else -1
+    bias_on = (tmmc_on and cfg.tmmc_bias
+               and thermo.tmmc_eta is not None)
     sf = cfg.quantum_rotation       # in-kernel spinflip carve (r4)
+    # wolf/ewald field-variant kernel constants (0 selects direct in
+    # the kernel only via the static cfg flags; the scalars just ride)
+    paf_v, pkrc_v = thole._field_variant_consts(state.box, cfg,
+                                                cfg.jdtype)
+    if paf_v is None:
+        paf_v = pkrc_v = 0.0
 
     def stage2_full(state, rec):
         mt = rec[0, 2].astype(jnp.int32)            # 0 disp/1 ins/2 del
@@ -1539,7 +1557,7 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
             e0n, r0 = thole.move_deltas(
                 state.pos, state.box, alive_o, params, cfg, mol,
                 state.e0, state.mu, state.r_pol, new_rows=rows,
-                with_residual=pol_resid)
+                with_residual=pol_resid, sk=_pol_sk(state, cfg))
             if ew:
                 d_re, d_im = _mol_sf_delta(state.pos, rows, state.box,
                                            params, cfg, mol)
@@ -1556,7 +1574,8 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
             e0n, r0 = thole.move_deltas(
                 state.pos, state.box, alive_o, params, cfg, mol,
                 state.e0, state.mu, state.r_pol, new_rows=rows,
-                insert=True, with_residual=pol_resid)
+                insert=True, with_residual=pol_resid,
+                sk=_pol_sk(state, cfg))
             if ew:
                 n_re, n_im = _mol_sf_rows(rows, state.box, params, cfg,
                                           mol)
@@ -1574,7 +1593,7 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
             e0n, r0 = thole.move_deltas(
                 state.pos, state.box, alive_o, params, cfg, mol,
                 state.e0, state.mu, state.r_pol, delete=True,
-                with_residual=pol_resid)
+                with_residual=pol_resid, sk=_pol_sk(state, cfg))
             if ew:
                 o_re, o_im = _mol_structure_factor(state.pos, state.box,
                                                    params, cfg, mol)
@@ -1651,6 +1670,19 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
         key_next, k_u = jax.random.split(state.key)
         u = mc_kernel.draw_uniforms(k_u, mc_kernel.PDA_SEG, lanes=16)
         state = state.replace(key=key_next)
+        if bias_on:
+            # flat-histogram tilt (r4 verdict item 2): the kernel
+            # state is frozen for the whole segment, so the eta deltas
+            # for insert/delete are two scalars at the current
+            # macrostate (clipped like the scan path's n_to)
+            n_c0 = jnp.sum(state.mol_alive
+                           & (params.mol_species == tmmc_sp))
+            eta = thermo.tmmc_eta
+            k_e = eta.shape[0]
+            de_ins = eta[jnp.clip(n_c0 + 1, 0, k_e - 1)] - eta[n_c0]
+            de_del = eta[jnp.clip(n_c0 - 1, 0, k_e - 1)] - eta[n_c0]
+        else:
+            de_ins = de_del = jnp.zeros((), f32)
         rec = mc_kernel.run_steps_uvt_pda(
             state.pos, params.eps, params.sig, params.charge,
             params.mass, state.atom_alive(params), slot_start,
@@ -1672,7 +1704,9 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
                    else None),
             spin=(state.spin.reshape(-1, 1)[slots][:, 0] if sf
                   else None),
-            p_spin=(thermo.spinflip_probability if sf else 0.0))
+            p_spin=(thermo.spinflip_probability if sf else 0.0),
+            polar_field_alpha=paf_v, polar_field_krc=pkrc_v,
+            d_eta_ins=de_ins, d_eta_del=de_del)
         n_done = rec[0, 0]
         hit = rec[0, 1] > 0.5
 
@@ -1683,6 +1717,22 @@ def _fused_chunk_uvt_pda(state, params, thermo, slots, slot_start,
                 jnp.where(mt == 1, INSERT,
                           jnp.where(mt == 2, DELETE, SPINFLIP)))].add(
                 accept.astype(jnp.int32))
+            if bias_on:
+                # IS weight min(1,a1)/min(1,a1 e^dEta): the collected
+                # estimator stays unbiased for the UNBIASED DA kernel
+                # (scan path's x in make_step's tmmc_on block); ln1
+                # reconstructs from the record's unbiased lnb + the
+                # per-term deltas + d_surr
+                du1 = (rec[1, 0] + rec[1, 1] + rec[1, 2] + rec[1, 3]
+                       + rec[1, 4] + rec[1, 5]
+                       + rec[0, 9]).astype(cfg.jdtype)
+                ln1 = (rec[0, 10].astype(cfg.jdtype)
+                       - du1 / thermo.temperature)
+                d_eta_s = jnp.where(
+                    mt == 1, de_ins,
+                    jnp.where(mt == 2, de_del, 0.0)).astype(cfg.jdtype)
+                a2v = a2v * jnp.exp(jnp.minimum(ln1, 0.0)
+                                    - jnp.minimum(ln1 + d_eta_s, 0.0))
             return (st2, accs, its.astype(jnp.int32),
                     jnp.where(mt == 1, a2v, 0.0),
                     jnp.where(mt == 2, a2v, 0.0))

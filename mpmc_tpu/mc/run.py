@@ -1488,11 +1488,12 @@ def run_mc(job: input_script.Job, log=None, jsonl_path=None):
             # r3 verdict item 5: a refusal must state the fallback cost
             print("WARNING: polar_delayed requested but the fused "
                   "stage-1 kernel refuses this combination (it needs "
-                  "the direct damped field + CG solver and no "
-                  "tmmc_bias/cdvdw) — the scan-path delayed "
-                  "acceptance runs instead (measured on the 10.8k "
-                  "polar bench: ~0.7k steps/s scan-DA vs ~1.4-1.8k "
-                  "fused-PDA; full-SCF scan is ~0.12k)",
+                  "a delta-able static field — direct, polar_wolf, or "
+                  "polar_ewald over coulomb ewald — the CG solver, "
+                  "and no cdvdw) — the scan-path delayed acceptance "
+                  "runs instead (measured on the 10.8k polar bench: "
+                  "~0.7k steps/s scan-DA vs ~1.4-1.8k fused-PDA; "
+                  "full-SCF scan is ~0.12k)",
                   file=writer.log)
         elif not (use_fused or use_fused_uvt or use_fused_npt):
             print("WARNING: fused_mc requested but unsupported for this "

@@ -1997,6 +1997,10 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
     p_ins = scal_ref[0, 7]
     p_spin = scal_ref[0, 8]         # P(spinflip) (0 when sf off)
     lam = scal_ref[0, 9]            # polar_damp
+    paf = scal_ref[0, 10]           # polar field screening alpha
+    pkrc = scal_ref[0, 11]          # wolf field-kernel shift at rc
+    de_ins = scal_ref[0, 12]        # eta(n+1)-eta(n) at the segment's
+    de_del = scal_ref[0, 13]        # eta(n-1)-eta(n)  fixed macrostate
     box = [[scal_ref[1, 3 * a + b] for b in range(3)] for a in range(3)]
     binv = [[scal_ref[2, 3 * a + b] for b in range(3)] for a in range(3)]
     natoms_s = [scal_ref[3, s] for s in range(S)]
@@ -2045,6 +2049,24 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
         x = lam * r
         e = jnp.exp(-x)
         return 1.0 - e * (1.0 + x + 0.5 * x * x)
+
+    # pairwise field-kernel coefficient (thole._field_coef): direct is
+    # d1/r^3; wolf/ewald the (shifted) erfc-screened kernel + Thole
+    # near-field.  For polar_ewald this is the REAL-SPACE part only —
+    # the k-space delta is omitted from the surrogate (d_surr is
+    # recorded, so stage 2 corrects exactly; see the displaced-rows
+    # anchoring below for the moved molecule's own field).
+    pol_scr = cfg.polar_wolf or cfg.polar_ewald
+
+    def fcoef(ir, r2s, d1):
+        ir3 = ir * ir * ir
+        if not pol_scr:
+            return d1 * ir3
+        r = r2s * ir
+        tap = paf * np.float32(1.1283791670955126)   # 2a/sqrt(pi)
+        g = (_erfc(paf * r) * ir
+             + tap * jnp.exp(-paf * paf * r2s)) * ir
+        return (g - pkrc) * ir + (d1 - 1.0) * ir3
 
     def chain_step(k, carry):
         (live, n_done, att, rec, rrows) = carry
@@ -2237,7 +2259,11 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
 
         # --- one column pass: pair terms + field deltas --------------
         def col(jt, acc):
-            rd_a, es_a, mr_a, ds_a, en = acc
+            if cfg.polar_ewald:
+                rd_a, es_a, mr_a, ds_a, en, eo = acc
+            else:
+                rd_a, es_a, mr_a, ds_a, en = acc
+                eo = None
             r0 = pl.multiple_of(jt * 8, 8)
 
             def plane(q):
@@ -2308,42 +2334,72 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
                 irn = jax.lax.rsqrt(r2ns)
                 d1o = damp1(r2os * iro, r2os)
                 d1n = damp1(r2ns * irn, r2ns)
-                co = jnp.where(in_o,
-                               q_i[a] * d1o * iro * iro * iro, 0.0)
-                cn = jnp.where(in_n,
-                               q_i[a] * d1n * irn * irn * irn, 0.0)
-                # source at j: dE_j = q_a d1 (r_j - r_a)/r^3
+                fo = fcoef(iro, r2os, d1o)
+                fn = fcoef(irn, r2ns, d1n)
+                co = jnp.where(in_o, q_i[a] * fo, 0.0)
+                cn = jnp.where(in_n, q_i[a] * fn, 0.0)
+                # source at j: dE_j = q_a c(r) (r_j - r_a)
                 dEx = dEx - cn * dn[0] + co * do[0]
                 dEy = dEy - cn * dn[1] + co * do[1]
                 dEz = dEz - cn * dn[2] + co * do[2]
                 # field at trial row a from column charges q_j
-                cj = jnp.where(in_n, q_j * d1n * irn * irn * irn, 0.0)
+                cj = jnp.where(in_n, q_j * fn, 0.0)
                 en[a] = (en[a][0] + cj * dn[0], en[a][1] + cj * dn[1],
                          en[a][2] + cj * dn[2])
+                if cfg.polar_ewald:
+                    # real-space field at the OLD rows too: the moved
+                    # rows' surrogate field anchors on the resident
+                    # (full-Ewald) e0_old + the short-range delta, so
+                    # the omitted k-space terms cancel for displaces
+                    cjo = jnp.where(in_o, q_j * fo, 0.0)
+                    eo[a] = (eo[a][0] + cjo * do[0],
+                             eo[a][1] + cjo * do[1],
+                             eo[a][2] + cjo * do[2])
             # others' zodid delta for this block (alpha gated by alive)
             al = jnp.where((alive_j > 0) & ok, pol_j, 0.0)
             ds_a = ds_a + al * (2.0 * (e0x * dEx + e0y * dEy
                                        + e0z * dEz)
                                 + dEx * dEx + dEy * dEy + dEz * dEz)
-            return (rd_a, es_a, mr_a, ds_a, en)
+            out = (rd_a, es_a, mr_a, ds_a, en)
+            return out + ((eo,) if cfg.polar_ewald else ())
 
         zb = jnp.zeros((8, 128), jnp.float32)
         en0 = [(zb, zb, zb) for _ in range(A)]
-        rd_a, es_a, mr_a, ds_a, en = jax.lax.fori_loop(
-            0, n_blk, col,
-            (zb, zb, jnp.full((8, 128), jnp.inf, jnp.float32), zb, en0),
-            unroll=BLOCK_UNROLL)
+        acc0 = (zb, zb, jnp.full((8, 128), jnp.inf, jnp.float32), zb,
+                en0)
+        if cfg.polar_ewald:
+            acc0 = acc0 + ([(zb, zb, zb) for _ in range(A)],)
+            rd_a, es_a, mr_a, ds_a, en, eo = jax.lax.fori_loop(
+                0, n_blk, col, acc0, unroll=BLOCK_UNROLL)
+        else:
+            rd_a, es_a, mr_a, ds_a, en = jax.lax.fori_loop(
+                0, n_blk, col, acc0, unroll=BLOCK_UNROLL)
         drd = jnp.sum(rd_a)
         des = KE * jnp.sum(es_a)
         mr2 = jnp.min(mr_a)
         # zodid: others + the moved molecule's own rows
         z_others = jnp.sum(ds_a)
-        z_new = sum(jnp.where(valid[a] if not uniform_A else True,
-                              pol_i[a] * (jnp.sum(en[a][0]) ** 2
-                                          + jnp.sum(en[a][1]) ** 2
-                                          + jnp.sum(en[a][2]) ** 2),
-                              0.0)
-                    for a in range(A))
+        if cfg.polar_ewald:
+            # anchor the moved rows' surrogate field on the resident
+            # full-Ewald e0_old: E_row = f_old e0_old + (short-range at
+            # new rows) - f_old (short-range at old rows) — the omitted
+            # k-space terms cancel exactly for displaces and enter only
+            # through the (smooth, small) recip delta
+            er = [[f_old * e0_old[a][c] + jnp.sum(en[a][c])
+                   - f_old * jnp.sum(eo[a][c]) for c in range(3)]
+                  for a in range(A)]
+            z_new = sum(jnp.where(valid[a] if not uniform_A else True,
+                                  pol_i[a] * (er[a][0] ** 2
+                                              + er[a][1] ** 2
+                                              + er[a][2] ** 2), 0.0)
+                        for a in range(A))
+        else:
+            z_new = sum(jnp.where(valid[a] if not uniform_A else True,
+                                  pol_i[a] * (jnp.sum(en[a][0]) ** 2
+                                              + jnp.sum(en[a][1]) ** 2
+                                              + jnp.sum(en[a][2]) ** 2),
+                                  0.0)
+                        for a in range(A))
         z_old = sum(jnp.where(valid[a] if not uniform_A else True,
                               pol_i[a] * (e0_old[a][0] ** 2
                                           + e0_old[a][1] ** 2
@@ -2405,8 +2461,18 @@ def _kernel_uvt_pda(scal_ref, u_ref, ktab_ref, cav_ref, tbl_ref,
                                  & (mr2 < thr2)))
         if cb:
             reject = reject | (is_ins & (cav_n < 0.5))
-        acc1 = ((jnp.log(jnp.maximum(u_ref[uk, 4], 1e-38))
-                 < lnb - beta * (du + d_surr)) & ~reject)
+        ln1 = lnb - beta * (du + d_surr)
+        if cfg.tmmc_bias:
+            # flat-histogram tilt rides the STAGE-1 coin (the biased
+            # chain's target carries the whole e^eta factor there —
+            # metropolis make_step's d_eta note); the kernel state is
+            # frozen for the segment, so the per-direction eta deltas
+            # are the two driver-computed scalars above.  The recorded
+            # lnb stays UNBIASED so the driver's IS-weighted collection
+            # can reconstruct ln1.
+            ln1 = ln1 + fins * de_ins + fdel * de_del
+        acc1 = ((jnp.log(jnp.maximum(u_ref[uk, 4], 1e-38)) < ln1)
+                & ~reject)
 
         # --- freeze + record -----------------------------------------
         lv = live > 0.5
@@ -2499,7 +2565,9 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
                       sk_re=None, sk_im=None, cav_open=None,
                       mol_mass_atom=None,
                       c6=None, c8=None, c10=None, gwp_alpha=None,
-                      rot_f=None, spin=None, p_spin=0.0):
+                      rot_f=None, spin=None, p_spin=0.0,
+                      polar_field_alpha=0.0, polar_field_krc=0.0,
+                      d_eta_ins=0.0, d_eta_del=0.0):
     """Stage-1 segment of the fused polar delayed acceptance: up to K
     propose-and-filter µVT steps from a FIXED state (kernel docstring).
     Returns the [8,16] record block (f32).  ``e0`` [N,3] is the cached
@@ -2561,6 +2629,10 @@ def run_steps_uvt_pda(pos, eps, sig, charge, mass, alive, slot_start,
         scal = scal.at[0, i].set(jnp.asarray(v, f32))
     scal = scal.at[0, 8].set(jnp.asarray(p_spin, f32))
     scal = scal.at[0, 9].set(jnp.asarray(polar_damp, f32))
+    scal = scal.at[0, 10].set(jnp.asarray(polar_field_alpha, f32))
+    scal = scal.at[0, 11].set(jnp.asarray(polar_field_krc, f32))
+    scal = scal.at[0, 12].set(jnp.asarray(d_eta_ins, f32))
+    scal = scal.at[0, 13].set(jnp.asarray(d_eta_del, f32))
     scal = scal.at[1, :9].set(box32.reshape(-1))
     scal = scal.at[2, :9].set(binv.reshape(-1))
     scal = scal.at[3, :S].set(jnp.asarray(A_list, f32))
@@ -2631,26 +2703,37 @@ def supported_uvt_polar_da(cfg, params) -> bool:
     """Static gate for the fused polar delayed-acceptance path: the µVT
     structural surface (one-to-MAX_SPECIES rigid insert species) — or
     NVT, which runs the same kernel in the all-displace limit
-    (pda_effective_cfg) — with polarization + polar_delayed on the
-    DIRECT damped static field (thole.field_delta_supported), CG solver
-    (warm-startable stage 2), cavity bias supported (same open-cell
-    plane as _kernel_uvt).  TMMC COLLECTION composes (r3 verdict item
-    5): the driver bins the segment's stage-1 rejections from the
-    kernel's per-type attempt counters and adds the survivor's exact
-    min(1,a2) estimator (_fused_chunk_uvt_pda) — no kernel planes
-    needed.  Spinflip composes too (r4): the lane-11 carve's stage-1
-    test IS the full b_spinflip acceptance (no geometry change, so
-    d_surr = 0 exactly and stage 2 is trivial); structural rotor
-    conditions delegate to supported_uvt.  Refused: cdvdw and
-    tmmc_BIAS (the eta delta would have to enter the in-kernel
-    stage-1 coin; the scan path carries that composition instead),
+    (pda_effective_cfg) — with polarization + polar_delayed on any
+    delta-able static field (thole.field_delta_supported: direct, wolf
+    and — with an ewald energy path — polar_ewald; r4 verdict item 1),
+    CG solver (warm-startable stage 2), cavity bias supported (same
+    open-cell plane as _kernel_uvt).  For wolf the in-kernel field
+    delta is complete (shifted pairwise kernel); for polar_ewald the
+    stage-1 surrogate uses the real-space field delta anchored on the
+    resident full-Ewald e0 planes, omitting only the smooth k-space
+    delta — valid delayed acceptance regardless, since the recorded
+    d_surr is what stage 2 corrects against (Christen & Fox need the
+    surrogate to be deterministic, not exact).  TMMC COLLECTION
+    composes (r3 verdict item 5): the driver bins the segment's
+    stage-1 rejections from the kernel's per-type attempt counters and
+    adds the survivor's exact min(1,a2) estimator
+    (_fused_chunk_uvt_pda) — no kernel planes needed.  Spinflip
+    composes too (r4): the lane-11 carve's stage-1 test IS the full
+    b_spinflip acceptance (no geometry change, so d_surr = 0 exactly
+    and stage 2 is trivial); structural rotor conditions delegate to
+    supported_uvt.  tmmc_BIAS composes since r5 (r4 verdict item 2):
+    the kernel state is frozen per segment, so the eta tilt reduces to
+    two driver-computed scalars (eta(n±1)-eta(n)) riding the stage-1
+    coin, and the driver's collection carries the scan path's
+    importance weight min(1,a1)/min(1,a1 e^dEta).  Refused: cdvdw,
     f32."""
     import dataclasses as _dc
+    from mpmc_tpu.ops import thole as _th
     if not (cfg.polarization and cfg.polar_delayed
             and cfg.polar_solver == "cg"
             and cfg.polar_damp_type in ("exponential", "linear", "none")
-            and not cfg.polar_ewald and not cfg.polar_wolf
-            and not cfg.tmmc_bias and not cfg.cdvdw):
+            and _th.field_delta_supported(cfg)
+            and not cfg.cdvdw):
         return False
     cfg_eff = pda_effective_cfg(cfg, params)
     if cfg_eff is None:

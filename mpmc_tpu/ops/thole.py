@@ -81,6 +81,69 @@ def static_field(pos, box, atom_alive, params, cfg, chunk=None):
                                chunk=chunk)
 
 
+def _field_variant_consts(box, cfg, dtype):
+    """(alpha, k_rc) of the screened pairwise field kernel for the
+    wolf/ewald variants ((None, None) for direct).  wolf: the shifted
+    kernel's alpha (``polar_wolf_alpha`` or the derived ES alpha) and
+    the kernel magnitude at the cutoff (the shift); ewald: the Ewald
+    splitting alpha with zero shift (the k-space sum carries the long
+    range)."""
+    if not (cfg.polar_wolf or cfg.polar_ewald):
+        return None, None
+    rc = derived_cutoff(box, cfg)
+    from mpmc_tpu.ops.pairs import derived_alpha
+    if cfg.polar_ewald:          # static_field dispatch precedence
+        return derived_alpha(rc, cfg), jnp.zeros((), dtype)
+    if cfg.polar_wolf_alpha is not None:
+        alpha = jnp.asarray(cfg.polar_wolf_alpha, dtype)
+    else:
+        alpha = derived_alpha(rc, cfg)
+    two_a_pi = 2.0 * alpha / jnp.sqrt(jnp.pi)
+    k_rc = (erfc(alpha * rc) / rc + two_a_pi
+            * jnp.exp(-alpha * alpha * rc * rc)) / rc
+    return alpha, k_rc
+
+
+def _field_coef(r, r2s, d1, cfg, alpha=None, k_rc=None):
+    """Pairwise (inter-molecular) field-kernel coefficient c(r): the
+    damped field of a unit source charge at displacement dr (pointing
+    toward the target) is c(r) * dr.  direct: d1/r^3
+    (static_field_direct); wolf: the cutoff-shifted erfc-screened
+    kernel + the Thole near-field (damped-bare) correction
+    (static_field_wolf); polar_ewald: the unshifted erfc-screened
+    kernel + near-field — the real-space rows of static_field_ewald
+    (its recip / same-molecule terms are the caller's).  The variant is
+    selected by ``alpha`` (None = direct; else screened, with ``k_rc``
+    the wolf shift or 0 for ewald) so explicit callers bypass cfg."""
+    if alpha is None:
+        return d1 / (r2s * r)
+    two_a_pi = 2.0 * alpha / jnp.sqrt(jnp.pi)
+    k_r = (erfc(alpha * r) / r
+           + two_a_pi * jnp.exp(-alpha * alpha * r2s)) / r
+    return (k_r - k_rc) / r + (d1 - 1.0) / (r2s * r)
+
+
+def _intra_coef(r, r2s, alpha):
+    """erf-complement kernel of the Ewald field's same-molecule
+    correction (cancels the k-space sum's intra content; applied at
+    ALL separations with a minus sign): (erf(a r)/r - 2a/sqrt(pi)
+    e^{-a^2 r^2}) / r^2."""
+    two_a_pi = 2.0 * alpha / jnp.sqrt(jnp.pi)
+    return (erf(alpha * r) / r
+            - two_a_pi * jnp.exp(-alpha * alpha * r2s)) / r2s
+
+
+def _recip_field_w(box, alpha, kvecs, pair_w):
+    """Per-k weight of the reciprocal-space field sum:
+    (4 pi / V) * pair_w * exp(-k^2/4a^2)/k^2 (pair_w = 2 for the
+    half-space table, or the cube table's 0/1 sphere mask)."""
+    k2 = jnp.sum(kvecs * kvecs, axis=-1)
+    k2s = jnp.where(k2 > 1e-12, k2, 1.0)
+    volume = jnp.abs(jnp.linalg.det(box))
+    return ((4.0 * jnp.pi / volume) * pair_w
+            * jnp.exp(-k2 / (4.0 * alpha * alpha)) / k2s)
+
+
 def static_field_wolf(pos, box, atom_alive, params, cfg, chunk=None):
     """Wolf-damped static field (SURVEY.md §2 'Thole static field':
     polar_wolf / polar_wolf_full [M]): the erfc-screened field kernel,
@@ -97,14 +160,7 @@ def static_field_wolf(pos, box, atom_alive, params, cfg, chunk=None):
     nb = -(-N // B)
     box_inv = jnp.linalg.inv(box)
     rc = derived_cutoff(box, cfg)
-    from mpmc_tpu.ops.pairs import derived_alpha
-    if cfg.polar_wolf_alpha is not None:
-        alpha = jnp.asarray(cfg.polar_wolf_alpha, pos.dtype)
-    else:
-        alpha = derived_alpha(rc, cfg)
-    two_a_pi = 2.0 * alpha / jnp.sqrt(jnp.pi)
-    k_rc = (erfc(alpha * rc) / rc + two_a_pi
-            * jnp.exp(-alpha * alpha * rc * rc)) / rc
+    alpha, k_rc = _field_variant_consts(box, cfg, pos.dtype)
 
     def body(_, b):
         i0 = b * B
@@ -119,13 +175,9 @@ def static_field_wolf(pos, box, atom_alive, params, cfg, chunk=None):
               & (r2 < rc * rc))
         r2s = jnp.where(r2 > 1e-12, r2, 1.0)
         r = jnp.sqrt(r2s)
-        k_r = (erfc(alpha * r) / r
-               + two_a_pi * jnp.exp(-alpha * alpha * r2s)) / r
         d1, _ = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
-        # damped-bare near field correction keeps Thole screening intact
-        k_damp = (d1 - 1.0) / (r2s * r)
         coef = jnp.where(ok, params.charge[None, :]
-                         * ((k_r - k_rc) / r + k_damp), 0.0)
+                         * _field_coef(r, r2s, d1, cfg, alpha, k_rc), 0.0)
         return None, jnp.einsum("bn,bnk->bk", coef, dr)
 
     _, ys = jax.lax.scan(body, None, jnp.arange(nb))
@@ -209,80 +261,36 @@ def static_field_direct(pos, box, atom_alive, params, cfg, chunk=None):
 
 
 def field_delta_supported(cfg) -> bool:
-    """Static gate for the per-move delta field: the direct damped
-    field is pairwise additive in source charges; the Ewald/Wolf
-    variants carry k-space / shifted terms and keep the full rebuild."""
-    return (cfg.polarization and not cfg.polar_ewald
-            and not cfg.polar_wolf)
+    """Static gate for the per-move delta field (r4 verdict item 1):
+    the direct damped and Wolf-shifted fields are pairwise additive in
+    source charges; the full-Ewald field splits into pairwise
+    real-space tiles plus a k-space term LINEAR in S(k), so it deltas
+    exactly when the energy path maintains that structure factor
+    (coulomb ewald — the field rides the state's S(k) table/layout).
+    polar_ewald over a non-ewald energy path keeps the full rebuild."""
+    if not cfg.polarization:
+        return False
+    if cfg.polar_ewald:
+        return cfg.coulomb == "ewald"
+    return True
 
 
 def field_delta(pos, box, atom_alive, params, cfg, mol, e0,
-                new_rows=None, insert=False, delete=False):
+                new_rows=None, insert=False, delete=False, sk=None):
     """O(A N) update of the cached static field when molecule ``mol``
-    moves/appears/disappears (the per-move analog of
-    static_field_direct — the reference rebuilds the whole field each
-    energy() call; SURVEY §3.2).
-
-    Two tiles: (a) the molecule's charges as *sources* (+q at the trial
-    rows, -q at the current rows) against every other site, added onto
-    ``e0``; (b) every other charge as a source against the molecule's
-    trial rows, which overwrite its slice.  Exactly matches a full
-    static_field_direct rebuild (f64 test) and inherits the same
-    per-corrtime refresh that bounds f32 drift on the energies."""
-    from mpmc_tpu.state import mol_rows as _mr
-    from mpmc_tpu.state import mol_rows_update as _mru
-    box_inv = jnp.linalg.inv(box)
-    rc = derived_cutoff(box, cfg)
-    A = params.max_atoms_per_mol
-    valid = jnp.arange(A) < params.mol_natoms[mol]
-    q_rows = jnp.where(valid, _mr(params.charge, params, mol), 0.0)
-    old_rows = _mr(pos, params, mol)
-    if delete:
-        src_pos, src_q, src_ok = old_rows, -q_rows, valid
-    elif insert:
-        src_pos, src_q, src_ok = new_rows, q_rows, valid
-    else:
-        src_pos = jnp.concatenate([new_rows, old_rows])
-        src_q = jnp.concatenate([q_rows, -q_rows])
-        src_ok = jnp.concatenate([valid, valid])
-
-    other = atom_alive & (params.mol_id != mol)
-    # (a) moved sources -> every other site (dr points toward target)
-    dr = pbc_ops.min_image(pos[None, :, :] - src_pos[:, None, :],
-                           box, box_inv)                  # [S,N,3]
-    r2 = jnp.sum(dr * dr, -1)
-    ok = src_ok[:, None] & other[None, :] & (r2 < rc * rc)
-    r2s = jnp.where(r2 > 1e-12, r2, 1.0)
-    r = jnp.sqrt(r2s)
-    d1, _ = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
-    coef = jnp.where(ok, src_q[:, None] * d1 / (r2s * r), 0.0)
-    e0_new = e0 + jnp.einsum("sn,snk->nk", coef, dr)
-
-    # (b) the field at the molecule's own (trial) rows
-    if delete:
-        rows_field = jnp.zeros((A, 3), pos.dtype)
-    else:
-        drr = pbc_ops.min_image(new_rows[:, None, :] - pos[None, :, :],
-                                box, box_inv)             # [A,N,3]
-        r2b = jnp.sum(drr * drr, -1)
-        okb = valid[:, None] & other[None, :] & (r2b < rc * rc)
-        r2bs = jnp.where(r2b > 1e-12, r2b, 1.0)
-        rb = jnp.sqrt(r2bs)
-        d1b, _ = _damping(rb, cfg.polar_damp, cfg.polar_damp_type)
-        cb = jnp.where(okb, params.charge[None, :] * d1b / (r2bs * rb),
-                       0.0)
-        rows_field = jnp.einsum("an,ank->ak", cb, drr)
-    # slice read-modify-write: rows beyond natoms belong to the NEXT
-    # molecule and keep their (part-(a)-updated) values
-    cur = _mr(e0_new, params, mol)
-    rows_field = jnp.where(valid[:, None], rows_field.astype(pos.dtype),
-                           cur)
-    return _mru(e0_new, params, mol, rows_field)
+    moves/appears/disappears (the per-move analog of static_field —
+    the reference rebuilds the whole field each energy() call; SURVEY
+    §3.2).  Thin wrapper over the fused ``move_deltas`` with the
+    residual tiles disabled; see there for the tile structure and the
+    wolf/ewald variant handling (``sk``)."""
+    return move_deltas(pos, box, atom_alive, params, cfg, mol, e0,
+                       None, None, new_rows=new_rows, insert=insert,
+                       delete=delete, with_residual=False, sk=sk)[0]
 
 
 def move_deltas(pos, box, atom_alive, params, cfg, mol, e0, mu, r_old,
                 new_rows=None, insert=False, delete=False,
-                with_residual=True):
+                with_residual=True, sk=None):
     """Fused field_delta + residual_delta (r4, r5-candidate #1): one
     shared pass per displacement tile.  The two functions' tiles use
     IDENTICAL min-image displacements — tile (a): the moved molecule's
@@ -294,7 +302,19 @@ def move_deltas(pos, box, atom_alive, params, cfg, mol, e0, mu, r_old,
     the residual.  Per-tile summation axes match the sequential
     functions (f64 equality test ``test_move_deltas_matches_
     sequential``).  Returns (e0_new, r0_new) — r0_new is None when
-    ``with_residual`` is False."""
+    ``with_residual`` is False.
+
+    Field variants (r4 verdict item 1): the pairwise kernel follows
+    cfg (``_field_coef`` — direct / wolf / ewald-real).  polar_ewald
+    additionally deltas the k-space field, which is LINEAR in S(k):
+    dE_recip_j = sum_k w_k [sin(k.r_j) dSre_k - cos(k.r_j) dSim_k] k
+    for every unmoved site (one [N,K] trig pass + [N,K]@[K,3]
+    matmuls), while tile (b) recomputes the trial rows in full
+    (recip with the post-move S(k), erfc-screened real tile, and the
+    same-molecule erf-complement block of static_field_ewald).
+    ``sk``: the cached pre-move (sk_re, sk_im) in the energy path's
+    ewald.ktable layout (recomputed O(N K) if None).  The dipole
+    (residual) tiles are field-variant independent."""
     from mpmc_tpu.state import mol_rows as _mr
     from mpmc_tpu.state import mol_rows_update as _mru
     dtype = pos.dtype
@@ -310,6 +330,8 @@ def move_deltas(pos, box, atom_alive, params, cfg, mol, e0, mu, r_old,
     pol_rows = valid & (_mr(params.polar, params, mol) > 0)
     other = atom_alive & (params.mol_id != mol)
     other_pol = other & pol_site
+    ew_f = cfg.polar_ewald
+    alpha_f, k_rc = _field_variant_consts(box, cfg, dtype)
 
     if delete:
         src_pos, src_q, src_ok = old_rows, -q_rows, valid
@@ -333,8 +355,25 @@ def move_deltas(pos, box, atom_alive, params, cfg, mol, e0, mu, r_old,
     r = jnp.sqrt(r2s)
     d1, d2 = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
     ok_f = src_ok[:, None] & other[None, :] & in_rc
-    coef = jnp.where(ok_f, src_q[:, None] * d1 / (r2s * r), 0.0)
+    coef = jnp.where(ok_f, src_q[:, None]
+                     * _field_coef(r, r2s, d1, cfg, alpha_f, k_rc), 0.0)
     e0_new = e0 + jnp.einsum("sn,snk->nk", coef, dr)
+
+    if ew_f:
+        # ---- k-space delta at every unmoved site (linear in S(k)) ---
+        from mpmc_tpu.ops import ewald as ewald_mod
+        kv, pw = ewald_mod.ktable(box, cfg)
+        if sk is None:
+            sk = ewald_mod.structure_factor(pos, params.charge,
+                                            atom_alive, kv)
+        sk_re_o, sk_im_o = sk
+        d_re, d_im = ewald_mod.mol_structure_factor(src_pos, src_q,
+                                                    src_ok, kv)
+        w_k = _recip_field_w(box, alpha_f, kv, pw)
+        phase = pos @ kv.T                                 # [N,K]
+        d_rec = (jnp.sin(phase) * (w_k * d_re)[None, :]) @ kv \
+            - (jnp.cos(phase) * (w_k * d_im)[None, :]) @ kv
+        e0_new = e0_new + jnp.where(other[:, None], d_rec, 0.0)
 
     # ---- tile (b): the field/dipole field at the trial rows ---------
     if delete:
@@ -348,9 +387,31 @@ def move_deltas(pos, box, atom_alive, params, cfg, mol, e0, mu, r_old,
         rb = jnp.sqrt(r2bs)
         d1b, d2b = _damping(rb, cfg.polar_damp, cfg.polar_damp_type)
         okb = valid[:, None] & other[None, :] & in_rcb
-        cb = jnp.where(okb, params.charge[None, :] * d1b / (r2bs * rb),
+        cb = jnp.where(okb, params.charge[None, :]
+                       * _field_coef(rb, r2bs, d1b, cfg, alpha_f, k_rc),
                        0.0)
         rows_field = jnp.einsum("an,ank->ak", cb, drr)
+        if ew_f:
+            # same-molecule erf-complement block (all separations) at
+            # the NEW geometry: sources s -> targets t within the mol
+            dra_f = pbc_ops.min_image(
+                new_rows[None, :, :] - new_rows[:, None, :], box,
+                box_inv)                                   # [S,T,3]
+            r2i = jnp.sum(dra_f * dra_f, -1)
+            diag_a = jnp.eye(A, dtype=bool)
+            oki = valid[:, None] & valid[None, :] & ~diag_a
+            r2is = jnp.where(r2i > 1e-12, r2i, 1.0)
+            ri = jnp.sqrt(r2is)
+            ci = jnp.where(oki, -q_rows[:, None]
+                           * _intra_coef(ri, r2is, alpha_f), 0.0)
+            rows_field = rows_field + jnp.einsum("st,stk->tk", ci,
+                                                 dra_f)
+            # recip field at the trial rows with the POST-move S(k)
+            n_re, n_im = sk_re_o + d_re, sk_im_o + d_im
+            ph_r = new_rows @ kv.T                         # [A,K]
+            rows_field = rows_field \
+                + (jnp.sin(ph_r) * (w_k * n_re)[None, :]) @ kv \
+                - (jnp.cos(ph_r) * (w_k * n_im)[None, :]) @ kv
     cur = _mr(e0_new, params, mol)
     rows_field = jnp.where(valid[:, None], rows_field.astype(dtype),
                            cur)
@@ -417,7 +478,8 @@ def move_deltas(pos, box, atom_alive, params, cfg, mol, e0, mu, r_old,
 
 def residual_supported(cfg) -> bool:
     """Static gate for the O(A N) analytic initial CG residual: needs the
-    delta static field (direct damping) and the CG solver (the residual
+    delta static field (any field_delta_supported variant — the dipole
+    tiles are field-variant independent) and the CG solver (the residual
     is threaded through the CG recurrence and carried in SimState)."""
     return field_delta_supported(cfg) and cfg.polar_solver == "cg"
 
@@ -547,24 +609,20 @@ def static_field_ewald(pos, box, atom_alive, params, cfg, chunk=None):
     rc = derived_cutoff(box, cfg)
     from mpmc_tpu.ops.pairs import derived_alpha
     alpha = derived_alpha(rc, cfg)
+    k_rc = jnp.zeros((), pos.dtype)     # unshifted: k-space has the tail
     q = jnp.where(atom_alive, params.charge, 0.0)
 
-    # --- reciprocal-space field --------------------------------------------
-    kv = ewald.kvectors(box, cfg.ewald_kmax)            # [K,3]
+    # --- reciprocal-space field (the energy path's k-table/layout; the
+    # association order matches move_deltas' delta tiles exactly) ----------
+    kv, pw = ewald.ktable(box, cfg)                     # [K,3]
     sk_re, sk_im = ewald.structure_factor(pos, params.charge, atom_alive,
                                           kv)
-    k2 = jnp.sum(kv * kv, axis=-1)
-    volume = jnp.abs(jnp.linalg.det(box))
-    # x2: half-space integer table holds one of each +/-k pair
-    w = (4.0 * jnp.pi / volume) * 2.0 * jnp.exp(
-        -k2 / (4.0 * alpha * alpha)) / k2               # [K]
+    w = _recip_field_w(box, alpha, kv, pw)              # [K]
     phase = pos @ kv.T                                   # [N,K]
-    trig = (jnp.sin(phase) * sk_re[None, :]
-            - jnp.cos(phase) * sk_im[None, :])           # [N,K]
-    e_recip = (w[None, :] * trig) @ kv                   # [N,3]
+    e_recip = (jnp.sin(phase) * (w * sk_re)[None, :]) @ kv \
+        - (jnp.cos(phase) * (w * sk_im)[None, :]) @ kv   # [N,3]
 
     # --- real-space pieces (chunked pass) -----------------------------------
-    two_a_pi = 2.0 * alpha / jnp.sqrt(jnp.pi)
 
     def body(_, b):
         i0 = b * B
@@ -579,22 +637,16 @@ def static_field_ewald(pos, box, atom_alive, params, cfg, chunk=None):
         base_ok = rok[:, None] & atom_alive[None, :] & ~diag
         r2s = jnp.where(r2 > 1e-12, r2, 1.0)
         r = jnp.sqrt(r2s)
-        inv_r2 = 1.0 / r2s
-        gauss = jnp.exp(-alpha * alpha * r2s)
-        # erfc-screened kernel (inter, within cutoff)
-        k_real = (erfc(alpha * r) / r + two_a_pi * gauss) * inv_r2
+        d1, _ = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
+        # erfc-screened kernel + Thole near-field (inter, within cutoff)
         m_real = base_ok & ~same & (r2 < rc * rc)
         # erf-complement kernel (intra, all separations): cancels the
         # same-molecule content of the k-space sum
-        k_intra = (erf(alpha * r) / r - two_a_pi * gauss) * inv_r2
         m_intra = base_ok & same
-        # Thole near-field: damped minus bare bare-coulomb kernel
-        d1, _ = _damping(r, cfg.polar_damp, cfg.polar_damp_type)
-        k_damp = (d1 - 1.0) / (r2s * r)
-        m_damp = m_real
-        coef = (jnp.where(m_real, k_real, 0.0)
-                - jnp.where(m_intra, k_intra, 0.0)
-                + jnp.where(m_damp, k_damp, 0.0)) * q[None, :]
+        coef = (jnp.where(m_real,
+                          _field_coef(r, r2s, d1, cfg, alpha, k_rc), 0.0)
+                - jnp.where(m_intra, _intra_coef(r, r2s, alpha), 0.0)
+                ) * q[None, :]
         return None, jnp.einsum("bn,bnk->bk", coef, dr)
 
     _, ys = jax.lax.scan(body, None, jnp.arange(nb))

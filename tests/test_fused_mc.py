@@ -1993,21 +1993,32 @@ def test_pda_gate():
     # full-SCF (no delayed acceptance) stays on the scan path
     assert not mc_kernel.supported_uvt_polar_da(
         dataclasses.replace(cfg, polar_delayed=False), params)
-    # Ewald-summed static field has no O(A N) delta: scan path
-    assert not mc_kernel.supported_uvt_polar_da(
+    # wolf + ewald field variants compose since r5 (verdict item 1):
+    # wolf is a complete in-kernel pairwise delta; polar_ewald runs the
+    # real-space surrogate (stage 2 corrects with the recorded d_surr)
+    assert mc_kernel.supported_uvt_polar_da(
+        dataclasses.replace(cfg, polar_wolf=True), params)
+    assert mc_kernel.supported_uvt_polar_da(
         dataclasses.replace(cfg, polar_ewald=True), params)
+    # ... but polar_ewald needs the energy path's cached S(k)
+    assert not mc_kernel.supported_uvt_polar_da(
+        dataclasses.replace(cfg, polar_ewald=True, coulomb="cutoff"),
+        params)
     # cavity bias IS carried (r3): same open-cell plane as _kernel_uvt
     assert mc_kernel.supported_uvt_polar_da(
         dataclasses.replace(cfg, cavity_bias=True), params)
     # spinflip composes since r4 (lane-11 carve; stage 2 trivial)
     assert mc_kernel.supported_uvt_polar_da(
         dataclasses.replace(cfg, quantum_rotation=True), params)
-    # tmmc COLLECTION composes (r4); tmmc_bias still refuses (eta
-    # would have to enter the in-kernel stage-1 coin)
+    # tmmc COLLECTION composes (r4), and tmmc_bias since r5: the eta
+    # tilt rides the stage-1 coin as two per-segment scalars
     assert mc_kernel.supported_uvt_polar_da(
         dataclasses.replace(cfg, tmmc=True), params)
-    assert not mc_kernel.supported_uvt_polar_da(
+    assert mc_kernel.supported_uvt_polar_da(
         dataclasses.replace(cfg, tmmc=True, tmmc_bias=True), params)
+    # cdvdw still refuses
+    assert not mc_kernel.supported_uvt_polar_da(
+        dataclasses.replace(cfg, cdvdw=True), params)
 
 
 def test_pda_bookkeeping_matches_full_recompute():
@@ -2265,5 +2276,41 @@ def test_pda_spinflip_mixed_bookkeeping():
     assert float(st.energy.polar) == pytest.approx(
         float(fresh.energy.polar), rel=2e-4, abs=5e-2)
     for term in ("rd", "es_real", "lrc"):
+        assert float(getattr(st.energy, term)) == pytest.approx(
+            float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+
+
+@pytest.mark.parametrize("variant", ["wolf", "ewald"])
+def test_pda_field_variant_bookkeeping(variant):
+    """r5 (r4 verdict item 1): the fused PDA path on the wolf /
+    full-Ewald static field.  Wolf runs a complete in-kernel pairwise
+    field delta; polar_ewald a real-space surrogate anchored on the
+    resident full-Ewald e0 planes — either way stage 2 corrects with
+    the recorded d_surr, so the committed energies must match a
+    from-scratch recompute exactly as on the direct field."""
+    from mpmc_tpu.ops import thole
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=10, polarization=True)
+    kw_v = ({"polar_wolf": True} if variant == "wolf"
+            else {"polar_ewald": True})
+    cfg = dataclasses.replace(cfg, polar_delayed=True, fused_mc=True,
+                              **kw_v)
+    assert mc_kernel.supported_uvt_polar_da(cfg, params)
+    state = metropolis.initialize(state, params, cfg, thermo)
+    st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+        state, params, cfg, thermo, 200)
+    att = np.asarray(stats.attempts)
+    acc = np.asarray(stats.accepts)
+    assert 200 <= att.sum() < 200 + mc_kernel.PDA_SEG
+    assert acc.sum() > 0
+    assert int(stats.polar_iters) > 0
+    # the carried e0 must be the variant's field
+    e0_full = thole.static_field(st.pos, st.box, st.atom_alive(params),
+                                 params, cfg)
+    assert float(jnp.max(jnp.abs(st.e0 - e0_full))) < 5e-4
+    fresh = metropolis.initialize(st, params, cfg, thermo)
+    for term in ("rd", "lrc", "es_real", "es_recip", "es_self",
+                 "es_excl", "polar"):
         assert float(getattr(st.energy, term)) == pytest.approx(
             float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term

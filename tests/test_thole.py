@@ -737,3 +737,131 @@ def test_move_deltas_matches_sequential():
         np.testing.assert_allclose(np.asarray(e0_only),
                                    np.asarray(e0_ref), rtol=0,
                                    atol=1e-12)
+
+
+@pytest.mark.parametrize("variant", ["wolf", "ewald"])
+def test_field_delta_variant_matches_full_rebuild(variant):
+    """r4 verdict item 1 (polar fast path for the production field
+    variants): the per-move delta field must equal a full static_field
+    rebuild of the post-move configuration for polar_wolf (pairwise
+    shifted kernel) and polar_ewald (real-space tiles + the k-space
+    term, linear in S(k)) — displace, insert and delete."""
+    import dataclasses
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.state import mol_rows
+
+    params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=12, polarization=True,
+        dtype="float64")
+    kw_v = ({"polar_wolf": True} if variant == "wolf"
+            else {"polar_ewald": True})
+    cfg = dataclasses.replace(cfg, use_pallas=False, **kw_v)
+    assert thole.field_delta_supported(cfg)
+    assert thole.residual_supported(cfg)
+    state = metropolis.initialize(state, params, cfg, thermo_)
+    alive = state.atom_alive(params)
+    sk = (state.sk_re, state.sk_im)
+    # the carried e0 is the variant's field (initialize went through
+    # static_field's dispatcher)
+    e0_ref0 = thole.static_field(state.pos, state.box, alive, params,
+                                 cfg)
+    np.testing.assert_allclose(np.asarray(state.e0),
+                               np.asarray(e0_ref0), rtol=0, atol=1e-12)
+    tol = 1e-10
+
+    mf = np.asarray(params.mol_frozen)
+    ma = np.asarray(state.mol_alive)
+    mol = int(np.where(~mf & ma)[0][1])
+    idx = params.mol_atoms[mol]
+
+    # displace
+    rows = mol_rows(state.pos, params, mol) + jnp.asarray(
+        [[0.4, -0.2, 0.15]])
+    e0_d = thole.field_delta(state.pos, state.box, alive, params, cfg,
+                             mol, state.e0, new_rows=rows, sk=sk)
+    ref = thole.static_field(state.pos.at[idx].set(rows), state.box,
+                             alive, params, cfg)
+    np.testing.assert_allclose(np.asarray(e0_d), np.asarray(ref),
+                               rtol=0, atol=tol)
+
+    # delete
+    e0_del = thole.field_delta(state.pos, state.box, alive, params, cfg,
+                               mol, state.e0, delete=True, sk=sk)
+    alive_d = (state.mol_alive.at[mol].set(False)[params.mol_id]
+               & params.atom_ok)
+    ref_d = thole.static_field(state.pos, state.box, alive_d, params,
+                               cfg)
+    np.testing.assert_allclose(np.asarray(e0_del), np.asarray(ref_d),
+                               rtol=0, atol=tol)
+
+    # insert into a dead slot
+    slot = int(np.where(~ma & ~mf)[0][0])
+    sidx = params.mol_atoms[slot]
+    tmpl = jnp.asarray(np.asarray(
+        params.species_pos[int(params.mol_species[slot])]))
+    rows_i = tmpl[:sidx.shape[0]] + jnp.asarray([7.3, 9.1, 3.3])
+    e0_i = thole.field_delta(state.pos, state.box, alive, params, cfg,
+                             slot, state.e0, new_rows=rows_i,
+                             insert=True, sk=sk)
+    alive_i = (state.mol_alive.at[slot].set(True)[params.mol_id]
+               & params.atom_ok)
+    ref_i = thole.static_field(state.pos.at[sidx].set(rows_i), state.box,
+                               alive_i, params, cfg)
+    np.testing.assert_allclose(np.asarray(e0_i), np.asarray(ref_i),
+                               rtol=0, atol=tol)
+
+    # the analytic residual rides the variant field deltas unchanged
+    # (dipole tiles are field-variant independent): check the displace
+    r0 = thole.residual_delta(state.pos, state.box, alive, params, cfg,
+                              mol, state.mu, state.r_pol, state.e0,
+                              e0_d, new_rows=rows)
+    pol_ok = alive & (params.polar > 0)
+    mask = pol_ok[:, None]
+    inv_a = jnp.where(pol_ok, 1.0 / jnp.maximum(params.polar, 1e-30),
+                      0.0)[:, None]
+    pos_n = state.pos.at[idx].set(rows)
+    t_mu = thole.dipole_matvec(pos_n, state.box, alive, params, cfg,
+                               state.mu)
+    r_ref = jnp.where(mask, jnp.where(mask, e0_d, 0.0)
+                      - (inv_a * state.mu - t_mu), 0.0)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r_ref),
+                               rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("variant", ["wolf", "ewald"])
+def test_field_delta_variant_gcmc_chunk_bookkeeping(variant):
+    """A polar-delayed GCMC chunk on the wolf / full-Ewald field (the
+    r5-widened fast path: delta field + analytic residual + scan-path
+    PDA) must keep the cached e0 equal to a rebuild and the energies
+    consistent with a from-scratch initialize."""
+    import dataclasses
+
+    import jax
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+
+    params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=12, polarization=True,
+        dtype="float64")
+    kw_v = ({"polar_wolf": True} if variant == "wolf"
+            else {"polar_ewald": True})
+    cfg = dataclasses.replace(cfg, use_pallas=False, polar_delayed=True,
+                              **kw_v)
+    assert thole.field_delta_supported(cfg)
+    state = metropolis.initialize(state, params, cfg, thermo_)
+    st, stats = metropolis.run_chunk(state, params, cfg, thermo_, 400)
+    acc = np.asarray(stats.accepts)
+    # delayed acceptance: stage 1 kills most attempts — require some
+    # accepted moves including at least one insert/delete
+    assert acc.sum() > 0 and acc[1] + acc[2] > 0
+    e0_full = thole.static_field(st.pos, st.box, st.atom_alive(params),
+                                 params, cfg)
+    assert float(jnp.max(jnp.abs(st.e0 - e0_full))) < 1e-9
+    st2 = metropolis.initialize(st, params, cfg, thermo_)
+    assert float(st.energy.total) == pytest.approx(
+        float(st2.energy.total), abs=1e-9)
+    assert float(st.energy.polar) == pytest.approx(
+        float(st2.energy.polar), abs=1e-9)

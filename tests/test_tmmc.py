@@ -119,17 +119,22 @@ def test_tmmc_refresh_preserves_collection():
 
 
 def test_tmmc_gates():
-    """Static gates: fused µVT refuses tmmc; non-uvt input scripts are
-    rejected at parse; multi-species at setup.  (tmmc + polar_delayed
-    parses since r4 — the DA estimator composition, tested above.)"""
+    """Static gates: the fused µVT kernel ACCEPTS single-species tmmc
+    (r3) — _ideal_gas_tmmc's f64 config is rejected by the f32 physics
+    surface (_supported_physics), not by tmmc, and the same config in
+    f32 passes; non-uvt input scripts are rejected at parse.  (tmmc +
+    polar_delayed parses since r4 — the DA estimator composition,
+    tested above.)"""
     import dataclasses
 
     from mpmc_tpu.io import input_script
     from mpmc_tpu.ops.pallas import mc_kernel
 
     state, params, cfg, thermo, _ = _ideal_gas_tmmc(steps=1)
-    assert not mc_kernel.supported_uvt(
-        dataclasses.replace(cfg, fused_mc=True), params)
+    cfg_f = dataclasses.replace(cfg, fused_mc=True)
+    assert not mc_kernel.supported_uvt(cfg_f, params)       # f64
+    assert mc_kernel.supported_uvt(
+        dataclasses.replace(cfg_f, dtype="float32"), params)
     with pytest.raises(ValueError, match="requires ensemble uvt"):
         input_script.parse("ensemble nvt\ntmmc on\n")
 
@@ -635,3 +640,46 @@ tmmc_output {out_p}
             a = min(1.0, fv_kt / (n + 1.0))
             # realized stage-1 accepts (a2==1): binomial error
             assert abs(c[n, 1] / c[n, 0] - a) < 0.2, (n, c[n])
+
+
+def test_tmmc_polar_delayed_fused_bias_collection_unbiased():
+    """tmmc_bias + polar_delayed through the FUSED stage-1 kernel (r5,
+    r4 verdict item 2): the eta tilt rides the in-kernel stage-1 coin
+    as two per-segment scalars, and the driver's IS-weighted collection
+    min(1,a1)/min(1,a1 e^dEta) * min(1,a2) must still estimate the
+    UNBIASED ideal-gas acceptance min(1, fV/kT/(N+1)) — the fused
+    mirror of the scan-path test above."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mpmc_tpu.constants import ATM2K_A3
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    params, state, cfg, thermo = _ideal_polar_gas("float32")
+    cfg = dataclasses.replace(cfg, fused_mc=True, tmmc_bias=True)
+    assert mc_kernel.supported_uvt_polar_da(cfg, params)
+    # a strong downhill-in-N tilt, as in the scan test
+    eta = -0.6 * np.arange(params.n_mols_max + 1)
+    thermo = thermo.replace(tmmc_eta=jnp.asarray(eta, cfg.jdtype))
+    state = metropolis.initialize(state, params, cfg, thermo)
+    st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+        state, params, cfg, thermo, 6000)
+    c = np.asarray(st.tmmc_c, np.float64)
+    att = np.asarray(stats.attempts)
+    from mpmc_tpu.mc.metropolis import DELETE, INSERT
+    assert c[:, 0].sum() == att[INSERT]
+    assert c[:, 2].sum() == att[DELETE]
+    fv_kt = 30.0 * ATM2K_A3 * 20.0 ** 3 / 300.0
+    checked = 0
+    for n in range(c.shape[0]):
+        if c[n, 0] >= 150:
+            a = min(1.0, fv_kt / (n + 1.0))
+            assert abs(c[n, 1] / c[n, 0] - a) < 0.15, (n, c[n])
+            checked += 1
+    assert checked >= 2
+    # the tilt really acted on the walker: a -0.6/molecule eta pushes
+    # the mean occupation well below the unbiased Poisson mean ~9.7
+    n_end = int(np.asarray(st.mol_alive).sum())
+    assert n_end <= 6
