@@ -557,6 +557,92 @@ def bench_polar_ref_rule():
             "speed_only_unvalidated": unval}
 
 
+def bench_polar_wolf_gcmc():
+    """r5 (r4 verdict item 1 'Done' criterion): the production
+    Wolf-field polarizable GCMC on the fused PDA path at the validated
+    residual-1e-6 rule — the config that fell off a ~10x cliff to the
+    full-rebuild scan path before the r5 field-variant widening
+    (thole.move_deltas wolf kernel + in-kernel screened field
+    coefficient).  The full-Ewald polar field rides as a labeled
+    secondary (its k-space delta is linear in the cached S(k))."""
+    import dataclasses
+
+    import numpy as np
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=21, spacing=4.0, n_h2=256, capacity=512,
+        polarization=True)
+
+    def time_variant(**kw):
+        c = dataclasses.replace(cfg, polar_delayed=True, fused_mc=True,
+                                **kw)
+        assert mc_kernel.supported_uvt_polar_da(c, params)
+        K = 512
+        st = metropolis.initialize(state, params, c, thermo)
+        st, _ = metropolis.run_chunk_fused_uvt_polar_da(st, params, c,
+                                                        thermo, K)
+        np.asarray(st.energy.rd)
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(3):
+            st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+                st, params, c, thermo, K)
+            n += int(np.asarray(stats.attempts).sum())
+        np.asarray(st.energy.rd)
+        return n / (time.perf_counter() - t0)
+
+    sps = time_variant(polar_wolf=True)
+    sps_ew = time_variant(polar_ewald=True)
+    return {"metric": "mc_steps_per_sec_10k_mof_h2_polar_wolf_gcmc",
+            "value": round(sps, 2), "unit": "steps/s",
+            "vs_baseline": round(sps / BASELINES["polar_gcmc"], 2),
+            "method": "fused_pda_residual_1e-6",
+            "polar_ewald_steps_per_s": round(sps_ew, 2)}
+
+
+def bench_polar_54k():
+    """r5 (r4 verdict item 4): the first polar number beyond 10.8k —
+    the 53.7k-atom MOF+H2 polar GCMC on the fused PDA path (the PDA
+    kernel fits VMEM at this size; the cost is the O(N'^2) stage-2
+    matvec, ~25x the 10.8k cost per application)."""
+    import dataclasses
+
+    import numpy as np
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=37, spacing=4.0, n_h2=512, capacity=1024,
+        polarization=True)
+    c = dataclasses.replace(cfg, polar_delayed=True, fused_mc=True)
+    assert mc_kernel.supported_uvt_polar_da(c, params)
+    K = 64
+    st = metropolis.initialize(state, params, c, thermo)
+    st, _ = metropolis.run_chunk_fused_uvt_polar_da(st, params, c,
+                                                    thermo, K)
+    np.asarray(st.energy.rd)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(2):
+        st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+            st, params, c, thermo, K)
+        n += int(np.asarray(stats.attempts).sum())
+    np.asarray(st.energy.rd)
+    sps = n / (time.perf_counter() - t0)
+    return {"metric": "mc_steps_per_sec_54k_mof_h2_polar_gcmc",
+            "value": round(sps, 2), "unit": "steps/s",
+            "vs_baseline": round(sps / (BASELINES["polar_gcmc"] / 25.0),
+                                 2),
+            "method": "fused_pda_residual_1e-6",
+            "n_atoms": int(params.n_atoms_max)}
+
+
 def bench_pt_round():
     """BASELINE config 5: 8-replica parallel tempering.  Uses the fused
     single-chip PT driver (parallel/replica.run_parallel_tempering_fused):
@@ -735,7 +821,8 @@ def main():
     # the benchmark-order landmine)
     for fn, n in ((bench_lj_nvt, 2), (bench_lj_nvt_fused, 2),
                   (bench_nvt_ewald, 2), (bench_polar_gcmc, 2),
-                  (bench_polar_ref_rule, 2), (bench_gcmc_tmmc, 2),
+                  (bench_polar_ref_rule, 2), (bench_polar_wolf_gcmc, 2),
+                  (bench_polar_54k, 2), (bench_gcmc_tmmc, 2),
                   (bench_large_n, 2),
                   (bench_pt_round, 2), (bench_pt_uvt_round, 2)):
         row = _repeat(fn, n)
