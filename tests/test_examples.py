@@ -98,3 +98,21 @@ def test_h2_polar_tmmc_deck(tmp_path):
     c = np.asarray(rec["c"])
     assert c[:, 0].sum() + c[:, 2].sum() > 100
     assert (c[:, 1] <= c[:, 0] + 1e-6).all()
+
+
+def test_h2_polar_wolf_deck(tmp_path):
+    """The r5 wolf-field polar deck runs AS SHIPPED (f32), dispatching
+    the fused PDA kernel on the polar_wolf static field (the field-
+    variant fast path of r4 verdict item 1)."""
+    job = _shrunk(os.path.join(EXAMPLES, "h2_polar_wolf_gcmc.inp"),
+                  tmp_path, steps=300, corr=150, f64=False)
+    assert job.cfg.polar_wolf and job.cfg.polar_delayed
+    assert job.cfg.fused_mc
+    log = io.StringIO()
+    su, avgs = run_mod.run(job, log=log)
+    assert np.isfinite(avgs.mean("energy_total"))
+    # the widened PDA gate accepted the deck (no scan-path fallback)
+    assert any("polar delayed-acceptance" in ln
+               for ln in log.getvalue().splitlines())
+    assert not any("WARNING: polar_delayed" in ln
+                   for ln in log.getvalue().splitlines())

@@ -34,6 +34,15 @@ def build(n_side, n_h2, capacity, ensemble):
     return params, state, cfg, thermo
 
 
+PATH_OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "MEASURE_INTERLEAVE_SCAN.json")
+
+
+def _flush(out):
+    with open(PATH_OUT, "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def scan(tag, n_side, n_h2, capacity, ensemble, widths, K, out):
     from mpmc_tpu.mc import metropolis
     from mpmc_tpu.parallel import multichain
@@ -44,13 +53,18 @@ def scan(tag, n_side, n_h2, capacity, ensemble, widths, K, out):
               else metropolis.run_chunk_fused_multi)
     stacked = {}
     for C in widths:
+        t0 = time.perf_counter()
         try:
             states = multichain.stack_states(state, C)
             states, _ = runner(states, params, cfg, thermo, K)
             np.asarray(states.pos)      # warm compile + chip
             stacked[C] = states
+            print(f"{tag} c{C} warm in "
+                  f"{time.perf_counter() - t0:.0f}s", flush=True)
         except Exception as e:  # noqa: BLE001 — record width failure
             out.setdefault(tag, {})[f"c{C}"] = {"error": repr(e)[:200]}
+            print(f"{tag} c{C} FAILED: {e!r}"[:150], flush=True)
+        _flush(out)
     res = {C: [] for C in stacked}
     for _ in range(2):
         for C, states in stacked.items():
@@ -61,9 +75,13 @@ def scan(tag, n_side, n_h2, capacity, ensemble, widths, K, out):
             stacked[C] = states
             res[C].append(round(3 * K * C
                                 / (time.perf_counter() - t0), 1))
-    for C, vals in res.items():
-        out.setdefault(tag, {})[f"c{C}"] = {
-            "agg_steps_per_s": vals, "best": max(vals)}
+        for C, vals in res.items():
+            out.setdefault(tag, {})[f"c{C}"] = {
+                "agg_steps_per_s": vals, "best": max(vals)}
+        _flush(out)
+        print(f"{tag} rep done: "
+              + " ".join(f"c{C}={max(v)}" for C, v in res.items()),
+              flush=True)
     return out
 
 
@@ -75,10 +93,7 @@ def main():
     scan("nvt_ewald_10k", 21, 256, 512, "nvt",
          (8, 16, 24, 32, 40, 48), 2048, out)
     scan("uvt_54k", 37, 512, 1024, "uvt", (4, 6, 8, 12, 16), 1024, out)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "MEASURE_INTERLEAVE_SCAN.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    _flush(out)
     print(json.dumps(out, indent=1))
 
 
