@@ -218,7 +218,12 @@ def bench_gcmc_fused_multi():
     state = metropolis.initialize(state, params, cfg, thermo)
     best, best_c = 0.0, 0
     widths = {}
-    for C in (16, 32, 48):   # race interleave widths on real HW
+    # race interleave widths on real HW.  r5 fine-grid re-derivation
+    # (MEASURE_INTERLEAVE_SCAN, {8..48} step 8): c16-c48 is a FLAT
+    # plateau within run-to-run variance (±2%) — the r4 "interior
+    # optimum at c32" was chip-state variance, so {16,32,48} brackets
+    # the plateau and racing finer grids buys nothing.
+    for C in (16, 32, 48):
         try:
             K, reps = 4096, 3
             states = multichain.stack_states(state, C)
@@ -286,9 +291,10 @@ def bench_large_n():
     """Scale axis: ~53.7k-atom MOF+H2 GCMC + Ewald (n_side=37,
     capacity=1024) — the VMEM-envelope story (r3 verdict weak #4:
     regressions on the scale axis were tracked only in old MEASURE
-    files).  Races the single fused chain against C in {8,16}
-    interleaved (MEASURE_LARGE_FUSED/CLAUDE.md: C=16 = 67.4k agg,
-    C=32 crashes the compile helper — do not widen)."""
+    files).  Races the single fused chain against C in {8,12,16}
+    interleaved (r5 MEASURE_INTERLEAVE_SCAN: c8-c16 is a flat plateau
+    within run-to-run variance with c12 best in that session; C=32
+    crashes the compile helper — do not widen)."""
     import dataclasses
 
     import numpy as np
@@ -313,7 +319,7 @@ def bench_large_n():
     np.asarray(st.pos)
     best = 3 * K / (time.perf_counter() - t0)
     method, widths = "single_fused", {"single": round(best, 2)}
-    for C in (8, 16):
+    for C in (8, 12, 16):
         try:
             states = multichain.stack_states(state, C)
             states, _ = metropolis.run_chunk_fused_uvt_multi(

@@ -129,6 +129,29 @@ _SLOW_TESTS = {
     "test_quantum_rotation_pt_fused_cli",
     "test_field_delta_matches_full_rebuild_over_gcmc_chunk",
     "test_fused_pt_single_chip",
+    # r5 trim (r4 verdict item 7, durations run 2026-08-21): next
+    # tranche toward <=18 min.  Same policy — combo/CLI-level or
+    # duplicate-variant tests whose mechanisms keep a default-tier
+    # test: the 1k drift gate (bench.py now re-measures drift at BENCH
+    # size every run — the stronger gate), the scan-path DA
+    # bookkeeping (wolf/ewald parity + fused-PDA chunk tests stay
+    # default), CLI decks, one of each paired spatial/cavity/molcache/
+    # estimator check.
+    "test_dipole_mode_drift_bounded_larger_system",
+    "test_delayed_acceptance_bookkeeping_and_scf_skip",
+    "test_quantum_rotation_parallel_tempering_cli",
+    "test_field_delta_variant_gcmc_chunk_bookkeeping",
+    "test_h2_polar_tmmc_deck",
+    "test_h2_polar_wolf_deck",
+    "test_scf_runs_with_ewald_field",
+    "test_tmmc_polar_delayed_scan_estimator_exact_sums",
+    "test_total_energy_sharded_matches_single",
+    "test_parallel_tempering_uvt_cli_path",
+    "test_spinflip_staleness_quantified",
+    "test_cache_matches_uncached_trajectory_start",
+    "test_bookkeeping_and_sharded_refresh",
+    "test_uvt_cavity_bias_inserts_only_into_open_cells",
+    "test_quantum_rotation_cli_run",
 }
 
 
