@@ -865,3 +865,41 @@ def test_field_delta_variant_gcmc_chunk_bookkeeping(variant):
         float(st2.energy.total), abs=1e-9)
     assert float(st.energy.polar) == pytest.approx(
         float(st2.energy.polar), abs=1e-9)
+
+
+def test_field_delta_ewald_mxu_cube_layout():
+    """polar_ewald's delta field must also work over the MXU cube-table
+    S(k) representation (ewald_mxu): move_deltas and the
+    static_field_ewald rebuild both ride ewald.ktable's layout, so the
+    delta must equal the rebuild in either representation."""
+    import dataclasses
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.state import mol_rows
+
+    params, state, cfg, thermo_ = systems.mof_h2_gcmc(
+        n_side=3, n_h2=6, capacity=12, polarization=True,
+        dtype="float64")
+    cfg = dataclasses.replace(cfg, use_pallas=False, polar_ewald=True,
+                              ewald_mxu=True)
+    assert thole.field_delta_supported(cfg)
+    state = metropolis.initialize(state, params, cfg, thermo_)
+    alive = state.atom_alive(params)
+    sk = (state.sk_re, state.sk_im)
+    e0_ref0 = thole.static_field(state.pos, state.box, alive, params,
+                                 cfg)
+    np.testing.assert_allclose(np.asarray(state.e0),
+                               np.asarray(e0_ref0), rtol=0, atol=1e-12)
+    mf = np.asarray(params.mol_frozen)
+    ma = np.asarray(state.mol_alive)
+    mol = int(np.where(~mf & ma)[0][1])
+    idx = params.mol_atoms[mol]
+    rows = mol_rows(state.pos, params, mol) + jnp.asarray(
+        [[0.4, -0.2, 0.15]])
+    e0_d = thole.field_delta(state.pos, state.box, alive, params, cfg,
+                             mol, state.e0, new_rows=rows, sk=sk)
+    ref = thole.static_field(state.pos.at[idx].set(rows), state.box,
+                             alive, params, cfg)
+    np.testing.assert_allclose(np.asarray(e0_d), np.asarray(ref),
+                               rtol=0, atol=1e-10)
