@@ -779,11 +779,18 @@ def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None, r0=None):
     p = z
     rs = jnp.sum(r * r)
     rz = jnp.sum(r * z)
-    # dipole mode's first-iteration gate: the seed's pending update is
-    # the preconditioned residual itself (the first CG step applies
-    # ~alpha*z), so use ||z||^2 — a converged warm start skips the loop
-    # in both modes
-    ds0 = jnp.sum(z * z) if dip_mode else rs
+    # dipole mode runs DO-WHILE (>= 1 iteration, like the reference's
+    # per-sweep change rule, which always applies one sweep before
+    # testing): gating the warm start on the pending update ||z||^2
+    # let a solve do ZERO iterations whenever the previous move left a
+    # small preconditioned residual, so the carried dipoles lagged the
+    # moving fixed point and U_pol drifted ~1.4 K over 192 unrefreshed
+    # bench-size steps (r5 in-situ gate, BENCH_FULL
+    # u_pol_drift_K_measured) — vs a 0.0002 K floor for the residual
+    # rule measured identically.  One forced true-operator application
+    # per solve restores tracking; the residual rule keeps its
+    # converged-warm-start skip.
+    ds0 = jnp.asarray(jnp.inf, rs.dtype) if dip_mode else rs
 
     def cond(carry):
         x, r, p, rs, rz, ds, it = carry
