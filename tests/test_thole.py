@@ -903,3 +903,35 @@ def test_field_delta_ewald_mxu_cube_layout():
                              alive, params, cfg)
     np.testing.assert_allclose(np.asarray(e0_d), np.asarray(ref),
                                rtol=0, atol=1e-10)
+
+
+def test_dipole_mode_always_applies_one_iteration():
+    """r5 regression test for the zero-iteration warm-start hole
+    (caught by the in-situ bench drift gate): dipole mode is DO-WHILE
+    — a warm-started solve must apply >= 1 CG iteration even when the
+    pending update looks converged, so the carried dipoles track a
+    slightly-moved static field instead of lagging it."""
+    params, state = build_charge_plus_polarizable(d=4.0)
+    alive = state.atom_alive(params)
+    cfg = cfg_polar(cutoff=50.0, polar_precision_mode="dipole",
+                    polar_precision=1e-4)
+    e0 = thole.static_field(state.pos, state.box, alive, params, cfg)
+    mu, it, r = thole.solve_scf(state.pos, state.box, alive, params,
+                                cfg, e0)
+    assert int(it) >= 1
+    # re-solve from the converged state: still >= 1 iteration
+    mu2, it2, _ = thole.solve_scf(state.pos, state.box, alive, params,
+                                  cfg, e0, mu0=mu, r0=r)
+    assert int(it2) >= 1
+    # a small field perturbation must move the solution toward the NEW
+    # fixed point (the old skip could return mu unchanged)
+    e0b = e0 * 1.001
+    mu3, it3, _ = thole.solve_scf(state.pos, state.box, alive, params,
+                                  cfg, e0b, mu0=mu)
+    assert int(it3) >= 1
+    cfg_t = cfg_polar(cutoff=50.0, polar_precision=1e-12)
+    mu_exact, _, _ = thole.solve_scf(state.pos, state.box, alive,
+                                     params, cfg_t, e0b)
+    gap_new = float(jnp.max(jnp.abs(mu3 - mu_exact)))
+    gap_old = float(jnp.max(jnp.abs(mu - mu_exact)))
+    assert gap_new < gap_old
