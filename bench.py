@@ -11,6 +11,7 @@ so every perf axis is tracked per round (VERDICT r1 item 4):
     3. gcmc (headline) GCMC H2-in-MOF, LJ + Ewald, batched chains
     4. polar_gcmc      polarizable GCMC (Thole SCF), single chain
        + polar_ref_rule: same, reference-parity dipole stopping rule
+       + polar_wolf / polar_54k (r5), polar_rc14 tile-culled (r6)
     5. pt_round        8-replica parallel tempering with neighbor swaps
     6. gcmc_tmmc       fused µVT with TMMC collection on (r4)
     7. large_n         ~53.7k-atom scale config (r4)
@@ -620,6 +621,60 @@ def bench_polar_wolf_gcmc():
             "polar_ewald_steps_per_s": round(sps_ew, 2)}
 
 
+def bench_polar_rc14_gcmc():
+    """r6: the explicit-small-cutoff polar GCMC regime (``cutoff 14``,
+    the production rc ~ 12-15 A band) with the tile-culled SCF matvec
+    (thole.cull_perm/cull_visit + the visit-table pallas kernel; cull
+    decisions are conservative AABB min-image bounds, so the matvec is
+    exact — skipped tiles hold only cutoff-masked zero pairs).
+    Measured 2026-08-21: raw matvec 3.61 -> 1.95 ms (visit fraction
+    0.42 at the 256x1024 kernel granularity), end-to-end fused PDA
+    +67% (MEASURE_POLAR_CULL.json).  Races cull on vs off in-process
+    and reports the winner with the off value attached."""
+    import dataclasses
+
+    import numpy as np
+
+    from mpmc_tpu.mc import metropolis
+    from mpmc_tpu.models import systems
+    from mpmc_tpu.ops.pallas import mc_kernel
+
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=21, spacing=4.0, n_h2=256, capacity=512,
+        polarization=True)
+
+    def time_variant(cull):
+        c = dataclasses.replace(cfg, cutoff=14.0, polar_delayed=True,
+                                fused_mc=True, polar_cull=cull)
+        assert mc_kernel.supported_uvt_polar_da(c, params)
+        K = 512
+        st = metropolis.initialize(state, params, c, thermo)
+        st, _ = metropolis.run_chunk_fused_uvt_polar_da(st, params, c,
+                                                        thermo, K)
+        np.asarray(st.energy.rd)
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(3):
+            st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+                st, params, c, thermo, K)
+            n += int(np.asarray(stats.attempts).sum())
+        np.asarray(st.energy.rd)
+        return n / (time.perf_counter() - t0)
+
+    sps_on = time_variant(True)
+    sps_off = time_variant(False)
+    sps, method = max((sps_on, "fused_pda_tile_culled_matvec"),
+                      (sps_off, "fused_pda_dense_matvec"))
+    return {"metric": "mc_steps_per_sec_10k_mof_h2_polar_rc14_gcmc",
+            "value": round(sps, 2), "unit": "steps/s",
+            # vs the derived-rc polar baseline: rc14 is a different
+            # physics config, so this column is context, not parity
+            "vs_baseline": round(sps / BASELINES["polar_gcmc"], 2),
+            "method": method,
+            "dense_matvec_steps_per_s": round(sps_off, 2),
+            "cull_speedup": round(sps_on / max(sps_off, 1e-9), 2)}
+
+
 def bench_polar_54k():
     """r5 (r4 verdict item 4): the first polar number beyond 10.8k —
     the 53.7k-atom MOF+H2 polar GCMC on the fused PDA path (the PDA
@@ -838,6 +893,7 @@ def main():
     for fn, n in ((bench_lj_nvt, 2), (bench_lj_nvt_fused, 2),
                   (bench_nvt_ewald, 2), (bench_polar_gcmc, 2),
                   (bench_polar_ref_rule, 2), (bench_polar_wolf_gcmc, 2),
+                  (bench_polar_rc14_gcmc, 2),
                   (bench_polar_54k, 2), (bench_gcmc_tmmc, 2),
                   (bench_large_n, 2),
                   (bench_pt_round, 2), (bench_pt_uvt_round, 2)):

@@ -308,6 +308,10 @@ def parse(text: str) -> Job:
             cfg_kw["polar_damp_type"] = ("none" if d == "off" else d)
         elif key == "polar_gamma":
             cfg_kw["polar_gamma"] = float(v0)
+        elif key == "polar_cull":
+            # our extension: tile-culled SCF matvec for explicit-cutoff
+            # ortho configs (default on; exact — see RunConfig.polar_cull)
+            cfg_kw["polar_cull"] = _onoff(v0) if vals else True
         elif key == "polar_delayed":
             # delayed-acceptance polar MC (our extension): zodid
             # surrogate stage-1 filter, SCF only for survivors

@@ -193,6 +193,93 @@ def _use_pallas(cfg):
     return _tk.supported(cfg) and jax.default_backend() == "tpu"
 
 
+# Test hook: force the tile-culled CG path (with interpret-mode pallas)
+# on backends where _use_pallas would refuse — CPU parity tests.
+_FORCE_CULL = False
+
+
+def cull_supported(cfg) -> bool:
+    """Static gate for the cell-sorted tile-culled SCF matvec (r6; the
+    explicit-small-cutoff opportunity recorded in MEASURE_MATVEC_CULL:
+    at rc = 14 A on the 10.8k bench lattice ~71% of 128-site block
+    pairs have NO cross pair inside the cutoff after a cell sort,
+    while the flagship's derived rc = L/2 geometry cull-proofs itself
+    — docs/performance.md r5).  Requirements: an EXPLICIT cutoff (the
+    profitable regime, and a static flag), an orthorhombic box (the
+    conservative AABB distance bound below assumes axis-aligned
+    min-image), and the CG solver (the culled matvec lives in
+    solve_scf's sorted space)."""
+    return (cfg.polarization and cfg.polar_cull and cfg.ortho_box
+            and cfg.cutoff is not None and cfg.polar_solver == "cg")
+
+
+def _cull_enabled(cfg):
+    return cull_supported(cfg) and (_use_pallas(cfg) or _FORCE_CULL)
+
+
+def cull_perm(pos, box, pol_ok, rc):
+    """Cell-sort permutation for the culled matvec: x-major
+    lexicographic order on rc/2 cells (thin-slab blocks cull well at
+    both the 256-row and 1024-column tile granularities — see
+    MEASURE_MATVEC_CULL's cell_sorted rows); dead / non-polarizable
+    sites sort last, so trailing tiles empty out and are skipped
+    entirely.  Recomputed per solve (O(N log N) next to the O(N'^2)
+    matvec), so moving sorbates stay spatially tight and no static
+    permutation can go stale.  Returns (perm, inv)."""
+    n = pos.shape[0]
+    L = jnp.diagonal(box)
+    cell = rc / 2.0
+    frac = pos - L[None, :] * jnp.floor(pos / L[None, :])
+    c = jnp.floor(frac / cell)
+    ncy = jnp.ceil(L[1] / cell)
+    ncz = jnp.ceil(L[2] / cell)
+    key = (c[:, 0] * ncy + c[:, 1]) * ncz + c[:, 2]
+    key = jnp.where(pol_ok, key, jnp.inf)
+    perm = jnp.argsort(key)
+    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))
+    return perm, inv
+
+
+def cull_visit(pos_s, ok_s, box, rc, ti, tj, n_pad):
+    """Conservative [NI,NJ] tile-visit table over CELL-SORTED sites:
+    tile (I,J) is visited unless the minimum min-image distance
+    between the two blocks' axis-aligned bounding boxes is >= rc (or
+    either block holds no active site).  Per-dim bound: the circle
+    metric's triangle inequality gives |minimage(x_i - x_j)| >=
+    |minimage(c_I - c_J)| - h_I - h_J for any points inside blocks
+    with centers c and half-widths h, so summing the clamped per-dim
+    gaps squared under-estimates every cross-pair r^2 — tiles it culls
+    contain only pairs the kernel's r2 < rc^2 mask already zeroes."""
+    n = pos_s.shape[0]
+    L = jnp.diagonal(box).astype(pos_s.dtype)
+    p = pos_s - L[None, :] * jnp.floor(pos_s / L[None, :])   # wrap [0,L)
+    pad = n_pad - n
+    p = jnp.pad(p, ((0, pad), (0, 0)))
+    ok = jnp.pad(ok_s, (0, pad))
+    big = jnp.asarray(1e30, p.dtype)
+    lo = jnp.where(ok[:, None], p, big)
+    hi = jnp.where(ok[:, None], p, -big)
+
+    def blocks(t):
+        nb = n_pad // t
+        mn = lo.reshape(nb, t, 3).min(1)
+        mx = hi.reshape(nb, t, 3).max(1)
+        nonempty = ok.reshape(nb, t).any(1)
+        ctr = jnp.where(nonempty[:, None], 0.5 * (mn + mx), 0.0)
+        hw = jnp.where(nonempty[:, None], 0.5 * (mx - mn), 0.0)
+        return ctr, hw, nonempty
+
+    ci, hwi, oki = blocks(ti)
+    cj, hwj, okj = blocks(tj)
+    dc = ci[:, None, :] - cj[None, :, :]
+    dc = dc - L[None, None, :] * jnp.round(dc / L[None, None, :])
+    gap = jnp.maximum(jnp.abs(dc) - hwi[:, None, :] - hwj[None, :, :],
+                      0.0)
+    mind2 = jnp.sum(gap * gap, -1)
+    visit = oki[:, None] & okj[None, :] & (mind2 < rc * rc)
+    return visit.astype(jnp.int32)
+
+
 def _rowblock_scan(body, N, B, nb, dtype, cfg):
     """Run a target-row-block pass (``body(_, b) -> (None, [B,3])``)
     either as the plain lax.scan stack, or — under
@@ -714,8 +801,31 @@ def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None, r0=None):
     move's r_old.
     """
     pol_ok = atom_alive & (params.polar > 0)
+    cull = _cull_enabled(cfg)
+    if cull:
+        # tile-culled CG (r6): cell-sort the sites per solve, run the
+        # whole CG recurrence in sorted space with the conservative
+        # tile-visit table (cull_visit), un-permute at the end.  The
+        # culled matvec equals the dense one bit-for-bit (skipped
+        # tiles hold only cutoff-masked zero pairs); only the CG
+        # reduction order changes (ulp-level reassociation).
+        from mpmc_tpu.ops.pallas import thole_kernel as _tk
+        rc_c = derived_cutoff(box, cfg)
+        perm, invp = cull_perm(pos, box, pol_ok, rc_c)
+        pos = pos[perm]
+        pol_ok = pol_ok[perm]
+        polar_vec = params.polar[perm]
+        e0 = e0[perm]
+        mu0 = mu0[perm] if mu0 is not None else None
+        r0 = r0[perm] if r0 is not None else None
+        n_pad, _, _ = _tk.grid_shape(pos.shape[0])
+        visit = cull_visit(pos, pol_ok, box, rc_c, _tk.TI, _tk.TJ,
+                           n_pad)
+        interp = not _use_pallas(cfg)     # _FORCE_CULL CPU tests
+    else:
+        polar_vec = params.polar
     mask = pol_ok[:, None]
-    inv_a = jnp.where(pol_ok, 1.0 / jnp.maximum(params.polar, 1e-30),
+    inv_a = jnp.where(pol_ok, 1.0 / jnp.maximum(polar_vec, 1e-30),
                       0.0)[:, None]
     b = jnp.where(mask, e0, 0.0)
     nsites = jnp.maximum(jnp.sum(pol_ok), 1)
@@ -723,10 +833,15 @@ def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None, r0=None):
 
     def amul(x):
         x = jnp.where(mask, x, 0.0)
-        return jnp.where(mask,
-                         inv_a * x - dipole_matvec(
-                             pos, box, atom_alive, params, cfg, x),
-                         0.0)
+        if cull:
+            t = _tk.dipole_field(
+                pos, box, pol_ok, x, params.mol_id, rc_c,
+                jnp.asarray(cfg.polar_damp, pos.dtype),
+                cfg.polar_damp_type, ortho=cfg.ortho_box, visit=visit,
+                interpret=interp).astype(pos.dtype)
+        else:
+            t = dipole_matvec(pos, box, atom_alive, params, cfg, x)
+        return jnp.where(mask, inv_a * x - t, 0.0)
 
     if cfg.polar_solver == "direct":
         mu_d, it_d = _solve_direct(pos, box, atom_alive, params, cfg, b,
@@ -772,7 +887,7 @@ def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None, r0=None):
     if dip_mode:
         from mpmc_tpu.constants import DEBYE_PER_EA
         tol2 = ((cfg.polar_precision / DEBYE_PER_EA) ** 2) * nsites * 3
-    alpha_site = jnp.where(mask, params.polar[:, None], 0.0)
+    alpha_site = jnp.where(mask, polar_vec[:, None], 0.0)
     x = jnp.where(mask, mu0, 0.0) if mu0 is not None else jnp.zeros_like(e0)
     r = jnp.where(mask, r0, 0.0) if r0 is not None else b - amul(x)
     z = alpha_site * r
@@ -814,7 +929,11 @@ def solve_scf(pos, box, atom_alive, params, cfg, e0, mu0=None, r0=None):
 
     x, r, p, rs, rz, ds, it = jax.lax.while_loop(
         cond, step, (x, r, p, rs, rz, ds0, jnp.zeros((), jnp.int32)))
-    return jnp.where(mask, x, 0.0), it, jnp.where(mask, r, 0.0)
+    x = jnp.where(mask, x, 0.0)
+    r = jnp.where(mask, r, 0.0)
+    if cull:
+        x, r = x[invp], r[invp]      # back to the caller's site order
+    return x, it, r
 
 
 def dipole_tensor(pos, box, site_ok, cfg):

@@ -935,3 +935,124 @@ def test_dipole_mode_always_applies_one_iteration():
     gap_new = float(jnp.max(jnp.abs(mu3 - mu_exact)))
     gap_old = float(jnp.max(jnp.abs(mu - mu_exact)))
     assert gap_new < gap_old
+
+
+# ---------------------------------------------------------------------------
+# tile-culled SCF matvec (r6): cell-sorted visit table + culled CG path
+# ---------------------------------------------------------------------------
+
+
+def _random_polar_cloud(seed=0, n=700, L=40.0):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    ok = rng.uniform(size=n) > 0.15
+    mu = np.where(ok[:, None],
+                  rng.normal(size=(n, 3)).astype(np.float32) * 0.01, 0.0)
+    return pos, ok, mu, L
+
+
+def test_cull_visit_table_is_conservative():
+    """Every tile the visit table culls must contain NO cross pair
+    inside rc (checked exactly in f64 against brute-force min-image
+    distances) — the property that makes the culled matvec exact."""
+    pos, ok, _, L = _random_polar_cloud()
+    rc = 9.0
+    box = jnp.eye(3, dtype=jnp.float32) * L
+    perm, inv = thole.cull_perm(jnp.asarray(pos), box, jnp.asarray(ok),
+                                jnp.asarray(rc, jnp.float32))
+    perm = np.asarray(perm)
+    assert np.array_equal(np.sort(np.asarray(inv)[perm]),
+                          np.arange(len(pos)))   # inverse really inverts
+    pos_s, ok_s = pos[perm], ok[perm]
+
+    from mpmc_tpu.ops.pallas import thole_kernel as tk
+    ti, tj = 128, 128
+    n_pad, ni, nj = tk.grid_shape(len(pos), ti, tj)
+    visit = np.asarray(thole.cull_visit(
+        jnp.asarray(pos_s), jnp.asarray(ok_s), box,
+        jnp.asarray(rc, jnp.float32), ti, tj, n_pad))
+    assert visit.shape == (ni, nj)
+    # culling must actually happen on this geometry (rc << L)
+    assert visit.mean() < 0.95
+
+    pos_p = np.pad(pos_s, ((0, n_pad - len(pos)), (0, 0))).astype(
+        np.float64)
+    ok_p = np.pad(ok_s, (0, n_pad - len(pos)))
+    d = pos_p[:, None, :] - pos_p[None, :, :]
+    d -= L * np.round(d / L)
+    inside = ((d * d).sum(-1) < rc * rc) & ok_p[:, None] & ok_p[None, :]
+    np.fill_diagonal(inside, False)
+    for i_blk in range(ni):
+        for j_blk in range(nj):
+            if visit[i_blk, j_blk] == 0:
+                sub = inside[i_blk * ti:(i_blk + 1) * ti,
+                             j_blk * tj:(j_blk + 1) * tj]
+                assert not sub.any(), (i_blk, j_blk)
+
+
+def test_culled_dipole_kernel_bit_identical():
+    """The visit-table kernel skips only tiles whose pairs the cutoff
+    mask already zeroes, so the accumulated field is bit-identical to
+    the dense pass (interpret mode, same tile sizes)."""
+    pos, ok, mu, L = _random_polar_cloud(seed=1)
+    rc = 9.0
+    box = jnp.eye(3, dtype=jnp.float32) * L
+    perm, _ = thole.cull_perm(jnp.asarray(pos), box, jnp.asarray(ok),
+                              jnp.asarray(rc, jnp.float32))
+    perm = np.asarray(perm)
+    pos_s, ok_s, mu_s = (jnp.asarray(pos[perm]), jnp.asarray(ok[perm]),
+                         jnp.asarray(mu[perm]))
+    mol = jnp.arange(len(pos), dtype=jnp.int32)
+
+    from mpmc_tpu.ops.pallas import thole_kernel as tk
+    ti, tj = 128, 128
+    n_pad, _, _ = tk.grid_shape(len(pos), ti, tj)
+    visit = thole.cull_visit(pos_s, ok_s, box,
+                             jnp.asarray(rc, jnp.float32), ti, tj,
+                             n_pad)
+    kw = dict(interpret=True, ortho=True, ti_size=ti, tj_size=tj)
+    args = (pos_s, box, ok_s, mu_s, mol, jnp.asarray(rc, jnp.float32),
+            jnp.asarray(2.1304, jnp.float32), "exponential")
+    dense = np.asarray(tk.dipole_field(*args, **kw))
+    culled = np.asarray(tk.dipole_field(*args, visit=visit, **kw))
+    np.testing.assert_array_equal(dense, culled)
+
+
+def test_solve_scf_culled_matches_plain():
+    """End-to-end forced-cull CG (interpret-mode pallas, sorted space)
+    vs the plain jnp CG: same fixed point, same iteration count, and
+    the returned recurrence residual survives the round trip through
+    the permutation."""
+    rng = np.random.default_rng(3)
+    site = atom_species("Q", eps=0.0, sig=0.0, charge=0.5, polar=0.8)
+    boxL, n_mol = 30.0, 60
+    params, state = build_system(
+        np.eye(3) * boxL, species=(site,), capacity=(n_mol,),
+        initial_counts=(n_mol,),
+        initial_pos={0: rng.uniform(0, boxL, (n_mol, 1, 3))},
+        dtype=jnp.float32)
+    cfg = RunConfig(rd_potential="none", coulomb="none",
+                    polarization=True, polar_damp_type="exponential",
+                    polar_max_iter=100, polar_precision=1e-7,
+                    dtype="float32", rd_lrc=False, cutoff=8.0,
+                    ortho_box=True)
+    assert thole.cull_supported(cfg)
+    assert not thole.cull_supported(
+        RunConfig(**{**cfg.__dict__, "cutoff": None}))       # derived rc
+    assert not thole.cull_supported(
+        RunConfig(**{**cfg.__dict__, "ortho_box": False}))   # triclinic
+    alive = state.atom_alive(params)
+    e0 = thole.static_field(state.pos, state.box, alive, params, cfg)
+    mu_p, it_p, r_p = thole.solve_scf(state.pos, state.box, alive,
+                                      params, cfg, e0)
+    try:
+        thole._FORCE_CULL = True
+        mu_c, it_c, r_c = thole.solve_scf(state.pos, state.box, alive,
+                                          params, cfg, e0)
+    finally:
+        thole._FORCE_CULL = False
+    assert int(it_p) == int(it_c)
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_p),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(r_c), np.asarray(r_p),
+                               atol=5e-6)
