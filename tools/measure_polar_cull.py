@@ -121,17 +121,58 @@ def matvec_timings(params, state, cfg):
     return out
 
 
-def pda_steps_per_sec(params, state, cfg, thermo, cull):
+def pda_steps_per_sec(params, state, cfg, thermo, cull, K=512):
     from mpmc_tpu.ops.pallas import mc_kernel
     c = dataclasses.replace(cfg, polar_delayed=True, fused_mc=True,
                             polar_cull=cull)
     assert mc_kernel.supported_uvt_polar_da(c, params)
     st = metropolis.initialize(state, params, c, thermo)
-    K = 512
     st, _ = metropolis.run_chunk_fused_uvt_polar_da(st, params, c,
                                                     thermo, K)
     np.asarray(st.energy.rd)
     return c, st
+
+
+def main_large():
+    """54k-atom section (--large): the matvec is ~25x the 10.8k cost
+    there and the 148 A box makes rc=14 cull much harder — appended
+    into the same artifact."""
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=37, spacing=4.0, n_h2=512, capacity=1024,
+        polarization=True)
+    cfg = dataclasses.replace(cfg, cutoff=RC)
+    out = {"cutoff_A": RC}
+    out.update(matvec_timings(params, state, cfg))
+
+    variants = {}
+    for cull in (True, False):
+        variants[cull] = pda_steps_per_sec(params, state, cfg, thermo,
+                                           cull, K=64)
+    rates = {True: [], False: []}
+    for _rep in range(2):
+        for cull in (True, False):
+            c, st = variants[cull]
+            t0 = time.perf_counter()
+            n = 0
+            for _ in range(2):
+                st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+                    st, params, c, thermo, 64)
+                n += int(np.asarray(stats.attempts).sum())
+            np.asarray(st.energy.rd)
+            rates[cull].append(n / (time.perf_counter() - t0))
+            variants[cull] = (c, st)
+    out["pda_steps_per_sec_cull_on"] = [round(r, 1) for r in rates[True]]
+    out["pda_steps_per_sec_cull_off"] = [round(r, 1)
+                                         for r in rates[False]]
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "MEASURE_POLAR_CULL.json")
+    with open(path) as f:
+        full = json.load(f)
+    full["large_54k"] = out
+    with open(path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(out, indent=1))
 
 
 def main():
@@ -172,4 +213,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--large" in sys.argv:
+        main_large()
+    else:
+        main()
