@@ -98,16 +98,19 @@ class RunConfig:
     polar_wolf: bool = False       # Wolf damped-shifted static field
     polar_wolf_alpha: Optional[float] = None
     polar_gamma: float = 1.0       # over-relaxation (jacobi)
-    # tile-culled SCF matvec (r6): with an EXPLICIT cutoff << L/2 and an
-    # orthorhombic box, the CG dipole matvec cell-sorts the sites per
-    # solve and skips whole (256x1024) kernel tiles whose blocks are
-    # provably beyond rc (conservative AABB min-image bound) — exact
-    # (skipped pairs are already cutoff-masked zeros), ~71% of 128-site
-    # block pairs cullable at rc = 14 A on the 10.8k bench lattice
-    # (MEASURE_MATVEC_CULL).  Auto-inactive for derived rc = L/2
-    # (nothing culls — the geometric bound in docs/performance.md r5)
-    # and on triclinic cells (the AABB bound assumes axis alignment).
-    polar_cull: bool = True
+    # tile-culled SCF matvec (r6): on an orthorhombic box the CG dipole
+    # matvec cell-sorts the sites per solve and skips whole (256x1024)
+    # kernel tiles whose blocks are provably beyond rc (conservative
+    # AABB min-image bound) — exact (skipped pairs are already
+    # cutoff-masked zeros).  "auto" engages it only for an EXPLICIT
+    # cutoff << L/2 (the clearly-profitable regime: ~42% tile-visit at
+    # rc=14 on the 10.8k bench, 20% at 54k — MEASURE_POLAR_CULL);
+    # "on" forces it for derived rc = L/2 too (profitable only once
+    # blocks are small vs the 0.366 L geometric bound, i.e. large
+    # cells — docs/performance.md r5/r6); "off" always dense.
+    # Triclinic cells keep the dense pass regardless (the AABB bound
+    # assumes axis alignment).
+    polar_cull: str = "auto"       # auto | on | off
     # delayed-acceptance polar MC (two-stage Metropolis, Christen & Fox
     # 2005): filter every trial with the zeroth-iteration ("zodid")
     # surrogate U* = U_nonpolar - (ke/2) sum alpha |E0|^2 — essentially

@@ -309,9 +309,17 @@ def parse(text: str) -> Job:
         elif key == "polar_gamma":
             cfg_kw["polar_gamma"] = float(v0)
         elif key == "polar_cull":
-            # our extension: tile-culled SCF matvec for explicit-cutoff
-            # ortho configs (default on; exact — see RunConfig.polar_cull)
-            cfg_kw["polar_cull"] = _onoff(v0) if vals else True
+            # our extension: tile-culled SCF matvec (exact; see
+            # RunConfig.polar_cull).  auto (default) = engage for
+            # explicit-cutoff ortho configs; on = force even at
+            # derived rc = L/2; off = always dense.
+            if not vals or v0.lower() == "auto":
+                cfg_kw["polar_cull"] = "auto"
+            elif v0.lower() in ("on", "off"):
+                cfg_kw["polar_cull"] = v0.lower()
+            else:
+                raise ValueError(
+                    f"polar_cull expects auto|on|off, got {v0!r}")
         elif key == "polar_delayed":
             # delayed-acceptance polar MC (our extension): zodid
             # surrogate stage-1 filter, SCF only for survivors

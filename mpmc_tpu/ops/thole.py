@@ -204,13 +204,20 @@ def cull_supported(cfg) -> bool:
     at rc = 14 A on the 10.8k bench lattice ~71% of 128-site block
     pairs have NO cross pair inside the cutoff after a cell sort,
     while the flagship's derived rc = L/2 geometry cull-proofs itself
-    — docs/performance.md r5).  Requirements: an EXPLICIT cutoff (the
-    profitable regime, and a static flag), an orthorhombic box (the
+    — docs/performance.md r5).  Requirements: an orthorhombic box (the
     conservative AABB distance bound below assumes axis-aligned
-    min-image), and the CG solver (the culled matvec lives in
-    solve_scf's sorted space)."""
-    return (cfg.polarization and cfg.polar_cull and cfg.ortho_box
-            and cfg.cutoff is not None and cfg.polar_solver == "cg")
+    min-image) and the CG solver (the culled matvec lives in
+    solve_scf's sorted space).  ``polar_cull auto`` (default) further
+    requires an EXPLICIT cutoff — the clearly-profitable regime —
+    while ``on`` forces the culled path for derived rc = L/2 too
+    (pays off only once blocks are small against the 0.366 L
+    geometric separation bound, i.e. large cells)."""
+    if cfg.polar_cull == "off":
+        return False
+    if not (cfg.polarization and cfg.ortho_box
+            and cfg.polar_solver == "cg"):
+        return False
+    return cfg.polar_cull == "on" or cfg.cutoff is not None
 
 
 def _cull_enabled(cfg):

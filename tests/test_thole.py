@@ -1039,6 +1039,10 @@ def test_solve_scf_culled_matches_plain():
     assert thole.cull_supported(cfg)
     assert not thole.cull_supported(
         RunConfig(**{**cfg.__dict__, "cutoff": None}))       # derived rc
+    assert thole.cull_supported(                             # forced
+        RunConfig(**{**cfg.__dict__, "cutoff": None, "polar_cull": "on"}))
+    assert not thole.cull_supported(
+        RunConfig(**{**cfg.__dict__, "polar_cull": "off"}))
     assert not thole.cull_supported(
         RunConfig(**{**cfg.__dict__, "ortho_box": False}))   # triclinic
     alive = state.atom_alive(params)

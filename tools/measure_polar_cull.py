@@ -125,6 +125,7 @@ def pda_steps_per_sec(params, state, cfg, thermo, cull, K=512):
     from mpmc_tpu.ops.pallas import mc_kernel
     c = dataclasses.replace(cfg, polar_delayed=True, fused_mc=True,
                             polar_cull=cull)
+    assert cull in ("auto", "on", "off")
     assert mc_kernel.supported_uvt_polar_da(c, params)
     st = metropolis.initialize(state, params, c, thermo)
     st, _ = metropolis.run_chunk_fused_uvt_polar_da(st, params, c,
@@ -145,12 +146,12 @@ def main_large():
     out.update(matvec_timings(params, state, cfg))
 
     variants = {}
-    for cull in (True, False):
+    for cull in ("auto", "off"):
         variants[cull] = pda_steps_per_sec(params, state, cfg, thermo,
                                            cull, K=64)
-    rates = {True: [], False: []}
+    rates = {"auto": [], "off": []}
     for _rep in range(2):
-        for cull in (True, False):
+        for cull in ("auto", "off"):
             c, st = variants[cull]
             t0 = time.perf_counter()
             n = 0
@@ -161,15 +162,60 @@ def main_large():
             np.asarray(st.energy.rd)
             rates[cull].append(n / (time.perf_counter() - t0))
             variants[cull] = (c, st)
-    out["pda_steps_per_sec_cull_on"] = [round(r, 1) for r in rates[True]]
+    out["pda_steps_per_sec_cull_on"] = [round(r, 1)
+                                        for r in rates["auto"]]
     out["pda_steps_per_sec_cull_off"] = [round(r, 1)
-                                         for r in rates[False]]
+                                         for r in rates["off"]]
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "MEASURE_POLAR_CULL.json")
     with open(path) as f:
         full = json.load(f)
     full["large_54k"] = out
+    with open(path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+def main_large_derived():
+    """54k at the DERIVED rc = L/2 = 74 A (--large-derived): the r5
+    geometric bound says blocks must be smaller than 0.366 L to be
+    separable — at 54k a 256-site block is a ~19 A cube vs the 54 A
+    bound, so some culling exists even at the flagship cutoff.
+    polar_cull on (forced) vs off on the EXISTING bench-row config."""
+    params, state, cfg, thermo = systems.mof_h2_gcmc(
+        n_side=37, spacing=4.0, n_h2=512, capacity=1024,
+        polarization=True)
+    out = {"cutoff": "derived L/2"}
+    out.update(matvec_timings(params, state, cfg))
+
+    variants = {}
+    for cull in ("on", "off"):
+        variants[cull] = pda_steps_per_sec(params, state, cfg, thermo,
+                                           cull, K=64)
+    rates = {"on": [], "off": []}
+    for _rep in range(2):
+        for cull in ("on", "off"):
+            c, st = variants[cull]
+            t0 = time.perf_counter()
+            n = 0
+            for _ in range(2):
+                st, stats = metropolis.run_chunk_fused_uvt_polar_da(
+                    st, params, c, thermo, 64)
+                n += int(np.asarray(stats.attempts).sum())
+            np.asarray(st.energy.rd)
+            rates[cull].append(n / (time.perf_counter() - t0))
+            variants[cull] = (c, st)
+    out["pda_steps_per_sec_cull_on"] = [round(r, 1)
+                                        for r in rates["on"]]
+    out["pda_steps_per_sec_cull_off"] = [round(r, 1)
+                                         for r in rates["off"]]
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "MEASURE_POLAR_CULL.json")
+    with open(path) as f:
+        full = json.load(f)
+    full["large_54k_derived_rc"] = out
     with open(path, "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(out, indent=1))
@@ -184,13 +230,13 @@ def main():
 
     # end-to-end: warm both variants first, then interleave timings
     variants = {}
-    for cull in (True, False):
+    for cull in ("auto", "off"):
         variants[cull] = pda_steps_per_sec(params, state, cfg, thermo,
                                            cull)
     K = 512
-    rates = {True: [], False: []}
+    rates = {"auto": [], "off": []}
     for _rep in range(3):
-        for cull in (True, False):
+        for cull in ("auto", "off"):
             c, st = variants[cull]
             t0 = time.perf_counter()
             n = 0
@@ -201,9 +247,10 @@ def main():
             np.asarray(st.energy.rd)
             rates[cull].append(n / (time.perf_counter() - t0))
             variants[cull] = (c, st)
-    out["pda_steps_per_sec_cull_on"] = [round(r, 1) for r in rates[True]]
+    out["pda_steps_per_sec_cull_on"] = [round(r, 1)
+                                        for r in rates["auto"]]
     out["pda_steps_per_sec_cull_off"] = [round(r, 1)
-                                         for r in rates[False]]
+                                         for r in rates["off"]]
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "MEASURE_POLAR_CULL.json")
@@ -213,7 +260,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--large" in sys.argv:
+    if "--large-derived" in sys.argv:
+        main_large_derived()
+    elif "--large" in sys.argv:
         main_large()
     else:
         main()
