@@ -111,6 +111,20 @@ class RunConfig:
     # Triclinic cells keep the dense pass regardless (the AABB bound
     # assumes axis alignment).
     polar_cull: str = "auto"       # auto | on | off
+    # column-tile culling in the fused µVT kernel (r6): skip whole
+    # 1024-atom column blocks provably beyond rc of the moved
+    # molecule's rows (static frozen-block AABBs + per-step row AABB;
+    # mc_kernel.cull_gate/_pack_cull).  Exact and bit-identical
+    # (test_mc_cull_bit_identical...), but a MEASURED DEAD END on this
+    # chip class: the per-block lax.cond in the inner loop lengthens
+    # the serial path of a latency-bound kernel more than the skipped
+    # (8,128)-plane work saves — rc=14 A, mc_cull auto vs off:
+    # 10.8k single 152k vs 191k, c32 185k vs 235k; 54k single 48k vs
+    # 58k, c12 46k vs 73k steps/s (MEASURE_MC_CULL.json;
+    # docs/performance.md r6).  Default OFF; kept as an opt-in
+    # experiment ("auto" = explicit-cutoff ortho configs, "on" =
+    # derived rc too) so the result stays reproducible.
+    mc_cull: str = "off"           # off | auto | on
     # delayed-acceptance polar MC (two-stage Metropolis, Christen & Fox
     # 2005): filter every trial with the zeroth-iteration ("zodid")
     # surrogate U* = U_nonpolar - (ke/2) sum alpha |E0|^2 — essentially

@@ -308,6 +308,17 @@ def parse(text: str) -> Job:
             cfg_kw["polar_damp_type"] = ("none" if d == "off" else d)
         elif key == "polar_gamma":
             cfg_kw["polar_gamma"] = float(v0)
+        elif key == "mc_cull":
+            # our extension: column-tile culling in the fused MC
+            # kernels (exact; see RunConfig.mc_cull) — same tri-state
+            # as polar_cull
+            if not vals or v0.lower() == "auto":
+                cfg_kw["mc_cull"] = "auto"
+            elif v0.lower() in ("on", "off"):
+                cfg_kw["mc_cull"] = v0.lower()
+            else:
+                raise ValueError(
+                    f"mc_cull expects auto|on|off, got {v0!r}")
         elif key == "polar_cull":
             # our extension: tile-culled SCF matvec (exact; see
             # RunConfig.polar_cull).  auto (default) = engage for

@@ -908,10 +908,10 @@ def run_steps_multi(pos, eps, sig, charge, mass, alive, mov_start,
 
 
 def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, eta_ref, tbl_in_ref,
-                data_in_ref, sk_in_ref, rot_in_ref, data_ref, out_ref,
-                sk_ref, tbl_ref, rot_ref, tm_ref, *, cfg, n_steps, n_pad,
-                n_real, A_list, nk_pad, ms_pad, g3_pad, tm_pad,
-                n_chains=1):
+                data_in_ref, sk_in_ref, rot_in_ref, cull_ref, data_ref,
+                out_ref, sk_ref, tbl_ref, rot_ref, tm_ref, *, cfg,
+                n_steps, n_pad, n_real, A_list, nk_pad, ms_pad, g3_pad,
+                tm_pad, n_chains=1, use_cull=False):
     """Fused µVT (GCMC) step loop: displace | insert | delete per step.
 
     Differences from the NVT ``_kernel``: the movable-slot table carries
@@ -1246,6 +1246,30 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, eta_ref, tbl_in_ref,
         has_old = ~is_ins & ~is_spin
         has_new = ~is_del & ~is_spin
 
+        if use_cull:
+            # per-step AABB of the molecule's old+new rows (column-tile
+            # culling, r6): a column block whose static AABB sits >= rc
+            # from every moved row under min-image contributes only
+            # cutoff-masked zeros to the pair pass and can be skipped
+            # whole.  Old rows ride in even on inserts (stale slot
+            # coordinates are somewhere in the box — conservative).
+            big = np.float32(1e30)
+            rcen, rhw = [], []
+            for c in range(3):
+                los, his = [], []
+                for a in range(A):
+                    lo_a = jnp.minimum(old[a][c], new[a][c])
+                    hi_a = jnp.maximum(old[a][c], new[a][c])
+                    if not uniform_A:
+                        lo_a = jnp.where(valid[a], lo_a, big)
+                        hi_a = jnp.where(valid[a], hi_a, -big)
+                    los.append(lo_a)
+                    his.append(hi_a)
+                lo = functools.reduce(jnp.minimum, los)
+                hi = functools.reduce(jnp.maximum, his)
+                rcen.append(0.5 * (lo + hi))
+                rhw.append(0.5 * (hi - lo))
+
         if sf:
             # cached rotor free-energy difference at the picked slot
             # (per-chain 3-row rot group, slot lanes)
@@ -1259,7 +1283,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, eta_ref, tbl_in_ref,
             d_f = jnp.where(s_cur > 0.5, f_para - f_ortho,
                             f_ortho - f_para)
 
-        def col(jt, acc):
+        def col_body(jt, acc):
             rd_a, es_a, mr_a = acc
             r0 = pl.multiple_of(jt * 8, 8)
 
@@ -1315,6 +1339,30 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, eta_ref, tbl_in_ref,
                 es_a = es_a + (e_n - e_o)
                 mr_a = jnp.minimum(mr_a, m2)
             return (rd_a, es_a, mr_a)
+
+        if use_cull:
+            def col(jt, acc):
+                # conservative min-image AABB gap: skip iff the block
+                # is flagged static (no movable-slot rows) AND its
+                # bounding box sits >= rc from the molecule's rows.
+                # Skipped blocks' pairs are all cutoff-masked zeros
+                # (and their r2 >= rc^2 can never win the autoreject
+                # minimum, gated thr < rc at setup) — bit-identical.
+                g2 = np.float32(0.0)
+                for c in range(3):
+                    bmin = cull_ref[jt, c]
+                    bmax = cull_ref[jt, 3 + c]
+                    c2 = 0.5 * (bmin + bmax)
+                    h2 = 0.5 * (bmax - bmin)
+                    dc = rcen[c] - c2
+                    dc = dc - box[c][c] * jnp.round(dc / box[c][c])
+                    g = jnp.maximum(jnp.abs(dc) - rhw[c] - h2, 0.0)
+                    g2 = g2 + g * g
+                skip = (cull_ref[jt, 6] > 0.0) & (g2 >= rc * rc)
+                return jax.lax.cond(skip, lambda a: a,
+                                    lambda a: col_body(jt, a), acc)
+        else:
+            col = col_body
 
         zb = jnp.zeros((8, 128), jnp.float32)
         # unroll must stay 1 (see BLOCK_UNROLL note): Mosaic rejects
@@ -1549,6 +1597,60 @@ def _pack_tmmc(tmmc_eta, ms, cfg):
     return eta.reshape(tm_pad // 128, 128), tm_pad
 
 
+def cull_gate(cfg) -> bool:
+    """Static gate for in-kernel column-tile culling (r6): the fused
+    µVT pair pass skips whole 1024-atom column blocks whose static
+    AABB is provably >= rc from the moved molecule's rows under
+    min-image (cull table from _pack_cull; per-step row AABB in
+    _kernel_uvt).  Exact: skipped pairs are already cutoff-masked
+    zeros, and the gate requires the autoreject radius below the
+    cutoff so the skipped r2 >= rc^2 values can never win the
+    autoreject minimum.  Requires an orthorhombic box (axis-aligned
+    AABB bound); ``mc_cull auto`` (default) engages only with an
+    explicit cutoff (the profitable regime), ``on`` forces derived
+    rc = L/2 too, ``off`` disables."""
+    mode = cfg.mc_cull
+    if mode == "off" or not cfg.ortho_box:
+        return False
+    if cfg.cutoff is None:
+        return mode == "on"
+    return cfg.cavity_autoreject_absolute < cfg.cutoff
+
+
+def _pack_cull(pos0, slot_start, slot_species, A_list, n_pad, n_real):
+    """[blk_pad,16] column-block cull table: cols 0-2 AABB min, 3-5
+    AABB max, 6 static flag (1 = no movable-slot row intersects the
+    block, so its AABB is launch-invariant — frozen atoms never move
+    inside a launch; movable/padding-containing blocks get flag 0 and
+    are always visited).  Built from chain-0 positions: flagged blocks
+    hold only frozen rows, identical across chains forever."""
+    f32 = jnp.float32
+    n_blk = n_pad // TJ
+    blk_pad = max(8, _round_up(n_blk, 8))
+    pb = jnp.pad(pos0.astype(f32), ((0, n_pad - pos0.shape[0]), (0, 0)))
+    blk = pb.reshape(n_blk, TJ, 3)
+    bmin, bmax = blk.min(1), blk.max(1)
+    na_slot = jnp.zeros(slot_start.shape, f32)
+    for si, a in enumerate(A_list):
+        na_slot = jnp.where(
+            jnp.asarray(slot_species, f32) == np.float32(si),
+            np.float32(a), na_slot)
+    lo = jnp.asarray(slot_start, f32)[None, :]
+    hi = lo + na_slot[None, :]
+    b0 = (jnp.arange(n_blk, dtype=f32) * np.float32(TJ))[:, None]
+    inter = (lo < b0 + np.float32(TJ)) & (hi > b0)
+    flag = ~jnp.any(inter, axis=1)
+    # 128 lanes (only 7 used): a 16-lane VMEM operand nudged Mosaic
+    # into lane-padding the [C*K,16] uniforms table to 128 lanes too
+    # (8x -> 128 MB at C=32), blowing VMEM; a native-width table costs
+    # 28 KB and leaves the uniforms layout alone
+    tab = jnp.zeros((blk_pad, 128), f32)
+    tab = tab.at[:n_blk, 0:3].set(bmin)
+    tab = tab.at[:n_blk, 3:6].set(bmax)
+    tab = tab.at[:n_blk, 6].set(flag.astype(f32))
+    return tab, blk_pad
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_steps", "n_real", "A_list",
                                     "interpret"))
@@ -1652,13 +1754,20 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
 
     u = jnp.asarray(uniforms, f32)
 
+    use_cull = cull_gate(cfg)
+    if use_cull:
+        culltab, blk_pad = _pack_cull(pos, slot_start, slot_species,
+                                      A_list, n_pad, n_real)
+    else:
+        culltab, blk_pad = jnp.zeros((8, 128), f32), 8
+
     tm_rows = 4 * (tm_pad // 128) if cfg.tmmc else 1
     (out_data, out_sums, out_sk, out_tbl, out_rot,
      out_tm) = pl.pallas_call(
         functools.partial(_kernel_uvt, cfg=cfg, n_steps=n_steps,
                           n_pad=n_pad, n_real=n_real, A_list=A_list,
                           nk_pad=nk_pad, ms_pad=ms_pad, g3_pad=g3_pad,
-                          tm_pad=tm_pad),
+                          tm_pad=tm_pad, use_cull=use_cull),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((n_rows, 16), lambda _: (0, 0),
@@ -1678,6 +1787,8 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
             pl.BlockSpec((2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, ms_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_pad, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1704,7 +1815,7 @@ def run_steps_uvt(pos, eps, sig, charge, mass, alive, slot_start,
         ],
         input_output_aliases={6: 0, 7: 2, 5: 3, 8: 4},
         interpret=interpret,
-    )(scal, u, ktab, cav, eta, tbl, data, sk, rot)
+    )(scal, u, ktab, cav, eta, tbl, data, sk, rot, culltab)
     planes = out_data.reshape(nq, n_pad)
     new_pos = jnp.stack([planes[ROW_X, :n_real],
                          planes[ROW_Y, :n_real],
@@ -1852,12 +1963,22 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
 
     u = jnp.asarray(uniforms, f32)
 
+    use_cull = cull_gate(cfg)
+    if use_cull:
+        # chain-0 positions suffice: flagged blocks hold only frozen
+        # rows, identical across chains forever (_pack_cull docstring)
+        culltab, blk_pad = _pack_cull(pos[0], slot_start, slot_species,
+                                      A_list, n_pad, n_real)
+    else:
+        culltab, blk_pad = jnp.zeros((8, 128), f32), 8
+
     (out_data, out_sums, out_sk, out_tbl, out_rot,
      out_tm) = pl.pallas_call(
         functools.partial(_kernel_uvt, cfg=cfg, n_steps=n_steps,
                           n_pad=n_pad, n_real=n_real, A_list=A_list,
                           nk_pad=nk_pad, ms_pad=ms_pad, g3_pad=g3_pad,
-                          tm_pad=tm_pad, n_chains=C),
+                          tm_pad=tm_pad, n_chains=C,
+                          use_cull=use_cull),
         grid=(1,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2 ** 20),
@@ -1879,6 +2000,8 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
             pl.BlockSpec((C * 2 * Rk, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * C, ms_pad), lambda _: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_pad, 128), lambda _: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1907,7 +2030,7 @@ def run_steps_uvt_multi(pos, eps, sig, charge, mass, alive, slot_start,
         ],
         input_output_aliases={6: 0, 7: 2, 5: 3, 8: 4},
         interpret=interpret,
-    )(scal, u, ktab, cav, eta, tbl, data, sk, rot)
+    )(scal, u, ktab, cav, eta, tbl, data, sk, rot, culltab)
     planes = out_data.reshape(C, nq, n_pad)
     new_pos = jnp.stack([planes[:, ROW_X, :n_real],
                          planes[:, ROW_Y, :n_real],

@@ -2314,3 +2314,101 @@ def test_pda_field_variant_bookkeeping(variant):
                  "es_excl", "polar"):
         assert float(getattr(st.energy, term)) == pytest.approx(
             float(getattr(fresh.energy, term)), rel=2e-4, abs=5e-2), term
+
+
+# ---------------------------------------------------------------------------
+# column-tile culling in the fused µVT kernel (r6, mc_cull)
+# ---------------------------------------------------------------------------
+
+
+def _slab_system(dtype="float32"):
+    """Frozen slab at x in [0,2] filling column block 0 entirely, plus
+    LJ sorbates around x=20 in a 40 A box: with cutoff 5 every step's
+    molecule rows sit >= rc from block 0's AABB, so the culled kernel
+    skips that block on EVERY step — any bookkeeping error in the skip
+    path shows as a bitwise mismatch against the dense kernel."""
+    from mpmc_tpu.state import build_system
+    from helpers import atom_species
+
+    rng = np.random.default_rng(11)
+    nf = 1100                       # > 1024: block 0 is all-frozen
+    fpos = np.stack([rng.uniform(0.0, 2.0, nf),
+                     rng.uniform(0.0, 40.0, nf),
+                     rng.uniform(0.0, 40.0, nf)], axis=1)
+    fp = {"eps": np.full(nf, 30.0), "sig": np.full(nf, 3.0),
+          "charge": np.zeros(nf), "mass": np.full(nf, 12.0),
+          "polar": np.zeros(nf)}
+    sp = atom_species("Ar", eps=80.0, sig=3.2, charge=0.0)
+    n_mol = 24
+    mpos = np.stack([rng.uniform(15.0, 25.0, n_mol),
+                     rng.uniform(0.0, 40.0, n_mol),
+                     rng.uniform(0.0, 40.0, n_mol)],
+                    axis=1)[:, None, :]
+    params, state = build_system(
+        np.eye(3) * 40.0, frozen_pos=fpos, frozen_params=fp,
+        species=(sp,), capacity=(48,), initial_counts=(n_mol,),
+        initial_pos={0: mpos}, dtype=jnp.float32)
+    cfg = RunConfig(ensemble="uvt", rd_potential="lj", coulomb="none",
+                    insert_species=(0,), ortho_box=True, cutoff=5.0,
+                    rd_lrc=False, dtype=dtype, fused_mc=True, seed=3,
+                    mc_cull="auto")
+    thermo = Thermo.make(temperature=120.0, n_species=1,
+                         dtype=jnp.float32)
+    # pure displacements keep the sorbates in the x~[14,26] band, far
+    # from block 0 at every step
+    thermo = dataclasses.replace(
+        thermo, insert_probability=jnp.asarray(0.0, jnp.float32),
+        move_factor=jnp.asarray(0.6, jnp.float32))
+    return params, state, cfg, thermo
+
+
+def test_mc_cull_gate_and_table():
+    params, state, cfg, thermo = _slab_system()
+    assert mc_kernel.cull_gate(cfg)
+    assert not mc_kernel.cull_gate(
+        dataclasses.replace(cfg, mc_cull="off"))
+    assert not mc_kernel.cull_gate(
+        dataclasses.replace(cfg, ortho_box=False))
+    assert not mc_kernel.cull_gate(dataclasses.replace(cfg, cutoff=None))
+    assert mc_kernel.cull_gate(
+        dataclasses.replace(cfg, cutoff=None, mc_cull="on"))
+    # autoreject radius must stay below the cutoff
+    assert not mc_kernel.cull_gate(
+        dataclasses.replace(cfg, cavity_autoreject_absolute=6.0))
+
+    slots, slot_start, species_idx, tmpl, A_list, rep_slots = (
+        metropolis.uvt_fused_tables(params, cfg))
+    n_real = state.pos.shape[0]
+    n_pad = max(2 * mc_kernel.TJ,
+                -(-n_real // mc_kernel.TJ) * mc_kernel.TJ)
+    tab, _ = mc_kernel._pack_cull(
+        state.pos, jnp.asarray(slot_start),
+        jnp.asarray(species_idx, jnp.float32), A_list, n_pad, n_real)
+    tab = np.asarray(tab)
+    # block 0 is all-frozen (static), block 1 holds the slots
+    assert tab[0, 6] == 1.0 and tab[1, 6] == 0.0
+    # slab AABB: x within [0,2], y/z spanning the box
+    assert tab[0, 0] >= 0.0 and tab[0, 3] <= 2.0
+
+
+def test_mc_cull_bit_identical_with_guaranteed_skips():
+    """Culled vs dense fused µVT over two chunks: bitwise-identical
+    positions, energies and acceptance counters, on a geometry where
+    the culled kernel provably skips block 0 at every step."""
+    params, state, cfg, thermo = _slab_system()
+    assert mc_kernel.supported_uvt(cfg, params)
+    st0 = metropolis.initialize(state, params, cfg, thermo)
+    outs = {}
+    for mode in ("auto", "off"):
+        c = dataclasses.replace(cfg, mc_cull=mode)
+        st, _ = metropolis.run_chunk_fused_uvt(st0, params, c, thermo,
+                                               192)
+        st, stats = metropolis.run_chunk_fused_uvt(st, params, c,
+                                                   thermo, 192)
+        outs[mode] = (np.asarray(st.pos), np.asarray(st.energy.rd),
+                      np.asarray(stats.accepts),
+                      np.asarray(stats.attempts))
+    for a, b in zip(outs["auto"], outs["off"]):
+        np.testing.assert_array_equal(a, b)
+    # the run must actually move molecules (non-trivial trajectories)
+    assert outs["auto"][2][0] > 0
