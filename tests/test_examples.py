@@ -116,3 +116,24 @@ def test_h2_polar_wolf_deck(tmp_path):
                for ln in log.getvalue().splitlines())
     assert not any("WARNING: polar_delayed" in ln
                    for ln in log.getvalue().splitlines())
+
+
+def test_h2_polar_cutoff_deck(tmp_path):
+    """The r6 explicit-cutoff polar deck runs AS SHIPPED (f32): the
+    tile-culled SCF matvec gate accepts it (polar_cull auto + explicit
+    cutoff + ortho + CG) and the fused PDA path dispatches."""
+    import dataclasses
+
+    from mpmc_tpu.ops import thole
+
+    job = _shrunk(os.path.join(EXAMPLES, "h2_polar_cutoff_gcmc.inp"),
+                  tmp_path, steps=300, corr=150, f64=False)
+    assert job.cfg.cutoff == 6.0 and job.cfg.polar_cull == "auto"
+    # ortho_box is detected from the basis at run time (mc/run.py)
+    assert thole.cull_supported(
+        dataclasses.replace(job.cfg, ortho_box=True))
+    log = io.StringIO()
+    su, avgs = run_mod.run(job, log=log)
+    assert np.isfinite(avgs.mean("energy_total"))
+    assert any("polar delayed-acceptance" in ln
+               for ln in log.getvalue().splitlines())
