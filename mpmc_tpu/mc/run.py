@@ -78,6 +78,21 @@ def compute_fugacities(job: input_script.Job, names, nsp=None):
     return fug or [job.pressure]
 
 
+def _promote_polar_cull(cfg, n_atoms: int):
+    """Large derived-rc polar systems: at 54k atoms a 256-site block
+    is a ~19 A cube vs the 0.366 L = 54 A separation bound, so
+    forcing the tile-culled SCF matvec wins +8% (visit fraction 0.89,
+    MEASURE_POLAR_CULL ``large_54k_derived_rc``) even though ``auto``
+    alone stays dense at derived rc.  Threshold anchored at that
+    measured point (intermediate sizes unmeasured); an explicit
+    ``polar_cull on/off`` always wins over this promotion."""
+    if (cfg.polarization and cfg.polar_cull == "auto"
+            and cfg.cutoff is None and cfg.ortho_box
+            and n_atoms >= 49152):
+        return dataclasses.replace(cfg, polar_cull="on")
+    return cfg
+
+
 def setup(job: input_script.Job,
           frame: Optional[pqr_io.PqrFrame] = None) -> Setup:
     """Build (params, state, cfg, thermo) from a parsed Job."""
@@ -172,6 +187,7 @@ def setup(job: input_script.Job,
     if job.scale_charge != 1.0:
         params = dataclasses.replace(
             params, charge=params.charge * job.scale_charge)
+    cfg = _promote_polar_cull(cfg, int(params.n_atoms_max))
     if cfg.extrapolate_disp_coeffs:
         # Tang-Toennies recursion C10 = (49/40) C8^2/C6 for atoms with
         # C6/C8 but no C10 (SURVEY §2.9 "RD" [L])

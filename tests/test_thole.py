@@ -1060,3 +1060,27 @@ def test_solve_scf_culled_matches_plain():
                                atol=5e-6)
     np.testing.assert_allclose(np.asarray(r_c), np.asarray(r_p),
                                atol=5e-6)
+
+
+def test_polar_cull_large_system_promotion():
+    """run.py promotes polar_cull auto -> on for large derived-rc
+    ortho polar systems (the measured 54k win); explicit settings and
+    small / explicit-cutoff / triclinic configs are untouched."""
+    import dataclasses
+
+    from mpmc_tpu.mc.run import _promote_polar_cull
+
+    base = RunConfig(polarization=True, ortho_box=True)
+    assert _promote_polar_cull(base, 53728).polar_cull == "on"
+    assert _promote_polar_cull(base, 10800).polar_cull == "auto"
+    assert _promote_polar_cull(
+        dataclasses.replace(base, cutoff=14.0), 53728).polar_cull == "auto"
+    assert _promote_polar_cull(
+        dataclasses.replace(base, ortho_box=False),
+        53728).polar_cull == "auto"
+    assert _promote_polar_cull(
+        dataclasses.replace(base, polar_cull="off"),
+        53728).polar_cull == "off"
+    assert _promote_polar_cull(
+        dataclasses.replace(base, polarization=False),
+        53728).polar_cull == "auto"
