@@ -1283,8 +1283,12 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, eta_ref, tbl_in_ref,
             d_f = jnp.where(s_cur > 0.5, f_para - f_ortho,
                             f_ortho - f_para)
 
-        def col_body(jt, acc):
-            rd_a, es_a, mr_a = acc
+        def col_loads(jt):
+            # plane loads + masks stay OUTSIDE the cull branch so
+            # Mosaic can keep prefetching/pipelining them across the
+            # block loop; only the transcendental-heavy pair compute
+            # is conditional (measured: branching the loads too cost
+            # 20-37% — MEASURE_MC_CULL variant 1)
             r0 = pl.multiple_of(jt * 8, 8)
 
             def plane(q):
@@ -1301,6 +1305,13 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, eta_ref, tbl_in_ref,
             lin = jt * TJ + sub8 * 128 + lane8
             ok = ((alive_j > 0) & (lin < n_real)
                   & ((lin < start) | (lin >= start + na_i)))
+            return (px, py, pz, eps_j, sig_j, q_j, mm_j, disp_j,
+                    gwp_j, ok)
+
+        def col_compute(loaded, acc):
+            (px, py, pz, eps_j, sig_j, q_j, mm_j, disp_j, gwp_j,
+             ok) = loaded
+            rd_a, es_a, mr_a = acc
 
             def mimg(dx, dy, dz):
                 if cfg.ortho_box:
@@ -1340,6 +1351,9 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, eta_ref, tbl_in_ref,
                 mr_a = jnp.minimum(mr_a, m2)
             return (rd_a, es_a, mr_a)
 
+        def col_body(jt, acc):
+            return col_compute(col_loads(jt), acc)
+
         if use_cull:
             def col(jt, acc):
                 # conservative min-image AABB gap: skip iff the block
@@ -1348,6 +1362,7 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, eta_ref, tbl_in_ref,
                 # Skipped blocks' pairs are all cutoff-masked zeros
                 # (and their r2 >= rc^2 can never win the autoreject
                 # minimum, gated thr < rc at setup) — bit-identical.
+                loaded = col_loads(jt)
                 g2 = np.float32(0.0)
                 for c in range(3):
                     bmin = cull_ref[jt, c]
@@ -1360,7 +1375,8 @@ def _kernel_uvt(scal_ref, u_ref, ktab_ref, cav_ref, eta_ref, tbl_in_ref,
                     g2 = g2 + g * g
                 skip = (cull_ref[jt, 6] > 0.0) & (g2 >= rc * rc)
                 return jax.lax.cond(skip, lambda a: a,
-                                    lambda a: col_body(jt, a), acc)
+                                    lambda a: col_compute(loaded, a),
+                                    acc)
         else:
             col = col_body
 
